@@ -1,0 +1,71 @@
+"""Table catalog: lazy registration of parquet datasets as temp views.
+
+The reference resolves dataset names through its connector registry at plan
+time (``opteryx/operators/read_node.py:158-284``).  Here a ``Catalog`` maps
+names to Spark temp views so ``spark.sql`` sees them; scans stay lazy and
+Catalyst applies pushdown/pruning.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from opteryx_spark.session import tune_session
+
+TPCH_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def _nanos_ts_columns(path: str) -> list[str]:
+    """Columns stored as parquet TIMESTAMP(NANOS) — Spark can't read them
+    natively; we read them as long (``legacy.parquet.nanosAsLong``) and
+    convert to microsecond timestamps (DuckDB-equivalent truncation)."""
+    import pyarrow.parquet as pq
+    import pyarrow.types as pat
+
+    try:
+        schema = pq.read_schema(path)
+    except Exception:
+        return []
+    return [
+        f.name
+        for f in schema
+        if pat.is_timestamp(f.type) and f.type.unit == "ns"
+    ]
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    ns_cols = _nanos_ts_columns(path)
+    df = spark.read.parquet(path)
+    for col in ns_cols:
+        df = df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))
+    return df
+
+
+def register_sf_dir(spark: SparkSession, sf_dir: str, tables=TPCH_TABLES) -> dict[str, DataFrame]:
+    """Register every parquet table under ``sf_dir`` as a temp view."""
+    tune_session(spark)
+    out: dict[str, DataFrame] = {}
+    for name in tables:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if not os.path.exists(path):
+            continue
+        df = load_table(spark, sf_dir, name)
+        df.createOrReplaceTempView(name)
+        out[name] = df
+    return out

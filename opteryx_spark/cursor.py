@@ -1,0 +1,216 @@
+"""DBAPI-2.0 (PEP-249) surface over spark.sql.
+
+Reference parity: ``opteryx/cursor.py:39-66,175-239`` (Cursor extends a
+DataFrame with execute/fetchone/description/rowcount) and
+``opteryx/__init__.py:150-264`` (``query``, ``query_to_arrow``).  Here the
+cursor is a thin wrapper: the plan lives in Spark; fetches pull through
+``toLocalIterator``/Arrow so the driver never materializes more than the
+caller asks for.
+"""
+
+from __future__ import annotations
+
+from collections import namedtuple
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+
+from opteryx_spark import rewriter
+from opteryx_spark.session import get_session
+from opteryx_spark.sources import registry as _registry_mod
+from opteryx_spark.sources.registry import SourceRegistry, read_any
+from opteryx_spark.virtual import register_virtual_datasets
+
+Description = namedtuple(
+    "Description",
+    ["name", "type_code", "display_size", "internal_size", "precision", "scale", "null_ok"],
+)
+
+# default column carrying event time for temporal FOR filters, per table
+DEFAULT_TIME_COLUMNS = {"events": "ts", "orders": "o_orderdate", "lineitem": "l_shipdate"}
+
+
+class Connection:
+    """PEP-249 Connection bound to a SparkSession + source registry."""
+
+    def __init__(
+        self,
+        spark: SparkSession | None = None,
+        registry: SourceRegistry | None = None,
+        time_columns: dict[str, str] | None = None,
+    ):
+        self.spark = spark or get_session()
+        self.registry = registry or _registry_mod._DEFAULT
+        self.variables: dict[str, Any] = {}
+        self.time_columns = {**DEFAULT_TIME_COLUMNS, **(time_columns or {})}
+        register_virtual_datasets(self.spark)
+
+    def cursor(self) -> "Cursor":
+        return Cursor(self)
+
+    def commit(self) -> None:  # read-only engine, like the reference
+        pass
+
+    def close(self) -> None:
+        pass
+
+
+class Cursor:
+    arraysize = 1
+
+    def __init__(self, connection: Connection):
+        self._conn = connection
+        self._df: DataFrame | None = None
+        self._iter = None
+        self._rowcount: int | None = None
+
+    # -- execution ----------------------------------------------------------
+
+    def execute(self, sql: str, params: dict | list | None = None) -> "Cursor":
+        spark = self._conn.spark
+        for stmt in rewriter.split_statements(rewriter.strip_comments(sql)):
+            self._df = self._execute_one(spark, stmt, params)
+        self._iter = None
+        self._rowcount = None
+        return self
+
+    def _execute_one(self, spark: SparkSession, stmt: str, params) -> DataFrame | None:
+        import re
+
+        set_m = re.match(r"SET\s+@(\w+)\s*=\s*(.+)", stmt, re.IGNORECASE)
+        if set_m:
+            self._conn.variables[set_m.group(1)] = _parse_literal(set_m.group(2))
+            return self._df
+        show_m = re.match(r"SHOW\s+@(\w+)", stmt, re.IGNORECASE)
+        if show_m:
+            name = show_m.group(1)
+            return spark.createDataFrame(
+                [(name, str(self._conn.variables.get(name)))], ["name", "value"]
+            )
+        merged = dict(self._conn.variables)
+        if isinstance(params, dict):
+            merged.update(params)
+        res = rewriter.rewrite(stmt, merged or params)
+        for view, path in res.path_tables.items():
+            read_any(spark, path).createOrReplaceTempView(view)
+        sql = res.sql
+        for table, (start, end) in res.temporal_filters.items():
+            col = self._conn.time_columns.get(table)
+            if col is None:
+                continue
+            base = self._conn.registry.resolve(spark, table) if table not in [
+                t.name for t in spark.catalog.listTables()
+            ] else spark.table(table)
+            cond = f"{col} >= {start}"
+            if end != "NULL":
+                cond += f" AND {col} <= {end}"
+            view = f"temporal_{table}"
+            base.filter(cond).createOrReplaceTempView(view)
+            sql = re.sub(rf"\b{re.escape(table)}\b", view, sql)
+        explain_m = re.match(r"EXPLAIN(\s+ANALYZE)?\s+(.*)", sql, re.IGNORECASE | re.DOTALL)
+        if explain_m:
+            plan_df = spark.sql(explain_m.group(2))
+            text = plan_df._jdf.queryExecution().explainString(
+                spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+            )
+            return spark.createDataFrame([(line,) for line in text.split("\n")], ["plan"])
+        return spark.sql(sql)
+
+    # -- results ------------------------------------------------------------
+
+    @property
+    def df(self) -> DataFrame:
+        if self._df is None:
+            raise RuntimeError("no statement executed")
+        return self._df
+
+    @property
+    def description(self) -> list[Description] | None:
+        if self._df is None:
+            return None
+        return [
+            Description(f.name, f.dataType.simpleString(), None, None, None, None, f.nullable)
+            for f in self._df.schema.fields
+        ]
+
+    @property
+    def rowcount(self) -> int:
+        if self._rowcount is None:
+            self._rowcount = self.df.count()
+        return self._rowcount
+
+    def fetchone(self):
+        if self._iter is None:
+            self._iter = self.df.toLocalIterator()
+        try:
+            return tuple(next(self._iter))
+        except StopIteration:
+            return None
+
+    def fetchmany(self, size: int | None = None):
+        size = size or self.arraysize
+        out = []
+        for _ in range(size):
+            row = self.fetchone()
+            if row is None:
+                break
+            out.append(row)
+        return out
+
+    def fetchall(self):
+        return [tuple(r) for r in self.df.collect()]
+
+    def arrow(self):
+        """Results as a pyarrow.Table (reference ``execute_to_arrow``)."""
+        df = self.df
+        if hasattr(df, "toArrow"):
+            return df.toArrow()
+        import pyarrow as pa
+
+        return pa.Table.from_pandas(df.toPandas())
+
+    def pandas(self):
+        return self.df.toPandas()
+
+    def close(self) -> None:
+        self._df = None
+        self._iter = None
+
+
+def _parse_literal(text: str):
+    text = text.strip()
+    if text.startswith("'") and text.endswith("'"):
+        return text[1:-1]
+    try:
+        return int(text)
+    except ValueError:
+        try:
+            return float(text)
+        except ValueError:
+            return text
+
+
+_default_connection: Connection | None = None
+
+
+def connect(**kwargs) -> Connection:
+    return Connection(**kwargs)
+
+
+def _default() -> Connection:
+    global _default_connection
+    if _default_connection is None:
+        _default_connection = Connection()
+    return _default_connection
+
+
+def query(sql: str, params: dict | list | None = None) -> Cursor:
+    """One-shot query on the default connection (reference
+    ``opteryx.query``, ``opteryx/__init__.py:150-185``)."""
+    cur = _default().cursor()
+    return cur.execute(sql, params)
+
+
+def query_to_arrow(sql: str, params: dict | list | None = None):
+    """Fastest path: SQL → pyarrow.Table (reference ``query_to_arrow``)."""
+    return query(sql, params).arrow()

@@ -1,0 +1,165 @@
+"""Scalar-function parity layer (SURVEY.md §2.8 gap list).
+
+Most of the reference's ~140-function catalog maps 1:1 to Spark built-ins
+(``opteryx/functions/__init__.py:508-656`` vs ``pyspark.sql.functions``).
+This module provides the remainder:
+
+- Column-expression helpers (JVM-side, codegen-friendly) for functions
+  Spark spells differently or lacks as a single call;
+- ``register_sql_functions(spark)`` exposing them to SQL queries through
+  the cursor, implemented as pandas UDFs only where an expression cannot
+  express the semantics (base85, humanize, IP-in-CIDR).
+
+UDF policy at 100 TB: expression > pandas_udf > (never) row Python UDF.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# --- expression-only helpers ------------------------------------------------
+
+
+def ifnotnull(cond: Column, value: Column) -> Column:
+    """Reference IFNOTNULL (``functions/__init__.py:597-606``)."""
+    return F.when(cond.isNotNull(), value).otherwise(F.lit(None))
+
+
+def iif(cond: Column, if_true: Column, if_false: Column) -> Column:
+    return F.when(cond, if_true).otherwise(if_false)
+
+
+def search(col: Column, needle: str) -> Column:
+    """Reference SEARCH: case-insensitive containment."""
+    return F.lower(col).contains(needle.lower())
+
+
+def min_max(col: Column) -> Column:
+    """Reference MIN_MAX aggregate → struct(min, max)."""
+    return F.struct(F.min(col).alias("min"), F.max(col).alias("max"))
+
+
+def product(col: Column) -> Column:
+    """Reference PRODUCT aggregate via sign-tracked exp-sum-log.
+
+    Distributive (partial-aggregatable) and JVM-side; exact only to double
+    precision, like the reference's float fold.
+    """
+    absval = F.abs(col)
+    log_sum = F.sum(F.when(absval > 0, F.log(absval)).otherwise(F.lit(0.0)))
+    zeros = F.sum(F.when(col == 0, 1).otherwise(0))
+    negs = F.sum(F.when(col < 0, 1).otherwise(0))
+    sign = F.when(negs % 2 == 0, F.lit(1.0)).otherwise(F.lit(-1.0))
+    return F.when(zeros > 0, F.lit(0.0)).otherwise(sign * F.exp(log_sum))
+
+
+def date_diff_interval(end: Column, start: Column) -> Column:
+    """Reference date−date → INTERVAL semantics
+    (``binary_operators.py:173-191``): returns a day-time interval."""
+    return F.expr(f"({end._jc.toString()}) - ({start._jc.toString()})")
+
+
+def time_bucket(ts: Column, width: str = "1 hour") -> Column:
+    """Reference TIME_BUCKET (``functions/date_functions.py``) via the
+    built-in window() start — streaming-compatible."""
+    return F.window(ts, width)["start"]
+
+
+def levenshtein_ratio(a: Column, b: Column) -> Column:
+    dist = F.levenshtein(a, b).cast("double")
+    longest = F.greatest(F.length(a), F.length(b)).cast("double")
+    return F.lit(1.0) - dist / longest
+
+
+# --- pandas-UDF-backed gap functions ---------------------------------------
+
+
+def _make_pandas_udfs():
+    import base64
+
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def base85_encode(s: pd.Series) -> pd.Series:
+        return s.map(
+            lambda v: base64.b85encode(v.encode() if isinstance(v, str) else v).decode()
+            if v is not None
+            else None
+        )
+
+    @pandas_udf("string")
+    def base85_decode(s: pd.Series) -> pd.Series:
+        return s.map(lambda v: base64.b85decode(v).decode() if v is not None else None)
+
+    @pandas_udf("string")
+    def humanize(n: pd.Series) -> pd.Series:
+        def _h(v):
+            if v is None or pd.isna(v):
+                return None
+            for unit, div in (("billion", 1e9), ("million", 1e6), ("thousand", 1e3)):
+                if abs(v) >= div:
+                    return f"{v / div:.1f} {unit}"
+            return f"{v:.0f}"
+
+        return n.astype("float64").map(_h)
+
+    @pandas_udf("boolean")
+    def ip_in_cidr(ip: pd.Series, cidr: pd.Series) -> pd.Series:
+        import ipaddress
+
+        def _in(row):
+            ip_v, cidr_v = row
+            if ip_v is None or cidr_v is None:
+                return None
+            try:
+                return ipaddress.ip_address(ip_v) in ipaddress.ip_network(cidr_v, strict=False)
+            except ValueError:
+                return None
+
+        return pd.Series(map(_in, zip(ip, cidr)))
+
+    @pandas_udf("string")
+    def soundex_udf(s: pd.Series) -> pd.Series:
+        # Spark has soundex built-in; this exists only for SQL registration
+        # symmetry in environments where expressions are preferred.
+        codes = {
+            **dict.fromkeys("BFPV", "1"),
+            **dict.fromkeys("CGJKQSXZ", "2"),
+            **dict.fromkeys("DT", "3"),
+            "L": "4",
+            **dict.fromkeys("MN", "5"),
+            "R": "6",
+        }
+
+        def _sx(v):
+            if not v:
+                return None
+            v = v.upper()
+            out = v[0]
+            prev = codes.get(v[0], "")
+            for ch in v[1:]:
+                code = codes.get(ch, "")
+                if code and code != prev:
+                    out += code
+                prev = code if ch not in "HW" else prev
+                if len(out) == 4:
+                    break
+            return (out + "000")[:4]
+
+        return s.map(_sx)
+
+    return {
+        "base85_encode": base85_encode,
+        "base85_decode": base85_decode,
+        "humanize": humanize,
+        "ip_in_cidr": ip_in_cidr,
+        "soundex_py": soundex_udf,
+    }
+
+
+def register_sql_functions(spark) -> None:
+    """Register the gap functions for SQL use (idempotent)."""
+    for name, udf in _make_pandas_udfs().items():
+        spark.udf.register(name, udf)

@@ -1,0 +1,327 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash.
+
+All operators are shuffle-architected for 100 TB corpora:
+
+- exact dedup is a hash groupBy on a digest (one shuffle on a uniform key);
+- n-gram Jaccard uses an inverted shingle index (shuffle on shingle, then
+  on the candidate pair) — the standard "similarity join" plan, with an
+  optional document-frequency cap to cut hot-shingle skew;
+- MinHash/LSH shuffles on (band, band_hash) buckets so candidate
+  generation is linear in bucket occupancy, never all-pairs;
+- SimHash reduces each document to one 64-bit signature, deduped by
+  Hamming-ball banding.
+
+Everything is built-in expressions (xxhash64, aggregates) — no Python in
+the per-row hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from opteryx_spark.operators.text import shingles, tokens
+
+# deterministic odd multipliers/offsets for the minhash permutation family
+_MH_SEED_A = 0x9E3779B97F4A7C15
+_MH_SEED_B = 0xC2B2AE3D27D4EB4F
+
+
+def _perm_params(num_hashes: int) -> list[tuple[int, int]]:
+    out = []
+    a, b = _MH_SEED_A, _MH_SEED_B
+    for _ in range(num_hashes):
+        a = (a * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+        b = (b * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+        out.append((a | 1, b))  # odd multiplier => bijective mod 2^64
+    return out
+
+
+def _signed64(v: int) -> int:
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+# --- exact ------------------------------------------------------------------
+
+
+def exact_dedup(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
+    """Exact dedup on a column subset (reference DISTINCT,
+    ``operators/distinct_node.py:24-66``)."""
+    return df.dropDuplicates(cols) if cols else df.dropDuplicates()
+
+
+def content_hash_dedup(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Keep the lowest-id exemplar per exact content digest.
+
+    GroupBy on sha256(text): one shuffle keyed by a uniform digest, so no
+    skew even when one document is replicated millions of times.
+    """
+    digest = F.sha2(F.col(text_col), 256).alias("content_sha")
+    return (
+        df.select(F.col(id_col), digest)
+        .groupBy("content_sha")
+        .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+# --- exact n-gram Jaccard similarity join -----------------------------------
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 2,
+    threshold: float = 0.8,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """All document pairs with word-k-gram Jaccard >= threshold (exact).
+
+    Plan: doc → distinct shingles → inverted index (shingle, id) →
+    self-join on shingle → pair overlap counts → join set sizes → filter.
+    ``max_doc_freq`` drops shingles appearing in more than N docs — the
+    skew guard for web-scale corpora (boilerplate shingles produce
+    quadratic bucket blowups; dropping them only lowers estimated overlap
+    for pairs already far below threshold).
+    """
+    sh = df.select(F.col(id_col).alias("id"), F.explode(shingles(text_col, k)).alias("s"))
+    if max_doc_freq is not None:
+        hot = sh.groupBy("s").count().filter(F.col("count") > max_doc_freq).select("s")
+        sh = sh.join(F.broadcast(hot), "s", "left_anti")
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    overlap = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id1"), F.col("b.id").alias("id2"))
+        .agg(F.count(F.lit(1)).alias("ov"))
+    )
+    sa = sizes.select(F.col("id").alias("id1"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("id").alias("id2"), F.col("n").alias("nb"))
+    return (
+        overlap.join(sa, "id1")
+        .join(sb, "id2")
+        .select(
+            "id1",
+            "id2",
+            (
+                F.col("ov").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("ov")).cast("double")
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+# --- MinHash + LSH ----------------------------------------------------------
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 64,
+    k: int = 2,
+) -> DataFrame:
+    """(id, sig array<long>) — minhash of the word-k-shingle set.
+
+    Each permutation is ``(a * xxhash64(shingle) + b) mod 2^64`` (odd
+    ``a`` ⇒ bijection), realized as wrapping 64-bit arithmetic; the
+    signature component is the min over the document's shingles.  One
+    explode + one groupBy — shuffle keyed by doc id.
+    """
+    params = _perm_params(num_hashes)
+    sh = df.select(F.col(id_col).alias("id"), F.explode(shingles(text_col, k)).alias("s"))
+    h = F.xxhash64("s")
+    mins = [
+        F.min(h * F.lit(_signed64(a)) + F.lit(_signed64(b))).alias(f"_m{i}")
+        for i, (a, b) in enumerate(params)
+    ]
+    sig = sh.groupBy("id").agg(*mins)
+    return sig.select("id", F.array(*[f"_m{i}" for i in range(num_hashes)]).alias("sig"))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 64,
+    bands: int = 16,
+    k: int = 2,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Candidate near-dup pairs via banded LSH over minhash signatures.
+
+    Signature is cut into ``bands`` bands of ``num_hashes/bands`` rows;
+    docs sharing any band hash become candidates.  Output: (id1, id2,
+    est_jaccard) where est_jaccard = fraction of matching signature
+    components.  ``max_bucket`` caps pathological buckets (all-identical
+    spam) to keep the pair fan-out linear.
+    """
+    rows = num_hashes // bands
+    sig = minhash_signatures(df, id_col, text_col, num_hashes, k)
+    band_cols = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band"),
+                F.xxhash64(*[F.element_at("sig", i * rows + j + 1) for j in range(rows)]).alias(
+                    "bh"
+                ),
+            )
+            for i in range(bands)
+        ]
+    )
+    buckets = sig.select("id", "sig", F.explode(band_cols).alias("b")).select(
+        "id", "sig", F.col("b.band").alias("band"), F.col("b.bh").alias("bh")
+    )
+    if max_bucket is not None:
+        hot = (
+            buckets.groupBy("band", "bh")
+            .count()
+            .filter(F.col("count") > max_bucket)
+            .select("band", "bh")
+        )
+        buckets = buckets.join(F.broadcast(hot), ["band", "bh"], "left_anti")
+    a, b = buckets.alias("a"), buckets.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id1"),
+            F.col("b.id").alias("id2"),
+            F.col("a.sig").alias("sig1"),
+            F.col("b.sig").alias("sig2"),
+        )
+        .dropDuplicates(["id1", "id2"])
+    )
+    est = F.size(
+        F.filter(F.zip_with("sig1", "sig2", lambda x, y: x == y), lambda m: m)
+    ).cast("double") / F.lit(float(num_hashes))
+    return cand.select("id1", "id2", est.alias("est_jaccard"))
+
+
+def minhash_dedup_verified(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.9,
+    num_hashes: int = 64,
+    bands: int = 16,
+    k: int = 2,
+) -> DataFrame:
+    """LSH candidates verified with *exact* Jaccard on the shingle sets.
+
+    The scalable two-phase plan: LSH prunes the pair space from O(n²) to
+    bucket-local candidates, then exact verification computes true Jaccard
+    only for candidates.  Output matches an exact all-pairs similarity
+    join above ``threshold`` up to LSH recall (≈1-4e-8 at j≥0.9 with
+    64/16 banding).
+    """
+    cand = minhash_lsh_pairs(df, id_col, text_col, num_hashes, bands, k).select("id1", "id2")
+    sh = df.select(F.col(id_col).alias("id"), F.explode(shingles(text_col, k)).alias("s"))
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.select(F.col("id").alias("id1"), F.col("s").alias("s1"))
+    b = sh.select(F.col("id").alias("bid"), F.col("s").alias("s2"))
+    overlap = (
+        cand.join(a, "id1")
+        .join(b, (F.col("id2") == F.col("bid")) & (F.col("s1") == F.col("s2")))
+        .groupBy("id1", "id2")
+        .agg(F.count(F.lit(1)).alias("ov"))
+    )
+    sa = sizes.select(F.col("id").alias("id1"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("id").alias("id2"), F.col("n").alias("nb"))
+    return (
+        overlap.join(sa, "id1")
+        .join(sb, "id2")
+        .select(
+            "id1",
+            "id2",
+            (
+                F.col("ov").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("ov")).cast("double")
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+# --- SimHash ----------------------------------------------------------------
+
+
+def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 64) -> DataFrame:
+    """(id, simhash long) — bit-vote simhash over token hashes.
+
+    Expressed as explode + 64 conditional-sum aggregates (all JVM-side):
+    bit_j(doc) = 1 iff sum over tokens of ±1 on bit j is positive.
+    """
+    tok = df.select(F.col(id_col).alias("id"), F.explode(tokens(text_col)).alias("tk"))
+    h = F.xxhash64("tk")
+    votes = [
+        F.sum(F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)).alias(
+            f"_v{j}"
+        )
+        for j in range(bits)
+    ]
+    voted = tok.groupBy("id").agg(*votes)
+    acc = F.lit(0).cast("long")
+    for j in range(bits):
+        bitval = -(1 << 63) if j == 63 else (1 << j)
+        acc = acc + F.when(F.col(f"_v{j}") > 0, F.lit(bitval)).otherwise(F.lit(0))
+    return voted.select("id", acc.alias("simhash"))
+
+
+def simhash_dedup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    blocks: int = 4,
+) -> DataFrame:
+    """Near-dup pairs by simhash Hamming distance <= max_hamming.
+
+    Pigeonhole banding: split the 64-bit signature into ``blocks`` blocks;
+    any pair within distance < blocks shares at least one exact block, so
+    candidates come from equality joins on block values (shuffle on block
+    key), then exact popcount verification.
+    """
+    sig = simhash(df, id_col, text_col)
+    width = 64 // blocks
+    block = lambda c, i: F.shiftrightunsigned(c, i * width).bitwiseAND(F.lit((1 << width) - 1))  # noqa: E731
+    blocked = sig.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(i).alias("blk"), block(F.col("simhash"), i).alias("bv"))
+                    for i in range(blocks)
+                ]
+            )
+        ).alias("b"),
+    ).select("id", "simhash", F.col("b.blk").alias("blk"), F.col("b.bv").alias("bv"))
+    a, b = blocked.alias("a"), blocked.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.bv") == F.col("b.bv"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id1"),
+            F.col("b.id").alias("id2"),
+            F.col("a.simhash").alias("h1"),
+            F.col("b.simhash").alias("h2"),
+        )
+        .dropDuplicates(["id1", "id2"])
+    )
+    dist = F.bit_count(F.col("h1").bitwiseXOR(F.col("h2")))
+    return cand.select("id1", "id2", dist.cast("int").alias("hamming")).filter(
+        F.col("hamming") <= max_hamming
+    )

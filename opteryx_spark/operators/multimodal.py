@@ -1,0 +1,124 @@
+"""Multimodal column plumbing: binary payloads + typed metadata.
+
+Design (the part that must be right for 100 TB):
+
+- media travels as an opaque ``binary`` column beside a typed metadata
+  struct (mime, width/height, sample rate, ...) — never decoded during
+  relational ops, so joins/filters/pruning never touch the bytes;
+- decode / feature-extract / resize / frame-sample run as
+  ``mapInPandas`` stages: Arrow-batched, schema-stable, partition-local;
+- batch size is bounded by rows *and* payload bytes (``maxRecordsPerBatch``
+  should be set low for media tables — a 10 MB image times 10k rows is an
+  OOM, so we re-chunk inside the generator).
+
+The actual codecs (PIL/ffmpeg/etc.) are not available in this container:
+``decode_image`` raises ``NotImplementedError`` unless ``fake=True``,
+which produces a deterministic fake decode (hash-derived dimensions) so
+the Spark-side plumbing — schema, partitioning, UDF signature, batch
+shape — is fully real and testable.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("mime", StringType(), True),
+        StructField("payload", BinaryType(), True),
+    ]
+)
+
+IMAGE_FEATURES_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("mime", StringType(), True),
+        StructField("width", LongType(), True),
+        StructField("height", LongType(), True),
+        StructField("n_bytes", LongType(), True),
+        StructField("content_sha", StringType(), True),
+    ]
+)
+
+
+def _fake_decode(payload: bytes) -> tuple[int, int]:
+    """Deterministic stand-in for an image decoder: dimensions derived
+    from the content hash.  STUB — replace with PIL in a full runtime."""
+    digest = hashlib.sha256(payload or b"").digest()
+    width = 64 + digest[0] % 192
+    height = 64 + digest[1] % 192
+    return width, height
+
+
+def decode_image(payload: bytes, fake: bool = False) -> tuple[int, int]:
+    if fake:
+        return _fake_decode(payload)
+    raise NotImplementedError(
+        "image codecs are not available in this container; pass fake=True "
+        "to exercise the pipeline with deterministic fake decodes"
+    )
+
+
+def image_features(df: DataFrame, fake: bool = True, max_batch_bytes: int = 64 << 20) -> DataFrame:
+    """Per-image feature extraction as a mapInPandas stage.
+
+    The generator re-chunks each Arrow batch so no in-flight pandas frame
+    exceeds ``max_batch_bytes`` of payload — the guard that makes this
+    safe on mixed small/large media at scale.
+    """
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            start = 0
+            while start < len(pdf):
+                size, end = 0, start
+                while end < len(pdf) and size <= max_batch_bytes:
+                    payload = pdf["payload"].iloc[end]
+                    size += len(payload) if payload is not None else 0
+                    end += 1
+                chunk = pdf.iloc[start:end]
+                dims = [
+                    decode_image(p, fake=fake) if p is not None else (None, None)
+                    for p in chunk["payload"]
+                ]
+                yield pd.DataFrame(
+                    {
+                        "media_id": chunk["media_id"].values,
+                        "mime": chunk["mime"].values,
+                        "width": [d[0] for d in dims],
+                        "height": [d[1] for d in dims],
+                        "n_bytes": [len(p) if p is not None else 0 for p in chunk["payload"]],
+                        "content_sha": [
+                            hashlib.sha256(p or b"").hexdigest() for p in chunk["payload"]
+                        ],
+                    }
+                )
+                start = end
+
+    return df.select("media_id", "mime", "payload").mapInPandas(extract, IMAGE_FEATURES_SCHEMA)
+
+
+def synthetic_media(spark, n: int = 100) -> DataFrame:
+    """Deterministic fake media table for tests: payload = repeated digest
+    bytes keyed by media_id (generated distributed via spark.range)."""
+    return (
+        spark.range(n)
+        .select(
+            F.col("id").alias("media_id"),
+            F.when(F.col("id") % 3 == 0, "image/png").otherwise("image/jpeg").alias("mime"),
+            F.repeat(F.sha2(F.col("id").cast("string"), 256), 4).cast("binary").alias("payload"),
+        )
+    )

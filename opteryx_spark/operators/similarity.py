@@ -1,0 +1,129 @@
+"""Vector similarity search over embedding columns (array<float>).
+
+- :func:`cosine` — JVM-side cosine expression with exact-decimal
+  accumulation so results are bit-deterministic across engines.
+- :func:`cosine_topk` — brute-force top-k against one query vector:
+  a map-only scan + TakeOrderedAndProject (no shuffle of the corpus).
+- :func:`cosine_pairs` — all-pairs above a threshold (test-scale oracle
+  baseline; O(n²), use the LSH variant at scale).
+- :func:`hyperplane_lsh_topk` — random-hyperplane LSH: signature →
+  bucket equality join; the 100 TB path (corpus shuffled once on bucket
+  key, probes broadcast).
+
+Reference parity: ``COSINE_SIMILARITY`` (``opteryx/functions/__init__.py:611``).
+"""
+
+from __future__ import annotations
+
+import math
+import random
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+def _dot(a: Column, b: Column) -> Column:
+    """Sequential left-fold dot product in doubles.
+
+    Element products and the fold order are fixed (left-to-right), so the
+    result is bit-deterministic and reproducible by any engine that folds
+    sequentially (DuckDB twin: ``list_reduce(list_transform(...), +)``).
+    Stays a JVM higher-order function — no Python, no shuffle.
+    """
+    prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
+    return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(_dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def cosine_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Brute-force cosine top-k: the exact baseline every ANN variant is
+    measured against.  Map-side expression + top-k, no corpus shuffle."""
+    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    return (
+        df.select(F.col(id_col), cosine(F.col(vec_col), q).alias("cosim"))
+        .orderBy(F.desc("cosim"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def cosine_pairs(
+    df: DataFrame,
+    threshold: float = 0.45,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """All-pairs cosine >= threshold (embedding near-dup detection).
+
+    O(n²) — correctness baseline and small-corpus path.  At scale use
+    :func:`hyperplane_lsh_topk` buckets as the candidate generator.
+    """
+    a = df.select(F.col(id_col).alias("id1"), F.col(vec_col).alias("v1"))
+    b = df.select(F.col(id_col).alias("id2"), F.col(vec_col).alias("v2"))
+    return (
+        a.join(b, F.col("id1") < F.col("id2"))
+        .select("id1", "id2", cosine(F.col("v1"), F.col("v2")).alias("cosim"))
+        .filter(F.col("cosim") >= threshold)
+    )
+
+
+def random_hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    rng = random.Random(seed)
+    return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)]
+
+
+def hyperplane_signature(vec: Column, planes: list[list[float]]) -> Column:
+    """Sign-of-projection bit signature (as long) for random-hyperplane LSH."""
+    sig = F.lit(0).cast("long")
+    for i, plane in enumerate(planes):
+        p = F.array(*[F.lit(float(v)) for v in plane])
+        bit = F.when(_dot(vec, p) >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+        sig = sig + bit
+    return sig
+
+
+def hyperplane_lsh_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_planes: int = 12,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """ANN top-k: restrict brute force to the query's LSH bucket ± Hamming-1
+    neighbors.  The corpus is signed once (map-only); the probe set of
+    bucket ids is tiny and broadcast — at 100 TB this touches only
+    ~n/2^planes of the data per query."""
+    planes = random_hyperplanes(len(query_vec), n_planes, seed)
+    signed = df.select(
+        F.col(id_col), F.col(vec_col), hyperplane_signature(F.col(vec_col), planes).alias("bucket")
+    )
+    qsig = 0
+    for i, plane in enumerate(planes):
+        dot = sum(float(a) * float(b) for a, b in zip(query_vec, plane))
+        if dot >= 0:
+            qsig |= 1 << i
+    probe = [qsig] + [qsig ^ (1 << i) for i in range(n_planes)]
+    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    return (
+        signed.filter(F.col("bucket").isin(probe))
+        .select(F.col(id_col), cosine(F.col(vec_col), q).alias("cosim"))
+        .orderBy(F.desc("cosim"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def l2_norms(df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    return df.select(F.col(id_col), _norm(F.col(vec_col)).alias("l2_norm"))

@@ -1,0 +1,114 @@
+"""Text analysis primitives for large-scale corpus pipelines.
+
+Column-expression helpers (no UDFs — everything stays in whole-stage
+codegen): tokenization, word n-gram shingling, type-token stats,
+stopword-based language scoring, quality scoring, and content
+fingerprints.  These compose into the dedup operators in
+:mod:`opteryx_spark.operators.dedup`.
+
+At 100 TB these are embarrassingly parallel per-row expressions — the only
+shuffles are the aggregations the caller adds on top.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# A tiny multilingual stopword inventory for the n-gram language heuristic.
+STOPWORDS = {
+    "en": ["the", "a", "of", "to", "and", "in", "is", "it"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "es"],
+    "fr": ["le", "la", "de", "et", "un", "en", "est", "que"],
+    "de": ["der", "die", "das", "und", "ein", "in", "ist", "zu"],
+}
+
+
+def tokens(col: Column | str, sep: str = " ") -> Column:
+    """Whitespace tokenization with empty tokens dropped."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.filter(F.split(c, sep), lambda x: x != "")
+
+
+def token_count(col: Column | str) -> Column:
+    return F.size(tokens(col)).cast("long")
+
+
+def distinct_token_count(col: Column | str) -> Column:
+    return F.size(F.array_distinct(tokens(col))).cast("long")
+
+
+def shingles(col: Column | str, k: int = 2) -> Column:
+    """Distinct word k-shingles of a text column.
+
+    ``sequence(1, n-k+1)`` indexes each shingle start; texts shorter than
+    ``k`` tokens yield an empty array.
+    """
+    tks = tokens(col)
+    n = F.size(tks)
+    idx = F.sequence(F.lit(1), n - F.lit(k - 1))
+    gram = lambda i: F.concat_ws(" ", *[F.element_at(tks, i + j) for j in range(k)])  # noqa: E731
+    return F.when(n >= k, F.array_distinct(F.transform(idx, gram))).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def avg_token_length(col: Column | str) -> Column:
+    """Mean token length = int char-sum / int count (deterministic)."""
+    tks = tokens(col)
+    char_sum = F.aggregate(tks, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x))
+    return char_sum.cast("double") / F.size(tks).cast("double")
+
+
+def stopword_ratio(col: Column | str, lang: str = "en") -> Column:
+    tks = tokens(col)
+    stops = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    n_stop = F.size(F.filter(tks, lambda x: F.array_contains(stops, x)))
+    return n_stop.cast("double") / F.size(tks).cast("double")
+
+
+def type_token_ratio(col: Column | str) -> Column:
+    tks = tokens(col)
+    return F.size(F.array_distinct(tks)).cast("double") / F.size(tks).cast("double")
+
+
+def quality_score(col: Column | str) -> Column:
+    """Heuristic document quality in [0,1]: lexical diversity + length band.
+
+    Mirrors the shape of reference-style quality gates (length, diversity);
+    all integer-ratio arithmetic so it is bit-deterministic across engines.
+    """
+    n = token_count(col).cast("double")
+    ttr = type_token_ratio(col)
+    length_band = F.when(n >= 20.0, F.lit(1.0)).otherwise(n / 20.0)
+    return ttr * 0.5 + length_band * 0.5
+
+
+def language_scores(col: Column | str) -> Column:
+    """Struct of per-language stopword-hit ratios (n-gram language-ID)."""
+    return F.struct(
+        *[stopword_ratio(col, lang).alias(f"score_{lang}") for lang in sorted(STOPWORDS)]
+    )
+
+
+def fingerprint(col: Column | str) -> Column:
+    """Content fingerprint: md5 over the sorted distinct token set.
+
+    Token-order-insensitive — two documents that are word-permutations of
+    each other collide, which is the classic "fingerprint dedup" bucket key.
+    """
+    canon = F.array_join(F.array_sort(F.array_distinct(tokens(col))), " ")
+    return F.md5(canon)
+
+
+def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Append the standard per-document stat columns."""
+    return df.select(
+        "*",
+        token_count(text_col).alias("n_tokens"),
+        distinct_token_count(text_col).alias("n_distinct_tokens"),
+        type_token_ratio(text_col).alias("ttr"),
+        avg_token_length(text_col).alias("avg_token_len"),
+        quality_score(text_col).alias("quality"),
+        fingerprint(text_col).alias("fingerprint"),
+    )

@@ -1,0 +1,188 @@
+"""Prefix-based dataset resolution and multi-format readers.
+
+Reference behavior being re-expressed (not ported):
+
+- ``opteryx/connectors/__init__.py:96-104`` — a dict mapping dataset-name
+  prefixes (``s3://``, ``gs://``, ``sqlite:`` ...) to connector classes;
+  ``register_store(prefix, connector)`` mounts new ones.
+- ``opteryx/connectors/arrow_connector.py:22`` + ``opteryx/__init__.py:92-94``
+  — registering in-memory pandas/Arrow/Polars frames as queryable tables.
+- ``opteryx/utils/file_decoders.py:876-892`` — extension → decoder table
+  (parquet, orc, csv, tsv, psv, jsonl[.zst/.lzma], avro, arrow, feather, xlsx).
+
+Spark-first design: every store resolves to a ``spark.read`` invocation (or
+JDBC options dict), so predicate/limit/column pushdown stays inside
+Catalyst/DataSource-V2.  Nothing is materialized on the driver except
+explicitly-registered small in-memory frames (which become broadcast-able
+local relations).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+
+# extension → (spark format, default options)
+_FORMAT_BY_EXT: dict[str, tuple[str, dict[str, str]]] = {
+    ".parquet": ("parquet", {}),
+    ".orc": ("orc", {}),
+    ".csv": ("csv", {"header": "true", "inferSchema": "true"}),
+    ".tsv": ("csv", {"header": "true", "inferSchema": "true", "sep": "\t"}),
+    ".psv": ("csv", {"header": "true", "inferSchema": "true", "sep": "|"}),
+    ".jsonl": ("json", {}),
+    ".json": ("json", {}),
+    ".ndjson": ("json", {}),
+    ".jsonl.zst": ("json", {}),  # Spark handles zstd-compressed json natively
+    ".jsonl.gz": ("json", {}),
+    ".jsonl.xz": ("json", {}),
+    ".avro": ("avro", {}),
+}
+
+# formats that need a pandas/pyarrow detour (no native Spark reader)
+_PANDAS_EXTS = (".feather", ".arrow", ".ipc", ".xlsx")
+
+
+def _ext_of(path: str) -> str:
+    base = path.lower()
+    for ext in sorted(_FORMAT_BY_EXT, key=len, reverse=True):
+        if base.endswith(ext):
+            return ext
+    for ext in _PANDAS_EXTS:
+        if base.endswith(ext):
+            return ext
+    return ""
+
+
+def read_any(spark: SparkSession, path: str, fmt: str | None = None, **options: str) -> DataFrame:
+    """Read a file/directory of any supported format into a DataFrame.
+
+    Schema drift across files is tolerated the way the reference pads
+    missing columns with typed nulls (``read_node.py:118-127``): we turn
+    on ``mergeSchema`` for parquet/orc so unioned fragments resolve to a
+    superset schema.
+    """
+    ext = _ext_of(path)
+    if fmt is None:
+        if ext in _PANDAS_EXTS:
+            return _read_via_pandas(spark, path, ext)
+        if not ext:
+            fmt, opts = "parquet", {}
+        else:
+            fmt, opts = _FORMAT_BY_EXT[ext]
+    else:
+        opts = dict(_FORMAT_BY_EXT.get("." + fmt, (fmt, {}))[1])
+    opts = {**opts, **options}
+    if fmt in ("parquet", "orc"):
+        opts.setdefault("mergeSchema", "true")
+    return spark.read.format(fmt).options(**opts).load(path)
+
+
+def _read_via_pandas(spark: SparkSession, path: str, ext: str) -> DataFrame:
+    import pyarrow as pa
+
+    if ext in (".feather", ".arrow", ".ipc"):
+        import pyarrow.feather as feather
+
+        table = feather.read_table(path)
+        return spark.createDataFrame(table.to_pandas())
+    if ext == ".xlsx":  # pragma: no cover - openpyxl not in test env
+        import pandas as pd
+
+        return spark.createDataFrame(pd.read_excel(path))
+    raise ValueError(f"unsupported extension: {ext}")
+
+
+@dataclass
+class _Store:
+    kind: str  # "path" | "jdbc"
+    root: str = ""
+    fmt: str | None = None
+    options: dict[str, str] = field(default_factory=dict)
+
+
+@dataclass
+class SourceRegistry:
+    """Session-level mapping of dataset-name prefixes to readers.
+
+    ``dataset`` strings look like the reference's:  ``my_store.table``,
+    ``s3://bucket/key``, a bare path, or a registered in-memory name.
+    """
+
+    stores: dict[str, _Store] = field(default_factory=dict)
+    frames: dict[str, Any] = field(default_factory=dict)
+
+    def register_store(
+        self,
+        prefix: str,
+        root: str = "",
+        fmt: str | None = None,
+        kind: str = "path",
+        **options: str,
+    ) -> None:
+        self.stores[prefix.rstrip("./:")] = _Store(kind=kind, root=root, fmt=fmt, options=options)
+
+    def register_frame(self, name: str, obj: Any) -> None:
+        self.frames[name] = obj
+
+    def resolve(self, spark: SparkSession, dataset: str) -> DataFrame:
+        if dataset in self.frames:
+            return _frame_to_df(spark, self.frames[dataset])
+        # object-store / URL datasets go straight to the reader
+        if "://" in dataset:
+            return read_any(spark, dataset)
+        head = dataset.split(".", 1)[0]
+        if head in self.stores:
+            store = self.stores[head]
+            rest = dataset[len(head) + 1 :]
+            if store.kind == "jdbc":
+                reader = spark.read.format("jdbc").options(**store.options)
+                return reader.option("dbtable", rest or store.root).load()
+            path = os.path.join(store.root, rest.replace(".", "/")) if rest else store.root
+            return read_any(spark, path, fmt=store.fmt, **store.options)
+        # fall back: treat as filesystem path or catalog table
+        if os.path.exists(dataset):
+            return read_any(spark, dataset)
+        return spark.table(dataset)
+
+
+def _frame_to_df(spark: SparkSession, obj: Any) -> DataFrame:
+    import pandas as pd
+    import pyarrow as pa
+
+    if isinstance(obj, DataFrame):
+        return obj
+    if isinstance(obj, pa.Table):
+        return spark.createDataFrame(obj.to_pandas())
+    if isinstance(obj, pd.DataFrame):
+        return spark.createDataFrame(obj)
+    try:  # polars, duckdb relations, anything with to_arrow/to_pandas
+        return spark.createDataFrame(obj.to_arrow().to_pandas())
+    except AttributeError:
+        pass
+    try:
+        return spark.createDataFrame(obj.to_pandas())
+    except AttributeError:
+        raise TypeError(f"cannot register object of type {type(obj)}")
+
+
+# module-level default registry (mirrors opteryx's module-level register_* API)
+_DEFAULT = SourceRegistry()
+
+
+def register_store(prefix: str, root: str = "", fmt: str | None = None, **options: str) -> None:
+    _DEFAULT.register_store(prefix, root=root, fmt=fmt, **options)
+
+
+def register_df(name: str, obj: Any) -> None:
+    _DEFAULT.register_frame(name, obj)
+
+
+def register_arrow(name: str, obj: Any) -> None:
+    _DEFAULT.register_frame(name, obj)
+
+
+def resolve_dataset(spark: SparkSession, dataset: str) -> DataFrame:
+    return _DEFAULT.resolve(spark, dataset)

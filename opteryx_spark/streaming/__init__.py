@@ -1,0 +1,77 @@
+"""Structured Streaming extensions (beyond the reference's scope).
+
+The reference has no streaming surface (SURVEY.md §2.10); these helpers
+give the engine a streaming twin of the batch operators so the same
+pipeline definitions run over event streams:
+
+- :func:`read_events_stream` — file-source stream over an events
+  directory (schema locked from a batch sample: required for streaming).
+- :func:`hourly_rollup_stream` — watermarked tumbling-window aggregation
+  (the streaming twin of the ``events_hourly_rollup`` suite entry).
+- :func:`sessionize` — stateful session windows via ``session_window``.
+
+At scale these run on the same shuffle/partitioning rules as batch; the
+watermark bounds state size (late data beyond 1 hour is dropped, which is
+the correctness/state trade a 100 TB stream requires).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def read_events_stream(spark: SparkSession, path: str, schema=None) -> DataFrame:
+    if schema is None:
+        schema = spark.read.parquet(path).schema
+    return spark.readStream.schema(schema).parquet(path)
+
+
+def hourly_rollup_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Streaming tumbling-window rollup; emits (window, event_type, n, total_value)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("win"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(25,8)")).cast("double").alias("total_value"),
+        )
+        .select(
+            F.col("win.start").alias("hour"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+def sessionize(events: DataFrame, gap: str = "30 minutes", watermark: str = "1 hour") -> DataFrame:
+    """Session windows per user (gap-based), state bounded by the watermark."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("sess"), F.col("user_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(25,8)")).cast("double").alias("session_value"),
+        )
+        .select(
+            F.col("sess.start").alias("session_start"),
+            F.col("sess.end").alias("session_end"),
+            "user_id",
+            "n_events",
+            "session_value",
+        )
+    )
+
+
+def run_stream_once(stream_df: DataFrame, out_path: str, checkpoint: str) -> None:
+    """Drain the stream with availableNow (batch-equivalent semantics)."""
+    q = (
+        stream_df.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

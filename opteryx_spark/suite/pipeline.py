@@ -1,0 +1,341 @@
+"""Training-data pipeline suite entries: dedup, text analysis, similarity.
+
+These go beyond the reference's own operator set (per the build brief) —
+each is registered with a DuckDB oracle where the semantics are
+SQL-expressible; probabilistic operators (MinHash LSH, SimHash) get
+rows-only checks, with an exactly-verified variant that *is* oracle'd.
+
+Determinism notes: Jaccard = int/int double division (exact both
+engines); cosine/norms accumulate in DECIMAL(30,20) (order-independent);
+md5 fingerprints are bit-identical across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from opteryx_spark.operators import dedup, similarity, text
+from opteryx_spark.suite import register
+from opteryx_spark.suite._util import t
+
+# DuckDB twins of opteryx_spark.operators.text helpers
+_O_TOKENS = "list_filter(string_split(text, ' '), x -> x <> '')"
+_O_BIGRAMS = (
+    "list_distinct(list_transform(range(1, len({tk})), i -> concat_ws(' ', {tk}[i], {tk}[i+1])))"
+).format(tk=_O_TOKENS)
+
+
+@register(
+    "dedup_exact_stats",
+    oracle="""
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT text) AS BIGINT) AS n_unique_texts,
+           CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_unique_digests
+    FROM documents GROUP BY source ORDER BY source
+    """,
+)
+def dedup_exact_stats(spark, sf_dir):
+    """Exact dedup accounting by content digest (hash-groupBy dedup)."""
+    docs = t(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("text").alias("n_unique_texts"),
+            F.countDistinct(F.md5("text")).alias("n_unique_digests"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "dedup_fingerprint",
+    oracle=f"""
+    SELECT fp AS fingerprint, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MIN(doc_id) AS BIGINT) AS keep_id
+    FROM (SELECT doc_id,
+                 md5(array_to_string(list_sort(list_distinct({_O_TOKENS})), ' ')) AS fp
+          FROM documents) x
+    GROUP BY fp HAVING COUNT(*) > 1 ORDER BY fp
+    """,
+)
+def dedup_fingerprint(spark, sf_dir):
+    """Token-set fingerprint dedup: word-permutation duplicates collide."""
+    docs = t(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", text.fingerprint("text").alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("keep_id"))
+        .filter(F.col("n_docs") > 1)
+        .orderBy("fingerprint")
+    )
+
+
+@register(
+    "text_token_stats",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len({_O_TOKENS}) AS BIGINT) AS n_tokens,
+           CAST(len(list_distinct({_O_TOKENS})) AS BIGINT) AS n_distinct_tokens,
+           CAST(len(list_distinct({_O_TOKENS})) AS DOUBLE)
+             / CAST(len({_O_TOKENS}) AS DOUBLE) AS ttr,
+           CAST(length(replace(text, ' ', '')) AS DOUBLE)
+             / CAST(len({_O_TOKENS}) AS DOUBLE) AS avg_token_len
+    FROM documents ORDER BY doc_id
+    """,
+)
+def text_token_stats(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        text.token_count("text").alias("n_tokens"),
+        text.distinct_token_count("text").alias("n_distinct_tokens"),
+        text.type_token_ratio("text").alias("ttr"),
+        text.avg_token_length("text").alias("avg_token_len"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "text_quality_langid",
+    oracle=f"""
+    WITH stats AS (
+      SELECT doc_id, lang,
+             CAST(len({_O_TOKENS}) AS DOUBLE) AS n,
+             CAST(len(list_distinct({_O_TOKENS})) AS DOUBLE)
+               / CAST(len({_O_TOKENS}) AS DOUBLE) AS ttr,
+             CAST(len(list_filter({_O_TOKENS},
+                  x -> list_contains(['the','a','of','to','and','in','is','it'], x))) AS DOUBLE)
+               / CAST(len({_O_TOKENS}) AS DOUBLE) AS en_stop
+      FROM documents
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CAST(ttr * 0.5
+                 + (CASE WHEN n >= 20.0 THEN 1.0 ELSE n / 20.0 END) * 0.5
+               AS DECIMAL(25,8))) AS DOUBLE) AS sum_quality,
+           CAST(SUM(CASE WHEN en_stop > 0.08 THEN 1 ELSE 0 END) AS BIGINT) AS n_en_guess
+    FROM stats GROUP BY lang ORDER BY lang
+    """,
+)
+def text_quality_langid(spark, sf_dir):
+    """Quality scoring + stopword language heuristic, aggregated by the
+    labeled language so the oracle check covers every document."""
+    docs = t(spark, sf_dir, "documents")
+    en_stop = text.stopword_ratio("text", "en")
+    return (
+        docs.select("lang", text.quality_score("text").alias("q"), en_stop.alias("en_stop"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("q").cast("decimal(25,8)")).cast("double").alias("sum_quality"),
+            F.sum(F.when(F.col("en_stop") > 0.08, 1).otherwise(0)).alias("n_en_guess"),
+        )
+        .orderBy("lang")
+    )
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id, unnest({_O_BIGRAMS}) AS s FROM documents
+    ), sizes AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM sh GROUP BY doc_id
+    ), ov AS (
+      SELECT a.doc_id AS id1, b.doc_id AS id2, CAST(COUNT(*) AS BIGINT) AS ov
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id1, id2,
+           CAST(ov AS DOUBLE) / CAST(sa.n + sb.n - ov AS DOUBLE) AS jaccard
+    FROM ov JOIN sizes sa ON sa.doc_id = id1 JOIN sizes sb ON sb.doc_id = id2
+    WHERE CAST(ov AS DOUBLE) / CAST(sa.n + sb.n - ov AS DOUBLE) >= 0.8
+    ORDER BY id1, id2
+    """,
+)
+def dedup_ngram_jaccard(spark, sf_dir):
+    """Exact word-bigram Jaccard similarity join (inverted-index plan)."""
+    docs = t(spark, sf_dir, "documents")
+    return dedup.ngram_jaccard_pairs(docs, "doc_id", "text", k=2, threshold=0.8).orderBy(
+        "id1", "id2"
+    )
+
+
+@register(
+    "dedup_minhash_verified",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id, unnest({_O_BIGRAMS}) AS s FROM documents
+    ), sizes AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM sh GROUP BY doc_id
+    ), ov AS (
+      SELECT a.doc_id AS id1, b.doc_id AS id2, CAST(COUNT(*) AS BIGINT) AS ov
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id1, id2,
+           CAST(ov AS DOUBLE) / CAST(sa.n + sb.n - ov AS DOUBLE) AS jaccard
+    FROM ov JOIN sizes sa ON sa.doc_id = id1 JOIN sizes sb ON sb.doc_id = id2
+    WHERE CAST(ov AS DOUBLE) / CAST(sa.n + sb.n - ov AS DOUBLE) >= 0.9
+    ORDER BY id1, id2
+    """,
+)
+def dedup_minhash_verified(spark, sf_dir):
+    """MinHash LSH candidates + exact-Jaccard verification: equals the
+    exact similarity join above threshold up to LSH recall (≈1 - 4e-8)."""
+    docs = t(spark, sf_dir, "documents")
+    return dedup.minhash_dedup_verified(docs, "doc_id", "text", threshold=0.9, k=2).orderBy(
+        "id1", "id2"
+    )
+
+
+@register("dedup_minhash_lsh_candidates", oracle=None)  # probabilistic: rows-only check
+def dedup_minhash_lsh_candidates(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_pairs(docs, "doc_id", "text", k=2).orderBy("id1", "id2")
+
+
+@register("dedup_simhash_pairs", oracle=None)  # xxhash-based: not expressible in DuckDB
+def dedup_simhash_pairs(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    return dedup.simhash_dedup_pairs(docs, "doc_id", "text", max_hamming=8).orderBy("id1", "id2")
+
+
+# --- embeddings -------------------------------------------------------------
+
+# sequential left-fold twins of opteryx_spark.operators.similarity._dot:
+# identical IEEE ops in identical order → bit-equal doubles in both engines
+_O_DOT = (
+    "list_reduce(list_transform(range(1, len(a.embedding)+1), "
+    "i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)), "
+    "(x, y) -> x + y)"
+)
+_O_NORM2 = (
+    "list_reduce(list_transform({v}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), "
+    "(x, y) -> x + y)"
+)
+
+
+@register(
+    "emb_l2_norms",
+    oracle=f"""
+    SELECT vec_id, sqrt({_O_NORM2.format(v='embedding')}) AS l2_norm
+    FROM embeddings ORDER BY vec_id LIMIT 100
+    """,
+)
+def emb_l2_norms(spark, sf_dir):
+    emb = t(spark, sf_dir, "embeddings")
+    return similarity.l2_norms(emb).orderBy("vec_id").limit(100)
+
+
+@register(
+    "emb_cosine_topk",
+    oracle=f"""
+    WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0)
+    SELECT b.vec_id,
+           {_O_DOT.replace('a.embedding', 'q.embedding')}
+             / (sqrt({_O_NORM2.format(v='q.embedding')})
+                * sqrt({_O_NORM2.format(v='b.embedding')})) AS cosim
+    FROM q, embeddings b
+    WHERE b.vec_id <> 0
+    ORDER BY cosim DESC, b.vec_id LIMIT 10
+    """,
+)
+def emb_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-k against the vec_id=0 embedding."""
+    emb = t(spark, sf_dir, "embeddings")
+    qvec = [
+        float(v)
+        for v in emb.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"]
+    ]
+    return similarity.cosine_topk(emb.filter(F.col("vec_id") != 0), qvec, k=10)
+
+
+@register(
+    "emb_cosine_pairs",
+    oracle=f"""
+    SELECT a.vec_id AS id1, b.vec_id AS id2,
+           {_O_DOT} / (sqrt({_O_NORM2.format(v='a.embedding')})
+                       * sqrt({_O_NORM2.format(v='b.embedding')})) AS cosim
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE {_O_DOT} / (sqrt({_O_NORM2.format(v='a.embedding')})
+                      * sqrt({_O_NORM2.format(v='b.embedding')})) >= 0.42
+    ORDER BY id1, id2
+    """,
+)
+def emb_cosine_pairs(spark, sf_dir):
+    """Embedding near-duplicate pairs (cosine >= 0.42 on this corpus)."""
+    emb = t(spark, sf_dir, "embeddings")
+    return similarity.cosine_pairs(emb, threshold=0.42).orderBy("id1", "id2")
+
+
+@register("emb_ann_lsh_topk", oracle=None)  # approximate: rows-only check
+def emb_ann_lsh_topk(spark, sf_dir):
+    emb = t(spark, sf_dir, "embeddings")
+    qvec = [
+        float(v)
+        for v in emb.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"]
+    ]
+    return similarity.hyperplane_lsh_topk(emb.filter(F.col("vec_id") != 0), qvec, k=10)
+
+
+@register("multimodal_image_features", oracle=None)  # stubbed decoder: rows-only check
+def multimodal_image_features(spark, sf_dir):
+    from opteryx_spark.operators import multimodal
+
+    media = multimodal.synthetic_media(spark, 200)
+    return multimodal.image_features(media, fake=True).orderBy("media_id")
+
+
+# --- events time-series -----------------------------------------------------
+
+
+@register(
+    "events_hourly_rollup",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS hour, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(25,8))) AS DOUBLE) AS total_value
+    FROM events GROUP BY 1, 2 ORDER BY hour, event_type
+    """,
+)
+def events_hourly_rollup(spark, sf_dir):
+    """Tumbling-window rollup on the event stream table (the batch twin of
+    the Structured Streaming pipeline in opteryx_spark.streaming)."""
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("hour"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(25,8)")).cast("double").alias("total_value"),
+        )
+        .orderBy("hour", "event_type")
+    )
+
+
+@register(
+    "events_sessionless_funnel",
+    oracle="""
+    SELECT user_id,
+           CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS views,
+           CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS clicks,
+           CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchases
+    FROM events GROUP BY user_id
+    HAVING SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) > 0
+    ORDER BY user_id
+    """,
+)
+def events_sessionless_funnel(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    flag = lambda s: F.sum(F.when(F.col("event_type") == s, 1).otherwise(0))  # noqa: E731
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            flag("view").alias("views"),
+            flag("click").alias("clicks"),
+            flag("purchase").alias("purchases"),
+        )
+        .filter(F.col("purchases") > 0)
+        .orderBy("user_id")
+    )

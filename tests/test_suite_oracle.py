@@ -1,0 +1,27 @@
+"""Run every suite query against its DuckDB oracle (the t2 gate, locally)."""
+
+from __future__ import annotations
+
+import pytest
+
+from opteryx_spark.suite import load_all
+from tests._compare import compare
+
+REG = load_all()
+ORACLED = [n for n, qd in sorted(REG.items()) if qd.oracle is not None]
+ROWS_ONLY = [n for n, qd in sorted(REG.items()) if qd.oracle is None]
+
+
+@pytest.mark.parametrize("name", ORACLED)
+def test_oracle_match(spark, duck, sf_dir, name):
+    qd = REG[name]
+    df = qd.spark(spark, sf_dir)
+    compare(df, duck, qd.oracle, name)
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY)
+def test_rows_only_runs(spark, sf_dir, name):
+    qd = REG[name]
+    df = qd.spark(spark, sf_dir)
+    assert df.count() >= 0
+    assert len(df.schema.fields) > 0
