@@ -75,44 +75,86 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     k: int = 2,
     threshold: float = 0.8,
-    max_doc_freq: int | None = None,
+    prefix_filter: bool = True,
 ) -> DataFrame:
     """All document pairs with word-k-gram Jaccard >= threshold (exact).
 
-    Plan: doc → distinct shingles → inverted index (shingle, id) →
-    self-join on shingle → pair overlap counts → join set sizes → filter.
-    ``max_doc_freq`` drops shingles appearing in more than N docs — the
-    skew guard for web-scale corpora (boilerplate shingles produce
-    quadratic bucket blowups; dropping them only lowers estimated overlap
-    for pairs already far below threshold).
+    With ``prefix_filter`` (AllPairs/PPJoin-style, exactness-preserving):
+    order each document's shingle set by global document frequency
+    (rarest first); any pair with J >= t must share one of the first
+    ``n - ceil(t*n) + 1`` shingles, so only that prefix is indexed.  The
+    candidate join then touches the *rare* end of the frequency
+    distribution — this is what keeps the inverted-index self-join from
+    going quadratic on boilerplate-heavy corpora at 100 TB.  A length
+    filter (``t*na <= nb``) prunes before verification; exact overlap is
+    computed only for surviving candidates.
+
+    Without ``prefix_filter`` the plan is the naive full inverted-index
+    self-join (useful as a correctness baseline).
     """
-    sh = df.select(F.col(id_col).alias("id"), F.explode(shingles(text_col, k)).alias("s"))
-    if max_doc_freq is not None:
-        hot = sh.groupBy("s").count().filter(F.col("count") > max_doc_freq).select("s")
-        sh = sh.join(F.broadcast(hot), "s", "left_anti")
-    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    overlap = (
-        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.id") < F.col("b.id")))
-        .groupBy(F.col("a.id").alias("id1"), F.col("b.id").alias("id2"))
-        .agg(F.count(F.lit(1)).alias("ov"))
-    )
+    sets_df = df.select(
+        F.col(id_col).alias("id"), shingles(text_col, k).alias("arr")
+    ).withColumn("n", F.size("arr"))
+    sh = sets_df.select("id", F.explode("arr").alias("s"))
+    sizes = sets_df.select("id", "n")
     sa = sizes.select(F.col("id").alias("id1"), F.col("n").alias("na"))
     sb = sizes.select(F.col("id").alias("id2"), F.col("n").alias("nb"))
-    return (
-        overlap.join(sa, "id1")
-        .join(sb, "id2")
-        .select(
-            "id1",
-            "id2",
-            (
-                F.col("ov").cast("double")
-                / (F.col("na") + F.col("nb") - F.col("ov")).cast("double")
-            ).alias("jaccard"),
+
+    if prefix_filter:
+        from pyspark.sql import Window
+
+        freq = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+        w = Window.partitionBy("id").orderBy("df", "s")
+        ranked = (
+            sh.join(freq, "s")
+            .withColumn("rnk", F.row_number().over(w))
+            .join(sizes, "id")
         )
-        .filter(F.col("jaccard") >= threshold)
-    )
+        prefix = ranked.filter(
+            F.col("rnk") <= F.col("n") - F.ceil(F.lit(threshold) * F.col("n")) + 1
+        ).select("id", "s")
+        a, b = prefix.alias("a"), prefix.alias("b")
+        arrs1 = sets_df.select(F.col("id").alias("id1"), F.col("arr").alias("arr1"))
+        arrs2 = sets_df.select(F.col("id").alias("id2"), F.col("arr").alias("arr2"))
+        overlap = (
+            a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.id") < F.col("b.id")))
+            .select(F.col("a.id").alias("id1"), F.col("b.id").alias("id2"))
+            .dropDuplicates(["id1", "id2"])
+            .join(sa, "id1")
+            .join(sb, "id2")
+            .filter(
+                (F.col("nb") >= F.lit(threshold) * F.col("na"))
+                & (F.col("na") >= F.lit(threshold) * F.col("nb"))
+            )
+            # verify with a per-pair JVM set intersection (no second
+            # explode/shuffle): arrays ride along on the candidate rows
+            .join(arrs1, "id1")
+            .join(arrs2, "id2")
+            .select(
+                "id1",
+                "id2",
+                "na",
+                "nb",
+                F.size(F.array_intersect("arr1", "arr2")).alias("ov"),
+            )
+        )
+    else:
+        a, b = sh.alias("a"), sh.alias("b")
+        overlap = (
+            a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.id") < F.col("b.id")))
+            .groupBy(F.col("a.id").alias("id1"), F.col("b.id").alias("id2"))
+            .agg(F.count(F.lit(1)).alias("ov"))
+            .join(sa, "id1")
+            .join(sb, "id2")
+        )
+
+    return overlap.select(
+        "id1",
+        "id2",
+        (
+            F.col("ov").cast("double") / (F.col("na") + F.col("nb") - F.col("ov")).cast("double")
+        ).alias("jaccard"),
+    ).filter(F.col("jaccard") >= threshold)
 
 
 # --- MinHash + LSH ----------------------------------------------------------
@@ -224,29 +266,15 @@ def minhash_dedup_verified(
     64/16 banding).
     """
     cand = minhash_lsh_pairs(df, id_col, text_col, num_hashes, bands, k).select("id1", "id2")
-    sh = df.select(F.col(id_col).alias("id"), F.explode(shingles(text_col, k)).alias("s"))
-    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
-    a = sh.select(F.col("id").alias("id1"), F.col("s").alias("s1"))
-    b = sh.select(F.col("id").alias("bid"), F.col("s").alias("s2"))
-    overlap = (
-        cand.join(a, "id1")
-        .join(b, (F.col("id2") == F.col("bid")) & (F.col("s1") == F.col("s2")))
-        .groupBy("id1", "id2")
-        .agg(F.count(F.lit(1)).alias("ov"))
-    )
-    sa = sizes.select(F.col("id").alias("id1"), F.col("n").alias("na"))
-    sb = sizes.select(F.col("id").alias("id2"), F.col("n").alias("nb"))
+    sets_df = df.select(F.col(id_col).alias("id"), shingles(text_col, k).alias("arr"))
+    arrs1 = sets_df.select(F.col("id").alias("id1"), F.col("arr").alias("arr1"))
+    arrs2 = sets_df.select(F.col("id").alias("id2"), F.col("arr").alias("arr2"))
+    ov = F.size(F.array_intersect("arr1", "arr2"))
+    union = F.size("arr1") + F.size("arr2") - ov
     return (
-        overlap.join(sa, "id1")
-        .join(sb, "id2")
-        .select(
-            "id1",
-            "id2",
-            (
-                F.col("ov").cast("double")
-                / (F.col("na") + F.col("nb") - F.col("ov")).cast("double")
-            ).alias("jaccard"),
-        )
+        cand.join(arrs1, "id1")
+        .join(arrs2, "id2")
+        .select("id1", "id2", (ov.cast("double") / union.cast("double")).alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
 
