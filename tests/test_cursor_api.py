@@ -1,0 +1,103 @@
+"""End-to-end tests of the DBAPI surface (cursor, params, dialect SQL)."""
+
+from __future__ import annotations
+
+import pytest
+
+import opteryx_spark as ox
+from opteryx_spark.catalog import register_sf_dir
+
+
+@pytest.fixture(scope="module")
+def conn(spark, sf_dir):
+    c = ox.connect(spark=spark)
+    register_sf_dir(spark, sf_dir)
+    return c
+
+
+def test_basic_query(conn):
+    cur = conn.cursor().execute("SELECT COUNT(*) AS n FROM nation")
+    assert cur.fetchall() == [(25,)]
+    assert cur.description[0].name == "n"
+
+
+def test_fetch_protocol(conn):
+    cur = conn.cursor().execute("SELECT n_nationkey FROM nation ORDER BY 1")
+    assert cur.fetchone() == (0,)
+    assert cur.fetchmany(2) == [(1,), (2,)]
+    assert cur.rowcount == 25
+
+
+def test_arrow_and_pandas(conn):
+    cur = conn.cursor().execute("SELECT n_name FROM nation ORDER BY 1 LIMIT 3")
+    tbl = cur.arrow()
+    assert tbl.num_rows == 3
+    assert cur.pandas().shape == (3, 1)
+
+
+def test_json_operator_sql(conn):
+    cur = conn.cursor().execute("SELECT props ->> 'k' AS k FROM events LIMIT 1")
+    (k,) = cur.fetchone()
+    assert k.isdigit() or k.lstrip("-").isdigit()
+
+
+def test_virtual_dataset(conn):
+    cur = conn.cursor().execute("SELECT COUNT(*) AS n FROM $planets")
+    assert cur.fetchall() == [(9,)]
+
+
+def test_generate_series_sql(conn):
+    cur = conn.cursor().execute("SELECT SUM(g) AS s FROM GENERATE_SERIES(1, 10) t(g)")
+    assert cur.fetchall() == [(55,)]
+
+
+def test_temporal_for(conn):
+    all_n = conn.cursor().execute("SELECT COUNT(*) AS n FROM events").fetchone()[0]
+    day1 = conn.cursor().execute(
+        "SELECT COUNT(*) AS n FROM events FOR DATES BETWEEN '2024-01-01' AND '2024-01-02'"
+    ).fetchone()[0]
+    assert 0 < day1 < all_n
+
+
+def test_set_and_show_variable(conn):
+    conn.cursor().execute("SET @threshold = 9000.0")
+    cur = conn.cursor().execute("SELECT COUNT(*) AS n FROM customer WHERE c_acctbal > @threshold")
+    n = cur.fetchone()[0]
+    assert n > 0
+
+
+def test_named_params(conn):
+    cur = conn.cursor().execute(
+        "SELECT COUNT(*) AS n FROM customer WHERE c_mktsegment = :seg", {"seg": "BUILDING"}
+    )
+    assert cur.fetchone()[0] > 0
+
+
+def test_multi_statement(conn):
+    cur = conn.cursor().execute("SET @x = 2; SELECT @x * 3 AS y")
+    assert cur.fetchall() == [(6,)]
+
+
+def test_explain(conn):
+    cur = conn.cursor().execute("EXPLAIN SELECT COUNT(*) FROM lineitem WHERE l_quantity > 10")
+    text = "\n".join(r[0] for r in cur.fetchall())
+    assert "PushedFilters" in text
+
+
+def test_query_to_arrow_module_level(conn):
+    # module-level query() builds its own default connection; use conn's spark
+    cur = conn.cursor().execute("SELECT 1 AS one")
+    assert cur.arrow().to_pydict() == {"one": [1]}
+
+
+def test_register_df(conn, spark):
+    import pandas as pd
+
+    ox.register_df("my_dim", pd.DataFrame({"k": [1, 2], "v": ["a", "b"]}))
+    df = conn.registry.resolve(spark, "my_dim")
+    assert df.count() == 2
+
+
+def test_read_path_table(conn, sf_dir):
+    cur = conn.cursor().execute(f"SELECT COUNT(*) AS n FROM '{sf_dir}/nation.parquet'")
+    assert cur.fetchone() == (25,)

@@ -1,0 +1,78 @@
+"""Physical-plan assertions: the 100 TB scale properties of suite queries.
+
+Correctness at scale is a *plan* property: dim joins must broadcast,
+scans must push filters/prune columns, top-k must not global-sort.
+These tests pin those properties so a regression shows up before bench.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from opteryx_spark.plans import broadcast_join_count, explain_text
+from opteryx_spark.suite import load_all
+
+REG = load_all()
+
+
+def test_q3_broadcasts_customer(spark, sf_dir):
+    df = REG["tpch_q3_shipping_priority"].spark(spark, sf_dir)
+    assert broadcast_join_count(df) >= 1
+
+
+def test_q5_broadcasts_all_dims(spark, sf_dir):
+    df = REG["tpch_q5_local_supplier_volume"].spark(spark, sf_dir)
+    # supplier, customer, nation, region all broadcast; only fact-fact shuffles
+    assert broadcast_join_count(df) >= 3
+
+
+def test_q6_pushes_filters_and_prunes_columns(spark, sf_dir):
+    df = REG["tpch_q6_forecast_revenue"].spark(spark, sf_dir)
+    text = explain_text(df)
+    assert "PushedFilters: [" in text
+    assert "IsNotNull(l_shipdate)" in text or "GreaterThanOrEqual(l_shipdate" in text
+    # projection pruning: untouched wide columns never read
+    assert "l_comment" not in text
+    read_schema = [ln for ln in text.splitlines() if "ReadSchema" in ln]
+    assert read_schema and "l_returnflag" not in read_schema[0]
+
+
+def test_topk_uses_take_ordered(spark, sf_dir):
+    df = REG["sort_limit_offset"].spark(spark, sf_dir)
+    text = explain_text(df)
+    assert "TakeOrderedAndProject" in text
+
+
+def test_partial_final_aggregation(spark, sf_dir):
+    # map-side combine: partial HashAggregate below the Exchange, final above
+    df = REG["tpch_q1_pricing_summary"].spark(spark, sf_dir)
+    text = explain_text(df)
+    assert "partial_sum" in text  # map-side partial aggregation
+    assert text.count("HashAggregate") >= 2
+    assert "Exchange" in text
+
+
+def test_semi_join_planned(spark, sf_dir):
+    df = REG["join_left_semi"].spark(spark, sf_dir)
+    assert "LeftSemi" in explain_text(df)
+
+
+def test_scan_filter_pushdown_json(spark, sf_dir):
+    # filters on a scanned column reach the parquet reader
+    from opteryx_spark.suite._util import t
+
+    df = t(spark, sf_dir, "orders").filter(F.col("o_custkey") == 7).select("o_orderkey")
+    text = explain_text(df)
+    assert "PushedFilters: [IsNotNull(o_custkey), EqualTo(o_custkey,7)]" in text
+
+
+def test_no_cartesian_in_suite(spark, sf_dir):
+    # every suite query except the explicit cross/non-equi joins must avoid
+    # CartesianProduct (at scale a cartesian is a non-starter)
+    allowed = {"join_cross", "join_non_equi", "emb_cosine_pairs", "tpch_q14_promo_effect"}
+    for name, qd in REG.items():
+        if name in allowed:
+            continue
+        df = qd.spark(spark, sf_dir)
+        text = explain_text(df)
+        assert "CartesianProduct" not in text, f"{name} plans a cartesian product"

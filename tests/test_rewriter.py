@@ -1,0 +1,100 @@
+"""Unit tests for the SQL dialect rewriter (pure string level, no Spark)."""
+
+from __future__ import annotations
+
+from opteryx_spark import rewriter
+
+
+def test_strip_comments():
+    sql = "SELECT 1 -- trailing\n, 2 /* block */ FROM t -- end"
+    out = rewriter.strip_comments(sql)
+    assert "trailing" not in out and "block" not in out
+    assert "SELECT 1" in out and "FROM t" in out
+
+
+def test_comment_inside_string_preserved():
+    out = rewriter.strip_comments("SELECT '--not a comment' FROM t")
+    assert "--not a comment" in out
+
+
+def test_split_statements():
+    stmts = rewriter.split_statements("SELECT 1; SELECT ';'; SELECT 2;")
+    assert len(stmts) == 3
+    assert stmts[1] == "SELECT ';'"
+
+
+def test_temporal_between():
+    sql, filters = rewriter.extract_temporal(
+        "SELECT * FROM events FOR DATES BETWEEN '2024-01-01' AND '2024-02-01' WHERE x=1"
+    )
+    assert "FOR" not in sql
+    assert filters["events"][0] == "CAST('2024-01-01' AS TIMESTAMP)"
+    assert filters["events"][1] == "CAST('2024-02-01' AS TIMESTAMP)"
+
+
+def test_temporal_point_and_last_days():
+    sql, f1 = rewriter.extract_temporal("SELECT * FROM events FOR '2024-01-05'")
+    assert f1["events"][0] == f1["events"][1]
+    sql, f2 = rewriter.extract_temporal("SELECT * FROM events FOR LAST 7 DAYS")
+    assert "date_sub" in f2["events"][0]
+    sql, f3 = rewriter.extract_temporal("SELECT * FROM events FOR TODAY")
+    assert f3["events"][0] == "current_date()"
+
+
+def test_json_operators():
+    out = rewriter.rewrite_operators("SELECT props ->> 'k' FROM e WHERE props @? 'k'")
+    assert "get_json_object(props, '$.k')" in out
+    assert "IS NOT NULL" in out
+
+
+def test_array_operators():
+    out = rewriter.rewrite_operators("SELECT * FROM t WHERE tags @> ('a', 'b')")
+    assert "arrays_overlap(tags, array('a', 'b'))" in out
+    out = rewriter.rewrite_operators("SELECT * FROM t WHERE tags @>> ('a', 'b')")
+    assert "forall(array('a', 'b')" in out and "array_contains(tags" in out
+
+
+def test_dollar_datasets():
+    assert rewriter.rewrite_virtual_datasets("SELECT * FROM $planets") == (
+        "SELECT * FROM virtual_planets"
+    )
+
+
+def test_generate_series():
+    out = rewriter.rewrite_generate_series("SELECT * FROM GENERATE_SERIES(1, 10) AS t(g)")
+    assert "explode(sequence(1, 10))" in out and "AS g" in out
+
+
+def test_path_tables():
+    sql, paths = rewriter.extract_path_tables("SELECT * FROM 's3://b/k.parquet' WHERE x=1")
+    assert list(paths.values()) == ["s3://b/k.parquet"]
+    assert "FROM path_table_0" in sql
+
+
+def test_distinct_on():
+    out = rewriter.rewrite_distinct_on(
+        "SELECT DISTINCT ON (a) a, b FROM t ORDER BY a, c DESC"
+    )
+    assert "row_number() OVER (PARTITION BY a ORDER BY a, c DESC)" in out
+    assert "__rn = 1" in out
+
+
+def test_bind_named_params():
+    out = rewriter.bind_params("SELECT * FROM t WHERE x = :lo AND y = :lohi", {"lo": 5, "lohi": "a'b"})
+    assert "x = 5" in out
+    assert "y = 'a''b'" in out
+
+
+def test_bind_positional_params():
+    out = rewriter.bind_params("SELECT * FROM t WHERE x = ? AND y = ?", [1, None])
+    assert "x = 1" in out and "y = NULL" in out
+
+
+def test_full_rewrite_pipeline():
+    res = rewriter.rewrite(
+        "SELECT props ->> 'k' AS k FROM events FOR LAST 3 DAYS -- c\nWHERE x = :v",
+        {"v": 7},
+    )
+    assert "get_json_object" in res.sql
+    assert "x = 7" in res.sql
+    assert "events" in res.temporal_filters
