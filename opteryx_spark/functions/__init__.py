@@ -11,9 +11,10 @@ This module provides the remainder:
   express the semantics (base85, humanize, IP-in-CIDR).
 
 UDF policy at 100 TB: expression > pandas_udf > (never) row Python UDF.
-"""
 
-from __future__ import annotations
+NOTE: no ``from __future__ import annotations`` here — pandas_udf infers
+eval types from *runtime* annotations; stringified hints break it.
+"""
 
 from pyspark.sql import Column
 from pyspark.sql import functions as F

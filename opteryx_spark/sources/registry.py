@@ -140,7 +140,13 @@ class SourceRegistry:
             if store.kind == "jdbc":
                 reader = spark.read.format("jdbc").options(**store.options)
                 return reader.option("dbtable", rest or store.root).load()
-            path = os.path.join(store.root, rest.replace(".", "/")) if rest else store.root
+            if rest:
+                # literal path under the root first, then dotted-namespace form
+                path = os.path.join(store.root, rest)
+                if not os.path.exists(path):
+                    path = os.path.join(store.root, rest.replace(".", "/"))
+            else:
+                path = store.root
             return read_any(spark, path, fmt=store.fmt, **store.options)
         # fall back: treat as filesystem path or catalog table
         if os.path.exists(dataset):

@@ -21,10 +21,18 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
-def read_events_stream(spark: SparkSession, path: str, schema=None) -> DataFrame:
+def read_events_stream(spark: SparkSession, path: str, schema=None, ts_col: str = "ts") -> DataFrame:
+    """File-source stream over a parquet directory.
+
+    Handles TIMESTAMP(NANOS) parquet columns the same way the batch
+    catalog does (``catalog.load_table``): read as long, convert to µs.
+    """
     if schema is None:
         schema = spark.read.parquet(path).schema
-    return spark.readStream.schema(schema).parquet(path)
+    stream = spark.readStream.schema(schema).parquet(path)
+    if ts_col in stream.columns and dict(stream.dtypes)[ts_col] == "bigint":
+        stream = stream.withColumn(ts_col, F.timestamp_micros(F.expr(f"`{ts_col}` div 1000")))
+    return stream
 
 
 def hourly_rollup_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:

@@ -1,0 +1,132 @@
+"""Unit tests for the function parity layer and the source registry."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from opteryx_spark import functions as oxf
+from opteryx_spark.sources import registry as srcreg
+
+
+# --- functions --------------------------------------------------------------
+
+
+def test_product_aggregate(spark):
+    df = spark.createDataFrame([(1, 2.0), (1, 3.0), (1, -4.0), (2, 0.0), (2, 9.0)], ["g", "x"])
+    rows = {
+        r["g"]: r["p"]
+        for r in df.groupBy("g").agg(oxf.product(F.col("x")).alias("p")).collect()
+    }
+    assert abs(rows[1] - (-24.0)) < 1e-9
+    assert rows[2] == 0.0
+
+
+def test_min_max_struct(spark):
+    df = spark.createDataFrame([(1,), (5,), (3,)], ["x"])
+    row = df.agg(oxf.min_max(F.col("x")).alias("mm")).first()["mm"]
+    assert (row["min"], row["max"]) == (1, 5)
+
+
+def test_search_and_iif(spark):
+    df = spark.createDataFrame([("Hello World",)], ["s"])
+    row = df.select(
+        oxf.search(F.col("s"), "WORLD").alias("found"),
+        oxf.iif(F.length("s") > 5, F.lit("long"), F.lit("short")).alias("sz"),
+    ).first()
+    assert row["found"] is True and row["sz"] == "long"
+
+
+def test_levenshtein_ratio(spark):
+    df = spark.createDataFrame([("kitten", "sitting")], ["a", "b"])
+    r = df.select(oxf.levenshtein_ratio(F.col("a"), F.col("b")).alias("r")).first()["r"]
+    assert abs(r - (1 - 3 / 7)) < 1e-9
+
+
+def test_registered_sql_udfs(spark):
+    oxf.register_sql_functions(spark)
+    row = spark.sql(
+        "SELECT base85_decode(base85_encode('hello')) AS rt,"
+        "       humanize(1234567.0) AS h,"
+        "       ip_in_cidr('10.1.2.3', '10.0.0.0/8') AS inside,"
+        "       ip_in_cidr('192.168.1.1', '10.0.0.0/8') AS outside,"
+        "       soundex_py('Robert') AS sx"
+    ).first()
+    assert row["rt"] == "hello"
+    assert row["h"] == "1.2 million"
+    assert row["inside"] is True and row["outside"] is False
+    assert row["sx"] == "R163"
+
+
+def test_time_bucket(spark):
+    df = spark.createDataFrame([("2024-03-05 10:47:00",)], ["s"]).select(
+        F.col("s").cast("timestamp").alias("ts")
+    )
+    row = df.select(oxf.time_bucket(F.col("ts"), "1 hour").alias("b")).first()
+    assert row["b"].minute == 0 and row["b"].hour == 10
+
+
+# --- sources ----------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def fmt_dir(spark, sf_dir):
+    """The nation table re-written in several formats."""
+    d = tempfile.mkdtemp(prefix="oxs_formats")
+    df = spark.read.parquet(os.path.join(sf_dir, "nation.parquet"))
+    df.coalesce(1).write.mode("overwrite").option("header", True).csv(os.path.join(d, "nation_csv"))
+    df.coalesce(1).write.mode("overwrite").json(os.path.join(d, "nation_jsonl"))
+    df.coalesce(1).write.mode("overwrite").orc(os.path.join(d, "nation_orc"))
+    df.coalesce(1).write.mode("overwrite").option("header", True).option("sep", "\t").csv(
+        os.path.join(d, "nation_tsv")
+    )
+    return d
+
+
+def test_read_any_formats(spark, fmt_dir):
+    for sub, fmt in [
+        ("nation_csv", "csv"),
+        ("nation_jsonl", "json"),
+        ("nation_orc", "orc"),
+    ]:
+        df = srcreg.read_any(spark, os.path.join(fmt_dir, sub), fmt=fmt)
+        assert df.count() == 25, f"{fmt} read failed"
+
+
+def test_read_any_by_extension(spark, sf_dir, fmt_dir):
+    assert srcreg.read_any(spark, os.path.join(sf_dir, "nation.parquet")).count() == 25
+    import glob
+
+    csv_file = glob.glob(os.path.join(fmt_dir, "nation_csv", "*.csv"))[0]
+    assert srcreg.read_any(spark, csv_file).count() == 25
+
+
+def test_feather_roundtrip(spark):
+    import pyarrow as pa
+    import pyarrow.feather as feather
+
+    d = tempfile.mkdtemp(prefix="oxs_feather")
+    path = os.path.join(d, "t.feather")
+    feather.write_feather(pa.table({"a": [1, 2, 3]}), path)
+    assert srcreg.read_any(spark, path).count() == 3
+
+
+def test_register_store_prefix(spark, sf_dir):
+    reg = srcreg.SourceRegistry()
+    reg.register_store("tpch", root=sf_dir, fmt="parquet")
+    df = reg.resolve(spark, "tpch.nation.parquet")
+    assert df.count() == 25
+
+
+def test_register_frames(spark):
+    import pandas as pd
+    import pyarrow as pa
+
+    reg = srcreg.SourceRegistry()
+    reg.register_frame("pdf", pd.DataFrame({"x": [1, 2]}))
+    reg.register_frame("atb", pa.table({"y": ["a"]}))
+    assert reg.resolve(spark, "pdf").count() == 2
+    assert reg.resolve(spark, "atb").count() == 1

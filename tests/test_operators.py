@@ -1,0 +1,126 @@
+"""Unit tests for dedup / similarity / text / multimodal operators."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from opteryx_spark.operators import dedup, multimodal, similarity, text
+from opteryx_spark.suite._util import t
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return t(spark, sf_dir, "documents")
+
+
+def test_exact_dedup_on_synthetic_dupes(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b c"), (3, "x y z"), (4, "a b c")], ["doc_id", "text"]
+    )
+    kept = dedup.content_hash_dedup(df)
+    rows = {r["keep_id"]: r["n_copies"] for r in kept.collect()}
+    assert rows == {1: 3, 3: 1}
+
+
+def test_minhash_estimates_jaccard(spark):
+    # two near-identical docs + one unrelated: est_jaccard must separate them
+    base = " ".join(f"w{i}" for i in range(50))
+    near = " ".join(f"w{i}" for i in range(49)) + " zz"
+    other = " ".join(f"q{i}" for i in range(50))
+    df = spark.createDataFrame([(1, base), (2, near), (3, other)], ["doc_id", "text"])
+    pairs = {(r.id1, r.id2): r.est_jaccard for r in dedup.minhash_lsh_pairs(df, k=2).collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] > 0.7
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_minhash_verified_equals_exact(docs):
+    exact = {
+        (r.id1, r.id2)
+        for r in dedup.ngram_jaccard_pairs(docs, k=2, threshold=0.9).collect()
+    }
+    verified = {
+        (r.id1, r.id2)
+        for r in dedup.minhash_dedup_verified(docs, threshold=0.9, k=2).collect()
+    }
+    assert verified == exact  # LSH recall at j>=0.9 with 64/16 banding
+
+
+def test_prefix_filter_equals_naive(docs):
+    fast = {
+        (r.id1, r.id2, round(r.jaccard, 9))
+        for r in dedup.ngram_jaccard_pairs(docs, threshold=0.8).collect()
+    }
+    naive = {
+        (r.id1, r.id2, round(r.jaccard, 9))
+        for r in dedup.ngram_jaccard_pairs(docs, threshold=0.8, prefix_filter=False).collect()
+    }
+    assert fast == naive
+
+
+def test_simhash_close_for_near_dups(spark):
+    base = " ".join(f"w{i}" for i in range(100))
+    near = " ".join(f"w{i}" for i in range(99)) + " zz"
+    other = " ".join(f"q{i}" for i in range(100))
+    df = spark.createDataFrame([(1, base), (2, near), (3, other)], ["doc_id", "text"])
+    sig = {r.id: r.simhash for r in dedup.simhash(df).collect()}
+    ham = lambda a, b: bin((a ^ b) & ((1 << 64) - 1)).count("1")  # noqa: E731
+    assert ham(sig[1], sig[2]) < ham(sig[1], sig[3])
+    assert ham(sig[1], sig[2]) <= 8
+
+
+def test_cosine_matches_python(spark, sf_dir):
+    emb = t(spark, sf_dir, "embeddings").limit(10).collect()
+    v0 = [float(x) for x in emb[0]["embedding"]]
+    v1 = [float(x) for x in emb[1]["embedding"]]
+    expect = sum(a * b for a, b in zip(v0, v1)) / (
+        math.sqrt(sum(a * a for a in v0)) * math.sqrt(sum(b * b for b in v1))
+    )
+    df = t(spark, sf_dir, "embeddings").filter(F.col("vec_id") == emb[1]["vec_id"])
+    got = similarity.cosine_topk(df, v0, k=1).collect()[0]["cosim"]
+    assert abs(got - expect) < 1e-12
+
+
+def test_ann_lsh_recall_vs_brute_force(spark, sf_dir):
+    emb = t(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    rest = emb.filter(F.col("vec_id") != 0)
+    exact = [r.vec_id for r in similarity.cosine_topk(rest, qvec, k=10).collect()]
+    approx = [r.vec_id for r in similarity.hyperplane_lsh_topk(rest, qvec, k=10).collect()]
+    # ANN must recover a reasonable fraction of the true top-10
+    assert len(set(exact) & set(approx)) >= 3
+
+
+def test_text_stats_columns(docs):
+    stats = text.with_text_stats(docs.limit(20))
+    row = stats.filter(F.col("n_tokens") > 0).first()
+    assert row["n_distinct_tokens"] <= row["n_tokens"]
+    assert 0.0 < row["ttr"] <= 1.0
+    assert 0.0 < row["quality"] <= 1.0
+    assert len(row["fingerprint"]) == 32
+
+
+def test_language_scores_struct(docs):
+    row = docs.limit(5).select(text.language_scores("text").alias("ls")).first()
+    assert set(row["ls"].asDict()) == {"score_de", "score_en", "score_es", "score_fr"}
+
+
+def test_multimodal_image_features(spark):
+    media = multimodal.synthetic_media(spark, 50)
+    feats = multimodal.image_features(media, fake=True)
+    rows = feats.collect()
+    assert len(rows) == 50
+    for r in rows[:5]:
+        assert 64 <= r["width"] < 256 and 64 <= r["height"] < 256
+        assert r["n_bytes"] > 0 and len(r["content_sha"]) == 64
+    # deterministic: same payload -> same dims
+    again = {r["media_id"]: (r["width"], r["height"]) for r in feats.collect()}
+    first = {r["media_id"]: (r["width"], r["height"]) for r in rows}
+    assert again == first
+
+
+def test_multimodal_decode_raises_without_fake():
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image(b"bytes", fake=False)
