@@ -38,12 +38,32 @@ class Connection:
         spark: SparkSession | None = None,
         registry: SourceRegistry | None = None,
         time_columns: dict[str, str] | None = None,
+        prepared_statements: dict[str, str] | None = None,
+        views: dict[str, str] | None = None,
+        visibility_filters: dict[str, str] | None = None,
     ):
         self.spark = spark or get_session()
         self.registry = registry or _registry_mod._DEFAULT
         self.variables: dict[str, Any] = {}
         self.time_columns = {**DEFAULT_TIME_COLUMNS, **(time_columns or {})}
+        self.prepared_statements = dict(prepared_statements or {})
+        self.prepared_statements.update(_load_json_file("prepared_statements.json"))
         register_virtual_datasets(self.spark)
+        # named views defined as SQL (reference planner/views/__init__.py):
+        # registered lazily as temp views over the rewritten SQL
+        self.views = dict(views or {})
+        self.views.update(_load_json_file("views.json"))
+        for name, sql in self.views.items():
+            try:
+                self.spark.sql(rewriter.rewrite(sql).sql).createOrReplaceTempView(name)
+            except Exception:  # view over a not-yet-registered table: defer
+                pass
+        # row-level visibility filters injected per table at resolution
+        # (reference cursor.py:107-114)
+        self.visibility_filters = dict(visibility_filters or {})
+        for table, predicate in self.visibility_filters.items():
+            if _is_view(self.spark, table):
+                self.spark.table(table).filter(predicate).createOrReplaceTempView(table)
 
     def cursor(self) -> "Cursor":
         return Cursor(self)
@@ -87,6 +107,29 @@ class Cursor:
             return spark.createDataFrame(
                 [(name, str(self._conn.variables.get(name)))], ["name", "value"]
             )
+        # SHOW COLUMNS FROM <t> (reference operators/show_columns_node.py)
+        cols_m = re.match(r"SHOW\s+(?:FULL\s+)?COLUMNS\s+FROM\s+([\w.$']+)", stmt, re.IGNORECASE)
+        if cols_m:
+            table = rewriter.rewrite_virtual_datasets(cols_m.group(1))
+            df = self._conn.registry.resolve(spark, table) if not _is_view(spark, table) else spark.table(table)
+            return spark.createDataFrame(
+                [(f.name, f.dataType.simpleString(), f.nullable) for f in df.schema.fields],
+                ["name", "type", "nullable"],
+            )
+        # EXECUTE name(param=value, ...) — prepared statements from
+        # prepared_statements.json (reference logical_planner.py:757-825)
+        exec_m = re.match(r"EXECUTE\s+(\w+)\s*(?:\((.*)\))?\s*$", stmt, re.IGNORECASE | re.DOTALL)
+        if exec_m:
+            name = exec_m.group(1)
+            tmpl = self._conn.prepared_statements.get(name)
+            if tmpl is None:
+                raise KeyError(f"prepared statement not found: {name}")
+            bound = {}
+            if exec_m.group(2):
+                for pair in exec_m.group(2).split(","):
+                    k, v = pair.split("=", 1)
+                    bound[k.strip()] = _parse_literal(v.strip())
+            return self._execute_one(spark, tmpl, bound or None)
         merged = dict(self._conn.variables)
         if isinstance(params, dict):
             merged.update(params)
@@ -175,6 +218,25 @@ class Cursor:
     def close(self) -> None:
         self._df = None
         self._iter = None
+
+
+def _is_view(spark: SparkSession, name: str) -> bool:
+    try:
+        return any(t.name == name for t in spark.catalog.listTables())
+    except Exception:
+        return False
+
+
+def _load_json_file(filename: str) -> dict:
+    import json
+    import os
+
+    for base in (os.getcwd(), os.path.expanduser("~")):
+        path = os.path.join(base, filename)
+        if os.path.exists(path):
+            with open(path) as f:
+                return json.load(f)
+    return {}
 
 
 def _parse_literal(text: str):
