@@ -1,0 +1,82 @@
+"""Scale utilities: skew-aware joins and co-partitioning helpers.
+
+These encode the 100 TB playbook as reusable operators:
+
+- :func:`salted_join` — explicit key-salting for joins whose hot keys
+  overwhelm AQE's skew splitting (AQE only splits *partitions*, not a
+  single hot key on the build side of a shuffle join);
+- :func:`broadcast_threshold_join` — picks broadcast vs shuffle join by an
+  explicit row estimate when statistics are absent (e.g. fresh temp views);
+- :func:`write_bucketed` / :func:`read_bucketed` — persist a fact table
+  bucketed by its join key so repeated joins/aggregations on that key run
+  shuffle-free.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    salt: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join with the left (large, skewed) side salted ``salt`` ways.
+
+    The left side gets a random salt in [0, salt); the right side is
+    exploded ``salt``× so every (key, salt) pair finds its match.  Use
+    when one key holds a disproportionate share of rows — the classic
+    null-key / celebrity-user / default-value skew.  Right-side blowup is
+    ``salt``×, so keep the right side the smaller relation.
+    """
+    salted_l = left.withColumn("__salt", (F.rand(seed=7) * salt).cast("int"))
+    salts = F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
+    salted_r = right.withColumn("__salt", salts)
+    out = salted_l.join(salted_r, [key, "__salt"], how)
+    return out.drop("__salt")
+
+
+def broadcast_threshold_join(
+    left: DataFrame,
+    right: DataFrame,
+    on,
+    how: str = "inner",
+    right_rows_estimate: int | None = None,
+    broadcast_max_rows: int = 10_000_000,
+) -> DataFrame:
+    """Join with an explicit broadcast decision.
+
+    Catalyst broadcasts by *byte* estimate, which is unavailable for some
+    freshly-derived frames; when the caller knows the right side's row
+    bound, an explicit hint avoids a needless shuffle of the big side.
+    """
+    if right_rows_estimate is not None and right_rows_estimate <= broadcast_max_rows:
+        right = F.broadcast(right)
+    return left.join(right, on, how)
+
+
+def write_bucketed(
+    df: DataFrame, path_table: str, key: str, buckets: int = 64, sort: bool = True
+) -> None:
+    """Persist bucketed-by-key (Hive bucketing): subsequent equi-joins and
+    groupBys on ``key`` skip the shuffle entirely."""
+    writer = df.write.mode("overwrite").format("parquet").bucketBy(buckets, key)
+    if sort:
+        writer = writer.sortBy(key)
+    writer.saveAsTable(path_table)
+
+
+def read_bucketed(spark, table: str) -> DataFrame:
+    return spark.table(table)
+
+
+def explain_shuffle_count(df: DataFrame) -> int:
+    """Number of Exchange operators in the plan — the scale cost metric."""
+    from opteryx_spark.plans import explain_text
+
+    text = explain_text(df)
+    return sum(1 for line in text.splitlines() if line.strip().startswith(("+- Exchange", "Exchange")))

@@ -1,0 +1,62 @@
+"""Tests for the scale utilities (salted join, bucketing, shuffle counting)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from opteryx_spark.operators import scale
+
+
+def _skewed_frames(spark):
+    # 90% of left rows share key 0 (hot key), right is a small dim
+    left = spark.range(10_000).select(
+        F.when(F.col("id") % 10 != 0, 0).otherwise(F.col("id") % 100).alias("k"),
+        F.col("id").alias("v"),
+    )
+    right = spark.range(100).select(F.col("id").alias("k"), (F.col("id") * 2).alias("w"))
+    return left, right
+
+
+def test_salted_join_matches_plain_join(spark):
+    left, right = _skewed_frames(spark)
+    plain = left.join(right, "k").groupBy("k").count()
+    salted = scale.salted_join(left, right, "k").groupBy("k").count()
+    assert {tuple(r) for r in salted.collect()} == {tuple(r) for r in plain.collect()}
+
+
+def test_salted_join_left_outer(spark):
+    left, right = _skewed_frames(spark)
+    missing = right.filter(F.col("k") < 50)  # unmatched left keys exist
+    plain = left.join(missing, "k", "left").groupBy("k").agg(F.count("w").alias("n"))
+    salted = scale.salted_join(left, missing, "k", how="left").groupBy("k").agg(
+        F.count("w").alias("n")
+    )
+    assert {tuple(r) for r in salted.collect()} == {tuple(r) for r in plain.collect()}
+
+
+def test_broadcast_threshold_join_hints(spark):
+    left, right = _skewed_frames(spark)
+    df = scale.broadcast_threshold_join(left, right, "k", right_rows_estimate=100)
+    from opteryx_spark.plans import explain_text
+
+    assert "BroadcastHashJoin" in explain_text(df)
+
+
+def test_shuffle_count(spark):
+    left, right = _skewed_frames(spark)
+    one_shuffle = left.groupBy("k").count()
+    assert scale.explain_shuffle_count(one_shuffle) >= 1
+
+
+def test_bucketed_write_read_no_shuffle_agg(spark):
+    # uses the default spark-warehouse/ dir (gitignored)
+    left, _ = _skewed_frames(spark)
+    try:
+        scale.write_bucketed(left, "bucketed_left", "k", buckets=8)
+        back = scale.read_bucketed(spark, "bucketed_left")
+        agg = back.groupBy("k").count()
+        # bucketed source: groupBy on the bucket key needs no Exchange
+        assert scale.explain_shuffle_count(agg) == 0
+        assert agg.count() == 10  # keys {0, 10, 20, ..., 90}
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bucketed_left")
