@@ -50,7 +50,11 @@ def test_shuffle_count(spark):
 
 def test_bucketed_write_read_no_shuffle_agg(spark):
     # uses the default spark-warehouse/ dir (gitignored)
+    import shutil
+
     left, _ = _skewed_frames(spark)
+    spark.sql("DROP TABLE IF EXISTS bucketed_left")
+    shutil.rmtree("spark-warehouse/bucketed_left", ignore_errors=True)
     try:
         scale.write_bucketed(left, "bucketed_left", "k", buckets=8)
         back = scale.read_bucketed(spark, "bucketed_left")
