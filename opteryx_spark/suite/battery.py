@@ -158,7 +158,8 @@ def pred_like_battery(spark, sf_dir):
       CAST(SUM(CASE WHEN p_size NOT BETWEEN 10 AND 20 THEN 1 ELSE 0 END) AS BIGINT) AS n_not_between,
       CAST(SUM(CASE WHEN TRY_CAST(p_brand AS DOUBLE) IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_uncastable,
       CAST(SUM(TRY_CAST(substring(p_brand, 7) AS BIGINT)) AS BIGINT) AS sum_brand_num,
-      CAST(SUM(CAST(CAST(p_retailprice AS VARCHAR) AS DOUBLE)) AS BIGINT) AS roundtrip_trunc
+      CAST(SUM(CAST(CAST(CAST(p_retailprice AS VARCHAR) AS DOUBLE) AS DECIMAL(25,8)))
+           AS BIGINT) AS roundtrip_trunc
     FROM part
     """,
 )
@@ -173,7 +174,7 @@ def pred_between_casts(spark, sf_dir):
         one_if(~sz.between(10, 20)).alias("n_not_between"),
         one_if(F.col("p_brand").cast("double").isNull()).alias("n_uncastable"),
         F.sum(F.substring(F.col("p_brand"), 7, 10).cast("long")).alias("sum_brand_num"),
-        F.sum(F.col("p_retailprice").cast("string").cast("double"))
+        F.sum(F.col("p_retailprice").cast("string").cast("double").cast("decimal(25,8)"))
         .cast("long")
         .alias("roundtrip_trunc"),
     )

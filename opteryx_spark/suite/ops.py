@@ -261,7 +261,9 @@ def set_except(spark, sf_dir):
         .filter(F.col("s_acctbal") > 9500.0)
         .select(F.col("s_nationkey").alias("nationkey"))
     )
-    return cust.exceptAll(supp).distinct().orderBy("nationkey")
+    # subtract == EXCEPT DISTINCT (set semantics); exceptAll would be
+    # multiset difference and can keep values present on both sides
+    return cust.subtract(supp).orderBy("nationkey")
 
 
 # --- distinct / sort / limit ------------------------------------------------
