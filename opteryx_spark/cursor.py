@@ -153,9 +153,13 @@ class Cursor:
         explain_m = re.match(r"EXPLAIN(\s+ANALYZE)?\s+(.*)", sql, re.IGNORECASE | re.DOTALL)
         if explain_m:
             plan_df = spark.sql(explain_m.group(2))
-            text = plan_df._jdf.queryExecution().explainString(
-                spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
-            )
+            if explain_m.group(1):  # EXPLAIN ANALYZE: execute, report metrics
+                plan_df.collect()
+                text = plan_df._jdf.queryExecution().executedPlan().toString()
+            else:
+                text = plan_df._jdf.queryExecution().explainString(
+                    spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+                )
             return spark.createDataFrame([(line,) for line in text.split("\n")], ["plan"])
         return spark.sql(sql)
 

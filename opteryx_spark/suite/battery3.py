@@ -1,0 +1,123 @@
+"""Third battery: remaining scalar-function catalog coverage (§2.8).
+
+DATEPART/EXTRACT, unix-time conversions, string completions (CONCAT_WS,
+SPLIT, POSITION, RPAD, REPEAT, ENDS_WITH, ASCII/CHR), numeric completions
+(SIGN, TRUNC, LOG2/LOG10, PI/E).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from opteryx_spark.suite import register
+from opteryx_spark.suite._util import t
+
+
+@register(
+    "datetime_extract_unix",
+    oracle="""
+    SELECT event_id,
+           CAST(EXTRACT(year FROM ts) AS BIGINT) AS y,
+           CAST(EXTRACT(month FROM ts) AS BIGINT) AS mo,
+           CAST(EXTRACT(day FROM ts) AS BIGINT) AS d,
+           CAST(EXTRACT(hour FROM ts) AS BIGINT) AS h,
+           CAST(EXTRACT(minute FROM ts) AS BIGINT) AS mi,
+           CAST(EXTRACT(second FROM ts) AS BIGINT) AS s,
+           CAST(floor(date_part('epoch', ts)) AS BIGINT) AS epoch_s,
+           CAST(to_timestamp(CAST(floor(date_part('epoch', ts)) AS BIGINT)) AS TIMESTAMP) AS from_epoch,
+           strftime(ts, '%Y-%m-%d %H:%M') AS formatted
+    FROM events WHERE event_id < 200 ORDER BY event_id
+    """,
+)
+def datetime_extract_unix(spark, sf_dir):
+    """EXTRACT/DATEPART + FROM_UNIXTIME/UNIXTIME + DATE_FORMAT
+    (reference ``functions/date_functions.py:58-247``)."""
+    ev = t(spark, sf_dir, "events").filter(F.col("event_id") < 200)
+    ts = F.col("ts")
+    epoch = F.unix_timestamp(ts)
+    return ev.select(
+        "event_id",
+        F.year(ts).cast("long").alias("y"),
+        F.month(ts).cast("long").alias("mo"),
+        F.dayofmonth(ts).cast("long").alias("d"),
+        F.hour(ts).cast("long").alias("h"),
+        F.minute(ts).cast("long").alias("mi"),
+        F.second(ts).cast("long").alias("s"),
+        epoch.alias("epoch_s"),
+        F.timestamp_seconds(epoch).alias("from_epoch"),
+        F.date_format(ts, "yyyy-MM-dd HH:mm").alias("formatted"),
+    ).orderBy("event_id")
+
+
+@register(
+    "string_funcs_2",
+    oracle="""
+    SELECT n_name,
+           concat_ws('|', n_name, CAST(n_nationkey AS VARCHAR), 'x') AS joined,
+           string_split(n_name, 'A') AS parts,
+           CAST(position('A' IN n_name) AS BIGINT) AS a_pos,
+           rpad(n_name, 20, '.') AS rpadded,
+           rtrim(concat(n_name, '   ')) AS rtrimmed,
+           ltrim(concat('   ', n_name)) AS ltrimmed,
+           repeat('ab', 3) AS repeated,
+           ends_with(n_name, 'IA') AS ends_ia,
+           CAST(ascii(n_name) AS BIGINT) AS first_code,
+           chr(65 + n_nationkey % 26) AS letter,
+           left(n_name, 4) AS l4,
+           right(n_name, 3) AS r3
+    FROM nation ORDER BY n_name
+    """,
+)
+def string_funcs_2(spark, sf_dir):
+    nation = t(spark, sf_dir, "nation")
+    n = F.col("n_name")
+    return nation.select(
+        n,
+        F.concat_ws("|", n, F.col("n_nationkey").cast("string"), F.lit("x")).alias("joined"),
+        F.split(n, "A", -1).alias("parts"),
+        F.instr(n, "A").cast("long").alias("a_pos"),
+        F.rpad(n, 20, ".").alias("rpadded"),
+        F.rtrim(F.concat(n, F.lit("   "))).alias("rtrimmed"),
+        F.ltrim(F.concat(F.lit("   "), n)).alias("ltrimmed"),
+        F.repeat(F.lit("ab"), 3).alias("repeated"),
+        n.endswith("IA").alias("ends_ia"),
+        F.ascii(n).cast("long").alias("first_code"),
+        F.chr(F.lit(65) + F.col("n_nationkey") % 26).alias("letter"),
+        F.substring(n, 1, 4).alias("l4"),
+        n.substr(F.length(n) - 2, F.lit(3)).alias("r3"),
+    ).orderBy("n_name")
+
+
+@register(
+    "numeric_funcs_2",
+    oracle="""
+    SELECT p_partkey,
+           sign(p_retailprice - 1500.0) AS sgn,
+           trunc(p_retailprice) AS truncd,
+           round(log2(p_retailprice), 6) AS lg2,
+           round(log10(p_retailprice), 6) AS lg10,
+           round(pi(), 6) AS pi_c,
+           round(exp(1.0), 6) AS e_c,
+           CAST(p_size % 4 AS BIGINT) AS sz_mod,
+           CAST(p_size // 4 AS BIGINT) AS sz_div,
+           greatest(p_size, 25) AS sz_hi
+    FROM part WHERE p_partkey <= 500 ORDER BY p_partkey
+    """,
+)
+def numeric_funcs_2(spark, sf_dir):
+    part = t(spark, sf_dir, "part").filter(F.col("p_partkey") <= 500)
+    price = F.col("p_retailprice")
+    sz = F.col("p_size")
+    return part.select(
+        "p_partkey",
+        F.signum(price - 1500.0).alias("sgn"),
+        # trunc toward zero on positive values == floor
+        F.floor(price).cast("double").alias("truncd"),
+        F.round(F.log2(price), 6).alias("lg2"),
+        F.round(F.log10(price), 6).alias("lg10"),
+        F.round(F.lit(3.141592653589793), 6).alias("pi_c"),
+        F.round(F.exp(F.lit(1.0)), 6).alias("e_c"),
+        (sz % 4).cast("long").alias("sz_mod"),
+        F.floor(sz / 4).cast("long").alias("sz_div"),
+        F.greatest(sz, F.lit(25)).alias("sz_hi"),
+    ).orderBy("p_partkey")

@@ -66,3 +66,9 @@ def test_cli_main(spark, sf_dir, capsys):
     assert rc == 0
     out = capsys.readouterr().out
     assert "25" in out
+
+
+def test_explain_analyze(conn):
+    cur = conn.cursor().execute("EXPLAIN ANALYZE SELECT COUNT(*) FROM nation")
+    text = "\n".join(r[0] for r in cur.fetchall())
+    assert "HashAggregate" in text
