@@ -41,6 +41,19 @@ def _signed64(v: int) -> int:
     return v - (1 << 64) if v >= (1 << 63) else v
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Ensure the input is at least default-parallelism partitions wide.
+
+    A small file arrives as one split; without this every per-row kernel
+    (shingling, hashing) runs on a single core.  At 100 TB inputs are
+    already thousands of splits and this is a no-op.
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 # --- exact ------------------------------------------------------------------
 
 
@@ -76,6 +89,7 @@ def ngram_jaccard_pairs(
     k: int = 2,
     threshold: float = 0.8,
     prefix_filter: bool = True,
+    broadcast_sets: bool = True,
 ) -> DataFrame:
     """All document pairs with word-k-gram Jaccard >= threshold (exact).
 
@@ -91,9 +105,19 @@ def ngram_jaccard_pairs(
 
     Without ``prefix_filter`` the plan is the naive full inverted-index
     self-join (useful as a correctness baseline).
+
+    ``broadcast_sets`` broadcasts the per-doc shingle-array table to make
+    candidate verification map-only; set False when the doc set itself
+    exceeds executor memory (verification then shuffles on doc id).
+
+    Shingles are xxhash64-hashed up front: set cardinalities (and hence
+    Jaccard) are preserved (64-bit collisions are negligible), while the
+    index join and the array intersections run on longs instead of
+    strings — a constant-factor but large win at any scale.
     """
-    sets_df = df.select(
-        F.col(id_col).alias("id"), shingles(text_col, k).alias("arr")
+    sets_df = _spread(df).select(
+        F.col(id_col).alias("id"),
+        F.transform(shingles(text_col, k), lambda x: F.xxhash64(x)).alias("arr"),
     ).withColumn("n", F.size("arr"))
     sh = sets_df.select("id", F.explode("arr").alias("s"))
     sizes = sets_df.select("id", "n")
@@ -127,9 +151,10 @@ def ngram_jaccard_pairs(
                 & (F.col("na") >= F.lit(threshold) * F.col("nb"))
             )
             # verify with a per-pair JVM set intersection (no second
-            # explode/shuffle): arrays ride along on the candidate rows
-            .join(arrs1, "id1")
-            .join(arrs2, "id2")
+            # explode/shuffle); broadcasting the per-doc array table makes
+            # this map-only when the doc set fits executor memory
+            .join(F.broadcast(arrs1) if broadcast_sets else arrs1, "id1")
+            .join(F.broadcast(arrs2) if broadcast_sets else arrs2, "id2")
             .select(
                 "id1",
                 "id2",
@@ -175,7 +200,7 @@ def minhash_signatures(
     explode + one groupBy — shuffle keyed by doc id.
     """
     params = _perm_params(num_hashes)
-    sh = df.select(F.col(id_col).alias("id"), F.explode(shingles(text_col, k)).alias("s"))
+    sh = _spread(df).select(F.col(id_col).alias("id"), F.explode(shingles(text_col, k)).alias("s"))
     h = F.xxhash64("s")
     mins = [
         F.min(h * F.lit(_signed64(a)) + F.lit(_signed64(b))).alias(f"_m{i}")
@@ -256,6 +281,7 @@ def minhash_dedup_verified(
     num_hashes: int = 64,
     bands: int = 16,
     k: int = 2,
+    broadcast_sets: bool = True,
 ) -> DataFrame:
     """LSH candidates verified with *exact* Jaccard on the shingle sets.
 
@@ -266,14 +292,14 @@ def minhash_dedup_verified(
     64/16 banding).
     """
     cand = minhash_lsh_pairs(df, id_col, text_col, num_hashes, bands, k).select("id1", "id2")
-    sets_df = df.select(F.col(id_col).alias("id"), shingles(text_col, k).alias("arr"))
+    sets_df = _spread(df).select(F.col(id_col).alias("id"), shingles(text_col, k).alias("arr"))
     arrs1 = sets_df.select(F.col("id").alias("id1"), F.col("arr").alias("arr1"))
     arrs2 = sets_df.select(F.col("id").alias("id2"), F.col("arr").alias("arr2"))
     ov = F.size(F.array_intersect("arr1", "arr2"))
     union = F.size("arr1") + F.size("arr2") - ov
     return (
-        cand.join(arrs1, "id1")
-        .join(arrs2, "id2")
+        cand.join(F.broadcast(arrs1) if broadcast_sets else arrs1, "id1")
+        .join(F.broadcast(arrs2) if broadcast_sets else arrs2, "id2")
         .select("id1", "id2", (ov.cast("double") / union.cast("double")).alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
@@ -288,7 +314,7 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits:
     Expressed as explode + 64 conditional-sum aggregates (all JVM-side):
     bit_j(doc) = 1 iff sum over tokens of ±1 on bit j is positive.
     """
-    tok = df.select(F.col(id_col).alias("id"), F.explode(tokens(text_col)).alias("tk"))
+    tok = _spread(df).select(F.col(id_col).alias("id"), F.explode(tokens(text_col)).alias("tk"))
     h = F.xxhash64("tk")
     votes = [
         F.sum(F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)).alias(

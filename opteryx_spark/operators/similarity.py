@@ -21,6 +21,8 @@ import random
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from opteryx_spark.operators.dedup import _spread
+
 def _dot(a: Column, b: Column) -> Column:
     """Sequential left-fold dot product in doubles.
 
@@ -52,7 +54,7 @@ def cosine_topk(
     measured against.  Map-side expression + top-k, no corpus shuffle."""
     q = F.array(*[F.lit(float(v)) for v in query_vec])
     return (
-        df.select(F.col(id_col), cosine(F.col(vec_col), q).alias("cosim"))
+        _spread(df).select(F.col(id_col), cosine(F.col(vec_col), q).alias("cosim"))
         .orderBy(F.desc("cosim"), F.asc(id_col))
         .limit(k)
     )
@@ -69,7 +71,7 @@ def cosine_pairs(
     O(n²) — correctness baseline and small-corpus path.  At scale use
     :func:`hyperplane_lsh_topk` buckets as the candidate generator.
     """
-    a = df.select(F.col(id_col).alias("id1"), F.col(vec_col).alias("v1"))
+    a = _spread(df).select(F.col(id_col).alias("id1"), F.col(vec_col).alias("v1"))
     b = df.select(F.col(id_col).alias("id2"), F.col(vec_col).alias("v2"))
     return (
         a.join(b, F.col("id1") < F.col("id2"))
@@ -113,7 +115,7 @@ def hyperplane_lsh_topk(
     scan fraction: radius 2 on 8 planes probes 37/256 ≈ 14% of buckets.
     """
     planes = random_hyperplanes(len(query_vec), n_planes, seed)
-    signed = df.select(
+    signed = _spread(df).select(
         F.col(id_col), F.col(vec_col), hyperplane_signature(F.col(vec_col), planes).alias("bucket")
     )
     qsig = 0
