@@ -1,0 +1,88 @@
+"""End-to-end corpus curation: the composed training-data pipeline.
+
+quality-filter → exact dedup → near-dup dedup (MinHash verify) →
+language routing → partitioned write.  Each stage is one of the tested
+operators in this package; this module wires them into the pipeline a
+100 TB pretraining-data job actually runs, with the write partitioned by
+language so downstream consumers prune at the directory level.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from opteryx_spark.operators import dedup, text
+
+
+def curate_corpus(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_tokens: int = 10,
+    min_quality: float = 0.4,
+    neardup_threshold: float = 0.9,
+) -> DataFrame:
+    """Return the curated corpus with per-doc stats and survival flags.
+
+    Stages (all lazy, one job when written):
+    1. stats + quality scoring (pure expressions)
+    2. exact dedup: keep the lowest id per content digest
+    3. near-dup dedup: drop the higher id of each verified MinHash pair
+    4. survival flag + reason, so the output is auditable (nothing is
+       silently dropped — a curation run you can't audit is a curation
+       run you can't debug at scale)
+    """
+    stats = text.with_text_stats(docs, text_col)
+
+    digests = dedup.content_hash_dedup(docs, id_col, text_col)
+    exact_keep = digests.select(F.col("keep_id").alias(id_col)).withColumn(
+        "_exact_keep", F.lit(True)
+    )
+
+    near_pairs = dedup.minhash_dedup_verified(
+        docs, id_col, text_col, threshold=neardup_threshold
+    )
+    near_drop = near_pairs.select(F.col("id2").alias(id_col)).distinct().withColumn(
+        "_near_drop", F.lit(True)
+    )
+
+    flagged = (
+        stats.join(exact_keep, id_col, "left")
+        .join(near_drop, id_col, "left")
+        .withColumn(
+            "drop_reason",
+            F.when(F.col("n_tokens") < min_tokens, "too_short")
+            .when(F.col("quality") < min_quality, "low_quality")
+            .when(F.col("_exact_keep").isNull(), "exact_duplicate")
+            .when(F.col("_near_drop").isNotNull(), "near_duplicate"),
+        )
+        .withColumn("kept", F.col("drop_reason").isNull())
+        .drop("_exact_keep", "_near_drop")
+    )
+    return flagged
+
+
+def write_curated(
+    curated: DataFrame, out_dir: str, partition_col: str = "lang"
+) -> None:
+    """Write kept docs partitioned by language (directory-level pruning
+    for downstream consumers)."""
+    (
+        curated.filter(F.col("kept"))
+        .write.mode("overwrite")
+        .partitionBy(partition_col)
+        .parquet(out_dir)
+    )
+
+
+def curation_report(curated: DataFrame) -> DataFrame:
+    """Per-reason accounting of the curation run."""
+    return (
+        curated.groupBy(F.coalesce("drop_reason", F.lit("kept")).alias("outcome"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+        )
+        .orderBy("outcome")
+    )

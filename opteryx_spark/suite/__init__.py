@@ -43,6 +43,14 @@ def register(name: str, oracle: str | None = None):
 
 def load_all() -> dict[str, QueryDef]:
     # import side-effect-registered modules
-    from opteryx_spark.suite import battery, battery2, battery3, ops, pipeline, tpch  # noqa: F401
+    from opteryx_spark.suite import (  # noqa: F401
+        battery,
+        battery2,
+        battery3,
+        clickbench,
+        ops,
+        pipeline,
+        tpch,
+    )
 
     return REGISTRY
