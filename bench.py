@@ -42,6 +42,10 @@ BENCH_QUERIES = [
     "dedup_simhash_pairs",
     "emb_cosine_topk",
     "emb_ann_lsh_topk",
+    "cb_user_activity_topk",
+    "cb_daily_series",
+    "window_frames_moving_avg",
+    "text_quality_langid",
 ]
 
 

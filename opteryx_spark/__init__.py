@@ -20,6 +20,18 @@ threadsafety = 2
 paramstyle = "named"
 
 from opteryx_spark.cursor import Connection, Cursor, connect, query, query_to_arrow
+from opteryx_spark.errors import (
+    DatabaseError,
+    DataError,
+    Error,
+    IntegrityError,
+    InterfaceError,
+    InternalError,
+    NotSupportedError,
+    OperationalError,
+    ProgrammingError,
+    Warning,  # noqa: A004 - PEP-249 name
+)
 from opteryx_spark.session import get_session
 from opteryx_spark.sources import register_arrow, register_df, register_store
 
@@ -36,4 +48,14 @@ __all__ = [
     "apilevel",
     "paramstyle",
     "threadsafety",
+    "Warning",
+    "Error",
+    "InterfaceError",
+    "DatabaseError",
+    "DataError",
+    "OperationalError",
+    "IntegrityError",
+    "InternalError",
+    "ProgrammingError",
+    "NotSupportedError",
 ]

@@ -87,9 +87,21 @@ class Cursor:
     # -- execution ----------------------------------------------------------
 
     def execute(self, sql: str, params: dict | list | None = None) -> "Cursor":
+        from opteryx_spark import errors
+
         spark = self._conn.spark
         for stmt in rewriter.split_statements(rewriter.strip_comments(sql)):
-            self._df = self._execute_one(spark, stmt, params)
+            try:
+                self._df = self._execute_one(spark, stmt, params)
+            except Exception as exc:
+                if type(exc).__name__ in (
+                    "ParseException",
+                    "AnalysisException",
+                    "QueryExecutionException",
+                    "SparkRuntimeException",
+                ):
+                    raise errors.wrap_spark_error(exc) from exc
+                raise
         self._iter = None
         self._rowcount = None
         return self

@@ -130,3 +130,27 @@ def test_register_frames(spark):
     reg.register_frame("atb", pa.table({"y": ["a"]}))
     assert reg.resolve(spark, "pdf").count() == 2
     assert reg.resolve(spark, "atb").count() == 1
+
+
+def test_iceberg_conf_and_sql():
+    from opteryx_spark.sources import iceberg
+
+    conf = iceberg.catalog_conf("lake", "hadoop", warehouse="/tmp/wh")
+    assert conf["spark.sql.catalog.lake"] == "org.apache.iceberg.spark.SparkCatalog"
+    assert conf["spark.sql.catalog.lake.warehouse"] == "/tmp/wh"
+    assert "TIMESTAMP AS OF '2024-01-01'" in iceberg.time_travel_sql(
+        "lake.db.t", timestamp="2024-01-01"
+    )
+    assert "VERSION AS OF 42" in iceberg.time_travel_sql("lake.db.t", snapshot_id=42)
+
+
+def test_dbapi_error_mapping(spark):
+    import opteryx_spark as ox
+
+    conn = ox.connect(spark=spark)
+    import pytest as _pytest
+
+    with _pytest.raises(ox.ProgrammingError):
+        conn.cursor().execute("SELECT * FROM definitely_not_a_table_xyz")
+    with _pytest.raises(ox.ProgrammingError):
+        conn.cursor().execute("SELEC BROKEN SYNTAX")

@@ -98,3 +98,11 @@ def test_full_rewrite_pipeline():
     assert "get_json_object" in res.sql
     assert "x = 7" in res.sql
     assert "events" in res.temporal_filters
+
+
+def test_temporal_on_join_clause():
+    sql, filters = rewriter.extract_temporal(
+        "SELECT * FROM orders o JOIN events FOR LAST 7 DAYS ON o.k = events.k"
+    )
+    assert "FOR LAST" not in sql
+    assert "events" in filters
