@@ -11,11 +11,15 @@ Implementations live in ``opteryx_spark/suite/`` (registry pattern).
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from opteryx_spark.suite import load_all
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from opteryx_spark.suite import load_all  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:
