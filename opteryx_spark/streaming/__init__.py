@@ -83,3 +83,37 @@ def run_stream_once(stream_df: DataFrame, out_path: str, checkpoint: str) -> Non
         .start()
     )
     q.awaitTermination()
+
+
+def stateful_user_totals(events: DataFrame) -> DataFrame:
+    """Custom stateful operator: per-user running totals via
+    ``applyInPandasWithState`` (arbitrary state, Arrow-batched).
+
+    Demonstrates the extension point for stateful logic Spark's built-in
+    windows can't express (counters, custom sessionization, CEP).  State
+    is one (count, total) pair per user — O(distinct users) memory,
+    partitioned by the grouping key across executors.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdf_iter, state: GroupState):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdf_iter:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+        )
+
+    return (
+        events.groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType="user_id long, n_events long, total_value double",
+            stateStructType="n long, total double",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

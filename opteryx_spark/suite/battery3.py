@@ -121,3 +121,59 @@ def numeric_funcs_2(spark, sf_dir):
         F.floor(sz / 4).cast("long").alias("sz_div"),
         F.greatest(sz, F.lit(25)).alias("sz_hi"),
     ).orderBy("p_partkey")
+
+
+@register(
+    "window_range_percent",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(25,8)))
+             OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+                   RANGE BETWEEN 100 PRECEDING AND CURRENT ROW) AS DOUBLE) AS nearby_sum,
+           percent_rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey) AS pr,
+           cume_dist() OVER (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey) AS cd
+    FROM orders WHERE o_custkey <= 40
+    ORDER BY o_custkey, o_orderkey
+    """,
+)
+def window_range_percent(spark, sf_dir):
+    """RANGE frames + percent_rank/cume_dist (exact-ratio arithmetic, so
+    bit-deterministic across engines)."""
+    from pyspark.sql import Window
+
+    orders = t(spark, sf_dir, "orders").filter(F.col("o_custkey") <= 40)
+    by_key = Window.partitionBy("o_custkey").orderBy("o_orderkey").rangeBetween(-100, 0)
+    by_price = Window.partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(F.col("o_totalprice").cast("decimal(25,8)"))
+        .over(by_key)
+        .cast("double")
+        .alias("nearby_sum"),
+        F.percent_rank().over(by_price).alias("pr"),
+        F.cume_dist().over(by_price).alias("cd"),
+    ).orderBy("o_custkey", "o_orderkey")
+
+
+@register(
+    "tvf_values_clause",
+    oracle="""
+    SELECT v.region_id, r.r_name, v.tag
+    FROM (VALUES (0, 'alpha'), (2, 'beta'), (4, 'gamma')) v(region_id, tag)
+    JOIN region r ON r.r_regionkey = v.region_id
+    ORDER BY v.region_id
+    """,
+)
+def tvf_values_clause(spark, sf_dir):
+    """Inline VALUES relation (reference FunctionDatasetNode VALUES)."""
+    region = t(spark, sf_dir, "region")
+    region.createOrReplaceTempView("region")
+    return spark.sql(
+        """
+        SELECT v.region_id, r.r_name, v.tag
+        FROM VALUES (0, 'alpha'), (2, 'beta'), (4, 'gamma') AS v(region_id, tag)
+        JOIN region r ON r.r_regionkey = v.region_id
+        ORDER BY v.region_id
+        """
+    )

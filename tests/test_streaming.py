@@ -54,3 +54,36 @@ def test_sessionize_runs(spark, sf_dir, tmp_path_factory):
         "session_value",
     }
     assert sess.isStreaming
+
+
+def test_stateful_user_totals_matches_batch(spark, sf_dir, tmp_path_factory):
+    src = str(tmp_path_factory.mktemp("oxs_state_src"))
+    shutil.copy(os.path.join(sf_dir, "events.parquet"), os.path.join(src, "events.parquet"))
+    events = streaming.read_events_stream(spark, src)
+    totals = streaming.stateful_user_totals(events)
+    q = (
+        totals.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("user_totals")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        r["user_id"]: (r["n_events"], round(r["total_value"], 4))
+        for r in spark.sql(
+            "SELECT user_id, last(n_events) AS n_events, last(total_value) AS total_value "
+            "FROM user_totals GROUP BY user_id"
+        ).collect()
+    }
+    batch = spark.read.parquet(os.path.join(src, "events.parquet"))
+    want = {
+        r["user_id"]: (r["n"], round(r["t"], 4))
+        for r in batch.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("t"))
+        .collect()
+    }
+    assert set(got) == set(want)
+    for uid in want:
+        assert got[uid][0] == want[uid][0]
+        assert abs(got[uid][1] - want[uid][1]) < 1e-4
