@@ -177,3 +177,21 @@ def tvf_values_clause(spark, sf_dir):
         ORDER BY v.region_id
         """
     )
+
+
+@register("agg_approx_sketches", oracle=None)  # sketch-based: rows-only check
+def agg_approx_sketches(spark, sf_dir):
+    """Approximate aggregates — the 100 TB path for distinct counts and
+    percentiles (HLL / KLL sketches, mergeable, constant memory).  Exact
+    twins are oracled in agg_count_distinct / agg_median_percentile; the
+    unit test bounds the approximation error against them."""
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_partkey").alias("approx_parts"),
+            F.countDistinct("l_partkey").alias("exact_parts"),
+            F.percentile_approx("l_quantity", 0.5).alias("approx_median_qty"),
+        )
+        .orderBy("l_returnflag")
+    )

@@ -128,3 +128,13 @@ def test_multimodal_image_features(spark):
 def test_multimodal_decode_raises_without_fake():
     with pytest.raises(NotImplementedError):
         multimodal.decode_image(b"bytes", fake=False)
+
+
+def test_approx_sketches_close_to_exact(spark, sf_dir):
+    from opteryx_spark.suite import load_all
+
+    rows = load_all()["agg_approx_sketches"].spark(spark, sf_dir).collect()
+    for r in rows:
+        rel_err = abs(r["approx_parts"] - r["exact_parts"]) / max(r["exact_parts"], 1)
+        assert rel_err < 0.1, f"HLL error {rel_err:.2%} for {r['l_returnflag']}"
+        assert 1.0 <= r["approx_median_qty"] <= 50.0
