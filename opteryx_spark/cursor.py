@@ -50,20 +50,43 @@ class Connection:
         self.prepared_statements.update(_load_json_file("prepared_statements.json"))
         register_virtual_datasets(self.spark)
         # named views defined as SQL (reference planner/views/__init__.py):
-        # registered lazily as temp views over the rewritten SQL
+        # registered lazily; retried at execute() time so views over
+        # tables registered later still resolve
         self.views = dict(views or {})
         self.views.update(_load_json_file("views.json"))
-        for name, sql in self.views.items():
-            try:
-                self.spark.sql(rewriter.rewrite(sql).sql).createOrReplaceTempView(name)
-            except Exception:  # view over a not-yet-registered table: defer
-                pass
+        self._pending_views = set(self.views)
+        self._register_pending_views()
         # row-level visibility filters injected per table at resolution
-        # (reference cursor.py:107-114)
+        # (reference cursor.py:107-114); applied at query time so tables
+        # registered after the connection cannot bypass them
         self.visibility_filters = dict(visibility_filters or {})
+        self._apply_visibility_filters()
+
+    def _register_pending_views(self) -> None:
+        for name in list(self._pending_views):
+            try:
+                self.spark.sql(rewriter.rewrite(self.views[name]).sql).createOrReplaceTempView(
+                    name
+                )
+                self._pending_views.discard(name)
+            except Exception:
+                pass  # source table not registered yet; retried next execute
+
+    def _apply_visibility_filters(self) -> None:
         for table, predicate in self.visibility_filters.items():
-            if _is_view(self.spark, table):
-                self.spark.table(table).filter(predicate).createOrReplaceTempView(table)
+            base = None
+            if _is_view(self.spark, f"__unfiltered_{table}"):
+                base = self.spark.table(f"__unfiltered_{table}")
+            elif _is_view(self.spark, table):
+                base = self.spark.table(table)
+            else:
+                try:
+                    base = self.registry.resolve(self.spark, table)
+                except Exception:
+                    continue  # source genuinely unknown; retried next execute
+            # keep the unfiltered original so re-application is idempotent
+            base.createOrReplaceTempView(f"__unfiltered_{table}")
+            base.filter(predicate).createOrReplaceTempView(table)
 
     def cursor(self) -> "Cursor":
         return Cursor(self)
@@ -145,6 +168,8 @@ class Cursor:
         merged = dict(self._conn.variables)
         if isinstance(params, dict):
             merged.update(params)
+        self._conn._register_pending_views()
+        self._conn._apply_visibility_filters()
         res = rewriter.rewrite(stmt, merged or params)
         for view, path in res.path_tables.items():
             read_any(spark, path).createOrReplaceTempView(view)
@@ -152,16 +177,22 @@ class Cursor:
         for table, (start, end) in res.temporal_filters.items():
             col = self._conn.time_columns.get(table)
             if col is None:
-                continue
+                from opteryx_spark import errors
+
+                raise errors.ProgrammingError(
+                    f"temporal FOR clause on table '{table}' which has no "
+                    f"configured time column (Connection(time_columns={{'{table}': ...}}))"
+                )
             base = self._conn.registry.resolve(spark, table) if table not in [
                 t.name for t in spark.catalog.listTables()
             ] else spark.table(table)
             cond = f"{col} >= {start}"
             if end != "NULL":
-                cond += f" AND {col} <= {end}"
+                cond += f" AND {col} < {end}"  # end bound is exclusive
             view = f"temporal_{table}"
             base.filter(cond).createOrReplaceTempView(view)
-            sql = re.sub(rf"\b{re.escape(table)}\b", view, sql)
+            pattern = re.compile(rf"\b{re.escape(table)}\b")
+            sql = rewriter.map_outside_literals(sql, lambda seg: pattern.sub(view, seg))
         explain_m = re.match(r"EXPLAIN(\s+ANALYZE)?\s+(.*)", sql, re.IGNORECASE | re.DOTALL)
         if explain_m:
             plan_df = spark.sql(explain_m.group(2))

@@ -32,7 +32,15 @@ def salted_join(
     when one key holds a disproportionate share of rows — the classic
     null-key / celebrity-user / default-value skew.  Right-side blowup is
     ``salt``×, so keep the right side the smaller relation.
+
+    Only inner/left/semi/anti joins are valid: an unmatched right row
+    would survive once per salt replica under right/full joins.
     """
+    if how.replace("_outer", "") in ("right", "full", "outer"):
+        raise ValueError(
+            f"salted_join cannot express '{how}' joins (unmatched right rows "
+            "would be duplicated per salt); salt the other side or use a plain join"
+        )
     salted_l = left.withColumn("__salt", (F.rand(seed=7) * salt).cast("int"))
     salts = F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
     salted_r = right.withColumn("__salt", salts)

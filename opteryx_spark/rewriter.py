@@ -36,6 +36,45 @@ class RewriteResult:
     path_tables: dict[str, str] = field(default_factory=dict)  # view name -> path
 
 
+# --- literal-aware scanning -------------------------------------------------
+
+
+def _scan_literal(sql: str, i: int) -> int:
+    """Given ``sql[i]`` is a quote char, return the index one past the end
+    of the literal.  Handles doubled quotes ('') and backslash escapes
+    (Spark's non-ANSI string parsing treats \\' as an escaped quote)."""
+    quote, j, n = sql[i], i + 1, len(sql)
+    while j < n:
+        if sql[j] == "\\":
+            j += 2
+            continue
+        if sql[j] == quote:
+            if j + 1 < n and sql[j + 1] == quote:
+                j += 2
+                continue
+            return j + 1
+        j += 1
+    return n
+
+
+def map_outside_literals(sql: str, fn) -> str:
+    """Apply ``fn`` to every segment of ``sql`` that is *not* inside a
+    quoted string literal — the guard that keeps identifier/operator
+    rewrites and parameter binding from corrupting string contents."""
+    out, i, seg_start, n = [], 0, 0, len(sql)
+    while i < n:
+        if sql[i] in ("'", '"'):
+            out.append(fn(sql[seg_start:i]))
+            end = _scan_literal(sql, i)
+            out.append(sql[i:end])
+            i = end
+            seg_start = i
+        else:
+            i += 1
+    out.append(fn(sql[seg_start:n]))
+    return "".join(out)
+
+
 # --- comments & statement split --------------------------------------------
 
 
@@ -44,13 +83,9 @@ def strip_comments(sql: str) -> str:
     while i < n:
         ch = sql[i]
         if ch in ("'", '"'):
-            j = i + 1
-            while j < n:
-                if sql[j] == ch and not (j + 1 < n and sql[j + 1] == ch == "'"):
-                    break
-                j += 2 if sql[j] == ch else 1
-            out.append(sql[i : j + 1])
-            i = j + 1
+            end = _scan_literal(sql, i)
+            out.append(sql[i:end])
+            i = end
         elif sql.startswith("--", i):
             i = sql.find("\n", i)
             i = n if i < 0 else i
@@ -68,11 +103,9 @@ def split_statements(sql: str) -> list[str]:
     while i < n:
         ch = sql[i]
         if ch in ("'", '"'):
-            j = i + 1
-            while j < n and sql[j] != ch:
-                j += 1
-            cur.append(sql[i : j + 1])
-            i = j + 1
+            end = _scan_literal(sql, i)
+            cur.append(sql[i:end])
+            i = end
         elif ch == ";":
             s = "".join(cur).strip()
             if s:
@@ -134,22 +167,34 @@ def _norm_date(tok: str) -> str:
     return f"CAST({tok} AS TIMESTAMP)"
 
 
+def _norm_end_exclusive(tok: str) -> str:
+    """End bound covering the *whole* named day (the reference reads full
+    date partitions): the exclusive start of the following day."""
+    up = tok.upper()
+    if up == "TODAY":
+        return "date_add(current_date(), 1)"
+    if up == "YESTERDAY":
+        return "current_date()"
+    return f"CAST({tok} AS TIMESTAMP) + INTERVAL 1 DAY"
+
+
 def extract_temporal(sql: str) -> tuple[str, dict[str, tuple[str, str]]]:
-    """Strip ``FOR ...`` temporal clauses; return per-table (start, end)
-    filter expressions (as Spark SQL fragments)."""
+    """Strip ``FOR ...`` temporal clauses; return per-table
+    (start_inclusive, end_exclusive) filter expressions (Spark SQL
+    fragments; end is "NULL" for open-ended ranges)."""
     filters: dict[str, tuple[str, str]] = {}
 
     def handle(kind):
         def sub(m):
             kw, table, alias = m.group(1), m.group(2), m.group(3) or ""
             if kind == "between":
-                filters[table] = (_norm_date(m.group(4)), _norm_date(m.group(5)))
+                filters[table] = (_norm_date(m.group(4)), _norm_end_exclusive(m.group(5)))
             elif kind == "since":
                 filters[table] = (_norm_date(m.group(4)), "NULL")
             elif kind == "last_days":
                 filters[table] = (f"date_sub(current_date(), {m.group(4)})", "NULL")
-            else:
-                filters[table] = (_norm_date(m.group(4)), _norm_date(m.group(4)))
+            else:  # point-in-time: the full named day
+                filters[table] = (_norm_date(m.group(4)), _norm_end_exclusive(m.group(4)))
             return f"{kw} {table}{alias}"
 
         return sub
@@ -194,8 +239,12 @@ def rewrite_operators(sql: str) -> str:
 
 
 def rewrite_virtual_datasets(sql: str) -> str:
-    """``$planets`` → ``virtual_planets`` (views the cursor registers)."""
-    return _DOLLAR.sub(lambda m: f"virtual_{m.group(1)}", sql)
+    """``$planets`` → ``virtual_planets`` (views the cursor registers).
+
+    Literal-aware: ``$`` inside string literals (JSON paths, money
+    amounts) is left untouched.
+    """
+    return map_outside_literals(sql, lambda seg: _DOLLAR.sub(lambda m: f"virtual_{m.group(1)}", seg))
 
 
 def rewrite_generate_series(sql: str) -> str:
@@ -220,17 +269,34 @@ def extract_path_tables(sql: str) -> tuple[str, dict[str, str]]:
     return _PATH_FROM.sub(sub, sql), paths
 
 
+_LIMIT_TAIL = re.compile(r"\s+(LIMIT\s+\d+(?:\s+OFFSET\s+\d+)?)\s*$", re.IGNORECASE)
+
+
 def rewrite_distinct_on(sql: str) -> str:
     m = _DISTINCT_ON.match(sql.strip())
     if not m:
         return sql
     keys, proj, rest, order = m.group(1), m.group(2).strip(), m.group(3), m.group(4)
+    # pull a trailing LIMIT/OFFSET out of whichever clause captured it
+    limit = ""
+    for clause in ("order", "rest"):
+        val = order if clause == "order" else rest
+        if val:
+            lm = _LIMIT_TAIL.search(val)
+            if lm:
+                limit = " " + lm.group(1)
+                val = val[: lm.start()]
+                if clause == "order":
+                    order = val
+                else:
+                    rest = val
     order_clause = order if order else keys
     proj = proj or "*"
+    outer_order = f" ORDER BY {order_clause}" if order else ""
     return (
         f"SELECT {proj} FROM (SELECT *, row_number() OVER "
         f"(PARTITION BY {keys} ORDER BY {order_clause}) AS __rn FROM {rest}) "
-        f"WHERE __rn = 1"
+        f"WHERE __rn = 1{outer_order}{limit}"
     )
 
 
@@ -257,16 +323,34 @@ def _sql_literal(v) -> str:
 def bind_params(sql: str, params: dict | list | None) -> str:
     """Named (``:name``) or positional (``?``) parameter binding, applied
     post-rewrite as safe literal substitution (reference binds post-parse,
-    ``planner/ast_rewriter.py:39-56``; string-level is the Spark analogue)."""
+    ``planner/ast_rewriter.py:39-56``; string-level is the Spark analogue).
+    Placeholders inside string literals are never touched."""
     if not params:
         return sql
     if isinstance(params, dict):
-        for k in sorted(params, key=len, reverse=True):
-            sql = re.sub(rf"[:@]{re.escape(k)}\b", _sql_literal(params[k]), sql)
-        return sql
-    for v in params:
-        sql = sql.replace("?", _sql_literal(v), 1)
-    return sql
+
+        def sub_named(seg: str) -> str:
+            for k in sorted(params, key=len, reverse=True):
+                seg = re.sub(rf"[:@]{re.escape(k)}\b", _sql_literal(params[k]), seg)
+            return seg
+
+        return map_outside_literals(sql, sub_named)
+    values = iter(params)
+
+    def sub_positional(seg: str) -> str:
+        out = []
+        for piece in seg.split("?"):
+            out.append(piece)
+            out.append("?")
+        out.pop()  # drop trailing separator
+        for idx in range(1, len(out), 2):
+            try:
+                out[idx] = _sql_literal(next(values))
+            except StopIteration:
+                break
+        return "".join(out)
+
+    return map_outside_literals(sql, sub_positional)
 
 
 # --- pipeline ---------------------------------------------------------------
@@ -276,9 +360,11 @@ def rewrite(sql: str, params: dict | list | None = None) -> RewriteResult:
     sql = strip_comments(sql)
     sql, temporal = extract_temporal(sql)
     sql, paths = extract_path_tables(sql)
-    sql = rewrite_virtual_datasets(sql)
     sql = rewrite_generate_series(sql)
+    # operators first: their quoted keys ('k', '$.path') become function
+    # arguments, then the literal-aware $-rewrite can't touch them
     sql = rewrite_operators(sql)
+    sql = rewrite_virtual_datasets(sql)
     sql = rewrite_distinct_on(sql)
     sql = bind_params(sql, params)
     return RewriteResult(sql=sql.strip(), temporal_filters=temporal, path_tables=paths)

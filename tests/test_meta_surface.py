@@ -72,3 +72,24 @@ def test_explain_analyze(conn):
     cur = conn.cursor().execute("EXPLAIN ANALYZE SELECT COUNT(*) FROM nation")
     text = "\n".join(r[0] for r in cur.fetchall())
     assert "HashAggregate" in text
+
+
+def test_visibility_filter_applies_to_late_registered_table(spark, sf_dir):
+    import opteryx_spark as ox
+    from opteryx_spark.catalog import register_sf_dir as _reg
+
+    spark.catalog.dropTempView("supplier")
+    c = ox.connect(spark=spark, visibility_filters={"supplier": "s_suppkey <= 5"})
+    _reg(spark, sf_dir)  # table registered AFTER the connection
+    n = c.cursor().execute("SELECT COUNT(*) AS n FROM supplier").fetchone()[0]
+    all_n = spark.read.parquet(f"{sf_dir}/supplier.parquet").count()
+    assert 0 < n < all_n  # filter still enforced
+    _reg(spark, sf_dir)
+
+
+def test_temporal_for_unconfigured_table_raises(conn):
+    import opteryx_spark as ox
+    import pytest as _pytest
+
+    with _pytest.raises(ox.ProgrammingError, match="no\\s+configured time column"):
+        conn.cursor().execute("SELECT COUNT(*) AS n FROM nation FOR '2024-01-01'")

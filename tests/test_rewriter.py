@@ -29,12 +29,14 @@ def test_temporal_between():
     )
     assert "FOR" not in sql
     assert filters["events"][0] == "CAST('2024-01-01' AS TIMESTAMP)"
-    assert filters["events"][1] == "CAST('2024-02-01' AS TIMESTAMP)"
+    # end bound covers the whole named day (exclusive start of next day)
+    assert filters["events"][1] == "CAST('2024-02-01' AS TIMESTAMP) + INTERVAL 1 DAY"
 
 
 def test_temporal_point_and_last_days():
     sql, f1 = rewriter.extract_temporal("SELECT * FROM events FOR '2024-01-05'")
-    assert f1["events"][0] == f1["events"][1]
+    assert f1["events"][0] == "CAST('2024-01-05' AS TIMESTAMP)"
+    assert f1["events"][1] == "CAST('2024-01-05' AS TIMESTAMP) + INTERVAL 1 DAY"
     sql, f2 = rewriter.extract_temporal("SELECT * FROM events FOR LAST 7 DAYS")
     assert "date_sub" in f2["events"][0]
     sql, f3 = rewriter.extract_temporal("SELECT * FROM events FOR TODAY")
@@ -106,3 +108,36 @@ def test_temporal_on_join_clause():
     )
     assert "FOR LAST" not in sql
     assert "events" in filters
+
+
+def test_dollar_not_rewritten_in_literals():
+    res = rewriter.rewrite("SELECT props @? '$user', 'price $100' AS t FROM events")
+    assert "virtual_" not in res.sql
+    res2 = rewriter.rewrite("SELECT * FROM $planets WHERE note = '$planets'")
+    assert "FROM virtual_planets" in res2.sql
+    assert "'$planets'" in res2.sql
+
+
+def test_bind_params_skip_literals():
+    out = rewriter.bind_params("SELECT 'why?' AS q, ':n' AS t WHERE x = ? AND y = :n", [7])
+    assert "'why?'" in out and "x = 7" in out
+    out2 = rewriter.bind_params("SELECT ':n' AS t WHERE y = :n", {"n": 5})
+    assert "':n'" in out2 and "y = 5" in out2
+
+
+def test_backslash_escaped_quote_in_literal():
+    out = rewriter.strip_comments("SELECT 'don\\'t -- keep' AS x -- drop\nFROM t")
+    assert "don\\'t -- keep" in out
+    assert "drop" not in out
+    stmts = rewriter.split_statements("SELECT 'a\\';b' AS x; SELECT 2")
+    assert len(stmts) == 2
+
+
+def test_distinct_on_with_limit():
+    out = rewriter.rewrite_distinct_on(
+        "SELECT DISTINCT ON (a) a, b FROM t ORDER BY a, c DESC LIMIT 5"
+    )
+    assert "ORDER BY a, c DESC) AS __rn" in out
+    assert out.rstrip().endswith("LIMIT 5")
+    assert "LIMIT 5)" not in out  # limit not swallowed into the window
+    assert "WHERE __rn = 1 ORDER BY a, c DESC" in out

@@ -64,3 +64,12 @@ def test_bucketed_write_read_no_shuffle_agg(spark):
         assert agg.count() == 10  # keys {0, 10, 20, ..., 90}
     finally:
         spark.sql("DROP TABLE IF EXISTS bucketed_left")
+
+
+def test_salted_join_rejects_right_and_full(spark):
+    import pytest as _pytest
+
+    left, right = _skewed_frames(spark)
+    for how in ("right", "full", "full_outer"):
+        with _pytest.raises(ValueError):
+            scale.salted_join(left, right, "k", how=how)
