@@ -164,3 +164,12 @@ def register_sql_functions(spark) -> None:
     """Register the gap functions for SQL use (idempotent)."""
     for name, udf in _make_pandas_udfs().items():
         spark.udf.register(name, udf)
+
+
+def match_against(col: Column, terms: list[str]) -> Column:
+    """Reference MATCH ... AGAINST full-text predicate
+    (``functions/__init__.py`` MATCH_AGAINST): true when every search
+    term appears as a whitespace token of the document."""
+    toks = F.split(F.lower(col), " ")
+    needles = F.array(*[F.lit(t.lower()) for t in terms])
+    return F.forall(needles, lambda needle: F.array_contains(toks, needle))

@@ -482,3 +482,39 @@ def q9(spark, sf_dir):
         .agg(dsum(amount).alias("sum_profit"))
         .orderBy(F.asc("nation"), F.desc("o_year"))
     )
+
+
+@register(
+    "tpch_q12_shipping_modes",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(SUM(CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+                         THEN 1 ELSE 0 END) AS BIGINT) AS late_count,
+           CAST(SUM(CASE WHEN l_shipdate <= o_orderdate + INTERVAL 60 DAY
+                         THEN 1 ELSE 0 END) AS BIGINT) AS ontime_count
+    FROM orders, lineitem
+    WHERE o_orderkey = l_orderkey
+      AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def q12(spark, sf_dir):
+    """q12 adaptation: no shipmode column, so priority classes stand in
+    for ship modes; late = shipped >60 days after order (no commitdate)."""
+    orders = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    )
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum(F.when(late, 1).otherwise(0)).alias("late_count"),
+            F.sum(F.when(~late, 1).otherwise(0)).alias("ontime_count"),
+        )
+        .orderBy("o_orderpriority")
+    )

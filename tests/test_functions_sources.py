@@ -154,3 +154,14 @@ def test_dbapi_error_mapping(spark):
         conn.cursor().execute("SELECT * FROM definitely_not_a_table_xyz")
     with _pytest.raises(ox.ProgrammingError):
         conn.cursor().execute("SELEC BROKEN SYNTAX")
+
+
+def test_match_against(spark):
+    df = spark.createDataFrame(
+        [(1, "the quick Brown fox"), (2, "quick grey wolf")], ["id", "txt"]
+    )
+    got = {
+        r["id"]: r["m"]
+        for r in df.select("id", oxf.match_against(F.col("txt"), ["quick", "brown"]).alias("m")).collect()
+    }
+    assert got == {1: True, 2: False}

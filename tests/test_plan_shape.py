@@ -76,3 +76,9 @@ def test_no_cartesian_in_suite(spark, sf_dir):
         df = qd.spark(spark, sf_dir)
         text = explain_text(df)
         assert "CartesianProduct" not in text, f"{name} plans a cartesian product"
+
+
+def test_q7_q8_q9_broadcast_dims(spark, sf_dir):
+    for name, expected in [("tpch_q7_volume_shipping", 4), ("tpch_q8_market_share", 5), ("tpch_q9_product_profit", 3)]:
+        df = REG[name].spark(spark, sf_dir)
+        assert broadcast_join_count(df) >= expected, name
