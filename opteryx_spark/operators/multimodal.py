@@ -122,3 +122,47 @@ def synthetic_media(spark, n: int = 100) -> DataFrame:
             F.repeat(F.sha2(F.col("id").cast("string"), 256), 4).cast("binary").alias("payload"),
         )
     )
+
+
+VIDEO_FRAMES_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("frame_idx", LongType(), False),
+        StructField("frame_sha", StringType(), True),
+        StructField("width", LongType(), True),
+        StructField("height", LongType(), True),
+    ]
+)
+
+
+def sample_video_frames(
+    df: DataFrame, every_nth: int = 10, max_frames: int = 8, fake: bool = True
+) -> DataFrame:
+    """Frame sampling for video payloads as a mapInPandas stage.
+
+    One input row fans out to <= max_frames rows (frame_idx stride
+    ``every_nth``).  STUB decode: frame hashes/dims derive
+    deterministically from (payload, frame_idx); swap in ffmpeg/PyAV in a
+    full runtime — the Spark-side contract (schema, fan-out shape,
+    partition locality) is the part under test.
+    """
+    if not fake:  # pragma: no cover
+        raise NotImplementedError("video codecs unavailable in this container")
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"media_id": [], "frame_idx": [], "frame_sha": [], "width": [], "height": []}
+            for _, row in pdf.iterrows():
+                payload = row["payload"] or b""
+                for j in range(max_frames):
+                    frame_idx = j * every_nth
+                    digest = hashlib.sha256(payload + frame_idx.to_bytes(4, "big"))
+                    w, h = _fake_decode(digest.digest())
+                    out["media_id"].append(row["media_id"])
+                    out["frame_idx"].append(frame_idx)
+                    out["frame_sha"].append(digest.hexdigest())
+                    out["width"].append(w)
+                    out["height"].append(h)
+            yield pd.DataFrame(out)
+
+    return df.select("media_id", "payload").mapInPandas(sample, VIDEO_FRAMES_SCHEMA)

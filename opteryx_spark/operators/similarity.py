@@ -139,3 +139,59 @@ def hyperplane_lsh_topk(
 
 def l2_norms(df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     return df.select(F.col(id_col), _norm(F.col(vec_col)).alias("l2_norm"))
+
+
+def ivf_index(
+    df: DataFrame,
+    n_clusters: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> tuple[DataFrame, list[list[float]]]:
+    """IVF coarse quantizer: k-means centroids + per-vector cluster id.
+
+    The scale path for ANN beyond hyperplane LSH: train centroids on a
+    sample (driver-side k-means fit over MLlib), assign every vector its
+    nearest centroid (map-only), and persist/partition by ``cluster`` so
+    a query probes only the closest nprobe partitions.
+    Returns (assigned_df, centroids).
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    data = _spread(df).select(
+        F.col(id_col), F.col(vec_col), array_to_vector(F.col(vec_col)).alias("features")
+    )
+    model = KMeans(k=n_clusters, seed=seed, featuresCol="features").fit(data)
+    centroids = [[float(x) for x in c] for c in model.clusterCenters()]
+    assigned = model.transform(data).select(
+        F.col(id_col), F.col(vec_col), F.col("prediction").alias("cluster")
+    )
+    return assigned, centroids
+
+
+def ivf_topk(
+    assigned: DataFrame,
+    centroids: list[list[float]],
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN top-k over an IVF index: probe the nprobe nearest centroids'
+    inverted lists only (an IN filter on the cluster column — partition
+    pruning when the index is written partitioned by cluster)."""
+    import math
+
+    def dist2(c):
+        return sum((float(a) - float(b)) ** 2 for a, b in zip(c, query_vec))
+
+    probe = sorted(range(len(centroids)), key=lambda i: dist2(centroids[i]))[:nprobe]
+    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    return (
+        assigned.filter(F.col("cluster").isin(probe))
+        .select(F.col(id_col), cosine(F.col(vec_col), q).alias("cosim"))
+        .orderBy(F.desc("cosim"), F.asc(id_col))
+        .limit(k)
+    )

@@ -339,3 +339,27 @@ def events_sessionless_funnel(spark, sf_dir):
         .filter(F.col("purchases") > 0)
         .orderBy("user_id")
     )
+
+
+@register("emb_ann_ivf_topk", oracle=None)  # approximate: rows-only check
+def emb_ann_ivf_topk(spark, sf_dir):
+    """IVF (k-means coarse quantizer) ANN — the partition-pruned scale
+    path; exact twin oracled in emb_cosine_topk."""
+    emb = t(spark, sf_dir, "embeddings")
+    qvec = [
+        float(v)
+        for v in emb.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"]
+    ]
+    rest = emb.filter(F.col("vec_id") != 0)
+    assigned, centroids = similarity.ivf_index(rest, n_clusters=8)
+    return similarity.ivf_topk(assigned, centroids, qvec, k=10, nprobe=4)
+
+
+@register("multimodal_video_frames", oracle=None)  # stubbed codec: rows-only
+def multimodal_video_frames(spark, sf_dir):
+    from opteryx_spark.operators import multimodal
+
+    media = multimodal.synthetic_media(spark, 50)
+    return multimodal.sample_video_frames(media, every_nth=5, max_frames=4).orderBy(
+        "media_id", "frame_idx"
+    )

@@ -138,3 +138,29 @@ def test_approx_sketches_close_to_exact(spark, sf_dir):
         rel_err = abs(r["approx_parts"] - r["exact_parts"]) / max(r["exact_parts"], 1)
         assert rel_err < 0.1, f"HLL error {rel_err:.2%} for {r['l_returnflag']}"
         assert 1.0 <= r["approx_median_qty"] <= 50.0
+
+
+def test_ivf_topk_recall(spark, sf_dir):
+    emb = t(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    rest = emb.filter(F.col("vec_id") != 0)
+    assigned, centroids = similarity.ivf_index(rest, n_clusters=8)
+    exact = [r.vec_id for r in similarity.cosine_topk(rest, qvec, k=10).collect()]
+    approx = [r.vec_id for r in similarity.ivf_topk(assigned, centroids, qvec, k=10, nprobe=4).collect()]
+    assert len(approx) == 10
+    assert len(set(exact) & set(approx)) >= 2  # probing half the clusters
+
+
+def test_video_frame_sampling(spark):
+    media = multimodal.synthetic_media(spark, 10)
+    frames = multimodal.sample_video_frames(media, every_nth=5, max_frames=4)
+    rows = frames.collect()
+    assert len(rows) == 40  # 10 videos x 4 frames
+    by_media = {}
+    for r in rows:
+        by_media.setdefault(r["media_id"], []).append(r["frame_idx"])
+    assert all(sorted(v) == [0, 5, 10, 15] for v in by_media.values())
+    # deterministic per (payload, frame)
+    again = {(r["media_id"], r["frame_idx"]): r["frame_sha"] for r in frames.collect()}
+    first = {(r["media_id"], r["frame_idx"]): r["frame_sha"] for r in rows}
+    assert again == first
