@@ -54,7 +54,7 @@ def datetime_extract_unix(spark, sf_dir):
     oracle="""
     SELECT n_name,
            concat_ws('|', n_name, CAST(n_nationkey AS VARCHAR), 'x') AS joined,
-           string_split(n_name, 'A') AS parts,
+           array_to_string(string_split(n_name, 'A'), '/') AS parts,
            CAST(position('A' IN n_name) AS BIGINT) AS a_pos,
            rpad(n_name, 20, '.') AS rpadded,
            rtrim(concat(n_name, '   ')) AS rtrimmed,
@@ -74,7 +74,8 @@ def string_funcs_2(spark, sf_dir):
     return nation.select(
         n,
         F.concat_ws("|", n, F.col("n_nationkey").cast("string"), F.lit("x")).alias("joined"),
-        F.split(n, "A", -1).alias("parts"),
+        # serialized: the driver's canonicalizer can't sort/hash array cells
+        F.array_join(F.split(n, "A", -1), "/").alias("parts"),
         F.instr(n, "A").cast("long").alias("a_pos"),
         F.rpad(n, 20, ".").alias("rpadded"),
         F.rtrim(F.concat(n, F.lit("   "))).alias("rtrimmed"),
@@ -92,7 +93,7 @@ def string_funcs_2(spark, sf_dir):
     "numeric_funcs_2",
     oracle="""
     SELECT p_partkey,
-           sign(p_retailprice - 1500.0) AS sgn,
+           CAST(sign(p_retailprice - 1500.0) AS DOUBLE) AS sgn,
            trunc(p_retailprice) AS truncd,
            round(log2(p_retailprice), 6) AS lg2,
            round(log10(p_retailprice), 6) AS lg10,
@@ -100,7 +101,7 @@ def string_funcs_2(spark, sf_dir):
            round(exp(1.0), 6) AS e_c,
            CAST(p_size % 4 AS BIGINT) AS sz_mod,
            CAST(p_size // 4 AS BIGINT) AS sz_div,
-           greatest(p_size, 25) AS sz_hi
+           CAST(greatest(p_size, 25) AS BIGINT) AS sz_hi
     FROM part WHERE p_partkey <= 500 ORDER BY p_partkey
     """,
 )
@@ -119,7 +120,7 @@ def numeric_funcs_2(spark, sf_dir):
         F.round(F.exp(F.lit(1.0)), 6).alias("e_c"),
         (sz % 4).cast("long").alias("sz_mod"),
         F.floor(sz / 4).cast("long").alias("sz_div"),
-        F.greatest(sz, F.lit(25)).alias("sz_hi"),
+        F.greatest(sz, F.lit(25)).cast("long").alias("sz_hi"),
     ).orderBy("p_partkey")
 
 

@@ -363,16 +363,21 @@ def agg_count_distinct(spark, sf_dir):
 @register(
     "agg_array_agg",
     oracle="""
-    SELECT n_regionkey, list(n_name ORDER BY n_name) AS names
+    SELECT n_regionkey,
+           array_to_string(list(n_name ORDER BY n_name), '|') AS names
     FROM nation GROUP BY n_regionkey ORDER BY n_regionkey
     """,
 )
 def agg_array_agg(spark, sf_dir):
-    """Reference ``ARRAY_AGG [ORDER BY]`` (``aggregate_node.py:29-48``)."""
+    """Reference ``ARRAY_AGG [ORDER BY]`` (``aggregate_node.py:29-48``).
+
+    The aggregate is a real array (sort_array(collect_list(...))); it is
+    serialized with array_join in the final projection because the driver's
+    canonicalizer can't sort/hash array cells."""
     nation = t(spark, sf_dir, "nation")
     return (
         nation.groupBy("n_regionkey")
-        .agg(F.sort_array(F.collect_list("n_name")).alias("names"))
+        .agg(F.array_join(F.sort_array(F.collect_list("n_name")), "|").alias("names"))
         .orderBy("n_regionkey")
     )
 

@@ -43,6 +43,33 @@ def _canon_rows(cols, rows):
     return sorted(out, key=repr)
 
 
+def _kind(v) -> str:
+    """Type-kind of a canonicalized value.  The driver hashes pandas frames,
+    where int 1 and float 1.0 hash differently — so int vs float (or bool vs
+    int) column types must match across engines, not just values."""
+    if v is None:
+        return "null"
+    if isinstance(v, bool):
+        return "bool"
+    if isinstance(v, int):
+        return "int"
+    if isinstance(v, (float, str)):
+        return type(v).__name__
+    if isinstance(v, tuple):
+        return "array"
+    return type(v).__name__
+
+
+def _col_kinds(canon_rows, ncols):
+    kinds = [set() for _ in range(ncols)]
+    for row in canon_rows:
+        for i, v in enumerate(row):
+            k = _kind(v)
+            if k != "null":
+                kinds[i].add(k)
+    return kinds
+
+
 def compare(spark_df, duck_con, oracle: str, name: str = "") -> None:
     sp_cols = spark_df.columns
     sp_rows = [tuple(r) for r in spark_df.collect()]
@@ -57,5 +84,17 @@ def compare(spark_df, duck_con, oracle: str, name: str = "") -> None:
     )
     a = _canon_rows(sp_cols, sp_rows)
     b = _canon_rows(du_cols, du_rows)
+    sorted_cols = sorted(sp_cols)
+    ka = _col_kinds(a, len(sorted_cols))
+    kb = _col_kinds(b, len(sorted_cols))
+    for i, col in enumerate(sorted_cols):
+        assert "array" not in ka[i] and "array" not in kb[i], (
+            f"{name}: column {col!r} is array-typed — the driver's canonicalizer "
+            f"cannot hash array cells; serialize with array_join/to_json"
+        )
+        assert ka[i] == kb[i], (
+            f"{name}: column {col!r} type-kind mismatch spark={ka[i]} duck={kb[i]} "
+            f"(driver hashes 1 and 1.0 differently — align types on both sides)"
+        )
     mismatches = [(x, y) for x, y in zip(a, b) if x != y]
     assert not mismatches, f"{name}: {len(mismatches)} row mismatches; first: {mismatches[:3]}"
