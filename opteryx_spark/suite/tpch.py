@@ -348,8 +348,8 @@ def q19(spark, sf_dir):
       WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
         AND c_custkey = o_custkey AND s_nationkey = n1.n_nationkey
         AND c_nationkey = n2.n_nationkey
-        AND ((n1.n_name = 'FRANCE' AND n2.n_name = 'GERMANY')
-          OR (n1.n_name = 'GERMANY' AND n2.n_name = 'FRANCE'))
+        AND ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_8')
+          OR (n1.n_name = 'NATION_8' AND n2.n_name = 'NATION_3'))
         AND l_shipdate BETWEEN TIMESTAMP '1995-01-01 00:00:00'
                            AND TIMESTAMP '1996-12-31 00:00:00'
     ) shipping
@@ -370,9 +370,11 @@ def q7(spark, sf_dir):
     n2 = t(spark, sf_dir, "nation").select(
         F.col("n_nationkey").alias("c_nkey"), F.col("n_name").alias("cust_nation")
     )
+    # the synthetic schema names nations NATION_0..24 — pick two that exist
+    # at every SF so the pair filter actually selects rows
     pair = (
-        ((F.col("supp_nation") == "FRANCE") & (F.col("cust_nation") == "GERMANY"))
-        | ((F.col("supp_nation") == "GERMANY") & (F.col("cust_nation") == "FRANCE"))
+        ((F.col("supp_nation") == "NATION_3") & (F.col("cust_nation") == "NATION_8"))
+        | ((F.col("supp_nation") == "NATION_8") & (F.col("cust_nation") == "NATION_3"))
     )
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
@@ -393,7 +395,7 @@ def q7(spark, sf_dir):
     "tpch_q8_market_share",
     oracle=f"""
     SELECT o_year,
-           {osum("CASE WHEN nation = 'BRAZIL' THEN volume ELSE 0.0 END")}
+           {osum("CASE WHEN nation = 'NATION_3' THEN volume ELSE 0.0 END")}
              / {osum('volume')} AS mkt_share
     FROM (
       SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
@@ -427,7 +429,7 @@ def q8(spark, sf_dir):
     )
     region = t(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
     volume = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
-    brazil = F.when(F.col("nation") == "BRAZIL", volume).otherwise(F.lit(0.0))
+    brazil = F.when(F.col("nation") == "NATION_3", volume).otherwise(F.lit(0.0))
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(part), li.l_partkey == part.p_partkey)
@@ -517,4 +519,368 @@ def q12(spark, sf_dir):
             F.sum(F.when(~late, 1).otherwise(0)).alias("ontime_count"),
         )
         .orderBy("o_orderpriority")
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H tail (q2, q11, q15-q17, q20-q22) — exceeds the reference's passing
+# set of 7 (``tests/integration/sql_battery/test_battery_tpch.py:18-40``).
+# The synthetic schema has no partsupp/phone/container/comment columns, so
+# each adaptation derives the missing relation from lineitem (supply cost =
+# min unit price observed) or substitutes a same-shaped predicate; the join/
+# subquery topology of the official query is preserved.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "tpch_q2_min_cost_supplier",
+    oracle="""
+    WITH supply AS (
+      SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+             MIN(l_extendedprice / l_quantity) AS ps_supplycost
+      FROM lineitem GROUP BY l_partkey, l_suppkey
+    ),
+    euro AS (
+      SELECT ps_partkey, ps_suppkey, ps_supplycost,
+             s_acctbal, s_name, n_name
+      FROM supply, supplier, nation, region
+      WHERE ps_suppkey = s_suppkey AND s_nationkey = n_nationkey
+        AND n_regionkey = r_regionkey AND r_name = 'EUROPE'
+    )
+    SELECT s_acctbal, s_name, n_name, p_partkey, p_type, ps_supplycost
+    FROM part, euro
+    WHERE p_partkey = ps_partkey AND p_size BETWEEN 10 AND 20
+      AND ps_supplycost = (
+        SELECT MIN(e2.ps_supplycost) FROM euro e2
+        WHERE e2.ps_partkey = euro.ps_partkey)
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+    LIMIT 100
+    """,
+)
+def q2(spark, sf_dir):
+    """q2 adaptation: no partsupp table, so the supply relation derives from
+    lineitem (supplycost = min observed unit price per part+supplier); same
+    correlated-min topology as the official query.  The min-cost subquery
+    becomes a partial agg + equi self-join — MIN returns an element of the
+    set, so the double-equality join is exact in both engines."""
+    li = t(spark, sf_dir, "lineitem")
+    supply = li.groupBy(
+        F.col("l_partkey").alias("ps_partkey"), F.col("l_suppkey").alias("ps_suppkey")
+    ).agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("ps_supplycost"))
+    supp = t(spark, sf_dir, "supplier")
+    nation = t(spark, sf_dir, "nation")
+    region = t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    euro = (
+        supply.join(F.broadcast(supp), F.col("ps_suppkey") == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select("ps_partkey", "ps_suppkey", "ps_supplycost", "s_acctbal", "s_name", "n_name")
+    )
+    min_cost = euro.groupBy(F.col("ps_partkey").alias("mc_partkey")).agg(
+        F.min("ps_supplycost").alias("min_cost")
+    )
+    part = t(spark, sf_dir, "part").filter(F.col("p_size").between(10, 20))
+    return (
+        euro.join(
+            F.broadcast(min_cost),
+            (F.col("ps_partkey") == F.col("mc_partkey"))
+            & (F.col("ps_supplycost") == F.col("min_cost")),
+        )
+        .join(F.broadcast(part), F.col("ps_partkey") == part.p_partkey)
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_type", "ps_supplycost")
+        .orderBy(F.desc("s_acctbal"), F.asc("n_name"), F.asc("s_name"), F.asc("p_partkey"))
+        .limit(100)
+    )
+
+
+@register(
+    "tpch_q11_important_stock",
+    oracle=f"""
+    SELECT l_partkey AS ps_partkey,
+           {osum('l_extendedprice * (1.0 - l_discount)')} AS part_value
+    FROM lineitem, supplier
+    WHERE l_suppkey = s_suppkey AND s_nationkey % 5 = 3
+    GROUP BY l_partkey
+    HAVING {osum('l_extendedprice * (1.0 - l_discount)')} > (
+      SELECT 1.5 * {osum('l_extendedprice * (1.0 - l_discount)')}
+               / CAST(COUNT(DISTINCT l_partkey) AS DOUBLE)
+      FROM lineitem, supplier
+      WHERE l_suppkey = s_suppkey AND s_nationkey % 5 = 3)
+    ORDER BY part_value DESC, ps_partkey
+    """,
+)
+def q11(spark, sf_dir):
+    """q11 adaptation: part value from shipped revenue instead of
+    availqty*supplycost (no partsupp); nation-group filter keeps the
+    scalar-subquery-threshold topology.  The official query's fixed fraction
+    is scale-dependent (0.0001/SF); here the cut is 1.5x the mean part value,
+    which is scale-invariant.  Total and count are decimal-exact, so both
+    engines compare identical doubles."""
+    li = t(spark, sf_dir, "lineitem")
+    supp = t(spark, sf_dir, "supplier").filter(F.col("s_nationkey") % 5 == 3)
+    value = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    joined = li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+    by_part = joined.groupBy(F.col("l_partkey").alias("ps_partkey")).agg(
+        dsum(value).alias("part_value")
+    )
+    total = joined.agg(
+        (
+            F.lit(1.5) * dsum(value) / F.countDistinct("l_partkey").cast("double")
+        ).alias("threshold")
+    )
+    return (
+        by_part.crossJoin(F.broadcast(total))
+        .filter(F.col("part_value") > F.col("threshold"))
+        .select("ps_partkey", "part_value")
+        .orderBy(F.desc("part_value"), F.asc("ps_partkey"))
+    )
+
+
+@register(
+    "tpch_q15_top_supplier",
+    oracle=f"""
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             {osum('l_extendedprice * (1.0 - l_discount)')} AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier, revenue
+    WHERE s_suppkey = supplier_no
+      AND total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    ORDER BY s_suppkey
+    """,
+)
+def q15(spark, sf_dir):
+    """q15: revenue view + max-revenue supplier.  total_revenue is a decimal
+    sum cast to double, so the equality against MAX is exact in both
+    engines (MAX returns an element of the set)."""
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
+    )
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        dsum(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).alias(
+            "total_revenue"
+        )
+    )
+    best = revenue.agg(F.max("total_revenue").alias("max_revenue"))
+    supp = t(spark, sf_dir, "supplier")
+    return (
+        revenue.crossJoin(F.broadcast(best))
+        .filter(F.col("total_revenue") == F.col("max_revenue"))
+        .join(F.broadcast(supp), F.col("supplier_no") == supp.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+@register(
+    "tpch_q16_parts_supplier",
+    oracle="""
+    SELECT p_brand, p_type, p_size,
+           CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem, part
+    WHERE p_partkey = l_partkey
+      AND p_brand <> 'Brand#5' AND p_type NOT LIKE 'SMALL%'
+      AND p_size IN (1, 4, 9, 16, 25, 36, 49)
+      AND l_suppkey NOT IN (
+        SELECT s_suppkey FROM supplier WHERE s_acctbal < 1000.0)
+    GROUP BY p_brand, p_type, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """,
+)
+def q16(spark, sf_dir):
+    """q16 adaptation: supplier-complaint exclusion becomes a low-acctbal
+    exclusion (no comment column); the NOT IN is a broadcast anti join."""
+    part = t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#5")
+        & (~F.col("p_type").like("SMALL%"))
+        & (F.col("p_size").isin(1, 4, 9, 16, 25, 36, 49))
+    )
+    li = t(spark, sf_dir, "lineitem")
+    excluded = t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 1000.0).select(
+        "s_suppkey"
+    )
+    return (
+        li.join(F.broadcast(excluded), li.l_suppkey == excluded.s_suppkey, "left_anti")
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+@register(
+    "tpch_q17_small_quantity_revenue",
+    oracle=f"""
+    SELECT CAST({osum('l_extendedprice')} / 7.0 AS DOUBLE) AS avg_yearly
+    FROM lineitem, part
+    WHERE p_partkey = l_partkey AND p_brand = 'Brand#3'
+      AND l_quantity < (
+        SELECT 0.2 * ({osum('l2.l_quantity')} / CAST(COUNT(l2.l_quantity) AS DOUBLE))
+        FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
+    """,
+)
+def q17(spark, sf_dir):
+    """q17 adaptation: container filter becomes brand-only (no container
+    column).  The correlated per-part average decorrelates into a partial
+    agg + broadcast join — the canonical Spark plan for this query."""
+    li = t(spark, sf_dir, "lineitem")
+    part = t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#3")
+    per_part = li.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
+        (F.lit(0.2) * davg(F.col("l_quantity"))).alias("qty_threshold")
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(per_part), li.l_partkey == F.col("t_partkey"))
+        .filter(F.col("l_quantity") < F.col("qty_threshold"))
+        .agg((dsum(F.col("l_extendedprice")) / F.lit(7.0)).alias("avg_yearly"))
+    )
+
+
+@register(
+    "tpch_q20_potential_promotion",
+    oracle="""
+    SELECT s_name, s_acctbal
+    FROM supplier, nation
+    WHERE s_nationkey = n_nationkey AND n_nationkey % 2 = 0
+      AND s_suppkey IN (
+        SELECT l_suppkey
+        FROM lineitem, part
+        WHERE l_partkey = p_partkey AND p_name LIKE '%bolt%'
+          AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+        GROUP BY l_suppkey
+        HAVING SUM(l_quantity) > 50.0)
+    ORDER BY s_name
+    """,
+)
+def q20(spark, sf_dir):
+    """q20 adaptation: availqty-vs-half-shipped becomes shipped-quantity
+    threshold (no partsupp); keeps the nested IN-over-aggregate topology,
+    executed as a broadcast semi join over a partial agg."""
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    )
+    part = t(spark, sf_dir, "part").filter(F.col("p_name").like("%bolt%"))
+    heavy = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("l_suppkey")
+        .agg(F.sum("l_quantity").alias("shipped_qty"))
+        .filter(F.col("shipped_qty") > 50.0)
+        .select("l_suppkey")
+    )
+    supp = t(spark, sf_dir, "supplier")
+    nation = t(spark, sf_dir, "nation").filter(F.col("n_nationkey") % 2 == 0)
+    return (
+        supp.join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(heavy), supp.s_suppkey == F.col("l_suppkey"), "left_semi")
+        .select("s_name", "s_acctbal")
+        .orderBy("s_name")
+    )
+
+
+@register(
+    "tpch_q21_suppliers_kept_waiting",
+    oracle="""
+    SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM supplier, lineitem l1, orders
+    WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+      AND o_orderstatus = 'F' AND s_nationkey % 2 = 1
+      AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+      AND EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (
+        SELECT 1 FROM lineitem l3
+        WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+          AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 100
+    """,
+)
+def q21(spark, sf_dir):
+    """q21 adaptation: late = shipped >60 days after order date (no
+    commit/receipt dates).  The EXISTS / NOT EXISTS pair decorrelates into
+    one per-order aggregate — n_suppliers >= 2 and exactly one late
+    supplier — a single extra shuffle instead of two correlated scans."""
+    orders = t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    li = t(spark, sf_dir, "lineitem")
+    lo = li.join(orders, li.l_orderkey == orders.o_orderkey).withColumn(
+        "is_late",
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"),
+    )
+    per_order = lo.groupBy(F.col("l_orderkey").alias("po_orderkey")).agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(F.when(F.col("is_late"), F.col("l_suppkey"))).alias("n_late_supp"),
+    )
+    lone_late = per_order.filter((F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1))
+    supp = t(spark, sf_dir, "supplier").filter(F.col("s_nationkey") % 2 == 1)
+    return (
+        lo.filter(F.col("is_late"))
+        .join(lone_late, F.col("l_orderkey") == F.col("po_orderkey"), "left_semi")
+        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(100)
+    )
+
+
+@register(
+    "tpch_q22_global_sales_opportunity",
+    oracle=f"""
+    WITH eligible AS (
+      SELECT c_custkey, c_acctbal,
+             CAST(c_nationkey % 10 AS BIGINT) AS cntrycode
+      FROM customer
+      WHERE c_nationkey % 10 IN (1, 2, 3, 4, 5)
+    )
+    SELECT cntrycode, CAST(COUNT(*) AS BIGINT) AS numcust,
+           {osum('c_acctbal')} AS totacctbal
+    FROM eligible
+    WHERE c_acctbal > 0.75 * (
+        SELECT {osum('c_acctbal')} / CAST(COUNT(c_acctbal) AS DOUBLE)
+        FROM eligible WHERE c_acctbal > 0.0)
+      AND NOT EXISTS (
+        SELECT 1 FROM orders
+        WHERE o_custkey = c_custkey
+          AND o_orderdate >= TIMESTAMP '1999-01-01 00:00:00')
+    GROUP BY cntrycode
+    ORDER BY cntrycode
+    """,
+)
+def q22(spark, sf_dir):
+    """q22 adaptation: country code = nationkey mod 10 (no phone column);
+    "no orders" = no orders since 1999 (every synthetic customer has at
+    least one order).  Scalar-avg threshold (0.75x, so the tiny SFs keep
+    nonempty results) + anti join, same topology."""
+    cust = t(spark, sf_dir, "customer")
+    eligible = cust.filter((F.col("c_nationkey") % 10).isin(1, 2, 3, 4, 5)).select(
+        "c_custkey", "c_acctbal", (F.col("c_nationkey") % 10).cast("long").alias("cntrycode")
+    )
+    threshold = eligible.filter(F.col("c_acctbal") > 0.0).agg(
+        (F.lit(0.75) * davg(F.col("c_acctbal"))).alias("avg_bal")
+    )
+    recent = (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("1999-01-01 00:00:00").cast("timestamp"))
+        .select("o_custkey")
+    )
+    return (
+        eligible.crossJoin(F.broadcast(threshold))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("cntrycode")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            dsum(F.col("c_acctbal")).alias("totacctbal"),
+        )
+        .orderBy("cntrycode")
     )
