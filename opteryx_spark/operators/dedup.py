@@ -5,7 +5,8 @@ All operators are shuffle-architected for 100 TB corpora:
 - exact dedup is a hash groupBy on a digest (one shuffle on a uniform key);
 - n-gram Jaccard uses an inverted shingle index (shuffle on shingle, then
   on the candidate pair) — the standard "similarity join" plan, with an
-  optional document-frequency cap to cut hot-shingle skew;
+  optional document-frequency cap (``max_df``) to cut hot-shingle skew
+  and a zero-extra-shuffle dictionary fast path for small vocabularies;
 - MinHash/LSH shuffles on (band, band_hash) buckets so candidate
   generation is linear in bucket occupancy, never all-pairs;
 - SimHash reduces each document to one 64-bit signature, deduped by
@@ -82,6 +83,13 @@ def content_hash_dedup(
 # --- exact n-gram Jaccard similarity join -----------------------------------
 
 
+def _maybe_broadcast(frame: DataFrame, flag: bool | None):
+    """True: force a broadcast hint.  None/False: no hint — Catalyst/AQE
+    size-gates the join from actual statistics, which is the only safe
+    default at 100 TB (the per-doc set table IS the corpus there)."""
+    return F.broadcast(frame) if flag is True else frame
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -89,8 +97,9 @@ def ngram_jaccard_pairs(
     k: int = 2,
     threshold: float = 0.8,
     prefix_filter: bool = True,
-    broadcast_sets: bool = True,
+    broadcast_sets: bool | None = None,
     persist_sets: bool = True,
+    max_df: int | None = None,
 ) -> DataFrame:
     """All document pairs with word-k-gram Jaccard >= threshold (exact).
 
@@ -104,12 +113,24 @@ def ngram_jaccard_pairs(
     filter (``t*na <= nb``) prunes before verification; exact overlap is
     computed only for surviving candidates.
 
-    Without ``prefix_filter`` the plan is the naive full inverted-index
-    self-join (useful as a correctness baseline).
+    The rarity ranking is one aggregation, not a window: each doc's set
+    is rebuilt as ``array_sort(collect_list(struct(df, s)))`` so prefix
+    extraction is array math on the grouped row.  The frequency-attach
+    join carries no hint — AQE converts it to a broadcast join at runtime
+    when the vocabulary is small (dense template corpora — exactly the
+    hard case for similarity joins) and shuffles it for web-scale
+    vocabularies, without a driver-side size probe.
 
-    ``broadcast_sets`` broadcasts the per-doc shingle-array table to make
-    candidate verification map-only; set False when the doc set itself
-    exceeds executor memory (verification then shuffles on doc id).
+    ``max_df`` (the document-frequency cap): shingles appearing in more
+    than ``max_df`` documents are removed from *every* document's set
+    before the join, and Jaccard is computed over the capped sets.  This
+    cuts hot-shingle skew (boilerplate n-grams shared by everything) at
+    the cost of redefining the similarity universe; None (default) keeps
+    exact semantics.
+
+    ``broadcast_sets``: True forces broadcast of the per-doc array table
+    in verification; None (default) lets Catalyst/AQE size-gate it —
+    at 100 TB that table is the corpus and must shuffle instead.
 
     Shingles are xxhash64-hashed up front: set cardinalities (and hence
     Jaccard) are preserved (64-bit collisions are negligible), while the
@@ -119,67 +140,16 @@ def ngram_jaccard_pairs(
     sets_df = _spread(df).select(
         F.col(id_col).alias("id"),
         F.transform(shingles(text_col, k), lambda x: F.xxhash64(x)).alias("arr"),
-    ).withColumn("n", F.size("arr"))
-    if persist_sets:
-        # the shingle-set frame feeds five plan branches (index, freq,
-        # ranking, both verify sides); persist so shingling runs once.
-        # Evicted by Spark's LRU; callers can spark.catalog.clearCache().
-        sets_df = sets_df.persist()
-    sh = sets_df.select("id", F.explode("arr").alias("s"))
-    sizes = sets_df.select("id", "n")
-    sa = sizes.select(F.col("id").alias("id1"), F.col("n").alias("na"))
-    sb = sizes.select(F.col("id").alias("id2"), F.col("n").alias("nb"))
+    )
 
-    if prefix_filter:
-        from pyspark.sql import Window
-
-        freq = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
-        w = Window.partitionBy("id").orderBy("df", "s")
-        ranked = (
-            sh.join(freq, "s")
-            .withColumn("rnk", F.row_number().over(w))
-            .join(sizes, "id")
-        )
-        prefix = ranked.filter(
-            F.col("rnk") <= F.col("n") - F.ceil(F.lit(threshold) * F.col("n")) + 1
-        ).select("id", "s", "rnk", "n")
-        a, b = prefix.alias("a"), prefix.alias("b")
-        arrs1 = sets_df.select(F.col("id").alias("id1"), F.col("arr").alias("arr1"))
-        arrs2 = sets_df.select(F.col("id").alias("id2"), F.col("arr").alias("arr2"))
-        # PPJoin positional filter: a pair with J >= t needs overlap >=
-        # alpha = ceil(t/(1+t)·(na+nb)); from a shared prefix element at
-        # positions (ra, rb) the overlap can reach at most
-        # 1 + min(na-ra, nb-rb).  The earliest shared element gives the
-        # largest bound, so keeping pairs where ANY shared row passes is
-        # exact while cutting candidates ~7x on dense corpora.
-        na_, nb_ = F.col("a.n"), F.col("b.n")
-        alpha = F.ceil(F.lit(threshold / (1.0 + threshold)) * (na_ + nb_))
-        ubound = F.lit(1) + F.least(na_ - F.col("a.rnk"), nb_ - F.col("b.rnk"))
-        overlap = (
-            a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.id") < F.col("b.id")))
-            .filter(ubound >= alpha)
-            .select(F.col("a.id").alias("id1"), F.col("b.id").alias("id2"))
-            .dropDuplicates(["id1", "id2"])
-            .join(sa, "id1")
-            .join(sb, "id2")
-            .filter(
-                (F.col("nb") >= F.lit(threshold) * F.col("na"))
-                & (F.col("na") >= F.lit(threshold) * F.col("nb"))
-            )
-            # verify with a per-pair JVM set intersection (no second
-            # explode/shuffle); broadcasting the per-doc array table makes
-            # this map-only when the doc set fits executor memory
-            .join(F.broadcast(arrs1) if broadcast_sets else arrs1, "id1")
-            .join(F.broadcast(arrs2) if broadcast_sets else arrs2, "id2")
-            .select(
-                "id1",
-                "id2",
-                "na",
-                "nb",
-                F.size(F.array_intersect("arr1", "arr2")).alias("ov"),
-            )
-        )
-    else:
+    if not prefix_filter:
+        # naive full inverted-index self-join (correctness baseline)
+        sets_df = sets_df.withColumn("n", F.size("arr"))
+        if persist_sets:
+            sets_df = sets_df.persist()
+        sh = sets_df.select("id", F.explode("arr").alias("s"))
+        sa = sets_df.select(F.col("id").alias("id1"), F.col("n").alias("na"))
+        sb = sets_df.select(F.col("id").alias("id2"), F.col("n").alias("nb"))
         a, b = sh.alias("a"), sh.alias("b")
         overlap = (
             a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.id") < F.col("b.id")))
@@ -188,7 +158,80 @@ def ngram_jaccard_pairs(
             .join(sa, "id1")
             .join(sb, "id2")
         )
+        return overlap.select(
+            "id1",
+            "id2",
+            (
+                F.col("ov").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("ov")).cast("double")
+            ).alias("jaccard"),
+        ).filter(F.col("jaccard") >= threshold)
 
+    sh = sets_df.select("id", F.explode("arr").alias("s"))
+    freq = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    if max_df is not None:
+        freq = freq.filter(F.col("df") <= max_df)
+
+    # inner join both applies the df-cap and attaches df for ranking;
+    # AQE broadcasts it at runtime when the vocabulary turns out small
+    fj = sh.join(freq, "s")
+    enc = (
+        fj.groupBy("id")
+        .agg(F.array_sort(F.collect_list(F.struct("df", "s"))).alias("ranked"))
+        .select(
+            "id",
+            F.transform("ranked", lambda r: r["s"]).alias("iarr"),
+            F.size("ranked").alias("n"),
+        )
+    )
+    if persist_sets:
+        # enc feeds three plan branches (prefix index, both verify sides)
+        enc = enc.persist()
+    plen = (F.col("n") - F.ceil(F.lit(threshold) * F.col("n")) + 1).cast("int")
+    prefix = enc.select(
+        "id", "n", F.posexplode(F.slice("iarr", F.lit(1), plen))
+    ).select("id", "n", (F.col("pos") + 1).alias("rnk"), F.col("col").alias("s"))
+
+    a, b = prefix.alias("a"), prefix.alias("b")
+    # PPJoin positional filter: a pair with J >= t needs overlap >=
+    # alpha = ceil(t/(1+t)·(na+nb)); from a shared prefix element at
+    # positions (ra, rb) the overlap can reach at most
+    # 1 + min(na-ra, nb-rb).  The earliest shared element gives the
+    # largest bound, so keeping pairs where ANY shared row passes is
+    # exact while cutting candidates ~7x on dense corpora.
+    na_, nb_ = F.col("a.n"), F.col("b.n")
+    alpha = F.ceil(F.lit(threshold / (1.0 + threshold)) * (na_ + nb_))
+    ubound = F.lit(1) + F.least(na_ - F.col("a.rnk"), nb_ - F.col("b.rnk"))
+    arrs1 = enc.select(F.col("id").alias("id1"), F.col("iarr").alias("arr1"))
+    arrs2 = enc.select(F.col("id").alias("id2"), F.col("iarr").alias("arr2"))
+    overlap = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.id") < F.col("b.id")))
+        .filter(
+            (ubound >= alpha)
+            # length filter folded into the candidate join
+            & (nb_ >= F.lit(threshold) * na_)
+            & (na_ >= F.lit(threshold) * nb_)
+        )
+        .select(
+            F.col("a.id").alias("id1"),
+            F.col("b.id").alias("id2"),
+            na_.alias("na"),
+            nb_.alias("nb"),
+        )
+        .dropDuplicates(["id1", "id2"])
+        # verify with a per-pair JVM set intersection (no second
+        # explode/shuffle); Catalyst/AQE broadcasts the array table when
+        # it is small enough, else this shuffles on doc id
+        .join(_maybe_broadcast(arrs1, broadcast_sets), "id1")
+        .join(_maybe_broadcast(arrs2, broadcast_sets), "id2")
+        .select(
+            "id1",
+            "id2",
+            "na",
+            "nb",
+            F.size(F.array_intersect("arr1", "arr2")).alias("ov"),
+        )
+    )
     return overlap.select(
         "id1",
         "id2",
@@ -297,7 +340,7 @@ def minhash_dedup_verified(
     num_hashes: int = 64,
     bands: int = 16,
     k: int = 2,
-    broadcast_sets: bool = True,
+    broadcast_sets: bool | None = None,
 ) -> DataFrame:
     """LSH candidates verified with *exact* Jaccard on the shingle sets.
 
@@ -314,8 +357,8 @@ def minhash_dedup_verified(
     ov = F.size(F.array_intersect("arr1", "arr2"))
     union = F.size("arr1") + F.size("arr2") - ov
     return (
-        cand.join(F.broadcast(arrs1) if broadcast_sets else arrs1, "id1")
-        .join(F.broadcast(arrs2) if broadcast_sets else arrs2, "id2")
+        cand.join(_maybe_broadcast(arrs1, broadcast_sets), "id1")
+        .join(_maybe_broadcast(arrs2, broadcast_sets), "id2")
         .select("id1", "id2", (ov.cast("double") / union.cast("double")).alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
