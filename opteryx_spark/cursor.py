@@ -168,9 +168,13 @@ class Cursor:
         merged = dict(self._conn.variables)
         if isinstance(params, dict):
             merged.update(params)
+        elif isinstance(params, (list, tuple)):
+            # positional '?' binding happens first; session @vars (the
+            # merged dict) still bind named references afterwards
+            stmt = rewriter.bind_params(stmt, list(params))
         self._conn._register_pending_views()
         self._conn._apply_visibility_filters()
-        res = rewriter.rewrite(stmt, merged or params)
+        res = rewriter.rewrite(stmt, merged or None)
         for view, path in res.path_tables.items():
             read_any(spark, path).createOrReplaceTempView(view)
         sql = res.sql

@@ -212,10 +212,30 @@ _ATQ = re.compile(r"([\w.\(\)]+)\s*@\?\s*'([^']+)'")
 _AT_ALL = re.compile(r"([\w.\(\)]+)\s*@>>\s*\(([^)]*)\)")
 _AT_ANY = re.compile(r"([\w.\(\)]+)\s*@>\s*\(([^)]*)\)")
 _DOLLAR = re.compile(r"\$(\w+)")
-_GEN_SERIES = re.compile(
-    r"(FROM|JOIN)\s+GENERATE_SERIES\s*\(([^)]*)\)(?:\s+(?:AS\s+)?(\w+)\s*(?:\(\s*(\w+)\s*\))?)?",
+_GEN_SERIES_HEAD = re.compile(r"\b(FROM|JOIN)\s+GENERATE_SERIES\s*\(", re.IGNORECASE)
+_GS_ALIAS = re.compile(r"\s*(?:AS\s+)?([A-Za-z_]\w*)\s*(?:\(\s*(\w+)\s*\))?", re.IGNORECASE)
+# words that follow a FROM-clause item and therefore are not aliases
+_GS_KEYWORDS = frozenset(
+    "ON WHERE GROUP ORDER LIMIT OFFSET HAVING UNION INTERSECT EXCEPT JOIN"
+    " LEFT RIGHT FULL INNER CROSS SEMI ANTI NATURAL USING WITH AS SELECT".split()
+)
+_GS_DATE = re.compile(r"^'(\d{4}-\d{2}-\d{2}([ T]\d{2}:\d{2}(:\d{2}(\.\d+)?)?)?Z?)'$")
+_GS_IVAL_TOKEN = re.compile(
+    r"(\d+)\s*(years?|y|months?|mons?|mths?|weeks?|w|days?|d|hours?|h|minutes?|mins?|m|seconds?|secs?|s)",
     re.IGNORECASE,
 )
+_GS_IVAL_UNIT = {
+    "y": "YEAR", "year": "YEAR", "years": "YEAR",
+    "mon": "MONTH", "mons": "MONTH", "mth": "MONTH", "mths": "MONTH",
+    "month": "MONTH", "months": "MONTH",
+    "w": "WEEK", "week": "WEEK", "weeks": "WEEK",
+    "d": "DAY", "day": "DAY", "days": "DAY",
+    "h": "HOUR", "hour": "HOUR", "hours": "HOUR",
+    "m": "MINUTE", "min": "MINUTE", "mins": "MINUTE",
+    "minute": "MINUTE", "minutes": "MINUTE",
+    "s": "SECOND", "sec": "SECOND", "secs": "SECOND",
+    "second": "SECOND", "seconds": "SECOND",
+}
 _PATH_FROM = re.compile(r"(FROM|JOIN)\s+'([^']+)'", re.IGNORECASE)
 _DISTINCT_ON = re.compile(
     r"SELECT\s+DISTINCT\s+ON\s*\(([^)]*)\)\s*(.*?)\s+FROM\s+(.*?)(?:\s+ORDER\s+BY\s+(.*?))?\s*$",
@@ -247,14 +267,87 @@ def rewrite_virtual_datasets(sql: str) -> str:
     return map_outside_literals(sql, lambda seg: _DOLLAR.sub(lambda m: f"virtual_{m.group(1)}", seg))
 
 
-def rewrite_generate_series(sql: str) -> str:
-    def sub(m):
-        kw, args = m.group(1), m.group(2)
-        alias = m.group(3) or "series"
-        col = m.group(4) or "generate_series"
-        return f"{kw} (SELECT explode(sequence({args})) AS {col}) {alias}"
+def _split_top_level(args: str) -> list[str]:
+    """Split on commas outside parens and string literals."""
+    out, depth, in_str, start = [], 0, False, 0
+    for i, ch in enumerate(args):
+        if in_str:
+            in_str = ch != "'"
+        elif ch == "'":
+            in_str = True
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            out.append(args[start:i].strip())
+            start = i + 1
+    tail = args[start:].strip()
+    if tail:
+        out.append(tail)
+    return out
 
-    return _GEN_SERIES.sub(sub, sql)
+
+def _gs_interval(spec: str) -> str | None:
+    """``'1m30s'`` / ``'1 mon'`` → ``INTERVAL 1 MINUTE 30 SECOND`` etc."""
+    toks = _GS_IVAL_TOKEN.findall(spec)
+    if not toks:
+        return None
+    parts = [f"{n} {_GS_IVAL_UNIT[u.lower()]}" for n, u in toks]
+    return "INTERVAL " + " ".join(parts)
+
+
+def _gs_args(raw: list[str]) -> str:
+    """Reference semantics (``opteryx/utils/series.py:14-46``): numeric
+    series default start=1 with inclusive stop; date series take
+    (start, end, interval-string) with compact specs like '1mth'."""
+    if raw and _GS_DATE.match(raw[0]):
+        args = [f"CAST({a} AS TIMESTAMP)" if _GS_DATE.match(a) else a for a in raw[:2]]
+        if len(raw) >= 3:
+            step = raw[2].strip()
+            if step.startswith("'") and step.endswith("'"):
+                step = _gs_interval(step[1:-1]) or step
+            args.append(step)
+        return ", ".join(args)
+    if len(raw) == 1:
+        return f"1, {raw[0]}"
+    return ", ".join(raw)
+
+
+def rewrite_generate_series(sql: str) -> str:
+    """``FROM GENERATE_SERIES(...)`` → exploded ``sequence()`` subquery.
+
+    Paren-balanced argument scan (nested calls like ``power(2, 3)`` are
+    fine), quoted date bounds cast to TIMESTAMP, and the reference's
+    compact interval specs translated to Spark INTERVAL literals.
+    """
+    out, pos = [], 0
+    while True:
+        m = _GEN_SERIES_HEAD.search(sql, pos)
+        if not m:
+            break
+        depth, i, in_str = 1, m.end(), False
+        while i < len(sql) and depth:
+            ch = sql[i]
+            if in_str:
+                in_str = ch != "'"
+            elif ch == "'":
+                in_str = True
+            elif ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            i += 1
+        args = _gs_args(_split_top_level(sql[m.end() : i - 1]))
+        alias, col, end = "series", "generate_series", i
+        am = _GS_ALIAS.match(sql, i)
+        if am and am.group(1).upper() not in _GS_KEYWORDS:
+            alias, col, end = am.group(1), am.group(2) or col, am.end()
+        out.append(sql[pos : m.start()])
+        out.append(f"{m.group(1)} (SELECT explode(sequence({args})) AS {col}) {alias}")
+        pos = end
+    out.append(sql[pos:])
+    return "".join(out)
 
 
 def extract_path_tables(sql: str) -> tuple[str, dict[str, str]]:

@@ -101,3 +101,18 @@ def test_register_df(conn, spark):
 def test_read_path_table(conn, sf_dir):
     cur = conn.cursor().execute(f"SELECT COUNT(*) AS n FROM '{sf_dir}/nation.parquet'")
     assert cur.fetchone() == (25,)
+
+
+def test_generate_series_date_range_sql(conn):
+    cur = conn.cursor().execute(
+        "SELECT COUNT(*) AS n FROM generate_series('2022-01-01', '2022-01-02', '1 hour') AS GS"
+    )
+    assert cur.fetchall() == [(25,)]  # inclusive bounds, reference semantics
+
+
+def test_positional_params_after_set_variable(conn):
+    conn.cursor().execute("SET @unused_flag = 1")
+    cur = conn.cursor().execute(
+        "SELECT COUNT(*) AS n FROM customer WHERE c_mktsegment = ?", ["BUILDING"]
+    )
+    assert cur.fetchone()[0] > 0

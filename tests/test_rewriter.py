@@ -141,3 +141,34 @@ def test_distinct_on_with_limit():
     assert out.rstrip().endswith("LIMIT 5")
     assert "LIMIT 5)" not in out  # limit not swallowed into the window
     assert "WHERE __rn = 1 ORDER BY a, c DESC" in out
+
+
+def test_generate_series_nested_parens():
+    out = rewriter.rewrite_generate_series("SELECT * FROM GENERATE_SERIES(1, power(2, 3)) AS g(n)")
+    assert "sequence(1, power(2, 3))" in out and "AS n" in out
+
+
+def test_generate_series_single_arg_defaults_start():
+    out = rewriter.rewrite_generate_series("SELECT * FROM GENERATE_SERIES(5000) AS g")
+    assert "sequence(1, 5000)" in out
+
+
+def test_generate_series_dates_and_interval():
+    out = rewriter.rewrite_generate_series(
+        "SELECT * FROM generate_series('2022-01-01', '2022-12-31', '1 day') AS GS"
+    )
+    assert "CAST('2022-01-01' AS TIMESTAMP)" in out
+    assert "CAST('2022-12-31' AS TIMESTAMP)" in out
+    assert "INTERVAL 1 DAY" in out
+
+
+def test_generate_series_compound_interval():
+    out = rewriter.rewrite_generate_series(
+        "SELECT * FROM generate_series('2022-01-01 12:00', '2022-01-01 12:15', '1m30s') AS GS"
+    )
+    assert "INTERVAL 1 MINUTE 30 SECOND" in out
+
+
+def test_generate_series_no_alias_before_keyword():
+    out = rewriter.rewrite_generate_series("SELECT * FROM GENERATE_SERIES(1, 3) WHERE 1 = 1")
+    assert "WHERE 1 = 1" in out and ") series WHERE" in out
