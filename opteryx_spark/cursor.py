@@ -41,10 +41,15 @@ class Connection:
         prepared_statements: dict[str, str] | None = None,
         views: dict[str, str] | None = None,
         visibility_filters: dict[str, str] | None = None,
+        user: str | None = None,
+        memberships: list[str] | None = None,
     ):
         self.spark = spark or get_session()
         self.registry = registry or _registry_mod._DEFAULT
         self.variables: dict[str, Any] = {}
+        self.user = user
+        self.memberships = list(memberships or [])
+        self.statistics: dict[str, Any] = {"queries_executed": 0, "statements_executed": 0}
         self.time_columns = {**DEFAULT_TIME_COLUMNS, **(time_columns or {})}
         self.prepared_statements = dict(prepared_statements or {})
         self.prepared_statements.update(_load_json_file("prepared_statements.json"))
@@ -113,7 +118,9 @@ class Cursor:
         from opteryx_spark import errors
 
         spark = self._conn.spark
+        self._conn.statistics["queries_executed"] += 1
         for stmt in rewriter.split_statements(rewriter.strip_comments(sql)):
+            self._conn.statistics["statements_executed"] += 1
             try:
                 self._df = self._execute_one(spark, stmt, params)
             except Exception as exc:
@@ -172,6 +179,16 @@ class Cursor:
             # positional '?' binding happens first; session @vars (the
             # merged dict) still bind named references afterwards
             stmt = rewriter.bind_params(stmt, list(params))
+        if re.search(r"\$(variables|statistics|user)\b", stmt):
+            from opteryx_spark.virtual import register_session_state
+
+            register_session_state(
+                spark,
+                self._conn.variables,
+                self._conn.statistics,
+                self._conn.user,
+                self._conn.memberships,
+            )
         self._conn._register_pending_views()
         self._conn._apply_visibility_filters()
         res = rewriter.rewrite(stmt, merged or None)

@@ -116,3 +116,75 @@ def test_positional_params_after_set_variable(conn):
         "SELECT COUNT(*) AS n FROM customer WHERE c_mktsegment = ?", ["BUILDING"]
     )
     assert cur.fetchone()[0] > 0
+
+
+def test_virtual_satellites(conn):
+    cur = conn.cursor().execute(
+        "SELECT COUNT(*) AS n, COUNT(DISTINCT planetId) AS p FROM $satellites"
+    )
+    n, p = cur.fetchone()
+    assert n >= 25 and p >= 6
+    moons = conn.cursor().execute(
+        "SELECT name FROM $satellites WHERE planetId = 5 ORDER BY gm DESC LIMIT 1"
+    ).fetchone()[0]
+    assert moons == "Ganymede"
+
+
+def test_virtual_astronauts(conn):
+    cur = conn.cursor().execute(
+        "SELECT name, birth_place['state'] AS st FROM $astronauts "
+        "WHERE 'Apollo 11' IN (SELECT explode(missions)) ORDER BY name"
+    )
+    # struct access + array membership both work through the dialect
+    rows = conn.cursor().execute(
+        "SELECT COUNT(*) AS n FROM $astronauts WHERE space_flights >= 2"
+    ).fetchone()
+    assert rows[0] >= 5
+
+
+def test_virtual_astronauts_struct_arrow(conn):
+    st = conn.cursor().execute(
+        "SELECT birth_place.state AS st FROM $astronauts WHERE name LIKE 'Neil%'"
+    ).fetchone()[0]
+    assert st == "OH"
+
+
+def test_virtual_missions(conn):
+    ok = conn.cursor().execute(
+        "SELECT COUNT(*) AS n FROM $missions WHERE Mission_Status = 'Success'"
+    ).fetchone()[0]
+    assert ok >= 9
+    first = conn.cursor().execute(
+        "SELECT Mission FROM $missions ORDER BY Lauched_at LIMIT 1"
+    ).fetchone()[0]
+    assert first == "Sputnik 1"
+
+
+def test_virtual_variables_reflects_set(conn):
+    conn.cursor().execute("SET @vv_probe = 42")
+    rows = conn.cursor().execute(
+        "SELECT value, type FROM $variables WHERE name = 'vv_probe'"
+    ).fetchall()
+    assert rows == [("42", "INT")]
+
+
+def test_virtual_statistics_counts_queries(conn):
+    before = int(
+        conn.cursor().execute(
+            "SELECT value FROM $statistics WHERE key = 'queries_executed'"
+        ).fetchone()[0]
+    )
+    conn.cursor().execute("SELECT 1 AS x")
+    after = int(
+        conn.cursor().execute(
+            "SELECT value FROM $statistics WHERE key = 'queries_executed'"
+        ).fetchone()[0]
+    )
+    assert after >= before + 1
+
+
+def test_virtual_user(conn):
+    name = conn.cursor().execute(
+        "SELECT value FROM $user WHERE attribute = 'name'"
+    ).fetchone()[0]
+    assert isinstance(name, str) and name
