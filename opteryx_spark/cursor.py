@@ -149,6 +149,17 @@ class Cursor:
             return spark.createDataFrame(
                 [(name, str(self._conn.variables.get(name)))], ["name", "value"]
             )
+        # SHOW CREATE VIEW <v> (reference operators/show_create_node.py:40-47:
+        # one column named after the view, one row holding its SQL)
+        create_m = re.match(r"SHOW\s+CREATE\s+VIEW\s+([\w.$]+)\s*$", stmt, re.IGNORECASE)
+        if create_m:
+            from opteryx_spark import errors
+
+            name = create_m.group(1)
+            view_sql = self._conn.views.get(name)
+            if view_sql is None:
+                raise errors.ProgrammingError(f"view not found: {name}")
+            return spark.createDataFrame([(view_sql,)], [name])
         # SHOW COLUMNS FROM <t> (reference operators/show_columns_node.py)
         cols_m = re.match(r"SHOW\s+(?:FULL\s+)?COLUMNS\s+FROM\s+([\w.$']+)", stmt, re.IGNORECASE)
         if cols_m:
@@ -194,7 +205,7 @@ class Cursor:
         res = rewriter.rewrite(stmt, merged or None)
         for view, path in res.path_tables.items():
             read_any(spark, path).createOrReplaceTempView(view)
-        sql = res.sql
+        sql = self._resolve_store_refs(spark, res.sql)
         for table, (start, end) in res.temporal_filters.items():
             col = self._conn.time_columns.get(table)
             if col is None:
@@ -226,6 +237,32 @@ class Cursor:
                 )
             return spark.createDataFrame([(line,) for line in text.split("\n")], ["plan"])
         return spark.sql(sql)
+
+    def _resolve_store_refs(self, spark: SparkSession, sql: str) -> str:
+        """``my_store.table`` references resolve through the source
+        registry (reference dataset-prefix connectors,
+        ``opteryx/connectors/__init__.py:96-104``) and become temp views."""
+        import re
+
+        stores = self._conn.registry.stores
+        if not stores:
+            return sql
+        pattern = re.compile(r"\b(\w+)\.([A-Za-z_][\w.]*)")
+
+        def sub(seg: str) -> str:
+            def repl(m):
+                prefix, rest = m.group(1), m.group(2)
+                if prefix not in stores:
+                    return m.group(0)
+                view = f"store_{prefix}_{rest.replace('.', '_')}"
+                self._conn.registry.resolve(spark, f"{prefix}.{rest}").createOrReplaceTempView(
+                    view
+                )
+                return view
+
+            return pattern.sub(repl, seg)
+
+        return rewriter.map_outside_literals(sql, sub)
 
     # -- results ------------------------------------------------------------
 

@@ -449,9 +449,20 @@ def bind_params(sql: str, params: dict | list | None) -> str:
 # --- pipeline ---------------------------------------------------------------
 
 
+_HTTP_FN = re.compile(r"\b(FROM|JOIN)\s+HTTP\s*\(\s*('[^']+')\s*\)", re.IGNORECASE)
+
+
+def rewrite_http_function(sql: str) -> str:
+    """``FROM HTTP('url')`` → ``FROM 'url'`` (reference
+    ``operators/function_dataset_node.py:60-75``); the path-table
+    extraction then routes it through the HTTP reader."""
+    return _HTTP_FN.sub(lambda m: f"{m.group(1)} {m.group(2)}", sql)
+
+
 def rewrite(sql: str, params: dict | list | None = None) -> RewriteResult:
     sql = strip_comments(sql)
     sql, temporal = extract_temporal(sql)
+    sql = rewrite_http_function(sql)
     sql, paths = extract_path_tables(sql)
     sql = rewrite_generate_series(sql)
     # operators first: their quoted keys ('k', '$.path') become function

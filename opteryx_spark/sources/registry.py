@@ -64,6 +64,8 @@ def read_any(spark: SparkSession, path: str, fmt: str | None = None, **options: 
     on ``mergeSchema`` for parquet/orc so unioned fragments resolve to a
     superset schema.
     """
+    if path.startswith(("http://", "https://")):
+        return _read_http(spark, path, fmt=fmt, **options)
     ext = _ext_of(path)
     if fmt is None:
         if ext in _PANDAS_EXTS:
@@ -78,6 +80,60 @@ def read_any(spark: SparkSession, path: str, fmt: str | None = None, **options: 
     if fmt in ("parquet", "orc"):
         opts.setdefault("mergeSchema", "true")
     return spark.read.format(fmt).options(**opts).load(path)
+
+
+def _read_http(spark: SparkSession, url: str, fmt: str | None = None, **options: str) -> DataFrame:
+    """HTTP dataset function (reference ``operators/function_dataset_node.py:60-75``
+    and ``FROM 'https://...'`` datasets).
+
+    The payload is fetched once on the driver into a temp file, then read
+    with the normal extension dispatch.  This is a dimension-scale path
+    (config tables, lookup lists) — 100 TB inputs belong on an object
+    store where executors read splits in parallel, not behind HTTP.
+    """
+    import tempfile
+    import urllib.request
+
+    ext = _ext_of(url.split("?", 1)[0]) or (f".{fmt}" if fmt else "")
+    with urllib.request.urlopen(url, timeout=30) as resp:  # noqa: S310 - user-supplied source URL
+        if not ext:
+            ctype = resp.headers.get("Content-Type", "")
+            ext = ".jsonl" if "json" in ctype else ".csv" if "csv" in ctype else ".parquet"
+        with tempfile.NamedTemporaryFile(suffix=ext, delete=False) as tmp:
+            tmp.write(resp.read())
+            local = tmp.name
+    return read_any(spark, local, fmt=fmt, **options)
+
+
+def _read_sql_store(spark: SparkSession, store: "_Store", table: str) -> DataFrame:
+    """DB-API/SQLAlchemy read (reference ``connectors/sql_connector.py:64``).
+
+    The rows are pulled on the driver via pandas and become a local
+    relation (broadcast-able).  SQLite works from the stdlib; other
+    engines use SQLAlchemy when installed.  For big tables on a real
+    cluster use ``kind="jdbc"`` so executors read partition ranges.
+    """
+    import pandas as pd
+
+    conn_str = store.options.get("connection", store.root)
+    query = f"SELECT * FROM {table}"  # noqa: S608 - table name from registry config
+    if conn_str.startswith("sqlite:///") or conn_str.endswith((".db", ".sqlite")):
+        import sqlite3
+
+        path = conn_str[len("sqlite:///") :] if conn_str.startswith("sqlite:///") else conn_str
+        with sqlite3.connect(path) as con:
+            pdf = pd.read_sql(query, con)
+    else:  # pragma: no cover - no other engines in the test container
+        try:
+            import sqlalchemy
+        except ImportError as exc:
+            raise NotImplementedError(
+                "sql stores beyond sqlite need sqlalchemy installed"
+            ) from exc
+        engine = sqlalchemy.create_engine(conn_str)
+        with engine.connect() as con:
+            pdf = pd.read_sql(query, con)
+    return spark.createDataFrame(pdf)
 
 
 def _read_via_pandas(spark: SparkSession, path: str, ext: str) -> DataFrame:
@@ -140,6 +196,8 @@ class SourceRegistry:
             if store.kind == "jdbc":
                 reader = spark.read.format("jdbc").options(**store.options)
                 return reader.option("dbtable", rest or store.root).load()
+            if store.kind == "sql":
+                return _read_sql_store(spark, store, rest or store.root)
             if rest:
                 # literal path under the root first, then dotted-namespace form
                 path = os.path.join(store.root, rest)

@@ -165,3 +165,83 @@ def test_match_against(spark):
         for r in df.select("id", oxf.match_against(F.col("txt"), ["quick", "brown"]).alias("m")).collect()
     }
     assert got == {1: True, 2: False}
+
+
+def test_sql_store_sqlite_roundtrip(spark, tmp_path):
+    """kind='sql' store backed by a real SQLite file (reference
+    connectors/sql_connector.py:64)."""
+    import sqlite3
+
+    from opteryx_spark.sources.registry import SourceRegistry
+
+    db = tmp_path / "dims.db"
+    with sqlite3.connect(db) as con:
+        con.execute("CREATE TABLE color (id INTEGER, name TEXT)")
+        con.executemany("INSERT INTO color VALUES (?, ?)", [(1, "red"), (2, "green"), (3, "blue")])
+        con.commit()
+    reg = SourceRegistry()
+    reg.register_store("dims", kind="sql", connection=f"sqlite:///{db}")
+    df = reg.resolve(spark, "dims.color")
+    rows = sorted(tuple(r) for r in df.collect())
+    assert rows == [(1, "red"), (2, "green"), (3, "blue")]
+
+
+def test_sql_store_through_cursor(spark, tmp_path):
+    import sqlite3
+
+    import opteryx_spark as ox
+
+    db = tmp_path / "ref.db"
+    with sqlite3.connect(db) as con:
+        con.execute("CREATE TABLE flags (k TEXT, v INTEGER)")
+        con.executemany("INSERT INTO flags VALUES (?, ?)", [("a", 1), ("b", 2)])
+        con.commit()
+    conn = ox.connect(spark=spark)
+    conn.registry.register_store("refdb", kind="sql", connection=str(db))
+    cur = conn.cursor().execute("SELECT SUM(v) AS s FROM refdb.flags")
+    assert cur.fetchall() == [(3,)]
+
+
+def test_http_dataset(spark, tmp_path):
+    """HTTP table function + FROM 'http://...' via a local HTTP server."""
+    import http.server
+    import threading
+
+    import opteryx_spark as ox
+
+    doc = tmp_path / "lookup.csv"
+    doc.write_text("code,label\n1,alpha\n2,beta\n")
+
+    class Handler(http.server.SimpleHTTPRequestHandler):
+        def __init__(self, *a, **kw):
+            super().__init__(*a, directory=str(tmp_path), **kw)
+
+        def log_message(self, *a):
+            pass
+
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        url = f"http://127.0.0.1:{srv.server_address[1]}/lookup.csv"
+        conn = ox.connect(spark=spark)
+        cur = conn.cursor().execute(f"SELECT COUNT(*) AS n FROM HTTP('{url}')")
+        assert cur.fetchall() == [(2,)]
+        cur2 = conn.cursor().execute(f"SELECT label FROM '{url}' ORDER BY code")
+        assert [r[0] for r in cur2.fetchall()] == ["alpha", "beta"]
+    finally:
+        srv.shutdown()
+
+
+def test_show_create_view(spark):
+    import opteryx_spark as ox
+    from opteryx_spark import errors
+
+    conn = ox.connect(spark=spark, views={"my_view": "SELECT 1 AS one"})
+    cur = conn.cursor().execute("SHOW CREATE VIEW my_view")
+    assert cur.fetchall() == [("SELECT 1 AS one",)]
+    assert cur.description[0].name == "my_view"
+    try:
+        conn.cursor().execute("SHOW CREATE VIEW nope")
+        raise AssertionError("expected ProgrammingError")
+    except errors.ProgrammingError:
+        pass
