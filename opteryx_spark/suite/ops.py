@@ -728,3 +728,68 @@ def unnest_tokens(spark, sf_dir):
         .orderBy(F.desc("n"), F.asc("token"))
         .limit(20)
     )
+
+
+# --- skew-aware join demonstration ------------------------------------------
+
+_SKEW_ORACLE = f"""
+    SELECT c_mktsegment AS segment,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           {osum('value')} AS total_value
+    FROM (SELECT CASE WHEN event_id % 10 <> 0 THEN 7 ELSE user_id END AS user_id,
+                 value
+          FROM events) e
+    JOIN customer ON c_custkey = e.user_id
+    GROUP BY c_mktsegment ORDER BY segment
+    """
+
+
+def _skewed_events(spark, sf_dir):
+    """90% of events re-keyed onto one hot user — the classic celebrity/
+    default-value skew that overwhelms a hash-partitioned join."""
+    ev = t(spark, sf_dir, "events")
+    hot = F.when(F.col("event_id") % 10 != 0, F.lit(7)).otherwise(F.col("user_id"))
+    return ev.select(hot.alias("user_id"), "value")
+
+
+def _user_dim(spark, sf_dir):
+    cust = t(spark, sf_dir, "customer")
+    return cust.select(F.col("c_custkey").alias("user_id"), "c_mktsegment")
+
+
+def _skew_agg(joined):
+    return (
+        joined.groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum(F.col("value")).alias("total_value"),
+        )
+        .orderBy("segment")
+    )
+
+
+@register("skew_join_naive", oracle=_SKEW_ORACLE)
+def skew_join_naive(spark, sf_dir):
+    """Baseline: hash-shuffle join on the skewed key (shuffle_hash hint
+    models the 100 TB case where the dim exceeds broadcast range; one
+    reducer owns the hot key)."""
+    joined = _skewed_events(spark, sf_dir).join(
+        _user_dim(spark, sf_dir).hint("shuffle_hash"), "user_id"
+    )
+    return _skew_agg(joined)
+
+
+@register("skew_join_salted", oracle=_SKEW_ORACLE)
+def skew_join_salted(spark, sf_dir):
+    """Same join through :func:`opteryx_spark.operators.scale.salted_join`:
+    the hot key spreads over 16 salt buckets so no single reducer owns it.
+    Identical results (same oracle) — only the physical plan differs."""
+    from opteryx_spark.operators import scale
+
+    joined = scale.salted_join(
+        _skewed_events(spark, sf_dir),
+        _user_dim(spark, sf_dir).hint("shuffle_hash"),
+        "user_id",
+        salt=16,
+    )
+    return _skew_agg(joined)

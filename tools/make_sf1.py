@@ -1,0 +1,78 @@
+"""Generate .data/sf1 by FK-consistent 10x replication of sf0.1.
+
+Each replica r offsets every key family by r * (max_key + 1), so join
+cardinalities and key distributions scale linearly — the same shape the
+driver's generator produces at higher SF, just 10x the rows.  Documents /
+embeddings replicate with offset doc_ids and unchanged payloads (an
+exact-duplicate-heavy corpus — realistic for dedup stress).
+
+Usage: python tools/make_sf1.py [src_dir] [dst_dir] [replicas]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from opteryx_spark.catalog import load_table  # noqa: E402
+from opteryx_spark.session import get_session  # noqa: E402
+
+
+def main() -> None:
+    src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    dst = sys.argv[2] if len(sys.argv) > 2 else os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".data", "sf1"
+    )
+    replicas = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+    spark = get_session(app_name="make-sf1")
+    os.makedirs(dst, exist_ok=True)
+
+    def offsets(table, cols):
+        df = load_table(spark, src, table)
+        row = df.agg(*[(F.max(c) + 1).alias(c) for c in cols]).collect()[0]
+        return {c: row[c] for c in cols}
+
+    ok = offsets("orders", ["o_orderkey"])["o_orderkey"]
+    ck = offsets("customer", ["c_custkey"])["c_custkey"]
+    pk = offsets("part", ["p_partkey"])["p_partkey"]
+    sk = offsets("supplier", ["s_suppkey"])["s_suppkey"]
+    ek = offsets("events", ["event_id"])["event_id"]
+    uk = offsets("events", ["user_id"])["user_id"]
+    dk = offsets("documents", ["doc_id"])["doc_id"]
+    vk = offsets("embeddings", ["vec_id"])["vec_id"]
+
+    # key col -> per-replica offset
+    plans: dict[str, dict[str, int]] = {
+        "region": {},
+        "nation": {},
+        "supplier": {"s_suppkey": sk},
+        "part": {"p_partkey": pk},
+        "customer": {"c_custkey": ck},
+        "orders": {"o_orderkey": ok, "o_custkey": ck},
+        "lineitem": {"l_orderkey": ok, "l_partkey": pk, "l_suppkey": sk},
+        "events": {"event_id": ek, "user_id": uk},
+        "documents": {"doc_id": dk},
+        "embeddings": {"vec_id": vk},
+    }
+
+    for table, keymap in plans.items():
+        df = load_table(spark, src, table)
+        if keymap:
+            rep = spark.range(replicas).select(F.col("id").alias("__r"))
+            df = df.crossJoin(rep)
+            for col, off in keymap.items():
+                df = df.withColumn(col, (F.col(col) + F.col("__r") * F.lit(off)).cast("long"))
+            df = df.drop("__r")
+        out = os.path.join(dst, f"{table}.parquet")
+        # directory-of-parts layout: spark.read.parquet handles it natively
+        df.repartition(8).write.mode("overwrite").parquet(out)
+        print(table, "done", flush=True)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
