@@ -42,7 +42,7 @@ _FORMAT_BY_EXT: dict[str, tuple[str, dict[str, str]]] = {
 }
 
 # formats that need a pandas/pyarrow detour (no native Spark reader)
-_PANDAS_EXTS = (".feather", ".arrow", ".ipc", ".xlsx")
+_PANDAS_EXTS = (".feather", ".arrow", ".ipc", ".xlsx", ".vortex")
 
 
 def _ext_of(path: str) -> str:
@@ -148,7 +148,93 @@ def _read_via_pandas(spark: SparkSession, path: str, ext: str) -> DataFrame:
         import pandas as pd
 
         return spark.createDataFrame(pd.read_excel(path))
+    if ext == ".vortex":
+        # reference decodes vortex via the `vortex-data` package
+        # (opteryx/utils/file_decoders.py:800-891); same gating here — the
+        # decoded Arrow table becomes a local relation.
+        try:
+            import vortex  # type: ignore[import-not-found]
+        except ImportError as exc:
+            from opteryx_spark.errors import NotSupportedError
+
+            raise NotSupportedError(
+                "vortex files need the 'vortex-data' package installed"
+            ) from exc
+        table = vortex.open(path).to_arrow_table()  # pragma: no cover - lib absent
+        return spark.createDataFrame(table.to_pandas())  # pragma: no cover
     raise ValueError(f"unsupported extension: {ext}")
+
+
+# --- document / NoSQL store mappings ----------------------------------------
+#
+# Reference connectors being re-expressed (not ported):
+#   mongodb_connector.py:27  — collection scan flattened to rows
+#   cql_connector.py:49      — Cassandra/CQL keyspace.table scan
+#   gcp_firestore_connector.py:65 — Firestore collection page-read
+#
+# Spark-first: Mongo and Cassandra have official DataSource-V2 connectors
+# (predicate/column pushdown happens inside the connector, reads are
+# executor-parallel by partition/token-range).  We build the exact
+# spark.read invocation; if the connector jar is absent (as in this test
+# container) Spark raises CLASS_NOT_FOUND, which we surface as a typed
+# NotSupportedError naming the jar.  Firestore has no official Spark
+# connector: the scale-honest mapping is a driver-side page-read into a
+# local relation, gated on the google-cloud-firestore package.
+
+
+def nosql_reader_spec(store: "_Store", table: str) -> tuple[str, dict[str, str]]:
+    """(spark format, reader options) for a NoSQL store — separated from
+    resolve() so the mapping is unit-testable without the connector jars."""
+    opts = dict(store.options)
+    if store.kind == "mongodb":
+        spec = {
+            "connection.uri": opts.pop("connection", store.root) or "mongodb://localhost:27017",
+            "collection": table,
+        }
+        if "database" in opts:
+            spec["database"] = opts.pop("database")
+        return "mongodb", {**spec, **opts}
+    if store.kind in ("cql", "cassandra"):
+        keyspace, _, tbl = table.rpartition(".")
+        spec = {
+            "keyspace": keyspace or opts.pop("keyspace", ""),
+            "table": tbl,
+        }
+        return "org.apache.spark.sql.cassandra", {**spec, **opts}
+    raise ValueError(f"not a nosql store kind: {store.kind}")
+
+
+def _read_nosql_store(spark: SparkSession, store: "_Store", table: str) -> DataFrame:
+    fmt, opts = nosql_reader_spec(store, table)
+    jar = {
+        "mongodb": "org.mongodb.spark:mongo-spark-connector",
+        "org.apache.spark.sql.cassandra": "com.datastax.spark:spark-cassandra-connector",
+    }[fmt]
+    try:
+        return spark.read.format(fmt).options(**opts).load()
+    except Exception as exc:  # CLASS_NOT_FOUND when the jar isn't on the cluster
+        if "DATA_SOURCE_NOT_FOUND" in str(exc) or "ClassNotFound" in str(exc):
+            from opteryx_spark.errors import NotSupportedError
+
+            raise NotSupportedError(
+                f"{store.kind} stores need the {jar} jar on the cluster "
+                f"(spark.jars.packages)"
+            ) from exc
+        raise
+
+
+def _read_firestore_store(spark: SparkSession, store: "_Store", collection: str) -> DataFrame:
+    try:
+        from google.cloud import firestore  # type: ignore[import-not-found]
+    except ImportError as exc:
+        from opteryx_spark.errors import NotSupportedError
+
+        raise NotSupportedError(
+            "firestore stores need the google-cloud-firestore package"
+        ) from exc
+    client = firestore.Client(project=store.options.get("project"))  # pragma: no cover
+    docs = [d.to_dict() for d in client.collection(collection).stream()]  # pragma: no cover
+    return spark.createDataFrame(docs)  # pragma: no cover
 
 
 @dataclass
@@ -198,6 +284,10 @@ class SourceRegistry:
                 return reader.option("dbtable", rest or store.root).load()
             if store.kind == "sql":
                 return _read_sql_store(spark, store, rest or store.root)
+            if store.kind in ("mongodb", "cql", "cassandra"):
+                return _read_nosql_store(spark, store, rest or store.root)
+            if store.kind == "firestore":
+                return _read_firestore_store(spark, store, rest or store.root)
             if rest:
                 # literal path under the root first, then dotted-namespace form
                 path = os.path.join(store.root, rest)

@@ -245,3 +245,63 @@ def test_show_create_view(spark):
         raise AssertionError("expected ProgrammingError")
     except errors.ProgrammingError:
         pass
+
+
+def test_nosql_reader_specs():
+    """Mongo/Cassandra store kinds map to the official DataSource-V2
+    connectors with the right option surface (jar-free unit check)."""
+    from opteryx_spark.sources.registry import _Store, nosql_reader_spec
+
+    fmt, opts = nosql_reader_spec(
+        _Store(kind="mongodb", root="mongodb://db:27017", options={"database": "app"}),
+        "users",
+    )
+    assert fmt == "mongodb"
+    assert opts == {
+        "connection.uri": "mongodb://db:27017",
+        "collection": "users",
+        "database": "app",
+    }
+
+    fmt, opts = nosql_reader_spec(_Store(kind="cql", options={}), "ks.events")
+    assert fmt == "org.apache.spark.sql.cassandra"
+    assert opts == {"keyspace": "ks", "table": "events"}
+
+
+def test_nosql_store_missing_jar_raises_typed_error(spark):
+    from opteryx_spark import errors
+    from opteryx_spark.sources.registry import SourceRegistry
+
+    reg = SourceRegistry()
+    reg.register_store("appdb", kind="mongodb", connection="mongodb://db:27017")
+    try:
+        reg.resolve(spark, "appdb.users")
+        raise AssertionError("expected NotSupportedError")
+    except errors.NotSupportedError as exc:
+        assert "mongo-spark-connector" in str(exc)
+
+
+def test_firestore_store_missing_dependency(spark):
+    from opteryx_spark import errors
+    from opteryx_spark.sources.registry import SourceRegistry
+
+    reg = SourceRegistry()
+    reg.register_store("fs", kind="firestore", project="demo")
+    try:
+        reg.resolve(spark, "fs.users")
+        raise AssertionError("expected NotSupportedError")
+    except errors.NotSupportedError as exc:
+        assert "google-cloud-firestore" in str(exc)
+
+
+def test_vortex_format_gated(spark, tmp_path):
+    from opteryx_spark import errors
+    from opteryx_spark.sources.registry import read_any
+
+    fake = tmp_path / "data.vortex"
+    fake.write_bytes(b"\x00")
+    try:
+        read_any(spark, str(fake))
+        raise AssertionError("expected NotSupportedError")
+    except errors.NotSupportedError as exc:
+        assert "vortex-data" in str(exc)
