@@ -23,6 +23,77 @@ from pyspark.sql import functions as F
 
 from opteryx_spark.operators.text import shingles, tokens
 
+# --- exact-dedup prefilter for the similarity joins --------------------------
+#
+# Web-scale corpora are dominated by *exact* duplicates (mirrors, templated
+# pages, re-crawls).  Every similarity join below therefore supports
+# ``unique_texts=True``: collapse byte-identical texts to one exemplar,
+# run the pair computation on distinct texts only, then expand the result
+# back through the copy groups — intra-group pairs get the algorithm's
+# perfect score (J=1, est=1, Hamming=0), inter-group pairs inherit their
+# exemplars' score.  Identical inputs produce identical signatures, so the
+# expanded output equals the direct computation (exception: a duplicate
+# group larger than MinHash's ``max_bucket`` anti-spam cap is *kept* here
+# where the direct path would drop it — strictly more correct).  The win
+# is quadratic: candidate generation touches each distinct text once
+# instead of once per copy.
+
+
+def _text_groups(df: DataFrame, id_col: str, text_col: str) -> tuple[DataFrame, DataFrame]:
+    """(reps, members): one exemplar row per distinct text + the gid→id map.
+
+    gid = xxhash64(text) — 64-bit collisions are negligible at any corpus
+    size where this engine applies; any_value(text) is deterministic
+    because every member of a group carries the same text by definition.
+    """
+    g = _spread(df).select(
+        F.col(id_col).alias("id"),
+        F.col(text_col).alias(text_col),
+        F.xxhash64(text_col).alias("gid"),
+    )
+    reps = g.groupBy("gid").agg(
+        F.min("id").alias("id"), F.any_value(text_col).alias(text_col)
+    )
+    return reps, g.select("gid", "id")
+
+
+def _expand_pairs(
+    pairs: DataFrame,
+    reps: DataFrame,
+    members: DataFrame,
+    active_gids: DataFrame,
+    perfect: dict[str, Column],
+) -> DataFrame:
+    """Expand exemplar-level pairs to all copy-level pairs.
+
+    ``active_gids`` filters intra-group emission to groups whose text
+    actually participates (non-empty shingle/token set) — empty texts
+    produce no pairs in the direct computation and must not here either.
+    """
+    score_cols = [c for c in pairs.columns if c not in ("id1", "id2")]
+    rm = reps.select(F.col("id").alias("rid"), "gid")
+    inter = (
+        pairs.join(rm.select(F.col("rid").alias("id1"), F.col("gid").alias("g1")), "id1")
+        .join(rm.select(F.col("rid").alias("id2"), F.col("gid").alias("g2")), "id2")
+        .join(members.select(F.col("gid").alias("g1"), F.col("id").alias("m1")), "g1")
+        .join(members.select(F.col("gid").alias("g2"), F.col("id").alias("m2")), "g2")
+        .select(
+            F.least("m1", "m2").alias("id1"),
+            F.greatest("m1", "m2").alias("id2"),
+            *score_cols,
+        )
+    )
+    live = members.join(active_gids, "gid", "left_semi")
+    x, y = live.alias("x"), live.alias("y")
+    intra = x.join(
+        y, (F.col("x.gid") == F.col("y.gid")) & (F.col("x.id") < F.col("y.id"))
+    ).select(
+        F.col("x.id").alias("id1"),
+        F.col("y.id").alias("id2"),
+        *[perfect[c].alias(c) for c in score_cols],
+    )
+    return inter.unionByName(intra)
+
 # deterministic odd multipliers/offsets for the minhash permutation family
 _MH_SEED_A = 0x9E3779B97F4A7C15
 _MH_SEED_B = 0xC2B2AE3D27D4EB4F
@@ -100,8 +171,14 @@ def ngram_jaccard_pairs(
     broadcast_sets: bool | None = None,
     persist_sets: bool = True,
     max_df: int | None = None,
+    unique_texts: bool = True,
 ) -> DataFrame:
     """All document pairs with word-k-gram Jaccard >= threshold (exact).
+
+    ``unique_texts`` (default True — the only sane setting on a
+    duplicate-heavy corpus): exact-dedup texts first, join exemplars,
+    expand pairs back through copy groups.  Output is identical; the
+    candidate space shrinks quadratically in the copy multiplicity.
 
     With ``prefix_filter`` (AllPairs/PPJoin-style, exactness-preserving):
     order each document's shingle set by global document frequency
@@ -137,6 +214,23 @@ def ngram_jaccard_pairs(
     index join and the array intersections run on longs instead of
     strings — a constant-factor but large win at any scale.
     """
+    if unique_texts:
+        reps, members = _text_groups(df, id_col, text_col)
+        inner = ngram_jaccard_pairs(
+            reps,
+            "id",
+            text_col,
+            k=k,
+            threshold=threshold,
+            prefix_filter=prefix_filter,
+            broadcast_sets=broadcast_sets,
+            persist_sets=persist_sets,
+            max_df=max_df,
+            unique_texts=False,
+        )
+        active = reps.filter(F.size(shingles(text_col, k)) > 0).select("gid")
+        return _expand_pairs(inner, reps, members, active, {"jaccard": F.lit(1.0)})
+
     sets_df = _spread(df).select(
         F.col(id_col).alias("id"),
         F.transform(shingles(text_col, k), lambda x: F.xxhash64(x)).alias("arr"),
@@ -255,18 +349,29 @@ def minhash_signatures(
 
     Each permutation is ``(a * xxhash64(shingle) + b) mod 2^64`` (odd
     ``a`` ⇒ bijection), realized as wrapping 64-bit arithmetic; the
-    signature component is the min over the document's shingles.  One
-    explode + one groupBy — shuffle keyed by doc id.
+    signature component is the min over the document's shingles —
+    computed as pure per-row array math (narrow map stage, zero shuffle).
     """
     params = _perm_params(num_hashes)
-    sh = _spread(df).select(F.col(id_col).alias("id"), F.explode(shingles(text_col, k)).alias("s"))
-    h = F.xxhash64("s")
-    mins = [
-        F.min(h * F.lit(_signed64(a)) + F.lit(_signed64(b))).alias(f"_m{i}")
-        for i, (a, b) in enumerate(params)
+    hashed = _spread(df).select(
+        F.col(id_col).alias("id"),
+        F.transform(shingles(text_col, k), lambda x: F.xxhash64(x)).alias("harr"),
+    )
+    # map-side only: each signature component is an array_min over the
+    # permuted per-doc hash array — no explode, no groupBy, no shuffle.
+    # Duplicate shingles can't change a min, so the un-deduped array is
+    # equivalent to the set.  Docs with no shingles are dropped (same
+    # semantics as the explode+groupBy formulation this replaces).
+    # (closure factory, not default-arg capture: pyspark dispatches HOF
+    # lambdas on arity, so extra defaulted params would be fed the index)
+    def _perm(sa: int, sb: int):
+        return lambda h: h * F.lit(sa) + F.lit(sb)
+
+    comps = [
+        F.array_min(F.transform("harr", _perm(_signed64(a), _signed64(b))))
+        for a, b in params
     ]
-    sig = sh.groupBy("id").agg(*mins)
-    return sig.select("id", F.array(*[f"_m{i}" for i in range(num_hashes)]).alias("sig"))
+    return hashed.filter(F.size("harr") > 0).select("id", F.array(*comps).alias("sig"))
 
 
 def minhash_lsh_pairs(
@@ -277,6 +382,7 @@ def minhash_lsh_pairs(
     bands: int = 16,
     k: int = 2,
     max_bucket: int = 1000,
+    unique_texts: bool = True,
 ) -> DataFrame:
     """Candidate near-dup pairs via banded LSH over minhash signatures.
 
@@ -284,8 +390,17 @@ def minhash_lsh_pairs(
     docs sharing any band hash become candidates.  Output: (id1, id2,
     est_jaccard) where est_jaccard = fraction of matching signature
     components.  ``max_bucket`` caps pathological buckets (all-identical
-    spam) to keep the pair fan-out linear.
+    spam) to keep the pair fan-out linear.  ``unique_texts`` runs LSH on
+    distinct texts and expands copy groups afterwards (est=1.0 within a
+    group — exactly what identical signatures would estimate).
     """
+    if unique_texts:
+        reps, members = _text_groups(df, id_col, text_col)
+        inner = minhash_lsh_pairs(
+            reps, "id", text_col, num_hashes, bands, k, max_bucket, unique_texts=False
+        )
+        active = reps.filter(F.size(shingles(text_col, k)) > 0).select("gid")
+        return _expand_pairs(inner, reps, members, active, {"est_jaccard": F.lit(1.0)})
     rows = num_hashes // bands
     sig = minhash_signatures(df, id_col, text_col, num_hashes, k)
     band_cols = F.array(
@@ -341,6 +456,7 @@ def minhash_dedup_verified(
     bands: int = 16,
     k: int = 2,
     broadcast_sets: bool | None = None,
+    unique_texts: bool = True,
 ) -> DataFrame:
     """LSH candidates verified with *exact* Jaccard on the shingle sets.
 
@@ -348,9 +464,27 @@ def minhash_dedup_verified(
     bucket-local candidates, then exact verification computes true Jaccard
     only for candidates.  Output matches an exact all-pairs similarity
     join above ``threshold`` up to LSH recall (≈1-4e-8 at j≥0.9 with
-    64/16 banding).
+    64/16 banding).  ``unique_texts``: candidates + verification run on
+    distinct texts, copy groups expand afterwards (J=1.0 within a group).
     """
-    cand = minhash_lsh_pairs(df, id_col, text_col, num_hashes, bands, k).select("id1", "id2")
+    if unique_texts:
+        reps, members = _text_groups(df, id_col, text_col)
+        inner = minhash_dedup_verified(
+            reps,
+            "id",
+            text_col,
+            threshold,
+            num_hashes,
+            bands,
+            k,
+            broadcast_sets,
+            unique_texts=False,
+        )
+        active = reps.filter(F.size(shingles(text_col, k)) > 0).select("gid")
+        return _expand_pairs(inner, reps, members, active, {"jaccard": F.lit(1.0)})
+    cand = minhash_lsh_pairs(
+        df, id_col, text_col, num_hashes, bands, k, unique_texts=False
+    ).select("id1", "id2")
     sets_df = _spread(df).select(F.col(id_col).alias("id"), shingles(text_col, k).alias("arr"))
     arrs1 = sets_df.select(F.col("id").alias("id1"), F.col("arr").alias("arr1"))
     arrs2 = sets_df.select(F.col("id").alias("id2"), F.col("arr").alias("arr2"))
@@ -370,23 +504,26 @@ def minhash_dedup_verified(
 def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 64) -> DataFrame:
     """(id, simhash long) — bit-vote simhash over token hashes.
 
-    Expressed as explode + 64 conditional-sum aggregates (all JVM-side):
-    bit_j(doc) = 1 iff sum over tokens of ±1 on bit j is positive.
+    Pure per-row array math (narrow map stage, zero shuffle): bit_j(doc)
+    is set iff more than half the token occurrences have bit j set in
+    their hash (equivalent to the classic ±1 vote sum being positive).
+    Each token *occurrence* votes, as in the explode+aggregate
+    formulation this replaces; docs with no tokens are dropped.
     """
-    tok = _spread(df).select(F.col(id_col).alias("id"), F.explode(tokens(text_col)).alias("tk"))
-    h = F.xxhash64("tk")
-    votes = [
-        F.sum(F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)).alias(
-            f"_v{j}"
-        )
-        for j in range(bits)
-    ]
-    voted = tok.groupBy("id").agg(*votes)
+    hashed = _spread(df).select(
+        F.col(id_col).alias("id"),
+        F.transform(tokens(text_col), lambda x: F.xxhash64(x)).alias("harr"),
+    )
+    def _bit_test(j: int):
+        return lambda h: F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1
+
+    n = F.size("harr")
     acc = F.lit(0).cast("long")
     for j in range(bits):
         bitval = -(1 << 63) if j == 63 else (1 << j)
-        acc = acc + F.when(F.col(f"_v{j}") > 0, F.lit(bitval)).otherwise(F.lit(0))
-    return voted.select("id", acc.alias("simhash"))
+        set_cnt = F.size(F.filter("harr", _bit_test(j)))
+        acc = acc + F.when(set_cnt * 2 > n, F.lit(bitval)).otherwise(F.lit(0))
+    return hashed.filter(n > 0).select("id", acc.alias("simhash"))
 
 
 def simhash_dedup_pairs(
@@ -395,14 +532,26 @@ def simhash_dedup_pairs(
     text_col: str = "text",
     max_hamming: int = 3,
     blocks: int = 4,
+    unique_texts: bool = True,
 ) -> DataFrame:
     """Near-dup pairs by simhash Hamming distance <= max_hamming.
 
     Pigeonhole banding: split the 64-bit signature into ``blocks`` blocks;
     any pair within distance < blocks shares at least one exact block, so
     candidates come from equality joins on block values (shuffle on block
-    key), then exact popcount verification.
+    key), then exact popcount verification.  ``unique_texts``: signatures
+    and banding on distinct texts, copy groups expand afterwards
+    (Hamming 0 within a group — identical text ⇒ identical signature).
     """
+    if unique_texts:
+        reps, members = _text_groups(df, id_col, text_col)
+        inner = simhash_dedup_pairs(
+            reps, "id", text_col, max_hamming, blocks, unique_texts=False
+        )
+        active = reps.filter(F.size(tokens(text_col)) > 0).select("gid")
+        return _expand_pairs(
+            inner, reps, members, active, {"hamming": F.lit(0).cast("int")}
+        )
     sig = simhash(df, id_col, text_col)
     width = 64 // blocks
     block = lambda c, i: F.shiftrightunsigned(c, i * width).bitwiseAND(F.lit((1 << width) - 1))  # noqa: E731

@@ -1,0 +1,140 @@
+"""Temporal join operators Spark lacks natively: as-of join, range join.
+
+The brief's "custom operators" tier: semantics the reference ecosystem
+gets from specialized engines (kdb-style asof, interval joins), expressed
+as compositions of built-in DataFrame ops — no Python in the row path.
+
+- ``asof_join``: for each left row, the most recent right row at-or-before
+  it (optionally per key).  Physical plan: tag both sides, union, one
+  shuffle-sort on (key, time), then ``last(..., ignorenulls=True)`` over a
+  running window.  This is the distributed merge-join an MPP engine would
+  pick: one exchange, no per-key Python, no range explosion — at 100 TB
+  the sort amortizes into the exchange Spark already does.
+
+- ``range_bin_join``: point-in-interval join.  Naive Spark executes theta
+  joins as BroadcastNestedLoop (quadratic); binning rewrites it as an
+  equi-join on ``floor(value / bin_width)`` — intervals explode to the
+  bins they overlap, points land in exactly one bin (so no dedup pass),
+  and the exact containment predicate refines after the hash join.
+  Bin width trades replication (long intervals hit many bins) against
+  bucket occupancy; both sides stay executor-parallel.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str = "ts",
+    by: str | list[str] | None = None,
+    how: str = "left",
+    suffix: str = "_r",
+) -> DataFrame:
+    """Backward as-of join: latest right row with ``right.on <= left.on``.
+
+    Matches DuckDB's ``ASOF LEFT JOIN ... ON l.by = r.by AND l.on >= r.on``
+    (ties at equal timestamps match).  Right rows should be unique per
+    (by, on); if several share a timestamp the last in sort order wins.
+
+    Right's value columns are appended; names colliding with a left
+    column get ``suffix``.  The matched right timestamp is exposed as
+    ``{on}{suffix}``.  ``how="inner"`` drops unmatched left rows.
+    """
+    if how not in ("left", "inner"):
+        raise ValueError(f"asof_join supports left|inner, got {how!r}")
+    keys = [by] if isinstance(by, str) else list(by or [])
+    rcols = [c for c in right.columns if c not in (*keys, on)]
+    payload = F.struct(
+        F.col(on).alias("__asof_t"), *[F.col(c) for c in rcols]
+    )
+    r = right.select(
+        *keys,
+        F.col(on).alias("__asof_ts"),
+        payload.alias("__asof_p"),
+        F.lit(0).alias("__asof_side"),
+    )
+    l = (  # noqa: E741
+        left.withColumn("__asof_ts", F.col(on))
+        .withColumn("__asof_p", F.lit(None).cast(r.schema["__asof_p"].dataType))
+        .withColumn("__asof_side", F.lit(1))
+    )
+    unioned = l.unionByName(r, allowMissingColumns=True)
+    # right rows sort before left rows at the same timestamp => "<=" match
+    w = (
+        Window.partitionBy(*[F.col(k) for k in keys])
+        if keys
+        else Window.partitionBy(F.lit(1))
+    )
+    w = w.orderBy(F.col("__asof_ts").asc(), F.col("__asof_side").asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    matched = unioned.withColumn("__asof_m", F.last("__asof_p", ignorenulls=True).over(w))
+    out_cols = [F.col(c) for c in left.columns]
+    out_cols.append(F.col("__asof_m.__asof_t").alias(f"{on}{suffix}"))
+    for c in rcols:
+        name = c + suffix if c in left.columns else c
+        out_cols.append(F.col(f"__asof_m.{c}").alias(name))
+    out = matched.filter(F.col("__asof_side") == 1).select(*out_cols)
+    if how == "inner":
+        out = out.filter(F.col(f"{on}{suffix}").isNotNull())
+    return out
+
+
+def _to_ticks(col: Column, dtype: T.DataType) -> Column:
+    """Numeric tick space for binning: µs for timestamps, identity else."""
+    if isinstance(dtype, T.TimestampType):
+        return F.unix_micros(col)
+    return col.cast("double")
+
+
+def range_bin_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_col: str,
+    start_col: str,
+    end_col: str,
+    by: str | list[str] | None = None,
+    bin_width: float = 3600.0,
+    end_inclusive: bool = False,
+    how: str = "inner",
+) -> DataFrame:
+    """Join each point to every interval containing it, as an equi-join.
+
+    ``bin_width`` is in seconds when the joined columns are timestamps,
+    else in the columns' own units.  Long intervals replicate across
+    ``(end-start)/bin_width`` bins — pick a width near the typical
+    interval length so replication stays O(1) per interval.
+    """
+    if how != "inner":
+        raise ValueError("range_bin_join supports inner joins")
+    keys = [by] if isinstance(by, str) else list(by or [])
+    p_dtype = points.schema[point_col].dataType
+    width = bin_width * 1_000_000.0 if isinstance(p_dtype, T.TimestampType) else bin_width
+
+    p = points.withColumn(
+        "__bin", F.floor(_to_ticks(F.col(point_col), p_dtype) / F.lit(width))
+    )
+    s_dtype = intervals.schema[start_col].dataType
+    iv = intervals.withColumn(
+        "__bin",
+        F.explode(
+            F.sequence(
+                F.floor(_to_ticks(F.col(start_col), s_dtype) / F.lit(width)),
+                F.floor(_to_ticks(F.col(end_col), s_dtype) / F.lit(width)),
+            )
+        ),
+    )
+    upper = (
+        F.col(point_col) <= F.col(end_col)
+        if end_inclusive
+        else F.col(point_col) < F.col(end_col)
+    )
+    joined = p.join(iv, [*keys, "__bin"]).filter(
+        (F.col(point_col) >= F.col(start_col)) & upper
+    )
+    return joined.drop("__bin")

@@ -56,16 +56,17 @@ _PRIORITY_NAMES = (
     # r1-green cousin covering the same code path
     "agg_variance_stddev",
     "agg_histogram",
-    "agg_rollup",
     "window_topn_per_group",
-    "window_lag_rank",
     "expr_math_funcs",
     "expr_json_extract",
     "tvf_generate_series",
     # untested in r1 but their code paths have an r1-green cousin
-    # (scalar_conditional_funcs, battery-1 strings, datetime_extract_unix,
-    # window_frames_moving_avg, unnest_lateral_filtered_distinct) — these sit
-    # just past the cap and are still covered by the local oracle pytest
+    # (agg_cube_grouping, window_frames_moving_avg/window_range_percent,
+    # scalar_conditional_funcs, battery-1 strings, datetime_extract_unix,
+    # unnest_lateral_filtered_distinct) — these sit just past the cap and
+    # are still covered by the local oracle pytest
+    "agg_rollup",
+    "window_lag_rank",
     "window_running_sum",
     "expr_case_when",
     "expr_string_funcs",

@@ -16,7 +16,7 @@ from pyspark.sql import functions as F
 
 from opteryx_spark.operators import dedup, similarity, text
 from opteryx_spark.suite import register
-from opteryx_spark.suite._util import t
+from opteryx_spark.suite._util import dsum, osum, t
 
 # DuckDB twins of opteryx_spark.operators.text helpers
 _O_TOKENS = "list_filter(string_split(text, ' '), x -> x <> '')"
@@ -362,4 +362,77 @@ def multimodal_video_frames(spark, sf_dir):
     media = multimodal.synthetic_media(spark, 50)
     return multimodal.sample_video_frames(media, every_nth=5, max_frames=4).orderBy(
         "media_id", "frame_idx"
+    )
+
+
+@register(
+    "join_asof_last_click",
+    oracle="""
+    WITH clicks AS (
+        SELECT user_id, ts, MAX(value) AS click_value
+        FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+    ),
+    purch AS (
+        SELECT event_id, user_id, ts, value FROM events
+        WHERE event_type = 'purchase'
+    )
+    SELECT p.event_id, p.user_id, p.ts, p.value,
+           c.ts AS ts_r, c.click_value
+    FROM purch p ASOF LEFT JOIN clicks c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    ORDER BY p.event_id
+    """,
+)
+def join_asof_last_click(spark, sf_dir):
+    """As-of join: each purchase annotated with the user's most recent
+    click at-or-before it (operators/joins.py::asof_join — union +
+    shuffle-sort + last-ignorenulls window, no UDF, one exchange)."""
+    from opteryx_spark.operators.joins import asof_join
+
+    ev = t(spark, sf_dir, "events")
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("click_value"))
+    )
+    purch = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    return asof_join(purch, clicks, on="ts", by="user_id").orderBy("event_id")
+
+
+@register(
+    "join_range_binned",
+    oracle=f"""
+    WITH w AS (
+        SELECT event_type AS wtype, MIN(ts) AS ws,
+               MIN(ts) + INTERVAL 12 HOUR AS we
+        FROM events GROUP BY event_type
+    )
+    SELECT wtype, CAST(COUNT(*) AS BIGINT) AS n_in,
+           {osum('value')} AS total_value
+    FROM events e JOIN w ON e.ts >= w.ws AND e.ts < w.we
+    GROUP BY wtype ORDER BY wtype
+    """,
+)
+def join_range_binned(spark, sf_dir):
+    """Point-in-interval join via bin equi-join (operators/joins.py::
+    range_bin_join): events falling in each type's first-12-hours window.
+    Naive Spark would BroadcastNestedLoop this theta join; binning makes
+    it a hash join on floor(ts/1h) with exact refinement."""
+    from opteryx_spark.operators.joins import range_bin_join
+
+    ev = t(spark, sf_dir, "events")
+    win = (
+        ev.groupBy(F.col("event_type").alias("wtype"))
+        .agg(F.min("ts").alias("ws"))
+        .withColumn("we", F.col("ws") + F.expr("INTERVAL 12 HOURS"))
+    )
+    joined = range_bin_join(
+        ev.select("ts", "value"), win, "ts", "ws", "we", bin_width=3600.0
+    )
+    return (
+        joined.groupBy("wtype")
+        .agg(F.count(F.lit(1)).alias("n_in"), dsum(F.col("value")).alias("total_value"))
+        .orderBy("wtype")
     )

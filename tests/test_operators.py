@@ -164,3 +164,44 @@ def test_video_frame_sampling(spark):
     again = {(r["media_id"], r["frame_idx"]): r["frame_sha"] for r in frames.collect()}
     first = {(r["media_id"], r["frame_idx"]): r["frame_sha"] for r in rows}
     assert again == first
+
+
+@pytest.fixture(scope="module")
+def dup_heavy(spark):
+    """Duplicate-heavy corpus: 3 copies of A, 2 of a near-dup A', 2 of B,
+    2 copies of a single-word text (empty bigram set), 1 unique."""
+    a = " ".join(f"w{i}" for i in range(30))
+    a2 = " ".join(f"w{i}" for i in range(29)) + " zz"
+    b = " ".join(f"x{i}" for i in range(30))
+    rows = [(1, a), (2, a), (3, a), (4, a2), (5, a2), (6, b), (7, b), (8, "solo"), (9, "solo"), (10, "y0 y1 y2")]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def _pairset(df, score, digits=9):
+    return {(r.id1, r.id2, round(r[score], digits)) for r in df.collect()}
+
+
+def test_unique_texts_equals_direct_jaccard(dup_heavy):
+    fast = dedup.ngram_jaccard_pairs(dup_heavy, threshold=0.8, unique_texts=True)
+    direct = dedup.ngram_jaccard_pairs(dup_heavy, threshold=0.8, unique_texts=False)
+    assert _pairset(fast, "jaccard") == _pairset(direct, "jaccard")
+    # the empty-bigram duplicate pair (8,9) must NOT appear
+    assert not any(p[:2] == (8, 9) for p in _pairset(fast, "jaccard"))
+
+
+def test_unique_texts_equals_direct_minhash(dup_heavy):
+    fast = dedup.minhash_lsh_pairs(dup_heavy, k=2, unique_texts=True)
+    direct = dedup.minhash_lsh_pairs(dup_heavy, k=2, unique_texts=False)
+    assert _pairset(fast, "est_jaccard") == _pairset(direct, "est_jaccard")
+
+
+def test_unique_texts_equals_direct_minhash_verified(dup_heavy):
+    fast = dedup.minhash_dedup_verified(dup_heavy, threshold=0.9, k=2, unique_texts=True)
+    direct = dedup.minhash_dedup_verified(dup_heavy, threshold=0.9, k=2, unique_texts=False)
+    assert _pairset(fast, "jaccard") == _pairset(direct, "jaccard")
+
+
+def test_unique_texts_equals_direct_simhash(dup_heavy):
+    fast = dedup.simhash_dedup_pairs(dup_heavy, max_hamming=8, unique_texts=True)
+    direct = dedup.simhash_dedup_pairs(dup_heavy, max_hamming=8, unique_texts=False)
+    assert _pairset(fast, "hamming") == _pairset(direct, "hamming")
