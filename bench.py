@@ -46,6 +46,9 @@ BENCH_QUERIES = [
     "cb_daily_series",
     "window_frames_moving_avg",
     "text_quality_langid",
+    "join_asof_last_click",
+    "join_range_binned",
+    "skew_join_salted",
 ]
 
 

@@ -46,14 +46,26 @@ def _nanos_ts_columns(path: str) -> list[str]:
     ]
 
 
+# (applicationId, path) -> DataFrame: a DataFrame is just a plan, so reuse
+# skips the per-call footer read + JVM schema inference (~100 ms/query of
+# pure planning overhead).  Keyed by applicationId so a stopped session's
+# plans are never reused.
+_TABLE_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     from pyspark.sql import functions as F
 
-    path = os.path.join(sf_dir, f"{name}.parquet")
+    path = os.path.abspath(os.path.join(sf_dir, f"{name}.parquet"))
+    key = (spark.sparkContext.applicationId, path)
+    cached = _TABLE_CACHE.get(key)
+    if cached is not None:
+        return cached
     ns_cols = _nanos_ts_columns(path)
     df = spark.read.parquet(path)
     for col in ns_cols:
         df = df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))
+    _TABLE_CACHE[key] = df
     return df
 
 

@@ -54,7 +54,10 @@ def _text_groups(df: DataFrame, id_col: str, text_col: str) -> tuple[DataFrame, 
     reps = g.groupBy("gid").agg(
         F.min("id").alias("id"), F.any_value(text_col).alias(text_col)
     )
-    return reps, g.select("gid", "id")
+    # reps feeds several plan branches (the inner pair computation, the
+    # active-group filter, the expansion's rep→gid map); without persist
+    # the corpus-wide text shuffle would re-execute once per branch
+    return reps.persist(), g.select("gid", "id")
 
 
 def _expand_pairs(

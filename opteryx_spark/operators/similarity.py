@@ -80,6 +80,75 @@ def cosine_pairs(
     )
 
 
+def lsh_cosine_pairs(
+    df: DataFrame,
+    threshold: float = 0.8,
+    bands: int = 8,
+    planes_per_band: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    max_bucket: int = 10_000,
+    dim: int | None = None,
+) -> DataFrame:
+    """Embedding near-dup pairs at scale: banded hyperplane LSH candidates
+    refined with exact cosine (the scale path :func:`cosine_pairs` points
+    to).
+
+    ``bands`` independent signatures of ``planes_per_band`` sign bits
+    each; vectors sharing any band signature become candidates (shuffle
+    keyed by (band, sig) — bucket-local, never all-pairs), then the exact
+    cosine filter keeps true pairs.  Candidate recall for similarity
+    ``s = cos(θ)`` is ``1-(1-p^r)^b`` with ``p = 1-θ/π`` — 8×4 default
+    gives ≈0.97 at s=0.9.  ``max_bucket`` anti-joins pathological buckets
+    (e.g. all-zero spam vectors) to keep fan-out linear.
+
+    ``dim`` avoids a setup probe when known; otherwise one scalar
+    ``first()`` reads it (plan-build time, not per-row).
+    """
+    if dim is None:
+        dim = df.select(F.size(vec_col)).first()[0]
+    planes = random_hyperplanes(dim, bands * planes_per_band, seed)
+    band_sigs = []
+    for i in range(bands):
+        sig = F.lit(0)
+        for j in range(planes_per_band):
+            p = F.array(*[F.lit(float(v)) for v in planes[i * planes_per_band + j]])
+            sig = sig + F.when(_dot(F.col(vec_col), p) >= 0, F.lit(1 << j)).otherwise(F.lit(0))
+        band_sigs.append(F.struct(F.lit(i).alias("band"), sig.alias("sig")))
+    buckets = _spread(df).select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v"), F.explode(F.array(*band_sigs)).alias("b")
+    ).select("id", "v", F.col("b.band").alias("band"), F.col("b.sig").alias("sig"))
+    if max_bucket is not None:
+        hot = (
+            buckets.groupBy("band", "sig")
+            .count()
+            .filter(F.col("count") > max_bucket)
+            .select("band", "sig")
+        )
+        buckets = buckets.join(F.broadcast(hot), ["band", "sig"], "left_anti")
+    a, b = buckets.alias("a"), buckets.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id1"),
+            F.col("b.id").alias("id2"),
+            F.col("a.v").alias("v1"),
+            F.col("b.v").alias("v2"),
+        )
+        .dropDuplicates(["id1", "id2"])
+    )
+    return (
+        cand.select("id1", "id2", cosine(F.col("v1"), F.col("v2")).alias("cosim"))
+        .filter(F.col("cosim") >= threshold)
+    )
+
+
 def random_hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     rng = random.Random(seed)
     return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)]

@@ -73,6 +73,9 @@ _PRIORITY_NAMES = (
     "expr_date_funcs",
     "unnest_tokens",
 )
+# rows-only variants whose real signal is a unit test: registered at the very
+# end so they never displace an oracle-bearing entry from the driver window
+_DEFER_NAMES = ("emb_lsh_near_dup_pairs",)
 
 
 def load_all() -> dict[str, QueryDef]:
@@ -91,11 +94,17 @@ def load_all() -> dict[str, QueryDef]:
     for mod in _PRIORITY_MODULES:
         module = sys.modules[f"opteryx_spark.suite.{mod}"]
         for name in REGISTRY:
+            if name in _DEFER_NAMES:
+                continue
             if getattr(module, REGISTRY[name].spark.__name__, None) is REGISTRY[name].spark:
                 ordered[name] = REGISTRY[name]
     for name in _PRIORITY_NAMES:
         if name in REGISTRY:
             ordered[name] = REGISTRY[name]
     for name, qd in REGISTRY.items():
-        ordered.setdefault(name, qd)
+        if name not in _DEFER_NAMES:
+            ordered.setdefault(name, qd)
+    for name in _DEFER_NAMES:
+        if name in REGISTRY:
+            ordered[name] = REGISTRY[name]
     return ordered

@@ -436,3 +436,12 @@ def join_range_binned(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n_in"), dsum(F.col("value")).alias("total_value"))
         .orderBy("wtype")
     )
+
+
+@register("emb_lsh_near_dup_pairs", oracle=None)  # probabilistic recall: rows-only
+def emb_lsh_near_dup_pairs(spark, sf_dir):
+    """Embedding near-dup pairs via banded hyperplane LSH + exact-cosine
+    refinement — the 100 TB path that replaces the O(n²) emb_cosine_pairs
+    baseline (bucket-local candidate join, never all-pairs)."""
+    emb = t(spark, sf_dir, "embeddings")
+    return similarity.lsh_cosine_pairs(emb, threshold=0.45).orderBy("id1", "id2")

@@ -205,3 +205,23 @@ def test_unique_texts_equals_direct_simhash(dup_heavy):
     fast = dedup.simhash_dedup_pairs(dup_heavy, max_hamming=8, unique_texts=True)
     direct = dedup.simhash_dedup_pairs(dup_heavy, max_hamming=8, unique_texts=False)
     assert _pairset(fast, "hamming") == _pairset(direct, "hamming")
+
+
+def test_lsh_cosine_pairs_recall(spark, sf_dir):
+    """Banded-LSH pairs must be a subset of brute-force pairs with decent
+    recall, and every returned cosine must be exact (same expression)."""
+    emb = t(spark, sf_dir, "embeddings")
+    brute = {
+        (r.id1, r.id2): r.cosim
+        for r in similarity.cosine_pairs(emb, threshold=0.45).collect()
+    }
+    lsh = {
+        (r.id1, r.id2): r.cosim
+        for r in similarity.lsh_cosine_pairs(emb, threshold=0.45, bands=8, planes_per_band=4).collect()
+    }
+    assert set(lsh) <= set(brute)
+    assert brute, "fixture must produce at least one true pair"
+    recall = len(lsh) / len(brute)
+    assert recall >= 0.5, f"recall {recall:.2f} too low"
+    for pair, c in lsh.items():
+        assert c == brute[pair]
