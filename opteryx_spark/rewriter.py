@@ -452,6 +452,64 @@ def bind_params(sql: str, params: dict | list | None) -> str:
 _HTTP_FN = re.compile(r"\b(FROM|JOIN)\s+HTTP\s*\(\s*('[^']+')\s*\)", re.IGNORECASE)
 
 
+_FAKE_HEAD = re.compile(r"\b(FROM|JOIN)\s+FAKE\s*\(", re.IGNORECASE)
+
+
+def rewrite_fake_function(sql: str) -> str:
+    """``FROM FAKE(n, m)`` / ``FROM FAKE(n, (Name, Age))`` → a generated
+    subquery (reference ``operators/function_dataset_node.py:70-139``).
+
+    Columns are ``column_0..column_{m-1}``; int specs generate
+    deterministic pseudo-random ints, ``Name`` generator-types strings,
+    ``Age`` small ints.  Aliases after the call attach to the subquery
+    naturally (``FAKE(5000,2) AS FK`` → ``(SELECT ...) AS FK``).
+    """
+    out, pos = [], 0
+    while True:
+        m = _FAKE_HEAD.search(sql, pos)
+        if not m:
+            break
+        depth, i, in_str = 1, m.end(), False
+        while i < len(sql) and depth:
+            ch = sql[i]
+            if in_str:
+                in_str = ch != "'"
+            elif ch == "'":
+                in_str = True
+            elif ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            i += 1
+        args = _split_top_level(sql[m.end() : i - 1])
+        n = args[0].strip() if args else "0"
+        colspec = args[1].strip() if len(args) > 1 else "1"
+        cols = []
+        if colspec.startswith("("):
+            kinds = [k.strip().strip(")").strip() for k in colspec[1:].split(",")]
+            kinds = [k for k in kinds if k]
+            for idx, kind in enumerate(kinds):
+                if kind.lower() == "name":
+                    cols.append(
+                        f"concat('Name_', pmod(hash(id, {idx}), 1000)) AS column_{idx}"
+                    )
+                elif kind.lower() == "age":
+                    cols.append(f"CAST(pmod(hash(id, {idx}), 100) AS INT) AS column_{idx}")
+                else:
+                    cols.append(f"CAST(pmod(hash(id, {idx}), 10000) AS INT) AS column_{idx}")
+        else:
+            width = int(colspec) if colspec.isdigit() else 1
+            cols = [
+                f"CAST(pmod(hash(id, {idx}), 10000) AS INT) AS column_{idx}"
+                for idx in range(width)
+            ]
+        out.append(sql[pos : m.start()])
+        out.append(f"{m.group(1)} (SELECT {', '.join(cols)} FROM range({n}))")
+        pos = i
+    out.append(sql[pos:])
+    return "".join(out)
+
+
 def rewrite_http_function(sql: str) -> str:
     """``FROM HTTP('url')`` → ``FROM 'url'`` (reference
     ``operators/function_dataset_node.py:60-75``); the path-table
@@ -465,6 +523,7 @@ def rewrite(sql: str, params: dict | list | None = None) -> RewriteResult:
     sql = rewrite_http_function(sql)
     sql, paths = extract_path_tables(sql)
     sql = rewrite_generate_series(sql)
+    sql = rewrite_fake_function(sql)
     # operators first: their quoted keys ('k', '$.path') become function
     # arguments, then the literal-aware $-rewrite can't touch them
     sql = rewrite_operators(sql)

@@ -1,0 +1,166 @@
+"""Run the reference engine's own SQL shape batteries against this engine.
+
+The reference ships ~2,300 battery statements as (sql, rows, cols,
+expected_error) tuples (tests/integration/sql_battery/test_shapes_*.py).
+This tool parses those files with ``ast`` at run time — no reference code
+or data is copied into this repo — and executes every statement through
+our DBAPI cursor, comparing row/column counts:
+
+- expected success  → PASS iff our shape == the reference's shape
+- expected error    → PASS iff we raise an opteryx_spark error; if we
+  *succeed* instead the statement lands in ``extra_support`` (we accept
+  SQL the reference rejects — e.g. INTERSECT) — reported, not failed
+- statements touching surfaces this engine doesn't ship locally
+  (sqlite./testdata./iceberg. datasets, $derived) are SKIPPED and listed
+- statements whose row count depends on the *content* of the
+  synthetic-fill datasets ($astronauts/$missions values are
+  deterministic fill to the reference's cardinality, not its data; minor
+  moons' physical values likewise) are checked on COLUMN count only and
+  land in ``cols_only`` buckets
+
+Usage:
+    python tools/reference_battery.py [file_glob ...]   # default: all
+Writes REFERENCE_BATTERY.json next to the repo root and prints a summary.
+"""
+
+from __future__ import annotations
+
+import ast
+import glob
+import json
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+BATTERY_DIR = "/root/reference/tests/integration/sql_battery"
+
+# surfaces the reference resolves against local fixtures we don't ship
+_SKIP_PATTERNS = [
+    re.compile(r"\bsqlite\.", re.I),
+    re.compile(r"\btestdata\.", re.I),
+    re.compile(r"\biceberg\.", re.I),
+    re.compile(r"\$derived\b"),
+    re.compile(r"\bFOR\s+(DATES|'|TODAY|YESTERDAY)", re.I),  # temporal on virtual data
+    re.compile(r"\bHTTP\s*\(", re.I),
+]
+
+
+_SYNTH_TABLES = re.compile(r"\$(astronauts|missions)\b", re.I)
+_SYNTH_FILTER = re.compile(r"\b(WHERE|HAVING|QUALIFY)\b", re.I)
+_SAT_VALUES = re.compile(r"\b(gm|radius|density|magnitude|albedo)\b", re.I)
+
+
+def _content_dependent(stmt: str) -> bool:
+    """Row count depends on synthetic-fill values → compare columns only."""
+    if _SYNTH_TABLES.search(stmt) and _SYNTH_FILTER.search(stmt):
+        return True
+    if re.search(r"\$satellites\b", stmt, re.I) and _SAT_VALUES.search(stmt):
+        return True
+    return False
+
+
+def extract_statements(path: str) -> list[tuple[str, int | None, int | None, str | None]]:
+    tree = ast.parse(open(path).read())
+    out: list[tuple[str, int | None, int | None, str | None]] = []
+    for node in ast.walk(tree):
+        if not (isinstance(node, ast.Assign) and isinstance(node.value, ast.List)):
+            continue
+        if not any(isinstance(t, ast.Name) and t.id == "STATEMENTS" for t in node.targets):
+            continue
+        for el in node.value.elts:
+            if not (isinstance(el, ast.Tuple) and len(el.elts) == 4):
+                continue
+            s, r, c, e = el.elts
+            stmt = s.value if isinstance(s, ast.Constant) else None
+            if isinstance(stmt, bytes):
+                stmt = stmt.decode()
+            if not isinstance(stmt, str):
+                continue
+            rows = r.value if isinstance(r, ast.Constant) else None
+            cols = c.value if isinstance(c, ast.Constant) else None
+            err = e.id if isinstance(e, ast.Name) else None
+            if isinstance(e, ast.Attribute):
+                err = e.attr
+            out.append((stmt, rows, cols, err))
+    return out
+
+
+def run_battery(files: list[str]) -> dict:
+    import opteryx_spark as ox
+    from opteryx_spark import errors
+
+    conn = ox.connect()
+    report: dict = {"files": {}, "failures": [], "extra_support": [], "skipped": []}
+    totals = {"pass": 0, "fail": 0, "skip": 0, "extra_support": 0, "cols_only": 0}
+
+    for path in files:
+        name = os.path.basename(path)
+        stats = {"pass": 0, "fail": 0, "skip": 0, "extra_support": 0, "cols_only": 0}
+        for stmt, rows, cols, err in extract_statements(path):
+            if any(p.search(stmt) for p in _SKIP_PATTERNS):
+                stats["skip"] += 1
+                report["skipped"].append(stmt)
+                continue
+            try:
+                cur = conn.cursor().execute(stmt)
+                got = cur.fetchall()
+                got_shape = (len(got), len(cur.description) if cur.description else 0)
+            except errors.Error as exc:
+                if err is not None:
+                    stats["pass"] += 1
+                else:
+                    stats["fail"] += 1
+                    report["failures"].append(
+                        {"file": name, "sql": stmt, "expected": [rows, cols],
+                         "got": f"{type(exc).__name__}: {str(exc)[:160]}"}
+                    )
+                continue
+            except Exception as exc:  # non-PEP-249 escape = our bug, count as fail
+                stats["fail"] += 1
+                report["failures"].append(
+                    {"file": name, "sql": stmt, "expected": [rows, cols],
+                     "got": f"UNMAPPED {type(exc).__name__}: {str(exc)[:160]}"}
+                )
+                continue
+            if err is not None:
+                stats["extra_support"] += 1
+                report["extra_support"].append(stmt)
+            elif got_shape == (rows, cols):
+                stats["pass"] += 1
+            elif _content_dependent(stmt) and got_shape[1] == cols:
+                stats["cols_only"] += 1
+            else:
+                stats["fail"] += 1
+                report["failures"].append(
+                    {"file": name, "sql": stmt, "expected": [rows, cols],
+                     "got": list(got_shape)}
+                )
+        report["files"][name] = stats
+        for k in totals:
+            totals[k] += stats[k]
+        print(f"{name}: {stats}", flush=True)
+
+    checked = totals["pass"] + totals["fail"]
+    report["totals"] = {
+        **totals,
+        "checked": checked,
+        "pass_rate": round(totals["pass"] / checked, 4) if checked else None,
+    }
+    return report
+
+
+def main() -> None:
+    pats = sys.argv[1:] or ["test_shapes_*.py"]
+    files = sorted(f for p in pats for f in glob.glob(os.path.join(BATTERY_DIR, p)))
+    report = run_battery(files)
+    out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                       "REFERENCE_BATTERY.json")
+    with open(out, "w") as fh:
+        json.dump(report, fh, indent=1)
+    print(json.dumps(report["totals"]))
+
+
+if __name__ == "__main__":
+    main()
