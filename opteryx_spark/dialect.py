@@ -1,0 +1,584 @@
+"""SQL dialect-parity rewrites: reference function catalog → Spark built-ins.
+
+The reference's SQL surface (``/root/reference/opteryx/functions/__init__.py:
+508-656``, ``managers/expression/ops.py``) includes function names, operators
+and literal forms Spark SQL spells differently.  This module closes the gap
+as *text-level macro expansion* so every call stays a Catalyst expression —
+JVM-side, codegen-friendly, zero UDF overhead.  Only genuinely polymorphic
+functions (SEARCH adapts to string vs array input, reference
+``functions/other_functions.py:27``) fall back to a registered pandas UDF.
+
+All scanners are string-literal-aware and paren-balanced, so nested calls
+and quoted arguments survive.
+"""
+
+from __future__ import annotations
+
+import re
+
+# ---------------------------------------------------------------------------
+# shared low-level helpers
+
+
+def _split_top_level(args: str) -> list[str]:
+    out, depth, in_str, start = [], 0, False, 0
+    for i, ch in enumerate(args):
+        if in_str:
+            in_str = ch != "'"
+        elif ch == "'":
+            in_str = True
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            out.append(args[start:i].strip())
+            start = i + 1
+    tail = args[start:].strip()
+    if tail:
+        out.append(tail)
+    return out
+
+
+def _balanced_end(sql: str, open_paren: int) -> int:
+    """Index one past the ')' matching the '(' at ``open_paren``."""
+    depth, i, in_str, n = 1, open_paren + 1, False, len(sql)
+    while i < n and depth:
+        ch = sql[i]
+        if in_str:
+            in_str = ch != "'"
+        elif ch == "'":
+            in_str = True
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        i += 1
+    return i
+
+
+def map_outside_literals(sql: str, fn) -> str:
+    out, start, i, in_str, n = [], 0, 0, False, len(sql)
+    while i < n:
+        ch = sql[i]
+        if not in_str and ch == "'":
+            out.append(fn(sql[start:i]))
+            start = i
+            in_str = True
+        elif in_str and ch == "'":
+            out.append(sql[start : i + 1])
+            start = i + 1
+            in_str = False
+        i += 1
+    out.append(sql[start:] if in_str else fn(sql[start:]))
+    return "".join(out)
+
+
+# ---------------------------------------------------------------------------
+# macro table: reference function name → Spark expression template
+
+
+def _cast_fn(spark_type: str):
+    return lambda a: f"CAST({a[0]} AS {spark_type})" if len(a) == 1 else None
+
+
+def _sha2(bits: int):
+    return lambda a: f"sha2(CAST({a[0]} AS STRING), {bits})" if len(a) == 1 else None
+
+
+def _product(a):
+    # Sign-tracked exp-sum-log: distributive (partial-aggregatable), exact to
+    # double precision like the reference's float fold.
+    if len(a) != 1:
+        return None
+    x = a[0]
+    mag = f"EXP(SUM(LN(ABS(CASE WHEN ({x}) = 0 THEN 1 ELSE ({x}) END))))"
+    return (
+        f"(CASE WHEN SUM(CASE WHEN ({x}) = 0 THEN 1 ELSE 0 END) > 0 THEN 0.0D "
+        f"WHEN SUM(CASE WHEN ({x}) < 0 THEN 1 ELSE 0 END) % 2 = 1 THEN -{mag} "
+        f"ELSE {mag} END)"
+    )
+
+
+_TB_UNITS = {
+    "year": "year", "years": "year", "y": "year",
+    "month": "month", "months": "month", "mon": "month",
+    "week": "week", "weeks": "week", "w": "week",
+    "day": "day", "days": "day", "d": "day",
+    "hour": "hour", "hours": "hour", "h": "hour",
+    "minute": "minute", "minutes": "minute", "min": "minute",
+    "second": "second", "seconds": "second", "s": "second",
+}
+
+
+def _time_bucket(a):
+    """Reference TIME_BUCKET(ts, n, unit) — fixed-width bucket floor."""
+    if len(a) == 2:
+        ts, n, unit = a[0], "1", a[1]
+    elif len(a) == 3:
+        ts, n, unit = a
+    else:
+        return None
+    unit = _TB_UNITS.get(unit.strip().strip("'").lower())
+    if unit is None:
+        return None
+    if unit == "year":
+        return f"make_date(CAST(FLOOR(YEAR({ts})/({n}))*({n}) AS INT), 1, 1)"
+    if unit == "month":
+        return (
+            f"add_months(DATE'1970-01-01', "
+            f"CAST(FLOOR(((YEAR({ts})-1970)*12+MONTH({ts})-1)/({n}))*({n}) AS INT))"
+        )
+    if unit in ("day", "week"):
+        width = f"({n})*7" if unit == "week" else f"({n})"
+        return (
+            f"date_add(DATE'1970-01-01', "
+            f"CAST(FLOOR(DATEDIFF({ts}, DATE'1970-01-01')/({width}))*({width}) AS INT))"
+        )
+    secs = {"hour": 3600, "minute": 60, "second": 1}[unit]
+    return (
+        f"to_timestamp(FLOOR(unix_timestamp(CAST({ts} AS TIMESTAMP))/(({n})*{secs}))"
+        f"*(({n})*{secs}))"
+    )
+
+
+_DD_UNITS = {
+    "year": "YEAR", "years": "YEAR", "quarter": "QUARTER", "quarters": "QUARTER",
+    "month": "MONTH", "months": "MONTH", "week": "WEEK", "weeks": "WEEK",
+    "day": "DAY", "days": "DAY", "hour": "HOUR", "hours": "HOUR",
+    "minute": "MINUTE", "minutes": "MINUTE", "second": "SECOND", "seconds": "SECOND",
+}
+
+
+def _datediff(a):
+    """DATEDIFF('unit', start, end) → timestampdiff (reference arg order)."""
+    if len(a) != 3:
+        return None
+    unit = _DD_UNITS.get(a[0].strip().strip("'").lower())
+    if unit is None:
+        return None
+    return (
+        f"timestampdiff({unit}, CAST({a[1]} AS TIMESTAMP), CAST({a[2]} AS TIMESTAMP))"
+    )
+
+
+def _array_tuple(arg: str) -> str:
+    """A parenthesised tuple literal → ``array(...)``; else pass through."""
+    arg = arg.strip()
+    return f"array{arg}" if arg.startswith("(") else arg
+
+
+def _jsonb_object_keys(a):
+    if len(a) != 1:
+        return None
+    arg = a[0].strip()
+    # quoted JSON document → already a string; struct/variant column → to_json
+    if arg.startswith("'"):
+        return f"json_object_keys({arg})"
+    return f"json_object_keys(to_json({arg}))"
+
+
+MACROS = {
+    # conditionals (reference functions/__init__.py:597-606)
+    "iif": lambda a: f"IF({', '.join(a)})" if len(a) == 3 else None,
+    "ifnotnull": lambda a: f"IF(({a[0]}) IS NOT NULL, {a[1]}, {a[0]})" if len(a) == 2 else None,
+    # dates
+    "today": lambda a: "current_date()" if not a else None,
+    "yesterday": lambda a: "date_sub(current_date(), 1)" if not a else None,
+    "unixtime": lambda a: "unix_timestamp()" if not a
+    else f"unix_timestamp(CAST({a[0]} AS TIMESTAMP))",
+    "time_bucket": _time_bucket,
+    "datediff": _datediff,
+    # generators
+    "random_string": lambda a: (
+        f"SUBSTRING(REPEAT(MD5(CAST(RAND() AS STRING)), CAST(({a[0]})/32 AS INT)+1), 1, {a[0]})"
+        if len(a) == 1 else None
+    ),
+    "normal": lambda a: "randn()" if not a else None,
+    "phi": lambda a: "1.61803398874989484820458683436563812D" if not a else None,
+    # strings
+    "starts_with": lambda a: f"startswith({', '.join(a)})" if len(a) == 2 else None,
+    "ends_with": lambda a: f"endswith({', '.join(a)})" if len(a) == 2 else None,
+    "title": lambda a: f"initcap({a[0]})" if len(a) == 1 else None,
+    "len": lambda a: f"LENGTH({a[0]})" if len(a) == 1 else None,
+    # polymorphic → pandas UDFs (registered by functions.register_sql_functions)
+    "search": lambda a: f"opx_search({a[0]}, {a[1]})" if len(a) == 2 else None,
+    "cosine_similarity": lambda a: f"opx_text_cosine({a[0]}, {a[1]})" if len(a) == 2 else None,
+    # arrays
+    "sort": lambda a: f"array_sort({a[0]})" if len(a) == 1 else None,
+    "greatest": lambda a: f"array_max({a[0]})" if len(a) == 1 else None,
+    "least": lambda a: f"array_min({a[0]})" if len(a) == 1 else None,
+    "array_contains_any": lambda a: (
+        f"arrays_overlap({a[0]}, {_array_tuple(a[1])})" if len(a) == 2 else None
+    ),
+    "array_contains_all": lambda a: (
+        f"forall({_array_tuple(a[1])}, __e -> array_contains({a[0]}, __e))"
+        if len(a) == 2 else None
+    ),
+    # hashes / encodings
+    "sha224": _sha2(224), "sha256": _sha2(256), "sha384": _sha2(384), "sha512": _sha2(512),
+    "base64_encode": lambda a: f"base64(CAST({a[0]} AS BINARY))" if len(a) == 1 else None,
+    "base64_decode": lambda a: f"CAST(unbase64({a[0]}) AS STRING)" if len(a) == 1 else None,
+    "hex_encode": lambda a: f"hex({a[0]})" if len(a) == 1 else None,
+    "hex_decode": lambda a: f"CAST(unhex({a[0]}) AS STRING)" if len(a) == 1 else None,
+    # json
+    "jsonb_object_keys": _jsonb_object_keys,
+    # aggregates
+    "approximate_median": lambda a: f"approx_percentile({a[0]}, 0.5)" if len(a) == 1 else None,
+    "count_distinct": lambda a: f"COUNT(DISTINCT {', '.join(a)})" if a else None,
+    "one": lambda a: f"any_value({a[0]})" if len(a) == 1 else None,
+    "min_max": lambda a: (
+        f"named_struct('min', MIN({a[0]}), 'max', MAX({a[0]}))" if len(a) == 1 else None
+    ),
+    "product": _product,
+    # function-style casts (reference planner function-casts; INTEGER is int64)
+    "varchar": _cast_fn("STRING"),
+    "integer": _cast_fn("BIGINT"),
+    "blob": _cast_fn("BINARY"),
+}
+
+_NAME = re.compile(r"[A-Za-z_]\w*")
+
+
+def _expand_once(sql: str) -> str:
+    out, i, in_str, n = [], 0, False, len(sql)
+    while i < n:
+        ch = sql[i]
+        if in_str:
+            out.append(ch)
+            in_str = ch != "'"
+            i += 1
+            continue
+        if ch == "'":
+            out.append(ch)
+            in_str = True
+            i += 1
+            continue
+        m = _NAME.match(sql, i)
+        if not m:
+            out.append(ch)
+            i += 1
+            continue
+        name = m.group(0)
+        fn = MACROS.get(name.lower())
+        j = m.end()
+        k = j
+        while k < n and sql[k] in " \t\n":
+            k += 1
+        qualified = i > 0 and sql[i - 1] in "._$@"
+        if fn is None or qualified or k >= n or sql[k] != "(":
+            out.append(name)
+            i = j
+            continue
+        end = _balanced_end(sql, k)
+        args = _split_top_level(sql[k + 1 : end - 1])
+        rep = fn(args)
+        out.append(rep if rep is not None else sql[i:end])
+        i = end
+    return "".join(out)
+
+
+def expand_macros(sql: str) -> str:
+    """Expand reference-dialect calls to Spark expressions (fixpoint so
+    macro calls nested in macro arguments resolve too)."""
+    for _ in range(8):
+        new = _expand_once(sql)
+        if new == sql:
+            return sql
+        sql = new
+    return sql
+
+
+# ---------------------------------------------------------------------------
+# quantified comparisons: <expr> <op> ANY|ALL(<array>)
+# (reference AnyOp*/AllOp* kernels, managers/expression/ops.py:40-134)
+
+_ANYALL_HEAD = re.compile(
+    r"('[^']*'|[\w.$]+(?:\([^()]*\))?|\([^()]*\))\s*"
+    r"(NOT\s+(?:LIKE|ILIKE|RLIKE)|LIKE|ILIKE|RLIKE|!=|<>|>=|<=|=|>|<)\s*"
+    r"\b(ANY|ALL)\s*\(",
+    re.IGNORECASE,
+)
+
+
+def rewrite_any_all(sql: str) -> str:
+    """``'x' = ANY(arr)`` → ``exists(arr, __v -> 'x' = __v)``; ALL → forall.
+
+    Match-absence maps to FALSE rather than SQL's NULL when the array holds
+    nulls — identical filtering behaviour for WHERE clauses.
+    """
+    pos = 0
+    while True:
+        m = _ANYALL_HEAD.search(sql, pos)
+        if not m:
+            return sql
+        end = _balanced_end(sql, m.end() - 1)
+        arr = sql[m.end() : end - 1]
+        if re.match(r"\s*SELECT\b", arr, re.IGNORECASE):
+            pos = m.end()  # ANSI quantified subquery — Spark handles natively
+            continue
+        lhs, op, quant = m.group(1), m.group(2), m.group(3).upper()
+        fn = "exists" if quant == "ANY" else "forall"
+        repl = f"{fn}({arr}, __v -> {lhs} {op} __v)"
+        sql = sql[: m.start()] + repl + sql[end:]
+        pos = m.start()
+
+
+# ---------------------------------------------------------------------------
+# literal forms
+
+_BYTE_LIT = re.compile(r"(?<![\w$])[bB]'")
+_NUM_UNDERSCORE = re.compile(r"(?<![\w.])(\d[\d_]*(?:\.[\d_]+)?)")
+
+
+def strip_byte_literals(sql: str) -> str:
+    """``b'bytes'`` → ``'bytes'`` — the reference compares BLOB and VARCHAR
+    freely (``ops.py:50-56``); Spark strings compare without the prefix."""
+    out, i, in_str, n = [], 0, False, len(sql)
+    while i < n:
+        if not in_str:
+            m = _BYTE_LIT.match(sql, i)
+            if m:
+                out.append("'")
+                i = m.end()
+                in_str = True
+                continue
+        ch = sql[i]
+        if in_str:
+            in_str = ch != "'"
+        elif ch == "'":
+            in_str = True
+        out.append(ch)
+        i += 1
+    return "".join(out)
+
+
+def normalize_numeric_underscores(sql: str) -> str:
+    """``1_00`` / ``10.0_0`` → ``100`` / ``10.00`` (reference accepts
+    underscore digit separators)."""
+
+    def seg(s: str) -> str:
+        return _NUM_UNDERSCORE.sub(lambda m: m.group(1).replace("_", ""), s)
+
+    return map_outside_literals(sql, seg)
+
+
+# ---------------------------------------------------------------------------
+# CAST target types the reference names differently
+
+_CAST_TYPES = [
+    (re.compile(r"\bAS\s+VARCHAR\b(?!\s*\()", re.IGNORECASE), "AS STRING"),
+    (re.compile(r"\bAS\s+BLOB\b", re.IGNORECASE), "AS BINARY"),
+    (re.compile(r"\bAS\s+VARBINARY\b", re.IGNORECASE), "AS BINARY"),
+    # reference INTEGER is always int64 (SURVEY §1.2)
+    (re.compile(r"\bAS\s+INTEGER\b", re.IGNORECASE), "AS BIGINT"),
+]
+
+
+def map_cast_types(sql: str) -> str:
+    def seg(s: str) -> str:
+        for pat, repl in _CAST_TYPES:
+            s = pat.sub(repl, s)
+        return s
+
+    return map_outside_literals(sql, seg)
+
+
+# ---------------------------------------------------------------------------
+# EXTRACT: field-name dialect + string-literal operands
+
+_EXTRACT_HEAD = re.compile(r"\bEXTRACT\s*\(", re.IGNORECASE)
+_EXTRACT_BODY = re.compile(r"^\s*(\w+)\s+FROM\s+(.+)$", re.IGNORECASE | re.DOTALL)
+_DATEISH_LIT = re.compile(r"^'\d{4}-\d{2}-\d{2}([ T].*)?'$")
+_EXTRACT_FIELD_MAP = {
+    "dayofyear": "DOY",
+    "isoyear": "YEAROFWEEK",
+    "isodow": "DAYOFWEEK_ISO",
+    "weekofyear": "WEEK",
+}
+
+
+def rewrite_extract(sql: str) -> str:
+    out, pos = [], 0
+    while True:
+        m = _EXTRACT_HEAD.search(sql, pos)
+        if not m:
+            break
+        end = _balanced_end(sql, m.end() - 1)
+        body = _EXTRACT_BODY.match(sql[m.end() : end - 1])
+        if not body:
+            out.append(sql[pos:end])
+            pos = end
+            continue
+        field, operand = body.group(1), body.group(2).strip()
+        if _DATEISH_LIT.match(operand):
+            operand = f"CAST({operand} AS TIMESTAMP)"
+        fl = field.lower()
+        if fl in ("millisecond", "milliseconds"):
+            repl = f"CAST(date_format(CAST({operand} AS TIMESTAMP), 'SSS') AS BIGINT)"
+        elif fl in ("microsecond", "microseconds"):
+            repl = (
+                f"(CAST(date_format(CAST({operand} AS TIMESTAMP), 'SSSSSS') AS BIGINT))"
+            )
+        elif fl in ("nanosecond", "nanoseconds"):
+            repl = (
+                f"(CAST(date_format(CAST({operand} AS TIMESTAMP), 'SSSSSS') AS BIGINT) * 1000)"
+            )
+        elif fl == "epoch":
+            repl = f"unix_timestamp(CAST({operand} AS TIMESTAMP))"
+        else:
+            repl = f"EXTRACT({_EXTRACT_FIELD_MAP.get(fl, field)} FROM {operand})"
+        out.append(sql[pos : m.start()])
+        out.append(repl)
+        pos = end
+    out.append(sql[pos:])
+    return "".join(out)
+
+
+# ---------------------------------------------------------------------------
+# UNNEST relations (reference operators/function_dataset_node.py:70-139 and
+# the cross-join unnest path, operators/cross_join_node.py)
+
+_CJ_UNNEST = re.compile(r"\bCROSS\s+JOIN\s+UNNEST\s*\(", re.IGNORECASE)
+_FROM_UNNEST = re.compile(r"\b(FROM|JOIN)\s+UNNEST\s*\(", re.IGNORECASE)
+_UNNEST_ALIAS = re.compile(r"\s*(?:AS\s+)?([A-Za-z_]\w*)", re.IGNORECASE)
+_UNNEST_KEYWORDS = frozenset(
+    "ON WHERE GROUP ORDER LIMIT OFFSET HAVING UNION INTERSECT EXCEPT JOIN"
+    " LEFT RIGHT FULL INNER CROSS SEMI ANTI NATURAL USING SELECT".split()
+)
+_UNNEST_COUNTER = [0]
+
+
+def _unnest_alias(sql: str, i: int) -> tuple[str | None, int]:
+    am = _UNNEST_ALIAS.match(sql, i)
+    if am and am.group(1).upper() not in _UNNEST_KEYWORDS:
+        return am.group(1), am.end()
+    return None, i
+
+
+def rewrite_unnest(sql: str) -> str:
+    # table CROSS JOIN UNNEST(col) AS a  →  table LATERAL VIEW explode(col) .. AS a
+    while True:
+        m = _CJ_UNNEST.search(sql)
+        if not m:
+            break
+        end = _balanced_end(sql, m.end() - 1)
+        arg = _array_tuple(sql[m.end() : end - 1])
+        alias, end2 = _unnest_alias(sql, end)
+        alias = alias or "unnest"
+        _UNNEST_COUNTER[0] += 1
+        repl = f" LATERAL VIEW explode({arg}) __uv_{_UNNEST_COUNTER[0]} AS {alias}"
+        sql = sql[: m.start()] + repl + sql[end2:]
+    # FROM UNNEST((tuple)) AS element  →  FROM (SELECT explode(array(...)) AS element)
+    while True:
+        m = _FROM_UNNEST.search(sql)
+        if not m:
+            break
+        end = _balanced_end(sql, m.end() - 1)
+        arg = _array_tuple(sql[m.end() : end - 1])
+        alias, end2 = _unnest_alias(sql, end)
+        alias = alias or "unnest"
+        repl = f"{m.group(1)} (SELECT explode({arg}) AS {alias}) AS {alias}"
+        sql = sql[: m.start()] + repl + sql[end2:]
+    return sql
+
+
+# ---------------------------------------------------------------------------
+# table hints the reference accepts and we (like Spark) ignore
+
+_TABLE_HINT = re.compile(
+    r"\s+WITH\s*\(\s*(?:NO_CACHE|NO_PARTITION|NO_PUSH_PROJECTION|NO_PUSH_SELECTION|"
+    r"NO_PUSH_AGGREGATION)(?:\s*,\s*\w+)*\s*\)",
+    re.IGNORECASE,
+)
+
+
+def strip_table_hints(sql: str) -> str:
+    return _TABLE_HINT.sub("", sql)
+
+
+# ---------------------------------------------------------------------------
+# virtual-dataset column aliases (reference FlatColumn(aliases=[...]),
+# virtual_datasets/planet_data.py:100-113, satellite_data.py:50,
+# missions.py:47 — note the reference's canonical name IS the typo
+# "Lauched_at"; "Launched_at" is its alias)
+
+_VIRTUAL_COLUMN_ALIASES = {
+    "planets": {
+        "escape_velocity": "escapeVelocity",
+        "rotation_period": "rotationPeriod",
+        "length_of_day": "lengthOfDay",
+        "distance_from_sun": "distanceFromSun",
+        "orbital_period": "orbitalPeriod",
+        "oribtal_velocity": "orbitalVelocity",
+        "oribtial_inclination": "orbitalInclination",
+        "orbital_eccentricity": "orbitalEccentricity",
+        "obliquity_to_orbit": "obliquityToOrbit",
+        "mean_temperature": "meanTemperature",
+        "surface_pressure": "surfacePressure",
+        "number_of_moons": "numberOfMoons",
+    },
+    "satellites": {"planet_id": "planetId"},
+    "missions": {"launched_at": "Lauched_at"},
+}
+
+
+def resolve_virtual_aliases(sql: str) -> str:
+    """Rewrite alias column names to canonical ones when the owning virtual
+    dataset is referenced.  Bare select-list items keep their queried name
+    via an ``AS`` alias, matching the reference's output naming."""
+    for table, amap in _VIRTUAL_COLUMN_ALIASES.items():
+        if not re.search(rf"\$({table})\b", sql, re.IGNORECASE):
+            continue
+        for alias, canon in amap.items():
+            pat = re.compile(rf"\b{alias}\b(?!\s*')", re.IGNORECASE)
+
+            def seg(s: str, pat=pat, alias=alias, canon=canon) -> str:
+                return pat.sub(
+                    lambda m: f"{canon} AS {alias}"
+                    if _is_bare_select_item(s, m)
+                    else canon,
+                    s,
+                )
+
+            sql = map_outside_literals(sql, seg)
+    return sql
+
+
+def _is_bare_select_item(s: str, m: re.Match) -> bool:
+    """True when the matched name is a whole select-list item (so we add
+    ``AS alias`` to preserve the output column name)."""
+    before = s[: m.start()].rstrip()
+    after = s[m.end() :].lstrip()
+    head_ok = before.upper().endswith(("SELECT", "DISTINCT", ","))
+    tail_ok = after[:1] == "," or after.upper().startswith("FROM")
+    return head_ok and tail_ok
+
+
+# ---------------------------------------------------------------------------
+# WHERE <integer expression> — the reference coerces nonzero → true for
+# bitwise results (ops.py bitwise kernels feed filters directly)
+
+_WHERE_BITOR = re.compile(
+    r"\b(WHERE|HAVING)\s+(\d+\s*[|&^]\s*\d+)(?=\s*$|\s+(?:GROUP|ORDER|LIMIT)\b)",
+    re.IGNORECASE,
+)
+
+
+def rewrite_bitwise_filters(sql: str) -> str:
+    return _WHERE_BITOR.sub(lambda m: f"{m.group(1)} ({m.group(2)}) != 0", sql)
+
+
+def apply(sql: str) -> str:
+    """All dialect passes in dependency order (called from rewriter.rewrite)."""
+    sql = strip_byte_literals(sql)
+    sql = normalize_numeric_underscores(sql)
+    sql = strip_table_hints(sql)
+    sql = rewrite_unnest(sql)
+    sql = rewrite_any_all(sql)
+    sql = rewrite_extract(sql)
+    sql = expand_macros(sql)
+    sql = map_cast_types(sql)
+    sql = rewrite_bitwise_filters(sql)
+    sql = resolve_virtual_aliases(sql)
+    return sql

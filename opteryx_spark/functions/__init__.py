@@ -151,12 +151,55 @@ def _make_pandas_udfs():
 
         return s.map(_sx)
 
+    @pandas_udf("boolean")
+    def opx_search(col: pd.Series, needle: pd.Series) -> pd.Series:
+        """Reference SEARCH (``functions/other_functions.py:27``): adapts to
+        the field type — case-insensitive substring on strings, member
+        containment on arrays."""
+        import numpy as np
+
+        def _s(v, n):
+            if v is None or n is None:
+                return None
+            n_l = str(n).lower()
+            if isinstance(v, (list, tuple, np.ndarray)):
+                return any(e is not None and n_l in str(e).lower() for e in v)
+            return n_l in str(v).lower()
+
+        return pd.Series([_s(v, n) for v, n in zip(col, needle)], dtype="object")
+
+    @pandas_udf("double")
+    def opx_text_cosine(col: pd.Series, query: pd.Series) -> pd.Series:
+        """Reference COSINE_SIMILARITY (``functions/other_functions.py:222``):
+        bag-of-words cosine between two texts (hashed token counts)."""
+        import math
+        import re as _re
+        from collections import Counter
+
+        tok = _re.compile(r"[a-z0-9]+")
+
+        def _vec(text):
+            return Counter(tok.findall(str(text).lower()))
+
+        def _cos(a, b):
+            if a is None or b is None:
+                return None
+            va, vb = _vec(a), _vec(b)
+            dot = sum(va[k] * vb[k] for k in va.keys() & vb.keys())
+            na = math.sqrt(sum(x * x for x in va.values()))
+            nb = math.sqrt(sum(x * x for x in vb.values()))
+            return dot / (na * nb) if na and nb else 0.0
+
+        return pd.Series([_cos(a, b) for a, b in zip(col, query)], dtype="float64")
+
     return {
         "base85_encode": base85_encode,
         "base85_decode": base85_decode,
         "humanize": humanize,
         "ip_in_cidr": ip_in_cidr,
         "soundex_py": soundex_udf,
+        "opx_search": opx_search,
+        "opx_text_cosine": opx_text_cosine,
     }
 
 

@@ -206,9 +206,12 @@ def extract_temporal(sql: str) -> tuple[str, dict[str, tuple[str, str]]]:
 
 # --- operator rewrites ------------------------------------------------------
 
-_ARROW2 = re.compile(r"([\w.\(\)]+)\s*->>\s*'([^']+)'")
-_ARROW1 = re.compile(r"([\w.\(\)]+)\s*->\s*'([^']+)'")
-_ATQ = re.compile(r"([\w.\(\)]+)\s*@\?\s*'([^']+)'")
+# lhs: a dotted identifier chain, optionally one trailing call — NOT an
+# unbalanced prefix like "IFNULL(col" (the old [\w.()]+ class swallowed the
+# wrapping function's open paren)
+_ARROW2 = re.compile(r"([\w.]+(?:\([^()]*\))?)\s*->>\s*'([^']+)'")
+_ARROW1 = re.compile(r"([\w.]+(?:\([^()]*\))?)\s*->\s*'([^']+)'")
+_ATQ = re.compile(r"([\w.]+(?:\([^()]*\))?)\s*@\?\s*'([^']+)'")
 _AT_ALL = re.compile(r"([\w.\(\)]+)\s*@>>\s*\(([^)]*)\)")
 _AT_ANY = re.compile(r"([\w.\(\)]+)\s*@>\s*\(([^)]*)\)")
 _DOLLAR = re.compile(r"\$(\w+)")
@@ -221,7 +224,7 @@ _GS_KEYWORDS = frozenset(
 )
 _GS_DATE = re.compile(r"^'(\d{4}-\d{2}-\d{2}([ T]\d{2}:\d{2}(:\d{2}(\.\d+)?)?)?Z?)'$")
 _GS_IVAL_TOKEN = re.compile(
-    r"(\d+)\s*(years?|y|months?|mons?|mths?|weeks?|w|days?|d|hours?|h|minutes?|mins?|m|seconds?|secs?|s)",
+    r"(\d+)\s*(years?|y|months?|mons?|mths?|mo|weeks?|w|days?|d|hours?|h|minutes?|mins?|m|seconds?|secs?|s)",
     re.IGNORECASE,
 )
 _GS_IVAL_UNIT = {
@@ -231,12 +234,15 @@ _GS_IVAL_UNIT = {
     "w": "WEEK", "week": "WEEK", "weeks": "WEEK",
     "d": "DAY", "day": "DAY", "days": "DAY",
     "h": "HOUR", "hour": "HOUR", "hours": "HOUR",
+    "mo": "MONTH",
     "m": "MINUTE", "min": "MINUTE", "mins": "MINUTE",
     "minute": "MINUTE", "minutes": "MINUTE",
     "s": "SECOND", "sec": "SECOND", "secs": "SECOND",
     "second": "SECOND", "seconds": "SECOND",
 }
-_PATH_FROM = re.compile(r"(FROM|JOIN)\s+'([^']+)'", re.IGNORECASE)
+# a quoted relation must look like a path (slash or dot) so that literal
+# operands of EXTRACT/SUBSTRING "FROM 'x'" forms are left alone
+_PATH_FROM = re.compile(r"(FROM|JOIN)\s+'([^']*[/.][^']*)'", re.IGNORECASE)
 _DISTINCT_ON = re.compile(
     r"SELECT\s+DISTINCT\s+ON\s*\(([^)]*)\)\s*(.*?)\s+FROM\s+(.*?)(?:\s+ORDER\s+BY\s+(.*?))?\s*$",
     re.IGNORECASE | re.DOTALL,
@@ -297,6 +303,9 @@ def _gs_interval(spec: str) -> str | None:
     return "INTERVAL " + " ".join(parts)
 
 
+_GS_FLOAT = re.compile(r"^-?\d+\.\d+$")
+
+
 def _gs_args(raw: list[str]) -> str:
     """Reference semantics (``opteryx/utils/series.py:14-46``): numeric
     series default start=1 with inclusive stop; date series take
@@ -312,6 +321,20 @@ def _gs_args(raw: list[str]) -> str:
     if len(raw) == 1:
         return f"1, {raw[0]}"
     return ", ".join(raw)
+
+
+def _gs_explode_inner(raw: list[str]) -> str:
+    """The expression inside ``explode(...)`` for a GENERATE_SERIES call.
+    Fractional bounds/steps (unsupported by ``sequence``) become an index
+    transform: start + i*step for i in 0..floor((stop-start)/step)."""
+    if not (raw and _GS_DATE.match(raw[0])) and any(_GS_FLOAT.match(a) for a in raw):
+        start, stop = (raw[0], raw[1]) if len(raw) > 1 else ("1", raw[0])
+        step = raw[2] if len(raw) > 2 else "1"
+        return (
+            f"transform(sequence(0, CAST(FLOOR((({stop})-({start}))/({step})) AS BIGINT)), "
+            f"__i -> ({start}) + __i*({step}))"
+        )
+    return f"sequence({_gs_args(raw)})"
 
 
 def rewrite_generate_series(sql: str) -> str:
@@ -338,13 +361,17 @@ def rewrite_generate_series(sql: str) -> str:
             elif ch == ")":
                 depth -= 1
             i += 1
-        args = _gs_args(_split_top_level(sql[m.end() : i - 1]))
+        inner = _gs_explode_inner(_split_top_level(sql[m.end() : i - 1]))
         alias, col, end = "series", "generate_series", i
         am = _GS_ALIAS.match(sql, i)
         if am and am.group(1).upper() not in _GS_KEYWORDS:
-            alias, col, end = am.group(1), am.group(2) or col, am.end()
+            # reference: the relation alias names the generated column too
+            # (SELECT GS FROM GENERATE_SERIES(1,10) AS GS)
+            alias = am.group(1)
+            end = am.end() if am.group(2) else am.end(1)
+            col = am.group(2) or alias
         out.append(sql[pos : m.start()])
-        out.append(f"{m.group(1)} (SELECT explode(sequence({args})) AS {col}) {alias}")
+        out.append(f"{m.group(1)} (SELECT explode({inner}) AS {col}) {alias}")
         pos = end
     out.append(sql[pos:])
     return "".join(out)
@@ -518,6 +545,8 @@ def rewrite_http_function(sql: str) -> str:
 
 
 def rewrite(sql: str, params: dict | list | None = None) -> RewriteResult:
+    from opteryx_spark import dialect
+
     sql = strip_comments(sql)
     sql, temporal = extract_temporal(sql)
     sql = rewrite_http_function(sql)
@@ -527,6 +556,7 @@ def rewrite(sql: str, params: dict | list | None = None) -> RewriteResult:
     # operators first: their quoted keys ('k', '$.path') become function
     # arguments, then the literal-aware $-rewrite can't touch them
     sql = rewrite_operators(sql)
+    sql = dialect.apply(sql)
     sql = rewrite_virtual_datasets(sql)
     sql = rewrite_distinct_on(sql)
     sql = bind_params(sql, params)

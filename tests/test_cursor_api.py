@@ -80,7 +80,10 @@ def test_multi_statement(conn):
 
 def test_explain(conn):
     cur = conn.cursor().execute("EXPLAIN SELECT COUNT(*) FROM lineitem WHERE l_quantity > 10")
-    text = "\n".join(r[0] for r in cur.fetchall())
+    rows = cur.fetchall()
+    # reference EXPLAIN shape: (tree, operator, config) rows
+    assert [d[0] for d in cur.description] == ["tree", "operator", "config"]
+    text = "\n".join(r[2] for r in rows)
     assert "PushedFilters" in text
 
 

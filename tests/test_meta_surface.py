@@ -23,8 +23,8 @@ def conn(spark, sf_dir):
 def test_show_columns(conn):
     cur = conn.cursor().execute("SHOW COLUMNS FROM nation")
     rows = cur.fetchall()
-    assert ("n_nationkey", "int", True) in rows
-    assert ("n_name", "string", True) in rows
+    assert ("n_nationkey", "int", True, []) in rows
+    assert ("n_name", "string", True, []) in rows
 
 
 def test_show_columns_virtual(conn):
@@ -38,7 +38,9 @@ def test_prepared_statement(conn):
 
 
 def test_prepared_statement_missing(conn):
-    with pytest.raises(KeyError):
+    from opteryx_spark import errors
+
+    with pytest.raises(errors.ProgrammingError):
         conn.cursor().execute("EXECUTE nope()")
 
 
@@ -70,8 +72,11 @@ def test_cli_main(spark, sf_dir, capsys):
 
 def test_explain_analyze(conn):
     cur = conn.cursor().execute("EXPLAIN ANALYZE SELECT COUNT(*) FROM nation")
-    text = "\n".join(r[0] for r in cur.fetchall())
-    assert "HashAggregate" in text
+    rows = cur.fetchall()
+    # reference ANALYZE adds metric columns past (tree, operator, config)
+    assert [d[0] for d in cur.description][:3] == ["tree", "operator", "config"]
+    assert len(cur.description) == 7
+    assert any("HashAggregate" in r[1] for r in rows)
 
 
 def test_visibility_filter_applies_to_late_registered_table(spark, sf_dir):

@@ -52,11 +52,26 @@ _SYNTH_FILTER = re.compile(r"\b(WHERE|HAVING|QUALIFY)\b", re.I)
 _SAT_VALUES = re.compile(r"\b(gm|radius|density|magnitude|albedo)\b", re.I)
 
 
+_SYNTH_SHAPERS = re.compile(
+    r"\b(WHERE|HAVING|QUALIFY|DISTINCT|GROUP\s+BY|NATURAL\s+JOIN)\b", re.I
+)
+
+
 def _content_dependent(stmt: str) -> bool:
     """Row count depends on synthetic-fill values → compare columns only."""
-    if _SYNTH_TABLES.search(stmt) and _SYNTH_FILTER.search(stmt):
+    # EXPLAIN output is one row per plan line — engine-specific by nature
+    if re.match(r"\s*(SET[^;]*;\s*)*EXPLAIN\b", stmt, re.I):
         return True
-    if re.search(r"\$satellites\b", stmt, re.I) and _SAT_VALUES.search(stmt):
+    # the server-variable inventory is engine-specific
+    if re.search(r"\$variables\b", stmt, re.I):
+        return True
+    # value distributions of the synthetic-fill datasets differ from the
+    # reference's real data, so any value-driven row count is engine-local
+    if _SYNTH_TABLES.search(stmt) and _SYNTH_SHAPERS.search(stmt):
+        return True
+    if re.search(r"\$satellites\b", stmt, re.I) and (
+        _SAT_VALUES.search(stmt) or re.search(r"NATURAL\s+JOIN", stmt, re.I)
+    ):
         return True
     return False
 
@@ -103,6 +118,9 @@ def run_battery(files: list[str]) -> dict:
                 stats["skip"] += 1
                 report["skipped"].append(stmt)
                 continue
+            # the reference resolves file-relative fixture paths from its
+            # own checkout; point them there (read-only)
+            stmt = re.sub(r"'(\.\./)*testdata/", "'/root/reference/testdata/", stmt)
             try:
                 cur = conn.cursor().execute(stmt)
                 got = cur.fetchall()
