@@ -85,10 +85,13 @@ def asof_join(
     return out
 
 
+_TS_TYPES = (T.TimestampType, T.TimestampNTZType)
+
+
 def _to_ticks(col: Column, dtype: T.DataType) -> Column:
     """Numeric tick space for binning: µs for timestamps, identity else."""
-    if isinstance(dtype, T.TimestampType):
-        return F.unix_micros(col)
+    if isinstance(dtype, _TS_TYPES):
+        return F.unix_micros(col.cast("timestamp"))
     return col.cast("double")
 
 
@@ -114,7 +117,7 @@ def range_bin_join(
         raise ValueError("range_bin_join supports inner joins")
     keys = [by] if isinstance(by, str) else list(by or [])
     p_dtype = points.schema[point_col].dataType
-    width = bin_width * 1_000_000.0 if isinstance(p_dtype, T.TimestampType) else bin_width
+    width = bin_width * 1_000_000.0 if isinstance(p_dtype, _TS_TYPES) else bin_width
 
     p = points.withColumn(
         "__bin", F.floor(_to_ticks(F.col(point_col), p_dtype) / F.lit(width))
