@@ -89,9 +89,19 @@ _TS_TYPES = (T.TimestampType, T.TimestampNTZType)
 
 
 def _to_ticks(col: Column, dtype: T.DataType) -> Column:
-    """Numeric tick space for binning: µs for timestamps, identity else."""
-    if isinstance(dtype, _TS_TYPES):
-        return F.unix_micros(col.cast("timestamp"))
+    """Numeric tick space for binning: µs for timestamps, identity else.
+
+    TimestampNTZ ticks are derived in naive-time space (µs since the naive
+    epoch) rather than via a cast to TIMESTAMP: the cast interprets naive
+    values in the session timezone, which is non-monotonic across DST
+    spring-forward gaps, so a point inside an interval could land in a bin
+    the interval's bin sequence never covers and be silently dropped.
+    """
+    if isinstance(dtype, T.TimestampNTZType):
+        epoch = F.lit("1970-01-01 00:00:00").cast("timestamp_ntz")
+        return F.timestamp_diff("MICROSECOND", epoch, col)
+    if isinstance(dtype, T.TimestampType):
+        return F.unix_micros(col)
     return col.cast("double")
 
 

@@ -225,3 +225,84 @@ def test_lsh_cosine_pairs_recall(spark, sf_dir):
     assert recall >= 0.5, f"recall {recall:.2f} too low"
     for pair, c in lsh.items():
         assert c == brute[pair]
+
+
+# ---------------------------------------------------------------- temporal joins
+
+
+def _rbj(spark, points, intervals, ntz=False, **kw):
+    from datetime import datetime
+
+    from opteryx_spark.operators.joins import range_bin_join
+
+    ts_type = "timestamp_ntz" if ntz else "timestamp"
+    p = spark.createDataFrame(
+        [(i, datetime.fromisoformat(v)) for i, v in enumerate(points)], ["pid", "ts"]
+    ).withColumn("ts", F.col("ts").cast(ts_type))
+    iv = spark.createDataFrame(
+        [(i, datetime.fromisoformat(s), datetime.fromisoformat(e)) for i, (s, e) in enumerate(intervals)],
+        ["iid", "start", "end"],
+    ).withColumn("start", F.col("start").cast(ts_type)).withColumn("end", F.col("end").cast(ts_type))
+    return range_bin_join(p, iv, "ts", "start", "end", **kw)
+
+
+def test_range_bin_join_numeric_matches_theta(spark):
+    from opteryx_spark.operators.joins import range_bin_join
+
+    p = spark.createDataFrame([(i, float(i)) for i in range(50)], ["pid", "v"])
+    iv = spark.createDataFrame(
+        [(0, 3.0, 17.0), (1, 16.5, 16.6), (2, 40.0, 49.0), (3, 60.0, 70.0)],
+        ["iid", "lo", "hi"],
+    )
+    fast = {
+        (r.pid, r.iid)
+        for r in range_bin_join(p, iv, "v", "lo", "hi", bin_width=5.0).collect()
+    }
+    naive = {
+        (r.pid, r.iid)
+        for r in p.join(iv, (p.v >= iv.lo) & (p.v < iv.hi)).collect()
+    }
+    assert fast == naive and fast
+
+
+def test_range_bin_join_timestamp_ntz(spark):
+    got = _rbj(
+        spark,
+        ["2026-01-05T10:20:00", "2026-01-05T13:00:00"],
+        [("2026-01-05T10:00:00", "2026-01-05T11:00:00")],
+        ntz=True,
+        bin_width=900.0,
+    )
+    assert [r.pid for r in got.collect()] == [0]
+
+
+def test_range_bin_join_ntz_dst_gap(spark):
+    """NTZ binning must be monotonic in naive-time space: a point inside
+    the US DST spring-forward gap (2026-03-08 02:45, America/New_York)
+    must still match its enclosing [02:30, 03:00) interval at sub-hour
+    bin widths.  A session-timezone cast would drop it silently."""
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        got = _rbj(
+            spark,
+            ["2026-03-08T02:45:00"],
+            [("2026-03-08T02:30:00", "2026-03-08T03:00:00")],
+            ntz=True,
+            bin_width=900.0,
+        )
+        assert got.count() == 1
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
+
+
+def test_range_bin_join_ltz_timestamp(spark):
+    got = _rbj(
+        spark,
+        ["2026-06-01T00:10:00", "2026-06-02T00:00:00"],
+        [("2026-06-01T00:00:00", "2026-06-01T01:00:00")],
+        ntz=False,
+        bin_width=600.0,
+        end_inclusive=True,
+    )
+    assert [r.pid for r in got.collect()] == [0]
