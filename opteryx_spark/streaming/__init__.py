@@ -30,8 +30,13 @@ def read_events_stream(spark: SparkSession, path: str, schema=None, ts_col: str 
     if schema is None:
         schema = spark.read.parquet(path).schema
     stream = spark.readStream.schema(schema).parquet(path)
-    if ts_col in stream.columns and dict(stream.dtypes)[ts_col] == "bigint":
-        stream = stream.withColumn(ts_col, F.timestamp_micros(F.expr(f"`{ts_col}` div 1000")))
+    if ts_col in stream.columns:
+        dtype = dict(stream.dtypes)[ts_col]
+        if dtype == "bigint":
+            stream = stream.withColumn(ts_col, F.timestamp_micros(F.expr(f"`{ts_col}` div 1000")))
+        elif dtype == "timestamp_ntz":
+            # watermarks require TIMESTAMP; event files carry UTC instants
+            stream = stream.withColumn(ts_col, F.to_utc_timestamp(F.col(ts_col), "UTC"))
     return stream
 
 
