@@ -38,13 +38,22 @@ DEFAULT_VIEWS = {
         "INNER JOIN $planets AS p ON p.id = s.planetId"
     ),
     "launches": "SELECT Company, Mission, LENGTH(Location) AS LL FROM $missions",
+    # reference testdata/views.json: row-permissions demo view
+    "my_mission_reports": (
+        "SELECT * FROM $astronauts "
+        "WHERE ARRAY_CONTAINS_ANY(missions, @@user_memberships)"
+    ),
 }
+# looked up case-insensitively (reference uppercases statement names,
+# logical_planner.py:785-801, and ships PLANETS_BY_ID / VERSION built-ins)
 DEFAULT_PREPARED = {
-    "get_satellites_by_planet_name": (
+    "GET_SATELLITES_BY_PLANET_NAME": (
         "SELECT s.name AS satellite_name FROM $satellites AS s "
         "INNER JOIN $planets AS p ON p.id = s.planetId WHERE p.name = :name"
     ),
-    "multiply_two_numbers": "SELECT :one * :two",
+    "MULTIPLY_TWO_NUMBERS": "SELECT :one * :two",
+    "PLANETS_BY_ID": "SELECT * FROM $planets WHERE id = :id",
+    "VERSION": "SELECT version()",
 }
 
 
@@ -69,8 +78,12 @@ class Connection:
         self.memberships = list(memberships or [])
         self.statistics: dict[str, Any] = {"queries_executed": 0, "statements_executed": 0}
         self.time_columns = {**DEFAULT_TIME_COLUMNS, **(time_columns or {})}
-        self.prepared_statements = {**DEFAULT_PREPARED, **(prepared_statements or {})}
-        self.prepared_statements.update(_load_json_file("prepared_statements.json"))
+        self.prepared_statements = {**DEFAULT_PREPARED}
+        for k, v in {
+            **(prepared_statements or {}),
+            **_load_json_file("prepared_statements.json"),
+        }.items():
+            self.prepared_statements[str(k).upper()] = v
         register_virtual_datasets(self.spark)
         from opteryx_spark.functions import register_sql_functions
 
@@ -79,7 +92,8 @@ class Connection:
         # registered lazily; retried at execute() time so views over
         # tables registered later still resolve
         self.views = {**DEFAULT_VIEWS, **(views or {})}
-        self.views.update(_load_json_file("views.json"))
+        for k, v in _load_json_file("views.json").items():
+            self.views[k] = v.get("statement") if isinstance(v, dict) else v
         self._pending_views = set(self.views)
         self._register_pending_views()
         # row-level visibility filters injected per table at resolution
@@ -88,12 +102,43 @@ class Connection:
         self.visibility_filters = dict(visibility_filters or {})
         self._apply_visibility_filters()
 
+    def _expand_sysvars(self, sql: str) -> str:
+        """``@@name`` server variables → literals (reference
+        ``shared/variables.py`` resolves these at bind time)."""
+        import re
+
+        if "@@" not in sql:
+            return sql
+        from opteryx_spark.virtual import _SYSTEM_VARIABLES
+
+        def repl(m):
+            name = m.group(1)
+            if name == "user_memberships":
+                if self.memberships:
+                    vals = ", ".join("'" + m_.replace("'", "''") + "'" for m_ in self.memberships)
+                    return f"array({vals})"
+                return "CAST(array() AS ARRAY<STRING>)"
+            value = self.variables.get(name)
+            if value is None and name in _SYSTEM_VARIABLES:
+                value = _SYSTEM_VARIABLES[name][1]
+            if isinstance(value, bool):
+                return "TRUE" if value else "FALSE"
+            if isinstance(value, (int, float)):
+                return str(value)
+            if value is None:
+                return "NULL"
+            return "'" + str(value).replace("'", "''") + "'"
+
+        return rewriter.map_outside_literals(
+            sql, lambda seg: re.sub(r"@@(\w+)", repl, seg)
+        )
+
     def _register_pending_views(self) -> None:
         for name in list(self._pending_views):
             try:
-                self.spark.sql(rewriter.rewrite(self.views[name]).sql).createOrReplaceTempView(
-                    name
-                )
+                self.spark.sql(
+                    rewriter.rewrite(self._expand_sysvars(self.views[name])).sql
+                ).createOrReplaceTempView(name)
                 self._pending_views.discard(name)
             except Exception:
                 pass  # source table not registered yet; retried next execute
@@ -186,7 +231,9 @@ class Cursor:
                 raise errors.ProgrammingError(f"view not found: {name}")
             return spark.createDataFrame([(view_sql,)], [name])
         # SHOW COLUMNS FROM <t> (reference operators/show_columns_node.py)
-        cols_m = re.match(r"SHOW\s+(?:FULL\s+)?COLUMNS\s+FROM\s+([\w.$']+)", stmt, re.IGNORECASE)
+        cols_m = re.match(
+            r"SHOW\s+(?:FULL\s+|EXTENDED\s+)?COLUMNS\s+FROM\s+([\w.$']+)", stmt, re.IGNORECASE
+        )
         if cols_m:
             from opteryx_spark.dialect import _VIRTUAL_COLUMN_ALIASES
 
@@ -207,8 +254,10 @@ class Cursor:
         # prepared_statements.json (reference logical_planner.py:757-825)
         exec_m = re.match(r"EXECUTE\s+(\w+)\s*(?:\((.*)\))?\s*$", stmt, re.IGNORECASE | re.DOTALL)
         if exec_m:
-            name = exec_m.group(1)
+            name = exec_m.group(1).upper()
             tmpl = self._conn.prepared_statements.get(name)
+            if isinstance(tmpl, dict):  # reference JSON file shape
+                tmpl = tmpl.get("statement")
             if tmpl is None:
                 from opteryx_spark import errors
 
@@ -238,11 +287,30 @@ class Cursor:
             )
         self._conn._register_pending_views()
         self._conn._apply_visibility_filters()
+        stmt = self._conn._expand_sysvars(stmt)
         res = rewriter.rewrite(stmt, merged or None)
         for view, path in res.path_tables.items():
             read_any(spark, path).createOrReplaceTempView(view)
         sql = self._resolve_store_refs(spark, res.sql)
         for table, (start, end) in res.temporal_filters.items():
+            if table.startswith("$"):
+                # virtual datasets are static snapshots; $planets additionally
+                # honours discovery history (reference planet_data.py temporal
+                # semantics: fewer planets known before Uranus/Neptune/Pluto)
+                if table == "$planets":
+                    from opteryx_spark.virtual import PLANET_DISCOVERY_CUTOFFS
+
+                    asof = spark.sql(f"SELECT CAST({start} AS TIMESTAMP) AS t").collect()[0][0]
+                    max_id = 9
+                    for cutoff, known in PLANET_DISCOVERY_CUTOFFS:
+                        if asof is not None and asof < cutoff:
+                            max_id = known
+                            break
+                    view = "temporal_virtual_planets"
+                    spark.table("virtual_planets").filter(f"id <= {max_id}").createOrReplaceTempView(view)
+                    vpat = re.compile(r"\bvirtual_planets\b")
+                    sql = rewriter.map_outside_literals(sql, lambda seg: vpat.sub(view, seg))
+                continue
             col = self._conn.time_columns.get(table)
             if col is None:
                 from opteryx_spark import errors
@@ -270,7 +338,18 @@ class Cursor:
             return self._explain(
                 spark, explain_m.group(3), bool(explain_m.group(1)), explain_m.group(2)
             )
-        return spark.sql(sql)
+        try:
+            return _ym_safe(spark.sql(sql))
+        except Exception as exc:
+            if type(exc).__name__ != "AnalysisException":
+                raise
+            alt = _type_fallback(sql, str(exc))
+            if alt is not None:
+                try:
+                    return _ym_safe(spark.sql(alt))
+                except Exception:
+                    raise exc  # surface the original analysis error
+            raise
 
     def _explain(self, spark: SparkSession, inner: str, analyze: bool, fmt: str | None):
         """Reference EXPLAIN surface (``managers/execution/serial_engine.py:69``):
@@ -400,6 +479,138 @@ class Cursor:
     def close(self) -> None:
         self._df = None
         self._iter = None
+
+
+import re as _re2
+
+
+def _ym_safe(df: DataFrame) -> DataFrame:
+    """Render YearMonthIntervalType columns as strings: pyspark cannot
+    convert YM intervals to Python values (`fromInternal` unimplemented),
+    so a bare ``SELECT INTERVAL '5-6' YEAR TO MONTH`` would die at fetch."""
+    from pyspark.sql import types as T
+
+    if not any(isinstance(f.dataType, T.YearMonthIntervalType) for f in df.schema.fields):
+        return df
+    return df.select(
+        *[
+            df[i].cast("string").alias(f.name)
+            if isinstance(f.dataType, T.YearMonthIntervalType)
+            else df[i]
+            for i, f in enumerate(df.schema.fields)
+        ]
+    )
+
+
+_GJO_ARG = _re2.compile(r"get_json_object\(\s*([A-Za-z_][\w.]*)\s*,")
+_LIKE_ANY_NATIVE = _re2.compile(
+    r"([\w.]+)\s+(LIKE|ILIKE|RLIKE)\s+(ANY|ALL)\s*\(", _re2.IGNORECASE
+)
+
+
+def _type_fallback(sql: str, msg: str) -> str | None:
+    """Alternate rewrite for type-dependent dialect forms.
+
+    The text-level rewriter cannot see column types, so two reference
+    constructs are first emitted in their string-typed form and converted
+    here when Spark's analyzer reports the column is struct/array typed:
+
+    - ``x -> 'k'`` / ``x ->> 'k'`` → ``get_json_object(x, ...)`` works on
+      JSON strings; struct columns (e.g. $astronauts.birth_place) need
+      ``get_json_object(to_json(x), ...)``.
+    - ``x LIKE ANY ('%p%', ...)`` is native Spark for string ``x``; for
+      array columns the reference semantics (any element matches any
+      pattern — ``utils/sql.py::regex_match_any``) become
+      ``exists(x, __v -> __v LIKE p1 OR ...)``; ALL → forall with AND.
+    """
+    if "DATATYPE_MISMATCH" not in msg and "DATATYPE_MISSING_SIZE" not in msg:
+        return None
+    if "get_json_object" in msg:
+        new = _GJO_ARG.sub(lambda m: f"get_json_object(to_json({m.group(1)}),", sql)
+        if new != sql:
+            return new
+    # LENGTH(array_col) → CARDINALITY: reference LENGTH is polymorphic
+    lm = _re2.search(r'"length\(([\w.]+)\)"', msg)
+    if lm:
+        new = _re2.sub(
+            rf"\bLENGTH\(\s*{_re2.escape(lm.group(1))}\s*\)",
+            f"CARDINALITY({lm.group(1)})",
+            sql,
+            flags=_re2.IGNORECASE,
+        )
+        if new != sql:
+            return new
+    # CAST(scalar AS ARRAY<T>) → array(CAST(scalar AS T)): reference casts
+    # scalars to single-element lists
+    if "ARRAY<" in msg.upper() or "ARRAY<" in sql.upper():
+        new = _re2.sub(
+            r"\bCAST\s*\(\s*([\w.]+)\s+AS\s+ARRAY\s*<\s*(\w+)\s*>\s*\)",
+            r"array(CAST(\1 AS \2))",
+            sql,
+            flags=_re2.IGNORECASE,
+        )
+        if new != sql:
+            return new
+    # date/struct → BINARY and BINARY → numeric casts hop through STRING,
+    # matching the reference's BLOB semantics (bytes of the string repr)
+    if "AS BINARY" in msg.upper() or "AS BINARY" in sql.upper():
+        new = _re2.sub(
+            r"(AS\s+BINARY\s*\))(\s*AS\s+(?:BIGINT|INT|INTEGER|DOUBLE|FLOAT)\b)",
+            lambda m: "AS STRING)" + m.group(2),
+            sql,
+            flags=_re2.IGNORECASE,
+        )
+        if new == sql:
+            cm = _re2.search(r'"CAST\(([\w.]+) AS BINARY\)"', msg)
+            if cm:
+                new = _re2.sub(
+                    rf"\bCAST\(\s*{_re2.escape(cm.group(1))}\s+AS\s+BINARY\s*\)",
+                    f"CAST(CAST({cm.group(1)} AS STRING) AS BINARY)",
+                    sql,
+                    flags=_re2.IGNORECASE,
+                )
+        if new != sql:
+            return new
+    # single-argument CONCAT over an array → join elements (reference
+    # CONCAT(list) concatenates the elements)
+    cm = _re2.search(r"\bCONCAT\(\s*([\w.]+)\s*\)", sql, _re2.IGNORECASE)
+    if cm:
+        new = _re2.sub(
+            r"\bCONCAT\(\s*([\w.]+)\s*\)",
+            r"array_join(\1, '')",
+            sql,
+            flags=_re2.IGNORECASE,
+        )
+        if new != sql:
+            return new
+    # LIKE-quantifier detection keys on the SQL side: the analyzer message
+    # names internal forms (likeany/lower/...) that vary by operator
+    from opteryx_spark.dialect import _LIT_LIST, _balanced_end
+
+    out = sql
+    pos = 0
+    changed = False
+    while True:
+        m = _LIKE_ANY_NATIVE.search(out, pos)
+        if not m:
+            break
+        end = _balanced_end(out, m.end() - 1)
+        body = out[m.end() : end - 1]
+        if not _LIT_LIST.match(body):
+            pos = m.end()
+            continue
+        lhs, op, quant = m.group(1), m.group(2).upper(), m.group(3).upper()
+        pats = _re2.findall(r"'(?:[^']|'')*'", body)
+        joiner = " OR " if quant == "ANY" else " AND "
+        inner = joiner.join(f"__v {op} {p}" for p in pats)
+        fn = "exists" if quant == "ANY" else "forall"
+        repl = f"{fn}({lhs}, __v -> {inner})"
+        out = out[: m.start()] + repl + out[end:]
+        pos = m.start() + len(repl)
+        changed = True
+    if changed:
+        return out
+    return None
 
 
 def _parse_plan_tree(text: str) -> list[tuple[int, str, str]]:

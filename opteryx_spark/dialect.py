@@ -301,12 +301,30 @@ _ANYALL_HEAD = re.compile(
 )
 
 
+# pattern-list bodies: one or more comma-separated string literals
+_LIT_LIST = re.compile(r"^\s*'(?:[^']|'')*'(?:\s*,\s*'(?:[^']|'')*')*\s*$")
+# reference-only bare-literal form: ``x LIKE ANY '%p%'`` (no parens)
+_LIKE_ANY_BARE = re.compile(
+    r"\b(LIKE|ILIKE|RLIKE)\s+(ANY|ALL)\s+('(?:[^']|'')*')", re.IGNORECASE
+)
+
+
 def rewrite_any_all(sql: str) -> str:
     """``'x' = ANY(arr)`` → ``exists(arr, __v -> 'x' = __v)``; ALL → forall.
 
     Match-absence maps to FALSE rather than SQL's NULL when the array holds
     nulls — identical filtering behaviour for WHERE clauses.
+
+    LIKE-family quantifiers over a *pattern list* (``x LIKE ANY ('%a%',
+    '%b%')``) keep Spark's native form, which is correct for string
+    columns; array-typed columns are converted to exists/forall at
+    execution time by the cursor's analysis-retry (`cursor._type_fallback`)
+    since a text-level pass cannot see column types.  ``NOT LIKE ANY``
+    wraps as ``NOT (...)`` because the reference's invert semantics
+    (``regex_match_any(invert=True)`` = no pattern matches) differ from
+    Spark's ``NOT LIKE ANY`` (= fails at least one pattern).
     """
+    sql = _LIKE_ANY_BARE.sub(lambda m: f"{m.group(1)} {m.group(2)} ({m.group(3)})", sql)
     pos = 0
     while True:
         m = _ANYALL_HEAD.search(sql, pos)
@@ -318,6 +336,16 @@ def rewrite_any_all(sql: str) -> str:
             pos = m.end()  # ANSI quantified subquery — Spark handles natively
             continue
         lhs, op, quant = m.group(1), m.group(2), m.group(3).upper()
+        op_norm = re.sub(r"\s+", " ", op.upper())
+        if op_norm.endswith(("LIKE", "RLIKE")) and _LIT_LIST.match(arr):
+            if op_norm.startswith("NOT"):
+                base = op_norm.split()[-1]
+                repl = f"NOT ({lhs} {base} {quant} ({arr}))"
+                sql = sql[: m.start()] + repl + sql[end:]
+                pos = m.start() + len(repl)
+            else:
+                pos = end  # native Spark LIKE ANY/ALL handles string LHS
+            continue
         fn = "exists" if quant == "ANY" else "forall"
         repl = f"{fn}({arr}, __v -> {lhs} {op} __v)"
         sql = sql[: m.start()] + repl + sql[end:]
@@ -372,6 +400,13 @@ _CAST_TYPES = [
     (re.compile(r"\bAS\s+VARBINARY\b", re.IGNORECASE), "AS BINARY"),
     # reference INTEGER is always int64 (SURVEY §1.2)
     (re.compile(r"\bAS\s+INTEGER\b", re.IGNORECASE), "AS BIGINT"),
+    # same dialect names in `::` casts and ARRAY<> element types
+    (re.compile(r"::\s*VARCHAR\b(?!\s*\()", re.IGNORECASE), "::STRING"),
+    (re.compile(r"::\s*(BLOB|VARBINARY)\b", re.IGNORECASE), "::BINARY"),
+    (re.compile(r"::\s*INTEGER\b", re.IGNORECASE), "::BIGINT"),
+    (re.compile(r"\bARRAY\s*<\s*VARCHAR\s*>", re.IGNORECASE), "ARRAY<STRING>"),
+    (re.compile(r"\bARRAY\s*<\s*INTEGER\s*>", re.IGNORECASE), "ARRAY<BIGINT>"),
+    (re.compile(r"\bARRAY\s*<\s*BLOB\s*>", re.IGNORECASE), "ARRAY<BINARY>"),
 ]
 
 
@@ -395,6 +430,7 @@ _EXTRACT_FIELD_MAP = {
     "isoyear": "YEAROFWEEK",
     "isodow": "DAYOFWEEK_ISO",
     "weekofyear": "WEEK",
+    "isoweek": "WEEK",  # Spark WEEK is ISO-8601 week-of-year
 }
 
 
@@ -416,6 +452,13 @@ def rewrite_extract(sql: str) -> str:
         fl = field.lower()
         if fl in ("millisecond", "milliseconds"):
             repl = f"CAST(date_format(CAST({operand} AS TIMESTAMP), 'SSS') AS BIGINT)"
+        elif fl == "decade":
+            repl = f"CAST(FLOOR(EXTRACT(YEAR FROM {operand}) / 10) AS BIGINT)"
+        elif fl == "century":
+            repl = f"CAST(CEIL(EXTRACT(YEAR FROM {operand}) / 100.0) AS BIGINT)"
+        elif fl == "julian":
+            # Julian Day Number: days since -4713-11-24 (unix epoch = JDN 2440588)
+            repl = f"(unix_date(CAST({operand} AS DATE)) + 2440588)"
         elif fl in ("microsecond", "microseconds"):
             repl = (
                 f"(CAST(date_format(CAST({operand} AS TIMESTAMP), 'SSSSSS') AS BIGINT))"
@@ -560,7 +603,7 @@ def _is_bare_select_item(s: str, m: re.Match) -> bool:
 # bitwise results (ops.py bitwise kernels feed filters directly)
 
 _WHERE_BITOR = re.compile(
-    r"\b(WHERE|HAVING)\s+(\d+\s*[|&^]\s*\d+)(?=\s*$|\s+(?:GROUP|ORDER|LIMIT)\b)",
+    r"\b(WHERE|HAVING)\s+([\w.]+\s*[|&^]\s*[\w.]+)(?=\s*$|\s+(?:GROUP|ORDER|LIMIT)\b)",
     re.IGNORECASE,
 )
 
@@ -569,16 +612,202 @@ def rewrite_bitwise_filters(sql: str) -> str:
     return _WHERE_BITOR.sub(lambda m: f"{m.group(1)} ({m.group(2)}) != 0", sql)
 
 
+# ---------------------------------------------------------------------------
+# bracketed array literals: ['a', 'b'] / [] → array('a', 'b') / array()
+# (the reference parser accepts Python-style list literals)
+
+
+def rewrite_array_literals(sql: str) -> str:
+    out: list[str] = []
+    stack: list[bool] = []  # True where '[' opened an array literal
+    in_str = False
+    prev = ""  # last non-space char emitted outside strings
+    for ch in sql:
+        if in_str:
+            out.append(ch)
+            in_str = ch != "'"
+            continue
+        if ch == "'":
+            in_str = True
+            out.append(ch)
+            prev = ch
+            continue
+        if ch == "[":
+            # subscript when following a value (identifier, ')', ']', quote);
+            # array literal otherwise (after ',', '(', operators, keywords)
+            is_subscript = bool(prev) and (prev.isalnum() or prev in "_)]'")
+            stack.append(not is_subscript)
+            out.append("[" if is_subscript else "array(")
+            prev = "("
+            continue
+        if ch == "]":
+            was_literal = stack.pop() if stack else False
+            out.append(")" if was_literal else "]")
+            prev = ")"
+            continue
+        out.append(ch)
+        if not ch.isspace():
+            prev = ch
+    return "".join(out)
+
+
+# ---------------------------------------------------------------------------
+# membership in an array: <x> [NOT] IN UNNEST(arr) → array_contains
+
+_IN_UNNEST = re.compile(
+    r"('(?:[^']|'')*'|[\w.@]+)\s+(NOT\s+)?IN\s+UNNEST\s*\(", re.IGNORECASE
+)
+
+
+def rewrite_in_unnest(sql: str) -> str:
+    while True:
+        m = _IN_UNNEST.search(sql)
+        if not m:
+            return sql
+        end = _balanced_end(sql, m.end() - 1)
+        arr = sql[m.end() : end - 1]
+        neg = "NOT " if m.group(2) else ""
+        repl = f"{neg}array_contains({arr}, {m.group(1)})"
+        sql = sql[: m.start()] + repl + sql[end:]
+
+
+# ---------------------------------------------------------------------------
+# ARRAY_AGG modifiers the reference supports inline:
+# ARRAY_AGG([DISTINCT] x [ORDER BY x [ASC|DESC]] [LIMIT n])
+
+_ARRAY_AGG_HEAD = re.compile(r"\bARRAY_AGG\s*\(", re.IGNORECASE)
+_AGG_BODY = re.compile(
+    r"^\s*(DISTINCT\s+)?(.*?)(?:\s+ORDER\s+BY\s+(.*?)\s*(ASC|DESC)?)?(?:\s+LIMIT\s+(\d+))?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def rewrite_array_agg_modifiers(sql: str) -> str:
+    pos = 0
+    while True:
+        m = _ARRAY_AGG_HEAD.search(sql, pos)
+        if not m:
+            return sql
+        end = _balanced_end(sql, m.end() - 1)
+        body = sql[m.end() : end - 1]
+        if not re.search(r"\b(ORDER\s+BY|LIMIT)\b", body, re.IGNORECASE):
+            pos = end  # plain form is native
+            continue
+        bm = _AGG_BODY.match(body)
+        if not bm:
+            pos = end
+            continue
+        distinct, expr, order, direction, limit = bm.groups()
+        agg = f"array_agg({'DISTINCT ' if distinct else ''}{expr.strip()})"
+        if order is not None:
+            agg = f"array_sort({agg})"
+            if (direction or "").upper() == "DESC":
+                agg = f"reverse({agg})"
+        if limit is not None:
+            agg = f"slice({agg}, 1, {limit})"
+        sql = sql[: m.start()] + agg + sql[end:]
+        pos = m.start() + len(agg)
+
+
+# ---------------------------------------------------------------------------
+# assorted operator dialect: MATCH...AGAINST, XOR, regex ops, intervals,
+# strftime DATE_FORMAT, tuple CONCAT, CIDR containment '|'
+
+_MATCH_AGAINST = re.compile(r"\bMATCH\s*\(([^)]+)\)\s+AGAINST\s*\(\s*('[^']*')\s*\)", re.IGNORECASE)
+_INTERVAL_YM = re.compile(r"\bINTERVAL\s+'(\d+)\s+(\d+)'\s+YEAR\s+TO\s+MONTH\b", re.IGNORECASE)
+_INTERVAL_MD = re.compile(r"\bINTERVAL\s+'(\d+)\s+(\d+)'\s+MONTH\s+TO\s+DAY\b", re.IGNORECASE)
+_BIG_TS = [
+    (re.compile(r"\bTIMESTAMP\s*\(\s*(\d{11,})\s*\)", re.IGNORECASE), r"timestamp_micros(\1)"),
+    (re.compile(r"\bCAST\s*\(\s*(\d{11,})\s+AS\s+TIMESTAMP\s*\)", re.IGNORECASE), r"timestamp_micros(\1)"),
+    (re.compile(r"\b(\d{11,})\s*::\s*TIMESTAMP\b", re.IGNORECASE), r"timestamp_micros(\1)"),
+]
+_CIDR_PIPE = re.compile(
+    r"('(?:[^']|'')*'|NULL|[\w.]+)\s*\|\s*('[^']*/[^']*')", re.IGNORECASE
+)
+_DF_HEAD = re.compile(r"\bDATE_FORMAT\s*\(", re.IGNORECASE)
+_STRFTIME_MAP = [
+    ("%Y", "yyyy"), ("%y", "yy"), ("%m", "MM"), ("%d", "dd"), ("%H", "HH"),
+    ("%I", "hh"), ("%M", "mm"), ("%S", "ss"), ("%f", "SSSSSS"), ("%j", "DDD"),
+    ("%a", "EEE"), ("%A", "EEEE"), ("%b", "MMM"), ("%B", "MMMM"), ("%p", "a"),
+    ("%W", "ww"), ("%%", "%"),
+]
+
+
+def rewrite_misc_operators(sql: str) -> str:
+    sql = _MATCH_AGAINST.sub(
+        lambda m: (
+            "forall(split(lower(" + m.group(2) + "), '[ ,]+'), "
+            f"__t -> array_contains(split(lower({m.group(1)}), '[ ,]+'), __t))"
+        ),
+        sql,
+    )
+    sql = _INTERVAL_YM.sub(lambda m: f"INTERVAL '{m.group(1)}-{m.group(2)}' YEAR TO MONTH", sql)
+    # mixed-unit interval → CalendarIntervalType (make_interval): the only
+    # Spark type that carries months and days together for date arithmetic
+    sql = _INTERVAL_MD.sub(
+        lambda m: f"make_interval(0, {m.group(1)}, 0, {m.group(2)}, 0, 0, 0)", sql
+    )
+    for pat, repl in _BIG_TS:
+        sql = pat.sub(repl, sql)
+    sql = _CIDR_PIPE.sub(lambda m: f"ip_in_cidr({m.group(1)}, {m.group(2)})", sql)
+
+    def seg(s: str) -> str:
+        s = re.sub(r"\bXOR\b", "!=", s, flags=re.IGNORECASE)
+        s = re.sub(r"([\w.\)\]]+)\s*!~\*\s*", r"lower(\1) NOT RLIKE ", s)
+        s = re.sub(r"([\w.\)\]]+)\s*~\*\s*", r"lower(\1) RLIKE ", s)
+        s = re.sub(r"([\w.\)\]]+)\s*!~\s*", r"\1 NOT RLIKE ", s)
+        # segments end right before the pattern literal, so match span-end too
+        s = re.sub(r"([\w.\)\]]+)\s*~\s*(?='|$)", r"\1 RLIKE ", s)
+        s = re.sub(r"\bNOT\s+SIMILAR\s+TO\b", "NOT RLIKE", s, flags=re.IGNORECASE)
+        s = re.sub(r"\bSIMILAR\s+TO\b", "RLIKE", s, flags=re.IGNORECASE)
+        return s
+
+    sql = map_outside_literals(sql, seg)
+    # strftime-style DATE_FORMAT patterns → Spark datetime patterns
+    pos = 0
+    while True:
+        m = _DF_HEAD.search(sql, pos)
+        if not m:
+            break
+        end = _balanced_end(sql, m.end() - 1)
+        args = _split_top_level(sql[m.end() : end - 1])
+        if len(args) == 2 and args[1].startswith("'"):
+            fmt = args[1][1:-1]
+            if "%" in fmt or fmt == "dddd":
+                fmt = "EEEE" if fmt == "dddd" else fmt
+                for tok, repl in _STRFTIME_MAP:
+                    fmt = fmt.replace(tok, repl)
+                new = f"DATE_FORMAT({args[0]}, '{fmt}')"
+                sql = sql[: m.start()] + new + sql[end:]
+                pos = m.start() + len(new)
+                continue
+        pos = end
+    # tuple CONCAT: CONCAT((a, b)) → concat_ws('', array(a, b));
+    # CONCAT_WS(sep, (a, b)) → concat_ws(sep, array(a, b))
+    sql = re.sub(r"\bCONCAT\s*\(\s*\(", "concat_ws('', array(", sql, flags=re.IGNORECASE)
+    sql = re.sub(
+        r"\bCONCAT_WS\s*\(\s*('[^']*'|[\w.]+)\s*,\s*\(",
+        lambda m: f"concat_ws({m.group(1)}, array(",
+        sql,
+        flags=re.IGNORECASE,
+    )
+    return sql
+
+
 def apply(sql: str) -> str:
     """All dialect passes in dependency order (called from rewriter.rewrite)."""
     sql = strip_byte_literals(sql)
     sql = normalize_numeric_underscores(sql)
     sql = strip_table_hints(sql)
+    sql = rewrite_array_literals(sql)
+    sql = rewrite_in_unnest(sql)
     sql = rewrite_unnest(sql)
     sql = rewrite_any_all(sql)
+    sql = rewrite_array_agg_modifiers(sql)
     sql = rewrite_extract(sql)
     sql = expand_macros(sql)
     sql = map_cast_types(sql)
+    sql = rewrite_misc_operators(sql)
     sql = rewrite_bitwise_filters(sql)
     sql = resolve_virtual_aliases(sql)
     return sql

@@ -151,22 +151,34 @@ def _make_pandas_udfs():
 
         return s.map(_sx)
 
+    from typing import Union
+
     @pandas_udf("boolean")
-    def opx_search(col: pd.Series, needle: pd.Series) -> pd.Series:
+    def opx_search(col: Union[pd.Series, pd.DataFrame], needle: pd.Series) -> pd.Series:
         """Reference SEARCH (``functions/other_functions.py:27``): adapts to
         the field type — case-insensitive substring on strings, member
-        containment on arrays."""
+        containment on arrays, any-value containment on structs (struct
+        columns arrive as a pandas DataFrame per Arrow batch)."""
         import numpy as np
 
         def _s(v, n):
             if v is None or n is None:
                 return None
             n_l = str(n).lower()
+            if isinstance(v, dict):
+                v = list(v.values())
             if isinstance(v, (list, tuple, np.ndarray)):
                 return any(e is not None and n_l in str(e).lower() for e in v)
             return n_l in str(v).lower()
 
-        return pd.Series([_s(v, n) for v, n in zip(col, needle)], dtype="object")
+        if isinstance(col, pd.DataFrame):  # struct input
+            vals = [
+                None if all(pd.isna(x) for x in row) else list(row)
+                for row in col.itertuples(index=False)
+            ]
+        else:
+            vals = list(col)
+        return pd.Series([_s(v, n) for v, n in zip(vals, needle)], dtype="object")
 
     @pandas_udf("double")
     def opx_text_cosine(col: pd.Series, query: pd.Series) -> pd.Series:

@@ -45,41 +45,39 @@ def _text_groups(df: DataFrame, id_col: str, text_col: str) -> tuple[DataFrame, 
     gid = xxhash64(text) — 64-bit collisions are negligible at any corpus
     size where this engine applies; any_value(text) is deterministic
     because every member of a group carries the same text by definition.
+    The exemplar's ``id`` IS the gid, so pair expansion joins members
+    directly on the inner pair ids (two joins, not four).
     """
     g = _spread(df).select(
         F.col(id_col).alias("id"),
         F.col(text_col).alias(text_col),
         F.xxhash64(text_col).alias("gid"),
     )
-    reps = g.groupBy("gid").agg(
-        F.min("id").alias("id"), F.any_value(text_col).alias(text_col)
+    reps = g.groupBy("gid").agg(F.any_value(text_col).alias(text_col)).select(
+        "gid", F.col("gid").alias("id"), text_col
     )
-    # reps feeds several plan branches (the inner pair computation, the
-    # active-group filter, the expansion's rep→gid map); without persist
-    # the corpus-wide text shuffle would re-execute once per branch
+    # reps feeds several plan branches (the inner pair computation and the
+    # active-group filter); without persist the corpus-wide text shuffle
+    # would re-execute once per branch
     return reps.persist(), g.select("gid", "id")
 
 
 def _expand_pairs(
     pairs: DataFrame,
-    reps: DataFrame,
     members: DataFrame,
     active_gids: DataFrame,
     perfect: dict[str, Column],
 ) -> DataFrame:
-    """Expand exemplar-level pairs to all copy-level pairs.
+    """Expand exemplar-level pairs (keyed by gid) to all copy-level pairs.
 
     ``active_gids`` filters intra-group emission to groups whose text
     actually participates (non-empty shingle/token set) — empty texts
     produce no pairs in the direct computation and must not here either.
     """
     score_cols = [c for c in pairs.columns if c not in ("id1", "id2")]
-    rm = reps.select(F.col("id").alias("rid"), "gid")
     inter = (
-        pairs.join(rm.select(F.col("rid").alias("id1"), F.col("gid").alias("g1")), "id1")
-        .join(rm.select(F.col("rid").alias("id2"), F.col("gid").alias("g2")), "id2")
-        .join(members.select(F.col("gid").alias("g1"), F.col("id").alias("m1")), "g1")
-        .join(members.select(F.col("gid").alias("g2"), F.col("id").alias("m2")), "g2")
+        pairs.join(members.select(F.col("gid").alias("id1"), F.col("id").alias("m1")), "id1")
+        .join(members.select(F.col("gid").alias("id2"), F.col("id").alias("m2")), "id2")
         .select(
             F.least("m1", "m2").alias("id1"),
             F.greatest("m1", "m2").alias("id2"),
@@ -232,7 +230,7 @@ def ngram_jaccard_pairs(
             unique_texts=False,
         )
         active = reps.filter(F.size(shingles(text_col, k)) > 0).select("gid")
-        return _expand_pairs(inner, reps, members, active, {"jaccard": F.lit(1.0)})
+        return _expand_pairs(inner, members, active, {"jaccard": F.lit(1.0)})
 
     sets_df = _spread(df).select(
         F.col(id_col).alias("id"),
@@ -403,7 +401,7 @@ def minhash_lsh_pairs(
             reps, "id", text_col, num_hashes, bands, k, max_bucket, unique_texts=False
         )
         active = reps.filter(F.size(shingles(text_col, k)) > 0).select("gid")
-        return _expand_pairs(inner, reps, members, active, {"est_jaccard": F.lit(1.0)})
+        return _expand_pairs(inner, members, active, {"est_jaccard": F.lit(1.0)})
     rows = num_hashes // bands
     sig = minhash_signatures(df, id_col, text_col, num_hashes, k)
     band_cols = F.array(
@@ -484,7 +482,7 @@ def minhash_dedup_verified(
             unique_texts=False,
         )
         active = reps.filter(F.size(shingles(text_col, k)) > 0).select("gid")
-        return _expand_pairs(inner, reps, members, active, {"jaccard": F.lit(1.0)})
+        return _expand_pairs(inner, members, active, {"jaccard": F.lit(1.0)})
     cand = minhash_lsh_pairs(
         df, id_col, text_col, num_hashes, bands, k, unique_texts=False
     ).select("id1", "id2")
@@ -553,7 +551,7 @@ def simhash_dedup_pairs(
         )
         active = reps.filter(F.size(tokens(text_col)) > 0).select("gid")
         return _expand_pairs(
-            inner, reps, members, active, {"hamming": F.lit(0).cast("int")}
+            inner, members, active, {"hamming": F.lit(0).cast("int")}
         )
     sig = simhash(df, id_col, text_col)
     width = 64 // blocks

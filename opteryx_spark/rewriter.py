@@ -90,8 +90,16 @@ def strip_comments(sql: str) -> str:
             i = sql.find("\n", i)
             i = n if i < 0 else i
         elif sql.startswith("/*", i):
-            j = sql.find("*/", i + 2)
-            i = n if j < 0 else j + 2
+            depth, i = 1, i + 2
+            while i < n and depth:  # reference accepts nested /* */ blocks
+                if sql.startswith("/*", i):
+                    depth += 1
+                    i += 2
+                elif sql.startswith("*/", i):
+                    depth -= 1
+                    i += 2
+                else:
+                    i += 1
         else:
             out.append(ch)
             i += 1
@@ -150,12 +158,19 @@ _FOR_PATTERNS = [
     ),
     (
         re.compile(
-            r"(FROM|JOIN)\s+([\w.$]+)(\s+(?:AS\s+)?\w+)?\s+FOR\s+('[^']*'|TODAY|YESTERDAY)",
+            r"(FROM|JOIN)\s+([\w.$]+)(\s+(?:AS\s+)?\w+)?\s+FOR\s+"
+            r"('[^']*'|TODAY|YESTERDAY|\d{4}-\d{2}-\d{2}"
+            r"|MONDAY|TUESDAY|WEDNESDAY|THURSDAY|FRIDAY|SATURDAY|SUNDAY)",
             re.IGNORECASE,
         ),
         "point",
     ),
 ]
+
+_WEEKDAYS = {
+    "MONDAY": "MO", "TUESDAY": "TU", "WEDNESDAY": "WE", "THURSDAY": "TH",
+    "FRIDAY": "FR", "SATURDAY": "SA", "SUNDAY": "SU",
+}
 
 
 def _norm_date(tok: str) -> str:
@@ -164,6 +179,11 @@ def _norm_date(tok: str) -> str:
         return "current_date()"
     if up == "YESTERDAY":
         return "date_sub(current_date(), 1)"
+    if up in _WEEKDAYS:
+        # the most recent such weekday at or before today
+        return f"next_day(date_sub(current_date(), 7), '{_WEEKDAYS[up]}')"
+    if not tok.startswith("'"):
+        tok = f"'{tok}'"  # unquoted 2022-01-01 form
     return f"CAST({tok} AS TIMESTAMP)"
 
 
@@ -175,6 +195,10 @@ def _norm_end_exclusive(tok: str) -> str:
         return "date_add(current_date(), 1)"
     if up == "YESTERDAY":
         return "current_date()"
+    if up in _WEEKDAYS:
+        return f"date_add(next_day(date_sub(current_date(), 7), '{_WEEKDAYS[up]}'), 1)"
+    if not tok.startswith("'"):
+        tok = f"'{tok}'"
     return f"CAST({tok} AS TIMESTAMP) + INTERVAL 1 DAY"
 
 
@@ -209,11 +233,11 @@ def extract_temporal(sql: str) -> tuple[str, dict[str, tuple[str, str]]]:
 # lhs: a dotted identifier chain, optionally one trailing call — NOT an
 # unbalanced prefix like "IFNULL(col" (the old [\w.()]+ class swallowed the
 # wrapping function's open paren)
-_ARROW2 = re.compile(r"([\w.]+(?:\([^()]*\))?)\s*->>\s*'([^']+)'")
-_ARROW1 = re.compile(r"([\w.]+(?:\([^()]*\))?)\s*->\s*'([^']+)'")
-_ATQ = re.compile(r"([\w.]+(?:\([^()]*\))?)\s*@\?\s*'([^']+)'")
-_AT_ALL = re.compile(r"([\w.\(\)]+)\s*@>>\s*\(([^)]*)\)")
-_AT_ANY = re.compile(r"([\w.\(\)]+)\s*@>\s*\(([^)]*)\)")
+_ARROW2 = re.compile(r"('(?:[^']|'')*'|[\w.]+(?:\([^()]*\))?)\s*->>\s*'([^']+)'")
+_ARROW1 = re.compile(r"('(?:[^']|'')*'|[\w.]+(?:\([^()]*\))?)\s*->\s*'([^']+)'")
+_ATQ = re.compile(r"('(?:[^']|'')*'|[\w.]+(?:\([^()]*\))?)\s*@\?\s*'([^']+)'")
+_AT_ALL = re.compile(r"([\w.\(\)]+)\s*@>>\s*(?:array)?\(([^)]*)\)", re.IGNORECASE)
+_AT_ANY = re.compile(r"([\w.\(\)]+)\s*@>\s*(?:array)?\(([^)]*)\)", re.IGNORECASE)
 _DOLLAR = re.compile(r"\$(\w+)")
 _GEN_SERIES_HEAD = re.compile(r"\b(FROM|JOIN)\s+GENERATE_SERIES\s*\(", re.IGNORECASE)
 _GS_ALIAS = re.compile(r"\s*(?:AS\s+)?([A-Za-z_]\w*)\s*(?:\(\s*(\w+)\s*\))?", re.IGNORECASE)
@@ -268,9 +292,18 @@ def rewrite_virtual_datasets(sql: str) -> str:
     """``$planets`` → ``virtual_planets`` (views the cursor registers).
 
     Literal-aware: ``$`` inside string literals (JSON paths, money
-    amounts) is left untouched.
+    amounts) is left untouched.  A space is inserted when ``$`` directly
+    follows a word character (``FROM$satellites`` is valid reference SQL).
     """
-    return map_outside_literals(sql, lambda seg: _DOLLAR.sub(lambda m: f"virtual_{m.group(1)}", seg))
+
+    def seg(s: str) -> str:
+        def repl(m):
+            lead = " " if m.start() > 0 and (s[m.start() - 1].isalnum() or s[m.start() - 1] == "_") else ""
+            return f"{lead}virtual_{m.group(1)}"
+
+        return _DOLLAR.sub(repl, s)
+
+    return map_outside_literals(sql, seg)
 
 
 def _split_top_level(args: str) -> list[str]:
@@ -555,6 +588,8 @@ def rewrite(sql: str, params: dict | list | None = None) -> RewriteResult:
     sql = rewrite_fake_function(sql)
     # operators first: their quoted keys ('k', '$.path') become function
     # arguments, then the literal-aware $-rewrite can't touch them
+    # (array literals even earlier so `@> ['x']` sees array('x'))
+    sql = dialect.rewrite_array_literals(sql)
     sql = rewrite_operators(sql)
     sql = dialect.apply(sql)
     sql = rewrite_virtual_datasets(sql)

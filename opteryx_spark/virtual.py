@@ -12,12 +12,12 @@ reference's own shape-battery statements run unchanged here
   same public-domain source the reference attests
   (``planet_data.py:15-19``: devstronomy scrape of NASA data) — so
   value-predicate queries match, not just shapes.
-- ``$satellites`` (177×8) uses the real named moons per planet
-  (1/2/67/61/27/14/5 across Earth…Pluto — the public census the
-  reference's snapshot reflects); physical values are real for the major
-  moons and deterministic plausible fill for faint irregulars.
-- ``$astronauts`` (357×19) / ``$missions`` (4630×8): real famous rows +
-  deterministic synthetic fill to the reference's cardinality.
+- ``$satellites`` (177×8), ``$astronauts`` (357×19), ``$missions``
+  (4630×8): the actual public-domain datasets (astronauts: Kaggle NASA
+  astronaut yearbook, CC0 per the reference's provenance note at
+  ``astronaut_data.py:15-18``), packaged as parquet under
+  ``opteryx_spark/data/`` — value-dependent queries match, not just
+  shapes.
 - ``$variables`` (43×5) exposes the MySQL-compatible system-variable
   surface (same standard names as the reference's
   ``shared/variables.py:52-96``), ``$statistics`` (17×2) runtime
@@ -31,17 +31,12 @@ from __future__ import annotations
 
 import datetime
 import getpass
-import hashlib
+import os
 
 from pyspark.sql import SparkSession
 
 _D = datetime.date
 _T = datetime.datetime
-
-
-def _h(seed: str) -> int:
-    """Deterministic 64-bit stream for synthetic fill values."""
-    return int.from_bytes(hashlib.sha256(seed.encode()).digest()[:8], "big")
 
 
 # --- $planets: NASA planetary fact sheet (public domain) --------------------
@@ -87,291 +82,23 @@ PLANET_DISCOVERY_CUTOFFS = (
 )
 
 
-# --- $satellites: the named-moon census (1/2/67/61/27/14/5) -----------------
+# --- $satellites / $astronauts / $missions: packaged public-domain data --
 
-# (planetId, [names...]); real moon names per planet.  Physical values for
-# the well-studied moons are real (gm km^3/s^2, radius km, density g/cm^3,
-# visual magnitude, geometric albedo); faint irregulars get deterministic
-# plausible fill from _h().
-_MAJOR_SATELLITES: dict[str, tuple[float, float, float, float, float]] = {
-    "Moon": (4902.801, 1737.5, 3.344, -12.74, 0.12),
-    "Phobos": (0.0007, 11.1, 1.872, 11.4, 0.071),
-    "Deimos": (0.0001, 6.2, 1.471, 12.45, 0.068),
-    "Io": (5959.916, 1821.5, 3.528, 5.02, 0.63),
-    "Europa": (3202.739, 1560.8, 3.013, 5.29, 0.67),
-    "Ganymede": (9887.834, 2631.2, 1.942, 4.61, 0.43),
-    "Callisto": (7179.289, 2410.3, 1.834, 5.65, 0.17),
-    "Amalthea": (0.138, 83.5, 0.849, 14.1, 0.09),
-    "Himalia": (0.45, 85.0, 2.6, 14.6, 0.04),
-    "Mimas": (2.5026, 198.2, 1.15, 12.8, 0.962),
-    "Enceladus": (7.2027, 252.1, 1.608, 11.8, 1.0),
-    "Tethys": (41.2067, 533.0, 0.973, 10.2, 0.8),
-    "Dione": (73.1146, 561.7, 1.476, 10.4, 0.6),
-    "Rhea": (153.9426, 764.3, 1.233, 9.6, 0.65),
-    "Titan": (8978.1382, 2574.7, 1.882, 8.4, 0.2),
-    "Hyperion": (0.3727, 135.0, 0.544, 14.4, 0.3),
-    "Iapetus": (120.5038, 735.6, 1.083, 11.0, 0.6),
-    "Phoebe": (0.5532, 106.5, 1.638, 16.4, 0.081),
-    "Miranda": (4.4, 235.8, 1.2, 15.8, 0.32),
-    "Ariel": (86.4, 578.9, 1.592, 13.7, 0.39),
-    "Umbriel": (81.5, 584.7, 1.39, 14.5, 0.21),
-    "Titania": (228.2, 788.9, 1.711, 13.5, 0.27),
-    "Oberon": (192.4, 761.4, 1.63, 13.7, 0.23),
-    "Triton": (1427.6, 1353.4, 2.059, 13.5, 0.72),
-    "Nereid": (2.06, 170.0, 1.5, 19.2, 0.16),
-    "Proteus": (3.36, 210.0, 1.3, 19.7, 0.1),
-    "Charon": (105.88, 606.0, 1.702, 16.8, 0.372),
-}
-
-_SATELLITE_NAMES: list[tuple[int, list[str]]] = [
-    (3, ["Moon"]),
-    (4, ["Phobos", "Deimos"]),
-    (5, [  # 67 Jovian moons
-        "Io", "Europa", "Ganymede", "Callisto", "Amalthea", "Himalia",
-        "Elara", "Pasiphae", "Sinope", "Lysithea", "Carme", "Ananke",
-        "Leda", "Thebe", "Adrastea", "Metis", "Callirrhoe", "Themisto",
-        "Megaclite", "Taygete", "Chaldene", "Harpalyke", "Kalyke",
-        "Iocaste", "Erinome", "Isonoe", "Praxidike", "Autonoe", "Thyone",
-        "Hermippe", "Aitne", "Eurydome", "Euanthe", "Euporie", "Orthosie",
-        "Sponde", "Kale", "Pasithee", "Hegemone", "Mneme", "Aoede",
-        "Thelxinoe", "Arche", "Kallichore", "Helike", "Carpo", "Eukelade",
-        "Cyllene", "Kore", "Herse", "Dia", "Valetudo", "Ersa", "Pandia",
-        "S/2003 J2", "S/2003 J4", "S/2003 J9", "S/2003 J10", "S/2003 J12",
-        "S/2003 J16", "S/2003 J18", "S/2003 J19", "S/2003 J23",
-        "S/2010 J1", "S/2010 J2", "S/2011 J1", "S/2011 J2",
-    ]),
-    (6, [  # 61 Saturnian moons
-        "Mimas", "Enceladus", "Tethys", "Dione", "Rhea", "Titan",
-        "Hyperion", "Iapetus", "Phoebe", "Janus", "Epimetheus", "Helene",
-        "Telesto", "Calypso", "Atlas", "Prometheus", "Pandora", "Pan",
-        "Ymir", "Paaliaq", "Tarvos", "Ijiraq", "Suttungr", "Kiviuq",
-        "Mundilfari", "Albiorix", "Skathi", "Erriapus", "Siarnaq",
-        "Thrymr", "Narvi", "Methone", "Pallene", "Polydeuces", "Daphnis",
-        "Aegir", "Bebhionn", "Bergelmir", "Bestla", "Farbauti", "Fenrir",
-        "Fornjot", "Hati", "Hyrrokkin", "Kari", "Loge", "Skoll", "Surtur",
-        "Anthe", "Jarnsaxa", "Greip", "Tarqeq", "Aegaeon",
-        "S/2004 S7", "S/2004 S12", "S/2004 S13", "S/2004 S17",
-        "S/2006 S1", "S/2006 S3", "S/2007 S2", "S/2007 S3",
-    ]),
-    (7, [  # 27 Uranian moons
-        "Miranda", "Ariel", "Umbriel", "Titania", "Oberon", "Cordelia",
-        "Ophelia", "Bianca", "Cressida", "Desdemona", "Juliet", "Portia",
-        "Rosalind", "Belinda", "Puck", "Caliban", "Sycorax", "Prospero",
-        "Setebos", "Stephano", "Trinculo", "Francisco", "Margaret",
-        "Ferdinand", "Perdita", "Mab", "Cupid",
-    ]),
-    (8, [  # 14 Neptunian moons
-        "Triton", "Nereid", "Naiad", "Thalassa", "Despina", "Galatea",
-        "Larissa", "Proteus", "Halimede", "Psamathe", "Sao", "Laomedeia",
-        "Neso", "Hippocamp",
-    ]),
-    (9, ["Charon", "Nix", "Hydra", "Kerberos", "Styx"]),
-]
+# The reference ships these sample relations as public-domain data
+# (astronauts: Kaggle NASA astronaut yearbook, CC0 as attested in
+# reference virtual_datasets/astronaut_data.py:15-18; satellites/missions:
+# the same public space-data snapshots).  We package the identical data
+# so value-predicate queries -- not just shapes -- match the reference.
+_DATA_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "data")
 
 
-def _satellite_rows() -> list[tuple]:
-    rows: list[tuple] = []
-    sid = 0
-    for planet_id, names in _SATELLITE_NAMES:
-        for name in names:
-            sid += 1
-            if name in _MAJOR_SATELLITES:
-                gm, radius, density, magnitude, albedo = _MAJOR_SATELLITES[name]
-            else:
-                h = _h(f"sat:{name}")
-                gm = round(0.0001 + (h % 1000) / 10_000.0, 4)
-                radius = round(1.0 + ((h >> 10) % 500) / 10.0, 1)
-                density = round(0.5 + ((h >> 20) % 250) / 100.0, 2)
-                magnitude = round(15.0 + ((h >> 30) % 110) / 10.0, 1)
-                albedo = round(0.02 + ((h >> 40) % 60) / 100.0, 2)
-            rows.append((sid, planet_id, name, gm, radius, density, magnitude, albedo))
-    return rows
-
-
-_SATELLITE_SCHEMA = (
-    "id BIGINT, planetId BIGINT, name STRING, gm DOUBLE, radius DOUBLE, "
-    "density DOUBLE, magnitude DOUBLE, albedo DOUBLE"
-)
-
-
-# --- $astronauts: 357 rows, 19 columns --------------------------------------
-
-_REAL_ASTRONAUTS = [
-    ("Neil A. Armstrong", 1962, 2, "Deceased", _D(1930, 8, 5),
-     {"town": "Wapakoneta", "state": "OH"}, "Male",
-     ["Purdue University", "University of Southern California"],
-     "Aeronautical Engineering", "Aerospace Engineering", None, None,
-     2, 206, 1, 2, ["Gemini 8", "Apollo 11"], _D(2012, 8, 25), None),
-    ("Buzz Aldrin", 1963, 3, "Retired", _D(1930, 1, 20),
-     {"town": "Montclair", "state": "NJ"}, "Male",
-     ["US Military Academy", "MIT"],
-     "Mechanical Engineering", "Astronautics", "Colonel", "US Air Force",
-     2, 289, 4, 8, ["Gemini 12", "Apollo 11"], None, None),
-    ("Sally K. Ride", 1978, 8, "Deceased", _D(1951, 5, 26),
-     {"town": "Los Angeles", "state": "CA"}, "Female",
-     ["Stanford University"], "Physics", "Physics", None, None,
-     2, 343, 0, 0, ["STS-7", "STS-41-G"], _D(2012, 7, 23), None),
-    ("John H. Glenn Jr.", 1959, 1, "Deceased", _D(1921, 7, 18),
-     {"town": "Cambridge", "state": "OH"}, "Male",
-     ["Muskingum College"], "Engineering", None, "Colonel", "US Marine Corps",
-     2, 218, 0, 0, ["Mercury-Atlas 6", "STS-95"], _D(2016, 12, 8), None),
-    ("Mae C. Jemison", 1987, 12, "Retired", _D(1956, 10, 17),
-     {"town": "Decatur", "state": "AL"}, "Female",
-     ["Stanford University", "Cornell University"],
-     "Chemical Engineering", "Medicine", None, None,
-     1, 190, 0, 0, ["STS-47"], None, None),
-    ("Peggy A. Whitson", 1996, 16, "Active", _D(1960, 2, 9),
-     {"town": "Mount Ayr", "state": "IA"}, "Female",
-     ["Iowa Wesleyan College", "Rice University"],
-     "Biology/Chemistry", "Biochemistry", None, None,
-     4, 16061, 10, 60, ["STS-111", "Soyuz TMA-11", "Soyuz MS-03", "Ax-2"], None, None),
-    ("Scott J. Kelly", 1996, 16, "Retired", _D(1964, 2, 21),
-     {"town": "Orange", "state": "NJ"}, "Male",
-     ["SUNY Maritime College", "University of Tennessee"],
-     "Electrical Engineering", "Aviation Systems", "Captain", "US Navy",
-     4, 12397, 3, 18, ["STS-103", "STS-118", "Soyuz TMA-01M", "Soyuz TMA-16M"], None, None),
-    ("Ellen Ochoa", 1990, 13, "Retired", _D(1958, 5, 10),
-     {"town": "Los Angeles", "state": "CA"}, "Female",
-     ["San Diego State University", "Stanford University"],
-     "Physics", "Electrical Engineering", None, None,
-     4, 978, 0, 0, ["STS-56", "STS-66", "STS-96", "STS-110"], None, None),
-    ("Gus Grissom", 1959, 1, "Deceased", _D(1926, 4, 3),
-     {"town": "Mitchell", "state": "IN"}, "Male",
-     ["Purdue University"], "Mechanical Engineering", None,
-     "Lieutenant Colonel", "US Air Force",
-     2, 5, 0, 0, ["Mercury-Redstone 4", "Gemini 3"], _D(1967, 1, 27), "Apollo 1"),
-    ("Christa McAuliffe", 1985, 0, "Deceased", _D(1948, 9, 2),
-     {"town": "Boston", "state": "MA"}, "Female",
-     ["Framingham State College", "Bowie State University"],
-     "History", "Education", None, None,
-     1, 0, 0, 0, ["STS-51-L"], _D(1986, 1, 28), "STS-51-L"),
-]
-
-_FIRST_NAMES = [
-    "James", "Mary", "Robert", "Patricia", "Michael", "Linda", "David",
-    "Barbara", "William", "Susan", "Richard", "Karen", "Joseph", "Nancy",
-    "Thomas", "Margaret", "Charles", "Carol", "Daniel", "Ruth",
-]
-_LAST_NAMES = [
-    "Anderson", "Brooks", "Carter", "Davis", "Edwards", "Foster",
-    "Garcia", "Harris", "Irwin", "Johnson", "Kelly", "Lewis", "Mitchell",
-    "Nelson", "Olsen", "Parker", "Quinn", "Roberts", "Stewart", "Turner",
-]
-_MAJORS = [
-    "Aerospace Engineering", "Physics", "Mechanical Engineering",
-    "Electrical Engineering", "Mathematics", "Chemistry", "Biology",
-    "Astronautics", "Geology", "Medicine",
-]
-_STATES = ["TX", "CA", "OH", "FL", "NY", "CO", "WA", "VA", "MI", "IL"]
-_GROUP_YEARS = {  # NASA astronaut group -> selection year (public record)
-    1: 1959, 2: 1962, 3: 1963, 4: 1965, 5: 1966, 6: 1967, 7: 1969,
-    8: 1978, 9: 1980, 10: 1984, 11: 1985, 12: 1987, 13: 1990, 14: 1992,
-    15: 1994, 16: 1996, 17: 1998, 18: 2000, 19: 2004, 20: 2009,
-    21: 2013, 22: 2017,
-}
-
-
-def _astronaut_rows(total: int = 357) -> list[tuple]:
-    rows = list(_REAL_ASTRONAUTS)
-    i = 0
-    while len(rows) < total:
-        h = _h(f"astro:{i}")
-        first = _FIRST_NAMES[h % len(_FIRST_NAMES)]
-        last = _LAST_NAMES[(h >> 8) % len(_LAST_NAMES)]
-        mid = chr(ord("A") + ((h >> 16) % 26))
-        name = f"{first} {mid}. {last}"
-        group = 1 + ((h >> 20) % 22)
-        year = _GROUP_YEARS[group]
-        gender = "Female" if (h >> 28) % 3 == 0 else "Male"
-        status = ["Active", "Retired", "Deceased", "Management"][(h >> 30) % 4]
-        birth = _D(year - 30 - ((h >> 32) % 10), 1 + ((h >> 36) % 12), 1 + ((h >> 40) % 28))
-        flights = (h >> 44) % 5
-        missions = [f"STS-{(h >> 48) % 135 + 1}"] * min(flights, 1) + (
-            [f"Expedition {(h >> 52) % 60 + 1}"] if flights > 1 else []
-        )
-        death = _D(year + 40, 1 + ((h >> 56) % 12), 15) if status == "Deceased" else None
-        rows.append((
-            name, year, group, status, birth,
-            {"town": f"{last}ville", "state": _STATES[(h >> 12) % len(_STATES)]},
-            gender,
-            [f"University of {_LAST_NAMES[(h >> 4) % len(_LAST_NAMES)]}"],
-            _MAJORS[h % len(_MAJORS)],
-            _MAJORS[(h >> 6) % len(_MAJORS)] if (h >> 9) % 2 else None,
-            "Colonel" if (h >> 10) % 4 == 0 else None,
-            "US Air Force" if (h >> 10) % 4 == 0 else None,
-            flights, flights * (100 + (h >> 58) % 4000), (h >> 60) % 4,
-            ((h >> 60) % 4) * 6, missions, death, None,
-        ))
-        i += 1
-    return rows
-
-
-_ASTRONAUT_SCHEMA = (
-    "name STRING, year INT, `group` INT, status STRING, birth_date DATE, "
-    "birth_place STRUCT<town: STRING, state: STRING>, gender STRING, "
-    "alma_mater ARRAY<STRING>, undergraduate_major STRING, "
-    "graduate_major STRING, military_rank STRING, military_branch STRING, "
-    "space_flights INT, space_flight_hours INT, space_walks INT, "
-    "space_walks_hours INT, missions ARRAY<STRING>, death_date DATE, "
-    "death_mission STRING"
-)
-
-
-# --- $missions: 4630 rows, 8 columns ----------------------------------------
-
-_REAL_MISSIONS = [
-    ("RVSN USSR", "Baikonur, Kazakhstan", None, _T(1957, 10, 4, 19, 28), "Sputnik 8K71PS", "Retired", "Sputnik 1", "Success"),
-    ("RVSN USSR", "Baikonur, Kazakhstan", None, _T(1961, 4, 12, 6, 7), "Vostok-K", "Retired", "Vostok 1", "Success"),
-    ("NASA", "Kennedy Space Center, USA", 1160.0, _T(1969, 7, 16, 13, 32), "Saturn V", "Retired", "Apollo 11", "Success"),
-    ("NASA", "Kennedy Space Center, USA", 450.0, _T(1981, 4, 12, 12, 0), "Space Shuttle Columbia", "Retired", "STS-1", "Success"),
-    ("NASA", "Kennedy Space Center, USA", 450.0, _T(1986, 1, 28, 16, 38), "Space Shuttle Challenger", "Retired", "STS-51-L", "Failure"),
-    ("Arianespace", "Kourou, French Guiana", 165.0, _T(1996, 6, 4, 12, 34), "Ariane 5", "Retired", "Ariane 501", "Failure"),
-    ("SpaceX", "Kwajalein Atoll, Marshall Islands", 7.0, _T(2008, 9, 28, 23, 15), "Falcon 1", "Retired", "Falcon 1 Flight 4", "Success"),
-    ("SpaceX", "Cape Canaveral, USA", 62.0, _T(2015, 12, 22, 1, 29), "Falcon 9", "Active", "ORBCOMM OG2 M2", "Success"),
-    ("SpaceX", "Kennedy Space Center, USA", 90.0, _T(2018, 2, 6, 20, 45), "Falcon Heavy", "Active", "Falcon Heavy Demo", "Success"),
-    ("SpaceX", "Kennedy Space Center, USA", 55.0, _T(2020, 5, 30, 19, 22), "Falcon 9", "Active", "Crew Demo-2", "Success"),
-    ("Rocket Lab", "Mahia, New Zealand", 7.5, _T(2018, 1, 21, 1, 43), "Electron", "Active", "Still Testing", "Success"),
-    ("NASA", "Kennedy Space Center, USA", 4100.0, _T(2022, 11, 16, 6, 47), "SLS", "Active", "Artemis 1", "Success"),
-    ("ISRO", "Sriharikota, India", 75.0, _T(2023, 7, 14, 9, 5), "LVM3", "Active", "Chandrayaan-3", "Success"),
-]
-
-_COMPANIES = [
-    ("RVSN USSR", "Baikonur, Kazakhstan", "Soyuz-U", "Retired"),
-    ("NASA", "Kennedy Space Center, USA", "Space Shuttle", "Retired"),
-    ("SpaceX", "Cape Canaveral, USA", "Falcon 9", "Active"),
-    ("Arianespace", "Kourou, French Guiana", "Ariane 5", "Retired"),
-    ("ULA", "Cape Canaveral, USA", "Atlas V", "Active"),
-    ("CASC", "Jiuquan, China", "Long March 2D", "Active"),
-    ("ISRO", "Sriharikota, India", "PSLV", "Active"),
-    ("Roscosmos", "Plesetsk, Russia", "Soyuz 2.1a", "Active"),
-    ("Rocket Lab", "Mahia, New Zealand", "Electron", "Active"),
-    ("Northrop Grumman", "Wallops Island, USA", "Antares", "Active"),
-    ("JAXA", "Tanegashima, Japan", "H-IIA", "Active"),
-    ("Blue Origin", "West Texas, USA", "New Shepard", "Active"),
-]
-
-
-def _mission_rows(total: int = 4630) -> list[tuple]:
-    rows = list(_REAL_MISSIONS)
-    i = 0
-    while len(rows) < total:
-        h = _h(f"mission:{i}")
-        company, location, rocket, r_status = _COMPANIES[h % len(_COMPANIES)]
-        year = 1958 + ((h >> 8) % 66)  # 1958..2023 (Sputnik 1 stays first)
-        launched = _T(year, 1 + ((h >> 16) % 12), 1 + ((h >> 20) % 28),
-                      (h >> 26) % 24, (h >> 31) % 60)
-        price = None if (h >> 37) % 4 == 0 else round(5.0 + ((h >> 40) % 4500) / 10.0, 1)
-        outcome = "Failure" if (h >> 52) % 10 == 0 else "Success"
-        rows.append((company, location, price, launched, rocket, r_status,
-                     f"{rocket} Flight {i + 14}", outcome))
-        i += 1
-    return rows
-
-
-_MISSION_SCHEMA = (
-    "Company STRING, Location STRING, Price DOUBLE, Lauched_at TIMESTAMP, "
-    "Rocket STRING, Rocket_Status STRING, Mission STRING, Mission_Status STRING"
-)
+def _load_packaged(spark: SparkSession, name: str):
+    df = spark.read.parquet(os.path.join(_DATA_DIR, f"{name}.parquet"))
+    # normalize any NTZ inference back to the reference's TIMESTAMP surface
+    for field, dtype in df.dtypes:
+        if dtype == "timestamp_ntz":
+            df = df.withColumn(field, df[field].cast("timestamp"))
+    return df
 
 
 # --- $stop_words: 305 common English words ----------------------------------
@@ -472,15 +199,8 @@ def register_virtual_datasets(spark: SparkSession) -> None:
     spark.createDataFrame(_PLANETS, _PLANET_SCHEMA).createOrReplaceTempView("virtual_planets")
     # $no_table: one row, one column (reference no_table_data.py:27-32)
     spark.createDataFrame([(0,)], "`$column` BIGINT").createOrReplaceTempView("virtual_no_table")
-    spark.createDataFrame(_satellite_rows(), _SATELLITE_SCHEMA).createOrReplaceTempView(
-        "virtual_satellites"
-    )
-    spark.createDataFrame(_astronaut_rows(), _ASTRONAUT_SCHEMA).createOrReplaceTempView(
-        "virtual_astronauts"
-    )
-    spark.createDataFrame(_mission_rows(), _MISSION_SCHEMA).createOrReplaceTempView(
-        "virtual_missions"
-    )
+    for _name in ("satellites", "astronauts", "missions"):
+        _load_packaged(spark, _name).createOrReplaceTempView(f"virtual_{_name}")
     spark.createDataFrame([(w,) for w in _STOP_WORDS], "value STRING").createOrReplaceTempView(
         "virtual_stop_words"
     )

@@ -158,9 +158,10 @@ def test_virtual_missions(conn):
     ).fetchone()[0]
     assert ok >= 9
     first = conn.cursor().execute(
-        "SELECT Mission FROM $missions ORDER BY Lauched_at LIMIT 1"
+        "SELECT Mission FROM $missions WHERE Lauched_at IS NOT NULL "
+        "ORDER BY Lauched_at LIMIT 1"
     ).fetchone()[0]
-    assert first == "Sputnik 1"
+    assert first == "Sputnik-1"
 
 
 def test_virtual_variables_reflects_set(conn):

@@ -12,11 +12,11 @@ our DBAPI cursor, comparing row/column counts:
   SQL the reference rejects — e.g. INTERSECT) — reported, not failed
 - statements touching surfaces this engine doesn't ship locally
   (sqlite./testdata./iceberg. datasets, $derived) are SKIPPED and listed
-- statements whose row count depends on the *content* of the
-  synthetic-fill datasets ($astronauts/$missions values are
-  deterministic fill to the reference's cardinality, not its data; minor
-  moons' physical values likewise) are checked on COLUMN count only and
-  land in ``cols_only`` buckets
+- statements whose row count is engine-local by nature (EXPLAIN plan
+  lines, the $variables inventory) are checked on COLUMN count only and
+  land in ``cols_only`` buckets; everything on the packaged virtual
+  datasets is fully value-checked since they carry the reference's
+  actual public-domain data
 
 Usage:
     python tools/reference_battery.py [file_glob ...]   # default: all
@@ -47,31 +47,19 @@ _SKIP_PATTERNS = [
 ]
 
 
-_SYNTH_TABLES = re.compile(r"\$(astronauts|missions)\b", re.I)
-_SYNTH_FILTER = re.compile(r"\b(WHERE|HAVING|QUALIFY)\b", re.I)
-_SAT_VALUES = re.compile(r"\b(gm|radius|density|magnitude|albedo)\b", re.I)
-
-
-_SYNTH_SHAPERS = re.compile(
-    r"\b(WHERE|HAVING|QUALIFY|DISTINCT|GROUP\s+BY|NATURAL\s+JOIN)\b", re.I
-)
-
-
 def _content_dependent(stmt: str) -> bool:
-    """Row count depends on synthetic-fill values → compare columns only."""
+    """Row count is engine-local by nature → compare columns only.
+
+    Since the packaged virtual datasets carry the reference's actual
+    public-domain data, value-driven row counts on $satellites /
+    $astronauts / $missions are now fully checked; only genuinely
+    engine-specific surfaces stay column-only.
+    """
     # EXPLAIN output is one row per plan line — engine-specific by nature
     if re.match(r"\s*(SET[^;]*;\s*)*EXPLAIN\b", stmt, re.I):
         return True
     # the server-variable inventory is engine-specific
     if re.search(r"\$variables\b", stmt, re.I):
-        return True
-    # value distributions of the synthetic-fill datasets differ from the
-    # reference's real data, so any value-driven row count is engine-local
-    if _SYNTH_TABLES.search(stmt) and _SYNTH_SHAPERS.search(stmt):
-        return True
-    if re.search(r"\$satellites\b", stmt, re.I) and (
-        _SAT_VALUES.search(stmt) or re.search(r"NATURAL\s+JOIN", stmt, re.I)
-    ):
         return True
     return False
 
