@@ -193,6 +193,10 @@ class Cursor:
             self._conn.statistics["statements_executed"] += 1
             try:
                 self._df = self._execute_one(spark, stmt, params)
+            except (FileNotFoundError, IsADirectoryError, PermissionError) as exc:
+                # dataset resolution failures are PEP-249 DataErrors, like
+                # the reference's DatasetNotFoundError
+                raise errors.DataError(str(exc)) from exc
             except Exception as exc:
                 if type(exc).__name__ in (
                     "ParseException",

@@ -240,6 +240,7 @@ _AT_ALL = re.compile(r"([\w.\(\)]+)\s*@>>\s*(?:array)?\(([^)]*)\)", re.IGNORECAS
 _AT_ANY = re.compile(r"([\w.\(\)]+)\s*@>\s*(?:array)?\(([^)]*)\)", re.IGNORECASE)
 _DOLLAR = re.compile(r"\$(\w+)")
 _GEN_SERIES_HEAD = re.compile(r"\b(FROM|JOIN)\s+GENERATE_SERIES\s*\(", re.IGNORECASE)
+_GS_CONT = re.compile(r"\s*,\s*GENERATE_SERIES\s*\(", re.IGNORECASE)
 _GS_ALIAS = re.compile(r"\s*(?:AS\s+)?([A-Za-z_]\w*)\s*(?:\(\s*(\w+)\s*\))?", re.IGNORECASE)
 # words that follow a FROM-clause item and therefore are not aliases
 _GS_KEYWORDS = frozenset(
@@ -377,12 +378,10 @@ def rewrite_generate_series(sql: str) -> str:
     fine), quoted date bounds cast to TIMESTAMP, and the reference's
     compact interval specs translated to Spark INTERVAL literals.
     """
-    out, pos = [], 0
-    while True:
-        m = _GEN_SERIES_HEAD.search(sql, pos)
-        if not m:
-            break
-        depth, i, in_str = 1, m.end(), False
+    def one_call(start: int) -> tuple[str, int]:
+        """Rewrite the call whose '(' arguments begin at ``start``; returns
+        (rendered relation, index after the alias)."""
+        depth, i, in_str = 1, start, False
         while i < len(sql) and depth:
             ch = sql[i]
             if in_str:
@@ -394,7 +393,7 @@ def rewrite_generate_series(sql: str) -> str:
             elif ch == ")":
                 depth -= 1
             i += 1
-        inner = _gs_explode_inner(_split_top_level(sql[m.end() : i - 1]))
+        inner = _gs_explode_inner(_split_top_level(sql[start : i - 1]))
         alias, col, end = "series", "generate_series", i
         am = _GS_ALIAS.match(sql, i)
         if am and am.group(1).upper() not in _GS_KEYWORDS:
@@ -403,9 +402,23 @@ def rewrite_generate_series(sql: str) -> str:
             alias = am.group(1)
             end = am.end() if am.group(2) else am.end(1)
             col = am.group(2) or alias
+        return f"(SELECT explode({inner}) AS {col}) {alias}", end
+
+    out, pos = [], 0
+    while True:
+        m = _GEN_SERIES_HEAD.search(sql, pos)
+        if not m:
+            break
         out.append(sql[pos : m.start()])
-        out.append(f"{m.group(1)} (SELECT explode({inner}) AS {col}) {alias}")
-        pos = end
+        rel, pos = one_call(m.end())
+        out.append(f"{m.group(1)} {rel}")
+        # comma-continued FROM list: FROM generate_series(...) s, generate_series(...) e
+        while True:
+            cm = _GS_CONT.match(sql, pos)
+            if not cm:
+                break
+            rel, pos = one_call(cm.end())
+            out.append(f", {rel}")
     out.append(sql[pos:])
     return "".join(out)
 
@@ -484,7 +497,10 @@ def bind_params(sql: str, params: dict | list | None) -> str:
 
         def sub_named(seg: str) -> str:
             for k in sorted(params, key=len, reverse=True):
-                seg = re.sub(rf"[:@]{re.escape(k)}\b", _sql_literal(params[k]), seg)
+                lit = _sql_literal(params[k])
+                # lambda replacement: literal values must not be parsed as
+                # regex templates (backslashes / \g escapes in the value)
+                seg = re.sub(rf"[:@]{re.escape(k)}\b", lambda _m, s=lit: s, seg)
             return seg
 
         return map_outside_literals(sql, sub_named)
