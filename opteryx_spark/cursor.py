@@ -639,6 +639,8 @@ def _parse_plan_tree(text: str) -> list[tuple[int, str, str]]:
         m = _re.match(r"([A-Za-z][\w]*)\s*(.*)", body)
         if not m:
             continue
+        if m.group(1) == "ColumnarToRow":
+            continue  # execution-format adapter, not a logical operator
         rows.append((depth, m.group(1), m.group(2)[:500]))
     return rows or [(0, "Plan", text[:200])]
 

@@ -108,6 +108,74 @@ def language_scores(col: Column | str) -> Column:
     )
 
 
+# GPT-2-style pretokenizer shape: contractions, letter runs, digit runs,
+# punctuation runs (each optionally space-prefixed).  Kept to constructs
+# whose semantics agree between Java regex (Spark) and RE2 (DuckDB oracle).
+BPE_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ']+"
+
+
+def bpe_tokens(col: Column | str) -> Column:
+    """BPE-ish subword pretokens (regex pretokenizer, no merges).
+
+    The token *count* tracks trained-BPE token counts closely enough for
+    corpus budgeting (the pretokenizer defines the ceiling), and it is a
+    pure JVM-side regex — no vocab broadcast, no Python.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_extract_all(c, F.lit(BPE_PATTERN), F.lit(0))
+
+
+def bpe_token_count(col: Column | str) -> Column:
+    return F.size(bpe_tokens(col)).cast("long")
+
+
+# winnowing fingerprints (Schleimer et al., SIGMOD'03): rolling polynomial
+# hash over character k-grams, min-selected per window — the standard
+# plagiarism/near-dup document fingerprint
+_WINNOW_MOD = 1_000_003
+_WINNOW_BASE = 31
+
+
+def winnow_fingerprints(col: Column | str, k: int = 5, window: int = 4) -> Column:
+    """Distinct winnowing fingerprints of a text column.
+
+    Per-row array math only (narrow map stage): char k-gram hashes are a
+    fixed-power polynomial mod a prime (identical integer arithmetic is
+    expressible in the DuckDB oracle), then each ``window`` of consecutive
+    hashes contributes its min.  Guarantees any shared substring of length
+    ``k + window - 1`` produces a shared fingerprint.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    pows = [_WINNOW_BASE ** (k - 1 - j) for j in range(k)]
+    n = F.length(c)
+
+    def gram_hash(i: Column) -> Column:
+        h = None
+        for j, p in enumerate(pows):
+            # long arithmetic: codepoint * 31^4 exceeds int32
+            term = F.ascii(c.substr(i + F.lit(j), F.lit(1))).cast("long") * F.lit(p)
+            h = term if h is None else h + term
+        return h % F.lit(_WINNOW_MOD)
+
+    hashes = F.when(n >= F.lit(k), F.transform(F.sequence(F.lit(1), n - k + 1), gram_hash)).otherwise(
+        F.array().cast("array<bigint>")
+    )
+
+    def windows(harr: Column) -> Column:
+        m = F.size(harr)
+        return F.when(
+            m >= F.lit(window),
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), m - window + 1),
+                    lambda p: F.array_min(F.slice(harr, p, window)),
+                )
+            ),
+        ).otherwise(F.array().cast("array<bigint>"))
+
+    return _let(hashes, windows)
+
+
 def fingerprint(col: Column | str) -> Column:
     """Content fingerprint: md5 over the sorted distinct token set.
 

@@ -445,3 +445,80 @@ def emb_lsh_near_dup_pairs(spark, sf_dir):
     baseline (bucket-local candidate join, never all-pairs)."""
     emb = t(spark, sf_dir, "embeddings")
     return similarity.lsh_cosine_pairs(emb, threshold=0.45).orderBy("id1", "id2")
+
+
+@register(
+    "text_bpe_token_stats",
+    oracle="""
+    SELECT lang,
+           CAST(SUM(nb) AS BIGINT) AS total_bpe_tokens,
+           CAST(MAX(nb) AS BIGINT) AS max_bpe_tokens,
+           CAST(FLOOR(CAST(SUM(nb) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) * 10000) AS BIGINT)
+               AS avg_bpe_tokens_x1e4
+    FROM (SELECT lang,
+                 len(regexp_extract_all(text,
+                     '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 '']+')) AS nb
+          FROM documents) x
+    GROUP BY lang ORDER BY lang
+    """,
+)
+def text_bpe_token_stats(spark, sf_dir):
+    """BPE-ish token budgeting per language (regex pretokenizer counts —
+    operators/text.py::bpe_tokens; reference has whitespace tokens only,
+    this is the training-data-pipeline extension the brief mandates)."""
+    docs = t(spark, sf_dir, "documents")
+    nb = text.bpe_token_count("text").alias("nb")
+    return (
+        docs.select("lang", nb)
+        .groupBy("lang")
+        .agg(
+            F.sum("nb").alias("total_bpe_tokens"),
+            F.max("nb").alias("max_bpe_tokens"),
+            F.floor(
+                F.sum("nb").cast("double") / F.count(F.lit(1)).cast("double") * 10000
+            ).alias("avg_bpe_tokens_x1e4"),
+        )
+        .orderBy("lang")
+    )
+
+
+@register(
+    "text_winnow_fingerprints",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(fps) AS BIGINT) AS n_fp,
+           CAST(list_min(fps) AS BIGINT) AS min_fp,
+           CAST(list_max(fps) AS BIGINT) AS max_fp
+    FROM (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, len(hashes) - 4 + 2),
+                                          p -> list_min(hashes[p:p+3]))) AS fps
+      FROM (
+        SELECT doc_id,
+               list_transform(range(1, length(text) - 5 + 2), i ->
+                 (CAST(ascii(text[i]) AS BIGINT) * 923521
+                  + CAST(ascii(text[i+1]) AS BIGINT) * 29791
+                  + CAST(ascii(text[i+2]) AS BIGINT) * 961
+                  + CAST(ascii(text[i+3]) AS BIGINT) * 31
+                  + CAST(ascii(text[i+4]) AS BIGINT)) % 1000003) AS hashes
+        FROM documents) h) w
+    WHERE doc_id <= 200
+    ORDER BY doc_id
+    """,
+)
+def text_winnow_fingerprints(spark, sf_dir):
+    """Winnowing rolling-hash document fingerprints
+    (operators/text.py::winnow_fingerprints — polynomial char-5-gram hash,
+    window-4 min selection; per-doc fingerprint-set stats, exact oracle)."""
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") <= 200)
+    fps = text.winnow_fingerprints("text", k=5, window=4)
+    return (
+        docs.select("doc_id", fps.alias("fps"))
+        .select(
+            "doc_id",
+            F.size("fps").cast("long").alias("n_fp"),
+            F.array_min("fps").alias("min_fp"),
+            F.array_max("fps").alias("max_fp"),
+        )
+        .orderBy("doc_id")
+    )

@@ -306,3 +306,38 @@ def test_range_bin_join_ltz_timestamp(spark):
         end_inclusive=True,
     )
     assert [r.pid for r in got.collect()] == [0]
+
+
+# ---------------------------------------------------------------- text ops r3
+
+
+def test_winnow_shared_substring_shares_fingerprint(spark):
+    from opteryx_spark.operators.text import winnow_fingerprints
+
+    shared = "the quick brown fox jumps over the lazy dog"
+    df = spark.createDataFrame(
+        [(1, "AAAA " + shared + " BBBB"), (2, "CCCC " + shared + " DDDD"), (3, "totally unrelated words here")],
+        ["doc_id", "text"],
+    )
+    rows = {r.doc_id: set(r.fps) for r in df.select("doc_id", winnow_fingerprints("text").alias("fps")).collect()}
+    # winnowing guarantee: any shared substring of length k+window-1 (8)
+    # produces at least one shared fingerprint
+    assert rows[1] & rows[2]
+    assert not (rows[1] & rows[3]) or len(rows[1] & rows[3]) < len(rows[1] & rows[2])
+
+
+def test_winnow_short_text_empty(spark):
+    from opteryx_spark.operators.text import winnow_fingerprints
+
+    df = spark.createDataFrame([(1, "abc"), (2, "")], ["doc_id", "text"])
+    rows = {r.doc_id: r.fps for r in df.select("doc_id", winnow_fingerprints("text").alias("fps")).collect()}
+    assert rows[1] == [] and rows[2] == []
+
+
+def test_bpe_token_count(spark):
+    from opteryx_spark.operators.text import bpe_token_count
+
+    df = spark.createDataFrame([(1, "I can't do 42 things, really!")], ["doc_id", "text"])
+    n = df.select(bpe_token_count("text").alias("n")).collect()[0].n
+    # I | _can | 't | _do | _42 | _things | , | _really | !
+    assert n == 9
