@@ -268,9 +268,19 @@ class Cursor:
                 raise errors.ProgrammingError(f"prepared statement not found: {name}")
             bound = {}
             if exec_m.group(2):
+                # named (id=1) or positional (1, 2) — positional binds to the
+                # template's :params in appearance order
+                positional = []
                 for pair in exec_m.group(2).split(","):
-                    k, v = pair.split("=", 1)
-                    bound[k.strip()] = _parse_literal(v.strip())
+                    if "=" in pair:
+                        k, v = pair.split("=", 1)
+                        bound[k.strip()] = _parse_literal(v.strip())
+                    elif pair.strip():
+                        positional.append(_parse_literal(pair.strip()))
+                if positional:
+                    names = re.findall(r"[:@](\w+)", tmpl)
+                    for name, value in zip(names, positional):
+                        bound.setdefault(name, value)
             return self._execute_one(spark, tmpl, bound or None)
         merged = dict(self._conn.variables)
         if isinstance(params, dict):
@@ -527,6 +537,56 @@ def _type_fallback(sql: str, msg: str) -> str | None:
       pattern — ``utils/sql.py::regex_match_any``) become
       ``exists(x, __v -> __v LIKE p1 OR ...)``; ALL → forall with AND.
     """
+    # subscript on a STRING column: reference GET/[] semantics are char-at
+    # (integer key, 0-based) or JSON-key extraction (string key)
+    em = _re2.search(r'Can\'t extract a value from "([\w.]+)"', msg)
+    if em and '"STRING"' in msg:
+        base = _re2.escape(em.group(1))
+        new = _re2.sub(
+            rf"\(?\b({base})\)?\s*\[\s*(\d+)\s*\]",
+            lambda m: f"substring({m.group(1)}, {int(m.group(2)) + 1}, 1)",
+            sql,
+        )
+        new = _re2.sub(
+            rf"\(?\b({base})\)?\s*\[\s*'([^']*)'\s*\]",
+            lambda m: f"get_json_object({m.group(1)}, '$.{m.group(2)}')",
+            new,
+        )
+        if new != sql:
+            return new
+    if "INVALID_EXTRACT_BASE_FIELD_TYPE" in msg or "UNEXPECTED_INPUT_TYPE" in msg:
+        # string-literal subscript: ('{"a":1}')['a'] → JSON key extraction
+        new = _re2.sub(
+            r"\(\s*('(?:[^']|'')*')\s*\)\s*\[\s*'([^']*)'\s*\]",
+            lambda m: f"get_json_object({m.group(1)}, '$.{m.group(2)}')",
+            sql,
+        )
+        if new != sql:
+            return new
+        # JSON-text idiom on a struct: (CAST(x AS STRING))['k']
+        cm2 = _re2.search(
+            r"\(\s*CAST\s*\(\s*([\w.]+)\s+AS\s+STRING\s*\)\s*\)\s*\[\s*'([^']*)'\s*\]",
+            sql,
+            _re2.IGNORECASE,
+        )
+        if cm2:
+            new = sql.replace(
+                cm2.group(0),
+                f"get_json_object(to_json({cm2.group(1)}), '$.{cm2.group(2)}')",
+            )
+            if new != sql:
+                return new
+    # date arithmetic compared to a year-month interval: date - date is a
+    # day-time interval in Spark; approximate the year literal in days
+    if "INTERVAL DAY" in msg and "INTERVAL YEAR" in msg:
+        new = _re2.sub(
+            r"\bINTERVAL\s+'(\d+)'\s+YEAR\b",
+            lambda m: f"make_dt_interval({round(int(m.group(1)) * 365.25)})",
+            sql,
+            flags=_re2.IGNORECASE,
+        )
+        if new != sql:
+            return new
     if "DATATYPE_MISMATCH" not in msg and "DATATYPE_MISSING_SIZE" not in msg:
         return None
     if "get_json_object" in msg:
@@ -544,6 +604,10 @@ def _type_fallback(sql: str, msg: str) -> str | None:
         )
         if new != sql:
             return new
+    if '"length(' in msg and len(_re2.findall(r"\bLENGTH\(", sql, _re2.IGNORECASE)) == 1:
+        # sole LENGTH call failed on an array-typed aggregate expression
+        new = _re2.sub(r"\bLENGTH\(", "CARDINALITY(", sql, count=1, flags=_re2.IGNORECASE)
+        return new
     # CAST(scalar AS ARRAY<T>) → array(CAST(scalar AS T)): reference casts
     # scalars to single-element lists
     if "ARRAY<" in msg.upper() or "ARRAY<" in sql.upper():

@@ -172,6 +172,16 @@ def _jsonb_object_keys(a):
     if len(a) != 1:
         return None
     arg = a[0].strip()
+    # a VARCHAR()/BLOB()/CAST(... AS STRING|BINARY) wrapper around a struct
+    # is the reference's "render as JSON text" idiom — unwrap it, to_json
+    # produces that text directly
+    wm = re.match(
+        r"(?:VARCHAR|BLOB)\s*\((.*)\)$|CAST\s*\((.*)\s+AS\s+(?:STRING|BINARY|VARCHAR|BLOB)\s*\)$",
+        arg,
+        re.IGNORECASE | re.DOTALL,
+    )
+    if wm:
+        arg = (wm.group(1) or wm.group(2)).strip()
     # quoted JSON document → already a string; struct/variant column → to_json
     if arg.startswith("'"):
         return f"json_object_keys({arg})"
@@ -191,11 +201,24 @@ MACROS = {
     "datediff": _datediff,
     # generators
     "random_string": lambda a: (
-        f"SUBSTRING(REPEAT(MD5(CAST(RAND() AS STRING)), CAST(({a[0]})/32 AS INT)+1), 1, {a[0]})"
-        if len(a) == 1 else None
+        "SUBSTRING(MD5(CAST(RAND() AS STRING)), 1, 16)"
+        if not a
+        else f"SUBSTRING(REPEAT(MD5(CAST(RAND() AS STRING)), CAST(({a[0]})/32 AS INT)+1), 1, {a[0]})"
+        if len(a) == 1
+        else None
     ),
     "normal": lambda a: "randn()" if not a else None,
     "phi": lambda a: "1.61803398874989484820458683436563812D" if not a else None,
+    # zero-arg datetime parts default to NOW() (reference functions/__init__.py)
+    "year": lambda a: "EXTRACT(YEAR FROM current_timestamp())" if not a else None,
+    "month": lambda a: "EXTRACT(MONTH FROM current_timestamp())" if not a else None,
+    "day": lambda a: "EXTRACT(DAY FROM current_timestamp())" if not a else None,
+    "hour": lambda a: "EXTRACT(HOUR FROM current_timestamp())" if not a else None,
+    "minute": lambda a: "EXTRACT(MINUTE FROM current_timestamp())" if not a else None,
+    "second": lambda a: "EXTRACT(SECOND FROM current_timestamp())" if not a else None,
+    # GET: subscript access; struct['k'] natively, strings repaired by the
+    # cursor's analysis-retry (JSON key or char index)
+    "get": lambda a: f"({a[0]})[{a[1]}]" if len(a) == 2 else None,
     # strings
     "starts_with": lambda a: f"startswith({', '.join(a)})" if len(a) == 2 else None,
     "ends_with": lambda a: f"endswith({', '.join(a)})" if len(a) == 2 else None,
@@ -301,8 +324,11 @@ _ANYALL_HEAD = re.compile(
 )
 
 
-# pattern-list bodies: one or more comma-separated string literals
-_LIT_LIST = re.compile(r"^\s*'(?:[^']|'')*'(?:\s*,\s*'(?:[^']|'')*')*\s*$")
+# pattern-list bodies: comma-separated string literals (NULLs allowed —
+# the reference drops null patterns, utils/sql.py::regex_match_any)
+_LIT_LIST = re.compile(
+    r"^\s*(?:'(?:[^']|'')*'|NULL)(?:\s*,\s*(?:'(?:[^']|'')*'|NULL))*\s*$", re.IGNORECASE
+)
 # reference-only bare-literal form: ``x LIKE ANY '%p%'`` (no parens)
 _LIKE_ANY_BARE = re.compile(
     r"\b(LIKE|ILIKE|RLIKE)\s+(ANY|ALL)\s+('(?:[^']|'')*')", re.IGNORECASE
@@ -338,13 +364,18 @@ def rewrite_any_all(sql: str) -> str:
         lhs, op, quant = m.group(1), m.group(2), m.group(3).upper()
         op_norm = re.sub(r"\s+", " ", op.upper())
         if op_norm.endswith(("LIKE", "RLIKE")) and _LIT_LIST.match(arr):
-            if op_norm.startswith("NOT"):
-                base = op_norm.split()[-1]
-                repl = f"NOT ({lhs} {base} {quant} ({arr}))"
-                sql = sql[: m.start()] + repl + sql[end:]
-                pos = m.start() + len(repl)
+            # reference drops NULL patterns before matching
+            pats = [p for p in _split_top_level(arr) if p.upper() != "NULL"]
+            base = op_norm.split()[-1]
+            neg = op_norm.startswith("NOT")
+            if not pats:
+                repl = "(1 = 0)" if not neg else "(1 = 1)"
+            elif neg:
+                repl = f"NOT ({lhs} {base} {quant} ({', '.join(pats)}))"
             else:
-                pos = end  # native Spark LIKE ANY/ALL handles string LHS
+                repl = f"{lhs} {base} {quant} ({', '.join(pats)})"
+            sql = sql[: m.start()] + repl + sql[end:]
+            pos = m.start() + len(repl)
             continue
         fn = "exists" if quant == "ANY" else "forall"
         repl = f"{fn}({arr}, __v -> {lhs} {op} __v)"
@@ -381,11 +412,15 @@ def strip_byte_literals(sql: str) -> str:
     return "".join(out)
 
 
+_HEX_LIT = re.compile(r"\b0[xX]([0-9A-Fa-f]+)\b")
+
+
 def normalize_numeric_underscores(sql: str) -> str:
     """``1_00`` / ``10.0_0`` → ``100`` / ``10.00`` (reference accepts
-    underscore digit separators)."""
+    underscore digit separators), and ``0x08`` hex literals → decimal."""
 
     def seg(s: str) -> str:
+        s = _HEX_LIT.sub(lambda m: str(int(m.group(1), 16)), s)
         return _NUM_UNDERSCORE.sub(lambda m: m.group(1).replace("_", ""), s)
 
     return map_outside_literals(sql, seg)
@@ -400,9 +435,13 @@ _CAST_TYPES = [
     (re.compile(r"\bAS\s+VARBINARY\b", re.IGNORECASE), "AS BINARY"),
     # reference INTEGER is always int64 (SURVEY §1.2)
     (re.compile(r"\bAS\s+INTEGER\b", re.IGNORECASE), "AS BIGINT"),
-    # same dialect names in `::` casts and ARRAY<> element types
+    # same dialect names in `::` casts and ARRAY<> element types.
+    # ::VARBINARY maps to STRING: the reference compares BLOB and VARCHAR
+    # freely (ops.py:50-56), and its only ::VARBINARY uses are IN-lists of
+    # string/byte literals — Spark BINARY would refuse the comparison.
     (re.compile(r"::\s*VARCHAR\b(?!\s*\()", re.IGNORECASE), "::STRING"),
-    (re.compile(r"::\s*(BLOB|VARBINARY)\b", re.IGNORECASE), "::BINARY"),
+    (re.compile(r"::\s*VARBINARY\b", re.IGNORECASE), "::STRING"),
+    (re.compile(r"::\s*BLOB\b", re.IGNORECASE), "::BINARY"),
     (re.compile(r"::\s*INTEGER\b", re.IGNORECASE), "::BIGINT"),
     (re.compile(r"\bARRAY\s*<\s*VARCHAR\s*>", re.IGNORECASE), "ARRAY<STRING>"),
     (re.compile(r"\bARRAY\s*<\s*INTEGER\s*>", re.IGNORECASE), "ARRAY<BIGINT>"),
@@ -410,10 +449,30 @@ _CAST_TYPES = [
 ]
 
 
+_AS_TYPE = re.compile(r"\bAS\s+", re.IGNORECASE)
+_CAST_HEAD = re.compile(r"\b(?:TRY_)?CAST\s*\(", re.IGNORECASE)
+
+
 def map_cast_types(sql: str) -> str:
+    # `AS <type>` renames apply only inside CAST(...) spans — a bare
+    # `SELECT 'x' AS VARCHAR` is an alias named VARCHAR, not a cast
+    pos = 0
+    while True:
+        m = _CAST_HEAD.search(sql, pos)
+        if not m:
+            break
+        end = _balanced_end(sql, m.end() - 1)
+        body = sql[m.end() : end - 1]
+        for pat, repl in _CAST_TYPES:
+            if repl.startswith("AS "):
+                body = pat.sub(repl, body)
+        sql = sql[: m.start()] + sql[m.start() : m.end()] + body + sql[end - 1 :]
+        pos = m.end() + len(body)
+
     def seg(s: str) -> str:
         for pat, repl in _CAST_TYPES:
-            s = pat.sub(repl, s)
+            if not repl.startswith("AS "):
+                s = pat.sub(repl, s)
         return s
 
     return map_outside_literals(sql, seg)
@@ -500,7 +559,9 @@ def _unnest_alias(sql: str, i: int) -> tuple[str | None, int]:
 
 
 def rewrite_unnest(sql: str) -> str:
-    # table CROSS JOIN UNNEST(col) AS a  →  table LATERAL VIEW explode(col) .. AS a
+    # table CROSS JOIN UNNEST(col) AS a → CROSS JOIN LATERAL (SELECT
+    # explode(col) AS a): unlike LATERAL VIEW, the lateral subquery can be
+    # followed by further JOIN clauses in the same FROM list
     while True:
         m = _CJ_UNNEST.search(sql)
         if not m:
@@ -510,7 +571,9 @@ def rewrite_unnest(sql: str) -> str:
         alias, end2 = _unnest_alias(sql, end)
         alias = alias or "unnest"
         _UNNEST_COUNTER[0] += 1
-        repl = f" LATERAL VIEW explode({arg}) __uv_{_UNNEST_COUNTER[0]} AS {alias}"
+        repl = (
+            f" CROSS JOIN LATERAL (SELECT explode({arg}) AS {alias}) __uv_{_UNNEST_COUNTER[0]}"
+        )
         sql = sql[: m.start()] + repl + sql[end2:]
     # FROM UNNEST((tuple)) AS element  →  FROM (SELECT explode(array(...)) AS element)
     while True:

@@ -579,9 +579,22 @@ def rewrite_fake_function(sql: str) -> str:
                 f"CAST(pmod(hash(id, {idx}), 10000) AS INT) AS column_{idx}"
                 for idx in range(width)
             ]
+        # reference alias-list semantics: FK(a, b, ...) renames the first
+        # min(len(aliases), width) generated columns; excess aliases are
+        # ignored, unnamed columns keep column_<i> (Spark would reject the
+        # arity mismatch, so consume the alias list here)
+        am = re.match(r"\s*(?:AS\s+)?([A-Za-z_]\w*)\s*\(([^)]*)\)", sql[i:], re.IGNORECASE)
+        tail = i
+        rel_alias = ""
+        if am:
+            names = [a.strip() for a in am.group(2).split(",") if a.strip()]
+            for idx, alias in enumerate(names[: len(cols)]):
+                cols[idx] = re.sub(r"AS column_\d+$", f"AS {alias}", cols[idx])
+            rel_alias = f" AS {am.group(1)}"
+            tail = i + am.end()
         out.append(sql[pos : m.start()])
-        out.append(f"{m.group(1)} (SELECT {', '.join(cols)} FROM range({n}))")
-        pos = i
+        out.append(f"{m.group(1)} (SELECT {', '.join(cols)} FROM range({n})){rel_alias}")
+        pos = tail
     out.append(sql[pos:])
     return "".join(out)
 
