@@ -357,6 +357,17 @@ class Cursor:
         except Exception as exc:
             if type(exc).__name__ != "AnalysisException":
                 raise
+            if "AMBIGUOUS_REFERENCE" in str(exc):
+                # the reference resolves identifiers case-sensitively, so
+                # `id` and `ID` coexist; analysis happens inside sql()
+                prev = spark.conf.get("spark.sql.caseSensitive")
+                spark.conf.set("spark.sql.caseSensitive", "true")
+                try:
+                    return _ym_safe(spark.sql(sql))
+                except Exception:
+                    raise exc
+                finally:
+                    spark.conf.set("spark.sql.caseSensitive", prev)
             alt = _type_fallback(sql, str(exc))
             if alt is not None:
                 try:

@@ -168,6 +168,20 @@ def _array_tuple(arg: str) -> str:
     return f"array{arg}" if arg.startswith("(") else arg
 
 
+def _array_agg_nullsafe(a):
+    """Reference ARRAY_AGG preserves NULL elements; Spark's drops them.
+    Wrap elements in a struct (never null) and unwrap after the agg."""
+    if len(a) != 1:
+        return None
+    arg = a[0].strip()
+    if "__v" in arg:
+        return None  # already rewritten (expand_macros re-scans)
+    distinct = ""
+    if re.match(r"DISTINCT\s", arg, re.IGNORECASE):
+        distinct, arg = "DISTINCT ", arg[8:].strip()
+    return f"transform(array_agg({distinct}struct(({arg}) AS __v)), __s -> __s.__v)"
+
+
 def _jsonb_object_keys(a):
     if len(a) != 1:
         return None
@@ -229,6 +243,7 @@ MACROS = {
     "cosine_similarity": lambda a: f"opx_text_cosine({a[0]}, {a[1]})" if len(a) == 2 else None,
     # arrays
     "sort": lambda a: f"array_sort({a[0]})" if len(a) == 1 else None,
+    "array_agg": _array_agg_nullsafe,
     "greatest": lambda a: f"array_max({a[0]})" if len(a) == 1 else None,
     "least": lambda a: f"array_min({a[0]})" if len(a) == 1 else None,
     "array_contains_any": lambda a: (
@@ -558,7 +573,18 @@ def _unnest_alias(sql: str, i: int) -> tuple[str | None, int]:
     return None, i
 
 
+_JOIN_UNNEST_SUBQ = re.compile(
+    r"\bJOIN\s*\(\s*SELECT\s+\*\s+FROM\s+UNNEST\s*\(\s*([\w.]+)\s*\)\s*(?:AS\s+)?(\w+)\s*\)",
+    re.IGNORECASE,
+)
+
+
 def rewrite_unnest(sql: str) -> str:
+    # JOIN (SELECT * FROM UNNEST(col) AS a) — the reference resolves the
+    # UNNEST argument against the outer relation, i.e. a lateral join
+    sql = _JOIN_UNNEST_SUBQ.sub(
+        lambda m: f"JOIN LATERAL (SELECT explode({m.group(1)}) AS {m.group(2)})", sql
+    )
     # table CROSS JOIN UNNEST(col) AS a → CROSS JOIN LATERAL (SELECT
     # explode(col) AS a): unlike LATERAL VIEW, the lateral subquery can be
     # followed by further JOIN clauses in the same FROM list
