@@ -82,3 +82,27 @@ def test_q7_q8_q9_broadcast_dims(spark, sf_dir):
     for name, expected in [("tpch_q7_volume_shipping", 4), ("tpch_q8_market_share", 5), ("tpch_q9_product_profit", 3)]:
         df = REG[name].spark(spark, sf_dir)
         assert broadcast_join_count(df) >= expected, name
+
+
+def test_fingerprint_ops_are_map_only(spark):
+    # winnowing and BPE tokenization are per-row array math: their plans
+    # must contain no Exchange beyond the input's own partitioning — at
+    # 100 TB a shuffle here would dominate the whole pipeline
+    from opteryx_spark.operators.text import bpe_token_count, winnow_fingerprints
+
+    df = spark.range(0, 1000, 1, 4).selectExpr("id", "repeat(uuid(), 4) AS text")
+    for expr in (winnow_fingerprints("text"), bpe_token_count("text")):
+        text = explain_text(df.select("id", expr.alias("out")))
+        assert "Exchange" not in text, "fingerprint stage must not shuffle"
+
+
+def test_copy_group_expansion_no_cartesian(spark, sf_dir):
+    # gid-keyed expansion joins must stay keyed (hash/broadcast), never
+    # degenerate to a cartesian
+    from opteryx_spark.operators import dedup
+    from opteryx_spark.suite._util import t
+
+    docs = t(spark, sf_dir, "documents")
+    df = dedup.minhash_lsh_pairs(docs, k=2)
+    text = explain_text(df)
+    assert "CartesianProduct" not in text
