@@ -118,6 +118,12 @@ class Connection:
                     vals = ", ".join("'" + m_.replace("'", "''") + "'" for m_ in self.memberships)
                     return f"array({vals})"
                 return "CAST(array() AS ARRAY<STRING>)"
+            if name not in self.variables and name not in _SYSTEM_VARIABLES:
+                from opteryx_spark import errors
+
+                # reference shared/variables.py raises on unknown names —
+                # a typo must not degrade to NULL-comparison semantics
+                raise errors.ProgrammingError(f"unknown system variable: @@{name}")
             value = self.variables.get(name)
             if value is None and name in _SYSTEM_VARIABLES:
                 value = _SYSTEM_VARIABLES[name][1]
@@ -142,6 +148,20 @@ class Connection:
                 self._pending_views.discard(name)
             except Exception:
                 pass  # source table not registered yet; retried next execute
+
+    def _refresh_context_views(self, stmt: str) -> None:
+        """Re-register @@sysvar-dependent views with THIS connection's
+        context before a statement references them: temp views live on the
+        shared SparkSession, so another connection's registration (with its
+        own memberships) must not leak into this one's query."""
+        for name, view_sql in self.views.items():
+            if "@@" in view_sql and name not in self._pending_views and name in stmt:
+                try:
+                    self.spark.sql(
+                        rewriter.rewrite(self._expand_sysvars(view_sql)).sql
+                    ).createOrReplaceTempView(name)
+                except Exception:
+                    pass
 
     def _apply_visibility_filters(self) -> None:
         for table, predicate in self.visibility_filters.items():
@@ -278,7 +298,12 @@ class Cursor:
                     elif pair.strip():
                         positional.append(_parse_literal(pair.strip()))
                 if positional:
-                    names = re.findall(r"[:@](\w+)", tmpl)
+                    # parameter names in appearance order, deduped, `::`
+                    # casts excluded
+                    names = []
+                    for n in re.findall(r"(?<!:)[:@](\w+)", tmpl):
+                        if n not in names:
+                            names.append(n)
                     for name, value in zip(names, positional):
                         bound.setdefault(name, value)
             return self._execute_one(spark, tmpl, bound or None)
@@ -301,16 +326,20 @@ class Cursor:
             )
         self._conn._register_pending_views()
         self._conn._apply_visibility_filters()
+        self._conn._refresh_context_views(stmt)
         stmt = self._conn._expand_sysvars(stmt)
         res = rewriter.rewrite(stmt, merged or None)
         for view, path in res.path_tables.items():
             read_any(spark, path).createOrReplaceTempView(view)
         sql = self._resolve_store_refs(spark, res.sql)
-        for table, (start, end) in res.temporal_filters.items():
+        for view, (table, start, end) in res.temporal_filters.items():
+            # each FOR occurrence got its own marker view in the SQL, so a
+            # temporal and a plain reference to one table stay independent
             if table.startswith("$"):
                 # virtual datasets are static snapshots; $planets additionally
                 # honours discovery history (reference planet_data.py temporal
                 # semantics: fewer planets known before Uranus/Neptune/Pluto)
+                base = spark.table(f"virtual_{table[1:]}")
                 if table == "$planets":
                     from opteryx_spark.virtual import PLANET_DISCOVERY_CUTOFFS
 
@@ -320,10 +349,8 @@ class Cursor:
                         if asof is not None and asof < cutoff:
                             max_id = known
                             break
-                    view = "temporal_virtual_planets"
-                    spark.table("virtual_planets").filter(f"id <= {max_id}").createOrReplaceTempView(view)
-                    vpat = re.compile(r"\bvirtual_planets\b")
-                    sql = rewriter.map_outside_literals(sql, lambda seg: vpat.sub(view, seg))
+                    base = base.filter(f"id <= {max_id}")
+                base.createOrReplaceTempView(view)
                 continue
             col = self._conn.time_columns.get(table)
             if col is None:
@@ -339,10 +366,7 @@ class Cursor:
             cond = f"{col} >= {start}"
             if end != "NULL":
                 cond += f" AND {col} < {end}"  # end bound is exclusive
-            view = f"temporal_{table}"
             base.filter(cond).createOrReplaceTempView(view)
-            pattern = re.compile(rf"\b{re.escape(table)}\b")
-            sql = rewriter.map_outside_literals(sql, lambda seg: pattern.sub(view, seg))
         explain_m = re.match(
             r"EXPLAIN(\s+ANALYZE)?(?:\s+FORMAT\s+(\w+))?\s+(.*)",
             sql,

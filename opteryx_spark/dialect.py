@@ -174,8 +174,10 @@ def _array_agg_nullsafe(a):
     if len(a) != 1:
         return None
     arg = a[0].strip()
-    if "__v" in arg:
-        return None  # already rewritten (expand_macros re-scans)
+    if "__v" in arg or "__k" in arg:
+        # already rewritten (expand_macros re-scans), or the ORDER BY
+        # modifier pass built a struct agg (itself null-preserving)
+        return None
     distinct = ""
     if re.match(r"DISTINCT\s", arg, re.IGNORECASE):
         distinct, arg = "DISTINCT ", arg[8:].strip()
@@ -468,20 +470,38 @@ _AS_TYPE = re.compile(r"\bAS\s+", re.IGNORECASE)
 _CAST_HEAD = re.compile(r"\b(?:TRY_)?CAST\s*\(", re.IGNORECASE)
 
 
+def _in_literal(sql: str, idx: int) -> bool:
+    """True when ``idx`` falls inside a single-quoted literal."""
+    in_str = False
+    for i in range(idx):
+        if sql[i] == "'":
+            in_str = not in_str
+    return in_str
+
+
 def map_cast_types(sql: str) -> str:
     # `AS <type>` renames apply only inside CAST(...) spans — a bare
-    # `SELECT 'x' AS VARCHAR` is an alias named VARCHAR, not a cast
+    # `SELECT 'x' AS VARCHAR` is an alias named VARCHAR, not a cast —
+    # and never inside string literals within the span
     pos = 0
     while True:
         m = _CAST_HEAD.search(sql, pos)
         if not m:
             break
+        if _in_literal(sql, m.start()):
+            pos = m.end()
+            continue
         end = _balanced_end(sql, m.end() - 1)
         body = sql[m.end() : end - 1]
-        for pat, repl in _CAST_TYPES:
-            if repl.startswith("AS "):
-                body = pat.sub(repl, body)
-        sql = sql[: m.start()] + sql[m.start() : m.end()] + body + sql[end - 1 :]
+
+        def seg_as(s: str) -> str:
+            for pat, repl in _CAST_TYPES:
+                if repl.startswith("AS "):
+                    s = pat.sub(repl, s)
+            return s
+
+        body = map_outside_literals(body, seg_as)
+        sql = sql[: m.end()] + body + sql[end - 1 :]
         pos = m.end() + len(body)
 
     def seg(s: str) -> str:
@@ -711,6 +731,7 @@ def rewrite_array_literals(sql: str) -> str:
     stack: list[bool] = []  # True where '[' opened an array literal
     in_str = False
     prev = ""  # last non-space char emitted outside strings
+    gap = True  # whitespace seen since prev (a detached '[' is a literal)
     for ch in sql:
         if in_str:
             out.append(ch)
@@ -719,24 +740,29 @@ def rewrite_array_literals(sql: str) -> str:
         if ch == "'":
             in_str = True
             out.append(ch)
-            prev = ch
+            prev, gap = ch, False
             continue
         if ch == "[":
-            # subscript when following a value (identifier, ')', ']', quote);
-            # array literal otherwise (after ',', '(', operators, keywords)
-            is_subscript = bool(prev) and (prev.isalnum() or prev in "_)]'")
+            # subscript only when directly attached to a value (identifier,
+            # ')', ']', quote): `name[0]`.  After whitespace, a comma, an
+            # operator, or a keyword (`IN [1,2]`) it is an array literal.
+            is_subscript = (
+                not gap and bool(prev) and (prev.isalnum() or prev in "_)]'")
+            )
             stack.append(not is_subscript)
             out.append("[" if is_subscript else "array(")
-            prev = "("
+            prev, gap = "(", False
             continue
         if ch == "]":
             was_literal = stack.pop() if stack else False
             out.append(")" if was_literal else "]")
-            prev = ")"
+            prev, gap = ")", False
             continue
         out.append(ch)
-        if not ch.isspace():
-            prev = ch
+        if ch.isspace():
+            gap = True
+        else:
+            prev, gap = ch, False
     return "".join(out)
 
 
@@ -787,11 +813,23 @@ def rewrite_array_agg_modifiers(sql: str) -> str:
             pos = end
             continue
         distinct, expr, order, direction, limit = bm.groups()
-        agg = f"array_agg({'DISTINCT ' if distinct else ''}{expr.strip()})"
-        if order is not None:
+        expr = expr.strip()
+        d = "DISTINCT " if distinct else ""
+        if order is not None and order.strip() != expr:
+            # sort by the ORDER BY key, not the aggregated value: aggregate
+            # (key, value) structs — struct ordering is field-by-field, so
+            # the key leads — then project the value back out
+            agg = f"array_agg({d}struct(({order.strip()}) AS __k, ({expr}) AS __e))"
             agg = f"array_sort({agg})"
             if (direction or "").upper() == "DESC":
                 agg = f"reverse({agg})"
+            agg = f"transform({agg}, __s -> __s.__e)"
+        else:
+            agg = f"array_agg({d}{expr})"
+            if order is not None:
+                agg = f"array_sort({agg})"
+                if (direction or "").upper() == "DESC":
+                    agg = f"reverse({agg})"
         if limit is not None:
             agg = f"slice({agg}, 1, {limit})"
         sql = sql[: m.start()] + agg + sql[end:]
@@ -840,10 +878,21 @@ def rewrite_misc_operators(sql: str) -> str:
         sql = pat.sub(repl, sql)
     sql = _CIDR_PIPE.sub(lambda m: f"ip_in_cidr({m.group(1)}, {m.group(2)})", sql)
 
+    # case-insensitive regex ops carry their pattern literal: fold the
+    # insensitivity into the pattern itself ((?i) prefix), not the column
+    sql = re.sub(
+        r"([\w.\)\]]+)\s*!~\*\s*'((?:[^']|'')*)'",
+        lambda m: f"{m.group(1)} NOT RLIKE '(?i){m.group(2)}'",
+        sql,
+    )
+    sql = re.sub(
+        r"([\w.\)\]]+)\s*~\*\s*'((?:[^']|'')*)'",
+        lambda m: f"{m.group(1)} RLIKE '(?i){m.group(2)}'",
+        sql,
+    )
+
     def seg(s: str) -> str:
         s = re.sub(r"\bXOR\b", "!=", s, flags=re.IGNORECASE)
-        s = re.sub(r"([\w.\)\]]+)\s*!~\*\s*", r"lower(\1) NOT RLIKE ", s)
-        s = re.sub(r"([\w.\)\]]+)\s*~\*\s*", r"lower(\1) RLIKE ", s)
         s = re.sub(r"([\w.\)\]]+)\s*!~\s*", r"\1 NOT RLIKE ", s)
         # segments end right before the pattern literal, so match span-end too
         s = re.sub(r"([\w.\)\]]+)\s*~\s*(?='|$)", r"\1 RLIKE ", s)

@@ -32,7 +32,7 @@ from dataclasses import dataclass, field
 @dataclass
 class RewriteResult:
     sql: str
-    temporal_filters: dict[str, tuple[str, str]] = field(default_factory=dict)
+    temporal_filters: dict[str, tuple[str, str, str]] = field(default_factory=dict)
     path_tables: dict[str, str] = field(default_factory=dict)  # view name -> path
 
 
@@ -136,7 +136,7 @@ _FOR_PATTERNS = [
     (
         re.compile(
             r"(FROM|JOIN)\s+([\w.$]+)(\s+(?:AS\s+)?\w+)?\s+FOR\s+DATES\s+BETWEEN\s+"
-            r"('[^']*'|TODAY|YESTERDAY)\s+AND\s+('[^']*'|TODAY|YESTERDAY)",
+            r"('[^']*'|TODAY|YESTERDAY)\s+AND\s+('[^']*'|TODAY|YESTERDAY)(?P<post>\s+AS\s+\w+)?",
             re.IGNORECASE,
         ),
         "between",
@@ -144,14 +144,14 @@ _FOR_PATTERNS = [
     (
         re.compile(
             r"(FROM|JOIN)\s+([\w.$]+)(\s+(?:AS\s+)?\w+)?\s+FOR\s+DATES\s+SINCE\s+"
-            r"('[^']*'|TODAY|YESTERDAY)",
+            r"('[^']*'|TODAY|YESTERDAY)(?P<post>\s+AS\s+\w+)?",
             re.IGNORECASE,
         ),
         "since",
     ),
     (
         re.compile(
-            r"(FROM|JOIN)\s+([\w.$]+)(\s+(?:AS\s+)?\w+)?\s+FOR\s+LAST\s+(\d+)\s+DAYS",
+            r"(FROM|JOIN)\s+([\w.$]+)(\s+(?:AS\s+)?\w+)?\s+FOR\s+LAST\s+(\d+)\s+DAYS(?P<post>\s+AS\s+\w+)?",
             re.IGNORECASE,
         ),
         "last_days",
@@ -160,7 +160,7 @@ _FOR_PATTERNS = [
         re.compile(
             r"(FROM|JOIN)\s+([\w.$]+)(\s+(?:AS\s+)?\w+)?\s+FOR\s+"
             r"('[^']*'|TODAY|YESTERDAY|\d{4}-\d{2}-\d{2}"
-            r"|MONDAY|TUESDAY|WEDNESDAY|THURSDAY|FRIDAY|SATURDAY|SUNDAY)",
+            r"|MONDAY|TUESDAY|WEDNESDAY|THURSDAY|FRIDAY|SATURDAY|SUNDAY)(?P<post>\s+AS\s+\w+)?",
             re.IGNORECASE,
         ),
         "point",
@@ -202,24 +202,34 @@ def _norm_end_exclusive(tok: str) -> str:
     return f"CAST({tok} AS TIMESTAMP) + INTERVAL 1 DAY"
 
 
-def extract_temporal(sql: str) -> tuple[str, dict[str, tuple[str, str]]]:
-    """Strip ``FOR ...`` temporal clauses; return per-table
-    (start_inclusive, end_exclusive) filter expressions (Spark SQL
-    fragments; end is "NULL" for open-ended ranges)."""
-    filters: dict[str, tuple[str, str]] = {}
+def extract_temporal(sql: str) -> tuple[str, dict[str, tuple[str, str, str]]]:
+    """Strip ``FOR ...`` temporal clauses; return per-*occurrence* marker
+    views mapping to (table, start_inclusive, end_exclusive) filter
+    expressions (Spark SQL fragments; end is "NULL" for open-ended
+    ranges).  Marker-per-occurrence keeps a temporal and a plain
+    reference to the same table in one query independent."""
+    filters: dict[str, tuple[str, str, str]] = {}
 
     def handle(kind):
         def sub(m):
-            kw, table, alias = m.group(1), m.group(2), m.group(3) or ""
+            kw, table = m.group(1), m.group(2)
+            alias = m.group(3) or m.group("post") or ""
+            marker = f"__temporal_{len(filters)}_" + re.sub(r"\W", "_", table)
             if kind == "between":
-                filters[table] = (_norm_date(m.group(4)), _norm_end_exclusive(m.group(5)))
+                bounds = (_norm_date(m.group(4)), _norm_end_exclusive(m.group(5)))
             elif kind == "since":
-                filters[table] = (_norm_date(m.group(4)), "NULL")
+                bounds = (_norm_date(m.group(4)), "NULL")
             elif kind == "last_days":
-                filters[table] = (f"date_sub(current_date(), {m.group(4)})", "NULL")
+                bounds = (f"date_sub(current_date(), {m.group(4)})", "NULL")
             else:  # point-in-time: the full named day
-                filters[table] = (_norm_date(m.group(4)), _norm_end_exclusive(m.group(4)))
-            return f"{kw} {table}{alias}"
+                bounds = (_norm_date(m.group(4)), _norm_end_exclusive(m.group(4)))
+            filters[marker] = (table, *bounds)
+            if not alias:
+                # unqualified references keep resolving under the name the
+                # rest of the statement uses post-rewrite
+                name = f"virtual_{table[1:]}" if table.startswith("$") else table.split(".")[-1]
+                alias = f" AS {name}"
+            return f"{kw} {marker}{alias}"
 
         return sub
 
@@ -584,6 +594,8 @@ def rewrite_fake_function(sql: str) -> str:
         # ignored, unnamed columns keep column_<i> (Spark would reject the
         # arity mismatch, so consume the alias list here)
         am = re.match(r"\s*(?:AS\s+)?([A-Za-z_]\w*)\s*\(([^)]*)\)", sql[i:], re.IGNORECASE)
+        if am and am.group(1).upper() in _GS_KEYWORDS:
+            am = None  # `FAKE(2,2) JOIN (SELECT ...)` — not an alias list
         tail = i
         rel_alias = ""
         if am:

@@ -35,8 +35,15 @@ def read_events_stream(spark: SparkSession, path: str, schema=None, ts_col: str 
         if dtype == "bigint":
             stream = stream.withColumn(ts_col, F.timestamp_micros(F.expr(f"`{ts_col}` div 1000")))
         elif dtype == "timestamp_ntz":
-            # watermarks require TIMESTAMP; event files carry UTC instants
-            stream = stream.withColumn(ts_col, F.to_utc_timestamp(F.col(ts_col), "UTC"))
+            # watermarks require TIMESTAMP; event files carry UTC instants.
+            # Derive the instant arithmetically (µs since the naive epoch =
+            # µs since the UTC epoch) — a cast or to_utc_timestamp would
+            # re-interpret the naive value in the session timezone.
+            epoch = F.lit("1970-01-01 00:00:00").cast("timestamp_ntz")
+            stream = stream.withColumn(
+                ts_col,
+                F.timestamp_micros(F.timestamp_diff("MICROSECOND", epoch, F.col(ts_col))),
+            )
     return stream
 
 

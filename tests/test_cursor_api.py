@@ -192,3 +192,47 @@ def test_virtual_user(conn):
         "SELECT value FROM $user WHERE attribute = 'name'"
     ).fetchone()[0]
     assert isinstance(name, str) and name
+
+
+def test_context_views_do_not_leak_across_connections(spark):
+    import opteryx_spark as ox
+
+    c1 = ox.connect(spark=spark, memberships=["Apollo 11"])
+    c2 = ox.connect(spark=spark)  # registers the view with empty memberships
+    rows1 = c1.cursor().execute("SELECT * FROM my_mission_reports").fetchall()
+    assert len(rows1) == 3  # c1 still sees its own membership context
+    rows2 = c2.cursor().execute("SELECT * FROM my_mission_reports").fetchall()
+    assert rows2 == []
+
+
+def test_unknown_sysvar_raises(spark):
+    import opteryx_spark as ox
+    from opteryx_spark import errors
+
+    conn = ox.connect(spark=spark)
+    import pytest as _pytest
+
+    with _pytest.raises(errors.Error):
+        conn.cursor().execute("SELECT @@no_such_variable")
+
+
+def test_execute_positional_skips_cast_colons(spark):
+    import opteryx_spark as ox
+
+    conn = ox.connect(
+        spark=spark,
+        prepared_statements={"tcast": "SELECT :x::INTEGER * :y AS r"},
+    )
+    row = conn.cursor().execute("EXECUTE tcast (3, 4)").fetchone()
+    assert row[0] == 12
+
+
+def test_temporal_and_plain_same_table(spark):
+    import opteryx_spark as ox
+
+    conn = ox.connect(spark=spark)
+    rows = conn.cursor().execute(
+        "SELECT COUNT(*) FROM $planets FOR '1800-01-01' AS old_p CROSS JOIN $planets"
+    ).fetchone()
+    # 7 planets known in 1800 x 9 known today
+    assert rows[0] == 63

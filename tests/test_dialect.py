@@ -147,3 +147,34 @@ def test_time_bucket_year():
 def test_bitwise_filter_coercion():
     out = dialect.rewrite_bitwise_filters("SELECT name FROM t WHERE 12 | 22")
     assert out == "SELECT name FROM t WHERE (12 | 22) != 0"
+
+
+def test_cast_types_do_not_touch_literal_contents():
+    out = dialect.map_cast_types("SELECT CAST('keep AS INTEGER intact' AS VARCHAR)")
+    assert "'keep AS INTEGER intact'" in out and "AS STRING)" in out
+
+
+def test_alias_named_varchar_is_not_a_cast():
+    out = dialect.map_cast_types("SELECT 'x' AS VARCHAR FROM t")
+    assert out == "SELECT 'x' AS VARCHAR FROM t"
+
+
+def test_case_insensitive_regex_ops_fold_into_pattern():
+    out = dialect.rewrite_misc_operators("SELECT * FROM t WHERE name ~* '^SMITH'")
+    assert "name RLIKE '(?i)^SMITH'" in out
+    out = dialect.rewrite_misc_operators("SELECT * FROM t WHERE name !~* '^SMITH'")
+    assert "name NOT RLIKE '(?i)^SMITH'" in out
+
+
+def test_array_literal_after_keyword_or_whitespace():
+    assert dialect.rewrite_array_literals("SELECT [1,2,3]") == "SELECT array(1,2,3)"
+    assert dialect.rewrite_array_literals("WHERE x IN [1,2]") == "WHERE x IN array(1,2)"
+    assert dialect.rewrite_array_literals("SELECT name[0]") == "SELECT name[0]"
+
+
+def test_array_agg_orders_by_key_not_value():
+    out = dialect.rewrite_array_agg_modifiers(
+        "SELECT ARRAY_AGG(name ORDER BY id DESC LIMIT 3) FROM t"
+    )
+    assert "struct((id) AS __k, (name) AS __e)" in out
+    assert out.startswith("SELECT slice(transform(reverse(array_sort(")

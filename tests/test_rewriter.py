@@ -28,19 +28,22 @@ def test_temporal_between():
         "SELECT * FROM events FOR DATES BETWEEN '2024-01-01' AND '2024-02-01' WHERE x=1"
     )
     assert "FOR" not in sql
-    assert filters["events"][0] == "CAST('2024-01-01' AS TIMESTAMP)"
+    (table, start, end), = filters.values()
+    assert table == "events"
+    assert start == "CAST('2024-01-01' AS TIMESTAMP)"
     # end bound covers the whole named day (exclusive start of next day)
-    assert filters["events"][1] == "CAST('2024-02-01' AS TIMESTAMP) + INTERVAL 1 DAY"
+    assert end == "CAST('2024-02-01' AS TIMESTAMP) + INTERVAL 1 DAY"
 
 
 def test_temporal_point_and_last_days():
     sql, f1 = rewriter.extract_temporal("SELECT * FROM events FOR '2024-01-05'")
-    assert f1["events"][0] == "CAST('2024-01-05' AS TIMESTAMP)"
-    assert f1["events"][1] == "CAST('2024-01-05' AS TIMESTAMP) + INTERVAL 1 DAY"
+    (t1, s1, e1), = f1.values()
+    assert (t1, s1) == ("events", "CAST('2024-01-05' AS TIMESTAMP)")
+    assert e1 == "CAST('2024-01-05' AS TIMESTAMP) + INTERVAL 1 DAY"
     sql, f2 = rewriter.extract_temporal("SELECT * FROM events FOR LAST 7 DAYS")
-    assert "date_sub" in f2["events"][0]
+    assert "date_sub" in next(iter(f2.values()))[1]
     sql, f3 = rewriter.extract_temporal("SELECT * FROM events FOR TODAY")
-    assert f3["events"][0] == "current_date()"
+    assert next(iter(f3.values()))[1] == "current_date()"
 
 
 def test_json_operators():
@@ -99,7 +102,7 @@ def test_full_rewrite_pipeline():
     )
     assert "get_json_object" in res.sql
     assert "x = 7" in res.sql
-    assert "events" in res.temporal_filters
+    assert any(t == "events" for t, _, _ in res.temporal_filters.values())
 
 
 def test_temporal_on_join_clause():
@@ -107,7 +110,7 @@ def test_temporal_on_join_clause():
         "SELECT * FROM orders o JOIN events FOR LAST 7 DAYS ON o.k = events.k"
     )
     assert "FOR LAST" not in sql
-    assert "events" in filters
+    assert any(t == "events" for t, _, _ in filters.values())
 
 
 def test_dollar_not_rewritten_in_literals():
@@ -172,3 +175,20 @@ def test_generate_series_compound_interval():
 def test_generate_series_no_alias_before_keyword():
     out = rewriter.rewrite_generate_series("SELECT * FROM GENERATE_SERIES(1, 3) WHERE 1 = 1")
     assert "WHERE 1 = 1" in out and ") series WHERE" in out
+
+
+def test_temporal_and_plain_reference_stay_independent():
+    sql, filters = rewriter.extract_temporal(
+        "SELECT * FROM events FOR '2024-01-05' e JOIN events x ON e.k = x.k"
+    )
+    # only the FOR-qualified occurrence is rewritten to a marker view
+    (marker, (table, _, _)), = filters.items()
+    assert table == "events" and marker in sql
+    assert " JOIN events x" in sql
+
+
+def test_fake_alias_not_confused_with_join():
+    out = rewriter.rewrite_fake_function(
+        "SELECT * FROM FAKE(2, 2) JOIN (SELECT 1 AS a) x ON TRUE"
+    )
+    assert "JOIN (SELECT 1 AS a) x ON TRUE" in out
