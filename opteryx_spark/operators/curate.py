@@ -33,7 +33,12 @@ def curate_corpus(
        silently dropped — a curation run you can't audit is a curation
        run you can't debug at scale)
     """
-    stats = text.with_text_stats(docs, text_col)
+    stats = text.with_text_stats(docs, text_col).withColumn(
+        # token budgeting for the training run: BPE-ish counts track the
+        # trained-tokenizer ceiling (operators/text.py::bpe_tokens)
+        "n_bpe_tokens",
+        text.bpe_token_count(text_col),
+    )
 
     digests = dedup.content_hash_dedup(docs, id_col, text_col)
     exact_keep = digests.select(F.col("keep_id").alias(id_col)).withColumn(
