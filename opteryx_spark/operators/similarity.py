@@ -264,3 +264,57 @@ def ivf_topk(
         .orderBy(F.desc("cosim"), F.asc(id_col))
         .limit(k)
     )
+
+
+def ivf_persist(
+    assigned: DataFrame,
+    centroids: list[list[float]],
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize the IVF index partitioned by cluster.
+
+    ``partitionBy("cluster")`` turns each inverted list into its own
+    directory, so a query's nprobe IN-filter becomes *partition pruning*
+    at the scan (the plan's PartitionFilters) — at 100 TB the query
+    touches nprobe/n_clusters of the bytes, not a post-scan filter.
+    Centroids ride along as a tiny JSON sidecar.
+    """
+    import json
+    import os
+
+    assigned.write.mode("overwrite").partitionBy("cluster").parquet(path)
+    with open(os.path.join(path, "_centroids.json"), "w") as fh:
+        json.dump(centroids, fh)
+
+
+def ivf_topk_indexed(
+    spark,
+    path: str,
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN top-k against a persisted IVF index — the partition-pruned
+    scale path (only the nprobe nearest clusters' files are read)."""
+    import json
+    import os
+
+    with open(os.path.join(path, "_centroids.json")) as fh:
+        centroids = json.load(fh)
+
+    def dist2(c):
+        return sum((float(a) - float(b)) ** 2 for a, b in zip(c, query_vec))
+
+    probe = sorted(range(len(centroids)), key=lambda i: dist2(centroids[i]))[:nprobe]
+    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    return (
+        spark.read.parquet(path)
+        .filter(F.col("cluster").isin(probe))
+        .select(F.col(id_col), cosine(F.col(vec_col), q).alias("cosim"))
+        .orderBy(F.desc("cosim"), F.asc(id_col))
+        .limit(k)
+    )

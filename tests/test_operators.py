@@ -341,3 +341,25 @@ def test_bpe_token_count(spark):
     n = df.select(bpe_token_count("text").alias("n")).collect()[0].n
     # I | _can | 't | _do | _42 | _things | , | _really | !
     assert n == 9
+
+
+def test_ivf_persisted_index_prunes_partitions(spark, sf_dir, tmp_path_factory):
+    """The persisted IVF index must serve queries via partition pruning:
+    the scan's PartitionFilters carries the cluster IN-filter, and the
+    indexed result equals the in-memory IVF result."""
+    from opteryx_spark.operators import similarity
+
+    emb = t(spark, sf_dir, "embeddings")
+    assigned, centroids = similarity.ivf_index(emb, n_clusters=8)
+    path = str(tmp_path_factory.mktemp("ivf_idx"))
+    similarity.ivf_persist(assigned, centroids, path)
+
+    qvec = [float(v) for v in emb.orderBy("vec_id").first()["embedding"]]
+    got = similarity.ivf_topk_indexed(spark, path, qvec, k=5, nprobe=3)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    part_filters = [ln for ln in plan.split("\n") if "PartitionFilters" in ln]
+    assert part_filters and "cluster" in part_filters[0]
+    assert "cluster IN" in part_filters[0] or "cluster#" in part_filters[0]
+
+    mem = similarity.ivf_topk(assigned, centroids, qvec, k=5, nprobe=3)
+    assert [r.vec_id for r in got.collect()] == [r.vec_id for r in mem.collect()]
