@@ -588,3 +588,43 @@ def simhash_dedup_pairs(
     return cand.select("id1", "id2", dist.cast("int").alias("hamming")).filter(
         F.col("hamming") <= max_hamming
     )
+
+
+# --- winnowing fingerprint join ----------------------------------------------
+
+
+def winnow_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    window: int = 4,
+    min_shared: int = 2,
+    max_df: int | None = 1000,
+) -> DataFrame:
+    """Near-dup pairs by shared winnowing fingerprints (id1, id2, n_shared).
+
+    The plagiarism-detection formulation: documents sharing >= min_shared
+    selected rolling-hash fingerprints (text.winnow_fingerprints) are
+    candidates; any shared substring of length k+window-1 guarantees a
+    shared fingerprint.  Physical plan is the standard inverted-index
+    similarity join — one shuffle on the fingerprint key, with a
+    document-frequency cap dropping boilerplate fingerprints (hot-key
+    skew control at corpus scale).
+    """
+    from opteryx_spark.operators.text import winnow_fingerprints
+
+    fps = _spread(df).select(
+        F.col(id_col).alias("id"),
+        F.explode(winnow_fingerprints(text_col, k, window)).alias("fp"),
+    )
+    if max_df is not None:
+        hot = fps.groupBy("fp").count().filter(F.col("count") > max_df).select("fp")
+        fps = fps.join(F.broadcast(hot), "fp", "left_anti")
+    a, b = fps.alias("a"), fps.alias("b")
+    return (
+        a.join(b, (F.col("a.fp") == F.col("b.fp")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id1"), F.col("b.id").alias("id2"))
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )

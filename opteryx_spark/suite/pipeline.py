@@ -522,3 +522,38 @@ def text_winnow_fingerprints(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "dedup_winnow_pairs",
+    oracle="""
+    WITH fps AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(range(1, len(hashes) - 4 + 2),
+                                                 p -> list_min(hashes[p:p+3])))) AS fp
+      FROM (
+        SELECT doc_id,
+               list_transform(range(1, length(text) - 5 + 2), i ->
+                 (CAST(ascii(text[i]) AS BIGINT) * 923521
+                  + CAST(ascii(text[i+1]) AS BIGINT) * 29791
+                  + CAST(ascii(text[i+2]) AS BIGINT) * 961
+                  + CAST(ascii(text[i+3]) AS BIGINT) * 31
+                  + CAST(ascii(text[i+4]) AS BIGINT)) % 1000003) AS hashes
+        FROM documents WHERE doc_id <= 300) h),
+    kept AS (
+      SELECT fp FROM fps GROUP BY fp HAVING COUNT(*) <= 1000)
+    SELECT a.doc_id AS id1, b.doc_id AS id2, CAST(COUNT(*) AS BIGINT) AS n_shared
+    FROM fps a
+    JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    WHERE a.fp IN (SELECT fp FROM kept)
+    GROUP BY 1, 2
+    HAVING COUNT(*) >= 2
+    ORDER BY id1, id2
+    """,
+)
+def dedup_winnow_pairs(spark, sf_dir):
+    """Winnowing fingerprint-share near-dup join
+    (operators/dedup.py::winnow_pairs — inverted index on rolling-hash
+    fingerprints, df-capped; exact DuckDB oracle on identical arithmetic)."""
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") <= 300)
+    return dedup.winnow_pairs(docs, min_shared=2).orderBy("id1", "id2")

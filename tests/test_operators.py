@@ -363,3 +363,16 @@ def test_ivf_persisted_index_prunes_partitions(spark, sf_dir, tmp_path_factory):
 
     mem = similarity.ivf_topk(assigned, centroids, qvec, k=5, nprobe=3)
     assert [r.vec_id for r in got.collect()] == [r.vec_id for r in mem.collect()]
+
+
+def test_winnow_pairs_detects_exact_and_near_dupes(spark):
+    from opteryx_spark.operators import dedup
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    df = spark.createDataFrame(
+        [(1, base), (2, base), (3, base + " with a small tail"), (4, "entirely different content here")],
+        ["doc_id", "text"],
+    )
+    pairs = {(r.id1, r.id2) for r in dedup.winnow_pairs(df, min_shared=2).collect()}
+    assert (1, 2) in pairs and (1, 3) in pairs and (2, 3) in pairs
+    assert not any(4 in p for p in pairs)
