@@ -136,7 +136,9 @@ _FOR_PATTERNS = [
     (
         re.compile(
             r"(FROM|JOIN)\s+([\w.$]+)(\s+(?:AS\s+)?\w+)?\s+FOR\s+DATES\s+BETWEEN\s+"
-            r"('[^']*'|TODAY|YESTERDAY)\s+AND\s+('[^']*'|TODAY|YESTERDAY)(?P<post>\s+AS\s+\w+)?",
+            r"('[^']*'|TODAY|YESTERDAY|MONDAY|TUESDAY|WEDNESDAY|THURSDAY|FRIDAY|SATURDAY|SUNDAY|\\d{4}-\\d{2}-\\d{2}" \
+            r")\s+AND\s+('[^']*'|TODAY|YESTERDAY|MONDAY|TUESDAY|WEDNESDAY|THURSDAY|FRIDAY|SATURDAY|SUNDAY|\\d{4}-\\d{2}-\\d{2}" \
+            r")(?P<post>\s+AS\s+\w+)?",
             re.IGNORECASE,
         ),
         "between",
@@ -144,7 +146,8 @@ _FOR_PATTERNS = [
     (
         re.compile(
             r"(FROM|JOIN)\s+([\w.$]+)(\s+(?:AS\s+)?\w+)?\s+FOR\s+DATES\s+SINCE\s+"
-            r"('[^']*'|TODAY|YESTERDAY)(?P<post>\s+AS\s+\w+)?",
+            r"('[^']*'|TODAY|YESTERDAY|MONDAY|TUESDAY|WEDNESDAY|THURSDAY|FRIDAY|SATURDAY|SUNDAY|\\d{4}-\\d{2}-\\d{2}" \
+            r")(?P<post>\s+AS\s+\w+)?",
             re.IGNORECASE,
         ),
         "since",
@@ -171,6 +174,12 @@ _WEEKDAYS = {
     "MONDAY": "MO", "TUESDAY": "TU", "WEDNESDAY": "WE", "THURSDAY": "TH",
     "FRIDAY": "FR", "SATURDAY": "SA", "SUNDAY": "SU",
 }
+
+_SUBQ_FOR = re.compile(
+    r"(\)\s*(?:AS\s+)?\w+)\s+FOR\s+('[^']*'|TODAY|YESTERDAY|\d{4}-\d{2}-\d{2}"
+    r"|MONDAY|TUESDAY|WEDNESDAY|THURSDAY|FRIDAY|SATURDAY|SUNDAY)",
+    re.IGNORECASE,
+)
 
 
 def _norm_date(tok: str) -> str:
@@ -235,6 +244,10 @@ def extract_temporal(sql: str) -> tuple[str, dict[str, tuple[str, str, str]]]:
 
     for pat, kind in _FOR_PATTERNS:
         sql = pat.sub(handle(kind), sql)
+    # FOR on a derived relation ((SELECT ...) AS p FOR '...'): the inner
+    # references resolve their own snapshots; with snapshot-consistent
+    # (static) virtual data the outer clause is an identity filter
+    sql = _SUBQ_FOR.sub(r"\1", sql)
     return sql, filters
 
 

@@ -94,3 +94,20 @@ def test_missing_dataset_file_is_data_error(conn):
 
     with pytest.raises(errors.Error):
         conn.cursor().execute("SELECT * FROM '/nonexistent/nowhere.parquet'")
+
+
+TEMPORAL_CASES = [
+    ("SELECT * FROM $planets FOR '1730-01-01'", 6),
+    ("SELECT * FROM $planets FOR '1830-01-01'", 7),
+    ("SELECT * FROM $planets FOR '1930-01-01'", 8),
+    ("SELECT * FROM $planets FOR '2030-01-01'", 9),
+    ("SELECT * FROM $planets FOR DATES SINCE MONDAY", 9),
+    ("SELECT * FROM $planets FOR DATES BETWEEN THURSDAY AND TODAY", 9),
+    ("SELECT * FROM (SELECT * FROM $planets AS D) AS P FOR '2030-01-01'", 9),
+    ("SELECT * FROM $planets AS P FOR '1699-01-01' INNER JOIN $satellites FOR '2030-01-01' ON P.id = planetId", 131),
+]
+
+
+@pytest.mark.parametrize("sql,want", TEMPORAL_CASES, ids=[c[0][:48] for c in TEMPORAL_CASES])
+def test_virtual_temporal(conn, sql, want):
+    assert len(conn.cursor().execute(sql).fetchall()) == want

@@ -42,7 +42,6 @@ _SKIP_PATTERNS = [
     re.compile(r"\btestdata\.", re.I),
     re.compile(r"\biceberg\.", re.I),
     re.compile(r"\$derived\b"),
-    re.compile(r"\bFOR\s+(DATES|'|TODAY|YESTERDAY)", re.I),  # temporal on virtual data
     re.compile(r"\bHTTP\s*\(", re.I),
     # fixture files the reference checkout itself does not ship
     re.compile(r"formats/arrow/", re.I),
