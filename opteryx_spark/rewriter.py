@@ -136,8 +136,8 @@ _FOR_PATTERNS = [
     (
         re.compile(
             r"(FROM|JOIN)\s+([\w.$]+)(\s+(?:AS\s+)?\w+)?\s+FOR\s+DATES\s+BETWEEN\s+"
-            r"('[^']*'|TODAY|YESTERDAY|MONDAY|TUESDAY|WEDNESDAY|THURSDAY|FRIDAY|SATURDAY|SUNDAY|\\d{4}-\\d{2}-\\d{2}" \
-            r")\s+AND\s+('[^']*'|TODAY|YESTERDAY|MONDAY|TUESDAY|WEDNESDAY|THURSDAY|FRIDAY|SATURDAY|SUNDAY|\\d{4}-\\d{2}-\\d{2}" \
+            r"('[^']*'|TODAY|YESTERDAY|MONDAY|TUESDAY|WEDNESDAY|THURSDAY|FRIDAY|SATURDAY|SUNDAY|\d{4}-\d{2}-\d{2}" \
+            r")\s+AND\s+('[^']*'|TODAY|YESTERDAY|MONDAY|TUESDAY|WEDNESDAY|THURSDAY|FRIDAY|SATURDAY|SUNDAY|\d{4}-\d{2}-\d{2}" \
             r")(?P<post>\s+AS\s+\w+)?",
             re.IGNORECASE,
         ),
@@ -146,7 +146,7 @@ _FOR_PATTERNS = [
     (
         re.compile(
             r"(FROM|JOIN)\s+([\w.$]+)(\s+(?:AS\s+)?\w+)?\s+FOR\s+DATES\s+SINCE\s+"
-            r"('[^']*'|TODAY|YESTERDAY|MONDAY|TUESDAY|WEDNESDAY|THURSDAY|FRIDAY|SATURDAY|SUNDAY|\\d{4}-\\d{2}-\\d{2}" \
+            r"('[^']*'|TODAY|YESTERDAY|MONDAY|TUESDAY|WEDNESDAY|THURSDAY|FRIDAY|SATURDAY|SUNDAY|\d{4}-\d{2}-\d{2}" \
             r")(?P<post>\s+AS\s+\w+)?",
             re.IGNORECASE,
         ),
@@ -158,6 +158,14 @@ _FOR_PATTERNS = [
             re.IGNORECASE,
         ),
         "last_days",
+    ),
+    (
+        re.compile(
+            r"(FROM|JOIN)\s+([\w.$]+)(\s+(?:AS\s+)?\w+)?\s+FOR\s+DATES\s+IN\s+"
+            r"(THIS_MONTH|LAST_MONTH|PREVIOUS_MONTH|THIS_YEAR|LAST_YEAR)(?P<post>\s+AS\s+\w+)?",
+            re.IGNORECASE,
+        ),
+        "named_range",
     ),
     (
         re.compile(
@@ -230,6 +238,17 @@ def extract_temporal(sql: str) -> tuple[str, dict[str, tuple[str, str, str]]]:
                 bounds = (_norm_date(m.group(4)), "NULL")
             elif kind == "last_days":
                 bounds = (f"date_sub(current_date(), {m.group(4)})", "NULL")
+            elif kind == "named_range":
+                token = m.group(4).upper()
+                month = "date_trunc('month', current_date())"
+                year = "date_trunc('year', current_date())"
+                bounds = {
+                    "THIS_MONTH": (month, "date_add(current_date(), 1)"),
+                    "LAST_MONTH": (f"add_months({month}, -1)", month),
+                    "PREVIOUS_MONTH": (f"add_months({month}, -1)", month),
+                    "THIS_YEAR": (year, "date_add(current_date(), 1)"),
+                    "LAST_YEAR": (f"add_months({year}, -12)", year),
+                }[token]
             else:  # point-in-time: the full named day
                 bounds = (_norm_date(m.group(4)), _norm_end_exclusive(m.group(4)))
             filters[marker] = (table, *bounds)
