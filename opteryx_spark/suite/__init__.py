@@ -42,45 +42,127 @@ def register(name: str, oracle: str | None = None):
 
 
 # The driver's correctness harness checks entries in registration order and
-# caps how many it verifies per round (r1: first 50 of 94).  Flagship queries
-# (TPC-H, LLM-pipeline) and entries without a prior green verdict must come
-# first; entries already verified green in CORRECTNESS_r01.json can safely sit
-# past the cap.  Names not listed keep their import-order position at the end.
-_PRIORITY_MODULES = ("tpch", "pipeline")
-_PRIORITY_NAMES = (
-    # driver-errored or hash-mismatched in r1, fixed this round — must re-check
-    "string_funcs_2",
-    "numeric_funcs_2",
-    "agg_array_agg",
-    # never seen by the driver in r1 (fell past the 50-entry cap) and with no
-    # r1-green cousin covering the same code path
-    "agg_variance_stddev",
-    "agg_histogram",
-    "window_topn_per_group",
-    "expr_math_funcs",
-    "expr_json_extract",
-    "tvf_generate_series",
-    # untested in r1 but their code paths have an r1-green cousin
-    # (agg_cube_grouping, window_frames_moving_avg/window_range_percent,
-    # scalar_conditional_funcs, battery-1 strings, datetime_extract_unix,
-    # unnest_lateral_filtered_distinct) — these sit just past the cap and
-    # are still covered by the local oracle pytest
+# caps how many it verifies per round (50 of the registry).  Ordering policy
+# (round 4): entries that have NEVER earned a green driver verdict come first
+# (the 9 oracle-bearing entries that always fell past the cap in r1-r3, plus
+# anything newly registered this round); entries already green in
+# CORRECTNESS_r01/r02/r03.json fill the remaining window slots as
+# re-confirmation; entries with no oracle (rows-only by design) go last so
+# they never displace an oracle-bearing entry from the window.
+_R4_FRONT = (
+    # oracle-bearing, never driver-checked in r1-r3 (local DuckDB pytest green)
     "agg_rollup",
-    "window_lag_rank",
-    "window_running_sum",
     "expr_case_when",
     "expr_string_funcs",
     "expr_date_funcs",
+    "window_lag_rank",
+    "window_running_sum",
     "unnest_tokens",
+    "skew_join_naive",
+    "skew_join_salted",
 )
-# rows-only variants whose real signal is a unit test: registered at the very
-# end so they never displace an oracle-bearing entry from the driver window
-_DEFER_NAMES = ("emb_lsh_near_dup_pairs",)
+
+# Every entry with a full green (rows+schema+hash) verdict in some round's
+# CORRECTNESS JSON.  New oracle-bearing entries (not in this set) are
+# auto-promoted into the driver window ahead of these.
+_DRIVER_GREEN = frozenset({
+    "agg_array_agg",
+    "agg_bool_bit",
+    "agg_count_distinct",
+    "agg_cube_grouping",
+    "agg_global",
+    "agg_histogram",
+    "agg_median_percentile",
+    "agg_variance_stddev",
+    "any_all_array_ops",
+    "array_funcs",
+    "cb_daily_series",
+    "cb_type_share",
+    "cb_user_activity_topk",
+    "cb_user_first_last",
+    "cb_value_percentiles_by_type",
+    "count_null_semantics",
+    "cte_with_chain",
+    "datetime_extract_unix",
+    "dedup_exact_stats",
+    "dedup_fingerprint",
+    "dedup_minhash_verified",
+    "dedup_ngram_jaccard",
+    "dedup_winnow_pairs",
+    "distinct_on_latest_order",
+    "emb_cosine_pairs",
+    "emb_cosine_topk",
+    "emb_l2_norms",
+    "events_hourly_rollup",
+    "events_sessionless_funnel",
+    "expr_json_extract",
+    "expr_math_funcs",
+    "hash_encode_funcs",
+    "having_post_aggregation",
+    "interval_arithmetic",
+    "join_asof_last_click",
+    "join_cross",
+    "join_full_outer",
+    "join_left_anti",
+    "join_left_outer",
+    "join_left_semi",
+    "join_non_equi",
+    "join_range_binned",
+    "join_right_outer",
+    "null_in_notin",
+    "null_three_valued_logic",
+    "null_where_filters",
+    "numeric_funcs_2",
+    "pivot_status_by_priority",
+    "pred_between_casts",
+    "pred_like_battery",
+    "regexp_funcs",
+    "scalar_conditional_funcs",
+    "set_except",
+    "set_intersect",
+    "set_union_all",
+    "set_union_distinct",
+    "sort_limit_offset",
+    "string_funcs_2",
+    "subquery_scalar_correlated",
+    "text_bpe_token_stats",
+    "text_quality_langid",
+    "text_token_stats",
+    "text_winnow_fingerprints",
+    "tpch_q10_returned_items",
+    "tpch_q11_important_stock",
+    "tpch_q12_shipping_modes",
+    "tpch_q13_customer_distribution",
+    "tpch_q14_promo_effect",
+    "tpch_q15_top_supplier",
+    "tpch_q16_parts_supplier",
+    "tpch_q17_small_quantity_revenue",
+    "tpch_q18_large_volume_customer",
+    "tpch_q19_discounted_revenue",
+    "tpch_q1_pricing_summary",
+    "tpch_q20_potential_promotion",
+    "tpch_q21_suppliers_kept_waiting",
+    "tpch_q22_global_sales_opportunity",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q3_shipping_priority",
+    "tpch_q4_order_priority",
+    "tpch_q5_local_supplier_volume",
+    "tpch_q6_forecast_revenue",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q9_product_profit",
+    "tvf_generate_series",
+    "tvf_values_clause",
+    "unnest_lateral_filtered_distinct",
+    "window_frames_moving_avg",
+    "window_range_percent",
+    "window_topn_per_group",
+})
 
 
 def load_all() -> dict[str, QueryDef]:
     # import side-effect-registered modules (import order also sets the
-    # default registration order of non-priority entries)
+    # default registration order within each priority tier)
     import opteryx_spark.suite.battery  # noqa: F401
     import opteryx_spark.suite.battery2  # noqa: F401
     import opteryx_spark.suite.battery3  # noqa: F401
@@ -88,23 +170,21 @@ def load_all() -> dict[str, QueryDef]:
     import opteryx_spark.suite.ops  # noqa: F401
     import opteryx_spark.suite.pipeline  # noqa: F401
     import opteryx_spark.suite.tpch  # noqa: F401
-    import sys
 
     ordered: dict[str, QueryDef] = {}
-    for mod in _PRIORITY_MODULES:
-        module = sys.modules[f"opteryx_spark.suite.{mod}"]
-        for name in REGISTRY:
-            if name in _DEFER_NAMES:
-                continue
-            if getattr(module, REGISTRY[name].spark.__name__, None) is REGISTRY[name].spark:
-                ordered[name] = REGISTRY[name]
-    for name in _PRIORITY_NAMES:
+    # tier 1: explicitly promoted never-green entries
+    for name in _R4_FRONT:
         if name in REGISTRY:
             ordered[name] = REGISTRY[name]
+    # tier 2: oracle-bearing entries with no green verdict yet (new this round)
     for name, qd in REGISTRY.items():
-        if name not in _DEFER_NAMES:
-            ordered.setdefault(name, qd)
-    for name in _DEFER_NAMES:
-        if name in REGISTRY:
-            ordered[name] = REGISTRY[name]
+        if name not in ordered and qd.oracle and name not in _DRIVER_GREEN:
+            ordered[name] = qd
+    # tier 3: already-green oracle entries (window slots = re-confirmation)
+    for name, qd in REGISTRY.items():
+        if name not in ordered and qd.oracle:
+            ordered[name] = qd
+    # tier 4: rows-only entries (no oracle) — never displace an oracle entry
+    for name, qd in REGISTRY.items():
+        ordered.setdefault(name, qd)
     return ordered
