@@ -154,8 +154,16 @@ class Connection:
         context before a statement references them: temp views live on the
         shared SparkSession, so another connection's registration (with its
         own memberships) must not leak into this one's query."""
+        stmt_folded = stmt.lower()
         for name, view_sql in self.views.items():
-            if "@@" in view_sql and name not in self._pending_views and name in stmt:
+            # Spark view names are case-insensitive: match the reference
+            # case-insensitively so SELECT * FROM MY_VIEW still refreshes
+            # my_view with this connection's context.
+            if (
+                "@@" in view_sql
+                and name not in self._pending_views
+                and name.lower() in stmt_folded
+            ):
                 try:
                     self.spark.sql(
                         rewriter.rewrite(self._expand_sysvars(view_sql)).sql
@@ -612,8 +620,34 @@ def _type_fallback(sql: str, msg: str) -> str | None:
             if new != sql:
                 return new
     # date arithmetic compared to a year-month interval: date - date is a
-    # day-time interval in Spark; approximate the year literal in days
+    # day-time interval in Spark.  Calendar-exact form first:
+    # (d1 - d2) CMP INTERVAL n YEAR  ⇔  d1 CMP add_months(d2, 12n)
+    # (addition is monotone, so the comparison transposes exactly —
+    # no fixed-365.25-day approximation off-by-one at leap boundaries).
     if "INTERVAL DAY" in msg and "INTERVAL YEAR" in msg:
+        _transpose = lambda m: (  # noqa: E731
+            f"{m.group(1)} {m.group(3)} "
+            f"add_months({m.group(2)}, {12 * int(m.group(4))})"
+        )
+        new = _re2.sub(
+            r"\(\s*([\w.]+)\s*-\s*([\w.]+)\s*\)\s*(>=|<=|<>|!=|>|<|=)"
+            r"\s*INTERVAL\s+'(\d+)'\s+YEAR\b",
+            _transpose,
+            sql,
+            flags=_re2.IGNORECASE,
+        )
+        if new == sql:
+            new = _re2.sub(
+                r"\b([\w.]+)\s*-\s*([\w.]+)\s*(>=|<=|<>|!=|>|<|=)"
+                r"\s*INTERVAL\s+'(\d+)'\s+YEAR\b",
+                _transpose,
+                sql,
+                flags=_re2.IGNORECASE,
+            )
+        if new != sql:
+            return new
+        # last resort (operands not a simple column difference):
+        # fixed-day approximation
         new = _re2.sub(
             r"\bINTERVAL\s+'(\d+)'\s+YEAR\b",
             lambda m: f"make_dt_interval({round(int(m.group(1)) * 365.25)})",

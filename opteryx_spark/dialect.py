@@ -726,12 +726,22 @@ def rewrite_bitwise_filters(sql: str) -> str:
 # (the reference parser accepts Python-style list literals)
 
 
+# keywords after which a '[' starts an array literal, never a subscript
+# (`IN [1,2]`, `SELECT [1,2]`, `x = ANY [..]`, `WHEN [..] THEN ...`)
+_PRE_LITERAL_KEYWORDS = frozenset(
+    "SELECT DISTINCT IN VALUES WHEN THEN ELSE CASE AND OR NOT XOR WHERE "
+    "HAVING ON BY AS SET LIMIT OFFSET UNION ALL ANY SOME INTERSECT EXCEPT "
+    "BETWEEN LIKE ILIKE RLIKE RETURNING".split()
+)
+
+
 def rewrite_array_literals(sql: str) -> str:
     out: list[str] = []
     stack: list[bool] = []  # True where '[' opened an array literal
     in_str = False
     prev = ""  # last non-space char emitted outside strings
-    gap = True  # whitespace seen since prev (a detached '[' is a literal)
+    word: list[str] = []  # identifier/keyword token ending at prev
+    gap = True  # whitespace seen since prev (word boundary)
     for ch in sql:
         if in_str:
             out.append(ch)
@@ -740,29 +750,39 @@ def rewrite_array_literals(sql: str) -> str:
         if ch == "'":
             in_str = True
             out.append(ch)
-            prev, gap = ch, False
+            prev, word, gap = ch, [], False
             continue
         if ch == "[":
-            # subscript only when directly attached to a value (identifier,
-            # ')', ']', quote): `name[0]`.  After whitespace, a comma, an
-            # operator, or a keyword (`IN [1,2]`) it is an array literal.
-            is_subscript = (
-                not gap and bool(prev) and (prev.isalnum() or prev in "_)]'")
+            # subscript when the preceding token is a value (identifier,
+            # ')', ']', quote) — the reference's sqlparser accepts
+            # whitespace before a subscript (`arr [0]`), so attachment is
+            # decided by the previous token, not adjacency.  After a
+            # keyword (`IN [1,2]`), a comma, an operator, or '(' it is an
+            # array literal.
+            tok = "".join(word).upper()
+            is_subscript = bool(prev) and (
+                prev in ")]'"
+                or ((prev.isalnum() or prev == "_") and tok not in _PRE_LITERAL_KEYWORDS)
             )
             stack.append(not is_subscript)
             out.append("[" if is_subscript else "array(")
-            prev, gap = "(", False
+            prev, word, gap = "(", [], False
             continue
         if ch == "]":
             was_literal = stack.pop() if stack else False
             out.append(")" if was_literal else "]")
-            prev, gap = ")", False
+            prev, word, gap = ")", [], False
             continue
         out.append(ch)
         if ch.isspace():
-            gap = True
-        else:
+            gap = True  # keep prev/word: token attachment survives whitespace
+        elif ch.isalnum() or ch in "_.$@":
+            if gap or not (prev.isalnum() or prev in "_.$@"):
+                word = []
+            word.append(ch)
             prev, gap = ch, False
+        else:
+            prev, word, gap = ch, [], False
     return "".join(out)
 
 
@@ -860,6 +880,56 @@ _STRFTIME_MAP = [
 ]
 
 
+_CI_RE_TAIL = re.compile(r"([\w.\)\]]+)\s*(!~\*|~\*)\s*$")
+
+
+def _split_on_literals(sql: str) -> list[tuple[str, str]]:
+    """Split into alternating ('seg', text) / ('lit', 'quoted') chunks;
+    single-quoted literals with '' escapes."""
+    chunks: list[tuple[str, str]] = []
+    i, n, start = 0, len(sql), 0
+    while i < n:
+        if sql[i] == "'":
+            j = i + 1
+            while j < n:
+                if sql[j] == "'":
+                    if j + 1 < n and sql[j + 1] == "'":
+                        j += 2
+                        continue
+                    break
+                j += 1
+            chunks.append(("seg", sql[start:i]))
+            chunks.append(("lit", sql[i : j + 1]))
+            start = j + 1
+            i = start
+        else:
+            i += 1
+    chunks.append(("seg", sql[start:]))
+    return chunks
+
+
+def _rewrite_ci_regex_ops(sql: str) -> str:
+    if "~*" not in sql:
+        return sql
+    chunks = _split_on_literals(sql)
+    out: list[str] = []
+    k = 0
+    while k < len(chunks):
+        kind, text = chunks[k]
+        if kind == "seg" and k + 1 < len(chunks) and chunks[k + 1][0] == "lit":
+            m = _CI_RE_TAIL.search(text)
+            if m:
+                lit = chunks[k + 1][1]
+                op = "NOT RLIKE" if m.group(2) == "!~*" else "RLIKE"
+                out.append(text[: m.start()] + f"{m.group(1)} {op} ")
+                out.append("'(?i)" + lit[1:])
+                k += 2
+                continue
+        out.append(text)
+        k += 1
+    return "".join(out)
+
+
 def rewrite_misc_operators(sql: str) -> str:
     sql = _MATCH_AGAINST.sub(
         lambda m: (
@@ -879,17 +949,12 @@ def rewrite_misc_operators(sql: str) -> str:
     sql = _CIDR_PIPE.sub(lambda m: f"ip_in_cidr({m.group(1)}, {m.group(2)})", sql)
 
     # case-insensitive regex ops carry their pattern literal: fold the
-    # insensitivity into the pattern itself ((?i) prefix), not the column
-    sql = re.sub(
-        r"([\w.\)\]]+)\s*!~\*\s*'((?:[^']|'')*)'",
-        lambda m: f"{m.group(1)} NOT RLIKE '(?i){m.group(2)}'",
-        sql,
-    )
-    sql = re.sub(
-        r"([\w.\)\]]+)\s*~\*\s*'((?:[^']|'')*)'",
-        lambda m: f"{m.group(1)} RLIKE '(?i){m.group(2)}'",
-        sql,
-    )
+    # insensitivity into the pattern itself ((?i) prefix), not the column.
+    # Literal-aware: the operator must sit OUTSIDE string literals (a
+    # string containing "~* '" must not be rewritten), so split on
+    # literals and match the operator at a segment end, pattern = the
+    # immediately following literal.
+    sql = _rewrite_ci_regex_ops(sql)
 
     def seg(s: str) -> str:
         s = re.sub(r"\bXOR\b", "!=", s, flags=re.IGNORECASE)

@@ -13,11 +13,15 @@ reference's own shape-battery statements run unchanged here
   (``planet_data.py:15-19``: devstronomy scrape of NASA data) — so
   value-predicate queries match, not just shapes.
 - ``$satellites`` (177×8), ``$astronauts`` (357×19), ``$missions``
-  (4630×8): the actual public-domain datasets (astronauts: Kaggle NASA
-  astronaut yearbook, CC0 per the reference's provenance note at
-  ``astronaut_data.py:15-18``), packaged as parquet under
-  ``opteryx_spark/data/`` — value-dependent queries match, not just
-  shapes.
+  (4630×8): the same sample datasets the reference ships, packaged as
+  parquet under ``opteryx_spark/data/`` — value-dependent queries match,
+  not just shapes.  Attested licenses differ per dataset (see the
+  reference's own provenance notes): astronauts is CC0 (Kaggle NASA
+  astronaut yearbook, ``astronaut_data.py:15-18``); satellites is "MIT
+  Licences attested, but data appears to be from NASA, which is Public
+  Domain" (``satellite_data.py``); missions cites a Kaggle dataset
+  (``missions.py:15``) with no explicit license attestation in the
+  reference.
 - ``$variables`` (43×5) exposes the MySQL-compatible system-variable
   surface (same standard names as the reference's
   ``shared/variables.py:52-96``), ``$statistics`` (17×2) runtime
@@ -82,13 +86,14 @@ PLANET_DISCOVERY_CUTOFFS = (
 )
 
 
-# --- $satellites / $astronauts / $missions: packaged public-domain data --
+# --- $satellites / $astronauts / $missions: packaged sample data ---------
 
-# The reference ships these sample relations as public-domain data
-# (astronauts: Kaggle NASA astronaut yearbook, CC0 as attested in
-# reference virtual_datasets/astronaut_data.py:15-18; satellites/missions:
-# the same public space-data snapshots).  We package the identical data
-# so value-predicate queries -- not just shapes -- match the reference.
+# The reference ships these sample relations with per-dataset license
+# attestations: astronauts CC0 (virtual_datasets/astronaut_data.py:15-18),
+# satellites "MIT Licences attested, but data appears to be from NASA,
+# which is Public Domain" (satellite_data.py), missions a Kaggle dataset
+# with no explicit license attested (missions.py:15).  We package the
+# identical data so value-predicate queries -- not just shapes -- match.
 _DATA_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "data")
 
 

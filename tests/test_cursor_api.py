@@ -203,6 +203,10 @@ def test_context_views_do_not_leak_across_connections(spark):
     assert len(rows1) == 3  # c1 still sees its own membership context
     rows2 = c2.cursor().execute("SELECT * FROM my_mission_reports").fetchall()
     assert rows2 == []
+    # Spark view names are case-insensitive: an upper-case reference must
+    # still refresh the view with THIS connection's context (ADVICE r3)
+    rows1_uc = c1.cursor().execute("SELECT * FROM MY_MISSION_REPORTS").fetchall()
+    assert len(rows1_uc) == 3
 
 
 def test_unknown_sysvar_raises(spark):

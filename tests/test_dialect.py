@@ -166,10 +166,32 @@ def test_case_insensitive_regex_ops_fold_into_pattern():
     assert "name NOT RLIKE '(?i)^SMITH'" in out
 
 
+def test_case_insensitive_regex_op_inside_literal_untouched():
+    # ADVICE r3: a string literal containing "~* '" must not be corrupted
+    sql = "SELECT 'a ~* ''b''' FROM t"
+    assert dialect.rewrite_misc_operators(sql) == sql
+    # operator outside a literal still rewrites, literal-adjacent
+    out = dialect.rewrite_misc_operators(
+        "SELECT 'keep ~* this' AS k FROM t WHERE name ~* '^x'"
+    )
+    assert "'keep ~* this'" in out and "name RLIKE '(?i)^x'" in out
+
+
 def test_array_literal_after_keyword_or_whitespace():
     assert dialect.rewrite_array_literals("SELECT [1,2,3]") == "SELECT array(1,2,3)"
     assert dialect.rewrite_array_literals("WHERE x IN [1,2]") == "WHERE x IN array(1,2)"
     assert dialect.rewrite_array_literals("SELECT name[0]") == "SELECT name[0]"
+
+
+def test_array_subscript_survives_whitespace():
+    # ADVICE r3: the reference's sqlparser accepts space before a subscript
+    assert dialect.rewrite_array_literals("SELECT arr [0] FROM t") == "SELECT arr [0] FROM t"
+    assert dialect.rewrite_array_literals("SELECT arr [0] [1] FROM t") == "SELECT arr [0] [1] FROM t"
+    # ...but keywords still introduce literals even without a comma
+    assert dialect.rewrite_array_literals("WHERE x IN [1,2] AND [3] = y") == (
+        "WHERE x IN array(1,2) AND array(3) = y"
+    )
+    assert dialect.rewrite_array_literals("SELECT a, [1,2] FROM t") == "SELECT a, array(1,2) FROM t"
 
 
 def test_array_agg_orders_by_key_not_value():

@@ -4,7 +4,8 @@ regex operators, temporal weekday points, built-in prepared statements,
 @@sysvars, mixed intervals, strftime DATE_FORMAT.
 
 Row counts pinned against the packaged real virtual-dataset data (the
-reference's own CC0 snapshots), so these double as value checks.
+same data the reference ships; licenses vary per dataset, see
+opteryx_spark/virtual.py), so these double as value checks.
 """
 
 from __future__ import annotations

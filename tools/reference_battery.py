@@ -15,8 +15,8 @@ our DBAPI cursor, comparing row/column counts:
 - statements whose row count is engine-local by nature (EXPLAIN plan
   lines, the $variables inventory) are checked on COLUMN count only and
   land in ``cols_only`` buckets; everything on the packaged virtual
-  datasets is fully value-checked since they carry the reference's
-  actual public-domain data
+  datasets is fully value-checked since they carry the same data the
+  reference ships (per-dataset licenses: see opteryx_spark/virtual.py)
 
 Usage:
     python tools/reference_battery.py [file_glob ...]   # default: all
@@ -51,8 +51,8 @@ _SKIP_PATTERNS = [
 def _content_dependent(stmt: str) -> bool:
     """Row count is engine-local by nature → compare columns only.
 
-    Since the packaged virtual datasets carry the reference's actual
-    public-domain data, value-driven row counts on $satellites /
+    Since the packaged virtual datasets carry the same data the
+    reference ships, value-driven row counts on $satellites /
     $astronauts / $missions are now fully checked; only genuinely
     engine-specific surfaces stay column-only.
     """
