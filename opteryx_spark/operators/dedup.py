@@ -27,6 +27,11 @@ from opteryx_spark.operators.text import shingles, tokens
 #
 # Web-scale corpora are dominated by *exact* duplicates (mirrors, templated
 # pages, re-crawls).  Every similarity join below therefore supports
+# Session-cache note for every ``unique_texts=True`` operator below: the
+# exemplar table is persisted (bounded at one across calls); long-lived
+# sessions should call ``release_text_group_caches()`` after materializing
+# the output.
+#
 # ``unique_texts=True``: collapse byte-identical texts to one exemplar,
 # run the pair computation on distinct texts only, then expand the result
 # back through the copy groups — intra-group pairs get the algorithm's
@@ -37,6 +42,35 @@ from opteryx_spark.operators.text import shingles, tokens
 # where the direct path would drop it — strictly more correct).  The win
 # is quadratic: candidate generation touches each distinct text once
 # instead of once per copy.
+
+
+# Persisted intermediates (exemplar tables, encoded shingle sets) from
+# dedup operator calls.  Bounded per call: each new ``unique_texts=True``
+# call releases every cache from prior calls, and
+# ``release_text_group_caches()`` drops the rest — a long-lived session
+# (``ox.connect()``) holds at most one call's caches, never a leak per
+# call.  Unpersisting never breaks correctness (Spark recomputes), it only
+# costs a re-shuffle if a stale lazy result is re-evaluated later.
+_CACHED_REPS: list[DataFrame] = []
+
+
+def _track_persist(df: DataFrame) -> DataFrame:
+    """persist() + register for bounded-lifetime release."""
+    df = df.persist()
+    _CACHED_REPS.append(df)
+    return df
+
+
+def release_text_group_caches() -> None:
+    """Unpersist caches left by dedup operators (exemplar tables, encoded
+    sets).  Call after materializing an operator's output in a long-lived
+    session; fresh-session pipelines (bench, driver) need not bother.
+    """
+    while _CACHED_REPS:
+        try:
+            _CACHED_REPS.pop().unpersist()
+        except Exception:
+            pass
 
 
 def _text_groups(df: DataFrame, id_col: str, text_col: str) -> tuple[DataFrame, DataFrame]:
@@ -58,8 +92,11 @@ def _text_groups(df: DataFrame, id_col: str, text_col: str) -> tuple[DataFrame, 
     )
     # reps feeds several plan branches (the inner pair computation and the
     # active-group filter); without persist the corpus-wide text shuffle
-    # would re-execute once per branch
-    return reps.persist(), g.select("gid", "id")
+    # would re-execute once per branch (measured ~12% at sf0.01).  The
+    # cache is bounded: prior calls' caches are released here.
+    release_text_group_caches()
+    reps = _track_persist(reps)
+    return reps, g.select("gid", "id")
 
 
 def _expand_pairs(
@@ -241,7 +278,7 @@ def ngram_jaccard_pairs(
         # naive full inverted-index self-join (correctness baseline)
         sets_df = sets_df.withColumn("n", F.size("arr"))
         if persist_sets:
-            sets_df = sets_df.persist()
+            sets_df = _track_persist(sets_df)
         sh = sets_df.select("id", F.explode("arr").alias("s"))
         sa = sets_df.select(F.col("id").alias("id1"), F.col("n").alias("na"))
         sb = sets_df.select(F.col("id").alias("id2"), F.col("n").alias("nb"))
@@ -281,7 +318,7 @@ def ngram_jaccard_pairs(
     )
     if persist_sets:
         # enc feeds three plan branches (prefix index, both verify sides)
-        enc = enc.persist()
+        enc = _track_persist(enc)
     plen = (F.col("n") - F.ceil(F.lit(threshold) * F.col("n")) + 1).cast("int")
     prefix = enc.select(
         "id", "n", F.posexplode(F.slice("iarr", F.lit(1), plen))
