@@ -557,3 +557,63 @@ def dedup_winnow_pairs(spark, sf_dir):
     fingerprints, df-capped; exact DuckDB oracle on identical arithmetic)."""
     docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") <= 300)
     return dedup.winnow_pairs(docs, min_shared=2).orderBy("id1", "id2")
+
+
+# --- composed curation pipeline ---------------------------------------------
+
+
+@register(
+    "curate_pipeline_audit",
+    oracle=f"""
+    WITH stats AS (
+      SELECT doc_id,
+             CAST(len({_O_TOKENS}) AS BIGINT) AS n_tokens,
+             CAST(len(list_distinct({_O_TOKENS})) AS DOUBLE)
+               / CAST(len({_O_TOKENS}) AS DOUBLE) * 0.5
+             + (CASE WHEN len({_O_TOKENS}) >= 20 THEN 1.0
+                     ELSE CAST(len({_O_TOKENS}) AS DOUBLE) / 20.0 END) * 0.5
+               AS quality,
+             md5(text) AS digest
+      FROM documents
+    ), exact_keep AS (
+      SELECT digest, MIN(doc_id) AS keep_id FROM stats GROUP BY digest
+    ), sh AS (
+      SELECT doc_id, unnest({_O_BIGRAMS}) AS s FROM documents
+    ), sizes AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM sh GROUP BY doc_id
+    ), ov AS (
+      SELECT a.doc_id AS id1, b.doc_id AS id2, CAST(COUNT(*) AS BIGINT) AS ov
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), near_drop AS (
+      SELECT DISTINCT id2 AS doc_id
+      FROM ov JOIN sizes sa ON sa.doc_id = ov.id1
+              JOIN sizes sb ON sb.doc_id = ov.id2
+      WHERE CAST(ov AS DOUBLE) / CAST(sa.n + sb.n - ov AS DOUBLE) >= 0.9
+    ), flagged AS (
+      SELECT s.doc_id, s.n_tokens,
+             CASE WHEN s.n_tokens < 10 THEN 'too_short'
+                  WHEN s.quality < 0.4 THEN 'low_quality'
+                  WHEN s.doc_id <> ek.keep_id THEN 'exact_duplicate'
+                  WHEN nd.doc_id IS NOT NULL THEN 'near_duplicate'
+                  ELSE 'kept' END AS outcome
+      FROM stats s
+      JOIN exact_keep ek ON ek.digest = s.digest
+      LEFT JOIN near_drop nd ON nd.doc_id = s.doc_id
+    )
+    SELECT outcome, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+    FROM flagged GROUP BY outcome ORDER BY outcome
+    """,
+)
+def curate_pipeline_audit(spark, sf_dir):
+    """End-to-end curation accounting (``operators/curate.py`` composed
+    pipeline — the thing a training-data user actually runs): flag
+    precedence too_short → low_quality → exact_duplicate →
+    near_duplicate, aggregated per outcome.  The oracle reproduces every
+    stage (quality arithmetic, digest grouping, exact bigram-Jaccard
+    near-dup at 0.9) and the precedence CASE in one SQL statement."""
+    from opteryx_spark.operators import curate
+
+    docs = t(spark, sf_dir, "documents")
+    return curate.curation_report(curate.curate_corpus(docs))
