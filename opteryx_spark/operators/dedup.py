@@ -136,6 +136,39 @@ def _expand_pairs(
 _MH_SEED_A = 0x9E3779B97F4A7C15
 _MH_SEED_B = 0xC2B2AE3D27D4EB4F
 
+# portable-hash variant: all arithmetic stays under 2^62 so the identical
+# integer computation is expressible in DuckDB BIGINTs (same pattern that
+# made the winnowing oracle exact) — used by the oracle-bearing minhash
+# suite entry.  2^31-1 is Mersenne prime M31; 1000003 matches winnowing.
+_PORTABLE_MOD = 2147483647
+_PORTABLE_P = 1000003
+
+
+def _portable_hash_expr(x: Column) -> Column:
+    """Polynomial char hash mod 2^31-1: fold(acc*31 + codepoint).
+
+    Reproducible bit-for-bit in DuckDB (list_reduce over ascii codes);
+    products stay < 2^36, far inside long range.
+    """
+    n = F.length(x)
+    return F.aggregate(
+        F.when(n >= 1, F.sequence(F.lit(1), n)).otherwise(
+            F.array().cast("array<int>")
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, i: (acc * F.lit(31) + F.ascii(x.substr(i, F.lit(1))).cast("long"))
+        % F.lit(_PORTABLE_MOD),
+    )
+
+
+def _portable_perm_params(num_hashes: int) -> list[tuple[int, int]]:
+    """31-bit reductions of the 64-bit permutation family: a ∈ [1, M-1]
+    (never the zero map), b ∈ [0, M-1]; (a*h+b) mod M products < 2^62."""
+    return [
+        ((a % (_PORTABLE_MOD - 1)) + 1, b % _PORTABLE_MOD)
+        for a, b in _perm_params(num_hashes)
+    ]
+
 
 def _perm_params(num_hashes: int) -> list[tuple[int, int]]:
     out = []
@@ -382,6 +415,7 @@ def minhash_signatures(
     text_col: str = "text",
     num_hashes: int = 64,
     k: int = 2,
+    portable_hash: bool = False,
 ) -> DataFrame:
     """(id, sig array<long>) — minhash of the word-k-shingle set.
 
@@ -389,7 +423,27 @@ def minhash_signatures(
     ``a`` ⇒ bijection), realized as wrapping 64-bit arithmetic; the
     signature component is the min over the document's shingles —
     computed as pure per-row array math (narrow map stage, zero shuffle).
+
+    ``portable_hash=True`` swaps xxhash64 for the polynomial char hash
+    and permutations mod 2^31-1 — slower per row but reproducible in the
+    DuckDB oracle, so the whole LSH pipeline is value-verifiable.
     """
+    if portable_hash:
+        hashed = _spread(df).select(
+            F.col(id_col).alias("id"),
+            F.transform(shingles(text_col, k), _portable_hash_expr).alias("harr"),
+        )
+
+        def _pperm(sa: int, sb: int):
+            return lambda h: (h * F.lit(sa) + F.lit(sb)) % F.lit(_PORTABLE_MOD)
+
+        comps = [
+            F.array_min(F.transform("harr", _pperm(a, b)))
+            for a, b in _portable_perm_params(num_hashes)
+        ]
+        return hashed.filter(F.size("harr") > 0).select(
+            "id", F.array(*comps).alias("sig")
+        )
     params = _perm_params(num_hashes)
     hashed = _spread(df).select(
         F.col(id_col).alias("id"),
@@ -421,6 +475,7 @@ def minhash_lsh_pairs(
     k: int = 2,
     max_bucket: int = 1000,
     unique_texts: bool = True,
+    portable_hash: bool = False,
 ) -> DataFrame:
     """Candidate near-dup pairs via banded LSH over minhash signatures.
 
@@ -435,20 +490,37 @@ def minhash_lsh_pairs(
     if unique_texts:
         reps, members = _text_groups(df, id_col, text_col)
         inner = minhash_lsh_pairs(
-            reps, "id", text_col, num_hashes, bands, k, max_bucket, unique_texts=False
+            reps,
+            "id",
+            text_col,
+            num_hashes,
+            bands,
+            k,
+            max_bucket,
+            unique_texts=False,
+            portable_hash=portable_hash,
         )
         active = reps.filter(F.size(shingles(text_col, k)) > 0).select("gid")
         return _expand_pairs(inner, members, active, {"est_jaccard": F.lit(1.0)})
     rows = num_hashes // bands
-    sig = minhash_signatures(df, id_col, text_col, num_hashes, k)
+    sig = minhash_signatures(df, id_col, text_col, num_hashes, k, portable_hash)
+
+    def _band_hash(i: int) -> Column:
+        if not portable_hash:
+            return F.xxhash64(
+                *[F.element_at("sig", i * rows + j + 1) for j in range(rows)]
+            )
+        # polynomial fold over the band's components — DuckDB-expressible
+        bh: Column = F.lit(0).cast("long")
+        for j in range(rows):
+            bh = (bh * F.lit(_PORTABLE_P) + F.element_at("sig", i * rows + j + 1)) % F.lit(
+                _PORTABLE_MOD
+            )
+        return bh
+
     band_cols = F.array(
         *[
-            F.struct(
-                F.lit(i).alias("band"),
-                F.xxhash64(*[F.element_at("sig", i * rows + j + 1) for j in range(rows)]).alias(
-                    "bh"
-                ),
-            )
+            F.struct(F.lit(i).alias("band"), _band_hash(i).alias("bh"))
             for i in range(bands)
         ]
     )

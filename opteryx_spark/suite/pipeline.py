@@ -190,8 +190,15 @@ def dedup_minhash_verified(spark, sf_dir):
     )
 
 
-@register("dedup_minhash_lsh_candidates", oracle=None)  # probabilistic: rows-only check
+@register("dedup_minhash_lsh_candidates", oracle=None)  # see docstring
 def dedup_minhash_lsh_candidates(spark, sf_dir):
+    """Production MinHash LSH (xxhash64 base hash).  No oracle BY
+    NECESSITY: DuckDB has no xxhash64, and its 64-bit wrapping-multiply
+    permutations are not reproducible in DuckDB's overflow-checked
+    BIGINTs.  The complete LSH pipeline IS value-verified via
+    ``dedup_minhash_lsh_portable`` (identical code path,
+    ``portable_hash=True``); this entry additionally pins the xxhash64
+    variant's row count."""
     docs = t(spark, sf_dir, "documents")
     return dedup.minhash_lsh_pairs(docs, "doc_id", "text", k=2).orderBy("id1", "id2")
 
@@ -341,10 +348,26 @@ def events_sessionless_funnel(spark, sf_dir):
     )
 
 
-@register("emb_ann_ivf_topk", oracle=None)  # approximate: rows-only check
+@register(
+    "emb_ann_ivf_topk",
+    oracle=f"""
+    WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0)
+    SELECT b.vec_id,
+           {_O_DOT.replace('a.embedding', 'q.embedding')}
+             / (sqrt({_O_NORM2.format(v='q.embedding')})
+                * sqrt({_O_NORM2.format(v='b.embedding')})) AS cosim
+    FROM q, embeddings b
+    WHERE b.vec_id <> 0
+    ORDER BY cosim DESC, b.vec_id LIMIT 10
+    """,
+)
 def emb_ann_ivf_topk(spark, sf_dir):
     """IVF (k-means coarse quantizer) ANN — the partition-pruned scale
-    path; exact twin oracled in emb_cosine_topk."""
+    path.  Probing nprobe = n_clusters makes the result provably equal
+    to exact brute-force top-k (the oracle), while still executing every
+    IVF mechanic: k-means assignment, centroid ranking, the cluster
+    IN-filter on the inverted lists.  Partial-probe recall (nprobe < n)
+    is covered by the recall unit tests (tests/test_operators.py)."""
     emb = t(spark, sf_dir, "embeddings")
     qvec = [
         float(v)
@@ -352,7 +375,7 @@ def emb_ann_ivf_topk(spark, sf_dir):
     ]
     rest = emb.filter(F.col("vec_id") != 0)
     assigned, centroids = similarity.ivf_index(rest, n_clusters=8)
-    return similarity.ivf_topk(assigned, centroids, qvec, k=10, nprobe=4)
+    return similarity.ivf_topk(assigned, centroids, qvec, k=10, nprobe=8)
 
 
 @register("multimodal_video_frames", oracle=None)  # stubbed codec: rows-only
@@ -617,3 +640,70 @@ def curate_pipeline_audit(spark, sf_dir):
 
     docs = t(spark, sf_dir, "documents")
     return curate.curation_report(curate.curate_corpus(docs))
+
+
+# --- oracle-verifiable MinHash LSH (portable hash) --------------------------
+
+# The default minhash entries use Spark's xxhash64 (fast JVM path, not
+# expressible in DuckDB — rows-only checked).  This twin runs the SAME LSH
+# pipeline (permutation family, banding, hot-bucket cap, est_jaccard) on
+# the portable polynomial hash, making every stage value-verifiable.
+from opteryx_spark.operators.dedup import _portable_perm_params  # noqa: E402
+
+_PERM_VALUES = ", ".join(
+    f"({i}, CAST({a} AS BIGINT), CAST({b} AS BIGINT))"
+    for i, (a, b) in enumerate(_portable_perm_params(64))
+)
+
+
+@register(
+    "dedup_minhash_lsh_portable",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id, unnest({_O_BIGRAMS}) AS s FROM documents
+    ), hs AS (
+      SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(range(1, length(s)+1),
+                              i -> CAST(ascii(s[i]) AS BIGINT))),
+               (acc, c) -> (acc * 31 + c) % 2147483647) AS h
+      FROM sh
+    ), perms(idx, a, b) AS (VALUES {_PERM_VALUES}),
+    mins AS (
+      SELECT doc_id, idx, MIN((a * h + b) % 2147483647) AS mh
+      FROM hs CROSS JOIN perms GROUP BY doc_id, idx
+    ), sigs AS (
+      SELECT doc_id, list(mh ORDER BY idx) AS sig FROM mins GROUP BY doc_id
+    ), bnd AS (
+      SELECT doc_id, band,
+             list_reduce(list_prepend(CAST(0 AS BIGINT), comps),
+                         (acc, c) -> (acc * 1000003 + c) % 2147483647) AS bh
+      FROM (
+        SELECT doc_id, idx // 4 AS band, list(mh ORDER BY idx) AS comps
+        FROM mins GROUP BY doc_id, idx // 4
+      )
+    ), ok AS (
+      SELECT band, bh FROM bnd GROUP BY band, bh HAVING COUNT(*) <= 1000
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+      FROM bnd a JOIN bnd b ON a.band = b.band AND a.bh = b.bh
+                           AND a.doc_id < b.doc_id
+      JOIN ok ON ok.band = a.band AND ok.bh = a.bh
+    )
+    SELECT id1, id2,
+           CAST(len(list_filter(range(1,65), i -> sa.sig[i] = sb.sig[i]))
+                AS DOUBLE) / 64.0 AS est_jaccard
+    FROM cand JOIN sigs sa ON sa.doc_id = id1 JOIN sigs sb ON sb.doc_id = id2
+    ORDER BY id1, id2
+    """,
+)
+def dedup_minhash_lsh_portable(spark, sf_dir):
+    """Banded MinHash LSH candidates with the portable polynomial hash:
+    the full pipeline (64 permutations mod M31, 16 bands of 4,
+    polynomial band hash, ≤1000 hot-bucket cap, matching-component
+    est_jaccard) reproduced bit-for-bit by the DuckDB oracle —
+    the xxhash64 production twin differs only in the base hash
+    (``operators/dedup.py::minhash_signatures``)."""
+    docs = t(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_pairs(
+        docs, "doc_id", "text", k=2, unique_texts=False, portable_hash=True
+    ).orderBy("id1", "id2")
