@@ -52,6 +52,43 @@ BENCH_QUERIES = [
 ]
 
 
+# scale-amortization subset run once at sf1 (.data/sf1, 10x sf0.1) when
+# present: proves the fixed Spark floor amortizes (10x data, ~2x time)
+SF1_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".data", "sf1")
+SF1_QUERIES = [
+    "tpch_q1_pricing_summary",
+    "tpch_q3_shipping_priority",
+    "tpch_q18_large_volume_customer",
+    "events_hourly_rollup",
+    "dedup_exact_stats",
+    "dedup_ngram_jaccard",
+    "emb_cosine_topk",
+    "join_asof_last_click",
+]
+
+
+def _time_queries(reg, spark, sf_dir, names, runs):
+    """Per-query median over ``runs`` timed executions (median, not best:
+    the recorded number must be reproducible, not optimistic) plus the
+    run-to-run spread (max-min)/median."""
+    import statistics
+
+    timings: dict[str, float] = {}
+    spreads: dict[str, float] = {}
+    for name in names:
+        if name not in reg:
+            continue
+        samples = []
+        for _ in range(runs):
+            start = time.perf_counter()
+            reg[name].spark(spark, sf_dir).collect()
+            samples.append(time.perf_counter() - start)
+        med = statistics.median(samples)
+        timings[name] = round(med, 3)
+        spreads[name] = round((max(samples) - min(samples)) / med, 3) if med else 0.0
+    return timings, spreads
+
+
 def main() -> None:
     from opteryx_spark.session import get_session
     from opteryx_spark.suite import load_all
@@ -62,32 +99,26 @@ def main() -> None:
     # warmup: boot codegen/shuffle machinery on a small query
     reg["tpch_q6_forecast_revenue"].spark(spark, SF_DIR).collect()
 
-    # steady-state timing: best of two runs per query (first run pays
-    # codegen compilation + FS cache fill; BASELINE.md's reference number
-    # is likewise steady-state single-node throughput)
-    timings: dict[str, float] = {}
-    for name in BENCH_QUERIES:
-        if name not in reg:
-            continue
-        best = float("inf")
-        for _ in range(2):
-            start = time.perf_counter()
-            reg[name].spark(spark, SF_DIR).collect()
-            best = min(best, time.perf_counter() - start)
-        timings[name] = round(best, 3)
+    # steady-state timing: median of three runs per query (first run pays
+    # codegen compilation + FS cache fill, so one untimed warmup happens
+    # implicitly inside the three samples' spread; BASELINE.md's reference
+    # number is likewise steady-state single-node throughput)
+    timings, spreads = _time_queries(reg, spark, SF_DIR, BENCH_QUERIES, runs=3)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "suite_total_seconds",
-                "value": round(sum(timings.values()), 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    out = {
+        "metric": "suite_total_seconds",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "protocol": "median_of_3",
+        "spread": spreads,
+    }
+    if os.path.isdir(SF1_DIR) and os.environ.get("SPARK_GRAFT_SKIP_SF1") != "1":
+        sf1_t, _ = _time_queries(reg, spark, SF1_DIR, SF1_QUERIES, runs=1)
+        out["sf1"] = {"total": round(sum(sf1_t.values()), 3), "queries": sf1_t}
+    print(json.dumps(out))
     spark.stop()
 
 

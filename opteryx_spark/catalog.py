@@ -49,8 +49,12 @@ def _nanos_ts_columns(path: str) -> list[str]:
 # (applicationId, path) -> DataFrame: a DataFrame is just a plan, so reuse
 # skips the per-call footer read + JVM schema inference (~100 ms/query of
 # pure planning overhead).  Keyed by applicationId so a stopped session's
-# plans are never reused.
-_TABLE_CACHE: dict[tuple[str, str], DataFrame] = {}
+# plans are never reused.  LRU-capped so a long-lived session touching
+# many distinct paths holds a bounded set of plan objects.
+from collections import OrderedDict  # noqa: E402
+
+_TABLE_CACHE: OrderedDict[tuple[str, str], DataFrame] = OrderedDict()
+_TABLE_CACHE_MAX = 256
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -60,12 +64,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     key = (spark.sparkContext.applicationId, path)
     cached = _TABLE_CACHE.get(key)
     if cached is not None:
+        _TABLE_CACHE.move_to_end(key)
         return cached
     ns_cols = _nanos_ts_columns(path)
     df = spark.read.parquet(path)
     for col in ns_cols:
         df = df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))
     _TABLE_CACHE[key] = df
+    while len(_TABLE_CACHE) > _TABLE_CACHE_MAX:
+        _TABLE_CACHE.popitem(last=False)
     return df
 
 

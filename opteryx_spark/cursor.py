@@ -271,7 +271,19 @@ class Cursor:
 
             raw = cols_m.group(1)
             table = rewriter.rewrite_virtual_datasets(raw)
-            df = self._conn.registry.resolve(spark, table) if not _is_view(spark, table) else spark.table(table)
+            for_m = re.search(r"\bFOR\s+'([^']*)'", stmt, re.IGNORECASE)
+            mroot = self._conn.registry.mabel_root(table) if not table.startswith("$") else None
+            if mroot is not None and for_m:
+                import datetime as _dt
+
+                from opteryx_spark.sources import mabel_partitions as _mp
+
+                s = _dt.datetime.fromisoformat(for_m.group(1))
+                df = _mp.read_for_range(spark, mroot, s, s + _dt.timedelta(days=1))
+            elif _is_view(spark, table):
+                df = spark.table(table)
+            else:
+                df = self._conn.registry.resolve(spark, table)
             # alias column mirrors the reference's FlatColumn.aliases surface
             amap = _VIRTUAL_COLUMN_ALIASES.get(raw.lstrip("$"), {})
             rev = {canon: [alias] for alias, canon in amap.items()}
@@ -359,6 +371,29 @@ class Cursor:
                             break
                     base = base.filter(f"id <= {max_id}")
                 base.createOrReplaceTempView(view)
+                continue
+            mroot = self._conn.registry.mabel_root(table)
+            if mroot is not None:
+                # date-partitioned store: FOR selects partition *paths*
+                # (reference MabelPartitionScheme), not a column filter
+                import datetime as _dt
+
+                from opteryx_spark import errors
+                from opteryx_spark.sources import mabel_partitions as _mp
+
+                end_expr = "CAST(NULL AS TIMESTAMP)" if end == "NULL" else f"CAST({end} AS TIMESTAMP)"
+                row = spark.sql(
+                    f"SELECT CAST({start} AS TIMESTAMP) AS s, {end_expr} AS e"
+                ).collect()[0]
+                s = row["s"]
+                e = row["e"] or (
+                    _dt.datetime.now().replace(hour=0, minute=0, second=0, microsecond=0)
+                    + _dt.timedelta(days=1)
+                )
+                try:
+                    _mp.read_for_range(spark, mroot, s, e).createOrReplaceTempView(view)
+                except _mp.UnsupportedSegmentation as exc:
+                    raise errors.ProgrammingError(str(exc)) from exc
                 continue
             col = self._conn.time_columns.get(table)
             if col is None:

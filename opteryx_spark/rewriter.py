@@ -667,5 +667,13 @@ def rewrite(sql: str, params: dict | list | None = None) -> RewriteResult:
     sql = dialect.apply(sql)
     sql = rewrite_virtual_datasets(sql)
     sql = rewrite_distinct_on(sql)
+    # the reference's parser accepts OFFSET before LIMIT; Spark requires
+    # LIMIT ... OFFSET ...
+    sql = map_outside_literals(
+        sql,
+        lambda seg: re.sub(
+            r"\bOFFSET\s+(\d+)\s+LIMIT\s+(\d+)", r"LIMIT \2 OFFSET \1", seg, flags=re.IGNORECASE
+        ),
+    )
     sql = bind_params(sql, params)
     return RewriteResult(sql=sql.strip(), temporal_filters=temporal, path_tables=paths)

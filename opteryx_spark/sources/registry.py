@@ -36,6 +36,7 @@ _FORMAT_BY_EXT: dict[str, tuple[str, dict[str, str]]] = {
     ".json": ("json", {}),
     ".ndjson": ("json", {}),
     ".jsonl.zst": ("json", {}),  # Spark handles zstd-compressed json natively
+    ".jsonl.zstd": ("json", {}),
     ".jsonl.gz": ("json", {}),
     ".jsonl.xz": ("json", {}),
     ".avro": ("avro", {}),
@@ -67,6 +68,21 @@ def read_any(spark: SparkSession, path: str, fmt: str | None = None, **options: 
     if path.startswith(("http://", "https://")):
         return _read_http(spark, path, fmt=fmt, **options)
     ext = _ext_of(path)
+    if fmt is None and not ext and os.path.isdir(path):
+        # directory datasets: detect the members' format (the reference
+        # dispatches per-blob by extension, connectors/disk_connector.py)
+        ext = _dir_ext(path)
+        if ext in _PANDAS_EXTS:
+            import functools
+
+            from pyspark.sql import DataFrame as _DF
+
+            parts = [
+                _read_via_pandas(spark, os.path.join(path, f), ext)
+                for f in sorted(os.listdir(path))
+                if f.endswith(ext)
+            ]
+            return functools.reduce(_DF.unionByName, parts)
     if fmt is None:
         if ext in _PANDAS_EXTS:
             return _read_via_pandas(spark, path, ext)
@@ -80,6 +96,28 @@ def read_any(spark: SparkSession, path: str, fmt: str | None = None, **options: 
     if fmt in ("parquet", "orc"):
         opts.setdefault("mergeSchema", "true")
     return spark.read.format(fmt).options(**opts).load(path)
+
+
+def _is_mabel_dir(path: str) -> bool:
+    """True when the directory uses the Mabel ``year_YYYY`` date layout."""
+    if not os.path.isdir(path):
+        return False
+    return any(
+        e.startswith("year_") and os.path.isdir(os.path.join(path, e))
+        for e in os.listdir(path)
+    )
+
+
+def _dir_ext(path: str) -> str:
+    """Dominant data-file extension of a flat directory ('' → parquet)."""
+    from collections import Counter
+
+    counts: Counter[str] = Counter()
+    for f in os.listdir(path):
+        e = _ext_of(f)
+        if e in _FORMAT_BY_EXT or e in _PANDAS_EXTS:
+            counts[e] += 1
+    return counts.most_common(1)[0][0] if counts else ""
 
 
 def _read_http(spark: SparkSession, url: str, fmt: str | None = None, **options: str) -> DataFrame:
@@ -269,15 +307,26 @@ class SourceRegistry:
     def register_frame(self, name: str, obj: Any) -> None:
         self.frames[name] = obj
 
+    def _match_store(self, dataset: str) -> tuple[str, "_Store"] | None:
+        """Longest registered dotted-prefix matching the dataset name
+        (the reference registers multi-segment prefixes like
+        ``testdata.partitioned``)."""
+        best = None
+        for prefix in self.stores:
+            if dataset == prefix or dataset.startswith(prefix + "."):
+                if best is None or len(prefix) > len(best):
+                    best = prefix
+        return (best, self.stores[best]) if best is not None else None
+
     def resolve(self, spark: SparkSession, dataset: str) -> DataFrame:
         if dataset in self.frames:
             return _frame_to_df(spark, self.frames[dataset])
         # object-store / URL datasets go straight to the reader
         if "://" in dataset:
             return read_any(spark, dataset)
-        head = dataset.split(".", 1)[0]
-        if head in self.stores:
-            store = self.stores[head]
+        match = self._match_store(dataset)
+        if match is not None:
+            head, store = match
             rest = dataset[len(head) + 1 :]
             if store.kind == "jdbc":
                 reader = spark.read.format("jdbc").options(**store.options)
@@ -295,11 +344,38 @@ class SourceRegistry:
                     path = os.path.join(store.root, rest.replace(".", "/"))
             else:
                 path = store.root
+            if _is_mabel_dir(path):
+                # date-partitioned store referenced without FOR: the
+                # reference reads today's partitions only and raises
+                # EmptyDatasetError when there are none
+                import datetime as _dt
+
+                from opteryx_spark.sources import mabel_partitions as _mp
+
+                today = _dt.datetime.now()
+                return _mp.read_for_range(
+                    spark, path, today, today + _dt.timedelta(days=1)
+                )
             return read_any(spark, path, fmt=store.fmt, **store.options)
         # fall back: treat as filesystem path or catalog table
         if os.path.exists(dataset):
             return read_any(spark, dataset)
         return spark.table(dataset)
+
+    def mabel_root(self, dataset: str) -> str | None:
+        """Path of ``dataset`` when it resolves to a Mabel date-partitioned
+        directory (``year_YYYY/...`` layout) under a path store."""
+        match = self._match_store(dataset)
+        if match is None:
+            return None
+        head, store = match
+        if store.kind != "path":
+            return None
+        rest = dataset[len(head) + 1 :]
+        path = os.path.join(store.root, rest) if rest else store.root
+        if not os.path.exists(path) and rest:
+            path = os.path.join(store.root, rest.replace(".", "/"))
+        return path if _is_mabel_dir(path) else None
 
 
 def _frame_to_df(spark: SparkSession, obj: Any) -> DataFrame:

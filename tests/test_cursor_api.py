@@ -240,3 +240,30 @@ def test_temporal_and_plain_same_table(spark):
     ).fetchone()
     # 7 planets known in 1800 x 9 known today
     assert rows[0] == 63
+
+
+def test_table_plan_cache_is_lru_capped(spark, sf_dir, monkeypatch):
+    """catalog plan cache must stay bounded in a long-lived session."""
+    from opteryx_spark import catalog
+
+    monkeypatch.setattr(catalog, "_TABLE_CACHE_MAX", 3)
+    catalog._TABLE_CACHE.clear()
+    for name in ("region", "nation", "customer", "supplier", "part", "orders"):
+        catalog.load_table(spark, sf_dir, name)
+    assert len(catalog._TABLE_CACHE) <= 3
+    # most-recently-used survives
+    assert any(k[1].endswith("orders.parquet") for k in catalog._TABLE_CACHE)
+    catalog._TABLE_CACHE.clear()
+
+
+def test_long_lived_session_storage_stays_flat(spark):
+    """100 sequential cursor queries must not accumulate persisted
+    storage (VERDICT r3 next-round #10)."""
+    import opteryx_spark as ox
+
+    conn = ox.connect(spark=spark)
+    for i in range(100):
+        conn.cursor().execute(
+            f"SELECT COUNT(*) AS n FROM $planets WHERE id > {i % 9}"
+        ).fetchone()
+    assert len(spark.sparkContext._jsc.getPersistentRDDs()) == 0

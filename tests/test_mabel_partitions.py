@@ -52,3 +52,37 @@ def test_read_partitioned_empty_range_raises(spark, mabel_root):
     root, _ = mabel_root
     with pytest.raises(FileNotFoundError):
         mp.read_partitioned(spark, root, dt.date(1999, 1, 1), dt.date(1999, 1, 2))
+
+
+def test_frame_selection_and_hour_segments(spark):
+    """Reference fixture layouts: latest complete non-ignored frame wins,
+    by_hour segments restrict to the FOR hour, foreign by_* raises."""
+    import opteryx_spark as ox
+    from opteryx_spark import errors
+    from opteryx_spark.sources.registry import register_store
+
+    register_store("reftest", root="/root/reference/testdata")
+    conn = ox.connect(spark=spark)
+    n = conn.cursor().execute(
+        "SELECT COUNT(*) AS n FROM reftest.partitioned.framed FOR '2021-03-28'"
+    ).fetchone()[0]
+    assert n == 100000  # one complete frame, not both
+    # day 30's frames are all frame.ignore'd: contributes nothing
+    n = conn.cursor().execute(
+        "SELECT COUNT(*) AS n FROM reftest.partitioned.framed "
+        "FOR DATES BETWEEN '2021-03-29' AND '2021-03-30'"
+    ).fetchone()[0]
+    assert n == 100000
+    one_hour = conn.cursor().execute(
+        "SELECT COUNT(*) AS n FROM reftest.partitioned.hourly FOR '2024-01-01 01:00'"
+    ).fetchone()[0]
+    whole_day = conn.cursor().execute(
+        "SELECT COUNT(*) AS n FROM reftest.partitioned.hourly FOR '2024-01-01'"
+    ).fetchone()[0]
+    assert (one_hour, whole_day) == (1, 2)
+    with pytest.raises(errors.Error):
+        conn.cursor().execute(
+            "SELECT * FROM reftest.partitioned.mixed FOR '2020-02-03'"
+        ).fetchall()
+    with pytest.raises(errors.Error):  # no partitions for today
+        conn.cursor().execute("SELECT * FROM reftest.partitioned.dated").fetchall()

@@ -69,7 +69,10 @@ def test_scan_filter_pushdown_json(spark, sf_dir):
 def test_no_cartesian_in_suite(spark, sf_dir):
     # every suite query except the explicit cross/non-equi joins must avoid
     # CartesianProduct (at scale a cartesian is a non-starter)
-    allowed = {"join_cross", "join_non_equi", "emb_cosine_pairs", "tpch_q14_promo_effect"}
+    # (tpch_q14 was allowlisted in r1 but has planned a broadcast
+    # equi-join since — keep the allowlist tight so a real cartesian
+    # can't hide behind a stale entry)
+    allowed = {"join_cross", "join_non_equi", "emb_cosine_pairs"}
     for name, qd in REG.items():
         if name in allowed:
             continue

@@ -36,16 +36,60 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 BATTERY_DIR = "/root/reference/tests/integration/sql_battery"
 
-# surfaces the reference resolves against local fixtures we don't ship
+# Surfaces that genuinely cannot run here.  The reference checkout ships
+# its fixture datasets read-only at /root/reference/testdata — those run
+# via a registered store (see _register_fixture_stores); only the
+# following stay skipped:
+# - iceberg.*: needs the Iceberg runtime jar (not in this container)
+# - testdata.flat.formats.* / testdata.tweets: derived from a 100k-row
+#   tweets.jsonl the checkout does NOT ship (flat/formats holds only the
+#   psv sample and the build script; flat/tweets is a 50-row sample)
+# - HTTP(: live-endpoint table function (unit-tested against a local
+#   server instead)
 _SKIP_PATTERNS = [
-    re.compile(r"\bsqlite\.", re.I),
-    re.compile(r"\btestdata\.", re.I),
     re.compile(r"\biceberg\.", re.I),
+    re.compile(r"\btestdata[./]flat[./]formats\b", re.I),
+    re.compile(r"\btestdata\.tweets\b", re.I),
     re.compile(r"\$derived\b"),
     re.compile(r"\bHTTP\s*\(", re.I),
     # fixture files the reference checkout itself does not ship
     re.compile(r"formats/arrow/", re.I),
 ]
+
+_FIXTURES = "/root/reference/testdata"
+
+
+def _build_sqlite_fixture() -> str:
+    """Build the sqlite twin of the reference's fixture DB (the checkout
+    ships only the loader script, not database.db) from the SHIPPED
+    planets/satellites parquet — same rows the reference loads."""
+    import sqlite3
+
+    import pyarrow.parquet as pq
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    db_dir = os.path.join(repo, ".data", "sqlite")
+    os.makedirs(db_dir, exist_ok=True)
+    db = os.path.join(db_dir, "database.db")
+    if os.path.exists(db):
+        return db
+    con = sqlite3.connect(db)
+    for table, src in (
+        ("planets", f"{_FIXTURES}/planets/planets.parquet"),
+        ("satellites", f"{_FIXTURES}/satellites/satellites.parquet"),
+    ):
+        pq.read_table(src).to_pandas().to_sql(table, con, index=False)
+    con.close()
+    return db
+
+
+def _register_fixture_stores() -> None:
+    from opteryx_spark.sources.registry import register_store
+
+    register_store("testdata", root=_FIXTURES)
+    register_store(
+        "sqlite", kind="sql", connection=f"sqlite:///{_build_sqlite_fixture()}"
+    )
 
 
 def _content_dependent(stmt: str) -> bool:
@@ -97,6 +141,7 @@ def run_battery(files: list[str]) -> dict:
 
     # the reference battery executes with these memberships
     # (test_shapes_aliases_distinct.py:819)
+    _register_fixture_stores()
     conn = ox.connect(memberships=["Apollo 11", "opteryx"])
     report: dict = {"files": {}, "failures": [], "extra_support": [], "skipped": []}
     totals = {"pass": 0, "fail": 0, "skip": 0, "extra_support": 0, "cols_only": 0}
