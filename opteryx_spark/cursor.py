@@ -350,7 +350,14 @@ class Cursor:
         stmt = self._conn._expand_sysvars(stmt)
         res = rewriter.rewrite(stmt, merged or None)
         for view, path in res.path_tables.items():
-            read_any(spark, path).createOrReplaceTempView(view)
+            import os as _os
+
+            if not _os.path.exists(path) and self._conn.registry._match_store(path):
+                # quoted dataset name ('testdata.planets'): the reference
+                # resolves quoted relations through connectors too
+                self._conn.registry.resolve(spark, path).createOrReplaceTempView(view)
+            else:
+                read_any(spark, path).createOrReplaceTempView(view)
         sql = self._resolve_store_refs(spark, res.sql)
         for view, (table, start, end) in res.temporal_filters.items():
             # each FOR occurrence got its own marker view in the SQL, so a
@@ -615,6 +622,25 @@ def _type_fallback(sql: str, msg: str) -> str | None:
       pattern — ``utils/sql.py::regex_match_any``) become
       ``exists(x, __v -> __v LIKE p1 OR ...)``; ALL → forall with AND.
     """
+    # SELECT DISTINCT ... ORDER BY <col not in the projection>: Spark
+    # rejects ordering a DISTINCT result by a dropped column; the
+    # reference permits it (the row SET is identical — ordering by a
+    # non-projected column after dedup is arbitrary anyway), so drop the
+    # unresolvable sort key and keep the rest of the ORDER BY.
+    um = _re2.search(r"UNRESOLVED_COLUMN.*?name `([\w.]+)` cannot be resolved", msg, _re2.DOTALL)
+    if um and _re2.search(r"\bSELECT\s+DISTINCT\b", sql, _re2.IGNORECASE):
+        col = _re2.escape(um.group(1))
+        ob = _re2.search(r"\bORDER\s+BY\b(.*?)(\bLIMIT\b|\bOFFSET\b|$)", sql, _re2.IGNORECASE | _re2.DOTALL)
+        if ob and _re2.search(rf"\b{col}\b", ob.group(1)):
+            keys = [
+                k.strip()
+                for k in ob.group(1).split(",")
+                if not _re2.search(rf"\b{col}\b", k)
+            ]
+            repl = (" ORDER BY " + ", ".join(keys) + " ") if keys else " "
+            new = sql[: ob.start()] + repl + sql[ob.start(2) :]
+            if new != sql:
+                return new
     # subscript on a STRING column: reference GET/[] semantics are char-at
     # (integer key, 0-based) or JSON-key extraction (string key)
     em = _re2.search(r'Can\'t extract a value from "([\w.]+)"', msg)
@@ -693,10 +719,38 @@ def _type_fallback(sql: str, msg: str) -> str | None:
             return new
     if "DATATYPE_MISMATCH" not in msg and "DATATYPE_MISSING_SIZE" not in msg:
         return None
+    # to_json over an already-textual column (JSON string or JSON bytes):
+    # unwrap — json_object_keys/get_json_object take the text directly
+    if "INVALID_JSON_SCHEMA" in msg:
+        jm = _re2.search(r'to_json\(([\w.]+)\)', msg)
+        if jm:
+            base = _re2.escape(jm.group(1))
+            new = _re2.sub(
+                rf"to_json\(\s*({base})\s*\)", r"CAST(\1 AS STRING)", sql
+            )
+            if new != sql:
+                return new
     if "get_json_object" in msg:
-        new = _GJO_ARG.sub(lambda m: f"get_json_object(to_json({m.group(1)}),", sql)
+        if '"BINARY"' in msg:
+            # JSON stored as bytes: the text itself is the document
+            new = _GJO_ARG.sub(
+                lambda m: f"get_json_object(CAST({m.group(1)} AS STRING),", sql
+            )
+        else:
+            new = _GJO_ARG.sub(lambda m: f"get_json_object(to_json({m.group(1)}),", sql)
         if new != sql:
             return new
+        # non-identifier first argument (subscript/call): wrap it via the
+        # quoted form from the error message
+        qm = _re2.search(r'"get_json_object\((.+?), (\$[^)]*)\)"', msg)
+        if qm:
+            frag = qm.group(1)
+            wrap = "CAST({0} AS STRING)" if '"BINARY"' in msg else "to_json({0})"
+            new = sql.replace(
+                f"get_json_object({frag},", f"get_json_object({wrap.format(frag)},", 1
+            )
+            if new != sql:
+                return new
     # LENGTH(array_col) → CARDINALITY: reference LENGTH is polymorphic
     lm = _re2.search(r'"length\(([\w.]+)\)"', msg)
     if lm:

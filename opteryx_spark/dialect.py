@@ -395,7 +395,14 @@ def rewrite_any_all(sql: str) -> str:
             pos = m.start() + len(repl)
             continue
         fn = "exists" if quant == "ANY" else "forall"
-        repl = f"{fn}({arr}, __v -> {lhs} {op} __v)"
+        body = arr.strip()
+        # tuple literals become arrays: ANY(('a','b')) / ANY('a','b','c')
+        # (reference treats the quantifier body as a value list)
+        if body.startswith("(") and _balanced_end(body, 0) == len(body):
+            body = f"array{body}"
+        elif len(_split_top_level(body)) > 1:
+            body = f"array({body})"
+        repl = f"{fn}({body}, __v -> {lhs} {op} __v)"
         sql = sql[: m.start()] + repl + sql[end:]
         pos = m.start()
 

@@ -108,15 +108,26 @@ def _make_pandas_udfs():
 
     @pandas_udf("boolean")
     def ip_in_cidr(ip: pd.Series, cidr: pd.Series) -> pd.Series:
-        import ipaddress
+        # reference semantics (compiled/list_ops/list_ip_in_cidr.pyx:46):
+        # (ip & netmask) == base_ip with the base NOT normalized — a CIDR
+        # whose base has host bits set matches nothing, it is not an error
+        import socket
+        import struct
 
         def _in(row):
             ip_v, cidr_v = row
             if ip_v is None or cidr_v is None:
                 return None
             try:
-                return ipaddress.ip_address(ip_v) in ipaddress.ip_network(cidr_v, strict=False)
-            except ValueError:
+                base_s, mask_s = str(cidr_v).split("/", 1)
+                bits = int(mask_s)
+                if not 0 <= bits <= 32:
+                    return None
+                netmask = (0xFFFFFFFF << (32 - bits)) & 0xFFFFFFFF if bits else 0
+                base = struct.unpack("!I", socket.inet_aton(base_s))[0]
+                ip_int = struct.unpack("!I", socket.inet_aton(str(ip_v)))[0]
+                return (ip_int & netmask) == base
+            except (ValueError, OSError):
                 return None
 
         return pd.Series(map(_in, zip(ip, cidr)))
@@ -182,27 +193,24 @@ def _make_pandas_udfs():
 
     @pandas_udf("double")
     def opx_text_cosine(col: pd.Series, query: pd.Series) -> pd.Series:
-        """Reference COSINE_SIMILARITY (``functions/other_functions.py:222``):
-        bag-of-words cosine between two texts (hashed token counts)."""
-        import math
-        import re as _re
-        from collections import Counter
+        """Reference COSINE_SIMILARITY (``functions/other_functions.py:222``
+        + ``compiled/functions/vectors.pyx``): lemmatized hashed-token
+        1024-bin vectors, XXH3-64 positions, float32 cosine — exact value
+        parity (see functions/textvec.py)."""
+        from opteryx_spark.functions.textvec import cosine_similarities
+        from opteryx_spark.virtual import _STOP_WORDS
 
-        tok = _re.compile(r"[a-z0-9]+")
-
-        def _vec(text):
-            return Counter(tok.findall(str(text).lower()))
-
-        def _cos(a, b):
-            if a is None or b is None:
-                return None
-            va, vb = _vec(a), _vec(b)
-            dot = sum(va[k] * vb[k] for k in va.keys() & vb.keys())
-            na = math.sqrt(sum(x * x for x in va.values()))
-            nb = math.sqrt(sum(x * x for x in vb.values()))
-            return dot / (na * nb) if na and nb else 0.0
-
-        return pd.Series([_cos(a, b) for a, b in zip(col, query)], dtype="float64")
+        stops = frozenset(w.encode() for w in _STOP_WORDS)
+        if len(col) == 0:
+            return pd.Series([], dtype="float64")
+        # the query side is a literal broadcast across the batch: group by
+        # distinct query value so its vector is built once
+        out = pd.Series([None] * len(col), dtype="object")
+        qvals = query.fillna("")
+        for qv in qvals.unique():
+            mask = qvals == qv
+            out[mask] = cosine_similarities(list(col[mask]), qv, stops)
+        return out.astype("float64")
 
     return {
         "base85_encode": base85_encode,

@@ -320,10 +320,82 @@ def _json_path(key: str) -> str:
     return key if key.startswith("$") else f"$.{key}"
 
 
+def _expr_start(s: str, end: int) -> int:
+    """Start index of the value expression ending just before ``end``:
+    a dotted identifier chain with any trailing balanced ()/[] groups
+    (``a.b``, ``fn(x)``, ``arr[0]``, chained), or a string literal."""
+    i = end
+    while i > 0:
+        c = s[i - 1]
+        if c in ")]":
+            open_c = "(" if c == ")" else "["
+            depth, k, in_str = 0, i - 1, False
+            while k >= 0:
+                ch = s[k]
+                if in_str:
+                    in_str = ch != "'"
+                elif ch == "'":
+                    in_str = True
+                elif ch == c:
+                    depth += 1
+                elif ch == open_c:
+                    depth -= 1
+                    if depth == 0:
+                        break
+                k -= 1
+            if k < 0:
+                return i
+            i = k
+            continue
+        if c == "'" and i == end:
+            k = i - 2
+            while k >= 0:
+                if s[k] == "'":
+                    if k > 0 and s[k - 1] == "'":
+                        k -= 2  # '' escape inside the literal
+                        continue
+                    break
+                k -= 1
+            return max(k, 0)
+        if c.isalnum() or c in "_.$@":
+            i -= 1
+            continue
+        break
+    return i
+
+
+_JSON_OP = re.compile(r"(->>|->|@\?)\s*'((?:[^']|'')+)'")
+
+
+def rewrite_json_arrows(sql: str) -> str:
+    """``x -> 'k'`` / ``x ->> 'k'`` / ``x @? 'path'`` → get_json_object,
+    resolved LEFT-to-right so chains (``a -> 'b' ->> 'c'``) nest
+    correctly, with the lhs scanned backward over balanced ()/[] groups
+    (``data[0]->'id'``)."""
+    pos = 0
+    while True:
+        m = _JSON_OP.search(sql, pos)
+        if not m:
+            return sql
+        lhs_end = m.start()
+        while lhs_end > 0 and sql[lhs_end - 1].isspace():
+            lhs_end -= 1
+        s0 = _expr_start(sql, lhs_end)
+        lhs = sql[s0:lhs_end].strip()
+        if not lhs or lhs.endswith((",", "(")):
+            pos = m.end()
+            continue
+        path = _json_path(m.group(2))
+        if m.group(1) == "@?":
+            repl = f"(get_json_object({lhs}, '{path}') IS NOT NULL)"
+        else:
+            repl = f"get_json_object({lhs}, '{path}')"
+        sql = sql[:s0] + repl + sql[m.end() :]
+        pos = s0
+
+
 def rewrite_operators(sql: str) -> str:
-    sql = _ATQ.sub(lambda m: f"(get_json_object({m.group(1)}, '{_json_path(m.group(2))}') IS NOT NULL)", sql)
-    sql = _ARROW2.sub(lambda m: f"get_json_object({m.group(1)}, '{_json_path(m.group(2))}')", sql)
-    sql = _ARROW1.sub(lambda m: f"get_json_object({m.group(1)}, '{_json_path(m.group(2))}')", sql)
+    sql = rewrite_json_arrows(sql)
     sql = _AT_ALL.sub(
         lambda m: f"forall(array({m.group(2)}), __e -> array_contains({m.group(1)}, __e))", sql
     )

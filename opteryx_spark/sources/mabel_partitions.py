@@ -140,6 +140,10 @@ def read_for_range(
     leaves: list[str] = []
     day = start.date()
     last = (end_exclusive - dt.timedelta(microseconds=1)).date()
+    if end_exclusive == start + dt.timedelta(days=1):
+        # point query FOR '<day> <time>': the reference reads the NAMED
+        # day's partition only — don't spill into the next day
+        last = start.date()
     while day <= last:
         leaves.extend(resolve_day_paths(root, day, hour))
         day += dt.timedelta(days=1)

@@ -109,40 +109,31 @@ def _load_packaged(spark: SparkSession, name: str):
 # --- $stop_words: 305 common English words ----------------------------------
 
 _STOP_WORDS = sorted(set("""
-a about above after again against all also am an and any are as at be
-because been before being below between both but by can cannot could did
-do does doing down during each either few first for from further had has
-have having he her here hers herself him himself his how i if in into is
-it its itself just like made make many may me might more most much must
-my myself never no nor not now of off on once one only or other our ours
-ourselves out over own said same second she should since so some still
-such than that the their theirs them themselves then there these they
-this those through to too under until up upon us very was we well were
-what when where which while who whom why will with within without would
-you your yours yourself yourselves able across actually afterwards
-against almost alone along already although always among amongst another
-anybody anyone anything anywhere apart around aside away back became
-become becomes becoming begin behind beside besides beyond came come
-comes concerning consequently contain containing contains corresponding
-course currently definitely described despite different done downwards
-eight else elsewhere enough entirely especially even ever every everybody
-everyone everything everywhere exactly example except far fifth five
-followed following follows former formerly forth four furthermore get
-gets getting given gives go goes going gone got gotten greetings happens
-hardly hence henceforth hereafter hereby herein hereupon hi hither
-hopefully howbeit however immediate inasmuch indeed indicate indicated
-indicates inner insofar instead inward keep keeps kept know known knows
-last lately later latter latterly least less lest let likely little look
-looking looks ltd mainly meanwhile merely mostly mr mrs nearly
-necessary need needs neither next nine nobody none noone normally nothing
-novel nowhere obviously often oh ok okay old onto others otherwise ought
-outside overall particular particularly per perhaps placed please plus
-possible presumably probably provides que quite rather really reasonably
-regarding regardless regards relatively respectively right saw say saying
-says see seeing seem seemed seeming seems seen self selves sensible sent
-serious seriously seven several shall somebody somehow someone something
-sometime sometimes somewhat somewhere soon sorry specified specify
-specifying sub sup sure take taken tell tends th thank thanks thanx thats
+about above across after afterwards again against all almost alone along
+already also although always am among amongst amount an and another any
+anyhow anyone anything anyway anywhere are around as at back be became
+because become becomes becoming been before beforehand behind being below
+beside besides between beyond both bottom but by ca call can cannot could
+did do does doing done down due during each eight either eleven else
+elsewhere empty enough even ever every everyone everything everywhere except
+few fifteen fifty first five for former formerly forty four from front full
+further get give go had has have he hence her here hereafter hereby herein
+hereupon hers herself him himself his how however hundred if in indeed into
+is it its itself just keep last latter latterly least less ll made make many
+may me meanwhile might mine more moreover most mostly move much must my
+myself name namely neither never nevertheless next nine no nobody none noone
+nor not nothing now nowhere of off often on once one only onto or other
+others otherwise our ours ourselves out over own part per perhaps please put
+quite rather re really regarding same say see seem seemed seeming seems
+serious several she should show side since six sixty so some somehow someone
+something sometime sometimes somewhere still such take ten than that the
+their them themselves then thence there thereafter thereby therefore therein
+thereupon these they third this those though three through throughout thru
+thus to together too top toward towards twelve twenty two under unless until
+up upon us used using various ve very via was we well were what whatever
+when whence whenever where whereafter whereas whereby wherein whereupon
+wherever whether which while whither who whoever whole whom whose why will
+with within without would yet you your yours yourself yourselves
 """.split()))[:305]
 
 

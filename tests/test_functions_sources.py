@@ -305,3 +305,46 @@ def test_vortex_format_gated(spark, tmp_path):
         raise AssertionError("expected NotSupportedError")
     except errors.NotSupportedError as exc:
         assert "vortex-data" in str(exc)
+
+
+def test_xxh3_matches_reference_vectors():
+    """Pure-Python XXH3-64 pinned against XXH3_64bits outputs generated
+    from the public xxHash C library (all length paths)."""
+    from opteryx_spark.functions.xxh3 import xxh3_64
+
+    vectors = {
+        b"": 3244421341483603138,
+        b"a": 16629034431890738719,
+        b"ab": 12138170336140424028,
+        b"abc": 8696274497037089104,
+        b"abcd": 7248448420886124688,
+        b"abcdefgh": 8017998777839871107,
+        b"abcdefghi": 16203358805722239136,
+        b"kennedy": 1066654036757533894,
+        b"space": 18306324851360899317,
+        b"center": 10860765450963203913,
+        b"florida": 11789309442454398244,
+        b"usa": 16209480731345119461,
+        b"lc-39a": 5081454774202192020,
+        b"0123456789012345678901234567890123456789": 1436699666609158866,
+    }
+    for data, expect in vectors.items():
+        assert xxh3_64(data) == expect, data
+
+
+def test_text_cosine_reference_row_count():
+    """The reference battery's text-mode COSINE_SIMILARITY statement:
+    666 of 4630 mission locations score > 0.7 vs the LC-18A query
+    (tokenizer + lemmatizer + XXH3 vector parity end-to-end)."""
+    from opteryx_spark.functions.textvec import cosine_similarities, tokenize
+    from opteryx_spark.virtual import _STOP_WORDS
+
+    import pyarrow.parquet as pq
+
+    stops = frozenset(w.encode() for w in _STOP_WORDS)
+    assert tokenize("The LC-18A, & Cape-Canaveral launched!", stops) == {
+        b"lc-18a", b"cape-canaveral", b"launch"
+    }
+    locs = pq.read_table("opteryx_spark/data/missions.parquet").column("Location").to_pylist()
+    sims = cosine_similarities(locs, "LC-18A, Cape Canaveral AFS, Florida, USA", stops)
+    assert sum(1 for s in sims if s is not None and s > 0.7) == 666

@@ -46,10 +46,21 @@ BATTERY_DIR = "/root/reference/tests/integration/sql_battery"
 #   psv sample and the build script; flat/tweets is a 50-row sample)
 # - HTTP(: live-endpoint table function (unit-tested against a local
 #   server instead)
+#
+# Known permanent divergence (2 statements, counted as failures):
+# ``nested @? '$.level1.key'`` expects 4 rows counting a row whose key is
+# EXPLICITLY null in the source JSON.  Spark's schema-on-read unions JSON
+# objects into one struct type, making "key": null indistinguishable from
+# an absent key — the raw-text distinction is lost at ingestion.  Reading
+# these files as VariantType would preserve it but would change the type
+# of every struct accessor; documented trade-off.
 _SKIP_PATTERNS = [
     re.compile(r"\biceberg\.", re.I),
     re.compile(r"\btestdata[./]flat[./]formats\b", re.I),
     re.compile(r"\btestdata\.tweets\b", re.I),
+    # expects a 196902-row mixed-schema dataset; the checkout ships only a
+    # 9-row planets.parquet in flat/different
+    re.compile(r"\btestdata[./]flat[./]different\b", re.I),
     re.compile(r"\$derived\b"),
     re.compile(r"\bHTTP\s*\(", re.I),
     # fixture files the reference checkout itself does not ship
