@@ -59,3 +59,27 @@ __all__ = [
     "ProgrammingError",
     "NotSupportedError",
 ]
+
+
+# Notebook cell magic (reference opteryx/__init__.py:297-314): in an
+# IPython session, ``%%opteryx`` runs the cell body as a query through
+# ``query()``.  Import-gated — a plain Python process skips silently.
+try:  # pragma: no cover - needs a live IPython shell
+    from IPython import get_ipython
+    from IPython.core.magic import Magics, cell_magic, magics_class
+
+    @magics_class
+    class OpteryxSparkMagics(Magics):
+        @cell_magic
+        def opteryx(self, line, cell):
+            import opteryx_spark
+
+            result = opteryx_spark.query(cell)
+            self.shell.push({"_opteryx_result": result})
+            return result
+
+    _ipython = get_ipython()
+    if _ipython:
+        _ipython.register_magics(OpteryxSparkMagics)
+except (ImportError, ValueError, TypeError):  # pragma: no cover
+    pass

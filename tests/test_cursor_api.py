@@ -267,3 +267,21 @@ def test_long_lived_session_storage_stays_flat(spark):
             f"SELECT COUNT(*) AS n FROM $planets WHERE id > {i % 9}"
         ).fetchone()
     assert len(spark.sparkContext._jsc.getPersistentRDDs()) == 0
+
+
+def test_notebook_magic_registration_gated():
+    """The %%opteryx magic registers only inside IPython; plain imports
+    must not fail or leak (reference opteryx/__init__.py:297-314)."""
+    import importlib
+
+    import opteryx_spark
+
+    importlib.reload(opteryx_spark)  # executes the gated block again
+    assert hasattr(opteryx_spark, "connect")
+    try:
+        from IPython.testing.globalipapp import get_ipython as _gi
+    except ImportError:
+        return  # no IPython in this environment: the gate is the test
+    shell = _gi()
+    importlib.reload(opteryx_spark)
+    assert "opteryx" in shell.magics_manager.magics["cell"]
