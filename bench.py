@@ -49,6 +49,7 @@ BENCH_QUERIES = [
     "join_asof_last_click",
     "join_range_binned",
     "skew_join_salted",
+    "curate_pipeline_audit",
 ]
 
 
