@@ -73,6 +73,25 @@ def release_text_group_caches() -> None:
             pass
 
 
+def _resolve_unique_texts(df: DataFrame, text_col: str, unique_texts) -> bool:
+    """Route ``unique_texts="auto"`` by the measured duplicate ratio.
+
+    The copy-group path is a quadratic win on dup-heavy corpora (NOTES_r3:
+    4x at sf1 with 10x copies) but pure overhead when texts are mostly
+    unique (measured 4x slower at sf0.1 with 0.2% dups).  The probe is one
+    map-side pass (count + HLL approx distinct, no shuffle) — negligible
+    next to the similarity join that follows, at any scale.  Pass
+    True/False explicitly when the corpus shape is known.
+    """
+    if unique_texts != "auto":
+        return bool(unique_texts)
+    row = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.approx_count_distinct(text_col).alias("d"),
+    ).collect()[0]
+    return row["d"] < row["n"] * 0.9
+
+
 def _text_groups(df: DataFrame, id_col: str, text_col: str) -> tuple[DataFrame, DataFrame]:
     """(reps, members): one exemplar row per distinct text + the gid→id map.
 
@@ -242,7 +261,7 @@ def ngram_jaccard_pairs(
     broadcast_sets: bool | None = None,
     persist_sets: bool = True,
     max_df: int | None = None,
-    unique_texts: bool = True,
+    unique_texts: bool | str = "auto",
 ) -> DataFrame:
     """All document pairs with word-k-gram Jaccard >= threshold (exact).
 
@@ -285,6 +304,7 @@ def ngram_jaccard_pairs(
     index join and the array intersections run on longs instead of
     strings — a constant-factor but large win at any scale.
     """
+    unique_texts = _resolve_unique_texts(df, text_col, unique_texts)
     if unique_texts:
         reps, members = _text_groups(df, id_col, text_col)
         inner = ngram_jaccard_pairs(
@@ -474,7 +494,7 @@ def minhash_lsh_pairs(
     bands: int = 16,
     k: int = 2,
     max_bucket: int = 1000,
-    unique_texts: bool = True,
+    unique_texts: bool | str = "auto",
     portable_hash: bool = False,
 ) -> DataFrame:
     """Candidate near-dup pairs via banded LSH over minhash signatures.
@@ -487,6 +507,7 @@ def minhash_lsh_pairs(
     distinct texts and expands copy groups afterwards (est=1.0 within a
     group — exactly what identical signatures would estimate).
     """
+    unique_texts = _resolve_unique_texts(df, text_col, unique_texts)
     if unique_texts:
         reps, members = _text_groups(df, id_col, text_col)
         inner = minhash_lsh_pairs(
@@ -566,7 +587,7 @@ def minhash_dedup_verified(
     bands: int = 16,
     k: int = 2,
     broadcast_sets: bool | None = None,
-    unique_texts: bool = True,
+    unique_texts: bool | str = "auto",
 ) -> DataFrame:
     """LSH candidates verified with *exact* Jaccard on the shingle sets.
 
@@ -577,6 +598,7 @@ def minhash_dedup_verified(
     64/16 banding).  ``unique_texts``: candidates + verification run on
     distinct texts, copy groups expand afterwards (J=1.0 within a group).
     """
+    unique_texts = _resolve_unique_texts(df, text_col, unique_texts)
     if unique_texts:
         reps, members = _text_groups(df, id_col, text_col)
         inner = minhash_dedup_verified(
@@ -642,7 +664,7 @@ def simhash_dedup_pairs(
     text_col: str = "text",
     max_hamming: int = 3,
     blocks: int = 4,
-    unique_texts: bool = True,
+    unique_texts: bool | str = "auto",
 ) -> DataFrame:
     """Near-dup pairs by simhash Hamming distance <= max_hamming.
 
@@ -653,6 +675,7 @@ def simhash_dedup_pairs(
     and banding on distinct texts, copy groups expand afterwards
     (Hamming 0 within a group — identical text ⇒ identical signature).
     """
+    unique_texts = _resolve_unique_texts(df, text_col, unique_texts)
     if unique_texts:
         reps, members = _text_groups(df, id_col, text_col)
         inner = simhash_dedup_pairs(

@@ -318,3 +318,22 @@ def ivf_topk_indexed(
         .orderBy(F.desc("cosim"), F.asc(id_col))
         .limit(k)
     )
+
+
+def quantize_int8(df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Per-vector symmetric int8 quantization: scale = 127/max|v|,
+    q_i = floor(v_i*scale + 0.5) (explicit floor keeps the rounding
+    identical across engines).  4x memory cut for ANN shortlists at
+    scale; map-only, no shuffle.  Returns (id, qvec array<int>, scale)
+    where scale reconstructs approximate floats (v ≈ q/scale)."""
+    c = F.col(vec_col)
+    maxabs = F.array_max(F.transform(c, lambda x: F.abs(x.cast("double"))))
+    scale = F.when(maxabs > 0, F.lit(127.0) / maxabs).otherwise(F.lit(0.0))
+    qvec = F.transform(
+        c, lambda x: F.floor(x.cast("double") * scale + F.lit(0.5)).cast("int")
+    )
+    return df.select(
+        F.col(id_col),
+        qvec.alias("qvec"),
+        scale.cast("double").alias("scale"),
+    )

@@ -197,3 +197,30 @@ def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
         quality_score(text_col).alias("quality"),
         fingerprint(text_col).alias("fingerprint"),
     )
+
+
+# --- normalization / redaction (training-data cleaning stages) --------------
+
+
+def normalize_text(col: Column | str) -> Column:
+    """Canonical text form for dedup/compare: lowercase, trim, collapse
+    whitespace runs.  Pure expressions (map-only at any scale); the exact
+    regex semantics are shared with the DuckDB oracle."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.trim(F.regexp_replace(F.lower(c), "[ \\t\\r\\n]+", " "))
+
+
+# conservative patterns whose semantics agree between Java regex (Spark)
+# and RE2 (DuckDB): explicit classes, no lookaround
+_EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+"
+_LONGNUM_RE = "[0-9][0-9][0-9][0-9][0-9][0-9][0-9]+"
+
+
+def redact_pii(col: Column | str) -> Column:
+    """Replace emails and long digit runs (7+) with typed placeholders —
+    the standard pre-training scrub pass.  Deliberately conservative:
+    high-precision patterns only, so the operator is deterministic and
+    auditable; plug stronger detectors in via the same shape."""
+    c = F.col(col) if isinstance(col, str) else col
+    out = F.regexp_replace(c, _EMAIL_RE, "<EMAIL>")
+    return F.regexp_replace(out, _LONGNUM_RE, "<NUM>")

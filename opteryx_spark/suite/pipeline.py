@@ -707,3 +707,86 @@ def dedup_minhash_lsh_portable(spark, sf_dir):
     return dedup.minhash_lsh_pairs(
         docs, "doc_id", "text", k=2, unique_texts=False, portable_hash=True
     ).orderBy("id1", "id2")
+
+
+# --- cleaning stages: normalize / redact / quantize -------------------------
+
+
+@register(
+    "text_normalize",
+    oracle="""
+    SELECT doc_id,
+           md5(trim(regexp_replace(lower(text), '[ \t\r\n]+', ' ', 'g'))) AS norm_md5,
+           CAST(length(trim(regexp_replace(lower(text), '[ \t\r\n]+', ' ', 'g'))) AS BIGINT) AS norm_len
+    FROM documents ORDER BY doc_id
+    """,
+)
+def text_normalize(spark, sf_dir):
+    """Canonical text form (operators/text.py::normalize_text): lowercase
+    + whitespace collapse, the first stage of any dedup/compare pass."""
+    docs = t(spark, sf_dir, "documents")
+    norm = text.normalize_text("text")
+    return docs.select(
+        "doc_id",
+        F.md5(norm).alias("norm_md5"),
+        F.length(norm).cast("long").alias("norm_len"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "text_redact_pii",
+    oracle="""
+    WITH red AS (
+      SELECT doc_id,
+             regexp_replace(
+               regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+', '<EMAIL>', 'g'),
+               '[0-9][0-9][0-9][0-9][0-9][0-9][0-9]+', '<NUM>', 'g') AS r
+      FROM documents
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN r LIKE '%<EMAIL>%' THEN 1 ELSE 0 END) AS BIGINT) AS n_email_docs,
+           CAST(SUM(CASE WHEN r LIKE '%<NUM>%' THEN 1 ELSE 0 END) AS BIGINT) AS n_num_docs,
+           md5(string_agg(md5(r), '' ORDER BY doc_id)) AS corpus_md5
+    FROM red
+    """,
+)
+def text_redact_pii(spark, sf_dir):
+    """PII scrub accounting (operators/text.py::redact_pii): emails and
+    7+-digit runs replaced with typed placeholders; the corpus digest
+    pins every redacted byte, not just the counts."""
+    docs = t(spark, sf_dir, "documents")
+    red = text.redact_pii("text")
+    per_doc = docs.select("doc_id", F.md5(red).alias("rm"), red.alias("r"))
+    return per_doc.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(F.col("r").contains("<EMAIL>"), 1).otherwise(0)).alias("n_email_docs"),
+        F.sum(F.when(F.col("r").contains("<NUM>"), 1).otherwise(0)).alias("n_num_docs"),
+        F.md5(F.concat_ws("", F.array_sort(F.collect_list(F.struct("doc_id", "rm"))).getField("rm"))).alias("corpus_md5"),
+    )
+
+
+@register(
+    "emb_quantize_int8",
+    oracle="""
+    SELECT vec_id,
+           array_to_string(list_transform(embedding, x ->
+             CAST(floor(CAST(x AS DOUBLE) *
+               (127.0 / list_max(list_transform(embedding, y -> abs(CAST(y AS DOUBLE)))))
+               + 0.5) AS INT)), ',') AS qvec_csv,
+           127.0 / list_max(list_transform(embedding, y -> abs(CAST(y AS DOUBLE)))) AS scale
+    FROM embeddings WHERE vec_id < 200 ORDER BY vec_id
+    """,
+)
+def emb_quantize_int8(spark, sf_dir):
+    """Symmetric int8 embedding quantization
+    (operators/similarity.py::quantize_int8): 4x memory cut for ANN
+    shortlists; explicit floor(x+0.5) keeps rounding engine-identical.
+    qvec serialized as CSV for the driver's value-hash (array cells
+    can't be hashed)."""
+    emb = t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
+    q = similarity.quantize_int8(emb)
+    return q.select(
+        "vec_id",
+        F.array_join(F.transform("qvec", lambda x: x.cast("string")), ",").alias("qvec_csv"),
+        "scale",
+    ).orderBy("vec_id")

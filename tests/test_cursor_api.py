@@ -260,7 +260,9 @@ def test_long_lived_session_storage_stays_flat(spark):
     """100 sequential cursor queries must not accumulate persisted
     storage (VERDICT r3 next-round #10)."""
     import opteryx_spark as ox
+    from opteryx_spark.operators import dedup
 
+    dedup.release_text_group_caches()  # drop any prior test's bounded cache
     conn = ox.connect(spark=spark)
     for i in range(100):
         conn.cursor().execute(
