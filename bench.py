@@ -79,6 +79,10 @@ def _time_queries(reg, spark, sf_dir, names, runs):
     for name in names:
         if name not in reg:
             continue
+        # one untimed warmup pays the per-query codegen compile, so the
+        # timed samples measure steady-state execution and the recorded
+        # spread reflects real run-to-run variance, not compilation
+        reg[name].spark(spark, sf_dir).collect()
         samples = []
         for _ in range(runs):
             start = time.perf_counter()
