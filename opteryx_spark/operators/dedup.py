@@ -760,3 +760,60 @@ def winnow_pairs(
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
     )
+
+
+# --- near-dup grouping: connected components over a pair list ---------------
+
+
+def connected_components(
+    pairs: DataFrame,
+    id1: str = "id1",
+    id2: str = "id2",
+    max_iter: int = 20,
+) -> DataFrame:
+    """(node, comp): each node labeled with the min id reachable through
+    the pair graph — the grouping step that turns near-dup PAIRS into
+    keep-one-per-cluster decisions.
+
+    Standard distributed label propagation (the Pregel/large-star
+    pattern): each round every node takes the min label among itself and
+    its neighbours; converges in O(diameter) rounds.  Near-dup clusters
+    are shallow (mirrors of one page), so ``max_iter=20`` is far beyond
+    any real diameter; iteration stops early on convergence.  Each round
+    materializes via ``localCheckpoint`` to keep lineage flat — the
+    loop is driver-controlled but all data movement is joins/groupBys.
+    """
+    edges = pairs.select(F.col(id1).alias("a"), F.col(id2).alias("b"))
+    edges = (
+        edges.unionByName(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = edges.select("a").distinct().select(
+        F.col("a").alias("node"), F.col("a").alias("comp")
+    ).localCheckpoint()
+    for _ in range(max_iter):
+        neigh = (
+            edges.join(labels, edges["b"] == labels["node"])
+            .groupBy("a")
+            .agg(F.min("comp").alias("ncomp"))
+        )
+        new = (
+            labels.join(neigh, labels["node"] == neigh["a"], "left")
+            .select(
+                "node",
+                F.least(F.col("comp"), F.coalesce("ncomp", F.col("comp"))).alias("comp"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .limit(1)
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    return labels

@@ -88,3 +88,29 @@ def explain_shuffle_count(df: DataFrame) -> int:
 
     text = explain_text(df)
     return sum(1 for line in text.splitlines() if line.strip().startswith(("+- Exchange", "Exchange")))
+
+
+def hash_sample(
+    df: DataFrame,
+    key_col: str,
+    rate_pct: float,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic hash sampling: keep a row iff the first 32 bits of
+    md5(salt || key) fall under ``rate_pct`` of the hash space.
+
+    Properties a training pipeline needs that ``df.sample`` lacks:
+    reproducible across runs/engines (md5 is engine-portable, unlike a
+    seeded RNG), stable under repartitioning, and consistent across
+    tables sharing the key (sampling users samples all their rows).
+    Map-only — a pushed-down filter, no shuffle.
+    """
+    from pyspark.sql import functions as F
+
+    bucket = F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string"))), 1, 8),
+        16,
+        10,
+    ).cast("long")
+    threshold = int(rate_pct / 100.0 * 4294967296)
+    return df.filter(bucket < threshold)

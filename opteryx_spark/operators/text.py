@@ -224,3 +224,37 @@ def redact_pii(col: Column | str) -> Column:
     c = F.col(col) if isinstance(col, str) else col
     out = F.regexp_replace(c, _EMAIL_RE, "<EMAIL>")
     return F.regexp_replace(out, _LONGNUM_RE, "<NUM>")
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_tokens: int = 128,
+    overlap: int = 16,
+) -> DataFrame:
+    """Split documents into token-budget chunks with overlap — the
+    standard pre-training sequence-prep stage.
+
+    Chunk i covers tokens [i*stride, i*stride + max_tokens) with
+    stride = max_tokens - overlap; the last chunk may be short; docs
+    shorter than one budget yield one chunk.  Map-only (posexplode of a
+    per-row computed array — no shuffle at any scale); chunk_id is
+    deterministic (doc_id, chunk_idx).
+    """
+    if not 0 <= overlap < max_tokens:
+        raise ValueError("need 0 <= overlap < max_tokens")
+    stride = max_tokens - overlap
+    tks = tokens(text_col)
+    n = F.size(tks)
+    # number of chunks: ceil(max(n - overlap, 1) / stride), min 1
+    n_chunks = F.greatest(F.ceil((n - F.lit(overlap)).cast("double") / F.lit(stride)).cast("int"), F.lit(1))
+    starts = F.sequence(F.lit(0), n_chunks - 1)
+    chunks = F.transform(
+        starts,
+        lambda i: F.array_join(F.slice(tks, i * stride + 1, max_tokens), " "),
+    )
+    return (
+        df.select(F.col(id_col), F.posexplode(chunks).alias("chunk_idx", "chunk_text"))
+        .withColumn("n_chunk_tokens", token_count("chunk_text"))
+    )

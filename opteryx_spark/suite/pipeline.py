@@ -790,3 +790,102 @@ def emb_quantize_int8(spark, sf_dir):
         F.array_join(F.transform("qvec", lambda x: x.cast("string")), ",").alias("qvec_csv"),
         "scale",
     ).orderBy("vec_id")
+
+
+# --- chunking / sampling / dup-grouping -------------------------------------
+
+
+@register(
+    "text_chunk_documents",
+    oracle=f"""
+    WITH tk AS (SELECT doc_id, {_O_TOKENS} AS ts FROM documents WHERE doc_id < 300),
+    nch AS (
+      SELECT doc_id, ts,
+             GREATEST(CAST(ceil(CAST(len(ts) - 16 AS DOUBLE) / 112.0) AS INT), 1) AS n
+      FROM tk
+    ),
+    ch AS (
+      SELECT doc_id, i - 1 AS chunk_idx,
+             array_to_string(ts[(i-1)*112 + 1 : (i-1)*112 + 128], ' ') AS chunk_text
+      FROM nch, unnest(range(1, n + 1)) AS u(i)
+    )
+    SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx, chunk_text,
+           CAST(len(list_filter(string_split(chunk_text, ' '), x -> x <> '')) AS BIGINT)
+             AS n_chunk_tokens
+    FROM ch ORDER BY doc_id, chunk_idx
+    """,
+)
+def text_chunk_documents(spark, sf_dir):
+    """Token-budget chunking (operators/text.py::chunk_documents,
+    max_tokens=128 overlap=16): map-only posexplode; every chunk byte is
+    value-checked against identical slice arithmetic in DuckDB."""
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    return text.chunk_documents(docs, max_tokens=128, overlap=16).orderBy(
+        "doc_id", "chunk_idx"
+    )
+
+
+@register(
+    "sample_hash_deterministic",
+    oracle="""
+    WITH h AS (
+      SELECT doc_id, lang, n_chars,
+             list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(range(1, 9), i ->
+                 CAST(strpos('0123456789abcdef',
+                             substring(md5('s1' || CAST(doc_id AS VARCHAR)), i, 1)) - 1
+                      AS BIGINT))),
+               (a, c) -> a * 16 + c) AS bucket
+      FROM documents
+    )
+    SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars
+    FROM h WHERE bucket < CAST(0.1 * 4294967296 AS BIGINT)
+    ORDER BY doc_id
+    """,
+)
+def sample_hash_deterministic(spark, sf_dir):
+    """Deterministic 10% hash sample (operators/scale.py::hash_sample):
+    md5-bucketed, engine-portable (the oracle folds the same 8 hex chars
+    Spark's conv() parses), repartition-stable, key-consistent."""
+    from opteryx_spark.operators.scale import hash_sample
+
+    docs = t(spark, sf_dir, "documents")
+    return hash_sample(docs, "doc_id", 10.0, salt="s1").select(
+        "doc_id", "lang", F.col("n_chars").cast("long").alias("n_chars")
+    ).orderBy("doc_id")
+
+
+@register(
+    "dedup_connected_groups",
+    oracle=f"""
+    WITH RECURSIVE sh AS (
+      SELECT doc_id, unnest({_O_BIGRAMS}) AS s FROM documents
+    ), sizes AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM sh GROUP BY doc_id
+    ), ov AS (
+      SELECT a.doc_id AS id1, b.doc_id AS id2, CAST(COUNT(*) AS BIGINT) AS ov
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), pairs AS (
+      SELECT id1, id2
+      FROM ov JOIN sizes sa ON sa.doc_id = id1 JOIN sizes sb ON sb.doc_id = id2
+      WHERE CAST(ov AS DOUBLE) / CAST(sa.n + sb.n - ov AS DOUBLE) >= 0.8
+    ), edges AS (
+      SELECT id1 AS a, id2 AS b FROM pairs
+      UNION SELECT id2, id1 FROM pairs
+    ), walk(node, comp) AS (
+      SELECT a, a FROM (SELECT DISTINCT a FROM edges) t
+      UNION
+      SELECT e.a, w.comp FROM edges e JOIN walk w ON w.node = e.b
+    )
+    SELECT node, MIN(comp) AS comp FROM walk GROUP BY node ORDER BY node
+    """,
+)
+def dedup_connected_groups(spark, sf_dir):
+    """Near-dup pair graph → connected components
+    (operators/dedup.py::connected_components, label propagation):
+    min-reachable-id labels checked against a DuckDB recursive-CTE
+    ground truth on the same exact-Jaccard pair set."""
+    docs = t(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, "doc_id", "text", k=2, threshold=0.8)
+    return dedup.connected_components(pairs).orderBy("node")

@@ -395,3 +395,38 @@ def test_text_group_cache_bounded_and_releasable(spark):
     assert len(spark.sparkContext._jsc.getPersistentRDDs()) <= after_first
     dedup.release_text_group_caches()
     assert len(spark.sparkContext._jsc.getPersistentRDDs()) == 0
+
+
+def test_chunk_documents_boundaries(spark):
+    """Chunking covers every token with the declared overlap; short docs
+    yield one chunk."""
+    df = spark.createDataFrame(
+        [(1, " ".join(f"w{i}" for i in range(10))), (2, "a b"), (3, "solo")],
+        ["doc_id", "text"],
+    )
+    out = {(r.doc_id, r.chunk_idx): r.chunk_text
+           for r in text.chunk_documents(df, max_tokens=4, overlap=1).collect()}
+    assert out[(1, 0)] == "w0 w1 w2 w3"
+    assert out[(1, 1)] == "w3 w4 w5 w6"   # stride 3, overlap 1
+    assert out[(1, 2)] == "w6 w7 w8 w9"
+    assert out[(2, 0)] == "a b" and out[(3, 0)] == "solo"
+
+
+def test_hash_sample_stable_and_consistent(spark):
+    from opteryx_spark.operators.scale import hash_sample
+
+    df = spark.range(0, 2000).withColumnRenamed("id", "k")
+    a = {r.k for r in hash_sample(df, "k", 20.0, salt="x").collect()}
+    b = {r.k for r in hash_sample(df.repartition(13), "k", 20.0, salt="x").collect()}
+    assert a == b                      # repartition-stable
+    assert 0.15 < len(a) / 2000 < 0.25  # ~20%
+    sup = {r.k for r in hash_sample(df, "k", 40.0, salt="x").collect()}
+    assert a <= sup                    # rate increase is a superset
+
+
+def test_connected_components_ground_truth(spark):
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6), (8, 9), (9, 10), (3, 4)], ["id1", "id2"]
+    )
+    comp = {r.node: r.comp for r in dedup.connected_components(pairs).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 5: 5, 6: 5, 8: 8, 9: 8, 10: 8}
