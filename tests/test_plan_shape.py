@@ -109,3 +109,13 @@ def test_copy_group_expansion_no_cartesian(spark, sf_dir):
     df = dedup.minhash_lsh_pairs(docs, k=2)
     text = explain_text(df)
     assert "CartesianProduct" not in text
+
+
+def test_chunk_and_sample_are_map_only(spark):
+    # chunking and hash sampling are per-row: no Exchange in their plans
+    from opteryx_spark.operators.scale import hash_sample
+    from opteryx_spark.operators.text import chunk_documents
+
+    df = spark.range(0, 500, 1, 4).selectExpr("id AS doc_id", "repeat(uuid(), 8) AS text")
+    assert "Exchange" not in explain_text(chunk_documents(df, max_tokens=16, overlap=2))
+    assert "Exchange" not in explain_text(hash_sample(df, "doc_id", 10.0))
