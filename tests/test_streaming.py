@@ -87,3 +87,27 @@ def test_stateful_user_totals_matches_batch(spark, sf_dir, tmp_path_factory):
     for uid in want:
         assert got[uid][0] == want[uid][0]
         assert abs(got[uid][1] - want[uid][1]) < 1e-4
+
+
+def test_chunk_and_sample_stream_match_batch(spark, sf_dir, tmp_path_factory):
+    """Chunking + hash sampling are stateless expressions: applied to a
+    file stream (availableNow) they must emit exactly the batch rows —
+    the same-pipeline-two-runtimes property a streaming ingest needs."""
+    from opteryx_spark.operators.scale import hash_sample
+    from opteryx_spark.operators.text import chunk_documents
+
+    src = str(tmp_path_factory.mktemp("oxs_chunk_src"))
+    out = str(tmp_path_factory.mktemp("oxs_chunk_out"))
+    ckpt = str(tmp_path_factory.mktemp("oxs_chunk_ckpt"))
+    shutil.copy(os.path.join(sf_dir, "documents.parquet"), os.path.join(src, "documents.parquet"))
+
+    batch_df = spark.read.parquet(src)
+    pipeline = lambda df: chunk_documents(  # noqa: E731
+        hash_sample(df, "doc_id", 20.0, salt="st"), max_tokens=64, overlap=8
+    ).select("doc_id", "chunk_idx", "chunk_text")
+    stream_src = spark.readStream.schema(batch_df.schema).parquet(src)
+    streaming.run_stream_once(pipeline(stream_src), out, ckpt)
+
+    got = {tuple(r) for r in spark.read.parquet(out).collect()}
+    want = {tuple(r) for r in pipeline(batch_df).collect()}
+    assert got == want and len(want) > 0
