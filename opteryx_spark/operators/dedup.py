@@ -633,7 +633,13 @@ def minhash_dedup_verified(
 # --- SimHash ----------------------------------------------------------------
 
 
-def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 64) -> DataFrame:
+def simhash(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 64,
+    portable_hash: bool = False,
+) -> DataFrame:
     """(id, simhash long) — bit-vote simhash over token hashes.
 
     Pure per-row array math (narrow map stage, zero shuffle): bit_j(doc)
@@ -641,10 +647,17 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits:
     their hash (equivalent to the classic ±1 vote sum being positive).
     Each token *occurrence* votes, as in the explode+aggregate
     formulation this replaces; docs with no tokens are dropped.
+
+    ``portable_hash=True``: polynomial char hash (31-bit) instead of
+    xxhash64 — pass ``bits<=31``; every vote is DuckDB-reproducible so
+    the whole pipeline carries an oracle.
     """
+    token_hash = _portable_hash_expr if portable_hash else F.xxhash64
+    if portable_hash and bits > 31:
+        raise ValueError("portable simhash carries at most 31 bits")
     hashed = _spread(df).select(
         F.col(id_col).alias("id"),
-        F.transform(tokens(text_col), lambda x: F.xxhash64(x)).alias("harr"),
+        F.transform(tokens(text_col), lambda x: token_hash(x)).alias("harr"),
     )
     def _bit_test(j: int):
         return lambda h: F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1
@@ -665,6 +678,8 @@ def simhash_dedup_pairs(
     max_hamming: int = 3,
     blocks: int = 4,
     unique_texts: bool | str = "auto",
+    bits: int = 64,
+    portable_hash: bool = False,
 ) -> DataFrame:
     """Near-dup pairs by simhash Hamming distance <= max_hamming.
 
@@ -679,14 +694,21 @@ def simhash_dedup_pairs(
     if unique_texts:
         reps, members = _text_groups(df, id_col, text_col)
         inner = simhash_dedup_pairs(
-            reps, "id", text_col, max_hamming, blocks, unique_texts=False
+            reps,
+            "id",
+            text_col,
+            max_hamming,
+            blocks,
+            unique_texts=False,
+            bits=bits,
+            portable_hash=portable_hash,
         )
         active = reps.filter(F.size(tokens(text_col)) > 0).select("gid")
         return _expand_pairs(
             inner, members, active, {"hamming": F.lit(0).cast("int")}
         )
-    sig = simhash(df, id_col, text_col)
-    width = 64 // blocks
+    sig = simhash(df, id_col, text_col, bits, portable_hash)
+    width = bits // blocks
     block = lambda c, i: F.shiftrightunsigned(c, i * width).bitwiseAND(F.lit((1 << width) - 1))  # noqa: E731
     blocked = sig.select(
         "id",

@@ -889,3 +889,39 @@ def dedup_connected_groups(spark, sf_dir):
     docs = t(spark, sf_dir, "documents")
     pairs = dedup.ngram_jaccard_pairs(docs, "doc_id", "text", k=2, threshold=0.8)
     return dedup.connected_components(pairs).orderBy("node")
+
+
+@register(
+    "dedup_simhash_portable",
+    oracle=f"""
+    WITH tk AS (SELECT doc_id, {_O_TOKENS} AS ts FROM documents),
+    hs AS (SELECT doc_id, list_transform(ts, s ->
+             list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(range(1, length(s)+1), i -> CAST(ascii(s[i]) AS BIGINT))),
+               (acc,c) -> (acc*31+c) % 2147483647)) AS hs, len(ts) AS n
+           FROM tk WHERE len(ts) > 0),
+    sig AS (SELECT doc_id,
+              CAST(list_sum(list_transform(range(0, 28), j ->
+                CASE WHEN 2 * len(list_filter(hs, h -> (h >> j) & 1 = 1)) > n
+                     THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END))
+                   AS BIGINT) AS sh
+            FROM hs),
+    blk AS (SELECT doc_id, sh, i AS blk, (sh >> CAST(i*7 AS INT)) & 127 AS bv
+            FROM sig, unnest(range(0,4)) u(i)),
+    cand AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2, a.sh AS h1, b.sh AS h2
+             FROM blk a JOIN blk b ON a.blk = b.blk AND a.bv = b.bv
+                                  AND a.doc_id < b.doc_id)
+    SELECT id1, id2, CAST(bit_count(xor(h1, h2)) AS INT) AS hamming
+    FROM cand WHERE bit_count(xor(h1, h2)) <= 4 ORDER BY id1, id2
+    """,
+)
+def dedup_simhash_portable(spark, sf_dir):
+    """SimHash near-dup pairs on the portable 28-bit polynomial hash —
+    the same bit-vote/pigeonhole-banding/popcount pipeline as the
+    production 64-bit xxhash64 twin (``dedup_simhash_pairs``, rows-only
+    by necessity), with every vote reproduced in DuckDB."""
+    docs = t(spark, sf_dir, "documents")
+    return dedup.simhash_dedup_pairs(
+        docs, "doc_id", "text", max_hamming=4, blocks=4,
+        unique_texts=False, bits=28, portable_hash=True,
+    ).orderBy("id1", "id2")
