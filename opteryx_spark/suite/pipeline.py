@@ -277,14 +277,33 @@ def emb_cosine_pairs(spark, sf_dir):
     return similarity.cosine_pairs(emb, threshold=0.42).orderBy("id1", "id2")
 
 
-@register("emb_ann_lsh_topk", oracle=None)  # approximate: rows-only check
+@register(
+    "emb_ann_lsh_topk",
+    oracle=f"""
+    WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0)
+    SELECT b.vec_id,
+           {_O_DOT.replace('a.embedding', 'q.embedding')}
+             / (sqrt({_O_NORM2.format(v='q.embedding')})
+                * sqrt({_O_NORM2.format(v='b.embedding')})) AS cosim
+    FROM q, embeddings b
+    WHERE b.vec_id <> 0
+    ORDER BY cosim DESC, b.vec_id LIMIT 10
+    """,
+)
 def emb_ann_lsh_topk(spark, sf_dir):
+    """Multiprobe hyperplane-LSH ANN.  probe_radius = n_planes covers the
+    full Hamming ball, so the result provably equals exact brute-force
+    top-k (the oracle) while every LSH mechanic executes: signatures,
+    ball expansion, the bucket IN-filter.  Partial-probe recall is
+    covered by tests/test_operators.py::test_ann_lsh_recall_vs_brute_force."""
     emb = t(spark, sf_dir, "embeddings")
     qvec = [
         float(v)
         for v in emb.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"]
     ]
-    return similarity.hyperplane_lsh_topk(emb.filter(F.col("vec_id") != 0), qvec, k=10)
+    return similarity.hyperplane_lsh_topk(
+        emb.filter(F.col("vec_id") != 0), qvec, k=10, n_planes=8, probe_radius=8
+    )
 
 
 @register("multimodal_image_features", oracle=None)  # stubbed decoder: rows-only check
