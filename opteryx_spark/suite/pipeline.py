@@ -306,8 +306,29 @@ def emb_ann_lsh_topk(spark, sf_dir):
     )
 
 
-@register("multimodal_image_features", oracle=None)  # stubbed decoder: rows-only check
+@register(
+    "multimodal_image_features",
+    oracle="""
+    WITH m AS (
+      SELECT CAST(i AS BIGINT) AS media_id,
+             CASE WHEN i % 3 = 0 THEN 'image/png' ELSE 'image/jpeg' END AS mime,
+             repeat(sha256(CAST(i AS VARCHAR)), 4) AS p
+      FROM range(0, 200) t(i)
+    )
+    SELECT media_id, mime,
+           CAST(64 + ((strpos('0123456789abcdef', substring(sha256(p), 1, 1)) - 1) * 16 + (strpos('0123456789abcdef', substring(sha256(p), 2, 1)) - 1)) % 192 AS BIGINT) AS width,
+           CAST(64 + ((strpos('0123456789abcdef', substring(sha256(p), 3, 1)) - 1) * 16 + (strpos('0123456789abcdef', substring(sha256(p), 4, 1)) - 1)) % 192 AS BIGINT) AS height,
+           CAST(length(p) AS BIGINT) AS n_bytes,
+           sha256(p) AS content_sha
+    FROM m ORDER BY media_id
+    """,
+)
 def multimodal_image_features(spark, sf_dir):
+    """mapInPandas image-feature extraction over synthetic media.  The
+    stub decode is DETERMINISTIC (sha256-derived dims over a hex-text
+    payload), so DuckDB reproduces every value — the oracle pins the
+    whole Arrow-batched plumbing, not just row counts.  Real codecs
+    replace ``decode_image`` with identical schema/contract."""
     from opteryx_spark.operators import multimodal
 
     media = multimodal.synthetic_media(spark, 200)
@@ -397,7 +418,11 @@ def emb_ann_ivf_topk(spark, sf_dir):
     return similarity.ivf_topk(assigned, centroids, qvec, k=10, nprobe=8)
 
 
-@register("multimodal_video_frames", oracle=None)  # stubbed codec: rows-only
+# rows-only BY NECESSITY: frame hashing runs sha256 over payload bytes ||
+# frame_idx (big-endian, contains NULs) — DuckDB v1.0.0 hashes VARCHAR
+# only, and VARCHAR cannot carry NUL bytes.  The image twin above IS
+# value-oracled; determinism here is pinned by unit tests.
+@register("multimodal_video_frames", oracle=None)
 def multimodal_video_frames(spark, sf_dir):
     from opteryx_spark.operators import multimodal
 
