@@ -49,3 +49,34 @@ def test_bind_params_escapes(params):
     for v in params.values():
         if isinstance(v, str) and "'" in v:
             assert "''" in out or "'" not in v
+
+
+@given(sqlish)
+@settings(max_examples=300, deadline=None)
+def test_json_arrow_rewrite_never_crashes_and_is_stable(sql):
+    out = rewriter.rewrite_json_arrows(sql)
+    assert isinstance(out, str)
+    # no arrow operator in the input => identity
+    if "->" not in sql and "@?" not in sql:
+        assert out == sql
+
+
+def test_json_arrow_chain_shapes():
+    r = rewriter.rewrite_json_arrows
+    assert r("SELECT a -> 'b' ->> 'c' FROM t") == (
+        "SELECT get_json_object(get_json_object(a, '$.b'), '$.c') FROM t"
+    )
+    assert r("SELECT data[0]->'id' FROM t") == (
+        "SELECT get_json_object(data[0], '$.id') FROM t"
+    )
+    assert r("SELECT fn(x) ->> 'k' FROM t") == (
+        "SELECT get_json_object(fn(x), '$.k') FROM t"
+    )
+    assert r("SELECT x @? '$.a.b' FROM t") == (
+        "SELECT (get_json_object(x, '$.a.b') IS NOT NULL) FROM t"
+    )
+    # literal lhs kept; arrow inside a string untouched
+    assert r("SELECT '{\"a\":1}' -> 'a'") == (
+        "SELECT get_json_object('{\"a\":1}', '$.a')"
+    )
+    assert r("SELECT 'x -> y' AS s FROM t") == "SELECT 'x -> y' AS s FROM t"
