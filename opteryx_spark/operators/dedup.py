@@ -557,7 +557,18 @@ def minhash_lsh_pairs(
         )
         buckets = buckets.join(F.broadcast(hot), ["band", "bh"], "left_anti")
     a, b = buckets.alias("a"), buckets.alias("b")
-    cand = (
+    # est is computed BEFORE the pair dedup so the dedup shuffle carries
+    # (id1, id2, double) instead of two 64-long signature arrays — ~8x
+    # fewer shuffle bytes per candidate, which is the dominant exchange
+    # at scale.  Duplicate (id1, id2) rows (pairs sharing several bands)
+    # carry identical est values, so min() is exact dedup.
+    est = F.size(
+        F.filter(
+            F.zip_with(F.col("a.sig"), F.col("b.sig"), lambda x, y: x == y),
+            lambda m: m,
+        )
+    ).cast("double") / F.lit(float(num_hashes))
+    return (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
@@ -567,15 +578,11 @@ def minhash_lsh_pairs(
         .select(
             F.col("a.id").alias("id1"),
             F.col("b.id").alias("id2"),
-            F.col("a.sig").alias("sig1"),
-            F.col("b.sig").alias("sig2"),
+            est.alias("est_jaccard"),
         )
-        .dropDuplicates(["id1", "id2"])
+        .groupBy("id1", "id2")
+        .agg(F.min("est_jaccard").alias("est_jaccard"))
     )
-    est = F.size(
-        F.filter(F.zip_with("sig1", "sig2", lambda x, y: x == y), lambda m: m)
-    ).cast("double") / F.lit(float(num_hashes))
-    return cand.select("id1", "id2", est.alias("est_jaccard"))
 
 
 def minhash_dedup_verified(
@@ -723,7 +730,11 @@ def simhash_dedup_pairs(
         ).alias("b"),
     ).select("id", "simhash", F.col("b.blk").alias("blk"), F.col("b.bv").alias("bv"))
     a, b = blocked.alias("a"), blocked.alias("b")
-    cand = (
+    # popcount before the pair dedup: the dedup shuffle carries one int
+    # per candidate instead of two signatures, and the hamming filter
+    # prunes the candidate set pre-shuffle
+    dist = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).cast("int")
+    return (
         a.join(
             b,
             (F.col("a.blk") == F.col("b.blk"))
@@ -733,14 +744,11 @@ def simhash_dedup_pairs(
         .select(
             F.col("a.id").alias("id1"),
             F.col("b.id").alias("id2"),
-            F.col("a.simhash").alias("h1"),
-            F.col("b.simhash").alias("h2"),
+            dist.alias("hamming"),
         )
-        .dropDuplicates(["id1", "id2"])
-    )
-    dist = F.bit_count(F.col("h1").bitwiseXOR(F.col("h2")))
-    return cand.select("id1", "id2", dist.cast("int").alias("hamming")).filter(
-        F.col("hamming") <= max_hamming
+        .filter(F.col("hamming") <= max_hamming)
+        .groupBy("id1", "id2")
+        .agg(F.min("hamming").alias("hamming"))
     )
 
 
