@@ -129,3 +129,20 @@ def stateful_user_totals(events: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def dedup_stream(
+    events: DataFrame,
+    keys: list[str] | None = None,
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact dedup: drop repeats of ``keys`` arriving within the
+    watermark horizon (``dropDuplicatesWithinWatermark`` keeps state
+    bounded — entries expire once the watermark passes, unlike unbounded
+    ``dropDuplicates`` state).  The streaming twin of the batch
+    ``operators/dedup.exact_dedup``; at-least-once sources (Kafka
+    replays, retried files) become exactly-once rows downstream.
+    """
+    keys = keys or ["event_id"]
+    return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)

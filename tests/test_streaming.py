@@ -111,3 +111,23 @@ def test_chunk_and_sample_stream_match_batch(spark, sf_dir, tmp_path_factory):
     got = {tuple(r) for r in spark.read.parquet(out).collect()}
     want = {tuple(r) for r in pipeline(batch_df).collect()}
     assert got == want and len(want) > 0
+
+
+def test_dedup_stream_drops_replays(spark, tmp_path_factory):
+    """dropDuplicatesWithinWatermark twin: replayed event ids inside the
+    watermark horizon are emitted once."""
+    import datetime as dt
+
+    src = str(tmp_path_factory.mktemp("oxs_dd_src"))
+    out = str(tmp_path_factory.mktemp("oxs_dd_out"))
+    ckpt = str(tmp_path_factory.mktemp("oxs_dd_ckpt"))
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [(i % 5, base + dt.timedelta(minutes=i % 7)) for i in range(40)]
+    spark.createDataFrame(rows, "event_id long, ts timestamp").write.mode("overwrite").parquet(src)
+
+    batch_schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(batch_schema).parquet(src)
+    deduped = streaming.dedup_stream(stream, keys=["event_id"], watermark="1 hour")
+    streaming.run_stream_once(deduped, out, ckpt)
+    got = spark.read.parquet(out)
+    assert got.count() == 5  # one row per distinct event_id
