@@ -25,6 +25,7 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # headline set: relational core + pipeline extensions, all scale-bound
 BENCH_QUERIES = [
     "tpch_q1_pricing_summary",
+    "tpch_q1_native_profile",
     "tpch_q3_shipping_priority",
     "tpch_q5_local_supplier_volume",
     "tpch_q6_forecast_revenue",
@@ -58,6 +59,7 @@ BENCH_QUERIES = [
 SF1_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".data", "sf1")
 SF1_QUERIES = [
     "tpch_q1_pricing_summary",
+    "tpch_q1_native_profile",
     "tpch_q3_shipping_priority",
     "tpch_q18_large_volume_customer",
     "events_hourly_rollup",
