@@ -1,0 +1,173 @@
+"""Corpus filtering operators for training-data curation.
+
+Beyond dedup (``operators/dedup.py``): benchmark decontamination,
+Gopher-style quality gates with repetition metrics, and deterministic
+stratified quota sampling.  Everything is DataFrame-declarative —
+decontamination is one semi-join against the benchmark n-gram set,
+quality gates are per-row expressions (shuffle-free), quota sampling is
+a per-group window (no global sort).
+
+Reference parity note: the reference engine has no curation operators —
+these follow the published recipes (Gopher, Rae et al. 2021 appendix A;
+C4, Raffel et al. 2020 §2.2; GPT-3 decontamination, Brown et al. 2020
+appendix C) re-expressed as Spark plans.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from opteryx_spark.operators import text
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    min_overlap: int = 1,
+    broadcast_benchmark: bool | None = None,
+) -> DataFrame:
+    """Flag corpus documents sharing word ``k``-grams with a benchmark set.
+
+    The GPT-3-style decontamination pass: any training document that
+    contains ``min_overlap`` or more distinct k-grams also present in the
+    evaluation/benchmark corpus is flagged (callers drop or audit them).
+
+    Returns the corpus with ``n_contaminated_ngrams`` (distinct shared
+    k-grams) and ``contaminated`` appended.
+
+    Scale: the benchmark n-gram set is tiny relative to a training corpus
+    (benchmarks are MBs, corpora are TBs), so the membership join is
+    broadcast — pass ``broadcast_benchmark=True`` to force the hint, or
+    leave ``None`` and AQE size-gates it.  The corpus side is one
+    explode + hash-aggregate keyed by ``id_col``; no all-pairs anywhere.
+    At extreme benchmark sizes the same shape runs as a shuffled
+    left-semi join unchanged.
+    """
+    bench_grams = benchmark.select(
+        F.explode(text.shingles(text_col, k)).alias("gram")
+    ).distinct()
+    if broadcast_benchmark:
+        bench_grams = F.broadcast(bench_grams)
+
+    doc_grams = corpus.select(
+        F.col(id_col).alias("_cid"), F.explode(text.shingles(text_col, k)).alias("gram")
+    )
+    hits = (
+        doc_grams.join(bench_grams, "gram")
+        .groupBy("_cid")
+        .agg(F.count(F.lit(1)).alias("n_contaminated_ngrams"))
+    )
+    return (
+        corpus.join(hits, corpus[id_col] == hits["_cid"], "left")
+        .drop("_cid")
+        .withColumn(
+            "n_contaminated_ngrams",
+            F.coalesce(F.col("n_contaminated_ngrams"), F.lit(0)).cast("long"),
+        )
+        .withColumn("contaminated", F.col("n_contaminated_ngrams") >= min_overlap)
+    )
+
+
+# Gopher-flavoured gate thresholds, tuned for the synthetic corpus scale
+# (real deployments override per-corpus; Rae et al. 2021 table A1 uses
+# 50..100k words, mean word length 3..10, dup-2gram fraction <= 0.2).
+GOPHER_DEFAULTS = {
+    "min_words": 5,
+    "max_words": 100_000,
+    "min_mean_word_len": 2.0,
+    "max_mean_word_len": 12.0,
+    "min_alpha_word_frac": 0.8,
+    "min_stop_hits": 2,
+    "max_dup_2gram_frac": 0.6,
+    "max_top_2gram_frac": 0.18,
+}
+
+
+def gopher_quality(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    thresholds: dict | None = None,
+) -> DataFrame:
+    """Gopher-style document quality gates (Rae et al. 2021, appendix A).
+
+    Appends the rule metrics and a ``passes_gopher`` verdict:
+    word-count band, mean-word-length band, alphabetic-word fraction,
+    stopword evidence, and the two repetition signals (fraction of
+    characters in duplicated / in the single most repeated word 2-gram).
+
+    Every metric is integer arithmetic divided at the end, so a SQL
+    oracle reproduces the values bit-for-bit.  Pure per-row expressions:
+    the stage is map-only at any corpus size (the repetition metrics are
+    higher-order array functions, not a shuffle).
+    """
+    th = {**GOPHER_DEFAULTS, **(thresholds or {})}
+    tks = text.tokens(text_col)
+    n_words = F.size(tks).cast("long")
+    char_sum = F.aggregate(tks, F.lit(0).cast("long"), lambda a, x: a + F.length(x))
+    mean_word_len = char_sum.cast("double") / n_words.cast("double")
+    n_alpha = F.size(F.filter(tks, lambda x: x.rlike("[A-Za-z]"))).cast("long")
+    alpha_word_frac = n_alpha.cast("double") / n_words.cast("double")
+    stops = F.array(*[F.lit(w) for w in text.STOPWORDS["en"]])
+    stop_hits = F.size(F.filter(tks, lambda x: F.array_contains(stops, x))).cast("long")
+    rep = text.repetition_metrics(text_col, k=2)
+
+    out = df.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        mean_word_len.alias("mean_word_len"),
+        alpha_word_frac.alias("alpha_word_frac"),
+        stop_hits.alias("stop_hits"),
+        rep["dup_chars"].alias("dup_2gram_chars"),
+        rep["top_chars"].alias("top_2gram_chars"),
+        rep["total_chars"].alias("total_2gram_chars"),
+    )
+    dup_frac = F.col("dup_2gram_chars").cast("double") / F.col("total_2gram_chars").cast("double")
+    top_frac = F.col("top_2gram_chars").cast("double") / F.col("total_2gram_chars").cast("double")
+    return out.select(
+        "*",
+        dup_frac.alias("dup_2gram_frac"),
+        top_frac.alias("top_2gram_frac"),
+        (
+            (F.col("n_words") >= th["min_words"])
+            & (F.col("n_words") <= th["max_words"])
+            & (F.col("mean_word_len") >= th["min_mean_word_len"])
+            & (F.col("mean_word_len") <= th["max_mean_word_len"])
+            & (F.col("alpha_word_frac") >= th["min_alpha_word_frac"])
+            & (F.col("stop_hits") >= th["min_stop_hits"])
+            & (dup_frac <= th["max_dup_2gram_frac"])
+            & (top_frac <= th["max_top_2gram_frac"])
+        ).alias("passes_gopher"),
+    )
+
+
+def quota_sample(
+    df: DataFrame,
+    group_cols: list[str],
+    n_per_group: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic stratified cap: keep at most ``n_per_group`` rows per
+    group, selected by md5 of the id (a reproducible uniform draw — the
+    same rows survive on any cluster, any partitioning, any run).
+
+    The plan is a window partitioned by the group key — rows only shuffle
+    to co-locate their group, never globally sort.  Skewed groups are the
+    window's partition, so a hot group concentrates on one task; at 100 TB
+    with truly massive groups, pre-filter with a per-partition local top-N
+    (the window itself stays correct because the md5 order is total).
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*group_cols).orderBy(
+        F.md5(F.col(id_col).cast("string")), F.col(id_col)
+    )
+    return (
+        df.withColumn("_qr", F.row_number().over(w))
+        .filter(F.col("_qr") <= n_per_group)
+        .drop("_qr")
+    )

@@ -337,3 +337,38 @@ def quantize_int8(df: DataFrame, id_col: str = "vec_id", vec_col: str = "embeddi
         qvec.alias("qvec"),
         scale.cast("double").alias("scale"),
     )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    cluster_col: str,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-shape semantic deduplication (Abbas et al. 2023): pairwise
+    cosine only *within* a cluster, drop every vector that has a
+    lower-id neighbor above the threshold (deterministic keep-lowest-id
+    rule).  Returns the surviving rows.
+
+    The cluster column bounds the quadratic term: pairs join on
+    ``cluster_col`` equality, so cost is sum over clusters of |c|^2, not
+    n^2 — the property that makes semantic dedup tractable at scale
+    (clusters come from :func:`ivf_index` k-means or any partitioner).
+    The final filter is a broadcast-eligible left anti-join on the
+    dropped-id set (near-dups are a small fraction of the corpus).
+    """
+    a = df.select(
+        F.col(cluster_col).alias("_c"), F.col(id_col).alias("id1"), F.col(vec_col).alias("v1")
+    )
+    b = df.select(
+        F.col(cluster_col).alias("_c"), F.col(id_col).alias("id2"), F.col(vec_col).alias("v2")
+    )
+    dropped = (
+        a.join(b, ["_c"])
+        .filter(F.col("id1") < F.col("id2"))
+        .filter(cosine(F.col("v1"), F.col("v2")) >= threshold)
+        .select(F.col("id2").alias(id_col))
+        .distinct()
+    )
+    return df.join(dropped, id_col, "left_anti")

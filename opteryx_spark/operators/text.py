@@ -176,6 +176,121 @@ def winnow_fingerprints(col: Column | str, k: int = 5, window: int = 4) -> Colum
     return _let(hashes, windows)
 
 
+def ngram_occurrences(col: Column | str, k: int = 2) -> Column:
+    """Word k-grams *with* repetitions (unlike :func:`shingles`), in text
+    order — the input to repetition/duplication metrics where occurrence
+    counts matter."""
+    def build(tks: Column) -> Column:
+        n = F.size(tks)
+        idx = F.sequence(F.lit(1), n - F.lit(k - 1))
+        gram = lambda i: F.concat_ws(" ", *[F.element_at(tks, i + j) for j in range(k)])  # noqa: E731
+        return F.when(n >= k, F.transform(idx, gram)).otherwise(
+            F.array().cast("array<string>")
+        )
+
+    return _let(tokens(col), build)
+
+
+def repetition_metrics(col: Column | str, k: int = 2) -> Column:
+    """Gopher-style repetition struct over word k-grams (map-only).
+
+    - ``dup_chars``: characters covered by k-grams occurring more than
+      once (count x gram length summed over duplicated distinct grams);
+    - ``top_chars``: the largest single gram's count x length;
+    - ``total_chars``: characters over all k-gram occurrences.
+
+    Ratios ``dup_chars/total_chars`` and ``top_chars/total_chars`` are the
+    "fraction of characters in duplicate / top n-grams" quality signals
+    (Gopher, Rae et al. 2021, table A1).  All-integer arithmetic so a SQL
+    oracle reproduces it bit-for-bit; per-row higher-order functions only,
+    so the stage is shuffle-free at any corpus size.
+    """
+    def build(grams: Column) -> Column:
+        per_distinct = F.transform(
+            F.array_distinct(grams),
+            lambda g: F.struct(
+                F.size(F.filter(grams, lambda x: x == g)).cast("long").alias("cnt"),
+                F.length(g).cast("long").alias("ln"),
+            ),
+        )
+
+        def finish(stats: Column) -> Column:
+            dup_chars = F.aggregate(
+                stats,
+                F.lit(0).cast("long"),
+                lambda acc, s: acc
+                + F.when(s["cnt"] > 1, s["cnt"] * s["ln"]).otherwise(F.lit(0).cast("long")),
+            )
+            top_chars = F.coalesce(
+                F.array_max(F.transform(stats, lambda s: s["cnt"] * s["ln"])),
+                F.lit(0).cast("long"),
+            )
+            total_chars = F.aggregate(
+                stats, F.lit(0).cast("long"), lambda acc, s: acc + s["cnt"] * s["ln"]
+            )
+            return F.struct(
+                dup_chars.alias("dup_chars"),
+                top_chars.alias("top_chars"),
+                total_chars.alias("total_chars"),
+            )
+
+        return _let(per_distinct, finish)
+
+    return _let(ngram_occurrences(col, k), build)
+
+
+def token_document_frequency(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Corpus vocabulary with term and document frequencies.
+
+    Classic word count: explode -> groupBy(token).  Partial (map-side)
+    aggregation halves the shuffle; the token key space is Zipfian but
+    bounded by vocabulary size, so the reduce side is small at any corpus
+    scale.  ``tf`` counts occurrences, ``doc_freq`` distinct documents.
+    """
+    tok = df.select(F.col(id_col).alias("_doc"), F.explode(tokens(text_col)).alias("token"))
+    return tok.groupBy("token").agg(
+        F.count(F.lit(1)).alias("tf"),
+        F.countDistinct("_doc").alias("doc_freq"),
+    )
+
+
+def characteristic_terms(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    topn: int = 3,
+) -> DataFrame:
+    """Per-document characteristic terms: rarity-weighted term scoring.
+
+    Integer-exact TF-IDF analogue: ``score = floor(tf * 1e6 / doc_freq)``
+    ranks frequent-in-doc, rare-in-corpus terms first without float log
+    arithmetic (bit-identical in any engine).  Two shuffles total: the
+    vocabulary aggregate (bounded by vocab size) and the per-document
+    window (partitioned by document — no global sort).  The doc-frequency
+    side is an aggregate of the corpus itself, broadcast-eligible because
+    vocabularies are tiny relative to corpora.
+    """
+    from pyspark.sql import Window
+
+    tok = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("token"))
+    tf = tok.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tok.groupBy("token").agg(F.countDistinct(id_col).alias("doc_freq"))
+    scored = tf.join(dfreq, "token").withColumn(
+        "score",
+        F.floor(F.col("tf") * F.lit(1_000_000) / F.col("doc_freq")).cast("long"),
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.desc("score"), F.asc("token")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= topn)
+        .select(id_col, "token", "tf", "doc_freq", "score", "rank")
+    )
+
+
 def fingerprint(col: Column | str) -> Column:
     """Content fingerprint: md5 over the sorted distinct token set.
 

@@ -1,0 +1,243 @@
+"""Curation-pipeline suite entries, round 4 second wave: benchmark
+decontamination, Gopher quality gates, stratified quota sampling,
+vocabulary/document-frequency statistics, characteristic terms, and
+cluster-bounded semantic dedup.
+
+Every entry carries a bit-exact DuckDB oracle: all ratios are integer
+numerator/denominator divisions, cosine folds left-to-right in doubles
+(the same arithmetic the existing embedding oracles pin), and every
+tie-break is total.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from opteryx_spark.operators import filtering, similarity, text
+from opteryx_spark.suite import register
+from opteryx_spark.suite._util import t
+
+_O_TOKENS = "list_filter(string_split(text, ' '), x -> x <> '')"
+_O_TRIGRAMS = (
+    "list_distinct(list_transform(range(1, len({tk})-1), "
+    "i -> concat_ws(' ', {tk}[i], {tk}[i+1], {tk}[i+2])))"
+).format(tk=_O_TOKENS)
+_O_2GRAMS_ALL = (
+    "list_transform(range(1, len({tk})), i -> concat_ws(' ', {tk}[i], {tk}[i+1]))"
+).format(tk=_O_TOKENS)
+
+# embedding arithmetic twins (same folds as suite/pipeline.py)
+_O_DOT = (
+    "list_reduce(list_transform(range(1, len(a.embedding)+1), "
+    "i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)), "
+    "(x, y) -> x + y)"
+)
+_O_NORM2 = (
+    "list_reduce(list_transform({v}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), "
+    "(x, y) -> x + y)"
+)
+
+
+@register(
+    "decontaminate_benchmark",
+    oracle=f"""
+    WITH bg AS (
+      SELECT DISTINCT unnest({_O_TRIGRAMS}) AS gram
+      FROM documents WHERE source = 'src0'
+    ), cg AS (
+      SELECT doc_id, unnest({_O_TRIGRAMS}) AS gram
+      FROM documents WHERE source <> 'src0'
+    ), hits AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n
+      FROM cg JOIN bg USING (gram) GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           coalesce(h.n, 0) AS n_contaminated_ngrams,
+           coalesce(h.n, 0) >= 3 AS contaminated
+    FROM documents d LEFT JOIN hits h USING (doc_id)
+    WHERE d.source <> 'src0' ORDER BY d.doc_id
+    """,
+)
+def decontaminate_benchmark(spark, sf_dir):
+    """GPT-3-style benchmark decontamination
+    (``operators/filtering.py::decontaminate``): docs from src1..srcN are
+    the training corpus, src0 plays the held-out benchmark; any doc
+    sharing >= 3 distinct word trigrams with the benchmark is flagged.
+    One broadcast-eligible semi-join + per-doc count — no all-pairs."""
+    docs = t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("source") == "src0")
+    corpus = docs.filter(F.col("source") != "src0")
+    return (
+        filtering.decontaminate(corpus, bench, k=3, min_overlap=3)
+        .select("doc_id", "n_contaminated_ngrams", "contaminated")
+        .orderBy("doc_id")
+    )
+
+
+_O_GOPHER_STATS = f"""
+    WITH base AS (
+      SELECT doc_id, {_O_TOKENS} AS tk, {_O_2GRAMS_ALL} AS grams FROM documents
+    ), stats AS (
+      SELECT doc_id,
+        CAST(len(tk) AS BIGINT) AS n_words,
+        CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+          list_transform(tk, x -> CAST(length(x) AS BIGINT))), (a,b) -> a+b)
+          AS DOUBLE) / CAST(len(tk) AS DOUBLE) AS mean_word_len,
+        CAST(len(list_filter(tk, x -> regexp_matches(x, '[A-Za-z]')))
+          AS DOUBLE) / CAST(len(tk) AS DOUBLE) AS alpha_word_frac,
+        CAST(len(list_filter(tk,
+          x -> list_contains(['the','a','of','to','and','in','is','it'], x)))
+          AS BIGINT) AS stop_hits,
+        list_transform(list_distinct(grams),
+          g -> struct_pack(cnt := CAST(len(list_filter(grams, x -> x = g)) AS BIGINT),
+                           ln := CAST(length(g) AS BIGINT))) AS st
+      FROM base
+    ), rep AS (
+      SELECT doc_id, n_words, mean_word_len, alpha_word_frac, stop_hits,
+        list_reduce(list_prepend(CAST(0 AS BIGINT),
+          list_transform(st, s -> CASE WHEN s.cnt > 1 THEN s.cnt*s.ln ELSE 0 END)),
+          (a,b) -> a+b) AS dup_2gram_chars,
+        coalesce(list_max(list_transform(st, s -> s.cnt*s.ln)), 0) AS top_2gram_chars,
+        list_reduce(list_prepend(CAST(0 AS BIGINT),
+          list_transform(st, s -> s.cnt*s.ln)), (a,b) -> a+b) AS total_2gram_chars
+      FROM stats
+    )
+"""
+
+
+@register(
+    "text_gopher_quality",
+    oracle=_O_GOPHER_STATS
+    + """
+    SELECT doc_id, n_words, mean_word_len, alpha_word_frac, stop_hits,
+           dup_2gram_chars, top_2gram_chars, total_2gram_chars,
+           CAST(dup_2gram_chars AS DOUBLE) / CAST(total_2gram_chars AS DOUBLE)
+             AS dup_2gram_frac,
+           CAST(top_2gram_chars AS DOUBLE) / CAST(total_2gram_chars AS DOUBLE)
+             AS top_2gram_frac,
+           (n_words >= 5 AND n_words <= 100000
+            AND mean_word_len >= 2.0 AND mean_word_len <= 12.0
+            AND alpha_word_frac >= 0.8 AND stop_hits >= 2
+            AND CAST(dup_2gram_chars AS DOUBLE) / CAST(total_2gram_chars AS DOUBLE) <= 0.2
+            AND CAST(top_2gram_chars AS DOUBLE) / CAST(total_2gram_chars AS DOUBLE) <= 0.12)
+             AS passes_gopher
+    FROM rep ORDER BY doc_id
+    """,
+)
+def text_gopher_quality(spark, sf_dir):
+    """Gopher quality gates (``operators/filtering.py::gopher_quality``):
+    word-count/word-length bands, alphabetic fraction, stopword evidence,
+    and the duplicate/top 2-gram character-fraction repetition signals —
+    all integer-exact, map-only.  Thresholds tightened vs the defaults so
+    every gate fires on part of this corpus."""
+    docs = t(spark, sf_dir, "documents")
+    return filtering.gopher_quality(
+        docs,
+        thresholds={"max_dup_2gram_frac": 0.2, "max_top_2gram_frac": 0.12},
+    ).orderBy("doc_id")
+
+
+@register(
+    "sample_quota_stratified",
+    oracle="""
+    SELECT doc_id, lang, source FROM (
+      SELECT doc_id, lang, source,
+             row_number() OVER (
+               PARTITION BY lang, source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      FROM documents) x
+    WHERE rn <= 3 ORDER BY doc_id
+    """,
+)
+def sample_quota_stratified(spark, sf_dir):
+    """Stratified quota sampling (``filtering.py::quota_sample``): at most
+    3 docs per (lang, source) stratum, chosen by the md5-of-id total
+    order — reproducible on any cluster/partitioning.  Per-group window,
+    no global sort."""
+    docs = t(spark, sf_dir, "documents")
+    return (
+        filtering.quota_sample(docs, ["lang", "source"], 3)
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "text_vocab_topk",
+    oracle=f"""
+    SELECT token, CAST(COUNT(*) AS BIGINT) AS tf,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS doc_freq
+    FROM (SELECT doc_id, unnest({_O_TOKENS}) AS token FROM documents)
+    GROUP BY token ORDER BY tf DESC, token LIMIT 50
+    """,
+)
+def text_vocab_topk(spark, sf_dir):
+    """Corpus vocabulary head (``text.py::token_document_frequency``):
+    term + document frequency, top 50 by frequency with total tie-break.
+    The word-count shape: explode -> partial-agg -> bounded reduce."""
+    docs = t(spark, sf_dir, "documents")
+    return (
+        text.token_document_frequency(docs)
+        .orderBy(F.desc("tf"), "token")
+        .limit(50)
+    )
+
+
+@register(
+    "text_characteristic_terms",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, unnest({_O_TOKENS}) AS token FROM documents),
+    tf AS (SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+           FROM tok GROUP BY doc_id, token),
+    dfq AS (SELECT token, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS doc_freq
+            FROM tok GROUP BY token),
+    sc AS (SELECT tf.doc_id, tf.token, tf.tf, dfq.doc_freq,
+                  (tf.tf * 1000000) // dfq.doc_freq AS score
+           FROM tf JOIN dfq USING (token)),
+    rk AS (SELECT *, CAST(row_number() OVER (
+             PARTITION BY doc_id ORDER BY score DESC, token) AS BIGINT) AS rank
+           FROM sc)
+    SELECT doc_id, token, tf, doc_freq, score, rank
+    FROM rk WHERE rank <= 3 ORDER BY doc_id, rank
+    """,
+)
+def text_characteristic_terms(spark, sf_dir):
+    """Per-document characteristic terms
+    (``text.py::characteristic_terms``): integer-exact TF-IDF analogue
+    ``floor(tf*1e6/doc_freq)`` — frequent-in-doc, rare-in-corpus terms
+    first, no float log.  Vocabulary aggregate + per-doc window."""
+    docs = t(spark, sf_dir, "documents")
+    return text.characteristic_terms(docs, topn=3).orderBy("doc_id", "rank")
+
+
+@register(
+    "emb_semantic_dedup",
+    oracle=f"""
+    WITH dropped AS (
+      SELECT DISTINCT b.vec_id
+      FROM embeddings a JOIN embeddings b
+        ON a.label = b.label AND a.vec_id < b.vec_id
+      WHERE {_O_DOT} / (sqrt({_O_NORM2.format(v='a.embedding')})
+                        * sqrt({_O_NORM2.format(v='b.embedding')})) >= 0.38
+    )
+    SELECT vec_id, label,
+           vec_id NOT IN (SELECT vec_id FROM dropped) AS kept
+    FROM embeddings ORDER BY vec_id
+    """,
+)
+def emb_semantic_dedup(spark, sf_dir):
+    """Cluster-bounded semantic dedup (SemDeDup shape;
+    ``similarity.py::semantic_dedup``): cosine pairs only within a
+    cluster (here the label column stands in for k-means assignments),
+    keep-lowest-id.  Emits every vector with its kept/dropped verdict so
+    the oracle checks both sides of the partition."""
+    emb = t(spark, sf_dir, "embeddings")
+    kept = similarity.semantic_dedup(emb, "label", threshold=0.38).select(
+        "vec_id", F.lit(True).alias("kept")
+    )
+    return (
+        emb.select("vec_id", "label")
+        .join(kept, "vec_id", "left")
+        .withColumn("kept", F.coalesce(F.col("kept"), F.lit(False)))
+        .orderBy("vec_id")
+    )

@@ -430,3 +430,103 @@ def test_connected_components_ground_truth(spark):
     )
     comp = {r.node: r.comp for r in dedup.connected_components(pairs).collect()}
     assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 5: 5, 6: 5, 8: 8, 9: 8, 10: 8}
+
+
+# --- filtering: decontamination / gopher gates / quota sampling -------------
+
+
+def test_decontaminate_flags_overlap(spark):
+    from opteryx_spark.operators import filtering
+
+    bench = spark.createDataFrame([(100, "alpha beta gamma delta")], ["doc_id", "text"])
+    corpus = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon"),  # shares 2 trigrams
+            (2, "alpha beta gamma zzz"),  # shares 1 trigram
+            (3, "totally unrelated words here"),  # shares 0
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r.doc_id: (r.n_contaminated_ngrams, r.contaminated)
+        for r in filtering.decontaminate(corpus, bench, k=3, min_overlap=2).collect()
+    }
+    assert out == {1: (2, True), 2: (1, False), 3: (0, False)}
+
+
+def test_repetition_metrics_known_values(spark):
+    from opteryx_spark.operators import text as T
+
+    # tokens: a b a b a  -> 2-grams: "a b","b a","a b","b a" (all length 3)
+    # every distinct gram duplicated: dup=4*3=12, top=2*3=6, total=12
+    df = spark.createDataFrame([("a b a b a",)], ["text"])
+    r = df.select(T.repetition_metrics("text").alias("m")).collect()[0].m
+    assert (r.dup_chars, r.top_chars, r.total_chars) == (12, 6, 12)
+    # no repetition: distinct grams only
+    df2 = spark.createDataFrame([("w x y z",)], ["text"])
+    r2 = df2.select(T.repetition_metrics("text").alias("m")).collect()[0].m
+    assert r2.dup_chars == 0 and r2.total_chars == 9  # "w x","x y","y z"
+
+
+def test_gopher_quality_gates(spark):
+    from opteryx_spark.operators import filtering
+
+    df = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat and it is happy today again ok"),  # passes
+            (2, "a b"),  # too short
+            (3, "the the the the the the the the it is"),  # repetition-heavy
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r.passes_gopher for r in filtering.gopher_quality(df).collect()}
+    assert out[1] is True and out[2] is False and out[3] is False
+
+
+def test_quota_sample_caps_and_is_partition_invariant(docs, spark):
+    from opteryx_spark.operators import filtering
+
+    capped = filtering.quota_sample(docs, ["lang", "source"], 2)
+    sizes = capped.groupBy("lang", "source").count().collect()
+    assert all(r["count"] <= 2 for r in sizes)
+    # deterministic under arbitrary physical partitioning
+    ids1 = sorted(r.doc_id for r in capped.select("doc_id").collect())
+    ids2 = sorted(
+        r.doc_id
+        for r in filtering.quota_sample(docs.repartition(13), ["lang", "source"], 2)
+        .select("doc_id")
+        .collect()
+    )
+    assert ids1 == ids2
+
+
+def test_characteristic_terms_rarity_ranking(spark):
+    from opteryx_spark.operators import text as T
+
+    # "rare" appears only in doc 1 (df=1), "common" in both (df=2):
+    # doc 1 scores rare (2*1e6/1) above common (2*1e6/2)
+    df = spark.createDataFrame(
+        [(1, "rare rare common common"), (2, "common other words")],
+        ["doc_id", "text"],
+    )
+    top = {
+        (r.doc_id, r.rank): r.token
+        for r in T.characteristic_terms(df, topn=2).collect()
+    }
+    assert top[(1, 1)] == "rare" and top[(1, 2)] == "common"
+
+
+def test_semantic_dedup_keeps_lowest_id(spark):
+    from opteryx_spark.operators import similarity as S
+
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0], 0),
+            (2, [1.0, 0.001], 0),  # near-dup of 1 in same cluster -> dropped
+            (3, [1.0, 0.0], 1),  # identical direction, different cluster -> kept
+            (4, [0.0, 1.0], 0),  # orthogonal -> kept
+        ],
+        ["vec_id", "embedding", "label"],
+    )
+    kept = sorted(r.vec_id for r in S.semantic_dedup(df, "label", threshold=0.99).collect())
+    assert kept == [1, 3, 4]

@@ -119,3 +119,34 @@ def test_chunk_and_sample_are_map_only(spark):
     df = spark.range(0, 500, 1, 4).selectExpr("id AS doc_id", "repeat(uuid(), 8) AS text")
     assert "Exchange" not in explain_text(chunk_documents(df, max_tokens=16, overlap=2))
     assert "Exchange" not in explain_text(hash_sample(df, "doc_id", 10.0))
+
+
+def test_gopher_quality_is_map_only(spark, sf_dir):
+    # quality gates are per-row expressions: no shuffle at any corpus size
+    from opteryx_spark.operators import filtering
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    text = explain_text(filtering.gopher_quality(docs))
+    assert "Exchange" not in text
+
+
+def test_decontaminate_and_semdedup_no_cartesian(spark, sf_dir):
+    from opteryx_spark.operators import filtering, similarity
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bench = docs.filter(F.col("source") == "src0")
+    corp = docs.filter(F.col("source") != "src0")
+    t1 = explain_text(filtering.decontaminate(corp, bench, k=3))
+    assert "CartesianProduct" not in t1 and "BroadcastNestedLoop" not in t1
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    t2 = explain_text(similarity.semantic_dedup(emb, "label", threshold=0.9))
+    assert "CartesianProduct" not in t2 and "BroadcastNestedLoop" not in t2
+
+
+def test_quota_sample_no_global_sort(spark, sf_dir):
+    from opteryx_spark.operators import filtering
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    text = explain_text(filtering.quota_sample(docs, ["lang", "source"], 3))
+    assert "rangepartitioning" not in text.lower()  # per-group window only
