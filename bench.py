@@ -51,6 +51,8 @@ BENCH_QUERIES = [
     "join_range_binned",
     "skew_join_salted",
     "curate_pipeline_audit",
+    "decontaminate_benchmark",
+    "text_gopher_quality",
 ]
 
 

@@ -146,3 +146,36 @@ def dedup_stream(
     """
     keys = keys or ["event_id"]
     return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
+
+
+def decontaminate_stream(
+    docs: DataFrame,
+    benchmark_grams: DataFrame,
+    text_col: str = "text",
+    k: int = 3,
+    min_overlap: int = 1,
+) -> DataFrame:
+    """Streaming twin of ``operators/filtering.decontaminate``: flag
+    streamed documents that share word k-grams with a static benchmark
+    set.
+
+    The benchmark gram set (a static one-column DataFrame, e.g.
+    ``decontaminated benchmark.select(explode(shingles(...)))``) is
+    collapsed to a single broadcast array row, so each micro-batch
+    evaluates membership with a row-local ``array_intersect`` — no
+    streaming state, append-mode compatible.  This is the streaming
+    membership-structure pattern: at 100 TB benchmark scale the array
+    becomes a bloom filter, the plan shape is identical.
+    """
+    from opteryx_spark.operators import text as _text
+
+    bench_row = F.broadcast(
+        benchmark_grams.agg(F.collect_set(benchmark_grams.columns[0]).alias("_bg"))
+    )
+    overlap = F.size(F.array_intersect(_text.shingles(text_col, k), F.col("_bg")))
+    return (
+        docs.crossJoin(bench_row)
+        .withColumn("n_contaminated_ngrams", overlap.cast("long"))
+        .withColumn("contaminated", F.col("n_contaminated_ngrams") >= min_overlap)
+        .drop("_bg")
+    )

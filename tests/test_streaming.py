@@ -131,3 +131,36 @@ def test_dedup_stream_drops_replays(spark, tmp_path_factory):
     streaming.run_stream_once(deduped, out, ckpt)
     got = spark.read.parquet(out)
     assert got.count() == 5  # one row per distinct event_id
+
+
+def test_decontaminate_stream_matches_batch(spark, sf_dir, tmp_path_factory):
+    from opteryx_spark.operators import filtering, text
+
+    src = str(tmp_path_factory.mktemp("oxs_decon_src"))
+    out = str(tmp_path_factory.mktemp("oxs_decon_out"))
+    ckpt = str(tmp_path_factory.mktemp("oxs_decon_ckpt"))
+    shutil.copy(os.path.join(sf_dir, "documents.parquet"), os.path.join(src, "documents.parquet"))
+
+    batch_docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    bench = batch_docs.filter(F.col("source") == "src0")
+    corpus_batch = batch_docs.filter(F.col("source") != "src0")
+    want = {
+        (r.doc_id, r.n_contaminated_ngrams, r.contaminated)
+        for r in filtering.decontaminate(corpus_batch, bench, k=3, min_overlap=3)
+        .select("doc_id", "n_contaminated_ngrams", "contaminated")
+        .collect()
+    }
+
+    schema = batch_docs.schema
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(src)
+        .filter(F.col("source") != "src0")
+    )
+    bench_grams = bench.select(F.explode(text.shingles("text", 3)).alias("gram")).distinct()
+    flagged = streaming.decontaminate_stream(stream, bench_grams, k=3, min_overlap=3).select(
+        "doc_id", "n_contaminated_ngrams", "contaminated"
+    )
+    streaming.run_stream_once(flagged, out, ckpt)
+    got = {tuple(r) for r in spark.read.parquet(out).collect()}
+    assert got == want
