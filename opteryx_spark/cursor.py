@@ -500,8 +500,10 @@ class Cursor:
         import re
 
         stores = self._conn.registry.stores
+        want_variant = "__atq_exists(" in sql
+        variant_views: dict[str, list[str]] = {}
         if not stores:
-            return sql
+            return rewriter.finalize_atq(sql) if want_variant else sql
         pattern = re.compile(r"\b(\w+)\.([A-Za-z_][\w.]*)")
 
         def sub(seg: str) -> str:
@@ -510,14 +512,20 @@ class Cursor:
                 if prefix not in stores:
                     return m.group(0)
                 view = f"store_{prefix}_{rest.replace('.', '_')}"
-                self._conn.registry.resolve(spark, f"{prefix}.{rest}").createOrReplaceTempView(
-                    view
+                df = self._conn.registry.resolve(
+                    spark, f"{prefix}.{rest}", with_variant=want_variant
                 )
+                df.createOrReplaceTempView(view)
+                if want_variant and "__variant" in df.columns:
+                    variant_views[view] = df.columns
                 return view
 
             return pattern.sub(repl, seg)
 
-        return rewriter.map_outside_literals(sql, sub)
+        sql = rewriter.map_outside_literals(sql, sub)
+        if want_variant:
+            sql = rewriter.finalize_atq(sql, variant_views)
+        return sql
 
     # -- results ------------------------------------------------------------
 

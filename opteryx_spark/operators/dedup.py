@@ -847,3 +847,46 @@ def connected_components(
         if changed == 0:
             break
     return labels
+
+
+def dedup_against_corpus(
+    new_docs: DataFrame,
+    reference_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    method: str = "digest",
+) -> DataFrame:
+    """Incremental exact dedup: flag new documents whose content key
+    already exists in an accepted reference corpus (the every-crawl-cycle
+    operation — dedup the delta against everything already kept, without
+    re-deduping the whole corpus).
+
+    ``method="digest"`` keys on md5 of the normalized text (byte-exact
+    after lowercase/whitespace collapse); ``method="fingerprint"`` keys
+    on the sorted-distinct-token-set md5 (word-permutation duplicates
+    collide).  Returns the new docs with ``already_in_corpus`` appended;
+    callers anti-filter or audit.  The reference side reduces to a
+    distinct key set before the join (its width never travels), so at
+    scale this is one digest-keyed join the optimizer can broadcast when
+    the reference key set fits, or shuffle-partition when it doesn't —
+    both correct, both single-pass over the delta.
+    """
+    from opteryx_spark.operators import text as _text
+
+    if method == "fingerprint":
+        key = _text.fingerprint(text_col)
+    elif method == "digest":
+        key = F.md5(_text.normalize_text(text_col))
+    else:
+        raise ValueError("method must be 'digest' or 'fingerprint'")
+    ref = (
+        reference_docs.select(key.alias("_digest"))
+        .distinct()
+        .withColumn("_seen", F.lit(True))
+    )
+    return (
+        new_docs.withColumn("_digest", key)
+        .join(ref, "_digest", "left")
+        .withColumn("already_in_corpus", F.col("_seen").isNotNull())
+        .drop("_digest", "_seen")
+    )

@@ -387,11 +387,46 @@ def rewrite_json_arrows(sql: str) -> str:
             continue
         path = _json_path(m.group(2))
         if m.group(1) == "@?":
-            repl = f"(get_json_object({lhs}, '{path}') IS NOT NULL)"
+            if re.fullmatch(r"\w+", lhs):
+                # bare column: defer to finalize_atq, which picks variant
+                # path-existence semantics when the relation preserves
+                # explicit JSON nulls (shadow variant view), else the
+                # get_json_object fallback
+                repl = f"__atq_exists({lhs}, '{path}')"
+            else:
+                repl = f"(get_json_object({lhs}, '{path}') IS NOT NULL)"
         else:
             repl = f"get_json_object({lhs}, '{path}')"
         sql = sql[:s0] + repl + sql[m.end() :]
         pos = s0
+
+
+_ATQ_MARKER = re.compile(r"__atq_exists\((\w+), '([^']*)'\)")
+
+
+def finalize_atq(sql: str, variant_views: dict[str, list[str]] | None = None) -> str:
+    """Resolve deferred ``@?`` markers emitted by :func:`rewrite_json_arrows`.
+
+    ``variant_views`` maps view name -> column list for relations read
+    with a ``__variant`` raw-JSON column (``sources/registry.py::
+    read_json_variant``).  When the marker's column belongs to such a
+    view, path existence uses ``variant_get(__variant, '$.col.path')``,
+    which counts an explicit JSON null as existing (reference AtQuestion
+    semantics); otherwise it falls back to ``get_json_object(col, path)
+    IS NOT NULL`` (correct for JSON-string columns, where explicit nulls
+    are preserved in the text).
+    """
+    views = variant_views or {}
+
+    def repl(m):
+        col, path = m.group(1), m.group(2)
+        for cols in views.values():
+            if col in cols and "__variant" in cols:
+                suffix = path[1:] if path.startswith("$") else "." + path
+                return f"(variant_get(__variant, '$.{col}{suffix}') IS NOT NULL)"
+        return f"(get_json_object({col}, '{path}') IS NOT NULL)"
+
+    return _ATQ_MARKER.sub(repl, sql)
 
 
 def rewrite_operators(sql: str) -> str:

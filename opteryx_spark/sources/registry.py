@@ -98,6 +98,36 @@ def read_any(spark: SparkSession, path: str, fmt: str | None = None, **options: 
     return spark.read.format(fmt).options(**opts).load(path)
 
 
+def _json_fmt_of(path: str) -> bool:
+    """True when ``path`` resolves to line-delimited JSON files."""
+    ext = _ext_of(path)
+    if not ext and os.path.isdir(path):
+        ext = _dir_ext(path)
+    return bool(ext) and _FORMAT_BY_EXT.get(ext, ("", {}))[0] == "json"
+
+
+def read_json_variant(spark: SparkSession, path: str) -> DataFrame:
+    """Read line-delimited JSON keeping a ``__variant`` column.
+
+    Struct schema-on-read cannot distinguish a key explicitly set to JSON
+    null from an absent key; the VARIANT encoding of the raw line can
+    (``variant_get`` returns SQL NULL for a missing path but a non-null
+    variant-null for an explicit null).  Used for the reference's ``@?``
+    path-existence operator, whose semantics count explicit nulls as
+    existing (reference ``binary_operators.py`` AtQuestion).  The parsed
+    columns use the same inferred schema as the plain read, so every
+    other accessor behaves identically.
+    """
+    from pyspark.sql import functions as F
+
+    schema = spark.read.json(path).schema
+    raw = spark.read.text(path)
+    return raw.select(
+        F.from_json("value", schema).alias("__r"),
+        F.parse_json("value").alias("__variant"),
+    ).select("__r.*", "__variant")
+
+
 def _is_mabel_dir(path: str) -> bool:
     """True when the directory uses the Mabel ``year_YYYY`` date layout."""
     if not os.path.isdir(path):
@@ -318,7 +348,9 @@ class SourceRegistry:
                     best = prefix
         return (best, self.stores[best]) if best is not None else None
 
-    def resolve(self, spark: SparkSession, dataset: str) -> DataFrame:
+    def resolve(
+        self, spark: SparkSession, dataset: str, with_variant: bool = False
+    ) -> DataFrame:
         if dataset in self.frames:
             return _frame_to_df(spark, self.frames[dataset])
         # object-store / URL datasets go straight to the reader
@@ -356,9 +388,13 @@ class SourceRegistry:
                 return _mp.read_for_range(
                     spark, path, today, today + _dt.timedelta(days=1)
                 )
+            if with_variant and store.fmt is None and _json_fmt_of(path):
+                return read_json_variant(spark, path)
             return read_any(spark, path, fmt=store.fmt, **store.options)
         # fall back: treat as filesystem path or catalog table
         if os.path.exists(dataset):
+            if with_variant and _json_fmt_of(dataset):
+                return read_json_variant(spark, dataset)
             return read_any(spark, dataset)
         return spark.table(dataset)
 

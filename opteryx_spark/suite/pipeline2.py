@@ -13,7 +13,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from opteryx_spark.operators import filtering, similarity, text
+from opteryx_spark.operators import dedup, filtering, similarity, text
 from opteryx_spark.suite import register
 from opteryx_spark.suite._util import t
 
@@ -241,3 +241,69 @@ def emb_semantic_dedup(spark, sf_dir):
         .withColumn("kept", F.coalesce(F.col("kept"), F.lit(False)))
         .orderBy("vec_id")
     )
+
+
+_O_FP = f"md5(array_to_string(list_sort(list_distinct({_O_TOKENS})), ' '))"
+
+
+@register(
+    "dedup_incremental_exact",
+    oracle=f"""
+    WITH refk AS (SELECT DISTINCT {_O_FP} AS k FROM documents WHERE doc_id < 250)
+    SELECT doc_id,
+           {_O_FP} IN (SELECT k FROM refk) AS already_in_corpus
+    FROM documents WHERE doc_id >= 250 ORDER BY doc_id
+    """,
+)
+def dedup_incremental_exact(spark, sf_dir):
+    """Incremental corpus dedup (``dedup.py::dedup_against_corpus``):
+    docs >= 250 are the new crawl, docs < 250 the accepted corpus; flag
+    new docs whose token-set fingerprint already exists.  One key-set
+    join over the delta — never re-dedupes the full corpus."""
+    docs = t(spark, sf_dir, "documents")
+    new = docs.filter(F.col("doc_id") >= 250)
+    ref = docs.filter(F.col("doc_id") < 250)
+    return (
+        dedup.dedup_against_corpus(new, ref, method="fingerprint")
+        .select("doc_id", "already_in_corpus")
+        .orderBy("doc_id")
+    )
+
+
+def _profile_oracle() -> str:
+    cols = {
+        "o_orderkey": "bigint",
+        "o_custkey": "bigint",
+        "o_orderstatus": "varchar",
+        "o_totalprice": "double",
+        "o_orderdate": "timestamp",
+        "o_orderpriority": "varchar",
+    }
+    parts = []
+    for c, dt in cols.items():
+        conv = (
+            f"CAST(CAST({c} AS DECIMAL(25,6)) AS VARCHAR)"
+            if dt == "double"
+            else f"CAST({c} AS VARCHAR)"
+        )
+        parts.append(
+            f"""
+        SELECT '{c}' AS "column", CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(COUNT({c}) AS BIGINT) AS n_nonnull,
+               CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct,
+               MIN({conv}) AS min_value, MAX({conv}) AS max_value
+        FROM orders"""
+        )
+    return " UNION ALL ".join(parts) + " ORDER BY 1"
+
+
+@register("profile_orders", oracle=_profile_oracle())
+def profile_orders(spark, sf_dir):
+    """One-pass table profiling (``operators/profile.py::profile_table``):
+    count / non-null / exact distinct / min / max per column, computed in
+    a single scan + aggregate and unpivoted driver-free.  Doubles render
+    through DECIMAL(25,6) so min/max text is engine-identical."""
+    from opteryx_spark.operators import profile
+
+    orders = t(spark, sf_dir, "orders")
+    return profile.profile_table(orders, exact_distinct=True).orderBy("column")

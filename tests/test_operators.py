@@ -530,3 +530,38 @@ def test_semantic_dedup_keeps_lowest_id(spark):
     )
     kept = sorted(r.vec_id for r in S.semantic_dedup(df, "label", threshold=0.99).collect())
     assert kept == [1, 3, 4]
+
+
+def test_dedup_against_corpus_methods(spark):
+    from opteryx_spark.operators import dedup as D
+
+    ref = spark.createDataFrame([(1, "alpha beta gamma")], ["doc_id", "text"])
+    new = spark.createDataFrame(
+        [
+            (10, "Alpha  beta GAMMA"),  # normalized-exact dup of ref
+            (11, "gamma beta alpha"),  # permutation: fingerprint dup only
+            (12, "totally different"),
+        ],
+        ["doc_id", "text"],
+    )
+    dig = {r.doc_id: r.already_in_corpus for r in D.dedup_against_corpus(new, ref).collect()}
+    assert dig == {10: True, 11: False, 12: False}
+    # fingerprint: word-order-insensitive but case-sensitive (raw tokens)
+    fp = {
+        r.doc_id: r.already_in_corpus
+        for r in D.dedup_against_corpus(new, ref, method="fingerprint").collect()
+    }
+    assert fp == {10: False, 11: True, 12: False}
+
+
+def test_profile_table_stats(spark):
+    from opteryx_spark.operators import profile as P
+
+    df = spark.createDataFrame(
+        [(1, "a", 2.5), (2, "b", None), (2, None, 7.25)],
+        ["k", "s", "v"],
+    )
+    rows = {r.column: r for r in P.profile_table(df, exact_distinct=True).collect()}
+    assert rows["k"].n_rows == 3 and rows["k"].n_nonnull == 3 and rows["k"].n_distinct == 2
+    assert rows["s"].n_nonnull == 2 and rows["s"].min_value == "a" and rows["s"].max_value == "b"
+    assert rows["v"].n_nonnull == 2 and rows["v"].min_value == "2.500000"

@@ -49,7 +49,12 @@ def test_temporal_point_and_last_days():
 def test_json_operators():
     out = rewriter.rewrite_operators("SELECT props ->> 'k' FROM e WHERE props @? 'k'")
     assert "get_json_object(props, '$.k')" in out
-    assert "IS NOT NULL" in out
+    # bare-column @? defers to finalize_atq (variant route when the
+    # relation preserves explicit JSON nulls, else the string fallback)
+    assert "__atq_exists(props, '$.k')" in out
+    assert "(get_json_object(props, '$.k') IS NOT NULL)" in rewriter.finalize_atq(out)
+    variant = rewriter.finalize_atq(out, {"v": ["props", "__variant"]})
+    assert "(variant_get(__variant, '$.props.k') IS NOT NULL)" in variant
 
 
 def test_array_operators():

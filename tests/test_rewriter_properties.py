@@ -73,7 +73,14 @@ def test_json_arrow_chain_shapes():
         "SELECT get_json_object(fn(x), '$.k') FROM t"
     )
     assert r("SELECT x @? '$.a.b' FROM t") == (
+        "SELECT __atq_exists(x, '$.a.b') FROM t"
+    )
+    assert rewriter.finalize_atq(r("SELECT x @? '$.a.b' FROM t")) == (
         "SELECT (get_json_object(x, '$.a.b') IS NOT NULL) FROM t"
+    )
+    # non-bare lhs keeps the direct string-JSON form
+    assert r("SELECT fn(x) @? '$.a' FROM t") == (
+        "SELECT (get_json_object(fn(x), '$.a') IS NOT NULL) FROM t"
     )
     # literal lhs kept; arrow inside a string untouched
     assert r("SELECT '{\"a\":1}' -> 'a'") == (

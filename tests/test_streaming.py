@@ -164,3 +164,21 @@ def test_decontaminate_stream_matches_batch(spark, sf_dir, tmp_path_factory):
     streaming.run_stream_once(flagged, out, ckpt)
     got = {tuple(r) for r in spark.read.parquet(out).collect()}
     assert got == want
+
+
+def test_gopher_quality_runs_unchanged_on_stream(spark, sf_dir, tmp_path_factory):
+    # map-only operators run identically on a stream: same function, no twin
+    from opteryx_spark.operators import filtering
+
+    src = str(tmp_path_factory.mktemp("oxs_gq_src"))
+    out = str(tmp_path_factory.mktemp("oxs_gq_out"))
+    ckpt = str(tmp_path_factory.mktemp("oxs_gq_ckpt"))
+    shutil.copy(os.path.join(sf_dir, "documents.parquet"), os.path.join(src, "documents.parquet"))
+
+    batch = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    want = {tuple(r) for r in filtering.gopher_quality(batch).collect()}
+
+    stream = spark.readStream.schema(batch.schema).parquet(src)
+    streaming.run_stream_once(filtering.gopher_quality(stream), out, ckpt)
+    got = {tuple(r) for r in spark.read.parquet(out).collect()}
+    assert got == want

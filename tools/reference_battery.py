@@ -47,13 +47,14 @@ BATTERY_DIR = "/root/reference/tests/integration/sql_battery"
 # - HTTP(: live-endpoint table function (unit-tested against a local
 #   server instead)
 #
-# Known permanent divergence (2 statements, counted as failures):
-# ``nested @? '$.level1.key'`` expects 4 rows counting a row whose key is
-# EXPLICITLY null in the source JSON.  Spark's schema-on-read unions JSON
-# objects into one struct type, making "key": null indistinguishable from
-# an absent key — the raw-text distinction is lost at ingestion.  Reading
-# these files as VariantType would preserve it but would change the type
-# of every struct accessor; documented trade-off.
+# ``@?`` explicit-null semantics (``nested @? '$.level1.key'`` counts a
+# key explicitly set to JSON null as existing): resolved — statements
+# containing ``@?`` on a jsonl-backed dataset read through a shadow
+# relation that keeps the raw line as a VARIANT column, and the operator
+# becomes ``variant_get(__variant, path) IS NOT NULL`` (SQL NULL for a
+# missing path, non-null variant-null for an explicit null).  Every other
+# accessor keeps the plain struct read (``rewriter.finalize_atq``,
+# ``sources/registry.py::read_json_variant``).
 _SKIP_PATTERNS = [
     re.compile(r"\biceberg\.", re.I),
     re.compile(r"\btestdata[./]flat[./]formats\b", re.I),
