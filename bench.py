@@ -69,6 +69,8 @@ SF1_QUERIES = [
     "dedup_ngram_jaccard",
     "emb_cosine_topk",
     "join_asof_last_click",
+    "text_gopher_quality",
+    "decontaminate_benchmark",
 ]
 
 
