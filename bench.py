@@ -95,6 +95,14 @@ def _time_queries(reg, spark, sf_dir, names, runs):
             reg[name].spark(spark, sf_dir).collect()
             samples.append(time.perf_counter() - start)
         med = statistics.median(samples)
+        if runs > 1 and med and (max(samples) - min(samples)) / med > 0.5:
+            # unstable entry (GC pause / scheduling hiccup in a sample):
+            # two more samples so one outlier can't own the median
+            for _ in range(2):
+                start = time.perf_counter()
+                reg[name].spark(spark, sf_dir).collect()
+                samples.append(time.perf_counter() - start)
+            med = statistics.median(samples)
         timings[name] = round(med, 3)
         spreads[name] = round((max(samples) - min(samples)) / med, 3) if med else 0.0
     return timings, spreads

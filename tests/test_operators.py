@@ -565,3 +565,19 @@ def test_profile_table_stats(spark):
     assert rows["k"].n_rows == 3 and rows["k"].n_nonnull == 3 and rows["k"].n_distinct == 2
     assert rows["s"].n_nonnull == 2 and rows["s"].min_value == "a" and rows["s"].max_value == "b"
     assert rows["v"].n_nonnull == 2 and rows["v"].min_value == "2.500000"
+
+
+def test_direct_path_persists_are_lru_bounded(spark):
+    """Repeated direct-path (unique_texts=False) LSH calls must not grow
+    the persisted-cache set without bound (signature tables are tracked
+    and LRU-evicted)."""
+    df = spark.createDataFrame(
+        [(i, f"totally unique body {i} with words {i*7} and {i*13}") for i in range(30)],
+        ["doc_id", "text"],
+    )
+    for _ in range(8):
+        dedup.minhash_lsh_pairs(df, unique_texts=False).count()
+        dedup.simhash_dedup_pairs(df, unique_texts=False).count()
+    assert len(spark.sparkContext._jsc.getPersistentRDDs()) <= 6
+    dedup.release_text_group_caches()
+    assert len(spark.sparkContext._jsc.getPersistentRDDs()) == 0
