@@ -166,3 +166,126 @@ def sample_video_frames(
             yield pd.DataFrame(out)
 
     return df.select("media_id", "payload").mapInPandas(sample, VIDEO_FRAMES_SCHEMA)
+
+
+AUDIO_FEATURES_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("sample_rate", LongType(), True),
+        StructField("n_samples", LongType(), True),
+        StructField("duration_s", LongType(), True),
+        StructField("n_bytes", LongType(), False),
+        StructField("content_sha", StringType(), True),
+    ]
+)
+
+
+def _fake_audio_probe(payload: bytes) -> tuple[int, int]:
+    """Deterministic stand-in for an audio decoder: (sample_rate,
+    n_samples) derived from the content hash.  STUB — replace with
+    soundfile/ffprobe in a full runtime."""
+    digest = hashlib.sha256(payload or b"").digest()
+    sample_rate = 8000 * (1 + digest[0] % 5)  # 8k..40k
+    seconds = 1 + digest[1] % 30
+    return sample_rate, sample_rate * seconds
+
+
+def audio_features(df: DataFrame, fake: bool = True, max_batch_bytes: int = 64 << 20) -> DataFrame:
+    """Per-clip audio feature extraction as a mapInPandas stage (same
+    Arrow-batch/size-guard plumbing as :func:`image_features`; the codec
+    is the declared stub).  Emits sample rate, sample count, and integer
+    duration — the columns an audio-curation pass filters on."""
+    if not fake:  # pragma: no cover
+        raise NotImplementedError("audio codecs unavailable in this container")
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            start = 0
+            while start < len(pdf):
+                size, end = 0, start
+                while end < len(pdf) and size <= max_batch_bytes:
+                    payload = pdf["payload"].iloc[end]
+                    size += len(payload) if payload is not None else 0
+                    end += 1
+                chunk = pdf.iloc[start:end]
+                probes = [
+                    _fake_audio_probe(p) if p is not None else (None, None)
+                    for p in chunk["payload"]
+                ]
+                yield pd.DataFrame(
+                    {
+                        "media_id": chunk["media_id"].values,
+                        "sample_rate": [pr[0] for pr in probes],
+                        "n_samples": [pr[1] for pr in probes],
+                        "duration_s": [
+                            pr[1] // pr[0] if pr[0] else None for pr in probes
+                        ],
+                        "n_bytes": [len(p) if p is not None else 0 for p in chunk["payload"]],
+                        "content_sha": [
+                            hashlib.sha256(p or b"").hexdigest() for p in chunk["payload"]
+                        ],
+                    }
+                )
+                start = end
+
+    return df.select("media_id", "payload").mapInPandas(extract, AUDIO_FEATURES_SCHEMA)
+
+
+RESIZE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("width", LongType(), True),
+        StructField("height", LongType(), True),
+        StructField("out_width", LongType(), True),
+        StructField("out_height", LongType(), True),
+        StructField("resized_sha", StringType(), True),
+    ]
+)
+
+
+def resize_images(
+    df: DataFrame, max_side: int = 128, fake: bool = True, max_batch_bytes: int = 64 << 20
+) -> DataFrame:
+    """Aspect-preserving thumbnail pass as a mapInPandas stage.
+
+    The scaling arithmetic is real (integer floor scale to ``max_side``,
+    never upscales, min 1px); the pixel resample is the declared stub —
+    the emitted ``resized_sha`` stands in for the output payload id,
+    derived deterministically from (content, target dims) so downstream
+    joins/dedup over resized artifacts are exercisable.
+    """
+    if not fake:  # pragma: no cover
+        raise NotImplementedError("image codecs unavailable in this container")
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            start = 0
+            while start < len(pdf):
+                size, end = 0, start
+                while end < len(pdf) and size <= max_batch_bytes:
+                    payload = pdf["payload"].iloc[end]
+                    size += len(payload) if payload is not None else 0
+                    end += 1
+                chunk = pdf.iloc[start:end]
+                out = {k: [] for k in ("media_id", "width", "height", "out_width", "out_height", "resized_sha")}
+                for mid, payload in zip(chunk["media_id"], chunk["payload"]):
+                    w, h = _fake_decode(payload or b"")
+                    side = max(w, h)
+                    if side <= max_side:
+                        ow, oh = w, h
+                    else:
+                        ow = max(1, (w * max_side) // side)
+                        oh = max(1, (h * max_side) // side)
+                    sha = hashlib.sha256(payload or b"").hexdigest()
+                    out["media_id"].append(mid)
+                    out["width"].append(w)
+                    out["height"].append(h)
+                    out["out_width"].append(ow)
+                    out["out_height"].append(oh)
+                    out["resized_sha"].append(
+                        hashlib.sha256(f"{sha}:{ow}x{oh}".encode()).hexdigest()
+                    )
+                yield pd.DataFrame(out)
+                start = end
+
+    return df.select("media_id", "payload").mapInPandas(resize, RESIZE_SCHEMA)

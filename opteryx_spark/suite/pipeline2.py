@@ -307,3 +307,86 @@ def profile_orders(spark, sf_dir):
 
     orders = t(spark, sf_dir, "orders")
     return profile.profile_table(orders, exact_distinct=True).orderBy("column")
+
+
+# DuckDB twin of "byte k of sha256(p)" (hex chars 2k+1, 2k+2 as an int)
+def _o_sha_byte(k: int, expr: str = "sha256(p)") -> str:
+    return (
+        f"((strpos('0123456789abcdef', substring({expr}, {2*k+1}, 1)) - 1) * 16"
+        f" + (strpos('0123456789abcdef', substring({expr}, {2*k+2}, 1)) - 1))"
+    )
+
+
+_O_MEDIA = """
+    WITH m AS (
+      SELECT CAST(i AS BIGINT) AS media_id,
+             repeat(sha256(CAST(i AS VARCHAR)), 4) AS p
+      FROM range(0, 200) t(i)
+    )
+"""
+
+
+@register(
+    "multimodal_audio_features",
+    oracle=_O_MEDIA
+    + f"""
+    SELECT media_id,
+           CAST(8000 * (1 + {_o_sha_byte(0)} % 5) AS BIGINT) AS sample_rate,
+           CAST(8000 * (1 + {_o_sha_byte(0)} % 5) * (1 + {_o_sha_byte(1)} % 30) AS BIGINT) AS n_samples,
+           CAST(1 + {_o_sha_byte(1)} % 30 AS BIGINT) AS duration_s,
+           CAST(length(p) AS BIGINT) AS n_bytes,
+           sha256(p) AS content_sha
+    FROM m ORDER BY media_id
+    """,
+)
+def multimodal_audio_features(spark, sf_dir):
+    """mapInPandas audio-feature extraction (``multimodal.py::
+    audio_features``): sample rate / sample count / integer duration from
+    the deterministic stub probe, value-reproduced by DuckDB — the
+    Arrow-batch plumbing and schema are the real, tested surface."""
+    from opteryx_spark.operators import multimodal
+
+    media = multimodal.synthetic_media(spark, 200)
+    return multimodal.audio_features(media, fake=True).orderBy("media_id")
+
+
+_O_DIMS = f"""
+    dims AS (
+      SELECT media_id, p,
+             CAST(64 + {_o_sha_byte(0)} % 192 AS BIGINT) AS w,
+             CAST(64 + {_o_sha_byte(1)} % 192 AS BIGINT) AS h
+      FROM m
+    )
+"""
+
+
+@register(
+    "multimodal_resize_images",
+    oracle=_O_MEDIA.rstrip()
+    + ", "
+    + _O_DIMS
+    + """
+    , scaled AS (
+      SELECT media_id, p, w, h,
+             CASE WHEN greatest(w, h) <= 128 THEN w
+                  ELSE greatest(1, (w * 128) // greatest(w, h)) END AS ow,
+             CASE WHEN greatest(w, h) <= 128 THEN h
+                  ELSE greatest(1, (h * 128) // greatest(w, h)) END AS oh
+      FROM dims
+    )
+    SELECT media_id, w AS width, h AS height,
+           ow AS out_width, oh AS out_height,
+           sha256(sha256(p) || ':' || CAST(ow AS VARCHAR) || 'x' || CAST(oh AS VARCHAR))
+             AS resized_sha
+    FROM scaled ORDER BY media_id
+    """,
+)
+def multimodal_resize_images(spark, sf_dir):
+    """mapInPandas aspect-preserving resize (``multimodal.py::
+    resize_images``): the integer floor-scale arithmetic (never
+    upscales, min 1px) and the derived resized-artifact id are exact in
+    DuckDB; the pixel resample is the declared codec stub."""
+    from opteryx_spark.operators import multimodal
+
+    media = multimodal.synthetic_media(spark, 200)
+    return multimodal.resize_images(media, max_side=128, fake=True).orderBy("media_id")

@@ -581,3 +581,38 @@ def test_direct_path_persists_are_lru_bounded(spark):
     assert len(spark.sparkContext._jsc.getPersistentRDDs()) <= 6
     dedup.release_text_group_caches()
     assert len(spark.sparkContext._jsc.getPersistentRDDs()) == 0
+
+
+def test_multimodal_chunking_advances_all_ops(spark):
+    """Force multiple size-guard chunks per Arrow batch (tiny
+    max_batch_bytes): every mapInPandas operator must emit each row
+    exactly once (regression: a missing loop advance yields the first
+    chunk forever)."""
+    media = multimodal.synthetic_media(spark, 40)
+    img = multimodal.image_features(media, fake=True, max_batch_bytes=1)
+    assert sorted(r.media_id for r in img.collect()) == list(range(40))
+    aud = multimodal.audio_features(media, fake=True, max_batch_bytes=1)
+    assert sorted(r.media_id for r in aud.collect()) == list(range(40))
+    rsz = multimodal.resize_images(media, fake=True, max_batch_bytes=1)
+    rows = {r.media_id: r for r in rsz.collect()}
+    assert sorted(rows) == list(range(40))
+    for r in rows.values():
+        assert max(r.out_width, r.out_height) <= 128
+        assert r.out_width >= 1 and r.out_height >= 1
+        # aspect preserved under integer floor scaling
+        if max(r.width, r.height) > 128:
+            side = max(r.width, r.height)
+            assert r.out_width == max(1, (r.width * 128) // side)
+            assert r.out_height == max(1, (r.height * 128) // side)
+
+
+def test_audio_features_deterministic(spark):
+    media = multimodal.synthetic_media(spark, 30)
+    a = {r.media_id: (r.sample_rate, r.n_samples, r.duration_s)
+         for r in multimodal.audio_features(media, fake=True).collect()}
+    b = {r.media_id: (r.sample_rate, r.n_samples, r.duration_s)
+         for r in multimodal.audio_features(media, fake=True).collect()}
+    assert a == b
+    for sr, ns, dur in a.values():
+        assert sr in (8000, 16000, 24000, 32000, 40000)
+        assert ns == sr * dur and 1 <= dur <= 30
