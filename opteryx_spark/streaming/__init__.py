@@ -179,3 +179,43 @@ def decontaminate_stream(
         .withColumn("contaminated", F.col("n_contaminated_ngrams") >= min_overlap)
         .drop("_bg")
     )
+
+
+def quota_sample_stream(
+    docs: DataFrame,
+    group_cols: list[str],
+    n_per_group: int,
+    output_schema: str,
+) -> DataFrame:
+    """Streaming per-group quota admission via ``applyInPandasWithState``.
+
+    The streaming twin of ``operators/filtering.quota_sample`` with the
+    semantics a stream permits: the batch operator picks a reproducible
+    md5-ordered subset of a *complete* group, a stream cannot see the
+    future, so this admits the first ``n_per_group`` arrivals per group
+    and drops the rest.  State is ONE counter per group — O(groups)
+    memory, partitioned across executors by the group key; columns in
+    ``output_schema`` must match the input frame's columns.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def admit(key, pdf_iter, state: GroupState):
+        (taken,) = state.get if state.exists else (0,)
+        for pdf in pdf_iter:
+            if taken >= n_per_group:
+                break
+            room = n_per_group - taken
+            admitted = pdf.iloc[:room]
+            taken += len(admitted)
+            if len(admitted):
+                yield admitted
+        state.update((taken,))
+
+    return docs.groupBy(*group_cols).applyInPandasWithState(
+        admit,
+        outputStructType=output_schema,
+        stateStructType="taken long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

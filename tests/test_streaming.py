@@ -182,3 +182,26 @@ def test_gopher_quality_runs_unchanged_on_stream(spark, sf_dir, tmp_path_factory
     streaming.run_stream_once(filtering.gopher_quality(stream), out, ckpt)
     got = {tuple(r) for r in spark.read.parquet(out).collect()}
     assert got == want
+
+
+def test_quota_sample_stream_caps_groups(spark, sf_dir, tmp_path_factory):
+    from opteryx_spark import streaming as S
+
+    src = str(tmp_path_factory.mktemp("oxs_quota_src"))
+    out = str(tmp_path_factory.mktemp("oxs_quota_out"))
+    ckpt = str(tmp_path_factory.mktemp("oxs_quota_ckpt"))
+    shutil.copy(os.path.join(sf_dir, "documents.parquet"), os.path.join(src, "documents.parquet"))
+
+    batch = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    schema_str = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in batch.schema.fields)
+    stream = spark.readStream.schema(batch.schema).parquet(src)
+    capped = S.quota_sample_stream(stream, ["lang", "source"], 3, schema_str)
+    S.run_stream_once(capped, out, ckpt)
+
+    got = spark.read.parquet(out)
+    sizes = {(r.lang, r.source): r["count"] for r in got.groupBy("lang", "source").count().collect()}
+    want = {
+        (r.lang, r.source): min(r["count"], 3)
+        for r in batch.groupBy("lang", "source").count().collect()
+    }
+    assert sizes == want  # every group capped at 3, small groups kept whole
