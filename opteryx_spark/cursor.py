@@ -143,7 +143,11 @@ class Connection:
         for name in list(self._pending_views):
             try:
                 self.spark.sql(
-                    rewriter.rewrite(self._expand_sysvars(self.views[name])).sql
+                    # views run outside the store-resolution pipeline, so
+                    # deferred @? markers resolve to the string fallback
+                    rewriter.finalize_atq(
+                        rewriter.rewrite(self._expand_sysvars(self.views[name])).sql
+                    )
                 ).createOrReplaceTempView(name)
                 self._pending_views.discard(name)
             except Exception:
@@ -166,7 +170,9 @@ class Connection:
             ):
                 try:
                     self.spark.sql(
-                        rewriter.rewrite(self._expand_sysvars(view_sql)).sql
+                        rewriter.finalize_atq(
+                            rewriter.rewrite(self._expand_sysvars(view_sql)).sql
+                        )
                     ).createOrReplaceTempView(name)
                 except Exception:
                     pass
@@ -500,7 +506,12 @@ class Cursor:
         import re
 
         stores = self._conn.registry.stores
-        want_variant = "__atq_exists(" in sql
+        # the variant shadow view exposes __variant, which star expansion
+        # would leak into the result schema — statements projecting any
+        # `*` keep the plain read and the string-JSON @? fallback
+        want_variant = "__atq_exists(" in sql and not re.search(
+            r"(?:SELECT|\.)\s*\*", sql, re.IGNORECASE
+        )
         variant_views: dict[str, list[str]] = {}
         if not stores:
             return rewriter.finalize_atq(sql) if want_variant else sql

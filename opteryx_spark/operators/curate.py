@@ -91,3 +91,72 @@ def curation_report(curated: DataFrame) -> DataFrame:
         )
         .orderBy("outcome")
     )
+
+
+def curate_corpus_v2(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    quota_cols: list[str] | None = None,
+    n_per_group: int = 5,
+    min_tokens: int = 10,
+    decontaminate_k: int = 3,
+    min_overlap: int = 3,
+    gopher_thresholds: dict | None = None,
+) -> DataFrame:
+    """The modern pre-training curation pipeline, composed end-to-end:
+    Gopher quality gates → benchmark decontamination → exact dedup →
+    per-stratum quota, with auditable drop precedence.
+
+    Flag precedence (first match wins): ``too_short`` → ``fails_gopher``
+    → ``contaminated`` → ``exact_duplicate`` → ``over_quota`` → kept.
+    The quota ranks only docs that survived every earlier stage, so a
+    dropped duplicate never consumes a stratum slot.  Every stage is one
+    of the individually-oracled operators in this package; the
+    composition itself is oracle-checked by the suite entry.
+    """
+    from pyspark.sql import Window
+
+    from opteryx_spark.operators import filtering
+
+    gated = filtering.gopher_quality(docs, text_col, gopher_thresholds)
+    flagged = filtering.decontaminate(
+        gated, benchmark, id_col, text_col, k=decontaminate_k, min_overlap=min_overlap
+    )
+    keep = (
+        docs.groupBy(F.md5(F.col(text_col)).alias("_dg"))
+        .agg(F.min(id_col).alias("_keep_id"))
+        .select("_keep_id")
+        .withColumn("_exact_keep", F.lit(True))
+    )
+    flagged = flagged.join(keep, flagged[id_col] == keep["_keep_id"], "left").drop(
+        "_keep_id"
+    )
+    pre_quota_ok = (
+        (F.col("n_words") >= min_tokens)
+        & F.col("passes_gopher")
+        & ~F.col("contaminated")
+        & F.col("_exact_keep").isNotNull()
+    )
+    quota_cols = quota_cols or ["lang", "source"]
+    w = Window.partitionBy(
+        *[F.when(pre_quota_ok, F.col(c)) for c in quota_cols]
+    ).orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+    # rank only survivors: failed docs get partition NULL… which would
+    # collide into one group — rank them too but never read their rank
+    ranked = flagged.withColumn(
+        "_qrank", F.row_number().over(w)
+    )
+    return (
+        ranked.withColumn(
+            "drop_reason",
+            F.when(F.col("n_words") < min_tokens, "too_short")
+            .when(~F.col("passes_gopher"), "fails_gopher")
+            .when(F.col("contaminated"), "contaminated")
+            .when(F.col("_exact_keep").isNull(), "exact_duplicate")
+            .when(F.col("_qrank") > n_per_group, "over_quota"),
+        )
+        .withColumn("kept", F.col("drop_reason").isNull())
+        .drop("_exact_keep", "_qrank", "_dg")
+    )

@@ -89,7 +89,6 @@ GOPHER_DEFAULTS = {
 
 def gopher_quality(
     df: DataFrame,
-    id_col: str = "doc_id",
     text_col: str = "text",
     thresholds: dict | None = None,
 ) -> DataFrame:
@@ -117,7 +116,7 @@ def gopher_quality(
     rep = text.repetition_metrics(text_col, k=2)
 
     out = df.select(
-        F.col(id_col),
+        "*",
         n_words.alias("n_words"),
         mean_word_len.alias("mean_word_len"),
         alpha_word_frac.alias("alpha_word_frac"),

@@ -54,6 +54,23 @@ IMAGE_FEATURES_SCHEMA = StructType(
 )
 
 
+def _byte_chunks(pdf: "pd.DataFrame", max_batch_bytes: int):
+    """Slice an Arrow batch into sub-frames whose summed payload bytes
+    stay near ``max_batch_bytes`` (always advancing at least one row) —
+    the guard that keeps mixed small/large media from blowing executor
+    memory.  Shared by every mapInPandas media operator so the chunk
+    bookkeeping exists exactly once."""
+    start = 0
+    while start < len(pdf):
+        size, end = 0, start
+        while end < len(pdf) and size <= max_batch_bytes:
+            payload = pdf["payload"].iloc[end]
+            size += len(payload) if payload is not None else 0
+            end += 1
+        yield pdf.iloc[start:end]
+        start = end
+
+
 def _fake_decode(payload: bytes) -> tuple[int, int]:
     """Deterministic stand-in for an image decoder: dimensions derived
     from the content hash.  STUB — replace with PIL in a full runtime."""
@@ -82,14 +99,7 @@ def image_features(df: DataFrame, fake: bool = True, max_batch_bytes: int = 64 <
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            start = 0
-            while start < len(pdf):
-                size, end = 0, start
-                while end < len(pdf) and size <= max_batch_bytes:
-                    payload = pdf["payload"].iloc[end]
-                    size += len(payload) if payload is not None else 0
-                    end += 1
-                chunk = pdf.iloc[start:end]
+            for chunk in _byte_chunks(pdf, max_batch_bytes):
                 dims = [
                     decode_image(p, fake=fake) if p is not None else (None, None)
                     for p in chunk["payload"]
@@ -106,7 +116,6 @@ def image_features(df: DataFrame, fake: bool = True, max_batch_bytes: int = 64 <
                         ],
                     }
                 )
-                start = end
 
     return df.select("media_id", "mime", "payload").mapInPandas(extract, IMAGE_FEATURES_SCHEMA)
 
@@ -200,14 +209,7 @@ def audio_features(df: DataFrame, fake: bool = True, max_batch_bytes: int = 64 <
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            start = 0
-            while start < len(pdf):
-                size, end = 0, start
-                while end < len(pdf) and size <= max_batch_bytes:
-                    payload = pdf["payload"].iloc[end]
-                    size += len(payload) if payload is not None else 0
-                    end += 1
-                chunk = pdf.iloc[start:end]
+            for chunk in _byte_chunks(pdf, max_batch_bytes):
                 probes = [
                     _fake_audio_probe(p) if p is not None else (None, None)
                     for p in chunk["payload"]
@@ -226,7 +228,6 @@ def audio_features(df: DataFrame, fake: bool = True, max_batch_bytes: int = 64 <
                         ],
                     }
                 )
-                start = end
 
     return df.select("media_id", "payload").mapInPandas(extract, AUDIO_FEATURES_SCHEMA)
 
@@ -259,33 +260,29 @@ def resize_images(
 
     def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            start = 0
-            while start < len(pdf):
-                size, end = 0, start
-                while end < len(pdf) and size <= max_batch_bytes:
-                    payload = pdf["payload"].iloc[end]
-                    size += len(payload) if payload is not None else 0
-                    end += 1
-                chunk = pdf.iloc[start:end]
+            for chunk in _byte_chunks(pdf, max_batch_bytes):
                 out = {k: [] for k in ("media_id", "width", "height", "out_width", "out_height", "resized_sha")}
                 for mid, payload in zip(chunk["media_id"], chunk["payload"]):
-                    w, h = _fake_decode(payload or b"")
-                    side = max(w, h)
-                    if side <= max_side:
-                        ow, oh = w, h
+                    if payload is None:
+                        # missing media yields null features, same as the
+                        # sibling operators — never phantom artifacts
+                        w = h = ow = oh = rsha = None
                     else:
-                        ow = max(1, (w * max_side) // side)
-                        oh = max(1, (h * max_side) // side)
-                    sha = hashlib.sha256(payload or b"").hexdigest()
+                        w, h = _fake_decode(payload)
+                        side = max(w, h)
+                        if side <= max_side:
+                            ow, oh = w, h
+                        else:
+                            ow = max(1, (w * max_side) // side)
+                            oh = max(1, (h * max_side) // side)
+                        sha = hashlib.sha256(payload).hexdigest()
+                        rsha = hashlib.sha256(f"{sha}:{ow}x{oh}".encode()).hexdigest()
                     out["media_id"].append(mid)
                     out["width"].append(w)
                     out["height"].append(h)
                     out["out_width"].append(ow)
                     out["out_height"].append(oh)
-                    out["resized_sha"].append(
-                        hashlib.sha256(f"{sha}:{ow}x{oh}".encode()).hexdigest()
-                    )
+                    out["resized_sha"].append(rsha)
                 yield pd.DataFrame(out)
-                start = end
 
     return df.select("media_id", "payload").mapInPandas(resize, RESIZE_SCHEMA)

@@ -17,11 +17,12 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
-def _as_str(col: str, dtype: str) -> Column:
-    """Render min/max as strings deterministically across engines:
-    doubles route through DECIMAL(25,6) (float repr differs between
-    engines; fixed-scale decimal text does not)."""
-    c = F.col(col)
+def _render(c: Column, dtype: str) -> Column:
+    """Render an aggregated min/max as a string deterministically across
+    engines: doubles route through DECIMAL(25,6) (float repr differs
+    between engines; fixed-scale decimal text does not).  Rendering
+    happens AFTER aggregation so numeric columns keep numeric ordering
+    (string min/max would be lexicographic — '9' > '10')."""
     if dtype in ("double", "float"):
         return c.cast("decimal(25,6)").cast("string")
     return c.cast("string")
@@ -49,8 +50,8 @@ def profile_table(
         aggs += [
             F.count(F.col(c)).alias(f"__nn_{c}"),
             distinct.alias(f"__nd_{c}"),
-            F.min(_as_str(c, dtypes[c])).alias(f"__mn_{c}"),
-            F.max(_as_str(c, dtypes[c])).alias(f"__mx_{c}"),
+            _render(F.min(F.col(c)), dtypes[c]).alias(f"__mn_{c}"),
+            _render(F.max(F.col(c)), dtypes[c]).alias(f"__mx_{c}"),
         ]
     row = df.agg(*aggs)
     entries = F.array(

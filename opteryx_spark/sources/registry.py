@@ -106,7 +106,12 @@ def _json_fmt_of(path: str) -> bool:
     return bool(ext) and _FORMAT_BY_EXT.get(ext, ("", {}))[0] == "json"
 
 
-def read_json_variant(spark: SparkSession, path: str) -> DataFrame:
+# inferred-schema cache for the variant read path: one inference job per
+# (path, options) per process instead of one per @? statement
+_VARIANT_SCHEMAS: dict = {}
+
+
+def read_json_variant(spark: SparkSession, path: str, **options: str) -> DataFrame:
     """Read line-delimited JSON keeping a ``__variant`` column.
 
     Struct schema-on-read cannot distinguish a key explicitly set to JSON
@@ -120,10 +125,14 @@ def read_json_variant(spark: SparkSession, path: str) -> DataFrame:
     """
     from pyspark.sql import functions as F
 
-    schema = spark.read.json(path).schema
+    key = (path, tuple(sorted(options.items())))
+    schema = _VARIANT_SCHEMAS.get(key)
+    if schema is None:
+        schema = spark.read.options(**options).json(path).schema
+        _VARIANT_SCHEMAS[key] = schema
     raw = spark.read.text(path)
     return raw.select(
-        F.from_json("value", schema).alias("__r"),
+        F.from_json("value", schema, options or None).alias("__r"),
         F.parse_json("value").alias("__variant"),
     ).select("__r.*", "__variant")
 
@@ -388,8 +397,10 @@ class SourceRegistry:
                 return _mp.read_for_range(
                     spark, path, today, today + _dt.timedelta(days=1)
                 )
-            if with_variant and store.fmt is None and _json_fmt_of(path):
-                return read_json_variant(spark, path)
+            if with_variant and (
+                store.fmt == "json" or (store.fmt is None and _json_fmt_of(path))
+            ):
+                return read_json_variant(spark, path, **store.options)
             return read_any(spark, path, fmt=store.fmt, **store.options)
         # fall back: treat as filesystem path or catalog table
         if os.path.exists(dataset):

@@ -131,10 +131,18 @@ def text_gopher_quality(spark, sf_dir):
     all integer-exact, map-only.  Thresholds tightened vs the defaults so
     every gate fires on part of this corpus."""
     docs = t(spark, sf_dir, "documents")
-    return filtering.gopher_quality(
-        docs,
-        thresholds={"max_dup_2gram_frac": 0.2, "max_top_2gram_frac": 0.12},
-    ).orderBy("doc_id")
+    return (
+        filtering.gopher_quality(
+            docs,
+            thresholds={"max_dup_2gram_frac": 0.2, "max_top_2gram_frac": 0.12},
+        )
+        .select(
+            "doc_id", "n_words", "mean_word_len", "alpha_word_frac", "stop_hits",
+            "dup_2gram_chars", "top_2gram_chars", "total_2gram_chars",
+            "dup_2gram_frac", "top_2gram_frac", "passes_gopher",
+        )
+        .orderBy("doc_id")
+    )
 
 
 @register(
@@ -281,17 +289,18 @@ def _profile_oracle() -> str:
     }
     parts = []
     for c, dt in cols.items():
-        conv = (
-            f"CAST(CAST({c} AS DECIMAL(25,6)) AS VARCHAR)"
-            if dt == "double"
-            else f"CAST({c} AS VARCHAR)"
-        )
+        # render AFTER aggregating: numeric min/max must order numerically
+        def conv(agg: str) -> str:
+            if dt == "double":
+                return f"CAST(CAST({agg}({c}) AS DECIMAL(25,6)) AS VARCHAR)"
+            return f"CAST({agg}({c}) AS VARCHAR)"
+
         parts.append(
             f"""
         SELECT '{c}' AS "column", CAST(COUNT(*) AS BIGINT) AS n_rows,
                CAST(COUNT({c}) AS BIGINT) AS n_nonnull,
                CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct,
-               MIN({conv}) AS min_value, MAX({conv}) AS max_value
+               {conv("MIN")} AS min_value, {conv("MAX")} AS max_value
         FROM orders"""
         )
     return " UNION ALL ".join(parts) + " ORDER BY 1"
@@ -390,3 +399,97 @@ def multimodal_resize_images(spark, sf_dir):
 
     media = multimodal.synthetic_media(spark, 200)
     return multimodal.resize_images(media, max_side=128, fake=True).orderBy("media_id")
+
+
+_O_G2 = _O_GOPHER_STATS.replace("FROM documents", "FROM corpus")
+
+
+@register(
+    "curate_pipeline_v2",
+    oracle=f"""
+    WITH corpus AS (
+      SELECT * FROM documents WHERE source <> 'src0'
+    ), bg AS (
+      SELECT DISTINCT unnest({_O_TRIGRAMS}) AS gram
+      FROM documents WHERE source = 'src0'
+    ), cg AS (
+      SELECT doc_id, unnest({_O_TRIGRAMS}) AS gram FROM corpus
+    ), hits AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n
+      FROM cg JOIN bg USING (gram) GROUP BY doc_id
+    ), {_O_G2.strip().removeprefix('WITH ')}, keepers AS (
+      SELECT md5(text) AS dg, MIN(doc_id) AS keep_id FROM corpus GROUP BY 1
+    ), staged AS (
+      SELECT c.doc_id, c.lang, c.source, r.n_words,
+             r.mean_word_len, r.alpha_word_frac, r.stop_hits,
+             CAST(r.dup_2gram_chars AS DOUBLE)
+               / CAST(r.total_2gram_chars AS DOUBLE) AS dup_frac,
+             CAST(r.top_2gram_chars AS DOUBLE)
+               / CAST(r.total_2gram_chars AS DOUBLE) AS top_frac,
+             coalesce(h.n, 0) >= 3 AS contaminated,
+             c.doc_id = k.keep_id AS exact_keep
+      FROM corpus c
+      JOIN rep r USING (doc_id)
+      LEFT JOIN hits h USING (doc_id)
+      JOIN keepers k ON k.dg = md5(c.text)
+    ), gated AS (
+      SELECT *,
+             (n_words >= 5 AND n_words <= 100000
+              AND mean_word_len >= 2.0 AND mean_word_len <= 12.0
+              AND alpha_word_frac >= 0.8 AND stop_hits >= 2
+              AND dup_frac <= 0.2 AND top_frac <= 0.12) AS passes_gopher
+      FROM staged
+    ), ranked AS (
+      SELECT *,
+             CASE WHEN n_words >= 10 AND passes_gopher
+                       AND NOT contaminated AND exact_keep
+                  THEN row_number() OVER (
+                    PARTITION BY (CASE WHEN n_words >= 10 AND passes_gopher
+                                        AND NOT contaminated AND exact_keep
+                                       THEN lang END),
+                                 (CASE WHEN n_words >= 10 AND passes_gopher
+                                        AND NOT contaminated AND exact_keep
+                                       THEN source END)
+                    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+                  END AS qrank
+      FROM gated
+    ), outcomes AS (
+      SELECT CASE WHEN n_words < 10 THEN 'too_short'
+                  WHEN NOT passes_gopher THEN 'fails_gopher'
+                  WHEN contaminated THEN 'contaminated'
+                  WHEN NOT exact_keep THEN 'exact_duplicate'
+                  WHEN qrank > 5 THEN 'over_quota'
+                  ELSE 'kept' END AS outcome,
+             n_words
+      FROM ranked
+    )
+    SELECT outcome, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_words) AS BIGINT) AS total_words
+    FROM outcomes GROUP BY outcome ORDER BY outcome
+    """,
+)
+def curate_pipeline_v2(spark, sf_dir):
+    """The modern curation pipeline composed end-to-end
+    (``operators/curate.py::curate_corpus_v2``): Gopher gates →
+    benchmark decontamination (src0 as the held-out set) → exact dedup →
+    per-(lang, source) quota of 5, with drop-reason precedence.  The
+    oracle reproduces every stage and the precedence CASE — the
+    composition, not just the stages, sits under the hard signal."""
+    from opteryx_spark.operators import curate
+
+    docs = t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("source") == "src0")
+    corpus = docs.filter(F.col("source") != "src0")
+    out = curate.curate_corpus_v2(
+        corpus,
+        bench,
+        gopher_thresholds={"max_dup_2gram_frac": 0.2, "max_top_2gram_frac": 0.12},
+    )
+    return (
+        out.groupBy(F.coalesce("drop_reason", F.lit("kept")).alias("outcome"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_words").alias("total_words"),
+        )
+        .orderBy("outcome")
+    )

@@ -616,3 +616,24 @@ def test_audio_features_deterministic(spark):
     for sr, ns, dur in a.values():
         assert sr in (8000, 16000, 24000, 32000, 40000)
         assert ns == sr * dur and 1 <= dur <= 30
+
+
+def test_profile_numeric_minmax_is_numeric(spark):
+    # regression: min/max must aggregate natively, not lexicographically
+    from opteryx_spark.operators import profile as P
+
+    df = spark.createDataFrame([(9,), (10,), (100,)], ["n"])
+    row = P.profile_table(df, exact_distinct=True).collect()[0]
+    assert row.min_value == "9" and row.max_value == "100"
+
+
+def test_resize_null_payload_yields_nulls(spark):
+    from pyspark.sql.types import BinaryType, LongType, StructField, StructType
+
+    schema = StructType(
+        [StructField("media_id", LongType()), StructField("payload", BinaryType())]
+    )
+    df = spark.createDataFrame([(1, b"payload-bytes"), (2, None)], schema)
+    rows = {r.media_id: r for r in multimodal.resize_images(df, fake=True).collect()}
+    assert rows[1].out_width is not None and rows[1].resized_sha is not None
+    assert rows[2].width is None and rows[2].out_width is None and rows[2].resized_sha is None

@@ -54,7 +54,12 @@ def test_json_operators():
     assert "__atq_exists(props, '$.k')" in out
     assert "(get_json_object(props, '$.k') IS NOT NULL)" in rewriter.finalize_atq(out)
     variant = rewriter.finalize_atq(out, {"v": ["props", "__variant"]})
-    assert "(variant_get(__variant, '$.props.k') IS NOT NULL)" in variant
+    assert "(variant_get(v.__variant, '$.props.k') IS NOT NULL)" in variant
+    # ambiguous membership (two variant views own the column): fall back
+    both = rewriter.finalize_atq(
+        out, {"v1": ["props", "__variant"], "v2": ["props", "__variant"]}
+    )
+    assert "(get_json_object(props, '$.k') IS NOT NULL)" in both
 
 
 def test_array_operators():
