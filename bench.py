@@ -51,6 +51,7 @@ BENCH_QUERIES = [
     "join_range_binned",
     "skew_join_salted",
     "curate_pipeline_audit",
+    "curate_pipeline_v2",
     "decontaminate_benchmark",
     "text_gopher_quality",
 ]

@@ -150,3 +150,14 @@ def test_quota_sample_no_global_sort(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     text = explain_text(filtering.quota_sample(docs, ["lang", "source"], 3))
     assert "rangepartitioning" not in text.lower()  # per-group window only
+
+
+def test_curate_v2_no_cartesian_no_global_sort(spark, sf_dir):
+    from opteryx_spark.operators import curate
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bench = docs.filter(F.col("source") == "src0")
+    corpus = docs.filter(F.col("source") != "src0")
+    text = explain_text(curate.curate_corpus_v2(corpus, bench))
+    assert "CartesianProduct" not in text and "BroadcastNestedLoop" not in text
+    assert "rangepartitioning" not in text.lower()
