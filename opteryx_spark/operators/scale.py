@@ -114,3 +114,39 @@ def hash_sample(
     ).cast("long")
     threshold = int(rate_pct / 100.0 * 4294967296)
     return df.filter(bucket < threshold)
+
+
+def split_assign(
+    df: DataFrame,
+    key_col: str,
+    splits: dict[str, float] | None = None,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic train/val/test split assignment by hashed key.
+
+    ``splits`` maps split name -> fraction (must sum to <= 1; remainder
+    falls into the LAST split).  The same md5-bucket machinery as
+    :func:`hash_sample`: reproducible across runs, engines, and
+    partitionings, and consistent across tables sharing the key (a user
+    hashed into 'val' lands in 'val' in every table — no leakage between
+    splits via joined tables).  Appends a ``split`` column; map-only.
+    """
+    from pyspark.sql import functions as F
+
+    splits = splits or {"train": 0.9, "val": 0.05, "test": 0.05}
+    bucket = F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string"))), 1, 8),
+        16,
+        10,
+    ).cast("long")
+    space = 4294967296
+    expr = None
+    upper = 0.0
+    names = list(splits)
+    for name in names[:-1]:
+        upper += splits[name]
+        cond = bucket < int(upper * space)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    last = F.lit(names[-1])
+    expr = last if expr is None else expr.otherwise(names[-1])
+    return df.withColumn("split", expr)

@@ -394,3 +394,33 @@ def chunk_documents(
         df.select(F.col(id_col), F.posexplode(chunks).alias("chunk_idx", "chunk_text"))
         .withColumn("n_chunk_tokens", token_count("chunk_text"))
     )
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    budget: int = 512,
+) -> DataFrame:
+    """Deterministic sequence packing: assign documents to fixed
+    token-budget training bins by position in the cumulative token
+    stream (ordered by ``id_col``).
+
+    Each doc's bin is ``floor(exclusive_cumsum_tokens / budget)`` — the
+    contiguous-fill rule: bins fill to the budget and may overflow by at
+    most one document (the standard overflow-tolerant packing used when
+    exact bin packing isn't worth a shuffle per bin).  Deterministic on
+    any cluster because the order is the id, not arrival.  One global
+    window over the cumulative sum — at corpus scale, run per partition
+    key (date/shard) so the window never sees the full corpus.
+    """
+    from pyspark.sql import Window
+
+    w = Window.orderBy(id_col).rowsBetween(Window.unboundedPreceding, -1)
+    n = token_count(text_col)
+    return (
+        df.select(F.col(id_col), n.alias("n_tokens"))
+        .withColumn("_before", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)))
+        .withColumn("bin_id", F.floor(F.col("_before") / F.lit(budget)).cast("long"))
+        .drop("_before")
+    )

@@ -493,3 +493,71 @@ def curate_pipeline_v2(spark, sf_dir):
         )
         .orderBy("outcome")
     )
+
+
+_O_MD5_BUCKET = """
+    list_reduce(list_prepend(CAST(0 AS BIGINT),
+      list_transform(range(1, 9), i ->
+        CAST(strpos('0123456789abcdef',
+                    substring(md5(CAST(doc_id AS VARCHAR)), i, 1)) - 1
+             AS BIGINT))),
+      (a, c) -> a * 16 + c)
+"""
+
+
+@register(
+    "sample_split_assign",
+    oracle=f"""
+    WITH h AS (SELECT doc_id, {_O_MD5_BUCKET} AS bucket FROM documents)
+    SELECT doc_id,
+           CASE WHEN bucket < CAST(0.8 * 4294967296 AS BIGINT) THEN 'train'
+                WHEN bucket < CAST(0.9 * 4294967296 AS BIGINT) THEN 'val'
+                ELSE 'test' END AS split
+    FROM h ORDER BY doc_id
+    """,
+)
+def sample_split_assign(spark, sf_dir):
+    """Deterministic train/val/test assignment
+    (``operators/scale.py::split_assign``): 80/10/10 by md5 bucket of
+    the id — reproducible across runs/engines/partitionings and
+    consistent across tables sharing the key (no split leakage through
+    joins).  Map-only."""
+    from opteryx_spark.operators import scale
+
+    docs = t(spark, sf_dir, "documents")
+    return (
+        scale.split_assign(docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+        .select("doc_id", "split")
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "text_pack_sequences",
+    oracle=f"""
+    WITH n AS (
+      SELECT doc_id, CAST(len({_O_TOKENS}) AS BIGINT) AS n_tokens
+      FROM documents
+    ), c AS (
+      SELECT doc_id, n_tokens,
+             CAST(coalesce(SUM(n_tokens) OVER (
+               ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) AS BIGINT) AS before_tokens
+      FROM n
+    )
+    SELECT doc_id, n_tokens, before_tokens // 512 AS bin_id
+    FROM c ORDER BY doc_id
+    """,
+)
+def text_pack_sequences(spark, sf_dir):
+    """Deterministic sequence packing (``text.py::pack_sequences``):
+    contiguous fill of 512-token training bins by cumulative token
+    position (overflow bounded by one document) — the pre-training
+    sequence-prep step after chunking.  Oracle reproduces the exclusive
+    cumulative sum exactly."""
+    docs = t(spark, sf_dir, "documents")
+    return (
+        text.pack_sequences(docs, budget=512)
+        .select("doc_id", "n_tokens", "bin_id")
+        .orderBy("doc_id")
+    )

@@ -73,3 +73,34 @@ def test_salted_join_rejects_right_and_full(spark):
     for how in ("right", "full", "full_outer"):
         with _pytest.raises(ValueError):
             scale.salted_join(left, right, "k", how=how)
+
+
+def test_split_assign_consistent_and_complete(spark, sf_dir):
+    from opteryx_spark.operators import scale
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = scale.split_assign(docs, "doc_id")
+    counts = {r.split: r["count"] for r in out.groupBy("split").count().collect()}
+    assert set(counts) <= {"train", "val", "test"}
+    assert sum(counts.values()) == docs.count()  # total partition, no loss
+    # consistent across tables sharing the key: same ids -> same splits
+    again = scale.split_assign(docs.repartition(7), "doc_id")
+    a = {r.doc_id: r.split for r in out.select("doc_id", "split").collect()}
+    b = {r.doc_id: r.split for r in again.select("doc_id", "split").collect()}
+    assert a == b
+    # train is the bulk at 90/5/5 defaults
+    assert counts.get("train", 0) > counts.get("val", 0)
+
+
+def test_pack_sequences_bins_fill_to_budget(spark):
+    from opteryx_spark.operators import text as T
+
+    df = spark.createDataFrame(
+        [(i, " ".join(["w"] * 100)) for i in range(10)], ["doc_id", "text"]
+    )
+    rows = {r.doc_id: r.bin_id for r in T.pack_sequences(df, budget=250).collect()}
+    # 100 tokens/doc, 250 budget: docs 0,1,2 start under 250 (bin 0),
+    # docs 3,4 bin 1 (300..), doc 5 starts at 500 -> bin 2, etc.
+    assert rows[0] == 0 and rows[1] == 0 and rows[2] == 0
+    assert rows[3] == 1 and rows[4] == 1
+    assert rows[5] == 2
