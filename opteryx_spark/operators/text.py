@@ -401,6 +401,7 @@ def pack_sequences(
     id_col: str = "doc_id",
     text_col: str = "text",
     budget: int = 512,
+    shard_col: str | None = None,
 ) -> DataFrame:
     """Deterministic sequence packing: assign documents to fixed
     token-budget training bins by position in the cumulative token
@@ -410,16 +411,26 @@ def pack_sequences(
     contiguous-fill rule: bins fill to the budget and may overflow by at
     most one document (the standard overflow-tolerant packing used when
     exact bin packing isn't worth a shuffle per bin).  Deterministic on
-    any cluster because the order is the id, not arrival.  One global
-    window over the cumulative sum — at corpus scale, run per partition
-    key (date/shard) so the window never sees the full corpus.
+    any cluster because the order is the id, not arrival.
+
+    Scale: with ``shard_col`` (date/source/shard key) the cumulative
+    window runs per shard — embarrassingly parallel, bin ids unique as
+    (shard, bin_id).  Without it the window is a single global ordered
+    partition: correct, but only appropriate for corpora that fit one
+    task — always pass a shard key at scale.
     """
     from pyspark.sql import Window
 
-    w = Window.orderBy(id_col).rowsBetween(Window.unboundedPreceding, -1)
+    parts = [shard_col] if shard_col else []
+    w = (
+        Window.partitionBy(*parts)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
     n = token_count(text_col)
+    keep = [F.col(shard_col)] if shard_col else []
     return (
-        df.select(F.col(id_col), n.alias("n_tokens"))
+        df.select(*keep, F.col(id_col), n.alias("n_tokens"))
         .withColumn("_before", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)))
         .withColumn("bin_id", F.floor(F.col("_before") / F.lit(budget)).cast("long"))
         .drop("_before")

@@ -104,3 +104,17 @@ def test_pack_sequences_bins_fill_to_budget(spark):
     assert rows[0] == 0 and rows[1] == 0 and rows[2] == 0
     assert rows[3] == 1 and rows[4] == 1
     assert rows[5] == 2
+
+
+def test_pack_sequences_sharded_is_parallel_and_per_shard(spark, sf_dir):
+    from opteryx_spark.operators import text as T
+    from opteryx_spark.plans import explain_text
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = T.pack_sequences(docs, budget=512, shard_col="source")
+    # per-shard windows: each shard's bins start at 0
+    first_bins = {r.source: r.bin_id for r in
+                  out.groupBy("source").agg(F.min("bin_id").alias("bin_id")).collect()}
+    assert all(v == 0 for v in first_bins.values())
+    # the window shuffles by the shard key, never into one global partition
+    assert "SinglePartition" not in explain_text(out)
