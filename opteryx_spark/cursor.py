@@ -506,15 +506,30 @@ class Cursor:
         import re
 
         stores = self._conn.registry.stores
+        has_atq = "__atq_exists(" in sql
         # the variant shadow view exposes __variant, which star expansion
         # would leak into the result schema — statements projecting any
-        # `*` keep the plain read and the string-JSON @? fallback
-        want_variant = "__atq_exists(" in sql and not re.search(
-            r"(?:SELECT|\.)\s*\*", sql, re.IGNORECASE
-        )
+        # `*` keep the plain read and the string-JSON @? fallback.  The
+        # scan is literal-aware ('.*' inside an RLIKE pattern must not
+        # trip it) and treats a `*` right after a closing comment as a
+        # projection star too.
+        star = False
+        if has_atq:
+            star_re = re.compile(r"(?:SELECT|\.|\*/)\s*\*", re.IGNORECASE)
+
+            def _scan(seg: str) -> str:
+                nonlocal star
+                if star_re.search(seg):
+                    star = True
+                return seg
+
+            rewriter.map_outside_literals(sql, _scan)
+        want_variant = has_atq and not star
         variant_views: dict[str, list[str]] = {}
         if not stores:
-            return rewriter.finalize_atq(sql) if want_variant else sql
+            # deferred @? markers MUST resolve even without stores — the
+            # string-JSON fallback is always valid SQL
+            return rewriter.finalize_atq(sql) if has_atq else sql
         pattern = re.compile(r"\b(\w+)\.([A-Za-z_][\w.]*)")
 
         def sub(seg: str) -> str:
@@ -534,8 +549,8 @@ class Cursor:
             return pattern.sub(repl, seg)
 
         sql = rewriter.map_outside_literals(sql, sub)
-        if want_variant:
-            sql = rewriter.finalize_atq(sql, variant_views)
+        if has_atq:
+            sql = rewriter.finalize_atq(sql, variant_views if want_variant else None)
         return sql
 
     # -- results ------------------------------------------------------------

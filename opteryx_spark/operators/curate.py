@@ -124,10 +124,11 @@ def curate_corpus_v2(
     flagged = filtering.decontaminate(
         gated, benchmark, id_col, text_col, k=decontaminate_k, min_overlap=min_overlap
     )
+    # reuse the canonical exact-dedup exemplar choice (sha256 digest
+    # groupBy — uniform key, skew-free) instead of re-deriving it
     keep = (
-        docs.groupBy(F.md5(F.col(text_col)).alias("_dg"))
-        .agg(F.min(id_col).alias("_keep_id"))
-        .select("_keep_id")
+        dedup.content_hash_dedup(docs, id_col, text_col)
+        .select(F.col("keep_id").alias("_keep_id"))
         .withColumn("_exact_keep", F.lit(True))
     )
     flagged = flagged.join(keep, flagged[id_col] == keep["_keep_id"], "left").drop(
@@ -140,13 +141,20 @@ def curate_corpus_v2(
         & F.col("_exact_keep").isNotNull()
     )
     quota_cols = quota_cols or ["lang", "source"]
-    w = Window.partitionBy(
-        *[F.when(pre_quota_ok, F.col(c)) for c in quota_cols]
-    ).orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
-    # rank only survivors: failed docs get partition NULL… which would
-    # collide into one group — rank them too but never read their rank
-    ranked = flagged.withColumn(
-        "_qrank", F.row_number().over(w)
+    # rank ONLY the survivors, then join ranks back: failing docs never
+    # enter the window (no wasted skewed NULL partition), and a survivor
+    # with NULL stratum values cannot collide with them
+    w = Window.partitionBy(*quota_cols).orderBy(
+        F.md5(F.col(id_col).cast("string")), F.col(id_col)
+    )
+    surv_ranks = (
+        flagged.filter(pre_quota_ok)
+        .select(F.col(id_col), *quota_cols)
+        .withColumn("_qrank", F.row_number().over(w))
+        .select(F.col(id_col).alias("_rid"), "_qrank")
+    )
+    ranked = flagged.join(surv_ranks, flagged[id_col] == surv_ranks["_rid"], "left").drop(
+        "_rid"
     )
     return (
         ranked.withColumn(
@@ -158,5 +166,5 @@ def curate_corpus_v2(
             .when(F.col("_qrank") > n_per_group, "over_quota"),
         )
         .withColumn("kept", F.col("drop_reason").isNull())
-        .drop("_exact_keep", "_qrank", "_dg")
+        .drop("_exact_keep", "_qrank")
     )

@@ -111,8 +111,10 @@ def image_features(df: DataFrame, fake: bool = True, max_batch_bytes: int = 64 <
                         "width": [d[0] for d in dims],
                         "height": [d[1] for d in dims],
                         "n_bytes": [len(p) if p is not None else 0 for p in chunk["payload"]],
+                        # NULL payload -> NULL digest (see audio_features)
                         "content_sha": [
-                            hashlib.sha256(p or b"").hexdigest() for p in chunk["payload"]
+                            hashlib.sha256(p).hexdigest() if p is not None else None
+                            for p in chunk["payload"]
                         ],
                     }
                 )
@@ -223,8 +225,11 @@ def audio_features(df: DataFrame, fake: bool = True, max_batch_bytes: int = 64 <
                             pr[1] // pr[0] if pr[0] else None for pr in probes
                         ],
                         "n_bytes": [len(p) if p is not None else 0 for p in chunk["payload"]],
+                        # NULL payload -> NULL digest: all missing clips
+                        # must not collide on sha256(b'') downstream
                         "content_sha": [
-                            hashlib.sha256(p or b"").hexdigest() for p in chunk["payload"]
+                            hashlib.sha256(p).hexdigest() if p is not None else None
+                            for p in chunk["payload"]
                         ],
                     }
                 )

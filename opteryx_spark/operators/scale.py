@@ -90,6 +90,24 @@ def explain_shuffle_count(df: DataFrame) -> int:
     return sum(1 for line in text.splitlines() if line.strip().startswith(("+- Exchange", "Exchange")))
 
 
+# 32-bit hash space of the md5 bucket (first 8 hex chars)
+_BUCKET_SPACE = 4294967296
+
+
+def _md5_bucket(key_col: str, salt: str = ""):
+    """First 32 bits of md5(salt || key) as a long in [0, 2^32) — the ONE
+    bucket definition shared by :func:`hash_sample` and
+    :func:`split_assign`, so sampling and split assignment stay
+    hash-consistent across operators by construction."""
+    from pyspark.sql import functions as F
+
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string"))), 1, 8),
+        16,
+        10,
+    ).cast("long")
+
+
 def hash_sample(
     df: DataFrame,
     key_col: str,
@@ -105,15 +123,8 @@ def hash_sample(
     tables sharing the key (sampling users samples all their rows).
     Map-only — a pushed-down filter, no shuffle.
     """
-    from pyspark.sql import functions as F
-
-    bucket = F.conv(
-        F.substring(F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string"))), 1, 8),
-        16,
-        10,
-    ).cast("long")
-    threshold = int(rate_pct / 100.0 * 4294967296)
-    return df.filter(bucket < threshold)
+    threshold = int(rate_pct / 100.0 * _BUCKET_SPACE)
+    return df.filter(_md5_bucket(key_col, salt) < threshold)
 
 
 def split_assign(
@@ -134,12 +145,8 @@ def split_assign(
     from pyspark.sql import functions as F
 
     splits = splits or {"train": 0.9, "val": 0.05, "test": 0.05}
-    bucket = F.conv(
-        F.substring(F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string"))), 1, 8),
-        16,
-        10,
-    ).cast("long")
-    space = 4294967296
+    bucket = _md5_bucket(key_col, salt)
+    space = _BUCKET_SPACE
     expr = None
     upper = 0.0
     names = list(splits)

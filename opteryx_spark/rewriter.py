@@ -420,19 +420,16 @@ def finalize_atq(sql: str, variant_views: dict[str, list[str]] | None = None) ->
 
     def repl(m):
         col, path = m.group(1), m.group(2)
-        # the variant route engages only when the column belongs to
-        # EXACTLY one variant-bearing view in the statement (ambiguous
-        # membership falls back rather than guessing the wrong table),
-        # and the reference is view-qualified so it can never capture a
-        # same-named column from another relation
-        owners = [
-            v for v, cols in views.items() if col in cols and "__variant" in cols
-        ]
-        if len(owners) == 1:
-            suffix = path[1:] if path.startswith("$") else "." + path
-            return (
-                f"(variant_get({owners[0]}.__variant, '$.{col}{suffix}') IS NOT NULL)"
-            )
+        # the variant route engages only when the statement reads exactly
+        # ONE variant-bearing view and the column belongs to it — the
+        # single-view gate makes the unqualified ``__variant`` reference
+        # unambiguous (and alias-proof: a view-qualified name would stop
+        # resolving the moment the FROM clause aliases the relation)
+        if len(views) == 1:
+            cols = next(iter(views.values()))
+            if col in cols and "__variant" in cols:
+                suffix = path[1:] if path.startswith("$") else "." + path
+                return f"(variant_get(__variant, '$.{col}{suffix}') IS NOT NULL)"
         return f"(get_json_object({col}, '{path}') IS NOT NULL)"
 
     return _ATQ_MARKER.sub(repl, sql)

@@ -397,8 +397,13 @@ class SourceRegistry:
                 return _mp.read_for_range(
                     spark, path, today, today + _dt.timedelta(days=1)
                 )
-            if with_variant and (
-                store.fmt == "json" or (store.fmt is None and _json_fmt_of(path))
+            if (
+                with_variant
+                and (store.fmt == "json" or (store.fmt is None and _json_fmt_of(path)))
+                # the variant read is line-based (spark.read.text); a
+                # multiLine store needs whole-file parsing and keeps the
+                # plain read + string fallback
+                and str(store.options.get("multiLine", "false")).lower() != "true"
             ):
                 return read_json_variant(spark, path, **store.options)
             return read_any(spark, path, fmt=store.fmt, **store.options)

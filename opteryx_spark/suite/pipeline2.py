@@ -418,7 +418,7 @@ _O_G2 = _O_GOPHER_STATS.replace("FROM documents", "FROM corpus")
       SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n
       FROM cg JOIN bg USING (gram) GROUP BY doc_id
     ), {_O_G2.strip().removeprefix('WITH ')}, keepers AS (
-      SELECT md5(text) AS dg, MIN(doc_id) AS keep_id FROM corpus GROUP BY 1
+      SELECT sha256(text) AS dg, MIN(doc_id) AS keep_id FROM corpus GROUP BY 1
     ), staged AS (
       SELECT c.doc_id, c.lang, c.source, r.n_words,
              r.mean_word_len, r.alpha_word_frac, r.stop_hits,
@@ -431,7 +431,7 @@ _O_G2 = _O_GOPHER_STATS.replace("FROM documents", "FROM corpus")
       FROM corpus c
       JOIN rep r USING (doc_id)
       LEFT JOIN hits h USING (doc_id)
-      JOIN keepers k ON k.dg = md5(c.text)
+      JOIN keepers k ON k.dg = sha256(c.text)
     ), gated AS (
       SELECT *,
              (n_words >= 5 AND n_words <= 100000
@@ -439,20 +439,15 @@ _O_G2 = _O_GOPHER_STATS.replace("FROM documents", "FROM corpus")
               AND alpha_word_frac >= 0.8 AND stop_hits >= 2
               AND dup_frac <= 0.2 AND top_frac <= 0.12) AS passes_gopher
       FROM staged
-    ), ranked AS (
-      SELECT *,
-             CASE WHEN n_words >= 10 AND passes_gopher
-                       AND NOT contaminated AND exact_keep
-                  THEN row_number() OVER (
-                    PARTITION BY (CASE WHEN n_words >= 10 AND passes_gopher
-                                        AND NOT contaminated AND exact_keep
-                                       THEN lang END),
-                                 (CASE WHEN n_words >= 10 AND passes_gopher
-                                        AND NOT contaminated AND exact_keep
-                                       THEN source END)
-                    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
-                  END AS qrank
+    ), surv_ranks AS (
+      SELECT doc_id,
+             row_number() OVER (
+               PARTITION BY lang, source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS qrank
       FROM gated
+      WHERE n_words >= 10 AND passes_gopher AND NOT contaminated AND exact_keep
+    ), ranked AS (
+      SELECT g.*, s.qrank FROM gated g LEFT JOIN surv_ranks s USING (doc_id)
     ), outcomes AS (
       SELECT CASE WHEN n_words < 10 THEN 'too_short'
                   WHEN NOT passes_gopher THEN 'fails_gopher'
@@ -505,13 +500,20 @@ _O_MD5_BUCKET = """
 """
 
 
+# thresholds precomputed with the operator's EXACT arithmetic (float
+# accumulation then int() truncation) — a SQL-side CAST would round and
+# disagree on boundary buckets
+_SPLIT_T1 = int(0.8 * 4294967296)
+_SPLIT_T2 = int((0.8 + 0.1) * 4294967296)
+
+
 @register(
     "sample_split_assign",
     oracle=f"""
     WITH h AS (SELECT doc_id, {_O_MD5_BUCKET} AS bucket FROM documents)
     SELECT doc_id,
-           CASE WHEN bucket < CAST(0.8 * 4294967296 AS BIGINT) THEN 'train'
-                WHEN bucket < CAST(0.9 * 4294967296 AS BIGINT) THEN 'val'
+           CASE WHEN bucket < {_SPLIT_T1} THEN 'train'
+                WHEN bucket < {_SPLIT_T2} THEN 'val'
                 ELSE 'test' END AS split
     FROM h ORDER BY doc_id
     """,

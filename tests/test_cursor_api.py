@@ -287,3 +287,27 @@ def test_notebook_magic_registration_gated():
     shell = _gi()
     importlib.reload(opteryx_spark)
     assert "opteryx" in shell.magics_manager.magics["cell"]
+
+
+def test_atq_with_star_projection_falls_back(spark):
+    """SELECT * plus @? must not leak __variant into the schema and must
+    still execute (string-JSON fallback), and '.*' inside a string
+    literal must not disable the variant route."""
+    import opteryx_spark as ox
+
+    conn = ox.Connection(spark)
+    conn.registry.register_store("atqtest", root="/root/reference/testdata")
+    cur = conn.cursor()
+    rows = cur.execute(
+        "SELECT * FROM atqtest.flat.atquestion WHERE dict @? 'list'"
+    ).fetchall()
+    assert len(rows) == 4
+    cols = [d.name for d in cur.description]
+    assert "__variant" not in cols and len(cols) == 3
+    # regex-literal '.*' must not trip the star guard: variant semantics
+    # hold (explicit-null key still counts as existing -> 4 rows)
+    rows2 = cur.execute(
+        "SELECT id FROM atqtest.flat.atquestion "
+        "WHERE nested @? '$.level1.key' AND 'x' NOT RLIKE 'q.*z'"
+    ).fetchall()
+    assert len(rows2) == 4

@@ -54,12 +54,17 @@ def test_json_operators():
     assert "__atq_exists(props, '$.k')" in out
     assert "(get_json_object(props, '$.k') IS NOT NULL)" in rewriter.finalize_atq(out)
     variant = rewriter.finalize_atq(out, {"v": ["props", "__variant"]})
-    assert "(variant_get(v.__variant, '$.props.k') IS NOT NULL)" in variant
-    # ambiguous membership (two variant views own the column): fall back
+    # unqualified __variant: resolves through any FROM-clause alias, and
+    # the single-view gate keeps it unambiguous
+    assert "(variant_get(__variant, '$.props.k') IS NOT NULL)" in variant
+    # two variant views in one statement: fall back (ambiguous __variant)
     both = rewriter.finalize_atq(
         out, {"v1": ["props", "__variant"], "v2": ["props", "__variant"]}
     )
     assert "(get_json_object(props, '$.k') IS NOT NULL)" in both
+    # column not owned by the single view: fall back
+    other = rewriter.finalize_atq(out, {"v": ["different_col", "__variant"]})
+    assert "(get_json_object(props, '$.k') IS NOT NULL)" in other
 
 
 def test_array_operators():
