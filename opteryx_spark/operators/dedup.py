@@ -118,9 +118,10 @@ def _text_groups(df: DataFrame, id_col: str, text_col: str) -> tuple[DataFrame, 
         F.col(text_col).alias(text_col),
         F.xxhash64(text_col).alias("gid"),
     )
-    reps = g.groupBy("gid").agg(F.any_value(text_col).alias(text_col)).select(
-        "gid", F.col("gid").alias("id"), text_col
-    )
+    reps = g.groupBy("gid").agg(
+        F.any_value(text_col).alias(text_col),
+        F.count(F.lit(1)).alias("n_copies"),
+    ).select("gid", F.col("gid").alias("id"), text_col, "n_copies")
     # reps feeds several plan branches (the inner pair computation and the
     # active-group filter); without persist the corpus-wide text shuffle
     # would re-execute once per branch (measured ~12% at sf0.01).  The
@@ -274,13 +275,18 @@ def ngram_jaccard_pairs(
     persist_sets: bool = True,
     max_df: int | None = None,
     unique_texts: bool | str = "auto",
+    weight_col: str | None = None,
 ) -> DataFrame:
     """All document pairs with word-k-gram Jaccard >= threshold (exact).
 
-    ``unique_texts`` (default True — the only sane setting on a
-    duplicate-heavy corpus): exact-dedup texts first, join exemplars,
-    expand pairs back through copy groups.  Output is identical; the
-    candidate space shrinks quadratically in the copy multiplicity.
+    ``unique_texts`` (default "auto" — one map-side probe routes to the
+    copy-group path when >=10% of texts are duplicates): exact-dedup
+    texts first, join exemplars, expand pairs back through copy groups.
+    Output is identical; the candidate space shrinks quadratically in
+    the copy multiplicity.  ``weight_col`` (set by the routing): per-row
+    document multiplicity, so exemplar-table document frequencies equal
+    full-corpus frequencies — the ``max_df`` cap and the rarity ranking
+    see the same df either route.
 
     With ``prefix_filter`` (AllPairs/PPJoin-style, exactness-preserving):
     order each document's shingle set by global document frequency
@@ -330,13 +336,31 @@ def ngram_jaccard_pairs(
             persist_sets=persist_sets,
             max_df=max_df,
             unique_texts=False,
+            weight_col="n_copies",
         )
-        active = reps.filter(F.size(shingles(text_col, k)) > 0).select("gid")
+        if max_df is None:
+            active = reps.filter(F.size(shingles(text_col, k)) > 0).select("gid")
+        else:
+            # direct-path parity: a doc whose every shingle is df-capped
+            # away has an empty capped set and emits NO pairs — groups
+            # are active only if >=1 shingle survives the (weighted) cap
+            sh_w = reps.select(
+                "gid", "n_copies", F.explode(shingles(text_col, k)).alias("_s")
+            )
+            kept_shingles = (
+                sh_w.groupBy("_s")
+                .agg(F.sum("n_copies").alias("_df"))
+                .filter(F.col("_df") <= max_df)
+                .select("_s")
+            )
+            active = sh_w.join(kept_shingles, "_s", "left_semi").select("gid").distinct()
         return _expand_pairs(inner, members, active, {"jaccard": F.lit(1.0)})
 
+    wcols = [F.col(weight_col).alias("_w")] if weight_col else []
     sets_df = _spread(df).select(
         F.col(id_col).alias("id"),
         F.transform(shingles(text_col, k), lambda x: F.xxhash64(x)).alias("arr"),
+        *wcols,
     )
 
     if not prefix_filter:
@@ -364,8 +388,10 @@ def ngram_jaccard_pairs(
             ).alias("jaccard"),
         ).filter(F.col("jaccard") >= threshold)
 
-    sh = sets_df.select("id", F.explode("arr").alias("s"))
-    freq = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    sh = sets_df.select("id", *(["_w"] if weight_col else []), F.explode("arr").alias("s"))
+    df_term = F.sum("_w") if weight_col else F.count(F.lit(1))
+    freq = sh.groupBy("s").agg(df_term.cast("long").alias("df"))
+    sh = sh.drop("_w")
     if max_df is not None:
         freq = freq.filter(F.col("df") <= max_df)
 
@@ -384,7 +410,20 @@ def ngram_jaccard_pairs(
     if persist_sets:
         # enc feeds three plan branches (prefix index, both verify sides)
         enc = _track_persist(enc)
-    plen = (F.col("n") - F.ceil(F.lit(threshold) * F.col("n")) + 1).cast("int")
+    # exact rational threshold arithmetic: float ceil() rounds ABOVE the
+    # true ceiling for many (threshold, size) combos (e.g. t=0.16,
+    # na+nb=29 -> float alpha 5 vs true 4), silently over-pruning pairs
+    # whose Jaccard sits exactly on the bound.  t = tp/tq exactly
+    # (Fraction of the decimal literal); every bound becomes integer
+    # ceil-division, bit-exact at any size.
+    from fractions import Fraction
+
+    frac = Fraction(str(threshold))
+    tp, tq = frac.numerator, frac.denominator
+    # ceil(t*n) = (tp*n + tq - 1) div tq
+    plen = (
+        F.col("n") - F.floor((F.lit(tp) * F.col("n") + F.lit(tq - 1)) / F.lit(tq)) + 1
+    ).cast("int")
     prefix = enc.select(
         "id", "n", F.posexplode(F.slice("iarr", F.lit(1), plen))
     ).select("id", "n", (F.col("pos") + 1).alias("rnk"), F.col("col").alias("s"))
@@ -397,7 +436,11 @@ def ngram_jaccard_pairs(
     # largest bound, so keeping pairs where ANY shared row passes is
     # exact while cutting candidates ~7x on dense corpora.
     na_, nb_ = F.col("a.n"), F.col("b.n")
-    alpha = F.ceil(F.lit(threshold / (1.0 + threshold)) * (na_ + nb_))
+    # alpha = ceil(t/(1+t) * (na+nb)) = ceil(tp*(na+nb) / (tp+tq)) — same
+    # exact integer ceil-division as plen above
+    alpha = F.floor(
+        (F.lit(tp) * (na_ + nb_) + F.lit(tp + tq - 1)) / F.lit(tp + tq)
+    )
     ubound = F.lit(1) + F.least(na_ - F.col("a.rnk"), nb_ - F.col("b.rnk"))
     arrs1 = enc.select(F.col("id").alias("id1"), F.col("iarr").alias("arr1"))
     arrs2 = enc.select(F.col("id").alias("id2"), F.col("iarr").alias("arr2"))
@@ -405,9 +448,10 @@ def ngram_jaccard_pairs(
         a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.id") < F.col("b.id")))
         .filter(
             (ubound >= alpha)
-            # length filter folded into the candidate join
-            & (nb_ >= F.lit(threshold) * na_)
-            & (na_ >= F.lit(threshold) * nb_)
+            # length filter folded into the candidate join (exact:
+            # nb >= t*na <=> tq*nb >= tp*na on integers)
+            & (F.lit(tq) * nb_ >= F.lit(tp) * na_)
+            & (F.lit(tq) * na_ >= F.lit(tp) * nb_)
         )
         .select(
             F.col("a.id").alias("id1"),
@@ -486,6 +530,14 @@ def minhash_signatures(
             acc, perms, lambda m, p: F.least(m, (h * p["a"] + p["b"]) % F.lit(_PORTABLE_MOD))
         )
     else:
+        spark = df.sparkSession
+        if str(spark.conf.get("spark.sql.ansi.enabled", "false")).lower() == "true":
+            raise RuntimeError(
+                "minhash permutations use wrapping 64-bit arithmetic, which "
+                "ANSI mode rejects as overflow: set spark.sql.ansi.enabled="
+                "false (opteryx_spark.session.get_session does), or pass "
+                "portable_hash=True for the mod-2^31-1 variant"
+            )
         hashed = _spread(df).select(
             F.col(id_col).alias("id"),
             F.transform(shingles(text_col, k), lambda x: F.xxhash64(x)).alias("harr"),
@@ -629,14 +681,20 @@ def minhash_dedup_verified(
     k: int = 2,
     broadcast_sets: bool | None = None,
     unique_texts: bool | str = "auto",
+    max_bucket: int | None = 1000,
 ) -> DataFrame:
     """LSH candidates verified with *exact* Jaccard on the shingle sets.
 
     The scalable two-phase plan: LSH prunes the pair space from O(n²) to
     bucket-local candidates, then exact verification computes true Jaccard
     only for candidates.  Output matches an exact all-pairs similarity
-    join above ``threshold`` up to LSH recall (≈1-4e-8 at j≥0.9 with
-    64/16 banding).  ``unique_texts``: candidates + verification run on
+    join above ``threshold`` up to (a) LSH recall (≈1-4e-8 at j≥0.9 with
+    64/16 banding) and (b) the ``max_bucket`` anti-spam cap: a
+    NON-byte-identical near-dup group larger than ``max_bucket`` floods
+    its buckets and is dropped whole — pass ``max_bucket=None`` to trade
+    that recall guarantee for unbounded bucket fan-out.  (Byte-identical
+    groups are exempt: the ``unique_texts`` routing collapses them before
+    bucketing.)  ``unique_texts``: candidates + verification run on
     distinct texts, copy groups expand afterwards (J=1.0 within a group).
     """
     unique_texts = _resolve_unique_texts(df, text_col, unique_texts)
@@ -652,11 +710,12 @@ def minhash_dedup_verified(
             k,
             broadcast_sets,
             unique_texts=False,
+            max_bucket=max_bucket,
         )
         active = reps.filter(F.size(shingles(text_col, k)) > 0).select("gid")
         return _expand_pairs(inner, members, active, {"jaccard": F.lit(1.0)})
     cand = minhash_lsh_pairs(
-        df, id_col, text_col, num_hashes, bands, k, unique_texts=False
+        df, id_col, text_col, num_hashes, bands, k, max_bucket, unique_texts=False
     ).select("id1", "id2")
     sets_df = _spread(df).select(F.col(id_col).alias("id"), shingles(text_col, k).alias("arr"))
     arrs1 = sets_df.select(F.col("id").alias("id1"), F.col("arr").alias("arr1"))
@@ -732,20 +791,39 @@ def simhash_dedup_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_hamming: int = 3,
-    blocks: int = 4,
+    blocks: int | None = None,
     unique_texts: bool | str = "auto",
     bits: int = 64,
     portable_hash: bool = False,
 ) -> DataFrame:
     """Near-dup pairs by simhash Hamming distance <= max_hamming.
 
-    Pigeonhole banding: split the 64-bit signature into ``blocks`` blocks;
-    any pair within distance < blocks shares at least one exact block, so
-    candidates come from equality joins on block values (shuffle on block
-    key), then exact popcount verification.  ``unique_texts``: signatures
-    and banding on distinct texts, copy groups expand afterwards
-    (Hamming 0 within a group — identical text ⇒ identical signature).
+    Pigeonhole banding: split the ``bits``-bit signature into ``blocks``
+    blocks; any pair within distance < blocks shares at least one exact
+    block, so candidates come from equality joins on block values
+    (shuffle on block key), then exact popcount verification.
+    Completeness therefore requires ``max_hamming < blocks``:
+    ``blocks=None`` (default) picks the smallest divisor of ``bits``
+    greater than ``max_hamming``; an explicit value that violates the
+    bound raises rather than silently missing pairs.  ``unique_texts``:
+    signatures and banding on distinct texts, copy groups expand
+    afterwards (Hamming 0 within a group — identical text ⇒ identical
+    signature).
     """
+    if blocks is None:
+        blocks = next(
+            (d for d in range(max_hamming + 1, bits + 1) if bits % d == 0), None
+        )
+        if blocks is None:
+            raise ValueError(f"no block count > max_hamming={max_hamming} divides bits={bits}")
+    if bits % blocks != 0:
+        raise ValueError(f"blocks={blocks} must divide bits={bits}")
+    if max_hamming >= blocks:
+        raise ValueError(
+            f"pigeonhole banding needs max_hamming < blocks "
+            f"(got max_hamming={max_hamming}, blocks={blocks}): pairs at "
+            f"distance >= blocks can differ in every block and would be missed"
+        )
     unique_texts = _resolve_unique_texts(df, text_col, unique_texts)
     if unique_texts:
         reps, members = _text_groups(df, id_col, text_col)

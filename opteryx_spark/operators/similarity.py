@@ -15,7 +15,6 @@ Reference parity: ``COSINE_SIMILARITY`` (``opteryx/functions/__init__.py:611``).
 
 from __future__ import annotations
 
-import math
 import random
 
 from pyspark.sql import Column, DataFrame
@@ -107,7 +106,13 @@ def lsh_cosine_pairs(
     ``first()`` reads it (plan-build time, not per-row).
     """
     if dim is None:
-        dim = df.select(F.size(vec_col)).first()[0]
+        probe = df.select(F.size(vec_col).alias("d")).filter(F.col("d") > 0).first()
+        if probe is None:
+            raise ValueError(
+                "cannot infer embedding dim (empty input or all-NULL "
+                f"'{vec_col}'); pass dim= explicitly"
+            )
+        dim = probe["d"]
     planes = random_hyperplanes(dim, bands * planes_per_band, seed)
     band_sigs = []
     for i in range(bands):
@@ -120,15 +125,22 @@ def lsh_cosine_pairs(
         F.col(id_col).alias("id"), F.col(vec_col).alias("v"), F.explode(F.array(*band_sigs)).alias("b")
     ).select("id", "v", F.col("b.band").alias("band"), F.col("b.sig").alias("sig"))
     if max_bucket is not None:
-        hot = (
-            buckets.groupBy("band", "sig")
-            .count()
-            .filter(F.col("count") > max_bucket)
-            .select("band", "sig")
+        # window-count cap rides the candidate join's own (band, sig)
+        # partitioning — same formulation as dedup.minhash_lsh_pairs
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("band", "sig")
+        buckets = (
+            buckets.withColumn("_bc", F.count(F.lit(1)).over(w))
+            .filter(F.col("_bc") <= max_bucket)
+            .drop("_bc")
         )
-        buckets = buckets.join(F.broadcast(hot), ["band", "sig"], "left_anti")
     a, b = buckets.alias("a"), buckets.alias("b")
-    cand = (
+    # cosine is computed BEFORE the pair dedup so the dedup exchange
+    # carries (id1, id2, double) instead of two full embedding vectors —
+    # duplicate band-pairs carry identical cosim, so min() is exact
+    # dedup (the same shuffle-slim the MinHash/SimHash paths use)
+    return (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
@@ -138,14 +150,11 @@ def lsh_cosine_pairs(
         .select(
             F.col("a.id").alias("id1"),
             F.col("b.id").alias("id2"),
-            F.col("a.v").alias("v1"),
-            F.col("b.v").alias("v2"),
+            cosine(F.col("a.v"), F.col("b.v")).alias("cosim"),
         )
-        .dropDuplicates(["id1", "id2"])
-    )
-    return (
-        cand.select("id1", "id2", cosine(F.col("v1"), F.col("v2")).alias("cosim"))
         .filter(F.col("cosim") >= threshold)
+        .groupBy("id1", "id2")
+        .agg(F.min("cosim").alias("cosim"))
     )
 
 
@@ -251,7 +260,6 @@ def ivf_topk(
     """ANN top-k over an IVF index: probe the nprobe nearest centroids'
     inverted lists only (an IN filter on the cluster column — partition
     pruning when the index is written partitioned by cluster)."""
-    import math
 
     def dist2(c):
         return sum((float(a) - float(b)) ** 2 for a, b in zip(c, query_vec))
@@ -279,14 +287,17 @@ def ivf_persist(
     directory, so a query's nprobe IN-filter becomes *partition pruning*
     at the scan (the plan's PartitionFilters) — at 100 TB the query
     touches nprobe/n_clusters of the bytes, not a post-scan filter.
-    Centroids ride along as a tiny JSON sidecar.
+    Centroids ride along as a tiny parquet sidecar written through the
+    same filesystem layer as the index, so the whole artifact works on
+    any Hadoop-compatible path (s3a://, gs://, hdfs://), not just the
+    local disk a driver-side open() could reach.
     """
-    import json
-    import os
-
     assigned.write.mode("overwrite").partitionBy("cluster").parquet(path)
-    with open(os.path.join(path, "_centroids.json"), "w") as fh:
-        json.dump(centroids, fh)
+    spark = assigned.sparkSession
+    rows = [(i, [float(v) for v in c]) for i, c in enumerate(centroids)]
+    spark.createDataFrame(rows, "cluster int, centroid array<double>").coalesce(
+        1
+    ).write.mode("overwrite").parquet(path.rstrip("/") + "_centroids")
 
 
 def ivf_topk_indexed(
@@ -300,11 +311,10 @@ def ivf_topk_indexed(
 ) -> DataFrame:
     """ANN top-k against a persisted IVF index — the partition-pruned
     scale path (only the nprobe nearest clusters' files are read)."""
-    import json
-    import os
-
-    with open(os.path.join(path, "_centroids.json")) as fh:
-        centroids = json.load(fh)
+    crows = (
+        spark.read.parquet(path.rstrip("/") + "_centroids").orderBy("cluster").collect()
+    )
+    centroids = [r["centroid"] for r in crows]
 
     def dist2(c):
         return sum((float(a) - float(b)) ** 2 for a, b in zip(c, query_vec))

@@ -956,7 +956,7 @@ def dedup_connected_groups(spark, sf_dir):
              FROM blk a JOIN blk b ON a.blk = b.blk AND a.bv = b.bv
                                   AND a.doc_id < b.doc_id)
     SELECT id1, id2, CAST(bit_count(xor(h1, h2)) AS INT) AS hamming
-    FROM cand WHERE bit_count(xor(h1, h2)) <= 4 ORDER BY id1, id2
+    FROM cand WHERE bit_count(xor(h1, h2)) <= 3 ORDER BY id1, id2
     """,
 )
 def dedup_simhash_portable(spark, sf_dir):
@@ -966,6 +966,6 @@ def dedup_simhash_portable(spark, sf_dir):
     by necessity), with every vote reproduced in DuckDB."""
     docs = t(spark, sf_dir, "documents")
     return dedup.simhash_dedup_pairs(
-        docs, "doc_id", "text", max_hamming=4, blocks=4,
+        docs, "doc_id", "text", max_hamming=3, blocks=4,
         unique_texts=False, bits=28, portable_hash=True,
     ).orderBy("id1", "id2")

@@ -637,3 +637,57 @@ def test_resize_null_payload_yields_nulls(spark):
     rows = {r.media_id: r for r in multimodal.resize_images(df, fake=True).collect()}
     assert rows[1].out_width is not None and rows[1].resized_sha is not None
     assert rows[2].width is None and rows[2].out_width is None and rows[2].resized_sha is None
+
+
+def test_prefix_filter_exact_at_fractional_thresholds(spark):
+    """Regression: float ceil() over-estimated the PPJoin alpha bound for
+    many (threshold, size) combos (e.g. t=0.16, na+nb=29), silently
+    dropping pairs sitting exactly on the Jaccard bound.  The rational
+    integer arithmetic must make fast == naive at awkward thresholds."""
+    import random
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(40)]
+    rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(5, 30))))
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    for t in (0.16, 0.3, 0.5):
+        fast = {
+            (r.id1, r.id2, round(r.jaccard, 9))
+            for r in dedup.ngram_jaccard_pairs(
+                df, threshold=t, unique_texts=False
+            ).collect()
+        }
+        naive = {
+            (r.id1, r.id2, round(r.jaccard, 9))
+            for r in dedup.ngram_jaccard_pairs(
+                df, threshold=t, prefix_filter=False, unique_texts=False
+            ).collect()
+        }
+        assert fast == naive, f"threshold {t}: {naive - fast} missing"
+
+
+def test_max_df_consistent_across_unique_texts_routing(spark):
+    """Regression: with copy groups, document frequencies must count
+    DOCUMENTS (weighted by copy multiplicity), not distinct texts — the
+    max_df cap has to remove the same shingles on either route."""
+    a = "shared boiler plate words here plus alpha"
+    rows = [(i, a) for i in range(8)]  # 8 copies -> boilerplate shingles df=8
+    rows += [(100, "shared boiler plate words here plus beta")]
+    rows += [(101, "totally different content entirely now")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    direct = {
+        (r.id1, r.id2, round(r.jaccard, 9))
+        for r in dedup.ngram_jaccard_pairs(
+            df, threshold=0.3, max_df=5, unique_texts=False
+        ).collect()
+    }
+    grouped = {
+        (r.id1, r.id2, round(r.jaccard, 9))
+        for r in dedup.ngram_jaccard_pairs(
+            df, threshold=0.3, max_df=5, unique_texts=True
+        ).collect()
+    }
+    assert direct == grouped
