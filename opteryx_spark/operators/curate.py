@@ -57,7 +57,10 @@ def curate_corpus(
         .join(near_drop, id_col, "left")
         .withColumn(
             "drop_reason",
-            F.when(F.col("n_tokens") < min_tokens, "too_short")
+            # NULL text first: every numeric gate evaluates NULL on it and
+            # would silently fall through to kept
+            F.when(F.col(text_col).isNull(), "invalid_text")
+            .when(F.col("n_tokens") < min_tokens, "too_short")
             .when(F.col("quality") < min_quality, "low_quality")
             .when(F.col("_exact_keep").isNull(), "exact_duplicate")
             .when(F.col("_near_drop").isNotNull(), "near_duplicate"),
@@ -82,12 +85,14 @@ def write_curated(
 
 
 def curation_report(curated: DataFrame) -> DataFrame:
-    """Per-reason accounting of the curation run."""
+    """Per-reason accounting of the curation run (v1 frames carry
+    ``n_tokens``, v2 frames ``n_words`` — either resolves)."""
+    tok = "n_tokens" if "n_tokens" in curated.columns else "n_words"
     return (
         curated.groupBy(F.coalesce("drop_reason", F.lit("kept")).alias("outcome"))
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
-            F.sum("n_tokens").alias("n_tokens"),
+            F.sum(tok).alias("n_tokens"),
         )
         .orderBy("outcome")
     )
@@ -104,6 +109,7 @@ def curate_corpus_v2(
     decontaminate_k: int = 3,
     min_overlap: int = 3,
     gopher_thresholds: dict | None = None,
+    stopword_langs: list[str] | None = None,
 ) -> DataFrame:
     """The modern pre-training curation pipeline, composed end-to-end:
     Gopher quality gates → benchmark decontamination → exact dedup →
@@ -120,7 +126,7 @@ def curate_corpus_v2(
 
     from opteryx_spark.operators import filtering
 
-    gated = filtering.gopher_quality(docs, text_col, gopher_thresholds)
+    gated = filtering.gopher_quality(docs, text_col, gopher_thresholds, stopword_langs)
     flagged = filtering.decontaminate(
         gated, benchmark, id_col, text_col, k=decontaminate_k, min_overlap=min_overlap
     )
@@ -144,9 +150,7 @@ def curate_corpus_v2(
     # rank ONLY the survivors, then join ranks back: failing docs never
     # enter the window (no wasted skewed NULL partition), and a survivor
     # with NULL stratum values cannot collide with them
-    w = Window.partitionBy(*quota_cols).orderBy(
-        F.md5(F.col(id_col).cast("string")), F.col(id_col)
-    )
+    w = Window.partitionBy(*quota_cols).orderBy(*filtering.quota_order(id_col))
     surv_ranks = (
         flagged.filter(pre_quota_ok)
         .select(F.col(id_col), *quota_cols)
@@ -159,7 +163,8 @@ def curate_corpus_v2(
     return (
         ranked.withColumn(
             "drop_reason",
-            F.when(F.col("n_words") < min_tokens, "too_short")
+            F.when(F.col(text_col).isNull(), "invalid_text")
+            .when(F.col("n_words") < min_tokens, "too_short")
             .when(~F.col("passes_gopher"), "fails_gopher")
             .when(F.col("contaminated"), "contaminated")
             .when(F.col("_exact_keep").isNull(), "exact_duplicate")

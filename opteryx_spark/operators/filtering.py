@@ -87,17 +87,30 @@ GOPHER_DEFAULTS = {
 }
 
 
+def quota_order(id_col: str) -> list[Column]:
+    """The canonical deterministic quota ordering — md5 of the id, then
+    the id.  ONE definition shared by :func:`quota_sample` and
+    ``curate.curate_corpus_v2`` (and mirrored by their oracles), so the
+    reproducibility contract cannot silently fork."""
+    return [F.md5(F.col(id_col).cast("string")), F.col(id_col)]
+
+
 def gopher_quality(
     df: DataFrame,
     text_col: str = "text",
     thresholds: dict | None = None,
+    stopword_langs: list[str] | None = None,
 ) -> DataFrame:
     """Gopher-style document quality gates (Rae et al. 2021, appendix A).
 
     Appends the rule metrics and a ``passes_gopher`` verdict:
     word-count band, mean-word-length band, alphabetic-word fraction,
-    stopword evidence, and the two repetition signals (fraction of
-    characters in duplicated / in the single most repeated word 2-gram).
+    stopword evidence (``stopword_langs`` — default English per the
+    paper; pass every corpus language on multilingual data or the gate
+    empties the non-English strata), and the two repetition signals
+    (fraction of characters in duplicated / in the single most repeated
+    word 2-gram).  Docs too short to have 2-grams pass the repetition
+    gates vacuously (never a NULL verdict).
 
     Every metric is integer arithmetic divided at the end, so a SQL
     oracle reproduces the values bit-for-bit.  Pure per-row expressions:
@@ -111,7 +124,9 @@ def gopher_quality(
     mean_word_len = char_sum.cast("double") / n_words.cast("double")
     n_alpha = F.size(F.filter(tks, lambda x: x.rlike("[A-Za-z]"))).cast("long")
     alpha_word_frac = n_alpha.cast("double") / n_words.cast("double")
-    stops = F.array(*[F.lit(w) for w in text.STOPWORDS["en"]])
+    langs = stopword_langs or ["en"]
+    stop_words = sorted({w for lang in langs for w in text.STOPWORDS[lang]})
+    stops = F.array(*[F.lit(w) for w in stop_words])
     stop_hits = F.size(F.filter(tks, lambda x: F.array_contains(stops, x))).cast("long")
     rep = text.repetition_metrics(text_col, k=2)
 
@@ -131,15 +146,19 @@ def gopher_quality(
         "*",
         dup_frac.alias("dup_2gram_frac"),
         top_frac.alias("top_2gram_frac"),
-        (
+        # outer coalesce: a NULL text (every metric NULL) FAILS the gate
+        # rather than producing a tri-state verdict that vanishes from
+        # both sides of a boolean filter
+        F.coalesce(
             (F.col("n_words") >= th["min_words"])
             & (F.col("n_words") <= th["max_words"])
             & (F.col("mean_word_len") >= th["min_mean_word_len"])
             & (F.col("mean_word_len") <= th["max_mean_word_len"])
             & (F.col("alpha_word_frac") >= th["min_alpha_word_frac"])
             & (F.col("stop_hits") >= th["min_stop_hits"])
-            & (dup_frac <= th["max_dup_2gram_frac"])
-            & (top_frac <= th["max_top_2gram_frac"])
+            & F.coalesce(dup_frac <= th["max_dup_2gram_frac"], F.lit(True))
+            & F.coalesce(top_frac <= th["max_top_2gram_frac"], F.lit(True)),
+            F.lit(False),
         ).alias("passes_gopher"),
     )
 
@@ -162,9 +181,7 @@ def quota_sample(
     """
     from pyspark.sql import Window
 
-    w = Window.partitionBy(*group_cols).orderBy(
-        F.md5(F.col(id_col).cast("string")), F.col(id_col)
-    )
+    w = Window.partitionBy(*group_cols).orderBy(*quota_order(id_col))
     return (
         df.withColumn("_qr", F.row_number().over(w))
         .filter(F.col("_qr") <= n_per_group)

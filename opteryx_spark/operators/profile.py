@@ -19,12 +19,15 @@ from pyspark.sql import functions as F
 
 def _render(c: Column, dtype: str) -> Column:
     """Render an aggregated min/max as a string deterministically across
-    engines: doubles route through DECIMAL(25,6) (float repr differs
-    between engines; fixed-scale decimal text does not).  Rendering
-    happens AFTER aggregation so numeric columns keep numeric ordering
-    (string min/max would be lexicographic — '9' > '10')."""
+    engines: finite doubles route through DECIMAL(38,6) (float repr
+    differs between engines; fixed-scale decimal text does not), while
+    NaN/Inf/out-of-range values fall back to the plain cast instead of
+    the decimal cast's silent NULL.  Rendering happens AFTER aggregation
+    so numeric columns keep numeric ordering (string min/max would be
+    lexicographic — '9' > '10')."""
     if dtype in ("double", "float"):
-        return c.cast("decimal(25,6)").cast("string")
+        dec = c.cast("decimal(38,6)").cast("string")
+        return F.coalesce(dec, c.cast("string"))
     return c.cast("string")
 
 
@@ -40,18 +43,21 @@ def profile_table(
     unpivoted with ``inline`` on a literal-indexed struct array — the
     plan stays a partial/final aggregate regardless of table size.
     """
-    cols = cols or df.columns
+    cols = sorted(cols or df.columns)
     dtypes = dict(df.dtypes)
     aggs = [F.count(F.lit(1)).alias("__n")]
-    for c in cols:
+    # index-keyed aliases + df[c] references: column names containing
+    # dots/backticks profile correctly (F.col would parse dots as
+    # struct-field access)
+    for i, c in enumerate(cols):
         distinct = (
-            F.countDistinct(F.col(c)) if exact_distinct else F.approx_count_distinct(c)
+            F.countDistinct(df[c]) if exact_distinct else F.approx_count_distinct(df[c])
         )
         aggs += [
-            F.count(F.col(c)).alias(f"__nn_{c}"),
-            distinct.alias(f"__nd_{c}"),
-            _render(F.min(F.col(c)), dtypes[c]).alias(f"__mn_{c}"),
-            _render(F.max(F.col(c)), dtypes[c]).alias(f"__mx_{c}"),
+            F.count(df[c]).alias(f"__nn_{i}"),
+            distinct.alias(f"__nd_{i}"),
+            _render(F.min(df[c]), dtypes[c]).alias(f"__mn_{i}"),
+            _render(F.max(df[c]), dtypes[c]).alias(f"__mx_{i}"),
         ]
     row = df.agg(*aggs)
     entries = F.array(
@@ -59,12 +65,12 @@ def profile_table(
             F.struct(
                 F.lit(c).alias("column"),
                 F.col("__n").cast("long").alias("n_rows"),
-                F.col(f"__nn_{c}").cast("long").alias("n_nonnull"),
-                F.col(f"__nd_{c}").cast("long").alias("n_distinct"),
-                F.col(f"__mn_{c}").alias("min_value"),
-                F.col(f"__mx_{c}").alias("max_value"),
+                F.col(f"__nn_{i}").cast("long").alias("n_nonnull"),
+                F.col(f"__nd_{i}").cast("long").alias("n_distinct"),
+                F.col(f"__mn_{i}").alias("min_value"),
+                F.col(f"__mx_{i}").alias("max_value"),
             )
-            for c in sorted(cols)
+            for i, c in enumerate(cols)
         ]
     )
     return row.select(F.inline(entries))

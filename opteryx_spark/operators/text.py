@@ -25,7 +25,13 @@ STOPWORDS = {
 
 
 def tokens(col: Column | str, sep: str = " ") -> Column:
-    """Whitespace tokenization with empty tokens dropped."""
+    """Single-space tokenization with empty tokens dropped.
+
+    The split is the literal separator, NOT a whitespace class — run raw
+    corpora through :func:`normalize_text` first (it collapses
+    ``[ \t\r\n]+`` to one space), which is the documented pipeline
+    order.  The literal split is what every DuckDB oracle mirrors
+    (``string_split(text, ' ')``)."""
     c = F.col(col) if isinstance(col, str) else col
     return F.filter(F.split(c, sep), lambda x: x != "")
 
@@ -297,7 +303,9 @@ def characteristic_terms(
 
     tok = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("token"))
     tf = tok.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("tf"))
-    dfreq = tok.groupBy("token").agg(F.countDistinct(id_col).alias("doc_freq"))
+    # tf already has exactly one row per (doc, token), so document
+    # frequency is a count over tf — no second corpus scan/explode
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("doc_freq"))
     scored = tf.join(dfreq, "token").withColumn(
         "score",
         F.floor(F.col("tf") * F.lit(1_000_000) / F.col("doc_freq")).cast("long"),
@@ -381,15 +389,23 @@ def chunk_documents(
     if not 0 <= overlap < max_tokens:
         raise ValueError("need 0 <= overlap < max_tokens")
     stride = max_tokens - overlap
-    tks = tokens(text_col)
-    n = F.size(tks)
-    # number of chunks: ceil(max(n - overlap, 1) / stride), min 1
-    n_chunks = F.greatest(F.ceil((n - F.lit(overlap)).cast("double") / F.lit(stride)).cast("int"), F.lit(1))
-    starts = F.sequence(F.lit(0), n_chunks - 1)
-    chunks = F.transform(
-        starts,
-        lambda i: F.array_join(F.slice(tks, i * stride + 1, max_tokens), " "),
-    )
+
+    def build(tks):
+        n = F.size(tks)
+        # number of chunks: ceil(max(n - overlap, 1) / stride), min 1
+        n_chunks = F.greatest(
+            F.ceil((n - F.lit(overlap)).cast("double") / F.lit(stride)).cast("int"),
+            F.lit(1),
+        )
+        starts = F.sequence(F.lit(0), n_chunks - 1)
+        return F.transform(
+            starts,
+            lambda i: F.array_join(F.slice(tks, i * stride + 1, max_tokens), " "),
+        )
+
+    # _let binds the token array once per row — without it every chunk's
+    # slice re-runs the split (O(n_chunks) tokenizations per doc)
+    chunks = _let(tokens(text_col), build)
     return (
         df.select(F.col(id_col), F.posexplode(chunks).alias("chunk_idx", "chunk_text"))
         .withColumn("n_chunk_tokens", token_count("chunk_text"))

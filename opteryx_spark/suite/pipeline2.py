@@ -74,7 +74,7 @@ def decontaminate_benchmark(spark, sf_dir):
     )
 
 
-_O_GOPHER_STATS = f"""
+_O_GOPHER_TEMPLATE = f"""
     WITH base AS (
       SELECT doc_id, {_O_TOKENS} AS tk, {_O_2GRAMS_ALL} AS grams FROM documents
     ), stats AS (
@@ -86,7 +86,7 @@ _O_GOPHER_STATS = f"""
         CAST(len(list_filter(tk, x -> regexp_matches(x, '[A-Za-z]')))
           AS DOUBLE) / CAST(len(tk) AS DOUBLE) AS alpha_word_frac,
         CAST(len(list_filter(tk,
-          x -> list_contains(['the','a','of','to','and','in','is','it'], x)))
+          x -> list_contains([{{stops}}], x)))
           AS BIGINT) AS stop_hits,
         list_transform(list_distinct(grams),
           g -> struct_pack(cnt := CAST(len(list_filter(grams, x -> x = g)) AS BIGINT),
@@ -103,6 +103,14 @@ _O_GOPHER_STATS = f"""
       FROM stats
     )
 """
+
+from opteryx_spark.operators.text import STOPWORDS as _SW
+
+def _o_gopher_stats(langs):
+    stops = sorted({w for lg in langs for w in _SW[lg]})
+    return _O_GOPHER_TEMPLATE.format(stops=", ".join(f"'{w}'" for w in stops))
+
+_O_GOPHER_STATS = _o_gopher_stats(["en"])
 
 
 @register(
@@ -292,7 +300,7 @@ def _profile_oracle() -> str:
         # render AFTER aggregating: numeric min/max must order numerically
         def conv(agg: str) -> str:
             if dt == "double":
-                return f"CAST(CAST({agg}({c}) AS DECIMAL(25,6)) AS VARCHAR)"
+                return f"CAST(CAST({agg}({c}) AS DECIMAL(38,6)) AS VARCHAR)"
             return f"CAST({agg}({c}) AS VARCHAR)"
 
         parts.append(
@@ -401,7 +409,9 @@ def multimodal_resize_images(spark, sf_dir):
     return multimodal.resize_images(media, max_side=128, fake=True).orderBy("media_id")
 
 
-_O_G2 = _O_GOPHER_STATS.replace("FROM documents", "FROM corpus")
+# v2 runs the multilingual stopword gate (every corpus language), so its
+# oracle inlines the union stop list
+_O_G2 = _o_gopher_stats(sorted(_SW)).replace("FROM documents", "FROM corpus")
 
 
 @register(
@@ -479,6 +489,7 @@ def curate_pipeline_v2(spark, sf_dir):
         corpus,
         bench,
         gopher_thresholds={"max_dup_2gram_frac": 0.2, "max_top_2gram_frac": 0.12},
+        stopword_langs=sorted(text.STOPWORDS),
     )
     return (
         out.groupBy(F.coalesce("drop_reason", F.lit("kept")).alias("outcome"))

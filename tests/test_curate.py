@@ -42,3 +42,31 @@ def test_write_curated_partitioned(spark, sf_dir, tmp_path):
     from opteryx_spark.plans import explain_text
 
     assert "PartitionFilters: [isnotnull(lang" in explain_text(one) or one.count() > 0
+
+
+def test_null_text_gets_invalid_reason_both_pipelines(spark):
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from opteryx_spark.operators import curate
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("text", StringType()),
+            StructField("lang", StringType()),
+            StructField("source", StringType()),
+        ]
+    )
+    good = "the cat sat on the mat and it is a fine day in the sun today ok"
+    df = spark.createDataFrame(
+        [(1, good, "en", "s"), (2, None, "en", "s")], schema
+    )
+    v1 = {r.doc_id: (r.drop_reason, r.kept) for r in curate.curate_corpus(df).collect()}
+    assert v1[2] == ("invalid_text", False)  # must never be silently kept
+    bench = spark.createDataFrame([(9, "zz yy xx ww vv uu", "en", "s")], schema)
+    v2 = {
+        r.doc_id: (r.drop_reason, r.kept)
+        for r in curate.curate_corpus_v2(df, bench).collect()
+    }
+    assert v2[2] == ("invalid_text", False)
+    assert v2[1][1] is True  # the good doc survives

@@ -691,3 +691,37 @@ def test_max_df_consistent_across_unique_texts_routing(spark):
         ).collect()
     }
     assert direct == grouped
+
+
+def test_gopher_verdict_never_null(spark):
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from opteryx_spark.operators import filtering
+
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("text", StringType())]
+    )
+    # one-word doc (no 2-grams -> 0/0 fractions) with gates relaxed so the
+    # repetition gates are the deciders, plus a NULL text
+    df = spark.createDataFrame([(1, "hello"), (2, None)], schema)
+    rows = {
+        r.doc_id: r.passes_gopher
+        for r in filtering.gopher_quality(
+            df, thresholds={"min_words": 1, "min_stop_hits": 0}
+        ).collect()
+    }
+    assert rows[1] is True  # vacuous repetition pass, not NULL
+    assert rows[2] is False  # NULL text fails, not NULL
+
+
+def test_gopher_multilingual_stopwords(spark):
+    from opteryx_spark.operators import filtering
+
+    es = "el gato la casa de que y en un es aqui con mas por para dias largos"
+    df = spark.createDataFrame([(1, es)], ["doc_id", "text"])
+    en_only = filtering.gopher_quality(df, thresholds={"min_words": 5}).collect()[0]
+    multi = filtering.gopher_quality(
+        df, thresholds={"min_words": 5}, stopword_langs=["en", "es", "fr", "de"]
+    ).collect()[0]
+    assert en_only.stop_hits == 0 and not en_only.passes_gopher
+    assert multi.stop_hits >= 2 and multi.passes_gopher
