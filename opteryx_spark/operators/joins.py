@@ -52,7 +52,10 @@ def asof_join(
     payload = F.struct(
         F.col(on).alias("__asof_t"), *[F.col(c) for c in rcols]
     )
-    r = right.select(
+    # NULL ordering keys never match in ASOF semantics (DuckDB drops
+    # them); left in, they sort first (asc = nulls-first) and their
+    # payload would pollute every left row's "latest match"
+    r = right.filter(F.col(on).isNotNull()).select(
         *keys,
         F.col(on).alias("__asof_ts"),
         payload.alias("__asof_p"),

@@ -36,7 +36,7 @@ def salted_join(
     Only inner/left/semi/anti joins are valid: an unmatched right row
     would survive once per salt replica under right/full joins.
     """
-    if how.replace("_outer", "") in ("right", "full", "outer"):
+    if how.lower().replace("_", "") in ("right", "rightouter", "full", "fullouter", "outer"):
         raise ValueError(
             f"salted_join cannot express '{how}' joins (unmatched right rows "
             "would be duplicated per salt); salt the other side or use a plain join"
@@ -87,7 +87,15 @@ def explain_shuffle_count(df: DataFrame) -> int:
     from opteryx_spark.plans import explain_text
 
     text = explain_text(df)
-    return sum(1 for line in text.splitlines() if line.strip().startswith(("+- Exchange", "Exchange")))
+    # formatted plans render left children of binary operators with ':'
+    # tree prefixes (':- Exchange', ':  +- Exchange') — strip ALL tree
+    # characters so those shuffles are counted too.  'ReusedExchange'
+    # deliberately doesn't match (no new shuffle happens there).
+    return sum(
+        1
+        for line in text.splitlines()
+        if line.strip().lstrip(":+- ").startswith("Exchange")
+    )
 
 
 # 32-bit hash space of the md5 bucket (first 8 hex chars)
@@ -121,7 +129,9 @@ def hash_sample(
     reproducible across runs/engines (md5 is engine-portable, unlike a
     seeded RNG), stable under repartitioning, and consistent across
     tables sharing the key (sampling users samples all their rows).
-    Map-only — a pushed-down filter, no shuffle.
+    Map-only — a pushed-down filter, no shuffle.  Rows with a NULL key
+    are always dropped (a NULL cannot hash consistently; filter or
+    assign surrogate keys first).
     """
     threshold = int(rate_pct / 100.0 * _BUCKET_SPACE)
     return df.filter(_md5_bucket(key_col, salt) < threshold)
@@ -141,6 +151,8 @@ def split_assign(
     partitionings, and consistent across tables sharing the key (a user
     hashed into 'val' lands in 'val' in every table — no leakage between
     splits via joined tables).  Appends a ``split`` column; map-only.
+    Rows with a NULL key get ``split = NULL`` (explicitly unassigned —
+    they must never silently concentrate in one split).
     """
     from pyspark.sql import functions as F
 
@@ -156,4 +168,6 @@ def split_assign(
         expr = F.when(cond, name) if expr is None else expr.when(cond, name)
     last = F.lit(names[-1])
     expr = last if expr is None else expr.otherwise(names[-1])
-    return df.withColumn("split", expr)
+    return df.withColumn(
+        "split", F.when(F.col(key_col).isNotNull(), expr)
+    )

@@ -91,7 +91,10 @@ def read_any(spark: SparkSession, path: str, fmt: str | None = None, **options: 
         else:
             fmt, opts = _FORMAT_BY_EXT[ext]
     else:
-        opts = dict(_FORMAT_BY_EXT.get("." + fmt, (fmt, {}))[1])
+        # 'tsv'/'psv'/'jsonl' are extension names, not Spark formats —
+        # resolve BOTH the mapped format and its options
+        fmt, opts = _FORMAT_BY_EXT.get("." + fmt, (fmt, {}))
+        opts = dict(opts)
     opts = {**opts, **options}
     if fmt in ("parquet", "orc"):
         opts.setdefault("mergeSchema", "true")
@@ -107,7 +110,9 @@ def _json_fmt_of(path: str) -> bool:
 
 
 # inferred-schema cache for the variant read path: one inference job per
-# (path, options) per process instead of one per @? statement
+# (path, options) per process instead of one per @? statement.  Bounded
+# at 64 entries (FIFO); long-lived sessions whose files change schema
+# under them can _VARIANT_SCHEMAS.clear() to force re-inference.
 _VARIANT_SCHEMAS: dict = {}
 
 
@@ -129,11 +134,15 @@ def read_json_variant(spark: SparkSession, path: str, **options: str) -> DataFra
     schema = _VARIANT_SCHEMAS.get(key)
     if schema is None:
         schema = spark.read.options(**options).json(path).schema
+        if len(_VARIANT_SCHEMAS) >= 64:  # bounded: drop oldest entry
+            _VARIANT_SCHEMAS.pop(next(iter(_VARIANT_SCHEMAS)))
         _VARIANT_SCHEMAS[key] = schema
-    raw = spark.read.text(path)
+    # blank lines are skipped (the plain json read skips them too) and
+    # malformed records become NULL variants instead of a runtime crash
+    raw = spark.read.text(path).filter(F.trim("value") != "")
     return raw.select(
         F.from_json("value", schema, options or None).alias("__r"),
-        F.parse_json("value").alias("__variant"),
+        F.try_parse_json("value").alias("__variant"),
     ).select("__r.*", "__variant")
 
 
@@ -168,6 +177,7 @@ def _read_http(spark: SparkSession, url: str, fmt: str | None = None, **options:
     (config tables, lookup lists) — 100 TB inputs belong on an object
     store where executors read splits in parallel, not behind HTTP.
     """
+    import hashlib
     import tempfile
     import urllib.request
 
@@ -176,9 +186,15 @@ def _read_http(spark: SparkSession, url: str, fmt: str | None = None, **options:
         if not ext:
             ctype = resp.headers.get("Content-Type", "")
             ext = ".jsonl" if "json" in ctype else ".csv" if "csv" in ctype else ".parquet"
-        with tempfile.NamedTemporaryFile(suffix=ext, delete=False) as tmp:
+        # deterministic per-URL temp path: repeated queries overwrite one
+        # file instead of leaking a new NamedTemporaryFile per call (the
+        # file must outlive this function — Spark reads it lazily)
+        local = os.path.join(
+            tempfile.gettempdir(),
+            f"oxs_http_{hashlib.md5(url.encode()).hexdigest()}{ext}",
+        )
+        with open(local, "wb") as tmp:
             tmp.write(resp.read())
-            local = tmp.name
     return read_any(spark, local, fmt=fmt, **options)
 
 
@@ -273,8 +289,11 @@ def nosql_reader_spec(store: "_Store", table: str) -> tuple[str, dict[str, str]]
         return "mongodb", {**spec, **opts}
     if store.kind in ("cql", "cassandra"):
         keyspace, _, tbl = table.rpartition(".")
+        # pop unconditionally: a store-level keyspace default must not
+        # silently override the keyspace given in the dotted table name
+        default_ks = opts.pop("keyspace", "")
         spec = {
-            "keyspace": keyspace or opts.pop("keyspace", ""),
+            "keyspace": keyspace or default_ks,
             "table": tbl,
         }
         return "org.apache.spark.sql.cassandra", {**spec, **opts}
@@ -362,10 +381,12 @@ class SourceRegistry:
     ) -> DataFrame:
         if dataset in self.frames:
             return _frame_to_df(spark, self.frames[dataset])
-        # object-store / URL datasets go straight to the reader
-        if "://" in dataset:
-            return read_any(spark, dataset)
         match = self._match_store(dataset)
+        # unregistered object-store / URL datasets go straight to the
+        # reader; a REGISTERED url-prefix store (s3://bucket/x with fmt/
+        # options) must match first or its configuration is dead code
+        if match is None and "://" in dataset:
+            return read_any(spark, dataset)
         if match is not None:
             head, store = match
             rest = dataset[len(head) + 1 :]
@@ -399,7 +420,10 @@ class SourceRegistry:
                 )
             if (
                 with_variant
-                and (store.fmt == "json" or (store.fmt is None and _json_fmt_of(path)))
+                and (
+                    store.fmt in ("json", "jsonl", "ndjson")
+                    or (store.fmt is None and _json_fmt_of(path))
+                )
                 # the variant read is line-based (spark.read.text); a
                 # multiLine store needs whole-file parsing and keeps the
                 # plain read + string fallback

@@ -348,3 +348,12 @@ def test_text_cosine_reference_row_count():
     locs = pq.read_table("opteryx_spark/data/missions.parquet").column("Location").to_pylist()
     sims = cosine_similarities(locs, "LC-18A, Cape Canaveral AFS, Florida, USA", stops)
     assert sum(1 for s in sims if s is not None and s > 0.7) == 666
+
+
+def test_read_any_extension_name_formats(spark, tmp_path):
+    from opteryx_spark.sources.registry import read_any
+
+    p = tmp_path / "data.unknownext"
+    p.write_text("a\tb\n1\t2\n")
+    df = read_any(spark, str(p), fmt="tsv")  # extension name, not a Spark format
+    assert df.columns == ["a", "b"] and df.count() == 1

@@ -725,3 +725,26 @@ def test_gopher_multilingual_stopwords(spark):
     ).collect()[0]
     assert en_only.stop_hits == 0 and not en_only.passes_gopher
     assert multi.stop_hits >= 2 and multi.passes_gopher
+
+
+def test_asof_join_ignores_null_right_timestamps(spark):
+    import datetime
+
+    from opteryx_spark.operators import joins as J
+    from pyspark.sql.types import (
+        LongType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    ts = lambda s: datetime.datetime.fromisoformat(s)  # noqa: E731
+    rschema = StructType(
+        [StructField("ts", TimestampType()), StructField("v", LongType())]
+    )
+    right = spark.createDataFrame([(None, 99), (ts("2024-01-01 10:00"), 1)], rschema)
+    left = spark.createDataFrame([(ts("2024-01-01 09:00"),)], "ts timestamp")
+    row = J.asof_join(left, right, on="ts").collect()[0]
+    # 09:00 predates every non-NULL right row: no match, and the NULL-ts
+    # row must never masquerade as the latest match
+    assert row.ts_r is None and row.v is None

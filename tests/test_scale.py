@@ -118,3 +118,40 @@ def test_pack_sequences_sharded_is_parallel_and_per_shard(spark, sf_dir):
     assert all(v == 0 for v in first_bins.values())
     # the window shuffles by the shard key, never into one global partition
     assert "SinglePartition" not in explain_text(out)
+
+
+def test_salted_join_rejects_no_underscore_spellings(spark):
+    from opteryx_spark.operators import scale
+
+    import pytest
+
+    l = spark.createDataFrame([(1, "a")], ["k", "v"])
+    r = spark.createDataFrame([(1, "b")], ["k", "w"])
+    for how in ("rightouter", "fullouter", "RIGHT_OUTER"):
+        with pytest.raises(ValueError):
+            scale.salted_join(l, r, "k", how=how)
+
+
+def test_split_assign_null_key_unassigned(spark):
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from opteryx_spark.operators import scale
+
+    schema = StructType([StructField("doc_id", LongType())])
+    df = spark.createDataFrame([(1,), (None,)], schema)
+    rows = {r.doc_id: r.split for r in scale.split_assign(df, "doc_id").collect()}
+    assert rows[1] in ("train", "val", "test")
+    assert rows[None] is None  # never silently concentrated in one split
+
+
+def test_explain_shuffle_count_sees_left_branch(spark, sf_dir):
+    from opteryx_spark.operators import scale
+
+    a = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    b = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    joined = a.repartition(8, "o_orderkey").join(
+        b.repartition(8, "l_orderkey"), a.o_orderkey == b.l_orderkey
+    )
+    # both sides repartition: the count must see the ':'-prefixed left
+    # branch of the formatted plan, not just the '+-' right branch
+    assert scale.explain_shuffle_count(joined) >= 2
