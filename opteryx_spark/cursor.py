@@ -79,9 +79,12 @@ class Connection:
         self.statistics: dict[str, Any] = {"queries_executed": 0, "statements_executed": 0}
         self.time_columns = {**DEFAULT_TIME_COLUMNS, **(time_columns or {})}
         self.prepared_statements = {**DEFAULT_PREPARED}
+        # ambient files first, explicit constructor args LAST — a
+        # prepared_statements.json lying in cwd must not silently
+        # override what the caller passed in
         for k, v in {
-            **(prepared_statements or {}),
             **_load_json_file("prepared_statements.json"),
+            **(prepared_statements or {}),
         }.items():
             self.prepared_statements[str(k).upper()] = v
         register_virtual_datasets(self.spark)
@@ -91,9 +94,10 @@ class Connection:
         # named views defined as SQL (reference planner/views/__init__.py):
         # registered lazily; retried at execute() time so views over
         # tables registered later still resolve
-        self.views = {**DEFAULT_VIEWS, **(views or {})}
+        self.views = {**DEFAULT_VIEWS}
         for k, v in _load_json_file("views.json").items():
             self.views[k] = v.get("statement") if isinstance(v, dict) else v
+        self.views.update(views or {})  # explicit args win over ambient files
         self._pending_views = set(self.views)
         self._register_pending_views()
         # row-level visibility filters injected per table at resolution
@@ -179,6 +183,19 @@ class Connection:
 
     def _apply_visibility_filters(self) -> None:
         for table, predicate in self.visibility_filters.items():
+            if "." in table:
+                from opteryx_spark import errors
+
+                # a dotted name cannot be a temp-view name, and queries
+                # writing store.table resolve through _resolve_store_refs
+                # into fresh unfiltered store_* views — the filter would
+                # silently not apply.  Reject loudly instead.
+                raise errors.ProgrammingError(
+                    f"visibility filters support single-part table names "
+                    f"(got '{table}'); register the store table under a "
+                    f"plain name (register_df / createOrReplaceTempView) "
+                    f"and filter that"
+                )
             base = None
             if _is_view(self.spark, f"__unfiltered_{table}"):
                 base = self.spark.table(f"__unfiltered_{table}")
@@ -264,7 +281,12 @@ class Cursor:
             from opteryx_spark import errors
 
             name = create_m.group(1)
+            # view resolution is case-insensitive everywhere else (Spark
+            # temp views, _refresh_context_views) — match that here
             view_sql = self._conn.views.get(name)
+            if view_sql is None:
+                folded = {k.lower(): v for k, v in self._conn.views.items()}
+                view_sql = folded.get(name.lower())
             if view_sql is None:
                 raise errors.ProgrammingError(f"view not found: {name}")
             return spark.createDataFrame([(view_sql,)], [name])
@@ -275,7 +297,7 @@ class Cursor:
         if cols_m:
             from opteryx_spark.dialect import _VIRTUAL_COLUMN_ALIASES
 
-            raw = cols_m.group(1)
+            raw = cols_m.group(1).strip("'")
             table = rewriter.rewrite_virtual_datasets(raw)
             for_m = re.search(r"\bFOR\s+'([^']*)'", stmt, re.IGNORECASE)
             mroot = self._conn.registry.mabel_root(table) if not table.startswith("$") else None
@@ -317,10 +339,21 @@ class Cursor:
                 # named (id=1) or positional (1, 2) — positional binds to the
                 # template's :params in appearance order
                 positional = []
-                for pair in exec_m.group(2).split(","):
-                    if "=" in pair:
-                        k, v = pair.split("=", 1)
-                        bound[k.strip()] = _parse_literal(v.strip())
+                for pair in rewriter._split_top_level(exec_m.group(2)):
+                    # '=' split must be literal-aware too: the value may
+                    # contain '=' inside a quoted string
+                    eq = -1
+                    in_str = False
+                    for ci, ch in enumerate(pair):
+                        if in_str:
+                            in_str = ch != "'"
+                        elif ch == "'":
+                            in_str = True
+                        elif ch == "=":
+                            eq = ci
+                            break
+                    if eq >= 0:
+                        bound[pair[:eq].strip()] = _parse_literal(pair[eq + 1 :].strip())
                     elif pair.strip():
                         positional.append(_parse_literal(pair.strip()))
                 if positional:
@@ -467,7 +500,9 @@ class Cursor:
             raise errors.ProgrammingError(f"EXPLAIN FORMAT {fmt} is not supported")
         plan_df = spark.sql(inner)
         if analyze:
-            plan_df.collect()  # execute so metrics exist
+            # execute so runtime metrics exist — through the noop sink,
+            # never materializing the result set on the driver
+            plan_df.write.format("noop").mode("overwrite").save()
             text = plan_df._jdf.queryExecution().executedPlan().toString()
         else:
             text = plan_df._jdf.queryExecution().explainString(

@@ -219,6 +219,34 @@ def _norm_end_exclusive(tok: str) -> str:
     return f"CAST({tok} AS TIMESTAMP) + INTERVAL 1 DAY"
 
 
+def _sub_outside_literals(pattern: re.Pattern, repl_fn, sql: str) -> str:
+    """``pattern.sub`` that skips matches STARTING inside a string
+    literal — FROM-clause rewrites (temporal FOR, table functions) must
+    not fire on matching text inside a quoted value.  (Matches may
+    legitimately *contain* literals — date bounds — so only the start
+    position is checked.)"""
+    spans = []
+    i = 0
+    while i < len(sql):
+        if sql[i] in ("'", '"'):
+            end = _scan_literal(sql, i)
+            spans.append((i, end))
+            i = end
+        else:
+            i += 1
+    out, last = [], 0
+    for m in pattern.finditer(sql):
+        if any(a <= m.start() < b for a, b in spans):
+            continue
+        if m.start() < last:  # overlapped a prior replacement
+            continue
+        out.append(sql[last : m.start()])
+        out.append(repl_fn(m))
+        last = m.end()
+    out.append(sql[last:])
+    return "".join(out)
+
+
 def extract_temporal(sql: str) -> tuple[str, dict[str, tuple[str, str, str]]]:
     """Strip ``FOR ...`` temporal clauses; return per-*occurrence* marker
     views mapping to (table, start_inclusive, end_exclusive) filter
@@ -262,11 +290,11 @@ def extract_temporal(sql: str) -> tuple[str, dict[str, tuple[str, str, str]]]:
         return sub
 
     for pat, kind in _FOR_PATTERNS:
-        sql = pat.sub(handle(kind), sql)
+        sql = _sub_outside_literals(pat, handle(kind), sql)
     # FOR on a derived relation ((SELECT ...) AS p FOR '...'): the inner
     # references resolve their own snapshots; with snapshot-consistent
     # (static) virtual data the outer clause is an identity filter
-    sql = _SUBQ_FOR.sub(r"\1", sql)
+    sql = _sub_outside_literals(_SUBQ_FOR, lambda m: m.group(1), sql)
     return sql, filters
 
 
@@ -278,8 +306,38 @@ def extract_temporal(sql: str) -> tuple[str, dict[str, tuple[str, str, str]]]:
 _ARROW2 = re.compile(r"('(?:[^']|'')*'|[\w.]+(?:\([^()]*\))?)\s*->>\s*'([^']+)'")
 _ARROW1 = re.compile(r"('(?:[^']|'')*'|[\w.]+(?:\([^()]*\))?)\s*->\s*'([^']+)'")
 _ATQ = re.compile(r"('(?:[^']|'')*'|[\w.]+(?:\([^()]*\))?)\s*@\?\s*'([^']+)'")
-_AT_ALL = re.compile(r"([\w.\(\)]+)\s*@>>\s*(?:array)?\(([^)]*)\)", re.IGNORECASE)
-_AT_ANY = re.compile(r"([\w.\(\)]+)\s*@>\s*(?:array)?\(([^)]*)\)", re.IGNORECASE)
+# lhs + operator head only — the argument list is consumed with a
+# balanced-paren scan so nested calls inside the tuple don't truncate it
+_AT_ALL = re.compile(r"([\w.\(\)]+)\s*@>>\s*(?:array)?\(", re.IGNORECASE)
+_AT_ANY = re.compile(r"([\w.\(\)]+)\s*@>\s*(?:array)?\(", re.IGNORECASE)
+
+
+def _rewrite_at_ops(sql: str, pattern: re.Pattern, build) -> str:
+    pos = 0
+    while True:
+        m = pattern.search(sql, pos)
+        if not m:
+            return sql
+        # scan from the opening paren to its balanced close
+        depth, i, in_str = 1, m.end(), False
+        while i < len(sql) and depth:
+            ch = sql[i]
+            if in_str:
+                in_str = ch != "'"
+            elif ch == "'":
+                in_str = True
+            elif ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            i += 1
+        if depth:  # unbalanced: leave untouched
+            pos = m.end()
+            continue
+        args = sql[m.end() : i - 1]
+        repl = build(m.group(1), args)
+        sql = sql[: m.start()] + repl + sql[i:]
+        pos = m.start() + len(repl)
 _DOLLAR = re.compile(r"\$(\w+)")
 _GEN_SERIES_HEAD = re.compile(r"\b(FROM|JOIN)\s+GENERATE_SERIES\s*\(", re.IGNORECASE)
 _GS_CONT = re.compile(r"\s*,\s*GENERATE_SERIES\s*\(", re.IGNORECASE)
@@ -437,10 +495,14 @@ def finalize_atq(sql: str, variant_views: dict[str, list[str]] | None = None) ->
 
 def rewrite_operators(sql: str) -> str:
     sql = rewrite_json_arrows(sql)
-    sql = _AT_ALL.sub(
-        lambda m: f"forall(array({m.group(2)}), __e -> array_contains({m.group(1)}, __e))", sql
+    sql = _rewrite_at_ops(
+        sql,
+        _AT_ALL,
+        lambda lhs, args: f"forall(array({args}), __e -> array_contains({lhs}, __e))",
     )
-    sql = _AT_ANY.sub(lambda m: f"arrays_overlap({m.group(1)}, array({m.group(2)}))", sql)
+    sql = _rewrite_at_ops(
+        sql, _AT_ANY, lambda lhs, args: f"arrays_overlap({lhs}, array({args}))"
+    )
     return sql
 
 
@@ -662,16 +724,17 @@ def bind_params(sql: str, params: dict | list | None) -> str:
     values = iter(params)
 
     def sub_positional(seg: str) -> str:
+        # a '?' that is part of the '@?' JSON path-exists operator is NOT
+        # a placeholder (binding may run before the operator rewrite)
         out = []
-        for piece in seg.split("?"):
-            out.append(piece)
-            out.append("?")
-        out.pop()  # drop trailing separator
-        for idx in range(1, len(out), 2):
-            try:
-                out[idx] = _sql_literal(next(values))
-            except StopIteration:
-                break
+        for j, ch in enumerate(seg):
+            if ch == "?" and (j == 0 or seg[j - 1] != "@"):
+                try:
+                    out.append(_sql_literal(next(values)))
+                    continue
+                except StopIteration:
+                    pass
+            out.append(ch)
         return "".join(out)
 
     return map_outside_literals(sql, sub_positional)
@@ -760,7 +823,9 @@ def rewrite_http_function(sql: str) -> str:
     """``FROM HTTP('url')`` → ``FROM 'url'`` (reference
     ``operators/function_dataset_node.py:60-75``); the path-table
     extraction then routes it through the HTTP reader."""
-    return _HTTP_FN.sub(lambda m: f"{m.group(1)} {m.group(2)}", sql)
+    return _sub_outside_literals(
+        _HTTP_FN, lambda m: f"{m.group(1)} {m.group(2)}", sql
+    )
 
 
 def rewrite(sql: str, params: dict | list | None = None) -> RewriteResult:

@@ -207,3 +207,23 @@ def test_fake_alias_not_confused_with_join():
         "SELECT * FROM FAKE(2, 2) JOIN (SELECT 1 AS a) x ON TRUE"
     )
     assert "JOIN (SELECT 1 AS a) x ON TRUE" in out
+
+
+def test_temporal_for_inside_literal_untouched():
+    sql = "SELECT * FROM logs WHERE message = 'shipped FROM paris FOR TODAY'"
+    res = rewriter.extract_temporal(sql)
+    out, filters = res if isinstance(res, tuple) else (res.sql, res.temporal_filters)
+    assert filters == {}
+    assert "shipped FROM paris FOR TODAY" in out
+
+
+def test_array_ops_with_nested_calls():
+    out = rewriter.rewrite_operators("SELECT * FROM t WHERE tags @> (lower('a'), 'b')")
+    assert "arrays_overlap(tags, array(lower('a'), 'b'))" in out
+    out2 = rewriter.rewrite_operators("SELECT * FROM t WHERE tags @>> (f(x, 1), g(y))")
+    assert "forall(array(f(x, 1), g(y))" in out2
+
+
+def test_positional_binding_skips_atq_operator():
+    out = rewriter.bind_params("SELECT * FROM t WHERE d @? '$.a' AND id = ?", [7])
+    assert "@? '$.a'" in out and "id = 7" in out
