@@ -32,11 +32,14 @@ def _nanos_ts_columns(path: str) -> list[str]:
     """Columns stored as parquet TIMESTAMP(NANOS) — Spark can't read them
     natively; we read them as long (``legacy.parquet.nanosAsLong``) and
     convert to microsecond timestamps (DuckDB-equivalent truncation)."""
-    import pyarrow.parquet as pq
+    import pyarrow.dataset as pads
     import pyarrow.types as pat
 
     try:
-        schema = pq.read_schema(path)
+        # pyarrow.dataset resolves single files AND directory-of-parts
+        # datasets (pq.read_schema raises OSError on a directory, which
+        # would silently skip the ns->us conversion)
+        schema = pads.dataset(path, format="parquet").schema
     except Exception:
         return []
     return [
@@ -69,7 +72,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ns_cols = _nanos_ts_columns(path)
     df = spark.read.parquet(path)
     for col in ns_cols:
-        df = df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))
+        # backtick-escaped identifier (names may themselves contain `)
+        esc = col.replace("`", "``")
+        df = df.withColumn(col, F.timestamp_micros(F.expr(f"`{esc}` div 1000")))
     _TABLE_CACHE[key] = df
     while len(_TABLE_CACHE) > _TABLE_CACHE_MAX:
         _TABLE_CACHE.popitem(last=False)

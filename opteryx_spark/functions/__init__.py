@@ -52,13 +52,18 @@ def product(col: Column) -> Column:
     zeros = F.sum(F.when(col == 0, 1).otherwise(0))
     negs = F.sum(F.when(col < 0, 1).otherwise(0))
     sign = F.when(negs % 2 == 0, F.lit(1.0)).otherwise(F.lit(-1.0))
-    return F.when(zeros > 0, F.lit(0.0)).otherwise(sign * F.exp(log_sum))
+    # all-NULL group -> NULL (count = 0), like every other SQL aggregate
+    return F.when(F.count(col) == 0, F.lit(None).cast("double")).when(
+        zeros > 0, F.lit(0.0)
+    ).otherwise(sign * F.exp(log_sum))
 
 
 def date_diff_interval(end: Column, start: Column) -> Column:
     """Reference date−date → INTERVAL semantics
-    (``binary_operators.py:173-191``): returns a day-time interval."""
-    return F.expr(f"({end._jc.toString()}) - ({start._jc.toString()})")
+    (``binary_operators.py:173-191``): returns a day-time interval.
+    Plain column subtraction — date/timestamp minus resolves to an
+    interval natively (no string round-trip, Connect-compatible)."""
+    return end - start
 
 
 def time_bucket(ts: Column, width: str = "1 hour") -> Column:
@@ -70,7 +75,8 @@ def time_bucket(ts: Column, width: str = "1 hour") -> Column:
 def levenshtein_ratio(a: Column, b: Column) -> Column:
     dist = F.levenshtein(a, b).cast("double")
     longest = F.greatest(F.length(a), F.length(b)).cast("double")
-    return F.lit(1.0) - dist / longest
+    # two empty strings are identical: 1.0, not 0/0
+    return F.when(longest == 0, F.lit(1.0)).otherwise(F.lit(1.0) - dist / longest)
 
 
 # --- pandas-UDF-backed gap functions ---------------------------------------
@@ -92,7 +98,15 @@ def _make_pandas_udfs():
 
     @pandas_udf("string")
     def base85_decode(s: pd.Series) -> pd.Series:
-        return s.map(lambda v: base64.b85decode(v).decode() if v is not None else None)
+        def _d(v):
+            if v is None:
+                return None
+            try:
+                return base64.b85decode(v).decode()
+            except (ValueError, UnicodeDecodeError):
+                return None  # malformed input yields NULL, not a task abort
+
+        return s.map(_d)
 
     @pandas_udf("string")
     def humanize(n: pd.Series) -> pd.Series:
@@ -182,9 +196,16 @@ def _make_pandas_udfs():
                 return any(e is not None and n_l in str(e).lower() for e in v)
             return n_l in str(v).lower()
 
+        def _isnull(x):
+            # pd.isna on an array-valued field returns an array -> bool()
+            # ambiguity; any container is by definition non-null
+            if isinstance(x, (list, tuple, dict, np.ndarray)):
+                return False
+            return x is None or pd.isna(x)
+
         if isinstance(col, pd.DataFrame):  # struct input
             vals = [
-                None if all(pd.isna(x) for x in row) else list(row)
+                None if all(_isnull(x) for x in row) else list(row)
                 for row in col.itertuples(index=False)
             ]
         else:
@@ -206,10 +227,11 @@ def _make_pandas_udfs():
         # the query side is a literal broadcast across the batch: group by
         # distinct query value so its vector is built once
         out = pd.Series([None] * len(col), dtype="object")
-        qvals = query.fillna("")
-        for qv in qvals.unique():
-            mask = qvals == qv
+        null_q = query.isna()
+        for qv in query[~null_q].unique():
+            mask = (query == qv) & ~null_q
             out[mask] = cosine_similarities(list(col[mask]), qv, stops)
+        # NULL query rows stay NULL (SQL propagation), never 0.0
         return out.astype("float64")
 
     return {
@@ -223,16 +245,31 @@ def _make_pandas_udfs():
     }
 
 
+_UDF_CACHE: dict | None = None
+_REGISTERED_SESSIONS: set = set()
+
+
 def register_sql_functions(spark) -> None:
-    """Register the gap functions for SQL use (idempotent)."""
-    for name, udf in _make_pandas_udfs().items():
+    """Register the gap functions for SQL use (idempotent; the UDFs are
+    built once per process and registered once per SparkSession, not per
+    cursor)."""
+    global _UDF_CACHE
+    sid = id(spark)
+    if sid in _REGISTERED_SESSIONS:
+        return
+    if _UDF_CACHE is None:
+        _UDF_CACHE = _make_pandas_udfs()
+    for name, udf in _UDF_CACHE.items():
         spark.udf.register(name, udf)
+    _REGISTERED_SESSIONS.add(sid)
 
 
 def match_against(col: Column, terms: list[str]) -> Column:
     """Reference MATCH ... AGAINST full-text predicate
     (``functions/__init__.py`` MATCH_AGAINST): true when every search
     term appears as a whitespace token of the document."""
-    toks = F.split(F.lower(col), " ")
+    # same tokenizer as the SQL-path rewrite (dialect.py): split on
+    # spaces AND commas so both implementations agree
+    toks = F.split(F.lower(col), "[ ,]+")
     needles = F.array(*[F.lit(t.lower()) for t in terms])
     return F.forall(needles, lambda needle: F.array_contains(toks, needle))

@@ -33,7 +33,8 @@ def read_events_stream(spark: SparkSession, path: str, schema=None, ts_col: str 
     if ts_col in stream.columns:
         dtype = dict(stream.dtypes)[ts_col]
         if dtype == "bigint":
-            stream = stream.withColumn(ts_col, F.timestamp_micros(F.expr(f"`{ts_col}` div 1000")))
+            esc = ts_col.replace("`", "``")
+            stream = stream.withColumn(ts_col, F.timestamp_micros(F.expr(f"`{esc}` div 1000")))
         elif dtype == "timestamp_ntz":
             # watermarks require TIMESTAMP; event files carry UTC instants.
             # Derive the instant arithmetically (µs since the naive epoch =
