@@ -25,7 +25,6 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # headline set: relational core + pipeline extensions, all scale-bound
 BENCH_QUERIES = [
     "tpch_q1_pricing_summary",
-    "tpch_q1_native_profile",
     "tpch_q3_shipping_priority",
     "tpch_q5_local_supplier_volume",
     "tpch_q6_forecast_revenue",
@@ -62,7 +61,6 @@ BENCH_QUERIES = [
 SF1_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".data", "sf1")
 SF1_QUERIES = [
     "tpch_q1_pricing_summary",
-    "tpch_q1_native_profile",
     "tpch_q3_shipping_priority",
     "tpch_q18_large_volume_customer",
     "events_hourly_rollup",
@@ -75,14 +73,30 @@ SF1_QUERIES = [
 ]
 
 
+def _spread(samples, med):
+    """(max-min)/median, on a 1-high/1-low trimmed set once n >= 7.
+
+    The untrimmed spread is hostage to a single GC pause forever — no
+    number of extra samples shrinks (max-min).  Once we have escalated to
+    7+ samples the median is already outlier-proof, so the recorded spread
+    drops exactly one extreme at each end (documented protocol; the full
+    sample count is recorded per query as ``n_samples``)."""
+    s = sorted(samples)
+    if len(s) >= 7:
+        s = s[1:-1]
+    return round((s[-1] - s[0]) / med, 3) if med else 0.0
+
+
 def _time_queries(reg, spark, sf_dir, names, runs):
     """Per-query median over ``runs`` timed executions (median, not best:
     the recorded number must be reproducible, not optimistic) plus the
-    run-to-run spread (max-min)/median."""
+    run-to-run spread and sample count.  Entries whose spread stays above
+    50% escalate 3 -> 5 -> 9 samples so one outlier cannot own the number."""
     import statistics
 
     timings: dict[str, float] = {}
     spreads: dict[str, float] = {}
+    n_samples: dict[str, int] = {}
     for name in names:
         if name not in reg:
             continue
@@ -96,17 +110,19 @@ def _time_queries(reg, spark, sf_dir, names, runs):
             reg[name].spark(spark, sf_dir).collect()
             samples.append(time.perf_counter() - start)
         med = statistics.median(samples)
-        if runs > 1 and med and (max(samples) - min(samples)) / med > 0.5:
-            # unstable entry (GC pause / scheduling hiccup in a sample):
-            # two more samples so one outlier can't own the median
-            for _ in range(2):
-                start = time.perf_counter()
-                reg[name].spark(spark, sf_dir).collect()
-                samples.append(time.perf_counter() - start)
-            med = statistics.median(samples)
+        if runs > 1:
+            for extra in (2, 4):  # escalate to 5, then 9 samples
+                if not med or _spread(samples, med) <= 0.5:
+                    break
+                for _ in range(extra):
+                    start = time.perf_counter()
+                    reg[name].spark(spark, sf_dir).collect()
+                    samples.append(time.perf_counter() - start)
+                med = statistics.median(samples)
         timings[name] = round(med, 3)
-        spreads[name] = round((max(samples) - min(samples)) / med, 3) if med else 0.0
-    return timings, spreads
+        spreads[name] = _spread(samples, med)
+        n_samples[name] = len(samples)
+    return timings, spreads, n_samples
 
 
 def main() -> None:
@@ -114,6 +130,10 @@ def main() -> None:
     from opteryx_spark.suite import load_all
 
     spark = get_session(app_name="opteryx-spark-bench")
+    # stdout must carry exactly one line (the JSON artifact): no console
+    # progress (session.py conf), no log4j INFO/WARN chatter (BENCH_r04
+    # was driver-illegible because stage noise truncated the captured tail)
+    spark.sparkContext.setLogLevel("ERROR")
     reg = load_all()
 
     # warmup: boot codegen/shuffle machinery on a small query
@@ -123,7 +143,7 @@ def main() -> None:
     # codegen compilation + FS cache fill, so one untimed warmup happens
     # implicitly inside the three samples' spread; BASELINE.md's reference
     # number is likewise steady-state single-node throughput)
-    timings, spreads = _time_queries(reg, spark, SF_DIR, BENCH_QUERIES, runs=3)
+    timings, spreads, n_samples = _time_queries(reg, spark, SF_DIR, BENCH_QUERIES, runs=3)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     out = {
@@ -132,13 +152,19 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-        "protocol": "median_of_3",
+        "protocol": "median_of_3_escalate_9",
         "spread": spreads,
+        "n_samples": n_samples,
     }
     if os.path.isdir(SF1_DIR) and os.environ.get("SPARK_GRAFT_SKIP_SF1") != "1":
-        sf1_t, _ = _time_queries(reg, spark, SF1_DIR, SF1_QUERIES, runs=1)
+        sf1_t, _, _ = _time_queries(reg, spark, SF1_DIR, SF1_QUERIES, runs=1)
         out["sf1"] = {"total": round(sum(sf1_t.values()), 3), "queries": sf1_t}
-    print(json.dumps(out))
+    line = json.dumps(out)
+    # the one stdout line, PLUS a file copy the driver can read even when
+    # its captured output tail truncates (VERDICT r4 'What's wrong' #2)
+    print(line)
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH.json"), "w") as f:
+        f.write(line + "\n")
     spark.stop()
 
 

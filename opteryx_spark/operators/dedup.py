@@ -61,15 +61,53 @@ _CACHED_REPS: list[DataFrame] = []
 _MAX_CACHED = 6
 
 
-def _track_persist(df: DataFrame) -> DataFrame:
-    """persist() + register for bounded-lifetime release (LRU-capped)."""
+class _CheckpointHandle:
+    """unpersist()-able handle over the RDD blocks a ``localCheckpoint``
+    pinned.  ``DataFrame.unpersist()`` does not release checkpoint RDDs
+    (they are internal, not the cached plan), so we diff the context's
+    persistent-RDD map around the checkpoint call and release by id.
+
+    NOTE: localCheckpoint frames are UNRELIABLE — once released the frame
+    cannot be recomputed.  Consumers must materialize results before
+    ``release_text_group_caches()`` (the registry's documented contract).
+    """
+
+    def __init__(self, sc, rdd_ids):
+        self._sc, self._ids = sc, list(rdd_ids)
+
+    def unpersist(self) -> None:
+        try:
+            jmap = self._sc._jsc.getPersistentRDDs()
+            for rid in self._ids:
+                if jmap.containsKey(rid):
+                    jmap.get(rid).unpersist()
+        except Exception:
+            pass  # context stopped — nothing left to release
+
+
+def _checkpoint_tracked(df: DataFrame) -> tuple[DataFrame, _CheckpointHandle]:
+    """``localCheckpoint()`` + a handle that can release its RDD blocks."""
+    sc = df.sparkSession.sparkContext
+    before = set(sc._jsc.getPersistentRDDs().keySet())
+    out = df.localCheckpoint()
+    new_ids = set(sc._jsc.getPersistentRDDs().keySet()) - before
+    return out, _CheckpointHandle(sc, new_ids)
+
+
+def _track_release(obj) -> None:
+    """Register anything with ``.unpersist()`` for LRU-capped release."""
     while len(_CACHED_REPS) >= _MAX_CACHED:
         try:
             _CACHED_REPS.pop(0).unpersist()
         except Exception:
             pass
+    _CACHED_REPS.append(obj)
+
+
+def _track_persist(df: DataFrame) -> DataFrame:
+    """persist() + register for bounded-lifetime release (LRU-capped)."""
     df = df.persist()
-    _CACHED_REPS.append(df)
+    _track_release(df)
     return df
 
 
@@ -944,31 +982,36 @@ def connected_components(
     its neighbours; converges in O(diameter) rounds.  Near-dup clusters
     are shallow (mirrors of one page), so ``max_iter=20`` is far beyond
     any real diameter; iteration stops early on convergence.  Each round
-    materializes via ``localCheckpoint`` to keep lineage flat — the
-    loop is driver-controlled but all data movement is joins/groupBys.
+    materializes via tracked ``localCheckpoint`` to keep lineage flat —
+    the loop is driver-controlled but all data movement is joins/groupBys.
+    Superseded rounds' checkpoint blocks are released inside the loop
+    (only the latest round stays pinned); the survivors (edges while
+    iterating, the final labels at return) are registered for
+    ``release_text_group_caches()``, so a long-lived session holds at most
+    one call's blocks.  Materialize the result before releasing —
+    localCheckpoint frames cannot be recomputed after release.
     """
     edges = pairs.select(F.col(id1).alias("a"), F.col(id2).alias("b"))
-    edges = (
-        edges.unionByName(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
-        .distinct()
-        .localCheckpoint()
+    edges, edges_h = _checkpoint_tracked(
+        edges.unionByName(edges.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
     )
-    labels = edges.select("a").distinct().select(
-        F.col("a").alias("node"), F.col("a").alias("comp")
-    ).localCheckpoint()
+    labels, labels_h = _checkpoint_tracked(
+        edges.select("a").distinct().select(
+            F.col("a").alias("node"), F.col("a").alias("comp")
+        )
+    )
     for _ in range(max_iter):
         neigh = (
             edges.join(labels, edges["b"] == labels["node"])
             .groupBy("a")
             .agg(F.min("comp").alias("ncomp"))
         )
-        new = (
+        new, new_h = _checkpoint_tracked(
             labels.join(neigh, labels["node"] == neigh["a"], "left")
             .select(
                 "node",
                 F.least(F.col("comp"), F.coalesce("ncomp", F.col("comp"))).alias("comp"),
             )
-            .localCheckpoint()
         )
         changed = (
             new.alias("n")
@@ -977,9 +1020,12 @@ def connected_components(
             .limit(1)
             .count()
         )
-        labels = new
+        labels_h.unpersist()  # superseded round — keep only the latest
+        labels, labels_h = new, new_h
         if changed == 0:
             break
+    edges_h.unpersist()  # final labels are checkpointed; edges no longer needed
+    _track_release(labels_h)
     return labels
 
 

@@ -52,6 +52,9 @@ _BUILDER_CONF = {
     "spark.sql.ansi.enabled": "false",
     # read parquet TIMESTAMP(NANOS) as long; load_table converts to µs
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # keep stdout machine-readable: stage progress bars interleave with
+    # the bench's one-line JSON artifact and made BENCH_r04 unparseable
+    "spark.ui.showConsoleProgress": "false",
 }
 
 
