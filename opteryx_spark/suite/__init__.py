@@ -43,24 +43,14 @@ def register(name: str, oracle: str | None = None):
 
 # The driver's correctness harness checks entries in registration order and
 # caps how many it verifies per round (50 of the registry).  Ordering policy
-# (round 4): entries that have NEVER earned a green driver verdict come first
-# (the 9 oracle-bearing entries that always fell past the cap in r1-r3, plus
-# anything newly registered this round); entries already green in
-# CORRECTNESS_r01/r02/r03.json fill the remaining window slots as
-# re-confirmation; entries with no oracle (rows-only by design) go last so
-# they never displace an oracle-bearing entry from the window.
-_R4_FRONT = (
-    # oracle-bearing, never driver-checked in r1-r3 (local DuckDB pytest green)
-    "agg_rollup",
-    "expr_case_when",
-    "expr_string_funcs",
-    "expr_date_funcs",
-    "window_lag_rank",
-    "window_running_sum",
-    "unnest_tokens",
-    "skew_join_naive",
-    "skew_join_salted",
-)
+# (round 5): every r1-r4 oracle entry is cumulatively green (125/125), so
+# there is no never-green tier left.  NEW oracle entries (not in
+# _DRIVER_GREEN) auto-promote to the front of the window; the remaining
+# slots re-confirm a ROTATING sample of old greens (deterministic per-round
+# shuffle keyed by _ROTATION_SALT, so successive rounds re-confirm
+# different entries instead of the same first-registered ones); rows-only
+# entries always go last.
+_ROTATION_SALT = "r5"
 
 # Every entry with a full green (rows+schema+hash) verdict in some round's
 # CORRECTNESS JSON.  New oracle-bearing entries (not in this set) are
@@ -73,6 +63,7 @@ _DRIVER_GREEN = frozenset({
     "agg_global",
     "agg_histogram",
     "agg_median_percentile",
+    "agg_rollup",
     "agg_variance_stddev",
     "any_all_array_ops",
     "array_funcs",
@@ -83,20 +74,34 @@ _DRIVER_GREEN = frozenset({
     "cb_value_percentiles_by_type",
     "count_null_semantics",
     "cte_with_chain",
+    "curate_pipeline_audit",
+    "curate_pipeline_v2",
     "datetime_extract_unix",
+    "decontaminate_benchmark",
+    "dedup_connected_groups",
     "dedup_exact_stats",
     "dedup_fingerprint",
+    "dedup_incremental_exact",
+    "dedup_minhash_lsh_portable",
     "dedup_minhash_verified",
     "dedup_ngram_jaccard",
+    "dedup_simhash_portable",
     "dedup_winnow_pairs",
     "distinct_on_latest_order",
+    "emb_ann_ivf_topk",
+    "emb_ann_lsh_topk",
     "emb_cosine_pairs",
     "emb_cosine_topk",
     "emb_l2_norms",
+    "emb_quantize_int8",
+    "emb_semantic_dedup",
     "events_hourly_rollup",
     "events_sessionless_funnel",
+    "expr_case_when",
+    "expr_date_funcs",
     "expr_json_extract",
     "expr_math_funcs",
+    "expr_string_funcs",
     "hash_encode_funcs",
     "having_post_aggregation",
     "interval_arithmetic",
@@ -109,6 +114,9 @@ _DRIVER_GREEN = frozenset({
     "join_non_equi",
     "join_range_binned",
     "join_right_outer",
+    "multimodal_audio_features",
+    "multimodal_image_features",
+    "multimodal_resize_images",
     "null_in_notin",
     "null_three_valued_logic",
     "null_where_filters",
@@ -116,18 +124,31 @@ _DRIVER_GREEN = frozenset({
     "pivot_status_by_priority",
     "pred_between_casts",
     "pred_like_battery",
+    "profile_orders",
     "regexp_funcs",
+    "sample_hash_deterministic",
+    "sample_quota_stratified",
+    "sample_split_assign",
     "scalar_conditional_funcs",
     "set_except",
     "set_intersect",
     "set_union_all",
     "set_union_distinct",
+    "skew_join_naive",
+    "skew_join_salted",
     "sort_limit_offset",
     "string_funcs_2",
     "subquery_scalar_correlated",
     "text_bpe_token_stats",
+    "text_characteristic_terms",
+    "text_chunk_documents",
+    "text_gopher_quality",
+    "text_normalize",
+    "text_pack_sequences",
     "text_quality_langid",
+    "text_redact_pii",
     "text_token_stats",
+    "text_vocab_topk",
     "text_winnow_fingerprints",
     "tpch_q10_returned_items",
     "tpch_q11_important_stock",
@@ -154,8 +175,11 @@ _DRIVER_GREEN = frozenset({
     "tvf_generate_series",
     "tvf_values_clause",
     "unnest_lateral_filtered_distinct",
+    "unnest_tokens",
     "window_frames_moving_avg",
+    "window_lag_rank",
     "window_range_percent",
+    "window_running_sum",
     "window_topn_per_group",
 })
 
@@ -172,20 +196,20 @@ def load_all() -> dict[str, QueryDef]:
     import opteryx_spark.suite.pipeline2  # noqa: F401
     import opteryx_spark.suite.tpch  # noqa: F401
 
+    import hashlib
+
     ordered: dict[str, QueryDef] = {}
-    # tier 1: explicitly promoted never-green entries
-    for name in _R4_FRONT:
-        if name in REGISTRY:
-            ordered[name] = REGISTRY[name]
-    # tier 2: oracle-bearing entries with no green verdict yet (new this round)
+    # tier 1: oracle-bearing entries with no green verdict yet (new this round)
     for name, qd in REGISTRY.items():
-        if name not in ordered and qd.oracle and name not in _DRIVER_GREEN:
+        if qd.oracle and name not in _DRIVER_GREEN:
             ordered[name] = qd
-    # tier 3: already-green oracle entries (window slots = re-confirmation)
-    for name, qd in REGISTRY.items():
-        if name not in ordered and qd.oracle:
-            ordered[name] = qd
-    # tier 4: rows-only entries (no oracle) — never displace an oracle entry
+    # tier 2: already-green oracle entries, rotated per round so driver
+    # re-confirmation slots cycle through the whole registry over rounds
+    greens = [n for n, qd in REGISTRY.items() if qd.oracle and n not in ordered]
+    greens.sort(key=lambda n: hashlib.md5((_ROTATION_SALT + n).encode()).hexdigest())
+    for name in greens:
+        ordered[name] = REGISTRY[name]
+    # tier 3: rows-only entries (no oracle) — never displace an oracle entry
     for name, qd in REGISTRY.items():
         ordered.setdefault(name, qd)
     return ordered
