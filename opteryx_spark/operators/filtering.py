@@ -187,3 +187,89 @@ def quota_sample(
         .filter(F.col("_qr") <= n_per_group)
         .drop("_qr")
     )
+
+
+def unigram_perplexity(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    alpha: float = 0.5,
+    max_avg_nll_millinats: int = 8000,
+    model: DataFrame | None = None,
+) -> DataFrame:
+    """KenLM-style perplexity gate, reduced to a unigram LM with additive
+    smoothing so every number is engine-reproducible.
+
+    Per token, ``p = (tf + alpha) / (N + alpha·V)`` over the model corpus
+    (``model``: a (token, tf) frame — e.g. from a trusted reference
+    corpus; default trains on ``df`` itself).  The per-token cost is
+    quantized to integer **millinats**, ``floor(-ln(p)·1000 + 0.5)``, so
+    per-document totals are exact BIGINT sums — order-independent and
+    identical in any engine whose ``ln`` agrees to ~1e-13 (all libm-grade
+    implementations; the fixed-point determinism strategy the oracle gate
+    needs, same trick as ``suite/_util.fsum``).  Appends ``n_tokens``,
+    ``nll_millinats``, ``avg_nll_millinats`` (double), and
+    ``passes_perplexity`` (avg ≤ ``max_avg_nll_millinats``; docs with no
+    tokens fail, like every NULL-text gate in this module).
+
+    Scale shape: token frequencies are one word-count aggregate; the
+    per-token cost table is vocabulary-sized (≪ corpus) and broadcast
+    onto the exploded corpus; the per-doc reduce is keyed by id.  Two
+    bounded shuffles, no driver collect, no per-row Python.
+    """
+    toks = df.select(F.col(id_col).alias("_pid"), F.explode(text.tokens(text_col)).alias("_tok"))
+    if model is None:
+        model = toks.groupBy("_tok").agg(F.count(F.lit(1)).alias("_tf"))
+    else:
+        model = model.select(F.col("token").alias("_tok"), F.col("tf").alias("_tf"))
+    totals = model.agg(
+        F.sum("_tf").alias("_N"), F.count(F.lit(1)).alias("_V")
+    )
+    a = F.lit(float(alpha))
+    p = (F.col("_tf").cast("double") + a) / (
+        F.col("_N").cast("double") + (a * F.col("_V").cast("double"))
+    )
+    costs = model.crossJoin(F.broadcast(totals)).select(
+        "_tok",
+        F.floor((-F.log(p)) * F.lit(1000.0) + F.lit(0.5)).alias("_nll"),
+    )
+    # unknown tokens (external model) cost the unseen-mass rate alpha/(N+aV)
+    unk = (
+        totals.select(
+            F.floor(
+                (-F.log(
+                    a / (F.col("_N").cast("double") + (a * F.col("_V").cast("double")))
+                ))
+                * F.lit(1000.0)
+                + F.lit(0.5)
+            ).alias("_unk_nll")
+        )
+    )
+    doc = (
+        toks.join(F.broadcast(costs), "_tok", "left")
+        .crossJoin(F.broadcast(unk))
+        .select("_pid", F.coalesce(F.col("_nll"), F.col("_unk_nll")).alias("_nll"))
+        .groupBy("_pid")
+        .agg(F.count(F.lit(1)).alias("n_tokens"), F.sum("_nll").alias("nll_millinats"))
+    )
+    out = (
+        df.join(doc, df[id_col] == doc["_pid"], "left")
+        .drop("_pid")
+        .withColumn("n_tokens", F.coalesce(F.col("n_tokens"), F.lit(0).cast("long")))
+        .withColumn("nll_millinats", F.coalesce(F.col("nll_millinats"), F.lit(0).cast("long")))
+        .withColumn(
+            "avg_nll_millinats",
+            F.when(
+                F.col("n_tokens") > 0,
+                F.col("nll_millinats").cast("double") / F.col("n_tokens").cast("double"),
+            ),
+        )
+        .withColumn(
+            "passes_perplexity",
+            F.coalesce(
+                F.col("avg_nll_millinats") <= F.lit(float(max_avg_nll_millinats)),
+                F.lit(False),
+            ),
+        )
+    )
+    return out

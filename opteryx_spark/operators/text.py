@@ -451,3 +451,56 @@ def pack_sequences(
         .withColumn("bin_id", F.floor(F.col("_before") / F.lit(budget)).cast("long"))
         .drop("_before")
     )
+
+
+def readability_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Append classic readability heuristics: ``n_sentences``,
+    ``n_words``, ``n_syllables``, ``flesch_reading_ease``, ``fk_grade``.
+
+    The standard cheap quality signal on web corpora (too-low FRE flags
+    machine-generated/legalese text, too-high flags word salad).
+    Syllables use the vowel-group heuristic — per word,
+    ``max(1, count of [aeiouy]+ runs)`` on the lowercased token — and
+    sentences count ``[.!?]+`` runs (min 1), so all three counts are
+    integers and the two scores are single-op double divisions/multiplies
+    (bit-deterministic across engines).  NULL text or zero words →
+    NULL scores.  Map-only: pure expressions, zero shuffle at any scale.
+    """
+    c = F.col(text_col)
+    n_sent = F.greatest(
+        F.lit(1).cast("long"),
+        F.size(F.regexp_extract_all(c, F.lit("([.!?]+)"), 1)).cast("long"),
+    )
+
+    def counts(tks: Column) -> Column:
+        syl = F.aggregate(
+            tks,
+            F.lit(0).cast("long"),
+            lambda acc, w: acc
+            + F.greatest(
+                F.lit(1).cast("long"),
+                F.size(F.regexp_extract_all(F.lower(w), F.lit("([aeiouy]+)"), 1)).cast("long"),
+            ),
+        )
+        return F.struct(F.size(tks).cast("long").alias("w"), syl.alias("s"))
+
+    st = _let(tokens(c), counts)
+    # non-ANSI Spark returns -1 for size(NULL array): NULL text must yield
+    # NULL counts, not -1 (DuckDB's len(NULL) is NULL — oracle parity)
+    df = (
+        df.withColumn("n_sentences", F.when(c.isNotNull(), n_sent))
+        .withColumn("_rd", st)
+        .withColumn("n_words", F.when(c.isNotNull(), F.col("_rd.w")))
+        .withColumn("n_syllables", F.when(c.isNotNull(), F.col("_rd.s")))
+        .drop("_rd")
+    )
+    wps = F.col("n_words").cast("double") / F.col("n_sentences").cast("double")
+    spw = F.col("n_syllables").cast("double") / F.col("n_words").cast("double")
+    nonempty = F.col("n_words") > 0
+    return df.withColumn(
+        "flesch_reading_ease",
+        F.when(nonempty, (F.lit(206.835) - (F.lit(1.015) * wps)) - (F.lit(84.6) * spw)),
+    ).withColumn(
+        "fk_grade",
+        F.when(nonempty, ((F.lit(0.39) * wps) + (F.lit(11.8) * spw)) - F.lit(15.59)),
+    )

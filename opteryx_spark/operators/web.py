@@ -1,0 +1,171 @@
+"""Per-URL / per-domain curation operators (C4 / RefinedWeb-style).
+
+Large-scale web-corpus pipelines gate and budget documents by their
+source URL: parse the URL into components, reduce the host to its
+*registered domain* (the unit both blocklists and per-site quotas key
+on — ``news.example.co.uk`` and ``example.co.uk`` are one site), drop
+blocklisted domains, and cap how many documents any single domain may
+contribute (RefinedWeb §3.1 curates per-domain; C4 blocklists by
+domain).
+
+Everything here is pure column expressions plus (for the quota) one
+per-domain window — map-only or single bounded shuffle at any scale.
+URL parsing uses explicit regex/string ops rather than Spark's
+``parse_url`` so the DuckDB oracles can mirror the arithmetic exactly.
+
+Reference parity note: the reference engine has no web-curation
+operators — these are the beyond-reference training-data-pipeline
+surface (same charter as ``operators/filtering.py``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Multi-label public suffixes this engine recognizes when reducing a host
+# to its registered domain.  A deliberately small embedded subset of the
+# public-suffix list (the full PSL is a data file pipelines should mount
+# and pass via ``extra_suffixes``); covers the common ccTLD second levels.
+MULTI_SUFFIXES = (
+    "co.uk", "org.uk", "ac.uk", "gov.uk",
+    "com.au", "net.au", "org.au",
+    "co.jp", "ne.jp", "or.jp",
+    "co.in", "net.in", "org.in",
+    "com.br", "net.br", "org.br",
+    "co.za", "com.cn", "com.mx", "com.tr", "co.kr", "co.nz",
+    "com.sg", "com.hk", "com.tw", "com.ar",
+)
+
+# host = authority minus userinfo/port; query/fragment delimited by ?/#
+_SCHEME_RE = "^([a-zA-Z][a-zA-Z0-9+.-]*)://.*$"
+_HOST_RE = "^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]*).*$"
+_PORT_RE = "^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?[^/?#:]*:([0-9]+).*$"
+_PATH_RE = "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*(/[^?#]*).*$"
+_QUERY_RE = "^[^?#]*\\?([^#]*).*$"
+
+
+def registered_domain(host: Column | str, extra_suffixes: tuple[str, ...] = ()) -> Column:
+    """Reduce a hostname to its registered (pay-level) domain.
+
+    ``a.b.example.co.uk`` → ``example.co.uk`` (multi-label suffix),
+    ``sub.example.com`` → ``example.com``; a bare ``localhost`` or an
+    already-minimal host passes through unchanged.  Suffix matching is a
+    literal IN over the embedded :data:`MULTI_SUFFIXES` (+ caller
+    extras) — pure expressions, no UDF, no lookup join.
+    """
+    h = F.col(host) if isinstance(host, str) else host
+    parts = F.split(h, "\\.")
+    n = F.size(parts)
+    last2 = F.concat_ws(".", F.element_at(parts, -2), F.element_at(parts, -1))
+    last3 = F.concat_ws(
+        ".", F.element_at(parts, -3), F.element_at(parts, -2), F.element_at(parts, -1)
+    )
+    suffixes = list(MULTI_SUFFIXES) + list(extra_suffixes)
+    return (
+        F.when(n <= F.lit(2), h)
+        .when(last2.isin(suffixes), F.when(n >= 3, last3).otherwise(h))
+        .otherwise(last2)
+    )
+
+
+def parse_urls(
+    df: DataFrame,
+    url_col: str = "url",
+    extra_suffixes: tuple[str, ...] = (),
+) -> DataFrame:
+    """Append parsed URL components: ``scheme``, ``host``, ``port``
+    (long, NULL when absent), ``path`` (NULL when absent), ``query``
+    (NULL when absent), and ``domain`` (registered domain of the host).
+
+    Malformed / scheme-less values yield NULL components (and a NULL
+    url yields all-NULL) — filter on ``host IS NULL`` to audit.  Pure
+    regexp_extract expressions: map-only, fully codegen'd, pushdown- and
+    pruning-transparent at any scale.
+    """
+    u = F.col(url_col)
+
+    def ext(pattern: str) -> Column:
+        # regexp_extract returns '' on no-match; normalize to NULL
+        got = F.regexp_extract(u, pattern, 1)
+        return F.when(got == "", F.lit(None)).otherwise(got)
+
+    host = ext(_HOST_RE)
+    return (
+        df.withColumn("scheme", ext(_SCHEME_RE))
+        .withColumn("host", host)
+        .withColumn("port", ext(_PORT_RE).cast("long"))
+        .withColumn("path", ext(_PATH_RE))
+        .withColumn("query", ext(_QUERY_RE))
+        .withColumn(
+            "domain",
+            F.when(host.isNull(), F.lit(None)).otherwise(
+                registered_domain(host, extra_suffixes)
+            ),
+        )
+    )
+
+
+def domain_blocklist(
+    df: DataFrame,
+    blocked: list[str] | DataFrame,
+    url_col: str = "url",
+    extra_suffixes: tuple[str, ...] = (),
+) -> DataFrame:
+    """Append ``blocked_domain`` (bool): the URL's registered domain is on
+    the blocklist.  NULL/unparseable URLs are ``blocked_domain = false``
+    (they fail other gates; this gate answers only the list question).
+
+    A Python list becomes a literal IN (zero data movement); a DataFrame
+    blocklist (one ``domain`` column) becomes a left join the optimizer
+    broadcasts — blocklists are small next to a corpus at any scale.
+    """
+    dom = registered_domain(
+        F.regexp_extract(F.col(url_col), _HOST_RE, 1), extra_suffixes
+    )
+    if isinstance(blocked, DataFrame):
+        bl = blocked.select(F.col("domain").alias("_bl_domain")).distinct().withColumn(
+            "_bl_hit", F.lit(True)
+        )
+        return (
+            df.withColumn("_dom", dom)
+            .join(F.broadcast(bl), F.col("_dom") == F.col("_bl_domain"), "left")
+            .withColumn("blocked_domain", F.coalesce(F.col("_bl_hit"), F.lit(False)))
+            .drop("_dom", "_bl_domain", "_bl_hit")
+        )
+    return df.withColumn("blocked_domain", F.coalesce(dom.isin(list(blocked)), F.lit(False)))
+
+
+def domain_quota(
+    df: DataFrame,
+    max_per_domain: int,
+    id_col: str = "doc_id",
+    url_col: str = "url",
+    extra_suffixes: tuple[str, ...] = (),
+) -> DataFrame:
+    """Keep at most ``max_per_domain`` documents per registered domain,
+    chosen by the engine's canonical deterministic quota order (md5 of
+    the id, then the id — ``filtering.quota_order``), so the kept set is
+    partition- and cluster-invariant.  Docs whose URL has no parseable
+    host quota together under domain NULL (explicit, documented — they
+    are one "site" of unknowns; pre-filter if that is not wanted).
+
+    One per-domain window — the same bounded-shuffle shape as
+    ``filtering.quota_sample``; no global sort, no driver loop.
+    """
+    from pyspark.sql import Window
+
+    from opteryx_spark.operators.filtering import quota_order
+
+    host = F.regexp_extract(F.col(url_col), _HOST_RE, 1)
+    dom = F.when(host == "", F.lit(None)).otherwise(
+        registered_domain(host, extra_suffixes)
+    )
+    w = Window.partitionBy("_dom").orderBy(*quota_order(id_col))
+    return (
+        df.withColumn("_dom", dom)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= max_per_domain)
+        .withColumn("domain", F.col("_dom"))
+        .drop("_dom", "_rn")
+    )

@@ -1,0 +1,257 @@
+"""Round-5 curation-pipeline suite entries: per-URL/domain operators
+(C4/RefinedWeb-style), readability scores, and the unigram perplexity
+gate.  Every entry carries a bit-exact DuckDB oracle.
+
+The driver corpus has no URL column, so the web entries attach one
+deterministically derived from ``doc_id``/``source`` (same expression on
+both sides) — it exercises subdomains, multi-label public suffixes,
+ports, querystrings, and malformed values.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from opteryx_spark.operators import filtering, text, web
+from opteryx_spark.suite import register
+from opteryx_spark.suite._util import t
+
+_O_TOKENS = "list_filter(string_split(text, ' '), x -> x <> '')"
+
+
+# --- deterministic URL fixture (Spark + SQL twins) ---------------------------
+
+
+def _with_urls(docs):
+    d = F.col("doc_id")
+    host = (
+        F.when(d % 6 == 0, F.lit("www.alpha-news.com"))
+        .when(d % 6 == 1, F.lit("cdn.beta.co.uk"))
+        .when(d % 6 == 2, F.lit("gamma.io"))
+        .when(d % 6 == 3, F.lit("sub.delta.com.au"))
+        .when(d % 6 == 4, F.lit("blog.epsilon.org"))
+        .otherwise(F.lit("localhost:8080"))
+    )
+    url = F.concat(
+        F.lit("http"),
+        F.when(d % 2 == 0, F.lit("s")).otherwise(F.lit("")),
+        F.lit("://"),
+        host,
+        F.lit("/"),
+        F.col("source"),
+        F.lit("/"),
+        d.cast("string"),
+        F.when(d % 7 == 0, F.lit("?ref=rss")).otherwise(F.lit("")),
+    )
+    return docs.withColumn("url", F.when(d % 13 == 3, F.lit("not a url")).otherwise(url))
+
+
+_O_URL_CTE = """
+    WITH u AS (
+      SELECT *,
+        CASE WHEN doc_id % 13 = 3 THEN 'not a url' ELSE
+          'http' || CASE WHEN doc_id % 2 = 0 THEN 's' ELSE '' END || '://' ||
+          CASE doc_id % 6
+            WHEN 0 THEN 'www.alpha-news.com'
+            WHEN 1 THEN 'cdn.beta.co.uk'
+            WHEN 2 THEN 'gamma.io'
+            WHEN 3 THEN 'sub.delta.com.au'
+            WHEN 4 THEN 'blog.epsilon.org'
+            ELSE 'localhost:8080' END ||
+          '/' || source || '/' || CAST(doc_id AS VARCHAR) ||
+          CASE WHEN doc_id % 7 = 0 THEN '?ref=rss' ELSE '' END
+        END AS url
+      FROM documents
+    )
+"""
+
+# SQL twins of operators/web.py's component regexes (RE2-safe: explicit
+# classes, no lookaround — identical semantics under Java regex and RE2)
+_O_SCHEME = "NULLIF(regexp_extract(url, '^([a-zA-Z][a-zA-Z0-9+.-]*)://.*$', 1), '')"
+_O_HOST = (
+    "NULLIF(regexp_extract(url,"
+    " '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]*).*$', 1), '')"
+)
+_O_PORT = (
+    "CAST(NULLIF(regexp_extract(url,"
+    " '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?[^/?#:]*:([0-9]+).*$', 1), '')"
+    " AS BIGINT)"
+)
+_O_PATH = (
+    "NULLIF(regexp_extract(url,"
+    " '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*(/[^?#]*).*$', 1), '')"
+)
+_O_QUERY = "NULLIF(regexp_extract(url, '^[^?#]*\\?([^#]*).*$', 1), '')"
+
+_O_SUFFIX_LIST = ", ".join(f"'{s}'" for s in web.MULTI_SUFFIXES)
+
+
+def _o_domain(host_expr: str) -> str:
+    """SQL twin of web.registered_domain (DuckDB list ops)."""
+    return f"""(
+      SELECT CASE
+        WHEN h IS NULL THEN NULL
+        WHEN len(p) <= 2 THEN h
+        WHEN (p[-2] || '.' || p[-1]) IN ({_O_SUFFIX_LIST})
+          THEN p[-3] || '.' || p[-2] || '.' || p[-1]
+        ELSE p[-2] || '.' || p[-1]
+      END
+      FROM (SELECT {host_expr} AS h, string_split({host_expr}, '.') AS p)
+    )"""
+
+
+@register(
+    "web_parse_urls",
+    oracle=_O_URL_CTE
+    + f"""
+    SELECT doc_id, url,
+           {_O_SCHEME} AS scheme,
+           {_O_HOST} AS host,
+           {_O_PORT} AS port,
+           {_O_PATH} AS path,
+           {_O_QUERY} AS query,
+           {_o_domain(_O_HOST)} AS domain
+    FROM u ORDER BY doc_id
+    """,
+)
+def web_parse_urls(spark, sf_dir):
+    """URL component parsing + registered-domain reduction
+    (``operators/web.py::parse_urls``): scheme/host/port/path/query via
+    RE2-safe regexes, multi-label public-suffix handling, NULL components
+    for malformed values.  Map-only."""
+    docs = _with_urls(t(spark, sf_dir, "documents"))
+    return (
+        web.parse_urls(docs)
+        .select("doc_id", "url", "scheme", "host", "port", "path", "query", "domain")
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "web_domain_quota",
+    oracle=_O_URL_CTE
+    + f"""
+    , d AS (SELECT doc_id, {_o_domain(_O_HOST)} AS domain FROM u)
+    SELECT doc_id, domain FROM (
+      SELECT doc_id, domain,
+             row_number() OVER (
+               PARTITION BY domain
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      FROM d) x
+    WHERE rn <= 5 ORDER BY doc_id
+    """,
+)
+def web_domain_quota(spark, sf_dir):
+    """Per-domain document cap (``web.py::domain_quota``), the
+    RefinedWeb-style anti-domination budget: at most 5 docs per
+    registered domain, selected by the engine's canonical md5-of-id quota
+    order (partition-invariant).  One per-domain window; unparseable URLs
+    quota together under domain NULL by documented design."""
+    docs = _with_urls(t(spark, sf_dir, "documents"))
+    return web.domain_quota(docs, 5).select("doc_id", "domain").orderBy("doc_id")
+
+
+@register(
+    "web_domain_blocklist",
+    oracle=_O_URL_CTE
+    + f"""
+    SELECT doc_id,
+           coalesce({_o_domain(_O_HOST)} IN ('gamma.io', 'delta.com.au'), FALSE)
+             AS blocked_domain
+    FROM u ORDER BY doc_id
+    """,
+)
+def web_domain_blocklist(spark, sf_dir):
+    """Domain blocklist gate (``web.py::domain_blocklist``): flag docs
+    whose registered domain is listed (C4-style badlist filtering);
+    subdomains of a listed domain are caught because matching happens at
+    the registered-domain level.  Literal IN — zero data movement."""
+    docs = _with_urls(t(spark, sf_dir, "documents"))
+    return (
+        web.domain_blocklist(docs, ["gamma.io", "delta.com.au"])
+        .select("doc_id", "blocked_domain")
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "text_readability",
+    oracle=f"""
+    WITH c AS (
+      SELECT doc_id,
+             greatest(CAST(1 AS BIGINT),
+               CAST(len(regexp_extract_all(text, '([.!?]+)', 1)) AS BIGINT)) AS n_sentences,
+             CAST(len({_O_TOKENS}) AS BIGINT) AS n_words,
+             list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform({_O_TOKENS}, w -> greatest(CAST(1 AS BIGINT),
+                 CAST(len(regexp_extract_all(lower(w), '([aeiouy]+)', 1)) AS BIGINT)))),
+               (a, b) -> a + b) AS n_syllables
+      FROM documents
+    )
+    SELECT doc_id, n_sentences, n_words, n_syllables,
+           CASE WHEN n_words > 0 THEN
+             (206.835 - (1.015 * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))))
+              - (84.6 * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE)))
+           END AS flesch_reading_ease,
+           CASE WHEN n_words > 0 THEN
+             ((0.39 * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE)))
+              + (11.8 * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE)))) - 15.59
+           END AS fk_grade
+    FROM c ORDER BY doc_id
+    """,
+)
+def text_readability(spark, sf_dir):
+    """Readability heuristics (``text.py::readability_scores``): integer
+    sentence/word/vowel-group-syllable counts, Flesch reading ease and
+    Flesch-Kincaid grade as single-op double arithmetic (bit-deterministic
+    across engines).  Map-only, zero shuffle."""
+    docs = t(spark, sf_dir, "documents")
+    return text.readability_scores(docs).select(
+        "doc_id", "n_sentences", "n_words", "n_syllables",
+        "flesch_reading_ease", "fk_grade",
+    ).orderBy("doc_id")
+
+
+@register(
+    "text_perplexity_filter",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_O_TOKENS}) AS tok FROM documents
+    ), tf AS (
+      SELECT tok, CAST(COUNT(*) AS BIGINT) AS tf FROM tok GROUP BY tok
+    ), tot AS (
+      SELECT CAST(SUM(tf) AS BIGINT) AS n, CAST(COUNT(*) AS BIGINT) AS v FROM tf
+    ), lp AS (
+      SELECT tok,
+             CAST(FLOOR((-LN((CAST(tf AS DOUBLE) + 0.5)
+                 / (CAST(n AS DOUBLE) + (0.5 * CAST(v AS DOUBLE)))))
+               * 1000.0 + 0.5) AS BIGINT) AS nll
+      FROM tf, tot
+    ), doc AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+             CAST(SUM(nll) AS BIGINT) AS nll_millinats
+      FROM tok JOIN lp USING (tok) GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           coalesce(doc.n_tokens, 0) AS n_tokens,
+           coalesce(doc.nll_millinats, 0) AS nll_millinats,
+           CASE WHEN coalesce(doc.n_tokens, 0) > 0 THEN
+             CAST(doc.nll_millinats AS DOUBLE) / CAST(doc.n_tokens AS DOUBLE)
+           END AS avg_nll_millinats,
+           coalesce(CAST(doc.nll_millinats AS DOUBLE) / CAST(doc.n_tokens AS DOUBLE)
+                      <= 4100.0, FALSE) AS passes_perplexity
+    FROM documents d LEFT JOIN doc USING (doc_id)
+    ORDER BY d.doc_id
+    """,
+)
+def text_perplexity_filter(spark, sf_dir):
+    """Unigram perplexity gate (``filtering.py::unigram_perplexity``):
+    additive-smoothed self-trained LM, per-token cost quantized to integer
+    millinats (the fixed-point determinism strategy — exact BIGINT totals,
+    engine-identical), threshold on the mean cost.  Threshold 4100 mn
+    splits this corpus.  Word-count agg + broadcast cost join + per-doc
+    reduce; no driver collect."""
+    docs = t(spark, sf_dir, "documents")
+    return filtering.unigram_perplexity(docs, max_avg_nll_millinats=4100).select(
+        "doc_id", "n_tokens", "nll_millinats", "avg_nll_millinats", "passes_perplexity"
+    ).orderBy("doc_id")

@@ -769,3 +769,115 @@ def test_asof_join_ignores_null_right_timestamps(spark):
     # 09:00 predates every non-NULL right row: no match, and the NULL-ts
     # row must never masquerade as the latest match
     assert row.ts_r is None and row.v is None
+
+
+# --- web: URL parsing / domain ops -------------------------------------------
+
+
+def test_parse_urls_components(spark):
+    from opteryx_spark.operators import web
+
+    rows = [
+        (1, "https://user:pw@sub.example.co.uk:8443/a/b?x=1&y=2#frag"),
+        (2, "http://gamma.io"),
+        (3, "ftp://files.example.com/pub/"),
+        (4, "not a url"),
+        (5, None),
+        (6, "https://localhost/x"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "url"])
+    got = {r.doc_id: r for r in web.parse_urls(df).collect()}
+    r1 = got[1]
+    assert (r1.scheme, r1.host, r1.port, r1.path, r1.query, r1.domain) == (
+        "https", "sub.example.co.uk", 8443, "/a/b", "x=1&y=2", "example.co.uk"
+    )
+    r2 = got[2]
+    assert (r2.scheme, r2.host, r2.port, r2.path, r2.query, r2.domain) == (
+        "http", "gamma.io", None, None, None, "gamma.io"
+    )
+    assert got[3].scheme == "ftp" and got[3].path == "/pub/" and got[3].domain == "example.com"
+    assert got[4].host is None and got[4].domain is None
+    assert got[5].host is None
+    assert got[6].host == "localhost" and got[6].domain == "localhost"
+
+
+def test_registered_domain_suffixes(spark):
+    from opteryx_spark.operators import web
+
+    df = spark.createDataFrame(
+        [("a.b.c.example.com.au",), ("x.co.uk",), ("deep.sub.site.org",), ("plain",)],
+        ["h"],
+    )
+    got = [r.d for r in df.select(web.registered_domain("h").alias("d")).collect()]
+    # 4-label multi-suffix reduces to last3; a bare suffix-like 2-label host
+    # passes through; normal host takes last2; single label passes through
+    assert got == ["example.com.au", "x.co.uk", "site.org", "plain"]
+
+
+def test_domain_blocklist_dataframe_variant(spark):
+    from opteryx_spark.operators import web
+
+    df = spark.createDataFrame(
+        [(1, "https://evil.com/x"), (2, "https://sub.evil.com/y"), (3, "https://fine.org/z"),
+         (4, "garbage")],
+        ["doc_id", "url"],
+    )
+    bl = spark.createDataFrame([("evil.com",)], ["domain"])
+    got = {r.doc_id: r.blocked_domain for r in web.domain_blocklist(df, bl).collect()}
+    assert got == {1: True, 2: True, 3: False, 4: False}
+
+
+def test_domain_quota_null_group_and_determinism(spark):
+    from opteryx_spark.operators import web
+
+    rows = [(i, f"https://dom{i % 2}.com/{i}") for i in range(10)] + [
+        (100, "bad"), (101, "bad"), (102, "bad")
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "url"])
+    a = sorted(r.doc_id for r in web.domain_quota(df, 2).collect())
+    b = sorted(r.doc_id for r in web.domain_quota(df.repartition(7), 2).collect())
+    assert a == b  # partition-invariant
+    # 2 per real domain + 2 from the NULL (unparseable) group
+    assert len(a) == 6
+
+
+# --- readability / perplexity -------------------------------------------------
+
+
+def test_readability_counts(spark):
+    from opteryx_spark.operators import text as T
+
+    df = spark.createDataFrame(
+        [(1, "The cat sat. It purred! Why?"), (2, ""), (3, None), (4, "xyzzy")],
+        ["doc_id", "text"],
+    )
+    got = {r.doc_id: r for r in T.readability_scores(df).collect()}
+    r1 = got[1]
+    assert r1.n_sentences == 3 and r1.n_words == 6
+    # the|cat|sat.|it|purred!|why? -> vowel groups: e,a,a,i,u-e(2),y -> 7
+    assert r1.n_syllables == 7
+    assert abs(r1.flesch_reading_ease - (206.835 - 1.015 * 2.0 - 84.6 * (7 / 6))) < 1e-9
+    assert got[2].n_words == 0 and got[2].flesch_reading_ease is None
+    assert got[3].n_words is None and got[3].flesch_reading_ease is None
+    assert got[4].n_syllables == 2  # x-y-zz-y: two separate y vowel groups
+
+
+def test_unigram_perplexity_external_model_and_unknowns(spark):
+    import math
+
+    from opteryx_spark.operators import filtering
+
+    model = spark.createDataFrame([("the", 90), ("cat", 10)], ["token", "tf"])
+    df = spark.createDataFrame(
+        [(1, "the the"), (2, "cat zzz"), (3, ""), (4, None)], ["doc_id", "text"]
+    )
+    got = {r.doc_id: r for r in filtering.unigram_perplexity(
+        df, model=model, max_avg_nll_millinats=3000).collect()}
+    n, v, a = 100.0, 2.0, 0.5
+    mn = lambda p: math.floor(-math.log(p) * 1000 + 0.5)  # noqa: E731
+    assert got[1].nll_millinats == 2 * mn((90 + a) / (n + a * v))
+    assert got[2].nll_millinats == mn((10 + a) / (n + a * v)) + mn(a / (n + a * v))
+    assert got[1].passes_perplexity is True  # common words, low cost
+    assert got[2].passes_perplexity is False  # unknown token blows the budget
+    assert got[3].n_tokens == 0 and got[3].passes_perplexity is False
+    assert got[4].n_tokens == 0 and got[4].passes_perplexity is False

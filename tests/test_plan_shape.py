@@ -161,3 +161,37 @@ def test_curate_v2_no_cartesian_no_global_sort(spark, sf_dir):
     text = explain_text(curate.curate_corpus_v2(corpus, bench))
     assert "CartesianProduct" not in text and "BroadcastNestedLoop" not in text
     assert "rangepartitioning" not in text.lower()
+
+
+def test_web_ops_plan_shapes(spark, sf_dir):
+    # parse/blocklist are per-row expressions (map-only); the per-domain
+    # quota shuffles once to co-locate domains, never range-partitions
+    from opteryx_spark.operators import web
+
+    docs = spark.range(0, 500, 1, 4).selectExpr(
+        "id AS doc_id", "concat('https://sub.ex', id % 7, '.co.uk/p/', id) AS url"
+    )
+    assert "Exchange" not in explain_text(web.parse_urls(docs))
+    assert "Exchange" not in explain_text(web.domain_blocklist(docs, ["ex1.co.uk"]))
+    qt = explain_text(web.domain_quota(docs, 5))
+    assert "rangepartitioning" not in qt.lower()
+    assert "CartesianProduct" not in qt
+
+
+def test_readability_is_map_only(spark, sf_dir):
+    from opteryx_spark.operators import text as T
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    assert "Exchange" not in explain_text(T.readability_scores(docs))
+
+
+def test_perplexity_no_cartesian_broadcast_costs(spark, sf_dir):
+    # the vocabulary cost table must broadcast onto the exploded corpus;
+    # no cartesian, no global sort anywhere
+    from opteryx_spark.operators import filtering
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    text = explain_text(filtering.unigram_perplexity(docs))
+    assert "CartesianProduct" not in text
+    assert "rangepartitioning" not in text.lower()
+    assert "BroadcastExchange" in text
