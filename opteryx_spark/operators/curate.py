@@ -40,6 +40,11 @@ def curate_corpus(
         text.bpe_token_count(text_col),
     )
 
+    # exact keep-set + near-dup drop-set both join back on the SAME key
+    # (id), so Catalyst shuffles the wide stats frame ONCE and reuses the
+    # partitioning for both joins.  (An inline min-over-digest window — the
+    # v2 formulation — would be a SECOND full-width shuffle here, because
+    # the near-dup join by id is unavoidable; measured slower at sf0.1.)
     digests = dedup.content_hash_dedup(docs, id_col, text_col)
     exact_keep = digests.select(F.col("keep_id").alias(id_col)).withColumn(
         "_exact_keep", F.lit(True)
@@ -130,35 +135,38 @@ def curate_corpus_v2(
     flagged = filtering.decontaminate(
         gated, benchmark, id_col, text_col, k=decontaminate_k, min_overlap=min_overlap
     )
-    # reuse the canonical exact-dedup exemplar choice (sha256 digest
-    # groupBy — uniform key, skew-free) instead of re-deriving it
-    keep = (
-        dedup.content_hash_dedup(docs, id_col, text_col)
-        .select(F.col("keep_id").alias("_keep_id"))
-        .withColumn("_exact_keep", F.lit(True))
-    )
-    flagged = flagged.join(keep, flagged[id_col] == keep["_keep_id"], "left").drop(
-        "_keep_id"
+    # exact dedup inline: the canonical exemplar choice (min id per sha256
+    # digest, same as dedup.content_hash_dedup) as a window over the gated
+    # frame — docs is not re-scanned and no keep-set join is needed (one
+    # digest-keyed shuffle, uniform key, skew-free)
+    wd = Window.partitionBy("_digest")
+    flagged = (
+        flagged.withColumn("_digest", F.sha2(F.col(text_col), 256))
+        .withColumn(
+            "_exact_keep",
+            F.coalesce(F.col(id_col) == F.min(id_col).over(wd), F.lit(False)),
+        )
+        .drop("_digest")
     )
     pre_quota_ok = (
         (F.col("n_words") >= min_tokens)
         & F.col("passes_gopher")
         & ~F.col("contaminated")
-        & F.col("_exact_keep").isNotNull()
+        & F.col("_exact_keep")
     )
     quota_cols = quota_cols or ["lang", "source"]
-    # rank ONLY the survivors, then join ranks back: failing docs never
-    # enter the window (no wasted skewed NULL partition), and a survivor
-    # with NULL stratum values cannot collide with them
-    w = Window.partitionBy(*quota_cols).orderBy(*filtering.quota_order(id_col))
-    surv_ranks = (
-        flagged.filter(pre_quota_ok)
-        .select(F.col(id_col), *quota_cols)
+    # rank survivors WITHOUT a self-join: the window partitions by
+    # (strata..., pre_quota_ok), so survivors rank only against survivors
+    # of their stratum (identical to ranking a filtered frame) while
+    # failing docs rank in partitions nobody consults — the earlier flag
+    # always matches first.  One window on the already-flowing frame; the
+    # old rank-and-join-back formulation re-derived the whole upstream
+    # pipeline (decontaminate + gates) a second time.
+    w = Window.partitionBy(*quota_cols, "_ok").orderBy(*filtering.quota_order(id_col))
+    ranked = (
+        flagged.withColumn("_ok", pre_quota_ok)
         .withColumn("_qrank", F.row_number().over(w))
-        .select(F.col(id_col).alias("_rid"), "_qrank")
-    )
-    ranked = flagged.join(surv_ranks, flagged[id_col] == surv_ranks["_rid"], "left").drop(
-        "_rid"
+        .drop("_ok")
     )
     return (
         ranked.withColumn(
@@ -167,7 +175,7 @@ def curate_corpus_v2(
             .when(F.col("n_words") < min_tokens, "too_short")
             .when(~F.col("passes_gopher"), "fails_gopher")
             .when(F.col("contaminated"), "contaminated")
-            .when(F.col("_exact_keep").isNull(), "exact_duplicate")
+            .when(~F.col("_exact_keep"), "exact_duplicate")
             .when(F.col("_qrank") > n_per_group, "over_quota"),
         )
         .withColumn("kept", F.col("drop_reason").isNull())
