@@ -246,22 +246,27 @@ def _make_pandas_udfs():
 
 
 _UDF_CACHE: dict | None = None
-_REGISTERED_SESSIONS: set = set()
 
 
 def register_sql_functions(spark) -> None:
     """Register the gap functions for SQL use (idempotent; the UDFs are
     built once per process and registered once per SparkSession, not per
-    cursor)."""
+    cursor).  The registered marker lives ON the session object — a plain
+    ``id(spark)`` set would mis-skip registration when a stopped session
+    is garbage-collected and a new one lands at the same address.
+    Re-registration after a re-wrapped session (same JVM session, new
+    Python wrapper) is harmless: ``udf.register`` overwrites."""
     global _UDF_CACHE
-    sid = id(spark)
-    if sid in _REGISTERED_SESSIONS:
+    if getattr(spark, "_oxs_udfs_registered", False):
         return
     if _UDF_CACHE is None:
         _UDF_CACHE = _make_pandas_udfs()
     for name, udf in _UDF_CACHE.items():
         spark.udf.register(name, udf)
-    _REGISTERED_SESSIONS.add(sid)
+    try:
+        spark._oxs_udfs_registered = True
+    except AttributeError:  # exotic session wrappers without __dict__
+        pass
 
 
 def match_against(col: Column, terms: list[str]) -> Column:

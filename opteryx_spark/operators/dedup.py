@@ -596,43 +596,17 @@ def minhash_signatures(
     return hashed.filter(F.size("harr") > 0).select("id", sig.alias("sig"))
 
 
-def minhash_lsh_pairs(
+def _banded_buckets(
     df: DataFrame,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    num_hashes: int = 64,
-    bands: int = 16,
-    k: int = 2,
-    max_bucket: int = 1000,
-    unique_texts: bool | str = "auto",
-    portable_hash: bool = False,
+    id_col: str,
+    text_col: str,
+    num_hashes: int,
+    bands: int,
+    k: int,
+    portable_hash: bool,
 ) -> DataFrame:
-    """Candidate near-dup pairs via banded LSH over minhash signatures.
-
-    Signature is cut into ``bands`` bands of ``num_hashes/bands`` rows;
-    docs sharing any band hash become candidates.  Output: (id1, id2,
-    est_jaccard) where est_jaccard = fraction of matching signature
-    components.  ``max_bucket`` caps pathological buckets (all-identical
-    spam) to keep the pair fan-out linear.  ``unique_texts`` runs LSH on
-    distinct texts and expands copy groups afterwards (est=1.0 within a
-    group — exactly what identical signatures would estimate).
-    """
-    unique_texts = _resolve_unique_texts(df, text_col, unique_texts)
-    if unique_texts:
-        reps, members = _text_groups(df, id_col, text_col)
-        inner = minhash_lsh_pairs(
-            reps,
-            "id",
-            text_col,
-            num_hashes,
-            bands,
-            k,
-            max_bucket,
-            unique_texts=False,
-            portable_hash=portable_hash,
-        )
-        active = reps.filter(F.size(shingles(text_col, k)) > 0).select("gid")
-        return _expand_pairs(inner, members, active, {"est_jaccard": F.lit(1.0)})
+    """(id, sig, band, bh): one row per document per LSH band — the
+    bucket table both the candidate join and the hot-bucket audit use."""
     rows = num_hashes // bands
     sig = minhash_signatures(df, id_col, text_col, num_hashes, k, portable_hash)
 
@@ -655,9 +629,78 @@ def minhash_lsh_pairs(
             for i in range(bands)
         ]
     )
-    buckets = sig.select("id", "sig", F.explode(band_cols).alias("b")).select(
+    return sig.select("id", "sig", F.explode(band_cols).alias("b")).select(
         "id", "sig", F.col("b.band").alias("band"), F.col("b.bh").alias("bh")
     )
+
+
+def minhash_hot_buckets(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 64,
+    bands: int = 16,
+    k: int = 2,
+    max_bucket: int = 1000,
+    portable_hash: bool = False,
+) -> DataFrame:
+    """(band, bh, n_docs) for every LSH bucket EXCEEDING ``max_bucket`` —
+    the audit twin of the anti-spam cap in :func:`minhash_lsh_pairs`.
+
+    The cap silently drops whole buckets (a non-byte-identical near-dup
+    group larger than the cap loses all its pairs); this diagnostic makes
+    that loss observable without paying for it inside the lazy candidate
+    plan: run it per corpus/cap change, alert when it returns rows, and
+    either raise the cap or pre-collapse the offending spam group.
+    """
+    buckets = _banded_buckets(df, id_col, text_col, num_hashes, bands, k, portable_hash)
+    return (
+        buckets.groupBy("band", "bh")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") > max_bucket)
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 64,
+    bands: int = 16,
+    k: int = 2,
+    max_bucket: int = 1000,
+    unique_texts: bool | str = "auto",
+    portable_hash: bool = False,
+) -> DataFrame:
+    """Candidate near-dup pairs via banded LSH over minhash signatures.
+
+    Signature is cut into ``bands`` bands of ``num_hashes/bands`` rows;
+    docs sharing any band hash become candidates.  Output: (id1, id2,
+    est_jaccard) where est_jaccard = fraction of matching signature
+    components.  ``max_bucket`` caps pathological buckets (all-identical
+    spam) to keep the pair fan-out linear — buckets over the cap are
+    dropped WHOLE (recall loss for giant non-byte-identical near-dup
+    groups); audit what a cap drops with :func:`minhash_hot_buckets`.  ``unique_texts`` runs LSH on
+    distinct texts and expands copy groups afterwards (est=1.0 within a
+    group — exactly what identical signatures would estimate).
+    """
+    unique_texts = _resolve_unique_texts(df, text_col, unique_texts)
+    if unique_texts:
+        reps, members = _text_groups(df, id_col, text_col)
+        inner = minhash_lsh_pairs(
+            reps,
+            "id",
+            text_col,
+            num_hashes,
+            bands,
+            k,
+            max_bucket,
+            unique_texts=False,
+            portable_hash=portable_hash,
+        )
+        active = reps.filter(F.size(shingles(text_col, k)) > 0).select("gid")
+        return _expand_pairs(inner, members, active, {"est_jaccard": F.lit(1.0)})
+    buckets = _banded_buckets(df, id_col, text_col, num_hashes, bands, k, portable_hash)
     # materialize bucketed signatures once: the hot-bucket aggregate and
     # both sides of the candidate self-join otherwise each recompute the
     # full signature pipeline (three times total — no automatic exchange

@@ -188,13 +188,28 @@ def _read_http(spark: SparkSession, url: str, fmt: str | None = None, **options:
             ext = ".jsonl" if "json" in ctype else ".csv" if "csv" in ctype else ".parquet"
         # deterministic per-URL temp path: repeated queries overwrite one
         # file instead of leaking a new NamedTemporaryFile per call (the
-        # file must outlive this function — Spark reads it lazily)
+        # file must outlive this function — Spark reads it lazily).
+        # Download to a unique name and os.replace() onto the
+        # deterministic path: the swap is atomic, so a concurrent query
+        # of the same URL (or a prior DataFrame whose lazy read lands
+        # mid-download) never sees a partially written file.
         local = os.path.join(
             tempfile.gettempdir(),
             f"oxs_http_{hashlib.md5(url.encode()).hexdigest()}{ext}",
         )
-        with open(local, "wb") as tmp:
-            tmp.write(resp.read())
+        fd, staging = tempfile.mkstemp(
+            prefix="oxs_http_dl_", suffix=ext, dir=tempfile.gettempdir()
+        )
+        try:
+            with os.fdopen(fd, "wb") as tmp:
+                tmp.write(resp.read())
+            os.replace(staging, local)
+        except BaseException:
+            try:
+                os.unlink(staging)
+            except OSError:
+                pass
+            raise
     return read_any(spark, local, fmt=fmt, **options)
 
 

@@ -881,3 +881,15 @@ def test_unigram_perplexity_external_model_and_unknowns(spark):
     assert got[2].passes_perplexity is False  # unknown token blows the budget
     assert got[3].n_tokens == 0 and got[3].passes_perplexity is False
     assert got[4].n_tokens == 0 and got[4].passes_perplexity is False
+
+
+def test_minhash_hot_buckets_audit(spark):
+    """The anti-spam cap's audit twin: a near-dup group larger than the
+    cap shows up in minhash_hot_buckets (the silent-recall-loss guard)."""
+    # 12 docs sharing one text body => every band bucket has 12 members
+    rows = [(i, "spam spam wonderful spam baked beans and spam") for i in range(12)]
+    rows += [(100 + i, f"unique doc {i} body {i * 3}") for i in range(5)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    hot = dedup.minhash_hot_buckets(df, max_bucket=10).collect()
+    assert hot and all(r.n_docs == 12 for r in hot)
+    assert dedup.minhash_hot_buckets(df, max_bucket=20).count() == 0
