@@ -219,6 +219,53 @@ def _norm_end_exclusive(tok: str) -> str:
     return f"CAST({tok} AS TIMESTAMP) + INTERVAL 1 DAY"
 
 
+def _search_outside_literals(pattern: re.Pattern, sql: str, pos: int = 0):
+    """``pattern.search`` skipping matches that START inside a string
+    literal (same contract as :func:`_sub_outside_literals`, for the
+    table-function rewrites that drive their own scan loop)."""
+    while True:
+        m = pattern.search(sql, pos)
+        if not m:
+            return None
+        i = 0
+        inside = False
+        while i < m.start():
+            if sql[i] in ("'", '"'):
+                end = _scan_literal(sql, i)
+                if i < m.start() < end:
+                    inside = True
+                i = end
+            else:
+                i += 1
+        if not inside:
+            return m
+        pos = m.start() + 1
+
+
+def _find_top_level(sql: str, word_pattern: str, start: int = 0) -> tuple[int, int]:
+    """First occurrence of ``word_pattern`` (a regex) at paren depth 0 and
+    outside string literals; returns (start, end) or (-1, -1).  Used to
+    split clauses whose keywords can also appear nested — e.g. the FROM
+    inside ``EXTRACT(year FROM ts)`` must not terminate a projection."""
+    pat = re.compile(word_pattern, re.IGNORECASE)
+    depth, i, n = 0, start, len(sql)
+    while i < n:
+        ch = sql[i]
+        if ch in ("'", '"'):
+            i = _scan_literal(sql, i)
+            continue
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif depth == 0:
+            m = pat.match(sql, i)
+            if m:
+                return i, m.end()
+        i += 1
+    return -1, -1
+
+
 def _sub_outside_literals(pattern: re.Pattern, repl_fn, sql: str) -> str:
     """``pattern.sub`` that skips matches STARTING inside a string
     literal — FROM-clause rewrites (temporal FOR, table functions) must
@@ -368,10 +415,7 @@ _GS_IVAL_UNIT = {
 # a quoted relation must look like a path (slash or dot) so that literal
 # operands of EXTRACT/SUBSTRING "FROM 'x'" forms are left alone
 _PATH_FROM = re.compile(r"(FROM|JOIN)\s+'([^']*[/.][^']*)'", re.IGNORECASE)
-_DISTINCT_ON = re.compile(
-    r"SELECT\s+DISTINCT\s+ON\s*\(([^)]*)\)\s*(.*?)\s+FROM\s+(.*?)(?:\s+ORDER\s+BY\s+(.*?))?\s*$",
-    re.IGNORECASE | re.DOTALL,
-)
+_DISTINCT_ON_HEAD = re.compile(r"SELECT\s+DISTINCT\s+ON\s*\(", re.IGNORECASE)
 
 
 def _json_path(key: str) -> str:
@@ -623,7 +667,7 @@ def rewrite_generate_series(sql: str) -> str:
 
     out, pos = [], 0
     while True:
-        m = _GEN_SERIES_HEAD.search(sql, pos)
+        m = _search_outside_literals(_GEN_SERIES_HEAD, sql, pos)
         if not m:
             break
         out.append(sql[pos : m.start()])
@@ -656,10 +700,42 @@ _LIMIT_TAIL = re.compile(r"\s+(LIMIT\s+\d+(?:\s+OFFSET\s+\d+)?)\s*$", re.IGNOREC
 
 
 def rewrite_distinct_on(sql: str) -> str:
-    m = _DISTINCT_ON.match(sql.strip())
-    if not m:
+    """``SELECT DISTINCT ON (keys) proj FROM ...`` → row_number wrapper.
+
+    Clause splitting is paren- and literal-aware: the key list is consumed
+    with a balanced scan (keys may nest calls), and the projection/FROM/
+    ORDER BY boundaries are TOP-LEVEL keyword scans — an
+    ``EXTRACT(year FROM ts)`` projection or a subquery's inner ORDER BY
+    must not terminate the outer clause (NOTES_r4 documented edge, now
+    retired)."""
+    s = sql.strip()
+    hm = _DISTINCT_ON_HEAD.match(s)
+    if not hm:
         return sql
-    keys, proj, rest, order = m.group(1), m.group(2).strip(), m.group(3), m.group(4)
+    # balanced scan over the key list (may contain nested parens/literals)
+    i, depth = hm.end(), 1
+    while i < len(s) and depth:
+        ch = s[i]
+        if ch in ("'", '"'):
+            i = _scan_literal(s, i)
+            continue
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        i += 1
+    if depth:
+        return sql  # unbalanced — leave for Spark's parser to report
+    keys = s[hm.end() : i - 1]
+    fs, fe = _find_top_level(s, r"\bFROM\b", i)
+    if fs < 0:
+        return sql
+    proj = s[i:fs].strip()
+    os_, oe = _find_top_level(s, r"\bORDER\s+BY\b", fe)
+    if os_ >= 0:
+        rest, order = s[fe:os_].strip(), s[oe:].strip()
+    else:
+        rest, order = s[fe:].strip(), None
     # pull a trailing LIMIT/OFFSET out of whichever clause captured it
     limit = ""
     for clause in ("order", "rest"):
@@ -760,7 +836,7 @@ def rewrite_fake_function(sql: str) -> str:
     """
     out, pos = [], 0
     while True:
-        m = _FAKE_HEAD.search(sql, pos)
+        m = _search_outside_literals(_FAKE_HEAD, sql, pos)
         if not m:
             break
         depth, i, in_str = 1, m.end(), False

@@ -220,3 +220,61 @@ def quota_sample_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def curate_stream_v2(
+    docs: DataFrame,
+    benchmark_grams: DataFrame,
+    text_col: str = "text",
+    quota_cols: list[str] | None = None,
+    n_per_group: int = 5,
+    min_tokens: int = 10,
+    decontaminate_k: int = 3,
+    min_overlap: int = 3,
+    gopher_thresholds: dict | None = None,
+    stopword_langs: list[str] | None = None,
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming unification of ``operators/curate.curate_corpus_v2``:
+    Gopher gates → stream-static decontamination → exact dedup within the
+    watermark → stateful per-stratum quota admission, composed over a
+    stream.
+
+    Emits the ADMITTED documents (the curated stream); auditing dropped
+    docs is the batch pipeline's job.  Stage-by-stage batch parity, with
+    the two semantics a stream permits (both documented on the underlying
+    operators): dedup keeps the FIRST arrival of a digest instead of the
+    min id, and the quota admits the first ``n_per_group`` arrivals per
+    stratum instead of the md5-ordered subset — per-stratum admitted
+    counts and the admitted digest set match the batch run exactly.
+
+    Scale shape: gates are map-only, the benchmark set is one broadcast
+    array row, dedup state is watermark-bounded, quota state is one
+    counter per stratum.
+    """
+    from opteryx_spark.operators import filtering
+
+    quota_cols = quota_cols or ["lang", "source"]
+    gated = filtering.gopher_quality(docs, text_col, gopher_thresholds, stopword_langs)
+    flagged = decontaminate_stream(
+        gated, benchmark_grams, text_col, k=decontaminate_k, min_overlap=min_overlap
+    )
+    survivors = flagged.filter(
+        F.col(text_col).isNotNull()
+        & (F.col("n_words") >= min_tokens)
+        & F.col("passes_gopher")
+        & ~F.col("contaminated")
+    )
+    deduped = (
+        survivors.withColumn("_digest", F.sha2(F.col(text_col), 256))
+        .withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(["_digest"])
+        .drop("_digest")
+    )
+    # applyInPandasWithState needs an explicit output schema: pass the
+    # admitted frame through unchanged
+    out_schema = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in deduped.schema.fields
+    )
+    return quota_sample_stream(deduped, quota_cols, n_per_group, out_schema)

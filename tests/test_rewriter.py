@@ -227,3 +227,43 @@ def test_array_ops_with_nested_calls():
 def test_positional_binding_skips_atq_operator():
     out = rewriter.bind_params("SELECT * FROM t WHERE d @? '$.a' AND id = ?", [7])
     assert "@? '$.a'" in out and "id = 7" in out
+
+
+def test_distinct_on_with_extract_projection():
+    """EXTRACT(... FROM ...) in the projection must not terminate the
+    clause split (NOTES_r4 documented edge)."""
+    from opteryx_spark.rewriter import rewrite_distinct_on
+
+    out = rewrite_distinct_on(
+        "SELECT DISTINCT ON (user_id) user_id, EXTRACT(year FROM ts) AS yr "
+        "FROM events ORDER BY user_id, ts DESC"
+    )
+    assert "EXTRACT(year FROM ts) AS yr" in out
+    assert "PARTITION BY user_id" in out
+    assert out.count("FROM events") == 1
+    # nested call in the key list (balanced-paren key scan)
+    out2 = rewrite_distinct_on(
+        "SELECT DISTINCT ON (EXTRACT(year FROM ts)) * FROM events"
+    )
+    assert "PARTITION BY EXTRACT(year FROM ts)" in out2
+    # subquery ORDER BY stays inside; outer split finds the top-level one
+    out3 = rewrite_distinct_on(
+        "SELECT DISTINCT ON (k) k, v FROM (SELECT k, v FROM t ORDER BY v) s "
+        "ORDER BY k, v"
+    )
+    assert "(SELECT k, v FROM t ORDER BY v) s" in out3
+
+
+def test_table_function_heads_inside_literals_untouched():
+    """GENERATE_SERIES / FAKE spelled inside a string literal are data,
+    not table functions (NOTES_r4 documented edge)."""
+    from opteryx_spark.rewriter import rewrite_fake_function, rewrite_generate_series
+
+    sql = "SELECT * FROM docs WHERE note = 'pulled FROM GENERATE_SERIES(1, 10) today'"
+    assert rewrite_generate_series(sql) == sql
+    sql2 = "SELECT 'data FROM FAKE(5, 2) rows' AS lbl FROM docs"
+    assert rewrite_fake_function(sql2) == sql2
+    # ...while a real head after a literal still rewrites
+    sql3 = "SELECT 'FROM FAKE(1,1)' AS lbl FROM GENERATE_SERIES(1, 3)"
+    out3 = rewrite_generate_series(sql3)
+    assert "explode(sequence(1, 3))" in out3 and "'FROM FAKE(1,1)'" in out3

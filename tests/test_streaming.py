@@ -205,3 +205,89 @@ def test_quota_sample_stream_caps_groups(spark, sf_dir, tmp_path_factory):
         for r in batch.groupBy("lang", "source").count().collect()
     }
     assert sizes == want  # every group capped at 3, small groups kept whole
+
+
+def test_curate_v2_stream_matches_batch(spark, tmp_path_factory):
+    """The composed streaming curation pipeline must match the batch
+    curate_corpus_v2 stage-for-stage: same admitted digest set, same
+    per-stratum admitted counts (the two stream-permitted differences —
+    first-arrival dedup survivor, first-n quota members — do not change
+    either invariant)."""
+    from opteryx_spark.operators import curate, text as T
+
+    # controlled corpus: per (lang, source) stratum — survivors, a too-short
+    # doc, a contaminated doc (shares trigrams with the benchmark), and an
+    # exact duplicate pair; quota 2 per stratum
+    def body(tag, i):
+        return (
+            f"the quick brown fox {tag} jumps over the lazy dog "
+            f"while number {i} watches from the old stone wall nearby"
+        )
+
+    rows = []
+    did = 0
+    for lang, source in (("en", "a"), ("en", "b")):
+        for i in range(4):  # 4 unique survivors per stratum
+            rows.append((did, body(f"{lang}{source}", i), lang, source)); did += 1
+        rows.append((did, "too short", lang, source)); did += 1
+        rows.append((did, body(f"{lang}{source}", 0), lang, source)); did += 1  # exact dup of i=0
+        rows.append((did,
+                     "benchmark sentence alpha beta gamma delta epsilon zeta "
+                     "eta theta iota kappa evaluation suite text here",
+                     lang, source)); did += 1  # contaminated
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "lang", "source"])
+    bench = spark.createDataFrame(
+        [(1000, "benchmark sentence alpha beta gamma delta epsilon zeta eta theta iota kappa")],
+        ["doc_id", "text"],
+    )
+
+    batch = curate.curate_corpus_v2(
+        docs, bench, n_per_group=2, min_tokens=5, min_overlap=3
+    )
+    batch_rows = batch.collect()
+    batch_kept = [r for r in batch_rows if r.kept]
+    batch_pre_quota = {  # survivors of every gate before the quota
+        r.doc_id for r in batch_rows if r.drop_reason in (None, "over_quota")
+    }
+    assert batch_pre_quota and len(batch_kept) == 4  # 2 strata x quota 2
+
+    src = str(tmp_path_factory.mktemp("oxs_curate_src"))
+    docs.withColumn("ts", F.timestamp_seconds(F.col("doc_id"))).write.mode(
+        "overwrite"
+    ).parquet(src)
+    sdocs = spark.readStream.schema(
+        "doc_id bigint, text string, lang string, source string, ts timestamp"
+    ).parquet(src)
+    bench_grams = bench.select(F.explode(T.shingles("text", 3)).alias("gram")).distinct()
+    admitted = streaming.curate_stream_v2(
+        sdocs, bench_grams, n_per_group=2, min_tokens=5, min_overlap=3
+    )
+    q = (
+        admitted.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("curated_stream")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.sql("SELECT * FROM curated_stream").collect()
+
+    # every admitted doc passed every batch gate, compared at the DIGEST
+    # level: the stream legitimately keeps whichever copy of a duplicate
+    # text arrives first, not the batch's min-id exemplar
+    import hashlib
+
+    by_id = {r.doc_id: r for r in batch_rows}
+    batch_pre_quota_digests = {
+        hashlib.sha256(by_id[i].text.encode()).hexdigest() for i in batch_pre_quota
+    }
+    got_digest_set = {hashlib.sha256(r.text.encode()).hexdigest() for r in got}
+    assert got_digest_set <= batch_pre_quota_digests
+    # same per-stratum admitted counts as batch
+    from collections import Counter
+
+    got_counts = Counter((r.lang, r.source) for r in got)
+    want_counts = Counter((r.lang, r.source) for r in batch_kept)
+    assert got_counts == want_counts
+    # dedup collapsed the copy pair: no duplicate texts admitted
+    assert len(got_digest_set) == len(got)

@@ -55,17 +55,21 @@ BATTERY_DIR = "/root/reference/tests/integration/sql_battery"
 # missing path, non-null variant-null for an explicit null).  Every other
 # accessor keeps the plain struct read (``rewriter.finalize_atq``,
 # ``sources/registry.py::read_json_variant``).
+# (reason, pattern): the reason keys the self-explaining ``skip_reasons``
+# breakdown emitted into REFERENCE_BATTERY.json — "iceberg-jar" and
+# "missing-fixture-data" are PERMANENT environment limits (no runtime jar
+# in the container / source data the checkout does not ship), not debt.
 _SKIP_PATTERNS = [
-    re.compile(r"\biceberg\.", re.I),
-    re.compile(r"\btestdata[./]flat[./]formats\b", re.I),
-    re.compile(r"\btestdata\.tweets\b", re.I),
+    ("iceberg-jar", re.compile(r"\biceberg\.", re.I)),
+    ("missing-fixture-data", re.compile(r"\btestdata[./]flat[./]formats\b", re.I)),
+    ("missing-fixture-data", re.compile(r"\btestdata\.tweets\b", re.I)),
     # expects a 196902-row mixed-schema dataset; the checkout ships only a
     # 9-row planets.parquet in flat/different
-    re.compile(r"\btestdata[./]flat[./]different\b", re.I),
-    re.compile(r"\$derived\b"),
-    re.compile(r"\bHTTP\s*\(", re.I),
+    ("missing-fixture-data", re.compile(r"\btestdata[./]flat[./]different\b", re.I)),
+    ("missing-fixture-data", re.compile(r"\$derived\b")),
+    ("live-http-endpoint", re.compile(r"\bHTTP\s*\(", re.I)),
     # fixture files the reference checkout itself does not ship
-    re.compile(r"formats/arrow/", re.I),
+    ("missing-fixture-data", re.compile(r"formats/arrow/", re.I)),
 ]
 
 _FIXTURES = "/root/reference/testdata"
@@ -155,16 +159,23 @@ def run_battery(files: list[str]) -> dict:
     # (test_shapes_aliases_distinct.py:819)
     _register_fixture_stores()
     conn = ox.connect(memberships=["Apollo 11", "opteryx"])
-    report: dict = {"files": {}, "failures": [], "extra_support": [], "skipped": []}
+    report: dict = {
+        "files": {}, "failures": [], "extra_support": [], "skipped": [],
+        # per-reason skip budget; "iceberg-jar" and "missing-fixture-data"
+        # are permanent container/checkout limits (see _SKIP_PATTERNS)
+        "skip_reasons": {},
+    }
     totals = {"pass": 0, "fail": 0, "skip": 0, "extra_support": 0, "cols_only": 0}
 
     for path in files:
         name = os.path.basename(path)
         stats = {"pass": 0, "fail": 0, "skip": 0, "extra_support": 0, "cols_only": 0}
         for stmt, rows, cols, err in extract_statements(path):
-            if any(p.search(stmt) for p in _SKIP_PATTERNS):
+            reason = next((r for r, p in _SKIP_PATTERNS if p.search(stmt)), None)
+            if reason is not None:
                 stats["skip"] += 1
                 report["skipped"].append(stmt)
+                report["skip_reasons"][reason] = report["skip_reasons"].get(reason, 0) + 1
                 continue
             # the reference resolves file-relative fixture paths from its
             # own checkout; point them there (read-only)
