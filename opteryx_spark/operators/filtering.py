@@ -273,3 +273,93 @@ def unigram_perplexity(
         )
     )
     return out
+
+
+def token_budget_sample(
+    df: DataFrame,
+    group_cols: list[str],
+    budget_tokens: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Mixture construction by token budget: per stratum, keep documents
+    in the canonical md5-of-id order while the running token total stays
+    within ``budget_tokens`` (the Pile/DoReMi-style recipe — training
+    mixtures are weighted in TOKENS, not documents, so a per-doc quota
+    over-samples strata with short documents).
+
+    Appends ``n_tokens``, ``tokens_before`` (stratum running total before
+    this doc) and ``in_budget`` (this doc fits: before + own ≤ budget).
+    Deterministic on any cluster/partitioning (total md5+id order).  One
+    per-stratum window — same bounded-shuffle shape as ``quota_sample``.
+    """
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(*group_cols)
+        .orderBy(*quota_order(id_col))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    n = F.size(text.tokens(text_col)).cast("long")
+    return (
+        df.withColumn("n_tokens", F.when(F.col(text_col).isNotNull(), n).otherwise(F.lit(0)))
+        .withColumn("tokens_before", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)))
+        .withColumn(
+            "in_budget",
+            (F.col("tokens_before") + F.col("n_tokens")) <= F.lit(int(budget_tokens)),
+        )
+    )
+
+
+def boilerplate_ngram_fraction(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    max_df: int = 10,
+) -> DataFrame:
+    """Cross-document repetition signal (the scalable cousin of exact
+    substring dedup, Lee et al. 2021): the fraction of a document's
+    distinct word ``k``-grams that are CORPUS-HOT — appearing in more than
+    ``max_df`` distinct documents.  High fractions flag boilerplate
+    (navigation chrome, templated pages, license headers) that per-doc
+    repetition metrics cannot see.
+
+    Appends ``n_grams`` (distinct k-grams), ``n_hot_grams`` and
+    ``boilerplate_frac`` (int/int double; 0-gram docs → NULL frac).
+    Shape: one explode + document-frequency aggregate (word-count shape),
+    hot set joined back onto the exploded grams — the hot-gram table is
+    tiny by construction (only grams above ``max_df``), so the join
+    broadcasts; per-doc reduce is keyed by id.  No all-pairs anywhere.
+    """
+    grams = df.select(
+        F.col(id_col).alias("_bid"), F.explode(text.shingles(text_col, k)).alias("_gram")
+    )
+    hot = (
+        grams.groupBy("_gram")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .filter(F.col("_df") > max_df)
+        .select("_gram")
+        .withColumn("_hot", F.lit(True))
+    )
+    per_doc = (
+        grams.join(F.broadcast(hot), "_gram", "left")
+        .groupBy("_bid")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.count(F.col("_hot")).alias("n_hot_grams"),
+        )
+    )
+    return (
+        df.join(per_doc, df[id_col] == per_doc["_bid"], "left")
+        .drop("_bid")
+        .withColumn("n_grams", F.coalesce(F.col("n_grams"), F.lit(0).cast("long")))
+        .withColumn("n_hot_grams", F.coalesce(F.col("n_hot_grams"), F.lit(0).cast("long")))
+        .withColumn(
+            "boilerplate_frac",
+            F.when(
+                F.col("n_grams") > 0,
+                F.col("n_hot_grams").cast("double") / F.col("n_grams").cast("double"),
+            ),
+        )
+    )

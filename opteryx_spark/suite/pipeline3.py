@@ -255,3 +255,78 @@ def text_perplexity_filter(spark, sf_dir):
     return filtering.unigram_perplexity(docs, max_avg_nll_millinats=4100).select(
         "doc_id", "n_tokens", "nll_millinats", "avg_nll_millinats", "passes_perplexity"
     ).orderBy("doc_id")
+
+
+@register(
+    "sample_token_budget",
+    oracle=f"""
+    WITH c AS (
+      SELECT doc_id, lang, source,
+             CAST(len({_O_TOKENS}) AS BIGINT) AS n_tokens
+      FROM documents
+    ), r AS (
+      SELECT doc_id, lang, source, n_tokens,
+             coalesce(SUM(n_tokens) OVER (
+               PARTITION BY lang, source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS tokens_before
+      FROM c
+    )
+    SELECT doc_id, lang, source, n_tokens, tokens_before,
+           (tokens_before + n_tokens) <= 500 AS in_budget
+    FROM r ORDER BY doc_id
+    """,
+)
+def sample_token_budget(spark, sf_dir):
+    """Token-budget mixture sampling (``filtering.token_budget_sample``):
+    per (lang, source) stratum, admit docs in the canonical md5 order
+    while the running TOKEN total fits a 500-token budget — training
+    mixtures weight tokens, not documents.  One per-stratum window."""
+    docs = t(spark, sf_dir, "documents")
+    return (
+        filtering.token_budget_sample(docs, ["lang", "source"], 500)
+        .select("doc_id", "lang", "source", "n_tokens", "tokens_before", "in_budget")
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "text_boilerplate_fraction",
+    oracle=f"""
+    WITH g AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(range(1, len({_O_TOKENS})-1),
+               i -> concat_ws(' ', {_O_TOKENS}[i], {_O_TOKENS}[i+1], {_O_TOKENS}[i+2]))))
+               AS gram
+      FROM documents
+    ), hot AS (
+      SELECT gram FROM g GROUP BY gram HAVING COUNT(*) > 25
+    ), per_doc AS (
+      SELECT g.doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_grams,
+             CAST(COUNT(h.gram) AS BIGINT) AS n_hot_grams
+      FROM g LEFT JOIN hot h USING (gram) GROUP BY g.doc_id
+    )
+    SELECT d.doc_id,
+           coalesce(p.n_grams, 0) AS n_grams,
+           coalesce(p.n_hot_grams, 0) AS n_hot_grams,
+           CASE WHEN coalesce(p.n_grams, 0) > 0 THEN
+             CAST(p.n_hot_grams AS DOUBLE) / CAST(p.n_grams AS DOUBLE)
+           END AS boilerplate_frac
+    FROM documents d LEFT JOIN per_doc p USING (doc_id)
+    ORDER BY d.doc_id
+    """,
+)
+def text_boilerplate_fraction(spark, sf_dir):
+    """Cross-document boilerplate signal
+    (``filtering.boilerplate_ngram_fraction``): fraction of a doc's
+    distinct trigrams appearing in more than 25 documents — the scalable
+    cousin of exact substring dedup (Lee et al. 2021).  Word-count shape
+    + broadcast hot-gram join; no all-pairs."""
+    docs = t(spark, sf_dir, "documents")
+    return (
+        filtering.boilerplate_ngram_fraction(docs, k=3, max_df=25)
+        .select("doc_id", "n_grams", "n_hot_grams", "boilerplate_frac")
+        .orderBy("doc_id")
+    )

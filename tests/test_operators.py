@@ -893,3 +893,33 @@ def test_minhash_hot_buckets_audit(spark):
     hot = dedup.minhash_hot_buckets(df, max_bucket=10).collect()
     assert hot and all(r.n_docs == 12 for r in hot)
     assert dedup.minhash_hot_buckets(df, max_bucket=20).count() == 0
+
+
+def test_token_budget_sample_semantics(spark):
+    from opteryx_spark.operators import filtering
+
+    rows = [(i, " ".join(["w"] * 10), "en") for i in range(6)] + [(9, None, "en")]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+    out = {r.doc_id: r for r in filtering.token_budget_sample(df, ["lang"], 35).collect()}
+    # 10 tokens per doc, budget 35 -> exactly 3 text docs fit, in md5
+    # order; the NULL-text doc costs 0 tokens so it always fits
+    fits = [d for d, r in out.items() if r.in_budget]
+    assert len([d for d in fits if d != 9]) == 3
+    assert out[9].n_tokens == 0 and out[9].in_budget
+    # deterministic under repartitioning
+    again = {r.doc_id for r in filtering.token_budget_sample(
+        df.repartition(5), ["lang"], 35).collect() if r.in_budget}
+    assert set(fits) == again
+
+
+def test_boilerplate_fraction_flags_template(spark):
+    from opteryx_spark.operators import filtering
+
+    template = "copyright footer all rights reserved"
+    rows = [(i, f"unique body {i} stuff {i*3} here then {template}") for i in range(8)]
+    rows.append((100, "totally standalone document body"))
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r for r in filtering.boilerplate_ngram_fraction(
+        df, k=3, max_df=5).collect()}
+    assert all(out[i].n_hot_grams >= 4 for i in range(8))  # template trigrams hot
+    assert out[100].n_hot_grams == 0 and out[100].boilerplate_frac == 0.0

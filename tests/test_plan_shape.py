@@ -195,3 +195,14 @@ def test_perplexity_no_cartesian_broadcast_costs(spark, sf_dir):
     assert "CartesianProduct" not in text
     assert "rangepartitioning" not in text.lower()
     assert "BroadcastExchange" in text
+
+
+def test_token_budget_and_boilerplate_shapes(spark, sf_dir):
+    from opteryx_spark.operators import filtering
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    tb = explain_text(filtering.token_budget_sample(docs, ["lang"], 1000))
+    assert "rangepartitioning" not in tb.lower()  # per-stratum window only
+    bp = explain_text(filtering.boilerplate_ngram_fraction(docs))
+    assert "CartesianProduct" not in bp
+    assert "BroadcastExchange" in bp  # hot-gram set broadcasts
