@@ -53,6 +53,9 @@ BENCH_QUERIES = [
     "curate_pipeline_v2",
     "decontaminate_benchmark",
     "text_gopher_quality",
+    "web_domain_quota",
+    "text_perplexity_filter",
+    "text_boilerplate_fraction",
 ]
 
 
@@ -70,6 +73,8 @@ SF1_QUERIES = [
     "join_asof_last_click",
     "text_gopher_quality",
     "decontaminate_benchmark",
+    "text_perplexity_filter",
+    "text_boilerplate_fraction",
 ]
 
 
