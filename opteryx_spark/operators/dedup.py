@@ -1113,3 +1113,63 @@ def dedup_against_corpus(
         .withColumn("already_in_corpus", F.col("_seen").isNotNull())
         .drop("_digest", "_seen")
     )
+
+
+def duplicate_chunk_fraction(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 32,
+    min_chunk_tokens: int = 8,
+) -> DataFrame:
+    """Per-document fraction of token-window chunks that also occur in
+    ANOTHER document — the window-level twin of C4's line-frequency pass
+    and RefinedWeb's F_dup metrics, for corpora without line structure.
+
+    Documents are cut into non-overlapping ``chunk_tokens`` windows
+    (``text.chunk_documents`` with overlap 0); windows shorter than
+    ``min_chunk_tokens`` (ragged tails) are ignored; a window is a
+    duplicate when the SAME md5'd window text appears in at least one
+    other document.  Appends ``n_chunks``, ``n_dup_chunks`` and
+    ``dup_chunk_frac`` (0-chunk docs → NULL frac).
+
+    Scale shape: chunking is map-only; chunk keys aggregate by md5 digest
+    (uniform — no skew even for a million-fold repeated window); the
+    cross-doc-duplicate key set joins back onto the slim (id, digest)
+    pairs.  No all-pairs, exchanges carry digests not text.
+    """
+    from opteryx_spark.operators.text import chunk_documents
+
+    chunks = (
+        chunk_documents(df, id_col, text_col, max_tokens=chunk_tokens, overlap=0)
+        .filter(F.col("n_chunk_tokens") >= min_chunk_tokens)
+        .select(F.col(id_col).alias("_did"), F.md5(F.col("chunk_text")).alias("_ck"))
+    )
+    dup_keys = (
+        chunks.groupBy("_ck")
+        .agg(F.count_distinct("_did").alias("_nd"))
+        .filter(F.col("_nd") >= 2)
+        .select("_ck")
+        .withColumn("_dup", F.lit(True))
+    )
+    per_doc = (
+        chunks.join(dup_keys, "_ck", "left")
+        .groupBy("_did")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.count(F.col("_dup")).alias("n_dup_chunks"),
+        )
+    )
+    return (
+        df.join(per_doc, df[id_col] == per_doc["_did"], "left")
+        .drop("_did")
+        .withColumn("n_chunks", F.coalesce(F.col("n_chunks"), F.lit(0).cast("long")))
+        .withColumn("n_dup_chunks", F.coalesce(F.col("n_dup_chunks"), F.lit(0).cast("long")))
+        .withColumn(
+            "dup_chunk_frac",
+            F.when(
+                F.col("n_chunks") > 0,
+                F.col("n_dup_chunks").cast("double") / F.col("n_chunks").cast("double"),
+            ),
+        )
+    )

@@ -330,3 +330,62 @@ def text_boilerplate_fraction(spark, sf_dir):
         .select("doc_id", "n_grams", "n_hot_grams", "boilerplate_frac")
         .orderBy("doc_id")
     )
+
+
+@register(
+    "dedup_chunk_fraction",
+    oracle=f"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0
+    ), tk AS (
+      SELECT doc_id, {_O_TOKENS} AS t FROM corpus
+    ), ch AS (
+      SELECT doc_id,
+             array_to_string(list_slice(t, i*16 + 1, i*16 + 16), ' ') AS chunk_text
+      FROM tk, LATERAL unnest(range(0,
+        greatest(CAST(ceil(len(t) / 16.0) AS BIGINT), 1))) AS u(i)
+    ), good AS (
+      SELECT doc_id, chunk_text FROM ch
+      WHERE len(list_filter(string_split(chunk_text, ' '), x -> x <> '')) >= 4
+    ), dup AS (
+      SELECT chunk_text FROM good GROUP BY chunk_text
+      HAVING COUNT(DISTINCT doc_id) >= 2
+    ), per_doc AS (
+      SELECT g.doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_chunks,
+             CAST(COUNT(d.chunk_text) AS BIGINT) AS n_dup_chunks
+      FROM good g LEFT JOIN dup d USING (chunk_text) GROUP BY g.doc_id
+    )
+    SELECT c.doc_id,
+           coalesce(p.n_chunks, 0) AS n_chunks,
+           coalesce(p.n_dup_chunks, 0) AS n_dup_chunks,
+           CASE WHEN coalesce(p.n_chunks, 0) > 0 THEN
+             CAST(p.n_dup_chunks AS DOUBLE) / CAST(p.n_chunks AS DOUBLE)
+           END AS dup_chunk_frac
+    FROM corpus c LEFT JOIN per_doc p USING (doc_id)
+    ORDER BY c.doc_id
+    """,
+)
+def dedup_chunk_fraction(spark, sf_dir):
+    """Window-level duplicate-chunk fraction
+    (``dedup.duplicate_chunk_fraction``): share of a doc's 16-token
+    windows that occur verbatim in another document — C4's
+    line-frequency pass for corpora without line structure.  The fixture
+    unions in copies of every 10th doc so both duplicated and clean
+    windows are exercised.  Chunking is map-only; keys aggregate by md5
+    digest (uniform); no all-pairs."""
+    from opteryx_spark.operators import dedup as D
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs.unionByName(
+        docs.filter(F.col("doc_id") % 10 == 0).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+        )
+    )
+    return (
+        D.duplicate_chunk_fraction(corpus, chunk_tokens=16, min_chunk_tokens=4)
+        .select("doc_id", "n_chunks", "n_dup_chunks", "dup_chunk_frac")
+        .orderBy("doc_id")
+    )

@@ -923,3 +923,29 @@ def test_boilerplate_fraction_flags_template(spark):
         df, k=3, max_df=5).collect()}
     assert all(out[i].n_hot_grams >= 4 for i in range(8))  # template trigrams hot
     assert out[100].n_hot_grams == 0 and out[100].boilerplate_frac == 0.0
+
+
+def test_duplicate_chunk_fraction_semantics(spark):
+    """Shared windows across docs count; within-doc repeats don't; ragged
+    tails below min_chunk_tokens are ignored."""
+    shared = " ".join(f"s{i}" for i in range(8))
+    uniq = lambda tag: " ".join(f"{tag}{i}" for i in range(8))  # noqa: E731
+    df = spark.createDataFrame(
+        [
+            (1, shared + " " + uniq("a")),       # 2 chunks: shared + unique
+            (2, shared + " " + uniq("b")),       # 2 chunks: shared + unique
+            (3, uniq("c") + " " + uniq("c")),    # same window TWICE in one doc
+            (4, "tail only"),                     # 1 ragged chunk < min -> 0
+            (5, None),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r for r in dedup.duplicate_chunk_fraction(
+        df, chunk_tokens=8, min_chunk_tokens=4).collect()}
+    assert out[1].n_chunks == 2 and out[1].n_dup_chunks == 1
+    assert out[2].n_chunks == 2 and out[2].n_dup_chunks == 1
+    assert out[1].dup_chunk_frac == 0.5
+    # doc 3's repeated window exists only within ONE doc -> not a duplicate
+    assert out[3].n_chunks == 2 and out[3].n_dup_chunks == 0
+    assert out[4].n_chunks == 0 and out[4].dup_chunk_frac is None
+    assert out[5].n_chunks == 0

@@ -206,3 +206,12 @@ def test_token_budget_and_boilerplate_shapes(spark, sf_dir):
     bp = explain_text(filtering.boilerplate_ngram_fraction(docs))
     assert "CartesianProduct" not in bp
     assert "BroadcastExchange" in bp  # hot-gram set broadcasts
+
+
+def test_duplicate_chunk_fraction_no_cartesian(spark, sf_dir):
+    from opteryx_spark.operators import dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    text = explain_text(dedup.duplicate_chunk_fraction(docs))
+    assert "CartesianProduct" not in text
+    assert "rangepartitioning" not in text.lower()
