@@ -75,6 +75,9 @@ SF1_QUERIES = [
     "decontaminate_benchmark",
     "text_perplexity_filter",
     "text_boilerplate_fraction",
+    "web_domain_quota",
+    "dedup_chunk_fraction",
+    "curate_pipeline_v2",
 ]
 
 
@@ -174,12 +177,26 @@ def main() -> None:
     if os.path.isdir(SF1_DIR) and os.environ.get("SPARK_GRAFT_SKIP_SF1") != "1":
         sf1_t, _, _ = _time_queries(reg, spark, SF1_DIR, SF1_QUERIES, runs=1)
         out["sf1"] = {"total": round(sum(sf1_t.values()), 3), "queries": sf1_t}
-    line = json.dumps(out)
-    # the one stdout line, PLUS a file copy the driver can read even when
-    # its captured output tail truncates (VERDICT r4 'What's wrong' #2)
-    print(line)
+    # Two copies: the FILE gets the full record (spread, n_samples, per-query
+    # sf1); STDOUT gets a slim line guaranteed to fit the driver's ~2 KB
+    # captured tail (VERDICT r5 'What's wrong' #3 — the full line is ~3.4 KB
+    # and truncates from the front, leaving "parsed": null two rounds running).
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH.json"), "w") as f:
-        f.write(line + "\n")
+        f.write(json.dumps(out) + "\n")
+    slim = {
+        "metric": out["metric"],
+        "value": out["value"],
+        "unit": out["unit"],
+        "queries": {k: round(v, 2) for k, v in timings.items()},
+        "sf": out["sf"],
+    }
+    if "sf1" in out:
+        slim["sf1_total"] = out["sf1"]["total"]
+    line = json.dumps(slim, separators=(",", ":"))
+    if len(line) > 2000:  # last-resort: drop per-query detail before truncating
+        slim.pop("queries", None)
+        line = json.dumps(slim, separators=(",", ":"))
+    print(line)
     spark.stop()
 
 

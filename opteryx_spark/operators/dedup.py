@@ -52,6 +52,9 @@ from opteryx_spark.operators.text import shingles, tokens
 # call.  Unpersisting never breaks correctness (Spark recomputes), it only
 # costs a re-shuffle if a stale lazy result is re-evaluated later.
 _CACHED_REPS: list[DataFrame] = []
+# localCheckpoint handles: unbounded (never cap-evicted — released frames
+# cannot be recomputed), drained only by release_text_group_caches()
+_CHECKPOINT_HANDLES: list = []
 
 
 # Hard bound on concurrently-persisted dedup intermediates: one call
@@ -86,16 +89,37 @@ class _CheckpointHandle:
 
 
 def _checkpoint_tracked(df: DataFrame) -> tuple[DataFrame, _CheckpointHandle]:
-    """``localCheckpoint()`` + a handle that can release its RDD blocks."""
+    """``localCheckpoint()`` + a handle that can release its RDD blocks.
+
+    The pinned RDD id is read off the returned frame's own plan (a
+    ``LogicalRDD`` wrapping exactly the checkpointed RDD), not a
+    before/after diff of the context-wide persistent-RDD map — a global
+    diff would swallow concurrent persists from other driver threads and
+    wrongly unpersist them on release.
+    """
     sc = df.sparkSession.sparkContext
-    before = set(sc._jsc.getPersistentRDDs().keySet())
     out = df.localCheckpoint()
-    new_ids = set(sc._jsc.getPersistentRDDs().keySet()) - before
-    return out, _CheckpointHandle(sc, new_ids)
+    try:
+        ids = [out._jdf.queryExecution().analyzed().rdd().id()]
+    except Exception:  # plan shape changed across Spark versions — leak,
+        ids = []  # never release someone else's blocks
+    return out, _CheckpointHandle(sc, ids)
 
 
 def _track_release(obj) -> None:
-    """Register anything with ``.unpersist()`` for LRU-capped release."""
+    """Register anything with ``.unpersist()`` for bounded-lifetime release.
+
+    Persisted frames go through the LRU cap — eviction is safe because
+    Spark recomputes them on demand.  ``_CheckpointHandle``s do NOT: a
+    released localCheckpoint frame is unrecoverable, so evicting one from
+    a capped list would make any later action on a not-yet-materialized
+    result fail with a missing-block error.  They are tracked in a
+    separate unbounded list drained only by ``release_text_group_caches()``
+    (the documented materialize-before-release contract).
+    """
+    if isinstance(obj, _CheckpointHandle):
+        _CHECKPOINT_HANDLES.append(obj)
+        return
     while len(_CACHED_REPS) >= _MAX_CACHED:
         try:
             _CACHED_REPS.pop(0).unpersist()
@@ -119,6 +143,11 @@ def release_text_group_caches() -> None:
     while _CACHED_REPS:
         try:
             _CACHED_REPS.pop().unpersist()
+        except Exception:
+            pass
+    while _CHECKPOINT_HANDLES:
+        try:
+            _CHECKPOINT_HANDLES.pop().unpersist()
         except Exception:
             pass
 

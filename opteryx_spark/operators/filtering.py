@@ -196,6 +196,7 @@ def unigram_perplexity(
     alpha: float = 0.5,
     max_avg_nll_millinats: int = 8000,
     model: DataFrame | None = None,
+    broadcast_costs: bool | None = None,
 ) -> DataFrame:
     """KenLM-style perplexity gate, reduced to a unigram LM with additive
     smoothing so every number is engine-reproducible.
@@ -213,9 +214,15 @@ def unigram_perplexity(
     tokens fail, like every NULL-text gate in this module).
 
     Scale shape: token frequencies are one word-count aggregate; the
-    per-token cost table is vocabulary-sized (≪ corpus) and broadcast
-    onto the exploded corpus; the per-doc reduce is keyed by id.  Two
-    bounded shuffles, no driver collect, no per-row Python.
+    per-token cost table is vocabulary-sized (≪ corpus for natural text)
+    and joined onto the exploded corpus; the per-doc reduce is keyed by
+    id.  Two bounded shuffles, no driver collect, no per-row Python.
+
+    ``broadcast_costs``: True forces a broadcast hint on the cost table;
+    None (default) lets Catalyst/AQE size-gate the join — the only safe
+    default on web-scale corpora, where the distinct-token set (URLs,
+    typos, hex blobs) is effectively unbounded and a forced hint can OOM
+    the driver (same contract as ``dedup._maybe_broadcast``).
     """
     toks = df.select(F.col(id_col).alias("_pid"), F.explode(text.tokens(text_col)).alias("_tok"))
     if model is None:
@@ -245,8 +252,10 @@ def unigram_perplexity(
             ).alias("_unk_nll")
         )
     )
+    from opteryx_spark.operators.dedup import _maybe_broadcast
+
     doc = (
-        toks.join(F.broadcast(costs), "_tok", "left")
+        toks.join(_maybe_broadcast(costs, broadcast_costs), "_tok", "left")
         .crossJoin(F.broadcast(unk))
         .select("_pid", F.coalesce(F.col("_nll"), F.col("_unk_nll")).alias("_nll"))
         .groupBy("_pid")

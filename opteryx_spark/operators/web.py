@@ -42,7 +42,10 @@ _SCHEME_RE = "^([a-zA-Z][a-zA-Z0-9+.-]*)://.*$"
 _HOST_RE = "^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]*).*$"
 _PORT_RE = "^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?[^/?#:]*:([0-9]+).*$"
 _PATH_RE = "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*(/[^?#]*).*$"
-_QUERY_RE = "^[^?#]*\\?([^#]*).*$"
+# scheme-anchored like the other component regexes, so a scheme-less
+# value ('foo?x=1') yields NULL query, not 'x=1' — the documented
+# "malformed => NULL components" contract
+_QUERY_RE = "^[a-zA-Z][a-zA-Z0-9+.-]*://[^?#]*\\?([^#]*).*$"
 
 
 def registered_domain(host: Column | str, extra_suffixes: tuple[str, ...] = ()) -> Column:

@@ -23,8 +23,13 @@ def explain_text(df: DataFrame, mode: str = "formatted") -> str:
 
 
 def executed_metrics(df: DataFrame) -> str:
-    """Post-execution metrics string (EXPLAIN ANALYZE analogue)."""
-    df.collect()
+    """Post-execution metrics string (EXPLAIN ANALYZE analogue).
+
+    Executes through the noop sink (same path as the cursor's EXPLAIN
+    ANALYZE) so runtime metrics exist without ever materializing the
+    result set on the driver — collect() here would OOM on a big result.
+    """
+    df.write.format("noop").mode("overwrite").save()
     return df._jdf.queryExecution().executedPlan().toString()
 
 

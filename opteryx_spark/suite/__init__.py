@@ -43,14 +43,31 @@ def register(name: str, oracle: str | None = None):
 
 # The driver's correctness harness checks entries in registration order and
 # caps how many it verifies per round (50 of the registry).  Ordering policy
-# (round 5): every r1-r4 oracle entry is cumulatively green (125/125), so
-# there is no never-green tier left.  NEW oracle entries (not in
-# _DRIVER_GREEN) auto-promote to the front of the window; the remaining
-# slots re-confirm a ROTATING sample of old greens (deterministic per-round
-# shuffle keyed by _ROTATION_SALT, so successive rounds re-confirm
-# different entries instead of the same first-registered ones); rows-only
-# entries always go last.
-_ROTATION_SALT = "r5"
+# (round 6): NEW oracle entries (not in _DRIVER_GREEN) and CHANGED entries
+# (recorded green, but the (spark-impl source, oracle text) hash no longer
+# matches the one recorded when the green was earned — see _green_hashes.py
+# and tools/gen_green_hashes.py) auto-promote to the front of the window, so
+# a rewritten entry is re-confirmed instead of coasting on a stale verdict
+# (VERDICT r5 'What's wrong' #2: fixed-point q1 was never driver-re-checked).
+# The remaining slots re-confirm a ROTATING sample of old greens
+# (deterministic per-round shuffle keyed by _ROTATION_SALT, so successive
+# rounds re-confirm different entries instead of the same first-registered
+# ones); rows-only entries always go last.
+_ROTATION_SALT = "r6"
+
+
+def _impl_hash(qd: QueryDef) -> str:
+    """Hash of what the driver actually verifies: the Spark impl's source
+    text plus the oracle SQL.  Any edit to either re-promotes the entry
+    into the driver window."""
+    import hashlib
+    import inspect
+
+    try:
+        src = inspect.getsource(qd.spark)
+    except (OSError, TypeError):  # builtins/lambdas without source
+        src = repr(qd.spark)
+    return hashlib.md5((src + "\x00" + (qd.oracle or "")).encode()).hexdigest()
 
 # Every entry with a full green (rows+schema+hash) verdict in some round's
 # CORRECTNESS JSON.  New oracle-bearing entries (not in this set) are
@@ -78,6 +95,7 @@ _DRIVER_GREEN = frozenset({
     "curate_pipeline_v2",
     "datetime_extract_unix",
     "decontaminate_benchmark",
+    "dedup_chunk_fraction",
     "dedup_connected_groups",
     "dedup_exact_stats",
     "dedup_fingerprint",
@@ -139,13 +157,16 @@ _DRIVER_GREEN = frozenset({
     "sort_limit_offset",
     "string_funcs_2",
     "subquery_scalar_correlated",
+    "text_boilerplate_fraction",
     "text_bpe_token_stats",
     "text_characteristic_terms",
     "text_chunk_documents",
     "text_gopher_quality",
     "text_normalize",
     "text_pack_sequences",
+    "text_perplexity_filter",
     "text_quality_langid",
+    "text_readability",
     "text_redact_pii",
     "text_token_stats",
     "text_vocab_topk",
@@ -176,6 +197,9 @@ _DRIVER_GREEN = frozenset({
     "tvf_values_clause",
     "unnest_lateral_filtered_distinct",
     "unnest_tokens",
+    "web_domain_blocklist",
+    "web_domain_quota",
+    "web_parse_urls",
     "window_frames_moving_avg",
     "window_lag_rank",
     "window_range_percent",
@@ -199,10 +223,15 @@ def load_all() -> dict[str, QueryDef]:
 
     import hashlib
 
+    from opteryx_spark.suite._green_hashes import GREEN_HASHES
+
     ordered: dict[str, QueryDef] = {}
-    # tier 1: oracle-bearing entries with no green verdict yet (new this round)
+    # tier 1: oracle-bearing entries that are new (no green verdict yet) OR
+    # changed since their green was recorded (impl-hash mismatch)
     for name, qd in REGISTRY.items():
-        if qd.oracle and name not in _DRIVER_GREEN:
+        if qd.oracle and (
+            name not in _DRIVER_GREEN or GREEN_HASHES.get(name) != _impl_hash(qd)
+        ):
             ordered[name] = qd
     # tier 2: already-green oracle entries, rotated per round so driver
     # re-confirmation slots cycle through the whole registry over rounds

@@ -81,7 +81,10 @@ _O_PATH = (
     "NULLIF(regexp_extract(url,"
     " '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*(/[^?#]*).*$', 1), '')"
 )
-_O_QUERY = "NULLIF(regexp_extract(url, '^[^?#]*\\?([^#]*).*$', 1), '')"
+_O_QUERY = (
+    "NULLIF(regexp_extract(url,"
+    " '^[a-zA-Z][a-zA-Z0-9+.-]*://[^?#]*\\?([^#]*).*$', 1), '')"
+)
 
 _O_SUFFIX_LIST = ", ".join(f"'{s}'" for s in web.MULTI_SUFFIXES)
 
@@ -179,13 +182,16 @@ def web_domain_blocklist(spark, sf_dir):
     oracle=f"""
     WITH c AS (
       SELECT doc_id,
-             greatest(CAST(1 AS BIGINT),
-               CAST(len(regexp_extract_all(text, '([.!?]+)', 1)) AS BIGINT)) AS n_sentences,
-             CAST(len({_O_TOKENS}) AS BIGINT) AS n_words,
-             list_reduce(list_prepend(CAST(0 AS BIGINT),
-               list_transform({_O_TOKENS}, w -> greatest(CAST(1 AS BIGINT),
-                 CAST(len(regexp_extract_all(lower(w), '([aeiouy]+)', 1)) AS BIGINT)))),
-               (a, b) -> a + b) AS n_syllables
+             CASE WHEN text IS NOT NULL THEN greatest(CAST(1 AS BIGINT),
+               CAST(len(regexp_extract_all(text, '([.!?]+)', 1)) AS BIGINT)) END
+               AS n_sentences,
+             CASE WHEN text IS NOT NULL THEN CAST(len({_O_TOKENS}) AS BIGINT) END
+               AS n_words,
+             CASE WHEN text IS NOT NULL THEN
+               list_reduce(list_prepend(CAST(0 AS BIGINT),
+                 list_transform({_O_TOKENS}, w -> greatest(CAST(1 AS BIGINT),
+                   CAST(len(regexp_extract_all(lower(w), '([aeiouy]+)', 1)) AS BIGINT)))),
+                 (a, b) -> a + b) END AS n_syllables
       FROM documents
     )
     SELECT doc_id, n_sentences, n_words, n_syllables,
@@ -252,7 +258,9 @@ def text_perplexity_filter(spark, sf_dir):
     splits this corpus.  Word-count agg + broadcast cost join + per-doc
     reduce; no driver collect."""
     docs = t(spark, sf_dir, "documents")
-    return filtering.unigram_perplexity(docs, max_avg_nll_millinats=4100).select(
+    return filtering.unigram_perplexity(
+        docs, max_avg_nll_millinats=4100, broadcast_costs=True
+    ).select(
         "doc_id", "n_tokens", "nll_millinats", "avg_nll_millinats", "passes_perplexity"
     ).orderBy("doc_id")
 
@@ -262,14 +270,15 @@ def text_perplexity_filter(spark, sf_dir):
     oracle=f"""
     WITH c AS (
       SELECT doc_id, lang, source,
-             CAST(len({_O_TOKENS}) AS BIGINT) AS n_tokens
+             coalesce(CAST(len({_O_TOKENS}) AS BIGINT), CAST(0 AS BIGINT))
+               AS n_tokens
       FROM documents
     ), r AS (
       SELECT doc_id, lang, source, n_tokens,
-             coalesce(SUM(n_tokens) OVER (
+             CAST(coalesce(SUM(n_tokens) OVER (
                PARTITION BY lang, source
                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
-               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
                AS tokens_before
       FROM c
     )

@@ -98,3 +98,31 @@ def compare(spark_df, duck_con, oracle: str, name: str = "") -> None:
         )
     mismatches = [(x, y) for x, y in zip(a, b) if x != y]
     assert not mismatches, f"{name}: {len(mismatches)} row mismatches; first: {mismatches[:3]}"
+    _check_pandas_dtypes(spark_df, duck_con, oracle, name)
+
+
+def _check_pandas_dtypes(spark_df, duck_con, oracle: str, name: str) -> None:
+    """Dtype lint through the driver's ACTUAL materialization path.
+
+    The driver hashes pandas frames (Spark ``toPandas`` vs DuckDB
+    ``.df()``), where dtype matters: DuckDB window/plain ``SUM(BIGINT)``
+    returns HUGEINT, which pandas renders float64, while Spark's long stays
+    int64 — identical values, different hash (the r5 ``sample_token_budget``
+    red row).  ``fetchall()`` masks this (HUGEINT -> Python int), so the
+    value comparison above cannot catch it.  Only numeric-kind mismatches
+    are asserted: int-with-NULLs legitimately floats to float64 on BOTH
+    sides, and date/object kinds are driver-canonicalized.
+    """
+    sp_pd = spark_df.toPandas()
+    du_pd = duck_con.execute(oracle).df()
+    for col in sorted(sp_pd.columns):
+        ak = sp_pd[col].dtype.kind
+        bk = du_pd[col].dtype.kind
+        na = "i" if ak in "iu" else ak
+        nb = "i" if bk in "iu" else bk
+        if na in "if" and nb in "if":
+            assert na == nb, (
+                f"{name}: column {col!r} pandas-dtype mismatch spark={sp_pd[col].dtype} "
+                f"duck={du_pd[col].dtype} — the driver hashes these differently; "
+                f"CAST the oracle (HUGEINT sums) or align nullability"
+            )

@@ -448,6 +448,24 @@ def test_connected_components_checkpoints_released(spark):
     assert len(spark.sparkContext._jsc.getPersistentRDDs()) == 0
 
 
+def test_checkpoint_handles_survive_lru_pressure(spark):
+    """A localCheckpoint handle must never be evicted by the persisted-frame
+    LRU cap: released checkpoint blocks cannot be recomputed, so eviction
+    would break any later action on a not-yet-materialized result (ADVICE
+    r5 medium).  Flood the LRU with > _MAX_CACHED persisted frames AFTER
+    producing a connected_components result, then act on the result."""
+    dedup.release_text_group_caches()
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (5, 6)], ["id1", "id2"])
+    out = dedup.connected_components(pairs)  # NOT materialized yet
+    for i in range(dedup._MAX_CACHED + 2):
+        dedup._track_persist(spark.range(i + 1, i + 3))
+    comp = {r.node: r.comp for r in out.collect()}  # would raise on missing blocks
+    assert comp == {1: 1, 2: 1, 3: 1, 5: 5, 6: 5}
+    dedup.release_text_group_caches()
+    assert len(spark.sparkContext._jsc.getPersistentRDDs()) == 0
+    assert not dedup._CHECKPOINT_HANDLES and not dedup._CACHED_REPS
+
+
 # --- filtering: decontamination / gopher gates / quota sampling -------------
 
 
@@ -784,6 +802,7 @@ def test_parse_urls_components(spark):
         (4, "not a url"),
         (5, None),
         (6, "https://localhost/x"),
+        (7, "foo?x=1"),  # scheme-less: every component NULL, incl. query
     ]
     df = spark.createDataFrame(rows, ["doc_id", "url"])
     got = {r.doc_id: r for r in web.parse_urls(df).collect()}
@@ -798,6 +817,7 @@ def test_parse_urls_components(spark):
     assert got[3].scheme == "ftp" and got[3].path == "/pub/" and got[3].domain == "example.com"
     assert got[4].host is None and got[4].domain is None
     assert got[5].host is None
+    assert got[7].scheme is None and got[7].host is None and got[7].query is None
     assert got[6].host == "localhost" and got[6].domain == "localhost"
 
 

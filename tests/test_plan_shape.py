@@ -191,10 +191,14 @@ def test_perplexity_no_cartesian_broadcast_costs(spark, sf_dir):
     from opteryx_spark.operators import filtering
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    text = explain_text(filtering.unigram_perplexity(docs))
+    text = explain_text(filtering.unigram_perplexity(docs, broadcast_costs=True))
     assert "CartesianProduct" not in text
     assert "rangepartitioning" not in text.lower()
     assert "BroadcastExchange" in text
+    # default (no hint): AQE size-gates — must not force a broadcast of a
+    # potentially unbounded web-scale vocabulary
+    default = explain_text(filtering.unigram_perplexity(docs))
+    assert "CartesianProduct" not in default
 
 
 def test_token_budget_and_boilerplate_shapes(spark, sf_dir):
