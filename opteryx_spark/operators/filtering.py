@@ -372,3 +372,89 @@ def boilerplate_ngram_fraction(
             ),
         )
     )
+
+
+def remove_boilerplate_lines(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_doc_freq: int = 2,
+    broadcast_hot: bool | None = True,
+) -> DataFrame:
+    """C4's line-frequency boilerplate pass (Raffel et al. 2020 §2.2;
+    also CCNet/RefinedWeb): drop every LINE that occurs in at least
+    ``min_doc_freq`` distinct documents — navigation chrome, cookie
+    banners, license headers repeat verbatim across pages, so corpus-wide
+    line frequency separates them from content no per-document signal can.
+
+    Lines are ``\\n``-split and trimmed; empty lines are dropped up front.
+    Appends ``n_lines`` (non-empty lines), ``n_boilerplate_lines``,
+    ``boilerplate_line_fraction`` (NULL for 0-line docs) and
+    ``cleaned_text`` — the surviving lines re-joined with ``\\n`` in
+    original order ('' when every line was boilerplate).  NULL text →
+    NULL outputs (the module's gate contract).
+
+    Scale shape: one explode; line frequency is a word-count-style
+    aggregate keyed on the line's md5 digest (digests travel, lines
+    don't); the HOT set (only lines at/above ``min_doc_freq``) is joined
+    back — tiny by construction, so it broadcasts (``broadcast_hot=True``
+    default; None lets AQE size-gate when the hot set may be large); the
+    per-doc rebuild is one id-keyed reduce sorting (pos, line) structs
+    in-group.  No all-pairs, no driver collect, no Python row path.
+    """
+    lines = (
+        df.select(
+            F.col(id_col).alias("_lid"),
+            F.posexplode(F.split(F.col(text_col), "\n")).alias("_pos", "_raw"),
+        )
+        .select("_lid", "_pos", F.trim(F.col("_raw")).alias("_line"))
+        .filter(F.col("_line") != "")
+        .withColumn("_dg", F.md5(F.col("_line")))
+    )
+    hot = (
+        lines.groupBy("_dg")
+        .agg(F.count_distinct("_lid").alias("_ldf"))
+        .filter(F.col("_ldf") >= min_doc_freq)
+        .select("_dg")
+        .withColumn("_hot", F.lit(True))
+    )
+    from opteryx_spark.operators.dedup import _maybe_broadcast
+
+    marked = lines.join(_maybe_broadcast(hot, broadcast_hot), "_dg", "left")
+    per_doc = marked.groupBy("_lid").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.count(F.col("_hot")).alias("n_boilerplate_lines"),
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            F.col("_hot").isNull(),
+                            F.struct(F.col("_pos"), F.col("_line")),
+                        )
+                    )
+                ),
+                lambda s: s["_line"],
+            ),
+        ).alias("cleaned_text"),
+    )
+    nn = F.col(text_col).isNotNull()
+    return (
+        df.join(per_doc, df[id_col] == per_doc["_lid"], "left")
+        .drop("_lid")
+        .withColumn("n_lines", F.when(nn, F.coalesce("n_lines", F.lit(0).cast("long"))))
+        .withColumn(
+            "n_boilerplate_lines",
+            F.when(nn, F.coalesce("n_boilerplate_lines", F.lit(0).cast("long"))),
+        )
+        .withColumn(
+            "boilerplate_line_fraction",
+            F.when(
+                F.col("n_lines") > 0,
+                F.col("n_boilerplate_lines").cast("double")
+                / F.col("n_lines").cast("double"),
+            ),
+        )
+        .withColumn("cleaned_text", F.when(nn, F.coalesce("cleaned_text", F.lit(""))))
+    )

@@ -398,3 +398,97 @@ def dedup_chunk_fraction(spark, sf_dir):
         .select("doc_id", "n_chunks", "n_dup_chunks", "dup_chunk_frac")
         .orderBy("doc_id")
     )
+
+
+# --- line-level boilerplate (C4 line-frequency pass) -------------------------
+#
+# The driver corpus has no newlines, so the entry synthesizes a
+# line-structured twin deterministically in BOTH engines: a global
+# boilerplate header (every doc), a per-group promo line (doc_id % 5),
+# then the original text split into 4-token lines.  Same recipe as the
+# URL fixture above.
+
+
+def _with_lines(docs):
+    d = F.col("doc_id")
+    return docs.withColumn(
+        "text",
+        F.concat_ws(
+            "\n",
+            F.lit("engine generated do not edit"),
+            F.concat(F.lit("promo block "), (d % 5).cast("string")),
+            F.regexp_replace(F.col("text"), r"(\S+ \S+ \S+ \S+) ", "$1\n"),
+        ),
+    )
+
+
+_O_LINES_SRC = r"""
+    WITH src AS (
+      SELECT doc_id,
+             'engine generated do not edit' || chr(10) ||
+             'promo block ' || CAST(doc_id % 5 AS VARCHAR) || chr(10) ||
+             regexp_replace(text, '(\S+ \S+ \S+ \S+) ', '\1' || chr(10), 'g')
+               AS text
+      FROM documents
+    )
+"""
+
+
+@register(
+    "text_line_boilerplate",
+    oracle=_O_LINES_SRC
+    + """
+    , lx AS (
+      SELECT doc_id, pos, line FROM (
+        SELECT doc_id, generate_subscripts(lines, 1) AS pos,
+               trim(unnest(lines)) AS line
+        FROM (SELECT doc_id, string_split(text, chr(10)) AS lines FROM src)
+      ) WHERE line <> ''
+    ), hot AS (
+      SELECT md5(line) AS dg FROM lx
+      GROUP BY md5(line) HAVING count(DISTINCT doc_id) >= 2
+    ), m AS (
+      SELECT l.doc_id, l.pos, l.line, (h.dg IS NOT NULL) AS bp
+      FROM lx l LEFT JOIN hot h ON md5(l.line) = h.dg
+    ), a AS (
+      SELECT doc_id,
+             CAST(count(*) AS BIGINT) AS n_lines,
+             CAST(sum(CASE WHEN bp THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_boilerplate_lines,
+             coalesce(string_agg(CASE WHEN NOT bp THEN line END,
+                                 chr(10) ORDER BY pos), '') AS cleaned_text
+      FROM m GROUP BY doc_id
+    )
+    SELECT s.doc_id,
+           coalesce(a.n_lines, CAST(0 AS BIGINT)) AS n_lines,
+           coalesce(a.n_boilerplate_lines, CAST(0 AS BIGINT))
+             AS n_boilerplate_lines,
+           CASE WHEN coalesce(a.n_lines, 0) > 0 THEN
+             CAST(a.n_boilerplate_lines AS DOUBLE) / CAST(a.n_lines AS DOUBLE)
+           END AS boilerplate_line_fraction,
+           coalesce(a.cleaned_text, '') AS cleaned_text
+    FROM src s LEFT JOIN a USING (doc_id)
+    ORDER BY s.doc_id
+    """,
+)
+def text_line_boilerplate(spark, sf_dir):
+    """C4's line-frequency boilerplate pass
+    (``filtering.remove_boilerplate_lines``): drop every line occurring
+    in >= 2 distinct documents, rebuild the doc from the survivors in
+    original order.  The global header and promo lines vanish from every
+    doc; 4-token content lines vanish only where the small synthetic
+    vocabulary collides across docs — both paths exercised.  Line
+    frequency aggregates md5 digests; the hot set broadcasts; the rebuild
+    is one id-keyed reduce."""
+    docs = _with_lines(t(spark, sf_dir, "documents"))
+    return (
+        filtering.remove_boilerplate_lines(docs, min_doc_freq=2)
+        .select(
+            "doc_id",
+            "n_lines",
+            "n_boilerplate_lines",
+            "boilerplate_line_fraction",
+            "cleaned_text",
+        )
+        .orderBy("doc_id")
+    )

@@ -469,6 +469,32 @@ def test_checkpoint_handles_survive_lru_pressure(spark):
 # --- filtering: decontamination / gopher gates / quota sampling -------------
 
 
+def test_remove_boilerplate_lines(spark):
+    """C4 line-frequency pass: cross-doc lines drop, unique lines keep
+    their original order, NULL text → NULL outputs, all-blank text → 0."""
+    from opteryx_spark.operators import filtering
+
+    df = spark.createDataFrame(
+        [
+            (1, "header\nunique one\nshared promo"),
+            (2, "header\nunique two\nshared promo"),
+            (3, "header\nzz first\nzz second"),
+            (4, None),
+            (5, "  \n\n"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        r.doc_id: (r.n_lines, r.n_boilerplate_lines, r.cleaned_text)
+        for r in filtering.remove_boilerplate_lines(df).collect()
+    }
+    assert got[1] == (3, 2, "unique one")
+    assert got[2] == (3, 2, "unique two")
+    assert got[3] == (3, 1, "zz first\nzz second")  # order preserved
+    assert got[4] == (None, None, None)
+    assert got[5] == (0, 0, "")
+
+
 def test_decontaminate_flags_overlap(spark):
     from opteryx_spark.operators import filtering
 

@@ -212,6 +212,18 @@ def test_token_budget_and_boilerplate_shapes(spark, sf_dir):
     assert "BroadcastExchange" in bp  # hot-gram set broadcasts
 
 
+def test_line_boilerplate_shape(spark, sf_dir):
+    # C4 line-frequency pass: explode + digest-keyed freq + hot-set
+    # broadcast + id-keyed rebuild — no cartesian, no global sort
+    from opteryx_spark.operators import filtering
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    lb = explain_text(filtering.remove_boilerplate_lines(docs))
+    assert "CartesianProduct" not in lb
+    assert "rangepartitioning" not in lb.lower()
+    assert "BroadcastExchange" in lb  # hot-line digest set broadcasts
+
+
 def test_duplicate_chunk_fraction_no_cartesian(spark, sf_dir):
     from opteryx_spark.operators import dedup
 
