@@ -156,6 +156,12 @@ def sample_video_frames(
     deterministically from (payload, frame_idx); swap in ffmpeg/PyAV in a
     full runtime — the Spark-side contract (schema, fan-out shape,
     partition locality) is the part under test.
+
+    Stub arithmetic is deliberately NUL-free so a pure-SQL oracle can
+    reproduce it: the frame key is ``payload || ':' || str(frame_idx)``
+    (ASCII suffix, not packed bytes) and the dimension digest runs over
+    the frame sha's HEX STRING — both expressible over VARCHAR in
+    engines whose hash functions cannot take raw blobs.
     """
     if not fake:  # pragma: no cover
         raise NotImplementedError("video codecs unavailable in this container")
@@ -167,11 +173,13 @@ def sample_video_frames(
                 payload = row["payload"] or b""
                 for j in range(max_frames):
                     frame_idx = j * every_nth
-                    digest = hashlib.sha256(payload + frame_idx.to_bytes(4, "big"))
-                    w, h = _fake_decode(digest.digest())
+                    frame_sha = hashlib.sha256(
+                        payload + b":" + str(frame_idx).encode()
+                    ).hexdigest()
+                    w, h = _fake_decode(frame_sha.encode())
                     out["media_id"].append(row["media_id"])
                     out["frame_idx"].append(frame_idx)
-                    out["frame_sha"].append(digest.hexdigest())
+                    out["frame_sha"].append(frame_sha)
                     out["width"].append(w)
                     out["height"].append(h)
             yield pd.DataFrame(out)

@@ -89,6 +89,7 @@ def lsh_cosine_pairs(
     seed: int = 42,
     max_bucket: int = 10_000,
     dim: int | None = None,
+    planes: list[list[float]] | None = None,
 ) -> DataFrame:
     """Embedding near-dup pairs at scale: banded hyperplane LSH candidates
     refined with exact cosine (the scale path :func:`cosine_pairs` points
@@ -104,7 +105,15 @@ def lsh_cosine_pairs(
 
     ``dim`` avoids a setup probe when known; otherwise one scalar
     ``first()`` reads it (plan-build time, not per-row).
+
+    ``planes`` overrides the Gaussian hyperplanes with an explicit
+    ``bands*planes_per_band x dim`` matrix — scale is irrelevant to the
+    sign test, so any full-direction-coverage matrix works; an integer
+    matrix both engines can generate arithmetically makes the whole
+    algorithm reproducible in a SQL oracle (the suite's portable twin).
     """
+    if planes is not None and dim is None:
+        dim = len(planes[0])
     if dim is None:
         probe = df.select(F.size(vec_col).alias("d")).filter(F.col("d") > 0).first()
         if probe is None:
@@ -113,7 +122,10 @@ def lsh_cosine_pairs(
                 f"'{vec_col}'); pass dim= explicitly"
             )
         dim = probe["d"]
-    planes = random_hyperplanes(dim, bands * planes_per_band, seed)
+    if planes is None:
+        planes = random_hyperplanes(dim, bands * planes_per_band, seed)
+    elif len(planes) != bands * planes_per_band:
+        raise ValueError("planes must have bands*planes_per_band rows")
     band_sigs = []
     for i in range(bands):
         sig = F.lit(0)

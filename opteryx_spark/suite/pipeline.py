@@ -418,12 +418,40 @@ def emb_ann_ivf_topk(spark, sf_dir):
     return similarity.ivf_topk(assigned, centroids, qvec, k=10, nprobe=8)
 
 
-# rows-only BY NECESSITY: frame hashing runs sha256 over payload bytes ||
-# frame_idx (big-endian, contains NULs) — DuckDB v1.0.0 hashes VARCHAR
-# only, and VARCHAR cannot carry NUL bytes.  The image twin above IS
-# value-oracled; determinism here is pinned by unit tests.
-@register("multimodal_video_frames", oracle=None)
+@register(
+    "multimodal_video_frames",
+    # value-oracled (r6): the stub's frame key is payload || ':' || idx
+    # (ASCII, NUL-free) and dims derive from sha256 of the frame sha's
+    # HEX string, so DuckDB's VARCHAR-only sha256 reproduces every value;
+    # hex-pair -> byte via strpos arithmetic.
+    oracle="""
+    WITH m AS (
+      SELECT r.range AS media_id,
+             repeat(sha256(CAST(r.range AS VARCHAR)), 4) AS payload
+      FROM range(50) r
+    ), f AS (
+      SELECT m.media_id, CAST(j.range * 5 AS BIGINT) AS frame_idx,
+             sha256(m.payload || ':' || CAST(j.range * 5 AS VARCHAR)) AS frame_sha
+      FROM m, range(4) j
+    ), d AS (
+      SELECT media_id, frame_idx, frame_sha, sha256(frame_sha) AS d2 FROM f
+    )
+    SELECT media_id, frame_idx, frame_sha,
+      CAST(64 + ((16 * (strpos('0123456789abcdef', substr(d2, 1, 1)) - 1)
+            + (strpos('0123456789abcdef', substr(d2, 2, 1)) - 1)) % 192) AS BIGINT)
+        AS width,
+      CAST(64 + ((16 * (strpos('0123456789abcdef', substr(d2, 3, 1)) - 1)
+            + (strpos('0123456789abcdef', substr(d2, 4, 1)) - 1)) % 192) AS BIGINT)
+        AS height
+    FROM d ORDER BY media_id, frame_idx
+    """,
+)
 def multimodal_video_frames(spark, sf_dir):
+    """Video frame sampling (``multimodal.sample_video_frames``): one row
+    per (video, sampled frame) with stride 5, capped at 4 frames; frame
+    hashes/dims from the declared deterministic stub decode — the oracle
+    reproduces the full arithmetic, so the mapInPandas fan-out, batch
+    chunking, and schema are value-verified end-to-end."""
     from opteryx_spark.operators import multimodal
 
     media = multimodal.synthetic_media(spark, 50)
@@ -505,13 +533,80 @@ def join_range_binned(spark, sf_dir):
     )
 
 
-@register("emb_lsh_near_dup_pairs", oracle=None)  # probabilistic recall: rows-only
+def _det_planes(bands: int, ppb: int, dim: int) -> list[list[float]]:
+    """Deterministic integer hyperplanes (Knuth multiplicative mix into
+    [-1000, 1000]) — scale is irrelevant to LSH's sign test, and integer
+    arithmetic lets the DuckDB oracle regenerate the exact matrix, making
+    the whole banded-LSH algorithm value-verifiable (same portable-twin
+    strategy as dedup_minhash_lsh_portable)."""
+    return [
+        [
+            float((((i * dim + d) * 2654435761) % 4294967296) % 2001 - 1000)
+            for d in range(dim)
+        ]
+        for i in range(bands * ppb)
+    ]
+
+
+@register(
+    "emb_lsh_near_dup_pairs",
+    # full portable twin (r6, ex rows-only): the oracle regenerates the
+    # deterministic plane matrix, recomputes band signatures, bucket-joins,
+    # applies the bucket cap, and refines with exact cosine — bit-identical
+    # to the engine because both run the SAME algorithm on the SAME planes.
+    oracle=f"""
+    WITH pl AS (
+      SELECT b.range AS band, p.range AS pj,
+             list_transform(range(0, 64), d ->
+               CAST(((((b.range * 4 + p.range) * 64 + d) * 2654435761)
+                     % 4294967296) % 2001 - 1000 AS DOUBLE)) AS w
+      FROM range(4) b, range(4) p
+    ), sb AS (
+      SELECT e.vec_id, pl.band, pl.pj,
+             list_reduce(list_transform(range(1, 65),
+               i -> CAST(e.embedding[i] AS DOUBLE) * pl.w[i]),
+               (x, y) -> x + y) AS dot
+      FROM embeddings e, pl
+    ), sigs AS (
+      SELECT vec_id, band,
+             CAST(SUM(CASE WHEN dot >= 0 THEN (1 << pj) ELSE 0 END) AS BIGINT)
+               AS sig
+      FROM sb GROUP BY vec_id, band
+      QUALIFY COUNT(*) OVER (PARTITION BY band, sig) <= 10000
+    ), cand AS (
+      SELECT a.vec_id AS id1, b.vec_id AS id2
+      FROM sigs a JOIN sigs b
+        ON a.band = b.band AND a.sig = b.sig AND a.vec_id < b.vec_id
+      GROUP BY a.vec_id, b.vec_id
+    )
+    SELECT id1, id2, cosim FROM (
+      SELECT c.id1, c.id2,
+             {_O_DOT.replace('a.embedding', 'e1.embedding').replace('b.embedding', 'e2.embedding')}
+               / (sqrt({_O_NORM2.format(v='e1.embedding')})
+                  * sqrt({_O_NORM2.format(v='e2.embedding')})) AS cosim
+      FROM cand c
+      JOIN embeddings e1 ON e1.vec_id = c.id1
+      JOIN embeddings e2 ON e2.vec_id = c.id2
+    ) WHERE cosim >= 0.45
+    ORDER BY id1, id2
+    """,
+)
 def emb_lsh_near_dup_pairs(spark, sf_dir):
     """Embedding near-dup pairs via banded hyperplane LSH + exact-cosine
-    refinement — the 100 TB path that replaces the O(n²) emb_cosine_pairs
-    baseline (bucket-local candidate join, never all-pairs)."""
+    refinement (``similarity.lsh_cosine_pairs``) — the 100 TB path that
+    replaces the O(n²) emb_cosine_pairs baseline (bucket-local candidate
+    join, never all-pairs).  The entry pins the deterministic integer
+    plane matrix so the oracle is a full algorithm twin; Gaussian-plane
+    recall is covered by tests/test_operators.py."""
     emb = t(spark, sf_dir, "embeddings")
-    return similarity.lsh_cosine_pairs(emb, threshold=0.45).orderBy("id1", "id2")
+    return similarity.lsh_cosine_pairs(
+        emb,
+        threshold=0.45,
+        bands=4,
+        planes_per_band=4,
+        planes=_det_planes(4, 4, 64),
+        dim=64,
+    ).orderBy("id1", "id2")
 
 
 @register(
