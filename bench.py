@@ -56,6 +56,8 @@ BENCH_QUERIES = [
     "web_domain_quota",
     "text_perplexity_filter",
     "text_boilerplate_fraction",
+    "text_line_boilerplate",
+    "dedup_remove_chunks",
 ]
 
 
@@ -78,6 +80,8 @@ SF1_QUERIES = [
     "web_domain_quota",
     "dedup_chunk_fraction",
     "curate_pipeline_v2",
+    "text_line_boilerplate",
+    "dedup_remove_chunks",
 ]
 
 

@@ -1202,3 +1202,91 @@ def duplicate_chunk_fraction(
             ),
         )
     )
+
+
+def remove_duplicate_chunks(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 32,
+    min_chunk_tokens: int = 8,
+) -> DataFrame:
+    """Exact substring dedup that ACTS (the Lee et al. 2021 ExactSubstr
+    analogue, tiled): cut documents into non-overlapping ``chunk_tokens``
+    windows, keep exactly ONE occurrence of every duplicated window
+    corpus-wide (the occurrence first in the canonical
+    (md5(id), id, chunk_idx) order — reproducible on any partitioning),
+    drop the rest, and rebuild each document from its surviving chunks in
+    original order.  ``duplicate_chunk_fraction`` measures; this removes.
+
+    Windows shorter than ``min_chunk_tokens`` (ragged tails) are exempt —
+    always kept, never counted as duplicates.  Within-doc repeats of a
+    window are removed like cross-doc ones (corpus-wide exact-substring
+    semantics).  Appends ``n_chunks`` (all windows), ``n_removed_chunks``
+    and ``cleaned_text`` (token-joined, so output whitespace is
+    normalized exactly like the chunker's).  NULL text → NULL outputs.
+
+    Scale shape: chunking is map-only; the keep/remove decision is ONE
+    row_number window over the slim (digest, id, idx) frame — text never
+    enters the digest-keyed exchange, so a million-fold repeated window
+    skews only a digest partition, not a text partition; removals join
+    back per (id, idx) and the rebuild is one id-keyed reduce.  No
+    all-pairs, no driver collect.
+    """
+    from pyspark.sql import Window
+
+    from opteryx_spark.operators.text import chunk_documents
+
+    ch = chunk_documents(
+        df.filter(F.col(text_col).isNotNull()),
+        id_col,
+        text_col,
+        max_tokens=chunk_tokens,
+        overlap=0,
+    ).select(
+        F.col(id_col).alias("_did"), "chunk_idx", "chunk_text", "n_chunk_tokens"
+    )
+    w = Window.partitionBy("_ck").orderBy(
+        F.md5(F.col("_did").cast("string")), F.col("_did"), F.col("chunk_idx")
+    )
+    removed = (
+        ch.filter(F.col("n_chunk_tokens") >= min_chunk_tokens)
+        .select("_did", "chunk_idx", F.md5("chunk_text").alias("_ck"))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") > 1)
+        .select("_did", "chunk_idx")
+        .withColumn("_rm", F.lit(True))
+    )
+    per_doc = (
+        ch.join(removed, ["_did", "chunk_idx"], "left")
+        .groupBy("_did")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.count(F.col("_rm")).alias("n_removed_chunks"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("_rm").isNull(),
+                                F.struct(F.col("chunk_idx"), F.col("chunk_text")),
+                            )
+                        )
+                    ),
+                    lambda s: s["chunk_text"],
+                ),
+            ).alias("cleaned_text"),
+        )
+    )
+    nn = F.col(text_col).isNotNull()
+    return (
+        df.join(per_doc, df[id_col] == per_doc["_did"], "left")
+        .drop("_did")
+        .withColumn("n_chunks", F.when(nn, F.coalesce("n_chunks", F.lit(0).cast("long"))))
+        .withColumn(
+            "n_removed_chunks",
+            F.when(nn, F.coalesce("n_removed_chunks", F.lit(0).cast("long"))),
+        )
+        .withColumn("cleaned_text", F.when(nn, F.coalesce("cleaned_text", F.lit(""))))
+    )

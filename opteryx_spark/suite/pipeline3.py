@@ -492,3 +492,69 @@ def text_line_boilerplate(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "dedup_remove_chunks",
+    oracle=f"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0
+    ), tk AS (
+      SELECT doc_id, {_O_TOKENS} AS t FROM corpus
+    ), ch AS (
+      SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+             array_to_string(list_slice(t, i*16 + 1, i*16 + 16), ' ') AS chunk_text
+      FROM tk, LATERAL unnest(range(0,
+        greatest(CAST(ceil(len(t) / 16.0) AS BIGINT), 1))) AS u(i)
+    ), rm AS (
+      SELECT doc_id, chunk_idx FROM (
+        SELECT doc_id, chunk_idx,
+               row_number() OVER (PARTITION BY chunk_text
+                 ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id, chunk_idx) AS rn
+        FROM ch
+        WHERE len(list_filter(string_split(chunk_text, ' '), x -> x <> '')) >= 4
+      ) WHERE rn > 1
+    ), agg AS (
+      SELECT c.doc_id,
+             CAST(count(*) AS BIGINT) AS n_chunks,
+             CAST(sum(CASE WHEN r.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_removed_chunks,
+             coalesce(string_agg(CASE WHEN r.doc_id IS NULL THEN c.chunk_text END,
+                                 ' ' ORDER BY c.chunk_idx), '') AS cleaned_text
+      FROM ch c LEFT JOIN rm r
+        ON c.doc_id = r.doc_id AND c.chunk_idx = r.chunk_idx
+      GROUP BY c.doc_id
+    )
+    SELECT co.doc_id,
+           coalesce(a.n_chunks, CAST(0 AS BIGINT)) AS n_chunks,
+           coalesce(a.n_removed_chunks, CAST(0 AS BIGINT)) AS n_removed_chunks,
+           coalesce(a.cleaned_text, '') AS cleaned_text
+    FROM corpus co LEFT JOIN agg a USING (doc_id)
+    ORDER BY co.doc_id
+    """,
+)
+def dedup_remove_chunks(spark, sf_dir):
+    """Exact substring dedup that acts (``dedup.remove_duplicate_chunks``,
+    the Lee et al. ExactSubstr analogue): keep ONE canonical occurrence of
+    each duplicated 16-token window corpus-wide, drop the rest, rebuild
+    docs from survivors.  Same copies-unioned fixture as
+    ``dedup_chunk_fraction`` (its measuring twin): copied docs lose every
+    window to the canonical keeper; partially-shared windows drop only
+    where the small vocabulary collides.  One digest-keyed rank window
+    (text stays out of the skew-prone exchange), per-(id, idx) removal
+    join, id-keyed rebuild."""
+    from opteryx_spark.operators import dedup as D
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs.unionByName(
+        docs.filter(F.col("doc_id") % 10 == 0).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+        )
+    )
+    return (
+        D.remove_duplicate_chunks(corpus, chunk_tokens=16, min_chunk_tokens=4)
+        .select("doc_id", "n_chunks", "n_removed_chunks", "cleaned_text")
+        .orderBy("doc_id")
+    )

@@ -469,6 +469,33 @@ def test_checkpoint_handles_survive_lru_pressure(spark):
 # --- filtering: decontamination / gopher gates / quota sampling -------------
 
 
+def test_remove_duplicate_chunks(spark):
+    """ExactSubstr-style removal: one canonical keeper per duplicated
+    window (md5-of-id order), short tails exempt, NULL text → NULL."""
+    from opteryx_spark.operators import dedup
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h"),
+            (2, "a b c d x y z w"),
+            (3, "a b c d e f g h"),
+            (4, None),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        r.doc_id: (r.n_chunks, r.n_removed_chunks, r.cleaned_text)
+        for r in dedup.remove_duplicate_chunks(
+            df, chunk_tokens=4, min_chunk_tokens=2
+        ).collect()
+    }
+    # md5('1') sorts before md5('3'): doc 1 is the canonical keeper
+    assert got[1] == (2, 0, "a b c d e f g h")
+    assert got[2] == (2, 1, "x y z w")
+    assert got[3] == (2, 2, "")
+    assert got[4] == (None, None, None)
+
+
 def test_remove_boilerplate_lines(spark):
     """C4 line-frequency pass: cross-doc lines drop, unique lines keep
     their original order, NULL text → NULL outputs, all-blank text → 0."""

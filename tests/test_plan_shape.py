@@ -212,6 +212,17 @@ def test_token_budget_and_boilerplate_shapes(spark, sf_dir):
     assert "BroadcastExchange" in bp  # hot-gram set broadcasts
 
 
+def test_remove_duplicate_chunks_shape(spark, sf_dir):
+    # ExactSubstr-style removal: digest-keyed rank window + (id, idx)
+    # removal join + id-keyed rebuild — no cartesian, no global sort
+    from opteryx_spark.operators import dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    txt = explain_text(dedup.remove_duplicate_chunks(docs, chunk_tokens=16))
+    assert "CartesianProduct" not in txt
+    assert "rangepartitioning" not in txt.lower()
+
+
 def test_line_boilerplate_shape(spark, sf_dir):
     # C4 line-frequency pass: explode + digest-keyed freq + hot-set
     # broadcast + id-keyed rebuild — no cartesian, no global sort
