@@ -374,6 +374,33 @@ def boilerplate_ngram_fraction(
     )
 
 
+def hot_line_digests(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_doc_freq: int = 2,
+) -> DataFrame:
+    """md5 digests (column ``_dg``) of trimmed non-empty lines occurring
+    in at least ``min_doc_freq`` distinct documents — the corpus-global
+    hot set :func:`remove_boilerplate_lines` joins against, exposed
+    separately so the streaming twin
+    (``streaming.remove_boilerplate_lines_stream``) can precompute it
+    from a reference corpus: line frequency is a corpus statistic a
+    stream cannot learn online."""
+    return (
+        df.select(
+            F.col(id_col).alias("_lid"),
+            F.explode(F.split(F.col(text_col), "\n")).alias("_raw"),
+        )
+        .select("_lid", F.trim(F.col("_raw")).alias("_line"))
+        .filter(F.col("_line") != "")
+        .groupBy(F.md5(F.col("_line")).alias("_dg"))
+        .agg(F.count_distinct("_lid").alias("_ldf"))
+        .filter(F.col("_ldf") >= min_doc_freq)
+        .select("_dg")
+    )
+
+
 def remove_boilerplate_lines(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -411,12 +438,8 @@ def remove_boilerplate_lines(
         .filter(F.col("_line") != "")
         .withColumn("_dg", F.md5(F.col("_line")))
     )
-    hot = (
-        lines.groupBy("_dg")
-        .agg(F.count_distinct("_lid").alias("_ldf"))
-        .filter(F.col("_ldf") >= min_doc_freq)
-        .select("_dg")
-        .withColumn("_hot", F.lit(True))
+    hot = hot_line_digests(df, id_col, text_col, min_doc_freq).withColumn(
+        "_hot", F.lit(True)
     )
     from opteryx_spark.operators.dedup import _maybe_broadcast
 

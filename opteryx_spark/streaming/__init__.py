@@ -278,3 +278,51 @@ def curate_stream_v2(
         f"`{f.name}` {f.dataType.simpleString()}" for f in deduped.schema.fields
     )
     return quota_sample_stream(deduped, quota_cols, n_per_group, out_schema)
+
+
+def remove_boilerplate_lines_stream(
+    docs: DataFrame,
+    hot_digests: DataFrame,
+    text_col: str = "text",
+) -> DataFrame:
+    """Streaming twin of ``operators/filtering.remove_boilerplate_lines``.
+
+    ``hot_digests`` is the STATIC hot-line digest set (one ``_dg``
+    column; build it with ``filtering.hot_line_digests`` over a reference
+    corpus) — line frequency is a corpus-global statistic a stream cannot
+    learn online, so the streaming form is the deploy shape real
+    pipelines use: offline frequency pass, online drop.  The set is
+    collapsed to one broadcast array row and each micro-batch filters
+    lines row-locally with higher-order functions — no streaming state,
+    append-mode compatible.  Same membership-structure pattern as
+    ``decontaminate_stream`` (array today, bloom filter at 100 TB — plan
+    shape identical).  Output columns match the batch operator
+    (``n_lines``, ``n_boilerplate_lines``, ``boilerplate_line_fraction``,
+    ``cleaned_text``); NULL text → NULL outputs.
+    """
+    hot_row = F.broadcast(
+        hot_digests.agg(F.collect_set(hot_digests.columns[0]).alias("_hl"))
+    )
+    c = F.col(text_col)
+    lines = F.filter(
+        F.transform(F.split(c, "\n"), lambda x: F.trim(x)), lambda x: x != ""
+    )
+    kept = F.filter(lines, lambda l: ~F.array_contains(F.col("_hl"), F.md5(l)))
+    out = (
+        docs.crossJoin(hot_row)
+        .withColumn("n_lines", F.when(c.isNotNull(), F.size(lines).cast("long")))
+        .withColumn(
+            "n_boilerplate_lines",
+            F.when(c.isNotNull(), (F.size(lines) - F.size(kept)).cast("long")),
+        )
+        .withColumn(
+            "boilerplate_line_fraction",
+            F.when(
+                F.col("n_lines") > 0,
+                F.col("n_boilerplate_lines").cast("double")
+                / F.col("n_lines").cast("double"),
+            ),
+        )
+        .withColumn("cleaned_text", F.when(c.isNotNull(), F.array_join(kept, "\n")))
+    )
+    return out.drop("_hl")

@@ -291,3 +291,45 @@ def test_curate_v2_stream_matches_batch(spark, tmp_path_factory):
     assert got_counts == want_counts
     # dedup collapsed the copy pair: no duplicate texts admitted
     assert len(got_digest_set) == len(got)
+
+
+def test_line_boilerplate_stream_matches_batch(spark, tmp_path_factory):
+    """Stream-static line-frequency pass: with the hot set precomputed
+    from the same corpus, the stream twin must emit exactly the batch
+    operator's rows (the batch pass drops ALL occurrences of a hot line,
+    so there is no keeper asymmetry to diverge on)."""
+    from opteryx_spark.operators import filtering
+
+    src = str(tmp_path_factory.mktemp("oxs_linebp_src"))
+    out = str(tmp_path_factory.mktemp("oxs_linebp_out"))
+    ckpt = str(tmp_path_factory.mktemp("oxs_linebp_ckpt"))
+    rows = [
+        (i, "site header\n" + f"promo {i % 3}\n" + f"unique content {i}")
+        for i in range(12)
+    ] + [(100, None), (101, " \n ")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    df.write.mode("overwrite").parquet(src)
+
+    cols = [
+        "doc_id",
+        "n_lines",
+        "n_boilerplate_lines",
+        "boilerplate_line_fraction",
+        "cleaned_text",
+    ]
+    want = {
+        tuple(r)
+        for r in filtering.remove_boilerplate_lines(df, min_doc_freq=2)
+        .select(*cols)
+        .collect()
+    }
+    hot = filtering.hot_line_digests(df, min_doc_freq=2)
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    got_df = streaming.remove_boilerplate_lines_stream(stream, hot).select(*cols)
+    streaming.run_stream_once(got_df, out, ckpt)
+    got = {tuple(r) for r in spark.read.parquet(out).collect()}
+    assert got == want
+    # every doc sheds the header; promo lines repeat across 4 docs each
+    by_id = {t[0]: t for t in got}
+    assert by_id[0][2] == 2 and by_id[0][4] == "unique content 0"
+    assert by_id[100][1] is None and by_id[101][1] == 0
