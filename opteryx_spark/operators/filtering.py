@@ -119,15 +119,17 @@ def gopher_quality(
     """
     th = {**GOPHER_DEFAULTS, **(thresholds or {})}
     tks = text.tokens(text_col)
-    n_words = F.size(tks).cast("long")
+    # text._nsize: non-ANSI size(NULL) is -1 — NULL text must yield NULL
+    # counts (and a False verdict via the outer coalesce), never -1
+    n_words = text._nsize(tks).cast("long")
     char_sum = F.aggregate(tks, F.lit(0).cast("long"), lambda a, x: a + F.length(x))
     mean_word_len = char_sum.cast("double") / n_words.cast("double")
-    n_alpha = F.size(F.filter(tks, lambda x: x.rlike("[A-Za-z]"))).cast("long")
+    n_alpha = text._nsize(F.filter(tks, lambda x: x.rlike("[A-Za-z]"))).cast("long")
     alpha_word_frac = n_alpha.cast("double") / n_words.cast("double")
     langs = stopword_langs or ["en"]
     stop_words = sorted({w for lang in langs for w in text.STOPWORDS[lang]})
     stops = F.array(*[F.lit(w) for w in stop_words])
-    stop_hits = F.size(F.filter(tks, lambda x: F.array_contains(stops, x))).cast("long")
+    stop_hits = text._nsize(F.filter(tks, lambda x: F.array_contains(stops, x))).cast("long")
     rep = text.repetition_metrics(text_col, k=2)
 
     out = df.select(

@@ -49,12 +49,24 @@ def _let(value: Column, body) -> Column:
     return F.transform(F.array(value), body)[0]
 
 
+def _nsize(arr: Column) -> Column:
+    """``size()`` with ANSI NULL semantics.
+
+    Non-ANSI Spark returns **-1** for ``size(NULL)`` (NOTES_r5 pitfall);
+    every count/ratio built on it must yield NULL for NULL text, not -1
+    (counts) or -1/-1 = 1.0 (ratios) — the DuckDB oracles' ``len(NULL)``
+    is NULL, and the NULL-injected fixture gate
+    (tests/test_oracle_null_robustness.py) pins this contract.
+    """
+    return F.when(arr.isNotNull(), F.size(arr))
+
+
 def token_count(col: Column | str) -> Column:
-    return F.size(tokens(col)).cast("long")
+    return _nsize(tokens(col)).cast("long")
 
 
 def distinct_token_count(col: Column | str) -> Column:
-    return F.size(F.array_distinct(tokens(col))).cast("long")
+    return _nsize(F.array_distinct(tokens(col))).cast("long")
 
 
 def shingles(col: Column | str, k: int = 2) -> Column:
@@ -86,13 +98,13 @@ def avg_token_length(col: Column | str) -> Column:
 def stopword_ratio(col: Column | str, lang: str = "en") -> Column:
     tks = tokens(col)
     stops = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
-    n_stop = F.size(F.filter(tks, lambda x: F.array_contains(stops, x)))
-    return n_stop.cast("double") / F.size(tks).cast("double")
+    n_stop = _nsize(F.filter(tks, lambda x: F.array_contains(stops, x)))
+    return n_stop.cast("double") / _nsize(tks).cast("double")
 
 
 def type_token_ratio(col: Column | str) -> Column:
     tks = tokens(col)
-    return F.size(F.array_distinct(tks)).cast("double") / F.size(tks).cast("double")
+    return _nsize(F.array_distinct(tks)).cast("double") / _nsize(tks).cast("double")
 
 
 def quality_score(col: Column | str) -> Column:
@@ -132,7 +144,7 @@ def bpe_tokens(col: Column | str) -> Column:
 
 
 def bpe_token_count(col: Column | str) -> Column:
-    return F.size(bpe_tokens(col)).cast("long")
+    return _nsize(bpe_tokens(col)).cast("long")
 
 
 # winnowing fingerprints (Schleimer et al., SIGMOD'03): rolling polynomial
@@ -325,9 +337,12 @@ def fingerprint(col: Column | str) -> Column:
 
     Token-order-insensitive — two documents that are word-permutations of
     each other collide, which is the classic "fingerprint dedup" bucket key.
+    NULL text → NULL fingerprint (a missing document must not collide with
+    a genuinely empty one: concat over a NULL array would yield md5('')).
     """
-    canon = F.array_join(F.array_sort(F.array_distinct(tokens(col))), " ")
-    return F.md5(canon)
+    c = F.col(col) if isinstance(col, str) else col
+    canon = F.array_join(F.array_sort(F.array_distinct(tokens(c))), " ")
+    return F.when(c.isNotNull(), F.md5(canon))
 
 
 def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:

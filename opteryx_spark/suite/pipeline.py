@@ -55,7 +55,10 @@ def dedup_exact_stats(spark, sf_dir):
     SELECT fp AS fingerprint, CAST(COUNT(*) AS BIGINT) AS n_docs,
            CAST(MIN(doc_id) AS BIGINT) AS keep_id
     FROM (SELECT doc_id,
-                 md5(array_to_string(list_sort(list_distinct({_O_TOKENS})), ' ')) AS fp
+                 CASE WHEN text IS NOT NULL THEN
+                   md5(coalesce(
+                     array_to_string(list_sort(list_distinct({_O_TOKENS})), ' '), ''))
+                 END AS fp
           FROM documents) x
     GROUP BY fp HAVING COUNT(*) > 1 ORDER BY fp
     """,
@@ -728,7 +731,7 @@ def dedup_winnow_pairs(spark, sf_dir):
     "curate_pipeline_audit",
     oracle=f"""
     WITH stats AS (
-      SELECT doc_id,
+      SELECT doc_id, text,
              CAST(len({_O_TOKENS}) AS BIGINT) AS n_tokens,
              CAST(len(list_distinct({_O_TOKENS})) AS DOUBLE)
                / CAST(len({_O_TOKENS}) AS DOUBLE) * 0.5
@@ -753,14 +756,17 @@ def dedup_winnow_pairs(spark, sf_dir):
               JOIN sizes sb ON sb.doc_id = ov.id2
       WHERE CAST(ov AS DOUBLE) / CAST(sa.n + sb.n - ov AS DOUBLE) >= 0.9
     ), flagged AS (
+      -- LEFT join + invalid_text first: a NULL-text doc has a NULL digest
+      -- (joins nothing) and must surface as its own outcome, not vanish
       SELECT s.doc_id, s.n_tokens,
-             CASE WHEN s.n_tokens < 10 THEN 'too_short'
+             CASE WHEN s.text IS NULL THEN 'invalid_text'
+                  WHEN s.n_tokens < 10 THEN 'too_short'
                   WHEN s.quality < 0.4 THEN 'low_quality'
                   WHEN s.doc_id <> ek.keep_id THEN 'exact_duplicate'
                   WHEN nd.doc_id IS NOT NULL THEN 'near_duplicate'
                   ELSE 'kept' END AS outcome
       FROM stats s
-      JOIN exact_keep ek ON ek.digest = s.digest
+      LEFT JOIN exact_keep ek ON ek.digest = s.digest
       LEFT JOIN near_drop nd ON nd.doc_id = s.doc_id
     )
     SELECT outcome, CAST(COUNT(*) AS BIGINT) AS n_docs,

@@ -123,11 +123,15 @@ _O_GOPHER_STATS = _o_gopher_stats(["en"])
              AS dup_2gram_frac,
            CAST(top_2gram_chars AS DOUBLE) / CAST(total_2gram_chars AS DOUBLE)
              AS top_2gram_frac,
-           (n_words >= 5 AND n_words <= 100000
+           coalesce(n_words >= 5 AND n_words <= 100000
             AND mean_word_len >= 2.0 AND mean_word_len <= 12.0
             AND alpha_word_frac >= 0.8 AND stop_hits >= 2
-            AND CAST(dup_2gram_chars AS DOUBLE) / CAST(total_2gram_chars AS DOUBLE) <= 0.2
-            AND CAST(top_2gram_chars AS DOUBLE) / CAST(total_2gram_chars AS DOUBLE) <= 0.12)
+            AND coalesce(
+              CAST(dup_2gram_chars AS DOUBLE) / CAST(total_2gram_chars AS DOUBLE) <= 0.2,
+              TRUE)
+            AND coalesce(
+              CAST(top_2gram_chars AS DOUBLE) / CAST(total_2gram_chars AS DOUBLE) <= 0.12,
+              TRUE), FALSE)
              AS passes_gopher
     FROM rep ORDER BY doc_id
     """,
@@ -259,7 +263,14 @@ def emb_semantic_dedup(spark, sf_dir):
     )
 
 
-_O_FP = f"md5(array_to_string(list_sort(list_distinct({_O_TOKENS})), ' '))"
+# coalesce: DuckDB array_to_string([]) is NULL while Spark array_join([])
+# is '' — empty-token docs must fingerprint as md5(''); NULL text stays
+# NULL via the CASE (the operator contract: missing != empty)
+_O_FP = (
+    "CASE WHEN text IS NOT NULL THEN "
+    f"md5(coalesce(array_to_string(list_sort(list_distinct({_O_TOKENS})), ' '), '')) "
+    "END"
+)
 
 
 @register(
@@ -267,7 +278,7 @@ _O_FP = f"md5(array_to_string(list_sort(list_distinct({_O_TOKENS})), ' '))"
     oracle=f"""
     WITH refk AS (SELECT DISTINCT {_O_FP} AS k FROM documents WHERE doc_id < 250)
     SELECT doc_id,
-           {_O_FP} IN (SELECT k FROM refk) AS already_in_corpus
+           coalesce({_O_FP} IN (SELECT k FROM refk), FALSE) AS already_in_corpus
     FROM documents WHERE doc_id >= 250 ORDER BY doc_id
     """,
 )

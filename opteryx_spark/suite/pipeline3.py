@@ -422,12 +422,15 @@ def _with_lines(docs):
     )
 
 
+# concat_ws (not ||): Spark's F.concat_ws skips NULL pieces, so a
+# NULL-text doc still gets the header+promo lines — the oracle must too
 _O_LINES_SRC = r"""
     WITH src AS (
       SELECT doc_id,
-             'engine generated do not edit' || chr(10) ||
-             'promo block ' || CAST(doc_id % 5 AS VARCHAR) || chr(10) ||
-             regexp_replace(text, '(\S+ \S+ \S+ \S+) ', '\1' || chr(10), 'g')
+             concat_ws(chr(10),
+               'engine generated do not edit',
+               'promo block ' || CAST(doc_id % 5 AS VARCHAR),
+               regexp_replace(text, '(\S+ \S+ \S+ \S+) ', '\1' || chr(10), 'g'))
                AS text
       FROM documents
     )
@@ -528,9 +531,13 @@ def text_line_boilerplate(spark, sf_dir):
       GROUP BY c.doc_id
     )
     SELECT co.doc_id,
-           coalesce(a.n_chunks, CAST(0 AS BIGINT)) AS n_chunks,
-           coalesce(a.n_removed_chunks, CAST(0 AS BIGINT)) AS n_removed_chunks,
-           coalesce(a.cleaned_text, '') AS cleaned_text
+           CASE WHEN co.text IS NOT NULL THEN
+             coalesce(a.n_chunks, CAST(0 AS BIGINT)) END AS n_chunks,
+           CASE WHEN co.text IS NOT NULL THEN
+             coalesce(a.n_removed_chunks, CAST(0 AS BIGINT)) END
+             AS n_removed_chunks,
+           CASE WHEN co.text IS NOT NULL THEN
+             coalesce(a.cleaned_text, '') END AS cleaned_text
     FROM corpus co LEFT JOIN agg a USING (doc_id)
     ORDER BY co.doc_id
     """,
