@@ -1226,15 +1226,15 @@ def remove_duplicate_chunks(
     and ``cleaned_text`` (token-joined, so output whitespace is
     normalized exactly like the chunker's).  NULL text → NULL outputs.
 
-    Scale shape: chunking is map-only; the keep/remove decision is ONE
-    row_number window over the slim (digest, id, idx) frame — text never
-    enters the digest-keyed exchange, so a million-fold repeated window
-    skews only a digest partition, not a text partition; removals join
-    back per (id, idx) and the rebuild is one id-keyed reduce.  No
-    all-pairs, no driver collect.
+    Scale shape: chunking is map-only; the keep/remove decision is a
+    ``min(struct)`` AGGREGATE over the slim (digest, id, idx) frame —
+    not a rank window: an aggregate partial-combines map-side, so a
+    million-fold repeated spam window reduces to one row per partition
+    before the exchange, where a window would sort the whole hot-digest
+    partition in a single task.  Text never enters the digest-keyed
+    exchange; removals join back per (id, idx) and the rebuild is one
+    id-keyed reduce.  No all-pairs, no driver collect.
     """
-    from pyspark.sql import Window
-
     from opteryx_spark.operators.text import chunk_documents
 
     ch = chunk_documents(
@@ -1246,14 +1246,25 @@ def remove_duplicate_chunks(
     ).select(
         F.col(id_col).alias("_did"), "chunk_idx", "chunk_text", "n_chunk_tokens"
     )
-    w = Window.partitionBy("_ck").orderBy(
-        F.md5(F.col("_did").cast("string")), F.col("_did"), F.col("chunk_idx")
+    okey = F.struct(
+        F.md5(F.col("_did").cast("string")).alias("m"),
+        F.col("_did").alias("i"),
+        F.col("chunk_idx").alias("x"),
     )
-    removed = (
+    slim = (
         ch.filter(F.col("n_chunk_tokens") >= min_chunk_tokens)
         .select("_did", "chunk_idx", F.md5("chunk_text").alias("_ck"))
-        .withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") > 1)
+        .withColumn("_okey", okey)
+    )
+    dup_keep = (
+        slim.groupBy("_ck")
+        .agg(F.min("_okey").alias("_keep"), F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") >= 2)
+        .select("_ck", "_keep")
+    )
+    removed = (
+        slim.join(dup_keep, "_ck")
+        .filter(F.col("_okey") != F.col("_keep"))
         .select("_did", "chunk_idx")
         .withColumn("_rm", F.lit(True))
     )
