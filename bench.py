@@ -58,6 +58,7 @@ BENCH_QUERIES = [
     "text_boilerplate_fraction",
     "text_line_boilerplate",
     "dedup_remove_chunks",
+    "curate_pipeline_v3",
 ]
 
 
@@ -82,6 +83,7 @@ SF1_QUERIES = [
     "curate_pipeline_v2",
     "text_line_boilerplate",
     "dedup_remove_chunks",
+    "curate_pipeline_v3",
 ]
 
 

@@ -181,3 +181,89 @@ def curate_corpus_v2(
         .withColumn("kept", F.col("drop_reason").isNull())
         .drop("_exact_keep", "_qrank")
     )
+
+
+def curate_corpus_v3(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    line_min_doc_freq: int = 2,
+    chunk_tokens: int = 16,
+    min_chunk_tokens: int = 4,
+    min_tokens: int = 10,
+    min_quality: float = 0.4,
+) -> DataFrame:
+    """The text-REWRITING curation pipeline (C4/RefinedWeb order): stages
+    that EDIT documents run before stages that judge them, because
+    boilerplate inflates token counts and drags quality scores.
+
+    1. line-frequency boilerplate removal (``filtering.
+       remove_boilerplate_lines`` — drop lines in >= ``line_min_doc_freq``
+       docs);
+    2. exact-substring chunk dedup on the cleaned text
+       (``dedup.remove_duplicate_chunks`` — one keeper per duplicated
+       window corpus-wide);
+    3. quality + length gates on what REMAINS;
+    4. exact dedup of the final text (lowest-id keeper).
+
+    Returns per-doc accounting: ``n_tokens_raw`` (before any edit),
+    ``n_tokens_final`` (after both rewrites), ``final_text``, and
+    ``outcome`` with precedence ``invalid_text`` (NULL input) →
+    ``all_removed`` (nothing survived the rewrites) → ``too_short`` →
+    ``low_quality`` → ``exact_duplicate`` → ``kept`` — the token-loss
+    audit a data-governance review asks for.
+
+    Scale: stages 1-2 are the audited digest-keyed shapes of their
+    operators; stages 3-4 add one map pass and one digest aggregate.
+    Nothing here is new machinery — the pipeline is evidence the
+    operators COMPOSE.
+    """
+    from opteryx_spark.operators import filtering
+
+    nn = F.col(text_col).isNotNull()
+    raw_tokens = text.tokens(F.regexp_replace(F.col(text_col), "\n", " "))
+
+    s1 = filtering.remove_boilerplate_lines(
+        docs.withColumn("_n_tokens_raw", F.when(nn, F.size(raw_tokens)).cast("long")),
+        id_col,
+        text_col,
+        min_doc_freq=line_min_doc_freq,
+    ).select(
+        id_col,
+        "_n_tokens_raw",
+        F.regexp_replace(F.col("cleaned_text"), "\n", " ").alias("_t1"),
+    )
+    s2 = dedup.remove_duplicate_chunks(
+        s1, id_col, "_t1", chunk_tokens=chunk_tokens, min_chunk_tokens=min_chunk_tokens
+    ).select(id_col, "_n_tokens_raw", F.col("cleaned_text").alias("final_text"))
+
+    ft = F.col("final_text")
+    n_final = F.when(ft.isNotNull(), F.size(text.tokens(ft))).cast("long")
+    quality = text.quality_score("final_text")
+    scored = s2.select(
+        id_col,
+        F.col("_n_tokens_raw").alias("n_tokens_raw"),
+        "final_text",
+        n_final.alias("n_tokens_final"),
+        quality.alias("_quality"),
+        F.when(ft.isNotNull() & (n_final > 0), F.md5(ft)).alias("_digest"),
+    )
+    keep = (
+        scored.filter(F.col("_digest").isNotNull())
+        .groupBy("_digest")
+        .agg(F.min(id_col).alias("_keep_id"))
+    )
+    out = (
+        scored.join(keep, "_digest", "left")
+        .withColumn(
+            "outcome",
+            F.when(ft.isNull(), F.lit("invalid_text"))
+            .when(F.col("n_tokens_final") == 0, F.lit("all_removed"))
+            .when(F.col("n_tokens_final") < min_tokens, F.lit("too_short"))
+            .when(F.col("_quality") < min_quality, F.lit("low_quality"))
+            .when(F.col(id_col) != F.col("_keep_id"), F.lit("exact_duplicate"))
+            .otherwise(F.lit("kept")),
+        )
+        .select(id_col, "n_tokens_raw", "n_tokens_final", "final_text", "outcome")
+    )
+    return out

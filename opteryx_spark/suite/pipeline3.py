@@ -565,3 +565,133 @@ def dedup_remove_chunks(spark, sf_dir):
         .select("doc_id", "n_chunks", "n_removed_chunks", "cleaned_text")
         .orderBy("doc_id")
     )
+
+
+@register(
+    "curate_pipeline_v3",
+    # full SQL twin of curate.curate_corpus_v3: line-frequency removal ->
+    # exact-substring chunk dedup -> quality/length gates -> exact dedup,
+    # with per-doc token accounting.  Composed from the proven
+    # text_line_boilerplate and dedup_remove_chunks oracle shapes.  The
+    # copies keep their content on ONE line so the line stage cannot see
+    # them (different line hashes) but the chunk stage must (shared
+    # 16-token windows) — each rewrite stage is exercised independently.
+    oracle=r"""
+    WITH base AS (
+      SELECT doc_id,
+             concat_ws(chr(10), 'engine generated do not edit',
+               'promo block ' || CAST(doc_id % 5 AS VARCHAR),
+               regexp_replace(text, '(\S+ \S+ \S+ \S+) ', '\1' || chr(10), 'g'))
+               AS text
+      FROM documents
+    ), corpus AS (
+      SELECT doc_id, text FROM base
+      UNION ALL
+      SELECT d.doc_id + 1000000 AS doc_id,
+             concat_ws(chr(10), 'engine generated do not edit',
+               'promo block ' || CAST(d.doc_id % 5 AS VARCHAR), d.text) AS text
+      FROM documents d WHERE d.doc_id % 10 = 0
+    ), lx AS (
+      SELECT doc_id, pos, line FROM (
+        SELECT doc_id, generate_subscripts(lines, 1) AS pos,
+               trim(unnest(lines)) AS line
+        FROM (SELECT doc_id, string_split(text, chr(10)) AS lines FROM corpus)
+      ) WHERE line <> ''
+    ), hot AS (
+      SELECT md5(line) AS dg FROM lx
+      GROUP BY md5(line) HAVING count(DISTINCT doc_id) >= 2
+    ), l1 AS (
+      SELECT l.doc_id,
+             string_agg(CASE WHEN h.dg IS NULL THEN l.line END,
+                        ' ' ORDER BY l.pos) AS t1
+      FROM lx l LEFT JOIN hot h ON md5(l.line) = h.dg
+      GROUP BY l.doc_id
+    ), s1 AS (
+      SELECT c.doc_id,
+             CAST(len(list_filter(string_split(replace(c.text, chr(10), ' '), ' '),
+                  x -> x <> '')) AS BIGINT) AS n_tokens_raw,
+             coalesce(l1.t1, '') AS t1
+      FROM corpus c LEFT JOIN l1 USING (doc_id)
+    ), tk AS (
+      SELECT doc_id, n_tokens_raw,
+             list_filter(string_split(t1, ' '), x -> x <> '') AS t
+      FROM s1
+    ), ch AS (
+      SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+             array_to_string(list_slice(t, i*16 + 1, i*16 + 16), ' ') AS chunk_text
+      FROM tk, LATERAL unnest(range(0,
+        greatest(CAST(ceil(len(t) / 16.0) AS BIGINT), 1))) AS u(i)
+    ), rm AS (
+      SELECT doc_id, chunk_idx FROM (
+        SELECT doc_id, chunk_idx,
+               row_number() OVER (PARTITION BY chunk_text
+                 ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id, chunk_idx) AS rn
+        FROM ch
+        WHERE len(list_filter(string_split(chunk_text, ' '), x -> x <> '')) >= 4
+      ) WHERE rn > 1
+    ), c2 AS (
+      SELECT c.doc_id,
+             coalesce(string_agg(CASE WHEN r.doc_id IS NULL THEN c.chunk_text END,
+                                 ' ' ORDER BY c.chunk_idx), '') AS final_text
+      FROM ch c LEFT JOIN rm r
+        ON c.doc_id = r.doc_id AND c.chunk_idx = r.chunk_idx
+      GROUP BY c.doc_id
+    ), stats AS (
+      SELECT tk.doc_id, tk.n_tokens_raw, c2.final_text,
+             CAST(len(list_filter(string_split(c2.final_text, ' '),
+                  x -> x <> '')) AS BIGINT) AS n_final
+      FROM tk JOIN c2 USING (doc_id)
+    ), q AS (
+      SELECT *,
+        CASE WHEN n_final > 0 THEN
+          CAST(len(list_distinct(list_filter(string_split(final_text, ' '),
+               x -> x <> ''))) AS DOUBLE) / CAST(n_final AS DOUBLE) * 0.5
+          + (CASE WHEN n_final >= 20 THEN 1.0
+                  ELSE CAST(n_final AS DOUBLE) / 20.0 END) * 0.5
+        END AS quality,
+        CASE WHEN n_final > 0 THEN md5(final_text) END AS digest
+      FROM stats
+    ), keep AS (
+      SELECT digest, MIN(doc_id) AS keep_id
+      FROM q WHERE digest IS NOT NULL GROUP BY digest
+    )
+    SELECT q.doc_id, q.n_tokens_raw, q.n_final AS n_tokens_final, q.final_text,
+           CASE WHEN q.final_text IS NULL THEN 'invalid_text'
+                WHEN q.n_final = 0 THEN 'all_removed'
+                WHEN q.n_final < 10 THEN 'too_short'
+                WHEN q.quality < 0.4 THEN 'low_quality'
+                WHEN q.doc_id <> k.keep_id THEN 'exact_duplicate'
+                ELSE 'kept' END AS outcome
+    FROM q LEFT JOIN keep k ON k.digest = q.digest
+    ORDER BY q.doc_id
+    """,
+)
+def curate_pipeline_v3(spark, sf_dir):
+    """The text-REWRITING curation pipeline (``curate.curate_corpus_v3``):
+    C4-order composition of the acting operators — line-frequency
+    boilerplate removal, then exact-substring chunk dedup, then quality/
+    length gates and exact dedup over what REMAINS, with per-doc
+    token-loss accounting.  Copies of every 10th doc carry their content
+    on a single line, so the line stage strips only the shared chrome
+    while the chunk stage catches the window-level duplication — the two
+    rewrite stages are verified independently inside one composed run."""
+    from opteryx_spark.operators import curate
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    d = F.col("doc_id")
+    base = _with_lines(docs).select("doc_id", "text")
+    copies = docs.filter(d % 10 == 0).select(
+        (d + 1000000).alias("doc_id"),
+        F.concat_ws(
+            "\n",
+            F.lit("engine generated do not edit"),
+            F.concat(F.lit("promo block "), (d % 5).cast("string")),
+            F.col("text"),
+        ).alias("text"),
+    )
+    corpus = base.unionByName(copies)
+    return (
+        curate.curate_corpus_v3(corpus)
+        .select("doc_id", "n_tokens_raw", "n_tokens_final", "final_text", "outcome")
+        .orderBy("doc_id")
+    )

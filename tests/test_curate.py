@@ -70,3 +70,28 @@ def test_null_text_gets_invalid_reason_both_pipelines(spark):
     }
     assert v2[2] == ("invalid_text", False)
     assert v2[1][1] is True  # the good doc survives
+
+
+def test_curate_v3_rewrite_pipeline(spark):
+    """v3 composes the ACTING operators: line-frequency removal, chunk
+    dedup (one keeper), then gates over what remains — with token-loss
+    accounting and outcome precedence."""
+    rows = [
+        (1, "hdr\na b c d e f g h i j k l m n o p q r s t"),
+        (2, "hdr\na b c d e f g h i j k l m n o p q r s t"),  # exact twin
+        (3, "hdr\nuniq words here just a few more ok fine yes"),
+        (4, None),
+        (5, "hdr\nhdr2"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r.doc_id: (r.n_tokens_raw, r.n_tokens_final, r.outcome)
+        for r in curate.curate_corpus_v3(
+            df, line_min_doc_freq=3, chunk_tokens=4, min_chunk_tokens=2, min_tokens=5
+        ).collect()
+    }
+    assert out[1] == (21, 20, "kept")  # canonical chunk keeper
+    assert out[2] == (21, 0, "all_removed")  # twin loses every window
+    assert out[3][2] == "kept"
+    assert out[4] == (None, None, "invalid_text")
+    assert out[5][2] == "too_short"  # 'hdr' was corpus-hot, 'hdr2' survives alone

@@ -212,6 +212,17 @@ def test_token_budget_and_boilerplate_shapes(spark, sf_dir):
     assert "BroadcastExchange" in bp  # hot-gram set broadcasts
 
 
+def test_curate_v3_shape(spark, sf_dir):
+    # composed rewrite pipeline: digest-keyed aggregates throughout,
+    # no cartesian, no global sort
+    from opteryx_spark.operators import curate
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    txt = explain_text(curate.curate_corpus_v3(docs))
+    assert "CartesianProduct" not in txt
+    assert "rangepartitioning" not in txt.lower()
+
+
 def test_remove_duplicate_chunks_shape(spark, sf_dir):
     # ExactSubstr-style removal: digest-keyed rank window + (id, idx)
     # removal join + id-keyed rebuild — no cartesian, no global sort
