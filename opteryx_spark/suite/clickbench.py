@@ -140,3 +140,113 @@ def cb_user_first_last(spark, sf_dir):
         .drop("_n")
         .orderBy("user_id")
     )
+
+
+# --- round-6 widening: the remaining characteristic ClickBench shapes --------
+# (regexp field extraction, two-key matrix + HAVING, time histograms,
+#  per-minute burst top-k — clickbench.py queries 13/17/18/22/28 flavors)
+
+
+@register(
+    "cb_props_extract_topk",
+    oracle="""
+    SELECT k, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM (SELECT CAST(NULLIF(regexp_extract(props, '"k": ([0-9]+)', 1), '')
+                 AS BIGINT) AS k, user_id
+          FROM events) x
+    WHERE k IS NOT NULL
+    GROUP BY k ORDER BY n DESC, k LIMIT 25
+    """,
+)
+def cb_props_extract_topk(spark, sf_dir):
+    """ClickBench regexp-extraction rollup (the 'extract term from URL,
+    top-k by hits and distinct users' shape, CB q13/q28): pull the
+    numeric field out of the raw props string with one regexp (no JSON
+    parse dependency), then a high-cardinality group + two counts.
+    Extraction is codegen'd map-side; one shuffle on the extracted key."""
+    ev = t(spark, sf_dir, "events")
+    k = F.regexp_extract("props", '"k": ([0-9]+)', 1)
+    return (
+        ev.select(F.when(k != "", k).cast("long").alias("k"), "user_id")
+        .filter(F.col("k").isNotNull())
+        .groupBy("k")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy(F.desc("n"), F.asc("k"))
+        .limit(25)
+    )
+
+
+@register(
+    "cb_user_type_matrix",
+    oracle="""
+    SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS n
+    FROM events GROUP BY user_id, event_type
+    HAVING COUNT(*) >= 3
+    ORDER BY n DESC, user_id, event_type LIMIT 100
+    """,
+)
+def cb_user_type_matrix(spark, sf_dir):
+    """Two-key frequency matrix with a HAVING floor and count-ordered
+    top-k (CB q17/q18 'user x minute' shape): one shuffle on the compound
+    key, partial aggregation map-side, deterministic tiebreak."""
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 3)
+        .orderBy(F.desc("n"), F.asc("user_id"), F.asc("event_type"))
+        .limit(100)
+    )
+
+
+@register(
+    "cb_hour_histogram",
+    oracle="""
+    SELECT CAST(extract(hour FROM ts) AS BIGINT) AS hour_of_day,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(25,8))) AS DOUBLE) AS total_value,
+           CAST(SUM(CAST(value AS DECIMAL(25,8))) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS avg_value
+    FROM events GROUP BY 1 ORDER BY hour_of_day
+    """,
+)
+def cb_hour_histogram(spark, sf_dir):
+    """Hour-of-day traffic histogram (CB time-bucketed series family):
+    24-row aggregate; the average is double(decimal-exact sum)/double(n)
+    per the suite's determinism rules."""
+    ev = t(spark, sf_dir, "events")
+    dsum = F.sum(F.col("value").cast("decimal(25,8)")).cast("double")
+    return (
+        ev.groupBy(F.hour("ts").cast("long").alias("hour_of_day"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum.alias("total_value"),
+            (dsum / F.count(F.lit(1)).cast("double")).alias("avg_value"),
+        )
+        .orderBy("hour_of_day")
+    )
+
+
+@register(
+    "cb_minute_bursts",
+    oracle="""
+    SELECT user_id, date_trunc('minute', ts) AS minute,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM events GROUP BY 1, 2
+    ORDER BY n DESC, user_id, minute LIMIT 50
+    """,
+)
+def cb_minute_bursts(spark, sf_dir):
+    """Per-(user, minute) burst detection, count-ordered top-k (CB q17:
+    the classic hot-entity x time-bucket matrix at full cardinality)."""
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", F.date_trunc("minute", "ts").alias("minute"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("user_id"), F.asc("minute"))
+        .limit(50)
+    )
