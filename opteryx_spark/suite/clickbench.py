@@ -237,7 +237,7 @@ def cb_hour_histogram(spark, sf_dir):
     SELECT user_id, date_trunc('minute', ts) AS minute,
            CAST(COUNT(*) AS BIGINT) AS n
     FROM events GROUP BY 1, 2
-    ORDER BY n DESC, user_id, minute LIMIT 50
+    ORDER BY n DESC, user_id NULLS FIRST, minute NULLS FIRST LIMIT 50
     """,
 )
 def cb_minute_bursts(spark, sf_dir):
