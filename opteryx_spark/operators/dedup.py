@@ -1301,3 +1301,114 @@ def remove_duplicate_chunks(
         )
         .withColumn("cleaned_text", F.when(nn, F.coalesce("cleaned_text", F.lit(""))))
     )
+
+
+def window_digests(
+    df: DataFrame,
+    text_col: str = "text",
+    chunk_tokens: int = 32,
+    min_chunk_tokens: int = 8,
+) -> DataFrame:
+    """Distinct md5 digests (column ``_ck``) of every eligible
+    non-overlapping ``chunk_tokens`` window in a corpus — the reference
+    index :func:`remove_chunks_in_corpus` and its streaming twin consume.
+    Build it ONCE over the accepted corpus (offline); windows shorter
+    than ``min_chunk_tokens`` are excluded (they are exempt from removal
+    downstream).  One explode + digest-distinct: word-count shape.
+    """
+    from opteryx_spark.operators.text import chunk_documents
+
+    return (
+        chunk_documents(
+            df.filter(F.col(text_col).isNotNull()).select(text_col),
+            text_col,  # any column works as id here; chunker only reads text
+            text_col,
+            max_tokens=chunk_tokens,
+            overlap=0,
+        )
+        .filter(F.col("n_chunk_tokens") >= min_chunk_tokens)
+        .select(F.md5("chunk_text").alias("_ck"))
+        .distinct()
+    )
+
+
+def remove_chunks_in_corpus(
+    new_docs: DataFrame,
+    reference: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 32,
+    min_chunk_tokens: int = 8,
+    broadcast_ref: bool | None = None,
+) -> DataFrame:
+    """Incremental exact-substring dedup that ACTS: remove from the new
+    crawl every window whose text already exists in the ACCEPTED corpus
+    (the keeper lives there), rebuild the new docs from survivors — the
+    window-level acting twin of :func:`dedup_against_corpus`, run every
+    crawl cycle without touching the accepted corpus again.
+
+    ``reference`` is either the accepted corpus (chunked here) or a
+    precomputed :func:`window_digests` frame (one ``_ck`` column).
+    Output columns match :func:`remove_duplicate_chunks`: ``n_chunks``,
+    ``n_removed_chunks``, ``cleaned_text``; NULL text → NULL outputs.
+    Unlike the global operator there is no keeper election — membership
+    in the reference IS the verdict, so the decision is one digest join
+    (broadcast when the index fits, shuffle otherwise; ``broadcast_ref``
+    forces the hint, None lets AQE size-gate).
+    """
+    from opteryx_spark.operators.text import chunk_documents
+
+    if reference.columns == ["_ck"]:
+        ref = reference.distinct()
+    else:
+        ref = window_digests(reference, text_col, chunk_tokens, min_chunk_tokens)
+    ref = ref.withColumn("_rm", F.lit(True))
+
+    ch = chunk_documents(
+        new_docs.filter(F.col(text_col).isNotNull()),
+        id_col,
+        text_col,
+        max_tokens=chunk_tokens,
+        overlap=0,
+    ).select(
+        F.col(id_col).alias("_did"),
+        "chunk_idx",
+        "chunk_text",
+        # short tails are exempt: NULL digest never joins the index
+        F.when(
+            F.col("n_chunk_tokens") >= min_chunk_tokens, F.md5("chunk_text")
+        ).alias("_ck"),
+    )
+    per_doc = (
+        ch.join(_maybe_broadcast(ref, broadcast_ref), "_ck", "left")
+        .groupBy("_did")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.count(F.col("_rm")).alias("n_removed_chunks"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("_rm").isNull(),
+                                F.struct(F.col("chunk_idx"), F.col("chunk_text")),
+                            )
+                        )
+                    ),
+                    lambda s: s["chunk_text"],
+                ),
+            ).alias("cleaned_text"),
+        )
+    )
+    nn = F.col(text_col).isNotNull()
+    return (
+        new_docs.join(per_doc, new_docs[id_col] == per_doc["_did"], "left")
+        .drop("_did")
+        .withColumn("n_chunks", F.when(nn, F.coalesce("n_chunks", F.lit(0).cast("long"))))
+        .withColumn(
+            "n_removed_chunks",
+            F.when(nn, F.coalesce("n_removed_chunks", F.lit(0).cast("long"))),
+        )
+        .withColumn("cleaned_text", F.when(nn, F.coalesce("cleaned_text", F.lit(""))))
+    )

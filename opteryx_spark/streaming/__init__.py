@@ -326,3 +326,60 @@ def remove_boilerplate_lines_stream(
         .withColumn("cleaned_text", F.when(c.isNotNull(), F.array_join(kept, "\n")))
     )
     return out.drop("_hl")
+
+
+def remove_corpus_chunks_stream(
+    docs: DataFrame,
+    window_digests: DataFrame,
+    text_col: str = "text",
+    chunk_tokens: int = 32,
+    min_chunk_tokens: int = 8,
+) -> DataFrame:
+    """Streaming twin of ``operators/dedup.remove_chunks_in_corpus``:
+    drop from streamed documents every token window already present in
+    the accepted corpus, rebuilding each doc row-locally.
+
+    ``window_digests`` is the STATIC index (one ``_ck`` column; build it
+    offline with ``dedup.window_digests`` over the accepted corpus) — the
+    deploy shape of incremental ExactSubstr: offline index pass, online
+    filter.  Collapsed to one broadcast array row; chunking, membership
+    and rebuild are per-row higher-order functions — no streaming state,
+    append-mode compatible (array today, bloom filter at 100 TB, same
+    plan shape).  Output columns match the batch operator (``n_chunks``,
+    ``n_removed_chunks``, ``cleaned_text``); NULL text → NULL outputs;
+    windows shorter than ``min_chunk_tokens`` are exempt.
+    """
+    from opteryx_spark.operators import text as _text
+
+    hot_row = F.broadcast(
+        window_digests.agg(F.collect_set(window_digests.columns[0]).alias("_wd"))
+    )
+    c = F.col(text_col)
+
+    def chunks_of(t):
+        n = F.size(t)
+        n_chunks = F.greatest(
+            F.ceil(n.cast("double") / F.lit(chunk_tokens)).cast("int"), F.lit(1)
+        )
+        return F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda i: F.array_join(F.slice(t, i * chunk_tokens + 1, chunk_tokens), " "),
+        )
+
+    chs = _text._let(_text.tokens(c), chunks_of)
+
+    def is_removed(x):
+        n_tok = F.size(F.filter(F.split(x, " "), lambda y: y != ""))
+        return (n_tok >= min_chunk_tokens) & F.array_contains(F.col("_wd"), F.md5(x))
+
+    kept = F.filter(chs, lambda x: ~is_removed(x))
+    out = (
+        docs.crossJoin(hot_row)
+        .withColumn("n_chunks", F.when(c.isNotNull(), F.size(chs).cast("long")))
+        .withColumn(
+            "n_removed_chunks",
+            F.when(c.isNotNull(), (F.size(chs) - F.size(kept)).cast("long")),
+        )
+        .withColumn("cleaned_text", F.when(c.isNotNull(), F.array_join(kept, " ")))
+    )
+    return out.drop("_wd")

@@ -695,3 +695,69 @@ def curate_pipeline_v3(spark, sf_dir):
         .select("doc_id", "n_tokens_raw", "n_tokens_final", "final_text", "outcome")
         .orderBy("doc_id")
     )
+
+
+@register(
+    "dedup_remove_corpus_chunks",
+    oracle=f"""
+    WITH newd AS (
+      SELECT doc_id, text FROM documents WHERE doc_id >= 250
+    ), ridx AS (
+      SELECT DISTINCT md5(chunk_text) AS ck FROM (
+        SELECT array_to_string(list_slice(t, i*16 + 1, i*16 + 16), ' ')
+          AS chunk_text
+        FROM (SELECT {_O_TOKENS} AS t FROM documents WHERE doc_id < 250),
+             LATERAL unnest(range(0,
+               greatest(CAST(ceil(len(t) / 16.0) AS BIGINT), 1))) AS u(i)
+      ) WHERE len(list_filter(string_split(chunk_text, ' '), x -> x <> '')) >= 4
+    ), ch AS (
+      SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+             array_to_string(list_slice(t, i*16 + 1, i*16 + 16), ' ')
+               AS chunk_text
+      FROM (SELECT doc_id, {_O_TOKENS} AS t FROM newd),
+           LATERAL unnest(range(0,
+             greatest(CAST(ceil(len(t) / 16.0) AS BIGINT), 1))) AS u(i)
+    ), m AS (
+      SELECT c.doc_id, c.chunk_idx, c.chunk_text,
+             (len(list_filter(string_split(c.chunk_text, ' '), x -> x <> '')) >= 4
+              AND r.ck IS NOT NULL) AS rm
+      FROM ch c LEFT JOIN ridx r ON md5(c.chunk_text) = r.ck
+    ), agg AS (
+      SELECT doc_id,
+             CAST(count(*) AS BIGINT) AS n_chunks,
+             CAST(sum(CASE WHEN rm THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_removed_chunks,
+             coalesce(string_agg(CASE WHEN NOT rm THEN chunk_text END,
+                                 ' ' ORDER BY chunk_idx), '') AS cleaned_text
+      FROM m GROUP BY doc_id
+    )
+    SELECT n.doc_id,
+           CASE WHEN n.text IS NOT NULL THEN
+             coalesce(a.n_chunks, CAST(0 AS BIGINT)) END AS n_chunks,
+           CASE WHEN n.text IS NOT NULL THEN
+             coalesce(a.n_removed_chunks, CAST(0 AS BIGINT)) END
+             AS n_removed_chunks,
+           CASE WHEN n.text IS NOT NULL THEN
+             coalesce(a.cleaned_text, '') END AS cleaned_text
+    FROM newd n LEFT JOIN agg a USING (doc_id)
+    ORDER BY n.doc_id
+    """,
+)
+def dedup_remove_corpus_chunks(spark, sf_dir):
+    """Incremental exact-substring dedup that acts
+    (``dedup.remove_chunks_in_corpus``): docs >= 250 are the new crawl,
+    docs < 250 the accepted corpus; every 16-token window of a new doc
+    already present in the corpus is removed (membership IS the verdict —
+    the keeper lives in the corpus), docs rebuilt from survivors.  The
+    window-level acting twin of ``dedup_incremental_exact``; one digest
+    join against the offline index, per-doc rebuild."""
+    from opteryx_spark.operators import dedup as D
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    new = docs.filter(F.col("doc_id") >= 250)
+    ref = docs.filter(F.col("doc_id") < 250)
+    return (
+        D.remove_chunks_in_corpus(new, ref, chunk_tokens=16, min_chunk_tokens=4)
+        .select("doc_id", "n_chunks", "n_removed_chunks", "cleaned_text")
+        .orderBy("doc_id")
+    )

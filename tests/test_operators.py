@@ -496,6 +496,29 @@ def test_remove_duplicate_chunks(spark):
     assert got[4] == (None, None, None)
 
 
+def test_remove_chunks_in_corpus(spark):
+    """Incremental acting ExactSubstr: corpus membership is the verdict,
+    short tails exempt, NULL text → NULL, digest index reusable."""
+    from opteryx_spark.operators import dedup
+
+    ref = spark.createDataFrame([(100, "a b c d e f g h")], ["doc_id", "text"])
+    new = spark.createDataFrame(
+        [(1, "a b c d x y z w"), (2, "q r s t u v w x"), (3, None), (4, "a b")],
+        ["doc_id", "text"],
+    )
+    for reference in (ref, dedup.window_digests(ref, chunk_tokens=4, min_chunk_tokens=3)):
+        got = {
+            r.doc_id: (r.n_chunks, r.n_removed_chunks, r.cleaned_text)
+            for r in dedup.remove_chunks_in_corpus(
+                new, reference, chunk_tokens=4, min_chunk_tokens=3
+            ).collect()
+        }
+        assert got[1] == (2, 1, "x y z w")
+        assert got[2] == (2, 0, "q r s t u v w x")
+        assert got[3] == (None, None, None)
+        assert got[4] == (1, 0, "a b")  # short tail exempt
+
+
 def test_remove_boilerplate_lines(spark):
     """C4 line-frequency pass: cross-doc lines drop, unique lines keep
     their original order, NULL text → NULL outputs, all-blank text → 0."""

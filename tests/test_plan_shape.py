@@ -234,6 +234,19 @@ def test_remove_duplicate_chunks_shape(spark, sf_dir):
     assert "rangepartitioning" not in txt.lower()
 
 
+def test_remove_corpus_chunks_shape(spark, sf_dir):
+    # incremental ExactSubstr: one digest join against the offline index,
+    # id-keyed rebuild — no cartesian, no global sort
+    from opteryx_spark.operators import dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    new = docs.filter("doc_id >= 250")
+    ref = docs.filter("doc_id < 250")
+    txt = explain_text(dedup.remove_chunks_in_corpus(new, ref, chunk_tokens=16))
+    assert "CartesianProduct" not in txt
+    assert "rangepartitioning" not in txt.lower()
+
+
 def test_line_boilerplate_shape(spark, sf_dir):
     # C4 line-frequency pass: explode + digest-keyed freq + hot-set
     # broadcast + id-keyed rebuild — no cartesian, no global sort

@@ -333,3 +333,49 @@ def test_line_boilerplate_stream_matches_batch(spark, tmp_path_factory):
     by_id = {t[0]: t for t in got}
     assert by_id[0][2] == 2 and by_id[0][4] == "unique content 0"
     assert by_id[100][1] is None and by_id[101][1] == 0
+
+
+def test_corpus_chunks_stream_matches_batch(spark, tmp_path_factory):
+    """Stream-static incremental ExactSubstr: with the window-digest
+    index precomputed from the accepted corpus, the stream twin must
+    emit exactly the batch operator's rows (membership is the verdict —
+    no keeper asymmetry)."""
+    from opteryx_spark.operators import dedup
+
+    src = str(tmp_path_factory.mktemp("oxs_cchunk_src"))
+    out = str(tmp_path_factory.mktemp("oxs_cchunk_out"))
+    ckpt = str(tmp_path_factory.mktemp("oxs_cchunk_ckpt"))
+    ref = spark.createDataFrame(
+        [(100, "a b c d e f g h"), (101, "m n o p")], ["doc_id", "text"]
+    )
+    new_rows = [
+        (1, "a b c d x y z w"),
+        (2, "q r s t u v w x"),
+        (3, None),
+        (4, "a b"),
+        (5, "e f g h m n o p"),
+    ]
+    new = spark.createDataFrame(new_rows, ["doc_id", "text"])
+    new.write.mode("overwrite").parquet(src)
+
+    cols = ["doc_id", "n_chunks", "n_removed_chunks", "cleaned_text"]
+    want = {
+        tuple(r)
+        for r in dedup.remove_chunks_in_corpus(
+            new, ref, chunk_tokens=4, min_chunk_tokens=3
+        )
+        .select(*cols)
+        .collect()
+    }
+    idx = dedup.window_digests(ref, chunk_tokens=4, min_chunk_tokens=3)
+    stream = spark.readStream.schema(new.schema).parquet(src)
+    got_df = streaming.remove_corpus_chunks_stream(
+        stream, idx, chunk_tokens=4, min_chunk_tokens=3
+    ).select(*cols)
+    streaming.run_stream_once(got_df, out, ckpt)
+    got = {tuple(r) for r in spark.read.parquet(out).collect()}
+    assert got == want
+    by_id = {t[0]: t for t in got}
+    assert by_id[1] == (1, 2, 1, "x y z w")
+    assert by_id[5] == (5, 2, 2, "")  # both windows live in the corpus
+    assert by_id[3][1] is None and by_id[4] == (4, 1, 0, "a b")
