@@ -223,19 +223,34 @@ def curate_corpus_v3(
     nn = F.col(text_col).isNotNull()
     raw_tokens = text.tokens(F.regexp_replace(F.col(text_col), "\n", " "))
 
-    s1 = filtering.remove_boilerplate_lines(
-        docs.withColumn("_n_tokens_raw", F.when(nn, F.size(raw_tokens)).cast("long")),
-        id_col,
-        text_col,
-        min_doc_freq=line_min_doc_freq,
-    ).select(
-        id_col,
-        "_n_tokens_raw",
-        F.regexp_replace(F.col("cleaned_text"), "\n", " ").alias("_t1"),
+    # Stage-boundary persists: each rewrite operator internally branches
+    # its input 3-4 ways (frequency pass + decision join + rebuild), so
+    # COMPOSING them without a barrier multiplies upstream re-derivation —
+    # measured 48 input scans / 104 exchanges in the unpersisted plan,
+    # which at 100 TB means re-reading the corpus ~48x.  Persisting the
+    # two stage outputs cuts this to one derivation per stage; tracked via
+    # dedup._track_persist (recompute-safe, released by
+    # release_text_group_caches()).
+    s1 = dedup._track_persist(
+        filtering.remove_boilerplate_lines(
+            docs.withColumn(
+                "_n_tokens_raw", F.when(nn, F.size(raw_tokens)).cast("long")
+            ),
+            id_col,
+            text_col,
+            min_doc_freq=line_min_doc_freq,
+        ).select(
+            id_col,
+            "_n_tokens_raw",
+            F.regexp_replace(F.col("cleaned_text"), "\n", " ").alias("_t1"),
+        )
     )
-    s2 = dedup.remove_duplicate_chunks(
-        s1, id_col, "_t1", chunk_tokens=chunk_tokens, min_chunk_tokens=min_chunk_tokens
-    ).select(id_col, "_n_tokens_raw", F.col("cleaned_text").alias("final_text"))
+    s2 = dedup._track_persist(
+        dedup.remove_duplicate_chunks(
+            s1, id_col, "_t1", chunk_tokens=chunk_tokens,
+            min_chunk_tokens=min_chunk_tokens,
+        ).select(id_col, "_n_tokens_raw", F.col("cleaned_text").alias("final_text"))
+    )
 
     ft = F.col("final_text")
     n_final = F.when(ft.isNotNull(), F.size(text.tokens(ft))).cast("long")
