@@ -1233,7 +1233,11 @@ def remove_duplicate_chunks(
     before the exchange, where a window would sort the whole hot-digest
     partition in a single task.  Text never enters the digest-keyed
     exchange; removals join back per (id, idx) and the rebuild is one
-    id-keyed reduce.  No all-pairs, no driver collect.
+    id-keyed reduce.  No all-pairs, no driver collect.  The plan reads
+    the (id, text) projection a small constant number of times
+    (keeper pass, mark pass, outer join) — linear; persist the output
+    before composing further rewrite stages (see
+    ``curate.curate_corpus_v3``).
     """
     from opteryx_spark.operators.text import chunk_documents
 

@@ -423,13 +423,18 @@ def remove_boilerplate_lines(
     original order ('' when every line was boilerplate).  NULL text →
     NULL outputs (the module's gate contract).
 
-    Scale shape: one explode; line frequency is a word-count-style
-    aggregate keyed on the line's md5 digest (digests travel, lines
-    don't); the HOT set (only lines at/above ``min_doc_freq``) is joined
-    back — tiny by construction, so it broadcasts (``broadcast_hot=True``
-    default; None lets AQE size-gate when the hot set may be large); the
-    per-doc rebuild is one id-keyed reduce sorting (pos, line) structs
-    in-group.  No all-pairs, no driver collect, no Python row path.
+    Scale shape: line frequency is a word-count-style aggregate keyed on
+    the line's md5 digest (digests travel, lines don't); the HOT set
+    (only lines at/above ``min_doc_freq``) is joined back — tiny by
+    construction, so it broadcasts (``broadcast_hot=True`` default; None
+    lets AQE size-gate when the hot set may be large); the per-doc
+    rebuild is one id-keyed reduce sorting (pos, line) structs in-group.
+    No all-pairs, no driver collect, no Python row path.  The plan reads
+    the (id, text) projection ~3x (frequency pass, mark pass, outer
+    join) — inherent to frequency-then-act and linear; when COMPOSING
+    with further rewrite stages, persist this operator's output so the
+    downstream branches don't multiply the re-derivation
+    (``curate.curate_corpus_v3`` shows the pattern).
     """
     lines = (
         df.select(
