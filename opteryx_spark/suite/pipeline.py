@@ -1070,3 +1070,54 @@ def dedup_simhash_portable(spark, sf_dir):
         docs, "doc_id", "text", max_hamming=3, blocks=4,
         unique_texts=False, bits=28, portable_hash=True,
     ).orderBy("id1", "id2")
+
+
+@register(
+    "emb_ann_sq8_topk",
+    # full portable twin: the shortlist ranks by the exact INTEGER
+    # quantized dot (bit-deterministic), the rescore is the proven exact
+    # cosine — the oracle reruns the identical algorithm in SQL.
+    oracle=f"""
+    WITH qrow AS (
+      SELECT embedding AS qe FROM embeddings WHERE vec_id = 0
+    ), qq AS (
+      SELECT qe,
+             list_transform(qe, x -> CAST(floor(CAST(x AS DOUBLE) *
+               (127.0 / list_max(list_transform(qe, y -> abs(CAST(y AS DOUBLE)))))
+               + 0.5) AS BIGINT)) AS qv
+      FROM qrow
+    ), c8 AS (
+      SELECT b.vec_id, b.embedding,
+             list_transform(b.embedding, x -> CAST(floor(CAST(x AS DOUBLE) *
+               (127.0 / list_max(list_transform(b.embedding,
+                 y -> abs(CAST(y AS DOUBLE))))) + 0.5) AS BIGINT)) AS bq
+      FROM embeddings b WHERE b.vec_id <> 0
+    ), sl AS (
+      SELECT c8.vec_id, c8.embedding
+      FROM c8, qq
+      ORDER BY list_reduce(list_transform(range(1, 65),
+                 i -> c8.bq[i] * qq.qv[i]), (x, y) -> x + y) DESC,
+               c8.vec_id
+      LIMIT 40
+    )
+    SELECT s.vec_id,
+           {_O_DOT.replace('a.embedding', 'q.qe').replace('b.embedding', 's.embedding')}
+             / (sqrt({_O_NORM2.format(v='q.qe')})
+                * sqrt({_O_NORM2.format(v='s.embedding')})) AS cosim
+    FROM sl s, qrow q
+    ORDER BY cosim DESC, s.vec_id LIMIT 10
+    """,
+)
+def emb_ann_sq8_topk(spark, sf_dir):
+    """Scalar-quantized ANN (``similarity.sq8_topk``): int8 integer-dot
+    shortlist (40 candidates, deterministic id tiebreak) + exact-cosine
+    rescore to top-10 — the FAISS-SQ8 scale path with every stage
+    value-verified as a portable twin."""
+    emb = t(spark, sf_dir, "embeddings")
+    qvec = [
+        float(v)
+        for v in emb.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"]
+    ]
+    return similarity.sq8_topk(
+        emb.filter(F.col("vec_id") != 0), qvec, k=10, shortlist=40
+    )

@@ -97,6 +97,20 @@ def test_ann_lsh_recall_vs_brute_force(spark, sf_dir):
     assert len(set(exact) & set(approx)) >= 2
 
 
+def test_ann_sq8_recall_vs_brute_force(spark, sf_dir):
+    """SQ8 shortlist+rescore: int8 quantization perturbs the ranking only
+    slightly, so a 4x shortlist should recover most of the true top-10;
+    every returned cosim must be an exact (unquantized) cosine."""
+    emb = t(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    rest = emb.filter(F.col("vec_id") != 0)
+    exact = {r.vec_id: r.cosim for r in similarity.cosine_topk(rest, qvec, k=10).collect()}
+    sq8 = {r.vec_id: r.cosim for r in similarity.sq8_topk(rest, qvec, k=10).collect()}
+    assert len(set(exact) & set(sq8)) >= 7
+    for vid in set(exact) & set(sq8):  # rescore is the exact cosine
+        assert abs(exact[vid] - sq8[vid]) == 0.0
+
+
 def test_text_stats_columns(docs):
     stats = text.with_text_stats(docs.limit(20))
     row = stats.filter(F.col("n_tokens") > 0).first()
