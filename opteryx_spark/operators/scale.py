@@ -171,3 +171,43 @@ def split_assign(
     return df.withColumn(
         "split", F.when(F.col(key_col).isNotNull(), expr)
     )
+
+
+def split_assign_grouped(
+    df: DataFrame,
+    pairs: DataFrame,
+    splits: dict[str, float] | None = None,
+    id_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """Leakage-safe train/val/test assignment: every near-duplicate
+    CLUSTER lands in one split.
+
+    Splitting by raw id lets two near-identical documents straddle the
+    train/test boundary — the classic eval-contamination leak exact dedup
+    alone cannot close.  Here ``pairs`` (an ``(id1, id2)`` near-dup edge
+    set from any of the dedup operators — Jaccard, MinHash-verified,
+    SimHash, embedding cosine) is resolved to connected components, each
+    document keys on its component label (singletons on their own id),
+    and :func:`split_assign`'s md5-bucket machinery assigns the split —
+    so the whole cluster moves together, reproducibly on any
+    partitioning.  Appends ``comp`` (NULL for singletons) and ``split``
+    (NULL for NULL ids, per the split contract).
+
+    Scale: component resolution is the rounds-bounded label propagation
+    of ``dedup.connected_components``; the assignment itself stays
+    map-only over one id-keyed left join.
+    """
+    from pyspark.sql import functions as F
+
+    from opteryx_spark.operators.dedup import connected_components
+
+    comp = connected_components(pairs)
+    joined = df.join(comp, df[id_col] == comp["node"], "left").drop("node")
+    keyed = joined.withColumn(
+        "_skey", F.coalesce(F.col("comp"), F.col(id_col)).cast("string")
+    )
+    out = split_assign(keyed, "_skey", splits, salt).drop("_skey")
+    # NULL id => NULL split even though coalesce produced a NULL key
+    # upstream (split_assign already guards on its key column)
+    return out

@@ -761,3 +761,70 @@ def dedup_remove_corpus_chunks(spark, sf_dir):
         .select("doc_id", "n_chunks", "n_removed_chunks", "cleaned_text")
         .orderBy("doc_id")
     )
+
+
+@register(
+    "sample_split_no_leakage",
+    oracle=f"""
+    WITH RECURSIVE sh AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(range(1, len({_O_TOKENS})),
+        i -> concat_ws(' ', {_O_TOKENS}[i], {_O_TOKENS}[i+1])))) AS s
+      FROM documents
+    ), sizes AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM sh GROUP BY doc_id
+    ), ov AS (
+      SELECT a.doc_id AS id1, b.doc_id AS id2, CAST(COUNT(*) AS BIGINT) AS ov
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), pairs AS (
+      SELECT id1, id2
+      FROM ov JOIN sizes sa ON sa.doc_id = id1 JOIN sizes sb ON sb.doc_id = id2
+      WHERE CAST(ov AS DOUBLE) / CAST(sa.n + sb.n - ov AS DOUBLE) >= 0.8
+    ), edges AS (
+      SELECT id1 AS a, id2 AS b FROM pairs
+      UNION SELECT id2, id1 FROM pairs
+    ), walk(node, comp) AS (
+      SELECT a, a FROM (SELECT DISTINCT a FROM edges) t
+      UNION
+      SELECT e.a, w.comp FROM edges e JOIN walk w ON w.node = e.b
+    ), labels AS (
+      SELECT node, MIN(comp) AS comp FROM walk GROUP BY node
+    ), keyed AS (
+      SELECT d.doc_id, l.comp,
+             CAST(coalesce(l.comp, d.doc_id) AS VARCHAR) AS skey
+      FROM documents d LEFT JOIN labels l ON l.node = d.doc_id
+    ), b AS (
+      SELECT doc_id, comp,
+             list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(range(1, 9), i ->
+                 CAST(strpos('0123456789abcdef',
+                             substring(md5(skey), i, 1)) - 1 AS BIGINT))),
+               (a, c) -> a * 16 + c) AS bucket
+      FROM keyed
+    )
+    SELECT doc_id, comp,
+           CASE WHEN bucket < {int(0.8 * 4294967296)} THEN 'train'
+                WHEN bucket < {int(0.9 * 4294967296)} THEN 'val'
+                ELSE 'test' END AS split
+    FROM b ORDER BY doc_id
+    """,
+)
+def sample_split_no_leakage(spark, sf_dir):
+    """Leakage-safe splitting (``scale.split_assign_grouped``): near-dup
+    clusters (exact bigram-Jaccard >= 0.8 pairs → connected components)
+    key the md5-bucket split TOGETHER, so no near-duplicate pair ever
+    straddles the train/test boundary.  Checked against a recursive-CTE
+    components + bucket-arithmetic ground truth."""
+    from opteryx_spark.operators import scale
+
+    docs = t(spark, sf_dir, "documents")
+    from opteryx_spark.operators import dedup as D
+
+    pairs = D.ngram_jaccard_pairs(docs, "doc_id", "text", k=2, threshold=0.8)
+    return (
+        scale.split_assign_grouped(
+            docs, pairs, {"train": 0.8, "val": 0.1, "test": 0.1}
+        )
+        .select("doc_id", "comp", "split")
+        .orderBy("doc_id")
+    )

@@ -510,6 +510,29 @@ def test_remove_duplicate_chunks(spark):
     assert got[4] == (None, None, None)
 
 
+def test_split_assign_grouped_cluster_coherence(spark):
+    """Every member of a near-dup component must land in the SAME split;
+    singletons keep the plain id-keyed assignment."""
+    from opteryx_spark.operators import scale
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(40)], ["doc_id", "text"]
+    )
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (5, 6), (10, 11), (11, 12), (12, 13)], ["id1", "id2"]
+    )
+    out = scale.split_assign_grouped(docs, pairs).collect()
+    by_id = {r.doc_id: r for r in out}
+    for cluster in ([0, 1, 2], [5, 6], [10, 11, 12, 13]):
+        assert len({by_id[i].split for i in cluster}) == 1, cluster
+        assert len({by_id[i].comp for i in cluster}) == 1
+    # singleton: same assignment split_assign would give on the raw id
+    solo = scale.split_assign(
+        docs.filter("doc_id = 30"), "doc_id"
+    ).first()
+    assert by_id[30].comp is None and by_id[30].split == solo.split
+
+
 def test_remove_chunks_in_corpus(spark):
     """Incremental acting ExactSubstr: corpus membership is the verdict,
     short tails exempt, NULL text → NULL, digest index reusable."""
