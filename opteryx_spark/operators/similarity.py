@@ -244,12 +244,15 @@ def ivf_index(
     sample (driver-side k-means fit over MLlib), assign every vector its
     nearest centroid (map-only), and persist/partition by ``cluster`` so
     a query probes only the closest nprobe partitions.
-    Returns (assigned_df, centroids).
+    Returns (assigned_df, centroids).  Rows with a NULL vector are
+    dropped up front — MLlib's array_to_vector NPEs on NULL and a
+    missing encode cannot be indexed (same drop-don't-crash contract as
+    the cosine paths, which yield NULL similarity for them).
     """
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector, vector_to_array
 
-    data = _spread(df).select(
+    data = _spread(df.filter(F.col(vec_col).isNotNull())).select(
         F.col(id_col), F.col(vec_col), array_to_vector(F.col(vec_col)).alias("features")
     )
     model = KMeans(k=n_clusters, seed=seed, featuresCol="features").fit(data)
