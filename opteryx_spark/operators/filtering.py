@@ -488,3 +488,74 @@ def remove_boilerplate_lines(
         )
         .withColumn("cleaned_text", F.when(nn, F.coalesce("cleaned_text", F.lit(""))))
     )
+
+
+def quality_features(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    boilerplate_k: int = 3,
+    boilerplate_max_df: int = 10,
+    perplexity_model: DataFrame | None = None,
+) -> DataFrame:
+    """Per-document quality FEATURE VECTOR — the featurization stage a
+    trained quality classifier (DCLM / RefinedWeb-style fastText gate)
+    consumes, built from this package's deterministic signals:
+
+    - ``n_tokens``, ``ttr`` (lexical size/diversity),
+    - ``flesch_reading_ease``, ``fk_grade`` (readability),
+    - ``avg_nll_millinats`` (unigram perplexity — fluency),
+    - ``boilerplate_frac`` (corpus-hot k-gram share — templating),
+    - ``quality_score`` (the package's composite heuristic).
+
+    Rule-based gates threshold these one at a time; a classifier learns
+    the joint decision — this operator hands it the matrix.  NULL text →
+    NULL features (never silently zero — a classifier must see missing).
+
+    Scale: four independent linear passes over (id, text) — readability
+    and the composite are map-only; perplexity is the word-count +
+    cost-join shape; boilerplate is the hot-set join — stitched by
+    id-keyed joins.  Featurization is embarrassingly column-parallel; no
+    all-pairs, no driver collect.
+    """
+    from opteryx_spark.operators import text as _text
+
+    rd = _text.readability_scores(
+        df.select(id_col, text_col), text_col
+    ).select(id_col, "flesch_reading_ease", "fk_grade")
+    pp = unigram_perplexity(
+        df.select(id_col, text_col),
+        id_col,
+        text_col,
+        model=perplexity_model,
+    ).select(id_col, "avg_nll_millinats")
+    bp = boilerplate_ngram_fraction(
+        df.select(id_col, text_col),
+        id_col,
+        text_col,
+        k=boilerplate_k,
+        max_df=boilerplate_max_df,
+    ).select(id_col, "boilerplate_frac")
+    base = df.select(
+        id_col,
+        _text.token_count(text_col).alias("n_tokens"),
+        _text.type_token_ratio(text_col).alias("ttr"),
+        F.when(
+            F.col(text_col).isNotNull(), _text.quality_score(text_col)
+        ).alias("quality_score"),
+    )
+    return (
+        base.join(rd, id_col)
+        .join(pp, id_col)
+        .join(bp, id_col)
+        .select(
+            id_col,
+            "n_tokens",
+            "ttr",
+            "flesch_reading_ease",
+            "fk_grade",
+            "avg_nll_millinats",
+            "boilerplate_frac",
+            "quality_score",
+        )
+    )

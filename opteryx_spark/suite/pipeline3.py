@@ -828,3 +828,96 @@ def sample_split_no_leakage(spark, sf_dir):
         .select("doc_id", "comp", "split")
         .orderBy("doc_id")
     )
+
+
+@register(
+    "text_quality_features",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_O_TOKENS}) AS tk FROM documents
+    ), tf AS (
+      SELECT tk, CAST(COUNT(*) AS BIGINT) AS tf FROM tok GROUP BY tk
+    ), tot AS (
+      SELECT CAST(SUM(tf) AS BIGINT) AS n, CAST(COUNT(*) AS BIGINT) AS v FROM tf
+    ), lp AS (
+      SELECT tk,
+             CAST(FLOOR((-LN((CAST(tf AS DOUBLE) + 0.5)
+                 / (CAST(n AS DOUBLE) + (0.5 * CAST(v AS DOUBLE)))))
+               * 1000.0 + 0.5) AS BIGINT) AS nll
+      FROM tf, tot
+    ), pdoc AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS p_n,
+             CAST(SUM(nll) AS BIGINT) AS nllm
+      FROM tok JOIN lp USING (tk) GROUP BY doc_id
+    ), rd AS (
+      SELECT doc_id,
+             CASE WHEN text IS NOT NULL THEN greatest(CAST(1 AS BIGINT),
+               CAST(len(regexp_extract_all(text, '([.!?]+)', 1)) AS BIGINT)) END
+               AS n_sentences,
+             CASE WHEN text IS NOT NULL THEN CAST(len({_O_TOKENS}) AS BIGINT) END
+               AS n_words,
+             CASE WHEN text IS NOT NULL THEN
+               list_reduce(list_prepend(CAST(0 AS BIGINT),
+                 list_transform({_O_TOKENS}, w -> greatest(CAST(1 AS BIGINT),
+                   CAST(len(regexp_extract_all(lower(w), '([aeiouy]+)', 1)) AS BIGINT)))),
+                 (a, b) -> a + b) END AS n_syllables
+      FROM documents
+    ), g AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(range(1, len({_O_TOKENS})-1),
+               i -> concat_ws(' ', {_O_TOKENS}[i], {_O_TOKENS}[i+1],
+                              {_O_TOKENS}[i+2])))) AS gram
+      FROM documents
+    ), hot AS (
+      SELECT gram FROM g GROUP BY gram HAVING COUNT(*) > 10
+    ), bp AS (
+      SELECT g.doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+             CAST(COUNT(h.gram) AS BIGINT) AS n_hot
+      FROM g LEFT JOIN hot h USING (gram) GROUP BY g.doc_id
+    )
+    SELECT d.doc_id,
+           CASE WHEN d.text IS NOT NULL THEN CAST(len({_O_TOKENS}) AS BIGINT) END
+             AS n_tokens,
+           CASE WHEN len({_O_TOKENS}) > 0 THEN
+             CAST(len(list_distinct({_O_TOKENS})) AS DOUBLE)
+               / CAST(len({_O_TOKENS}) AS DOUBLE) END AS ttr,
+           CASE WHEN rd.n_words > 0 THEN
+             (206.835 - (1.015 * (CAST(rd.n_words AS DOUBLE)
+                                  / CAST(rd.n_sentences AS DOUBLE))))
+              - (84.6 * (CAST(rd.n_syllables AS DOUBLE)
+                         / CAST(rd.n_words AS DOUBLE)))
+           END AS flesch_reading_ease,
+           CASE WHEN rd.n_words > 0 THEN
+             ((0.39 * (CAST(rd.n_words AS DOUBLE)
+                       / CAST(rd.n_sentences AS DOUBLE)))
+              + (11.8 * (CAST(rd.n_syllables AS DOUBLE)
+                         / CAST(rd.n_words AS DOUBLE)))) - 15.59
+           END AS fk_grade,
+           CASE WHEN coalesce(p.p_n, 0) > 0 THEN
+             CAST(p.nllm AS DOUBLE) / CAST(p.p_n AS DOUBLE) END
+             AS avg_nll_millinats,
+           CASE WHEN coalesce(bp.n_grams, 0) > 0 THEN
+             CAST(bp.n_hot AS DOUBLE) / CAST(bp.n_grams AS DOUBLE) END
+             AS boilerplate_frac,
+           CASE WHEN len({_O_TOKENS}) > 0 THEN
+             (CAST(len(list_distinct({_O_TOKENS})) AS DOUBLE)
+                / CAST(len({_O_TOKENS}) AS DOUBLE)) * 0.5
+             + (CASE WHEN len({_O_TOKENS}) >= 20 THEN 1.0
+                     ELSE CAST(len({_O_TOKENS}) AS DOUBLE) / 20.0 END) * 0.5
+           END AS quality_score
+    FROM documents d
+    LEFT JOIN pdoc p USING (doc_id)
+    LEFT JOIN rd USING (doc_id)
+    LEFT JOIN bp USING (doc_id)
+    ORDER BY d.doc_id
+    """,
+)
+def text_quality_features(spark, sf_dir):
+    """Quality-classifier featurization (``filtering.quality_features``):
+    the per-doc feature matrix a DCLM/RefinedWeb-style learned quality
+    gate trains on — lexical size/diversity, readability, unigram
+    perplexity, corpus-hot boilerplate share, and the composite
+    heuristic, stitched by id-keyed joins from four independent linear
+    passes.  NULL text → NULL features (classifiers must see missing)."""
+    docs = t(spark, sf_dir, "documents")
+    return filtering.quality_features(docs).orderBy("doc_id")
