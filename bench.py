@@ -59,6 +59,7 @@ BENCH_QUERIES = [
     "text_line_boilerplate",
     "dedup_remove_chunks",
     "curate_pipeline_v3",
+    "text_quality_features",
 ]
 
 
@@ -84,6 +85,7 @@ SF1_QUERIES = [
     "text_line_boilerplate",
     "dedup_remove_chunks",
     "curate_pipeline_v3",
+    "text_quality_features",
 ]
 
 

@@ -322,6 +322,26 @@ def token_budget_sample(
     )
 
 
+def hot_ngrams(
+    df: DataFrame,
+    text_col: str = "text",
+    k: int = 3,
+    max_df: int = 10,
+) -> DataFrame:
+    """Corpus-hot word ``k``-grams (one ``gram`` column): distinct
+    per-doc shingles occurring in more than ``max_df`` documents — the
+    static set :func:`boilerplate_ngram_fraction` joins against, exposed
+    so the streaming featurizer can precompute it offline (corpus-hotness
+    is a global statistic a stream cannot learn online)."""
+    return (
+        df.select(F.explode(text.shingles(text_col, k)).alias("gram"))
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .filter(F.col("_df") > max_df)
+        .select("gram")
+    )
+
+
 def boilerplate_ngram_fraction(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -346,13 +366,9 @@ def boilerplate_ngram_fraction(
     grams = df.select(
         F.col(id_col).alias("_bid"), F.explode(text.shingles(text_col, k)).alias("_gram")
     )
-    hot = (
-        grams.groupBy("_gram")
-        .agg(F.count(F.lit(1)).alias("_df"))
-        .filter(F.col("_df") > max_df)
-        .select("_gram")
-        .withColumn("_hot", F.lit(True))
-    )
+    hot = hot_ngrams(df, text_col, k, max_df).withColumnRenamed(
+        "gram", "_gram"
+    ).withColumn("_hot", F.lit(True))
     per_doc = (
         grams.join(F.broadcast(hot), "_gram", "left")
         .groupBy("_bid")
@@ -559,3 +575,40 @@ def quality_features(
             "quality_score",
         )
     )
+
+
+def unigram_cost_artifacts(
+    df: DataFrame,
+    text_col: str = "text",
+    alpha: float = 0.5,
+) -> tuple[DataFrame, int]:
+    """(cost table, unk cost) for the streaming featurizer — the offline
+    half of :func:`unigram_perplexity`, built once over a reference
+    corpus with IDENTICAL arithmetic (same smoothing, same millinat
+    quantization, costs computed Spark-side so not even a last-ulp libm
+    difference can creep in).  Returns a ``(token, nll)`` DataFrame and
+    the unknown-token cost as a Python int (one scalar ``first()`` at
+    build time — an offline artifact, not a per-row path).
+    """
+    toks = df.select(F.explode(text.tokens(text_col)).alias("_tok"))
+    model = toks.groupBy("_tok").agg(F.count(F.lit(1)).alias("_tf"))
+    totals = model.agg(F.sum("_tf").alias("_N"), F.count(F.lit(1)).alias("_V"))
+    a = F.lit(float(alpha))
+    denom = F.col("_N").cast("double") + (a * F.col("_V").cast("double"))
+    costs = model.crossJoin(F.broadcast(totals)).select(
+        F.col("_tok").alias("token"),
+        F.floor(
+            (-F.log((F.col("_tf").cast("double") + a) / denom)) * F.lit(1000.0)
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("nll"),
+    )
+    unk = int(
+        totals.select(
+            F.floor((-F.log(a / denom)) * F.lit(1000.0) + F.lit(0.5))
+            .cast("long")
+            .alias("u")
+        ).first()["u"]
+    )
+    return costs, unk

@@ -383,3 +383,82 @@ def remove_corpus_chunks_stream(
         .withColumn("cleaned_text", F.when(c.isNotNull(), F.array_join(kept, " ")))
     )
     return out.drop("_wd")
+
+
+def quality_features_stream(
+    docs: DataFrame,
+    costs: DataFrame,
+    unk_nll: int,
+    hot_grams: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    boilerplate_k: int = 3,
+) -> DataFrame:
+    """Streaming twin of ``operators/filtering.quality_features`` — the
+    online half of a learned quality gate: corpus-global statistics
+    (unigram cost table from ``filtering.unigram_cost_artifacts``, hot
+    k-gram set from ``filtering.hot_ngrams``) are computed OFFLINE over a
+    reference corpus; the stream scores each document row-locally.
+
+    The cost table collapses to one broadcast map row (token → millinat
+    cost; unknown tokens pay ``unk_nll``) and the hot set to one
+    broadcast array row — per-row higher-order folds, no streaming
+    state, append-mode compatible.  Same output columns as the batch
+    operator; NULL text → NULL features.  At a 100 TB reference corpus
+    the map/array become a bloom-backed lookup — plan shape identical.
+    """
+    from opteryx_spark.operators import text as _text
+
+    cm = F.broadcast(
+        costs.agg(
+            F.map_from_entries(
+                F.collect_list(F.struct(costs.columns[0], costs.columns[1]))
+            ).alias("_cm")
+        )
+    )
+    hg = F.broadcast(
+        hot_grams.agg(F.collect_set(hot_grams.columns[0]).alias("_hg"))
+    )
+    c = F.col(text_col)
+    tks = _text.tokens(c)
+    n_tokens = _text.token_count(text_col)
+    nll_sum = F.aggregate(
+        tks,
+        F.lit(0).cast("long"),
+        lambda acc, x: acc
+        + F.coalesce(F.element_at(F.col("_cm"), x), F.lit(int(unk_nll)).cast("long")),
+    )
+    sh = _text.shingles(c, boilerplate_k)
+    n_grams = _text._nsize(sh)
+    n_hot = _text._nsize(F.array_intersect(sh, F.col("_hg")))
+    out = (
+        _text.readability_scores(docs, text_col)  # map-only: streams unchanged
+        .crossJoin(cm)
+        .crossJoin(hg)
+        .withColumn("n_tokens", n_tokens)
+        .withColumn("ttr", _text.type_token_ratio(text_col))
+        .withColumn(
+            "quality_score", F.when(c.isNotNull(), _text.quality_score(text_col))
+        )
+        .withColumn(
+            "avg_nll_millinats",
+            F.when(
+                F.col("n_tokens") > 0,
+                nll_sum.cast("double") / F.col("n_tokens").cast("double"),
+            ),
+        )
+        .withColumn(
+            "boilerplate_frac",
+            F.when(n_grams > 0, n_hot.cast("double") / n_grams.cast("double")),
+        )
+    )
+    return out.select(
+        id_col,
+        "n_tokens",
+        "ttr",
+        "flesch_reading_ease",
+        "fk_grade",
+        "avg_nll_millinats",
+        "boilerplate_frac",
+        "quality_score",
+    )

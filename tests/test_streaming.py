@@ -379,3 +379,55 @@ def test_corpus_chunks_stream_matches_batch(spark, tmp_path_factory):
     assert by_id[1] == (1, 2, 1, "x y z w")
     assert by_id[5] == (5, 2, 2, "")  # both windows live in the corpus
     assert by_id[3][1] is None and by_id[4] == (4, 1, 0, "a b")
+
+
+def test_quality_features_stream_matches_batch(spark, sf_dir, tmp_path_factory):
+    """With artifacts built from the SAME corpus the stream featurizer
+    must reproduce the batch feature matrix exactly (every token is in
+    the cost table, the hot set is the batch hot set)."""
+    from opteryx_spark.operators import filtering
+
+    src = str(tmp_path_factory.mktemp("oxs_qf_src"))
+    out = str(tmp_path_factory.mktemp("oxs_qf_out"))
+    ckpt = str(tmp_path_factory.mktemp("oxs_qf_ckpt"))
+    docs = (
+        spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        .select("doc_id", "text")
+        .limit(120)
+    )
+    docs.write.mode("overwrite").parquet(src)
+    frozen = spark.read.parquet(src)
+
+    cols = [
+        "doc_id", "n_tokens", "ttr", "flesch_reading_ease", "fk_grade",
+        "avg_nll_millinats", "boilerplate_frac", "quality_score",
+    ]
+    want = {tuple(r) for r in filtering.quality_features(frozen).select(*cols).collect()}
+    costs, unk = filtering.unigram_cost_artifacts(frozen)
+    hot = filtering.hot_ngrams(frozen, k=3, max_df=10)
+    stream = spark.readStream.schema(frozen.schema).parquet(src)
+    got_df = streaming.quality_features_stream(stream, costs, unk, hot)
+    streaming.run_stream_once(got_df, out, ckpt)
+    got = {tuple(r) for r in spark.read.parquet(out).select(*cols).collect()}
+    assert got == want
+
+
+def test_quality_features_stream_unknown_tokens(spark, tmp_path_factory):
+    """Tokens absent from the reference cost table pay exactly unk_nll."""
+    from opteryx_spark.operators import filtering
+
+    src = str(tmp_path_factory.mktemp("oxs_qfu_src"))
+    out = str(tmp_path_factory.mktemp("oxs_qfu_out"))
+    ckpt = str(tmp_path_factory.mktemp("oxs_qfu_ckpt"))
+    ref = spark.createDataFrame([(1, "aa bb aa cc")], ["doc_id", "text"])
+    costs, unk = filtering.unigram_cost_artifacts(ref)
+    cost_map = {r.token: r.nll for r in costs.collect()}
+    new = spark.createDataFrame([(9, "aa zz")], ["doc_id", "text"])
+    new.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(new.schema).parquet(src)
+    got_df = streaming.quality_features_stream(
+        stream, costs, unk, filtering.hot_ngrams(ref)
+    )
+    streaming.run_stream_once(got_df, out, ckpt)
+    row = spark.read.parquet(out).first()
+    assert row.avg_nll_millinats == (cost_map["aa"] + unk) / 2.0
