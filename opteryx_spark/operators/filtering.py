@@ -612,3 +612,46 @@ def unigram_cost_artifacts(
         ).first()["u"]
     )
     return costs, unk
+
+
+def quality_classifier_gate(
+    df: DataFrame,
+    weights: dict[str, float],
+    bias: float = 0.0,
+    threshold: float = 0.0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    **feature_kwargs,
+) -> DataFrame:
+    """Apply a TRAINED linear quality model over :func:`quality_features`
+    — the online half of a DCLM/RefinedWeb-style learned gate (train the
+    logistic regression offline on labeled samples; this operator scores
+    the corpus with its weights).
+
+    Scoring stays in the LOG-ODDS domain: ``logit = bias + Σ w_f ·
+    coalesce(feature_f, 0.0)`` over the weight names in sorted order (a
+    fixed fold — pure double multiply/add, bit-deterministic on any
+    engine; no sigmoid, because thresholding commutes with the monotone
+    sigmoid and ``exp`` is the one libm call engines disagree on).  NULL
+    features contribute 0 (the neutral imputation); a NULL-text doc has
+    NULL logit and FAILS the gate.  Appends ``logit`` and
+    ``passes_quality`` to the feature matrix.  Map-only on top of the
+    featurization passes.
+    """
+    unknown = set(weights) - {
+        "n_tokens", "ttr", "flesch_reading_ease", "fk_grade",
+        "avg_nll_millinats", "boilerplate_frac", "quality_score",
+    }
+    if unknown:
+        raise ValueError(f"unknown feature weights: {sorted(unknown)}")
+    feats = quality_features(df, id_col, text_col, **feature_kwargs)
+    expr = F.lit(float(bias))
+    for name in sorted(weights):
+        expr = expr + (
+            F.lit(float(weights[name]))
+            * F.coalesce(F.col(name).cast("double"), F.lit(0.0))
+        )
+    logit = F.when(F.col("n_tokens").isNotNull(), expr)
+    return feats.withColumn("logit", logit).withColumn(
+        "passes_quality", F.coalesce(logit >= F.lit(float(threshold)), F.lit(False))
+    )

@@ -830,9 +830,9 @@ def sample_split_no_leakage(spark, sf_dir):
     )
 
 
-@register(
-    "text_quality_features",
-    oracle=f"""
+# features oracle body, shared by text_quality_features and the
+# learned-gate entry (same matrix, different head)
+_O_QF_BODY = f"""
     WITH tok AS (
       SELECT doc_id, unnest({_O_TOKENS}) AS tk FROM documents
     ), tf AS (
@@ -909,8 +909,12 @@ def sample_split_no_leakage(spark, sf_dir):
     LEFT JOIN pdoc p USING (doc_id)
     LEFT JOIN rd USING (doc_id)
     LEFT JOIN bp USING (doc_id)
-    ORDER BY d.doc_id
-    """,
+"""
+
+
+@register(
+    "text_quality_features",
+    oracle=_O_QF_BODY + " ORDER BY doc_id",
 )
 def text_quality_features(spark, sf_dir):
     """Quality-classifier featurization (``filtering.quality_features``):
@@ -921,3 +925,48 @@ def text_quality_features(spark, sf_dir):
     passes.  NULL text → NULL features (classifiers must see missing)."""
     docs = t(spark, sf_dir, "documents")
     return filtering.quality_features(docs).orderBy("doc_id")
+
+
+# ONE weight definition drives BOTH the Spark gate and its SQL twin —
+# the logit expressions are generated from this dict in identical sorted
+# order, so the double fold is bit-identical by construction.
+_QGATE_W = {
+    "ttr": 2.0,
+    "flesch_reading_ease": 0.01,
+    "avg_nll_millinats": -0.0005,
+    "boilerplate_frac": -1.5,
+    "quality_score": 1.0,
+}
+_QGATE_BIAS = -1.2
+
+_O_QGATE_LOGIT = "(" + repr(float(_QGATE_BIAS)) + "".join(
+    f" + ({float(w)!r} * coalesce(CAST({name} AS DOUBLE), 0.0))"
+    for name, w in sorted(_QGATE_W.items())
+) + ")"
+
+
+@register(
+    "text_quality_gate",
+    oracle=f"""
+    WITH f AS ({_O_QF_BODY})
+    SELECT doc_id, logit,
+           coalesce(logit >= 0.0, FALSE) AS passes_quality
+    FROM (
+      SELECT doc_id,
+             CASE WHEN n_tokens IS NOT NULL THEN {_O_QGATE_LOGIT} END AS logit
+      FROM f
+    ) ORDER BY doc_id
+    """,
+)
+def text_quality_gate(spark, sf_dir):
+    """Learned quality gate (``filtering.quality_classifier_gate``): a
+    fixed linear model scored over the feature matrix in the LOG-ODDS
+    domain (sorted-order double fold — no sigmoid, so no libm
+    divergence); NULL features impute 0, NULL text fails.  The oracle
+    generates its logit expression from the SAME weight dict."""
+    docs = t(spark, sf_dir, "documents")
+    return (
+        filtering.quality_classifier_gate(docs, _QGATE_W, bias=_QGATE_BIAS)
+        .select("doc_id", "logit", "passes_quality")
+        .orderBy("doc_id")
+    )
