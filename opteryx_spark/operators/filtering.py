@@ -655,3 +655,69 @@ def quality_classifier_gate(
     return feats.withColumn("logit", logit).withColumn(
         "passes_quality", F.coalesce(logit >= F.lit(float(threshold)), F.lit(False))
     )
+
+
+def token_mixture_sample(
+    df: DataFrame,
+    group_cols: list[str],
+    budgets: dict[str, int] | dict[tuple, int],
+    default_budget: int = 0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Domain-weighted mixture construction (the Pile/DoReMi recipe in
+    full): each stratum gets its OWN token budget — web might contribute
+    1 unit and wikipedia 3 — instead of :func:`token_budget_sample`'s
+    single budget.  ``budgets`` maps the stratum key (the value of
+    ``group_cols[0]``, or a tuple matching ``group_cols``) to its token
+    budget; unlisted strata get ``default_budget`` (0 = contribute
+    nothing — an explicit mixture is also an explicit exclusion list).
+
+    Appends ``n_tokens``, ``tokens_before``, ``budget_tokens`` and
+    ``in_budget``; admission order is the canonical md5-of-id total
+    order.  Same single bounded per-stratum window as the flat sampler —
+    the budget lookup is a literal CASE, zero extra data movement.
+    """
+    from pyspark.sql import Window
+
+    key = (
+        F.col(group_cols[0]).cast("string")
+        if len(group_cols) == 1
+        else F.concat_ws("\x1f", *[F.col(g).cast("string") for g in group_cols])
+    )
+    expr = None
+    for stratum, budget in sorted(budgets.items(), key=lambda kv: str(kv[0])):
+        lit_key = (
+            str(stratum)
+            if not isinstance(stratum, tuple)
+            else "\x1f".join(str(s) for s in stratum)
+        )
+        cond = key == F.lit(lit_key)
+        expr = (
+            F.when(cond, int(budget))
+            if expr is None
+            else expr.when(cond, int(budget))
+        )
+    budget_col = (
+        F.lit(int(default_budget))
+        if expr is None
+        else expr.otherwise(int(default_budget))
+    ).cast("long")
+
+    w = (
+        Window.partitionBy(*group_cols)
+        .orderBy(*quota_order(id_col))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    n = F.size(text.tokens(text_col)).cast("long")
+    return (
+        df.withColumn(
+            "n_tokens", F.when(F.col(text_col).isNotNull(), n).otherwise(F.lit(0))
+        )
+        .withColumn("tokens_before", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)))
+        .withColumn("budget_tokens", budget_col)
+        .withColumn(
+            "in_budget",
+            (F.col("tokens_before") + F.col("n_tokens")) <= F.col("budget_tokens"),
+        )
+    )

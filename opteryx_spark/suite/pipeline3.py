@@ -970,3 +970,46 @@ def text_quality_gate(spark, sf_dir):
         .select("doc_id", "logit", "passes_quality")
         .orderBy("doc_id")
     )
+
+
+@register(
+    "sample_token_mixture",
+    oracle=f"""
+    WITH c AS (
+      SELECT doc_id, lang,
+             coalesce(CAST(len({_O_TOKENS}) AS BIGINT), CAST(0 AS BIGINT))
+               AS n_tokens
+      FROM documents
+    ), r AS (
+      SELECT doc_id, lang, n_tokens,
+             CAST(coalesce(SUM(n_tokens) OVER (
+               PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+               AS tokens_before,
+             CAST(CASE lang WHEN 'en' THEN 3000 WHEN 'de' THEN 1000
+                            WHEN 'es' THEN 500 ELSE 0 END AS BIGINT)
+               AS budget_tokens
+      FROM c
+    )
+    SELECT doc_id, lang, n_tokens, tokens_before, budget_tokens,
+           (tokens_before + n_tokens) <= budget_tokens AS in_budget
+    FROM r ORDER BY doc_id
+    """,
+)
+def sample_token_mixture(spark, sf_dir):
+    """Domain-weighted mixture sampling
+    (``filtering.token_mixture_sample``): per-language token budgets
+    (en 3000 / de 1000 / es 500, everything else excluded) admitted in
+    the canonical md5 order — the DoReMi/Pile recipe where strata are
+    weighted, not uniform.  One per-stratum window; budget lookup is a
+    literal CASE."""
+    docs = t(spark, sf_dir, "documents")
+    return (
+        filtering.token_mixture_sample(
+            docs, ["lang"], {"en": 3000, "de": 1000, "es": 500}
+        )
+        .select("doc_id", "lang", "n_tokens", "tokens_before",
+                "budget_tokens", "in_budget")
+        .orderBy("doc_id")
+    )
