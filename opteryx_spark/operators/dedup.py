@@ -1416,3 +1416,61 @@ def remove_chunks_in_corpus(
         )
         .withColumn("cleaned_text", F.when(nn, F.coalesce("cleaned_text", F.lit(""))))
     )
+
+
+def fuzzy_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_est_jaccard: float = 0.5,
+    num_hashes: int = 64,
+    bands: int = 16,
+    k: int = 2,
+    max_bucket: int = 1000,
+    unique_texts: bool | str = "auto",
+    portable_hash: bool = False,
+) -> DataFrame:
+    """Fuzzy dedup that ACTS: MinHash-LSH candidate pairs → connected
+    components → ONE canonical keeper per near-dup cluster (the min id,
+    which is exactly the component label) → every doc annotated.
+
+    This is the standard web-corpus fuzzy-dedup recipe (GPT-3 appendix A /
+    RefinedWeb §3.3: MinHash clusters deduplicated to a single exemplar),
+    composed from the proven stages: :func:`minhash_lsh_pairs` (signatures
+    are map-side folds, banded buckets capped), est-Jaccard gate at
+    ``min_est_jaccard``, :func:`connected_components` (label propagation,
+    rounds bounded by cluster diameter — shallow for mirror clusters).
+
+    Output: one row per input doc — ``id_col``, ``comp`` (cluster label =
+    min member id; NULL for docs in no near-dup pair), ``kept`` (BOOLEAN:
+    singleton or cluster keeper).  Filter ``kept`` for the deduplicated
+    corpus; group by ``comp`` for cluster audits.
+
+    Scale shape: the only corpus-sized exchanges are the LSH bucket join
+    (slim (id, band, bh, sig) rows, hot buckets capped) and the final
+    id-keyed label join; component propagation runs on the PAIR graph,
+    which is orders of magnitude smaller than the corpus.  No driver
+    collect; checkpoint blocks are released via
+    :func:`release_text_group_caches`.
+    """
+    pairs = minhash_lsh_pairs(
+        df,
+        id_col,
+        text_col,
+        num_hashes=num_hashes,
+        bands=bands,
+        k=k,
+        max_bucket=max_bucket,
+        unique_texts=unique_texts,
+        portable_hash=portable_hash,
+    ).filter(F.col("est_jaccard") >= F.lit(float(min_est_jaccard)))
+    labels = connected_components(pairs)
+    ids = df.select(F.col(id_col))
+    return (
+        ids.join(labels, ids[id_col] == labels["node"], "left")
+        .select(
+            F.col(id_col),
+            F.col("comp"),
+            (F.col("comp").isNull() | (F.col("comp") == F.col(id_col))).alias("kept"),
+        )
+    )

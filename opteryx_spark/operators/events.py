@@ -1,0 +1,125 @@
+"""Batch event-stream analytics: gap-based sessionization and cohort
+retention.
+
+These are the batch twins of the Structured Streaming operators in
+``opteryx_spark.streaming`` (``sessionize`` uses ``session_window`` there;
+the batch form here is the classic lag/cumsum construction so the whole
+history can be re-sessionized in one pass).  The reference engine has no
+sessionization operator (its ``events``-style analytics stop at GROUP BY
+rollups — see /root/reference/opteryx/operators/aggregate_node.py); these
+extend the surface the way a telemetry / clickstream pipeline needs.
+
+Scale notes (100 TB):
+- ``sessionize`` is ONE window pass partitioned by the user key (the
+  natural high-cardinality key, so partitions are balanced) followed by a
+  per-(user, session) aggregate that reuses the same key prefix — two
+  exchanges total, both on user-dominated keys, partial aggregation
+  map-side.  No self-join, no driver collect.
+- ``cohort_retention`` is a distinct + two key-local aggregates + one
+  equi-join on the user key; the output is (days × offsets) — tiny.
+- Events with a NULL user key or NULL timestamp are excluded by contract:
+  they cannot be placed on a per-user timeline.  (Spark windows would
+  otherwise order NULL timestamps FIRST while DuckDB orders them LAST —
+  excluding them pins the semantics rather than the engine default.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["sessionize", "cohort_retention"]
+
+
+def sessionize(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    order_col: str = "event_id",
+    gap_minutes: int = 30,
+    value_col: str | None = "value",
+) -> DataFrame:
+    """Assign gap-based sessions and reduce to one row per session.
+
+    A new session starts at a user's first event and whenever the gap to
+    the previous event (ordered by ``(ts, order_col)`` — the tiebreaker
+    makes equal timestamps deterministic) exceeds ``gap_minutes``.
+    Produces per-session rows: ``user_id``, ``session_id`` (1-based per
+    user, in time order), ``session_start`` / ``session_end`` (first/last
+    event time), ``duration_us`` (BIGINT microseconds), ``n_events``, and
+    ``total_value`` (exact DECIMAL sum → double; NULL when every value in
+    the session is NULL).
+
+    The grouping is identical to Spark's ``session_window`` (each event
+    extends its session by the gap), so the streaming twin
+    ``streaming.sessionize`` produces the same clusters — the batch form
+    reports ``session_end`` as the LAST EVENT time where the streaming
+    window's ``end`` is last event + gap.
+    """
+    gap_us = int(gap_minutes) * 60 * 1_000_000
+    base = events.filter(F.col(user_col).isNotNull() & F.col(ts_col).isNotNull())
+    # parquet timestamps load as TIMESTAMP_NTZ; the session tz is pinned
+    # UTC (session.py), so the cast is the identity reading DuckDB's
+    # epoch_us sees — unix_micros itself accepts only TIMESTAMP
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    w = Window.partitionBy(user_col).orderBy(F.col(ts_col).asc(), F.col(order_col).asc())
+    flagged = base.select(
+        F.col(user_col),
+        F.col(ts_col),
+        F.col(order_col),
+        us.alias("_us"),
+        *( [F.col(value_col)] if value_col else [] ),
+        F.when(
+            F.lag(us).over(w).isNull() | ((us - F.lag(us).over(w)) > F.lit(gap_us)),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("_new"),
+    ).withColumn(
+        "session_id",
+        F.sum("_new").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    aggs = [
+        F.min(ts_col).alias("session_start"),
+        F.max(ts_col).alias("session_end"),
+        (F.max("_us") - F.min("_us")).alias("duration_us"),
+        F.count(F.lit(1)).alias("n_events"),
+    ]
+    if value_col:
+        aggs.append(
+            F.sum(F.col(value_col).cast("decimal(25,8)")).cast("double").alias("total_value")
+        )
+    return flagged.groupBy(user_col, "session_id").agg(*aggs)
+
+
+def cohort_retention(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    max_offset_days: int | None = None,
+) -> DataFrame:
+    """Classic cohort-retention matrix: users are cohorted by their first
+    active day; for each (cohort_day, day_offset) count how many of that
+    cohort were active ``offset`` days after joining.
+
+    Returns ``cohort_day`` (DATE), ``day_offset`` (BIGINT, 0 = join day),
+    ``n_users`` (BIGINT).  ``offset = 0`` rows equal the cohort size, so
+    retention rate is a trivial post-join on the consumer side.
+    """
+    base = events.filter(F.col(user_col).isNotNull() & F.col(ts_col).isNotNull())
+    activity = base.select(
+        F.col(user_col).alias("_uid"), F.to_date(F.col(ts_col)).alias("_day")
+    ).distinct()
+    cohort = activity.groupBy("_uid").agg(F.min("_day").alias("cohort_day"))
+    joined = activity.join(cohort, "_uid").withColumn(
+        "day_offset", F.datediff(F.col("_day"), F.col("cohort_day")).cast("long")
+    )
+    if max_offset_days is not None:
+        joined = joined.filter(F.col("day_offset") <= int(max_offset_days))
+    return (
+        joined.groupBy("cohort_day", "day_offset")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy("cohort_day", "day_offset")
+    )

@@ -1,0 +1,238 @@
+"""Round-6 second-wave suite entries: batch event sessionization, cohort
+retention, BM25 ranked retrieval, and acting fuzzy dedup (MinHash
+clusters → one keeper).  Every entry carries a bit-exact DuckDB oracle.
+
+Determinism notes specific to these entries:
+- session/window sums in DuckDB return HUGEINT → every windowed or plain
+  SUM over integers is CAST AS BIGINT (NOTES_r5 pitfall);
+- the sessionize window orders by ``(ts, event_id)`` on BOTH sides — the
+  unique tiebreaker makes equal timestamps deterministic, and rows with a
+  NULL user/ts are excluded by operator contract (Spark orders NULLs
+  FIRST, DuckDB LAST — excluded rows can't diverge);
+- BM25's only transcendental (idf) is quantized to integer millinats and
+  the cross-term sum is a fixed-point BIGINT sum, the
+  ``unigram_perplexity`` strategy;
+- float constants in the oracles are written as the SAME expressions the
+  Spark side evaluates (``(1.2 + 1.0)``, not ``2.2``) so IEEE constant
+  folding yields bit-identical values.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from opteryx_spark.operators import dedup, events, retrieval
+from opteryx_spark.suite import register
+from opteryx_spark.suite._util import t
+from opteryx_spark.suite.pipeline import _O_TOKENS, _PERM_VALUES
+
+# --- batch sessionization ----------------------------------------------------
+
+_GAP_US = 30 * 60 * 1_000_000
+
+
+@register(
+    "events_sessionize",
+    oracle=f"""
+    WITH e AS (
+      SELECT user_id, ts, event_id, value, epoch_us(ts) AS us
+      FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    ), f AS (
+      SELECT *,
+             CASE WHEN lag(us) OVER w IS NULL
+                    OR us - lag(us) OVER w > {_GAP_US} THEN 1 ELSE 0 END AS new_s
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), s AS (
+      SELECT *,
+             CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS session_id
+      FROM f
+    )
+    SELECT user_id, session_id,
+           MIN(ts) AS session_start, MAX(ts) AS session_end,
+           CAST(MAX(us) - MIN(us) AS BIGINT) AS duration_us,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(25,8))) AS DOUBLE) AS total_value
+    FROM s GROUP BY user_id, session_id
+    ORDER BY user_id, session_id
+    """,
+)
+def events_sessionize(spark, sf_dir):
+    """Gap-based sessionization that re-sessionizes the whole history in
+    one window pass (``operators/events.py::sessionize`` — the batch twin
+    of ``streaming.sessionize``'s ``session_window``): new session when
+    the gap to the previous event exceeds 30 minutes; one row per session
+    with bounds, duration, event count and exact value sum."""
+    ev = t(spark, sf_dir, "events")
+    return events.sessionize(ev, gap_minutes=30).orderBy("user_id", "session_id")
+
+
+@register(
+    "events_cohort_retention",
+    oracle="""
+    WITH a AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+      FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    ), c AS (
+      SELECT user_id, MIN(day) AS cohort_day FROM a GROUP BY user_id
+    )
+    SELECT c.cohort_day,
+           CAST(date_diff('day', c.cohort_day, a.day) AS BIGINT) AS day_offset,
+           CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM a JOIN c USING (user_id)
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def events_cohort_retention(spark, sf_dir):
+    """Cohort-retention matrix (``operators/events.py::cohort_retention``):
+    users cohorted by first active day; (cohort_day, day_offset) cells
+    count cohort members active that many days later.  offset-0 cells are
+    the cohort sizes."""
+    ev = t(spark, sf_dir, "events")
+    return events.cohort_retention(ev)
+
+
+# --- BM25 ranked retrieval ----------------------------------------------------
+
+_BM25_TERMS = ["join", "query", "vector"]
+_O_TERMS = ", ".join(f"'{q}'" for q in _BM25_TERMS)
+
+_O_BM25_BODY = f"""
+    WITH base AS (
+      SELECT doc_id, COALESCE(len({_O_TOKENS}), 0) AS dl FROM documents
+    ), stats AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS N, CAST(SUM(dl) AS BIGINT) AS sumdl
+      FROM base
+    ), post AS (
+      SELECT doc_id, tk, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM (SELECT doc_id, unnest({_O_TOKENS}) AS tk FROM documents)
+      WHERE tk IN ({_O_TERMS})
+      GROUP BY doc_id, tk
+    ), dfq AS (
+      SELECT tk, CAST(COUNT(*) AS BIGINT) AS df FROM post GROUP BY tk
+    ), idf AS (
+      SELECT tk,
+             CAST(FLOOR(LN((CAST(N AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+                           / (CAST(df AS DOUBLE) + 0.5) + 1.0)
+                        * 1000.0 + 0.5) AS BIGINT) AS idfm,
+             CAST(sumdl AS DOUBLE) / CAST(N AS DOUBLE) AS avgdl
+      FROM dfq, stats
+    ), part AS (
+      SELECT p.doc_id,
+             CAST(FLOOR(
+               ((CAST(idfm AS DOUBLE) / 1000.0)
+                * (CAST(tf AS DOUBLE) * (1.2 + 1.0)
+                   / (CAST(tf AS DOUBLE)
+                      + 1.2 * (1.0 - 0.75
+                               + 0.75 * CAST(b.dl AS DOUBLE) / avgdl))))
+               * 10000.0 + 0.5) AS BIGINT) AS p
+      FROM post p JOIN base b USING (doc_id) JOIN idf USING (tk)
+    ), scores AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_matched,
+             (SUM(p) / 10000.0) AS bm25
+      FROM part GROUP BY doc_id
+    )
+"""
+
+
+@register(
+    "text_bm25_scores",
+    oracle=_O_BM25_BODY + "SELECT * FROM scores ORDER BY doc_id",
+)
+def text_bm25_scores(spark, sf_dir):
+    """BM25 lexical ranking (``operators/retrieval.py::bm25_scores``) for
+    the probe query 'join query vector': per-matching-doc score with
+    millinat idf and fixed-point cross-term sums — the full Robertson
+    k1/b formula value-verified end to end."""
+    docs = t(spark, sf_dir, "documents")
+    return retrieval.bm25_scores(docs, _BM25_TERMS).orderBy("doc_id")
+
+
+@register(
+    "text_bm25_topk",
+    oracle=_O_BM25_BODY
+    + "SELECT * FROM scores ORDER BY bm25 DESC, doc_id LIMIT 20",
+)
+def text_bm25_topk(spark, sf_dir):
+    """Top-20 BM25 retrieval with deterministic id tiebreak
+    (``operators/retrieval.py::bm25_topk``)."""
+    docs = t(spark, sf_dir, "documents")
+    return retrieval.bm25_topk(docs, _BM25_TERMS, k=20)
+
+
+# --- acting fuzzy dedup -------------------------------------------------------
+
+
+@register(
+    "dedup_fuzzy_keepers",
+    oracle=f"""
+    WITH RECURSIVE sh AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(range(1, len({_O_TOKENS})),
+        i -> concat_ws(' ', {_O_TOKENS}[i], {_O_TOKENS}[i+1])))) AS s
+      FROM documents
+    ), hs AS (
+      SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(range(1, length(s)+1),
+                              i -> CAST(ascii(s[i]) AS BIGINT))),
+               (acc, c) -> (acc * 31 + c) % 2147483647) AS h
+      FROM sh
+    ), perms(idx, a, b) AS (VALUES {_PERM_VALUES}),
+    mins AS (
+      SELECT doc_id, idx, MIN((a * h + b) % 2147483647) AS mh
+      FROM hs CROSS JOIN perms GROUP BY doc_id, idx
+    ), sigs AS (
+      SELECT doc_id, list(mh ORDER BY idx) AS sig FROM mins GROUP BY doc_id
+    ), bnd AS (
+      SELECT doc_id, band,
+             list_reduce(list_prepend(CAST(0 AS BIGINT), comps),
+                         (acc, c) -> (acc * 1000003 + c) % 2147483647) AS bh
+      FROM (
+        SELECT doc_id, idx // 4 AS band, list(mh ORDER BY idx) AS comps
+        FROM mins GROUP BY doc_id, idx // 4
+      )
+    ), ok AS (
+      SELECT band, bh FROM bnd GROUP BY band, bh HAVING COUNT(*) <= 1000
+    ), pairs AS (
+      SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+      FROM bnd a JOIN bnd b ON a.band = b.band AND a.bh = b.bh
+                           AND a.doc_id < b.doc_id
+      JOIN ok ON ok.band = a.band AND ok.bh = a.bh
+    ), strong AS (
+      SELECT id1, id2
+      FROM pairs JOIN sigs sa ON sa.doc_id = id1 JOIN sigs sb ON sb.doc_id = id2
+      WHERE len(list_filter(range(1, 65), i -> sa.sig[i] = sb.sig[i])) >= 32
+    ), edges AS (
+      SELECT id1 AS a, id2 AS b FROM strong
+      UNION SELECT id2, id1 FROM strong
+    ), walk(node, comp) AS (
+      SELECT a, a FROM (SELECT DISTINCT a FROM edges) t
+      UNION
+      SELECT e.a, w.comp FROM edges e JOIN walk w ON w.node = e.b
+    ), labels AS (
+      SELECT node, MIN(comp) AS comp FROM walk GROUP BY node
+    )
+    SELECT d.doc_id, l.comp,
+           (l.comp IS NULL OR l.comp = d.doc_id) AS kept
+    FROM documents d LEFT JOIN labels l ON l.node = d.doc_id
+    ORDER BY d.doc_id
+    """,
+)
+def dedup_fuzzy_keepers(spark, sf_dir):
+    """Fuzzy dedup that ACTS (``operators/dedup.py::fuzzy_dedup``): the
+    GPT-3/RefinedWeb recipe — portable-hash MinHash LSH pairs gated at
+    est_jaccard ≥ 0.5 (≥32 of 64 matching components) → connected
+    components → one keeper per cluster (the min id = the component
+    label).  The oracle reproduces signatures, banding, bucket cap, the
+    est gate AND the component closure (recursive CTE), then re-derives
+    keeper flags for every doc."""
+    docs = t(spark, sf_dir, "documents")
+    return dedup.fuzzy_dedup(
+        docs,
+        "doc_id",
+        "text",
+        min_est_jaccard=0.5,
+        k=2,
+        unique_texts=False,
+        portable_hash=True,
+    ).orderBy("doc_id")

@@ -1,0 +1,163 @@
+"""Unit + plan tests for batch sessionization, cohort retention, BM25
+retrieval and acting fuzzy dedup (round-6 second wave)."""
+
+from __future__ import annotations
+
+import math
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from opteryx_spark.operators import dedup, events, retrieval
+from opteryx_spark.plans import broadcast_join_count, explain_text
+from opteryx_spark.suite import load_all
+
+REG = load_all()
+
+_EV_SCHEMA = "event_id long, ts timestamp, user_id long, value double"
+
+
+def _ts(minute: int) -> datetime:
+    return datetime(2024, 1, 1, minute // 60, minute % 60, 0)
+
+
+def test_sessionize_gap_semantics(spark):
+    ev = spark.createDataFrame(
+        [
+            (1, _ts(0), 1, 1.0),
+            (2, _ts(10), 1, 2.0),  # 10 min gap: same session
+            (3, _ts(50), 1, 4.0),  # 40 min gap: new session
+            (4, _ts(5), 2, 8.0),  # other user
+            (5, _ts(20), None, 1.0),  # NULL user: excluded by contract
+            (6, None, 2, 1.0),  # NULL ts: excluded by contract
+        ],
+        schema=_EV_SCHEMA,
+    )
+    got = {
+        (r.user_id, r.session_id): r
+        for r in events.sessionize(ev, gap_minutes=30).collect()
+    }
+    assert set(got) == {(1, 1), (1, 2), (2, 1)}
+    s11 = got[(1, 1)]
+    assert s11.n_events == 2 and s11.total_value == 3.0
+    assert s11.session_start == _ts(0) and s11.session_end == _ts(10)
+    assert s11.duration_us == 10 * 60 * 1_000_000
+    s12 = got[(1, 2)]
+    assert s12.n_events == 1 and s12.duration_us == 0 and s12.total_value == 4.0
+
+
+def test_sessionize_ts_tie_broken_by_order_col(spark):
+    # two events at the same instant: the (ts, event_id) order is pinned,
+    # so the run is one session regardless of input order
+    ev = spark.createDataFrame(
+        [(2, _ts(0), 1, 1.0), (1, _ts(0), 1, 1.0), (3, _ts(29), 1, 1.0)],
+        schema=_EV_SCHEMA,
+    )
+    rows = events.sessionize(ev, gap_minutes=30).collect()
+    assert len(rows) == 1 and rows[0].n_events == 3
+
+
+def test_cohort_retention_offsets(spark):
+    ev = spark.createDataFrame(
+        [
+            # cohort day 1: users 1, 2; user 1 returns day 2, user 2 day 3
+            (1, datetime(2024, 1, 1, 8), 1, 0.0),
+            (2, datetime(2024, 1, 2, 9), 1, 0.0),
+            (3, datetime(2024, 1, 1, 10), 2, 0.0),
+            (4, datetime(2024, 1, 3, 11), 2, 0.0),
+            # cohort day 2: user 3, twice the same day (distinct-day dedup)
+            (5, datetime(2024, 1, 2, 7), 3, 0.0),
+            (6, datetime(2024, 1, 2, 23), 3, 0.0),
+        ],
+        schema=_EV_SCHEMA,
+    )
+    got = {
+        (str(r.cohort_day), r.day_offset): r.n_users
+        for r in events.cohort_retention(ev).collect()
+    }
+    assert got == {
+        ("2024-01-01", 0): 2,
+        ("2024-01-01", 1): 1,
+        ("2024-01-01", 2): 1,
+        ("2024-01-02", 0): 1,
+    }
+
+
+def _bm25_expected(docs, terms, k1=1.2, b=0.75):
+    """Straight-line float mirror of the operator's arithmetic."""
+    tok = {i: (t.split() if t else []) for i, t in docs.items()}
+    n = len(docs)
+    avgdl = sum(len(v) for v in tok.values()) / n
+    out = {}
+    for term in sorted(set(terms)):
+        df = sum(1 for v in tok.values() if term in v)
+        if not df:
+            continue
+        idfm = math.floor(math.log((n - df + 0.5) / (df + 0.5) + 1.0) * 1000.0 + 0.5)
+        for i, v in tok.items():
+            tf = v.count(term)
+            if not tf:
+                continue
+            part = (idfm / 1000.0) * (tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * len(v) / avgdl)))
+            nm, s = out.get(i, (0, 0))
+            out[i] = (nm + 1, s + math.floor(part * 10000.0 + 0.5))
+    return {i: (nm, s / 10000.0) for i, (nm, s) in out.items()}
+
+
+def test_bm25_matches_straightline_mirror(spark):
+    docs = {1: "join join query", 2: "join filter", 3: "other words here", 4: None}
+    df = spark.createDataFrame(list(docs.items()), "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_matched, r.bm25)
+        for r in retrieval.bm25_scores(df, ["join", "query"]).collect()
+    }
+    assert got == _bm25_expected(docs, ["join", "query"])
+    assert 3 not in got and 4 not in got  # no-match and NULL docs absent
+    top = retrieval.bm25_topk(df, ["join", "query"], k=1).collect()
+    assert top[0].doc_id == 1  # twice the tf, both terms
+
+
+def test_fuzzy_dedup_keeps_one_per_cluster(spark):
+    same = "alpha beta gamma delta epsilon zeta eta theta " * 4
+    rows = [(1, same), (2, same), (3, same), (10, "totally different words " * 8), (11, None)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in dedup.fuzzy_dedup(df, unique_texts=False).collect()}
+    assert got[1].comp == 1 and got[1].kept
+    assert got[2].comp == 1 and not got[2].kept
+    assert got[3].comp == 1 and not got[3].kept
+    assert got[10].comp is None and got[10].kept
+    assert got[11].comp is None and got[11].kept  # NULL text: no pairs, kept
+    dedup.release_text_group_caches()
+
+
+# --- plan shapes (the 100 TB properties) -------------------------------------
+
+
+def test_sessionize_plan_one_window_no_cartesian(spark, sf_dir):
+    df = REG["events_sessionize"].spark(spark, sf_dir)
+    text = explain_text(df)
+    import re
+
+    # the lag-flag and running-sum windows share ONE sort+exchange, and the
+    # (user, session) aggregate reuses the user_id hash partitioning — so
+    # the whole sessionization is a single data shuffle (the second
+    # Exchange below is the final presentation orderBy)
+    assert len(re.findall(r"\(\d+\) Exchange\b", text)) == 2
+    assert len(re.findall(r"\(\d+\) Window\b", text)) == 2
+    assert "CartesianProduct" not in text
+    assert "partial_min" in text  # session reduce combines map-side
+
+
+def test_cohort_plan_no_cartesian(spark, sf_dir):
+    df = REG["events_cohort_retention"].spark(spark, sf_dir)
+    text = explain_text(df)
+    assert "CartesianProduct" not in text
+    assert "partial_count" in text
+
+
+def test_bm25_broadcasts_term_stats(spark, sf_dir):
+    df = REG["text_bm25_scores"].spark(spark, sf_dir)
+    text = explain_text(df)
+    # the |query|-row idf frame broadcasts; the corpus never self-joins
+    assert broadcast_join_count(df) >= 1
+    assert "CartesianProduct" not in text

@@ -431,3 +431,32 @@ def test_quality_features_stream_unknown_tokens(spark, tmp_path_factory):
     streaming.run_stream_once(got_df, out, ckpt)
     row = spark.read.parquet(out).first()
     assert row.avg_nll_millinats == (cost_map["aa"] + unk) / 2.0
+
+
+def test_sessionize_stream_matches_batch(spark, sf_dir, tmp_path_factory):
+    """session_window (streaming) and the batch lag/cumsum construction
+    are the same gap rule: every watermark-closed streaming session must
+    equal a batch session on (user, start, n_events, value sum)."""
+    src = str(tmp_path_factory.mktemp("oxs_sessbt_src"))
+    out = str(tmp_path_factory.mktemp("oxs_sessbt_out"))
+    ckpt = str(tmp_path_factory.mktemp("oxs_sessbt_ckpt"))
+    shutil.copy(os.path.join(sf_dir, "events.parquet"), os.path.join(src, "events.parquet"))
+
+    sess = streaming.sessionize(streaming.read_events_stream(spark, src), gap="30 minutes")
+    streaming.run_stream_once(sess, out, ckpt)
+    got = {
+        (r.user_id, r.session_start, r.n_events, r.session_value)
+        for r in spark.read.parquet(out).collect()
+    }
+
+    from opteryx_spark.operators import events as batch_events
+
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    want = {
+        (r.user_id, r.session_start, r.n_events, r.total_value)
+        for r in batch_events.sessionize(ev, gap_minutes=30).collect()
+    }
+    assert got, "stream emitted no closed sessions"
+    assert got <= want
+    # only sessions still open at the watermark may be missing
+    assert len(got) >= len(want) - 200
