@@ -60,6 +60,10 @@ BENCH_QUERIES = [
     "dedup_remove_chunks",
     "curate_pipeline_v3",
     "text_quality_features",
+    "events_sessionize",
+    "text_bm25_scores",
+    "dedup_fuzzy_keepers",
+    "dedup_minhash_incremental",
 ]
 
 
@@ -86,6 +90,8 @@ SF1_QUERIES = [
     "dedup_remove_chunks",
     "curate_pipeline_v3",
     "text_quality_features",
+    "events_sessionize",
+    "text_bm25_scores",
 ]
 
 

@@ -1474,3 +1474,111 @@ def fuzzy_dedup(
             (F.col("comp").isNull() | (F.col("comp") == F.col(id_col))).alias("kept"),
         )
     )
+
+
+def minhash_index(
+    corpus: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 64,
+    bands: int = 16,
+    k: int = 2,
+    portable_hash: bool = False,
+) -> DataFrame:
+    """Offline LSH index artifact of the accepted corpus: one row per
+    (corpus doc, band) — ``(corpus_id, band, bh, sig)``.
+
+    The fuzzy member of the incremental-dedup artifact family
+    (:func:`window_digests` for exact-substring, the digest set inside
+    :func:`dedup_against_corpus` for byte-exact): persist this to parquet
+    (partition by ``band``) once per corpus change, and every crawl cycle
+    dedups its delta against it via
+    :func:`minhash_dedup_against_index` — the corpus is never re-signed.
+    """
+    return _banded_buckets(
+        corpus, id_col, text_col, num_hashes, bands, k, portable_hash
+    ).select(F.col("id").alias("corpus_id"), "band", "bh", "sig")
+
+
+def minhash_dedup_against_index(
+    new_docs: DataFrame,
+    index: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+    num_hashes: int = 64,
+    bands: int = 16,
+    k: int = 2,
+    max_bucket: int = 1000,
+    portable_hash: bool = False,
+) -> DataFrame:
+    """Incremental NEAR-dup dedup: flag new documents whose minhash
+    est-Jaccard against any indexed corpus document reaches ``threshold``
+    (the fuzzy twin of :func:`dedup_against_corpus`; membership in the
+    accepted corpus IS the verdict, the keeper lives there).
+
+    Appends to ``new_docs``: ``best_match_id`` (corpus id with max est,
+    ties to the smallest id — deterministic), ``est_jaccard`` (both NULL
+    when no qualifying match), ``in_corpus_near_dup`` (BOOLEAN).
+
+    Scale shape: the delta's signatures are the same zero-shuffle per-row
+    folds as :func:`minhash_signatures`; the only corpus-sized exchange is
+    the (band, bh) bucket join against the index — the index side arrives
+    pre-bucketed from parquet, hot corpus buckets beyond ``max_bucket``
+    are dropped WHOLE (audit with :func:`minhash_hot_buckets`), and the
+    per-new-doc best-match reduce is a ``min(struct)`` aggregate that
+    partial-combines map-side.  ``num_hashes``/``bands``/``k``/
+    ``portable_hash`` must match the values the index was built with.
+    """
+    nb = _banded_buckets(new_docs, id_col, text_col, num_hashes, bands, k, portable_hash)
+    idx = index
+    if max_bucket is not None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("band", "bh")
+        idx = (
+            idx.withColumn("_bc", F.count(F.lit(1)).over(w))
+            .filter(F.col("_bc") <= max_bucket)
+            .drop("_bc")
+        )
+    nb = nb.select(
+        F.col("id").alias("_nid"), F.col("sig").alias("_nsig"), "band", "bh"
+    )
+    est = F.size(
+        F.filter(
+            F.zip_with(F.col("_nsig"), F.col("sig"), lambda x, y: x == y),
+            lambda m: m,
+        )
+    ).cast("double") / F.lit(float(num_hashes))
+    qualifying = (
+        nb.join(idx, ["band", "bh"])
+        .select("_nid", "corpus_id", est.alias("_est"))
+        # identical est on every shared band: min() is exact pair dedup
+        .groupBy("_nid", "corpus_id")
+        .agg(F.min("_est").alias("_est"))
+        .filter(F.col("_est") >= F.lit(float(threshold)))
+    )
+    # (1 - est) is exact for the dyadic est values, so min(struct) picks
+    # max est then min corpus id — map-side combinable, no rank window
+    best = (
+        qualifying.groupBy("_nid")
+        .agg(
+            F.min(
+                F.struct(
+                    (F.lit(1.0) - F.col("_est")).alias("_inv"),
+                    F.col("corpus_id").alias("cid"),
+                    F.col("_est").alias("est"),
+                )
+            ).alias("_b")
+        )
+        .select(
+            "_nid",
+            F.col("_b.cid").alias("best_match_id"),
+            F.col("_b.est").alias("est_jaccard"),
+        )
+    )
+    return (
+        new_docs.join(best, new_docs[id_col] == best["_nid"], "left")
+        .drop("_nid")
+        .withColumn("in_corpus_near_dup", F.col("best_match_id").isNotNull())
+    )

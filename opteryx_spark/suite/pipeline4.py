@@ -236,3 +236,81 @@ def dedup_fuzzy_keepers(spark, sf_dir):
         unique_texts=False,
         portable_hash=True,
     ).orderBy("doc_id")
+
+
+# --- incremental fuzzy dedup (index artifact) ---------------------------------
+
+
+@register(
+    "dedup_minhash_incremental",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(range(1, len({_O_TOKENS})),
+        i -> concat_ws(' ', {_O_TOKENS}[i], {_O_TOKENS}[i+1])))) AS s
+      FROM documents
+    ), hs AS (
+      SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(range(1, length(s)+1),
+                              i -> CAST(ascii(s[i]) AS BIGINT))),
+               (acc, c) -> (acc * 31 + c) % 2147483647) AS h
+      FROM sh
+    ), perms(idx, a, b) AS (VALUES {_PERM_VALUES}),
+    mins AS (
+      SELECT doc_id, idx, MIN((a * h + b) % 2147483647) AS mh
+      FROM hs CROSS JOIN perms GROUP BY doc_id, idx
+    ), sigs AS (
+      SELECT doc_id, list(mh ORDER BY idx) AS sig FROM mins GROUP BY doc_id
+    ), bnd AS (
+      SELECT doc_id, band,
+             list_reduce(list_prepend(CAST(0 AS BIGINT), comps),
+                         (acc, c) -> (acc * 1000003 + c) % 2147483647) AS bh
+      FROM (
+        SELECT doc_id, idx // 4 AS band, list(mh ORDER BY idx) AS comps
+        FROM mins GROUP BY doc_id, idx // 4
+      )
+    ), cok AS (
+      SELECT band, bh FROM bnd WHERE doc_id < 250
+      GROUP BY band, bh HAVING COUNT(*) <= 1000
+    ), cand AS (
+      SELECT DISTINCT n.doc_id AS nid, c.doc_id AS cid
+      FROM bnd n JOIN bnd c ON n.band = c.band AND n.bh = c.bh
+      JOIN cok ON cok.band = n.band AND cok.bh = n.bh
+      WHERE n.doc_id >= 250 AND c.doc_id < 250
+    ), scored AS (
+      SELECT nid, cid,
+             CAST(len(list_filter(range(1, 65), i -> sa.sig[i] = sb.sig[i]))
+                  AS DOUBLE) / 64.0 AS est
+      FROM cand JOIN sigs sa ON sa.doc_id = nid JOIN sigs sb ON sb.doc_id = cid
+    ), best AS (
+      SELECT nid, cid AS best_match_id, est AS est_jaccard,
+             row_number() OVER (PARTITION BY nid ORDER BY est DESC, cid) AS rn
+      FROM scored WHERE est >= 0.5
+    )
+    SELECT d.doc_id, b.best_match_id, b.est_jaccard,
+           (b.best_match_id IS NOT NULL) AS in_corpus_near_dup
+    FROM documents d
+    LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON b.nid = d.doc_id
+    WHERE d.doc_id >= 250
+    ORDER BY d.doc_id
+    """,
+)
+def dedup_minhash_incremental(spark, sf_dir):
+    """Incremental fuzzy dedup against the persisted LSH index
+    (``dedup.minhash_index`` + ``minhash_dedup_against_index``): docs
+    < 250 are the accepted corpus (indexed offline), docs >= 250 the new
+    crawl; each new doc gets its best corpus near-match (max est, min id
+    tiebreak) at est ≥ 0.5.  Completes the incremental trio —
+    byte-exact (``dedup_incremental_exact``), window-level
+    (``dedup_remove_corpus_chunks``), and now near-dup — all
+    membership-is-the-verdict, one join against an offline artifact."""
+    from opteryx_spark.operators import dedup as D
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs.filter(F.col("doc_id") < 250)
+    new = docs.filter(F.col("doc_id") >= 250)
+    idx = D.minhash_index(corpus, portable_hash=True)
+    return (
+        D.minhash_dedup_against_index(new, idx, threshold=0.5, portable_hash=True)
+        .select("doc_id", "best_match_id", "est_jaccard", "in_corpus_near_dup")
+        .orderBy("doc_id")
+    )

@@ -161,3 +161,38 @@ def test_bm25_broadcasts_term_stats(spark, sf_dir):
     # the |query|-row idf frame broadcasts; the corpus never self-joins
     assert broadcast_join_count(df) >= 1
     assert "CartesianProduct" not in text
+
+
+def test_minhash_incremental_index_roundtrip(spark, tmp_path_factory):
+    """The index artifact persists to parquet and the delta-dedup flags a
+    near-copy of a corpus doc (not the unrelated doc), with the best
+    match resolved deterministically."""
+    same = "alpha beta gamma delta epsilon zeta eta theta " * 4
+    corpus = spark.createDataFrame(
+        [(1, same), (2, "first corpus doc with its own words " * 6)],
+        "doc_id long, text string",
+    )
+    idx_path = str(tmp_path_factory.mktemp("oxs_mh_idx"))
+    dedup.minhash_index(corpus, portable_hash=True).write.mode("overwrite").parquet(idx_path)
+    idx = spark.read.parquet(idx_path)
+
+    new = spark.createDataFrame(
+        [(100, same), (101, "completely unrelated crawl content " * 6), (102, None)],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: r
+        for r in dedup.minhash_dedup_against_index(
+            new, idx, threshold=0.5, portable_hash=True
+        ).collect()
+    }
+    assert got[100].in_corpus_near_dup and got[100].best_match_id == 1
+    assert got[100].est_jaccard == 1.0
+    assert not got[101].in_corpus_near_dup and got[101].best_match_id is None
+    assert not got[102].in_corpus_near_dup  # NULL text: no shingles, no match
+
+
+def test_minhash_incremental_plan_no_cartesian(spark, sf_dir):
+    df = REG["dedup_minhash_incremental"].spark(spark, sf_dir)
+    text = explain_text(df)
+    assert "CartesianProduct" not in text
