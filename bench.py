@@ -64,6 +64,8 @@ BENCH_QUERIES = [
     "text_bm25_scores",
     "dedup_fuzzy_keepers",
     "dedup_minhash_incremental",
+    "events_session_funnel",
+    "text_pmi_collocations",
 ]
 
 

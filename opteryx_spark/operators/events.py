@@ -28,7 +28,54 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["sessionize", "cohort_retention"]
+__all__ = ["assign_sessions", "sessionize", "session_funnel", "cohort_retention"]
+
+
+def assign_sessions(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    order_col: str = "event_id",
+    gap_minutes: int = 30,
+) -> DataFrame:
+    """Per-EVENT session assignment: every input column plus
+    ``session_id`` (1-based per user, in time order) and ``_us``
+    (BIGINT event micros — kept so downstream reducers need no second
+    timestamp conversion).
+
+    A new session starts at a user's first event and whenever the gap to
+    the previous event (ordered by ``(ts, order_col)`` — the unique
+    tiebreaker makes equal timestamps deterministic) exceeds
+    ``gap_minutes``.  Events with a NULL user or timestamp are excluded
+    by contract (see module docstring).  One window pass partitioned by
+    the user key; the lag flag and the running sum share the same
+    sort+exchange.
+    """
+    gap_us = int(gap_minutes) * 60 * 1_000_000
+    base = events.filter(F.col(user_col).isNotNull() & F.col(ts_col).isNotNull())
+    # parquet timestamps load as TIMESTAMP_NTZ; the session tz is pinned
+    # UTC (session.py), so the cast is the identity reading DuckDB's
+    # epoch_us sees — unix_micros itself accepts only TIMESTAMP
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    w = Window.partitionBy(user_col).orderBy(F.col(ts_col).asc(), F.col(order_col).asc())
+    return (
+        base.withColumn("_us", us)
+        .withColumn(
+            "_new",
+            F.when(
+                F.lag("_us").over(w).isNull()
+                | ((F.col("_us") - F.lag("_us").over(w)) > F.lit(gap_us)),
+                F.lit(1),
+            ).otherwise(F.lit(0)),
+        )
+        .withColumn(
+            "session_id",
+            F.sum("_new").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .drop("_new")
+    )
 
 
 def sessionize(
@@ -56,31 +103,7 @@ def sessionize(
     reports ``session_end`` as the LAST EVENT time where the streaming
     window's ``end`` is last event + gap.
     """
-    gap_us = int(gap_minutes) * 60 * 1_000_000
-    base = events.filter(F.col(user_col).isNotNull() & F.col(ts_col).isNotNull())
-    # parquet timestamps load as TIMESTAMP_NTZ; the session tz is pinned
-    # UTC (session.py), so the cast is the identity reading DuckDB's
-    # epoch_us sees — unix_micros itself accepts only TIMESTAMP
-    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
-    w = Window.partitionBy(user_col).orderBy(F.col(ts_col).asc(), F.col(order_col).asc())
-    flagged = base.select(
-        F.col(user_col),
-        F.col(ts_col),
-        F.col(order_col),
-        us.alias("_us"),
-        *( [F.col(value_col)] if value_col else [] ),
-        F.when(
-            F.lag(us).over(w).isNull() | ((us - F.lag(us).over(w)) > F.lit(gap_us)),
-            F.lit(1),
-        )
-        .otherwise(F.lit(0))
-        .alias("_new"),
-    ).withColumn(
-        "session_id",
-        F.sum("_new").over(
-            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        ),
-    )
+    flagged = assign_sessions(events, user_col, ts_col, order_col, gap_minutes)
     aggs = [
         F.min(ts_col).alias("session_start"),
         F.max(ts_col).alias("session_end"),
@@ -92,6 +115,51 @@ def sessionize(
             F.sum(F.col(value_col).cast("decimal(25,8)")).cast("double").alias("total_value")
         )
     return flagged.groupBy(user_col, "session_id").agg(*aggs)
+
+
+def session_funnel(
+    events: DataFrame,
+    stages: tuple[str, ...] = ("view", "click", "purchase"),
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    order_col: str = "event_id",
+    type_col: str = "event_type",
+    gap_minutes: int = 30,
+) -> DataFrame:
+    """First-touch ordered funnel WITHIN sessions: a session's depth is
+    the longest prefix of ``stages`` whose FIRST occurrences appear in
+    strictly increasing time order (first view < first click < first
+    purchase).  Returns ``(funnel_stage, n_sessions)`` — one row per
+    reached depth plus ``'none'`` for sessions without the first stage;
+    each session counts exactly once, at its deepest stage.
+
+    This is the sessionized upgrade of ``events_sessionless_funnel``
+    (which counts per-user event presence with no ordering or session
+    boundary).  First-touch semantics (compare the stage types' first
+    timestamps, not every subsequence) keep it ONE aggregate over the
+    session assignment — no self-join, no per-row state.
+    """
+    per = (
+        assign_sessions(events, user_col, ts_col, order_col, gap_minutes)
+        .groupBy(user_col, "session_id")
+        .agg(
+            *[
+                F.min(F.when(F.col(type_col) == s, F.col("_us"))).alias(f"_t{i}")
+                for i, s in enumerate(stages)
+            ]
+        )
+    )
+    ok = F.col("_t0").isNotNull()
+    stage_expr = F.when(ok, F.lit(stages[0])).otherwise(F.lit("none"))
+    for i in range(1, len(stages)):
+        ok = ok & F.col(f"_t{i}").isNotNull() & (F.col(f"_t{i}") > F.col(f"_t{i - 1}"))
+        stage_expr = F.when(ok, F.lit(stages[i])).otherwise(stage_expr)
+    return (
+        per.select(stage_expr.alias("funnel_stage"))
+        .groupBy("funnel_stage")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+        .orderBy("funnel_stage")
+    )
 
 
 def cohort_retention(

@@ -124,3 +124,70 @@ def bm25_topk(
     """Top-``k`` documents by BM25, deterministic tiebreak on the id."""
     scores = bm25_scores(df, query_terms, id_col=id_col, text_col=text_col, k1=k1, b=b)
     return scores.orderBy(F.col("bm25").desc(), F.col(id_col).asc()).limit(k)
+
+
+def collocations(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_count: int = 5,
+    top_k: int = 50,
+) -> DataFrame:
+    """Corpus-level PMI collocation mining (Church & Hanks 1990): the
+    word pairs that co-occur far more than chance — the standard tool for
+    building phrase vocabularies (word2vec-style phrase joining) and for
+    auditing boilerplate n-grams a filter should target.
+
+    PMI(x, y) = ln( p(xy) / (p(x)·p(y)) ) with p(xy) = c_xy/T over
+    adjacent-bigram occurrences and p(x) = c_x/U over token occurrences,
+    quantized to integer millinats (the module's ln strategy).  Pairs
+    below ``min_count`` occurrences are dropped (PMI's low-frequency
+    pathology); top-``top_k`` by PMI with (w1, w2) tiebreak.
+
+    Scale shape: two word-count aggregates (bigrams, unigrams) — the
+    classic map-side-combine shape; the unigram table is vocabulary-sized,
+    so AQE broadcasts both probability joins; totals ride along as
+    1-row broadcast products.  Nothing corpus-sized shuffles after the
+    counts.
+    """
+    toks = df.select(text.ngram_occurrences(text_col, 2).alias("_grams"))
+    bic = (
+        toks.select(F.explode("_grams").alias("_s"))
+        .groupBy("_s")
+        .agg(F.count(F.lit(1)).alias("cxy"))
+    )
+    uni = (
+        df.select(F.explode(text.tokens(text_col)).alias("_tk"))
+        .groupBy("_tk")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    tot_u = uni.agg(F.sum("_c").alias("_U"))
+    tot_b = bic.agg(F.sum("cxy").alias("_T"))
+    split = F.split(F.col("_s"), " ")
+    j = bic.filter(F.col("cxy") >= int(min_count)).select(
+        F.element_at(split, 1).alias("w1"),
+        F.element_at(split, 2).alias("w2"),
+        "cxy",
+    )
+    a = uni.select(F.col("_tk").alias("w1"), F.col("_c").alias("_cx"))
+    b = uni.select(F.col("_tk").alias("w2"), F.col("_c").alias("_cy"))
+    pmi = F.floor(
+        F.log(
+            (F.col("cxy").cast("double") / F.col("_T").cast("double"))
+            / (
+                (F.col("_cx").cast("double") / F.col("_U").cast("double"))
+                * (F.col("_cy").cast("double") / F.col("_U").cast("double"))
+            )
+        )
+        * F.lit(1000.0)
+        + F.lit(0.5)
+    ).alias("pmi_millinats")
+    return (
+        j.join(a, "w1")
+        .join(b, "w2")
+        .crossJoin(F.broadcast(tot_u))
+        .crossJoin(F.broadcast(tot_b))
+        .select("w1", "w2", "cxy", pmi)
+        .orderBy(F.col("pmi_millinats").desc(), "w1", "w2")
+        .limit(int(top_k))
+    )

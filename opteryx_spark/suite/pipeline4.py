@@ -314,3 +314,92 @@ def dedup_minhash_incremental(spark, sf_dir):
         .select("doc_id", "best_match_id", "est_jaccard", "in_corpus_near_dup")
         .orderBy("doc_id")
     )
+
+
+# --- sessionized funnel --------------------------------------------------------
+
+
+@register(
+    "events_session_funnel",
+    oracle=f"""
+    WITH e AS (
+      SELECT user_id, ts, event_id, event_type, epoch_us(ts) AS us
+      FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    ), f AS (
+      SELECT *,
+             CASE WHEN lag(us) OVER w IS NULL
+                    OR us - lag(us) OVER w > {_GAP_US} THEN 1 ELSE 0 END AS new_s
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), s AS (
+      SELECT *,
+             CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS session_id
+      FROM f
+    ), per AS (
+      SELECT user_id, session_id,
+             MIN(CASE WHEN event_type = 'view' THEN us END) AS t0,
+             MIN(CASE WHEN event_type = 'click' THEN us END) AS t1,
+             MIN(CASE WHEN event_type = 'purchase' THEN us END) AS t2
+      FROM s GROUP BY user_id, session_id
+    )
+    SELECT CASE
+             WHEN t0 IS NOT NULL AND t1 IS NOT NULL AND t1 > t0
+                  AND t2 IS NOT NULL AND t2 > t1 THEN 'purchase'
+             WHEN t0 IS NOT NULL AND t1 IS NOT NULL AND t1 > t0 THEN 'click'
+             WHEN t0 IS NOT NULL THEN 'view'
+             ELSE 'none' END AS funnel_stage,
+           CAST(COUNT(*) AS BIGINT) AS n_sessions
+    FROM per GROUP BY 1 ORDER BY 1
+    """,
+)
+def events_session_funnel(spark, sf_dir):
+    """First-touch ordered funnel within 30-minute sessions
+    (``operators/events.py::session_funnel``): each session counted once
+    at its deepest strictly-time-ordered view → click → purchase prefix.
+    The sessionized, order-aware upgrade of ``events_sessionless_funnel``."""
+    ev = t(spark, sf_dir, "events")
+    return events.session_funnel(ev, gap_minutes=30)
+
+
+# --- PMI collocations ----------------------------------------------------------
+
+
+@register(
+    "text_pmi_collocations",
+    oracle=f"""
+    WITH tokl AS (
+      SELECT {_O_TOKENS} AS tl FROM documents
+    ), uni AS (
+      SELECT tk, CAST(COUNT(*) AS BIGINT) AS c
+      FROM (SELECT unnest(tl) AS tk FROM tokl) GROUP BY tk
+    ), tot AS (
+      SELECT CAST(SUM(c) AS BIGINT) AS U FROM uni
+    ), bic AS (
+      SELECT s, CAST(COUNT(*) AS BIGINT) AS cxy
+      FROM (SELECT unnest(list_transform(range(1, len(tl)),
+                     i -> concat_ws(' ', tl[i], tl[i+1]))) AS s
+            FROM tokl)
+      GROUP BY s
+    ), btot AS (
+      SELECT CAST(SUM(cxy) AS BIGINT) AS T FROM bic
+    ), j AS (
+      SELECT string_split(s, ' ')[1] AS w1, string_split(s, ' ')[2] AS w2, cxy
+      FROM bic WHERE cxy >= 5
+    ), scored AS (
+      SELECT w1, w2, cxy,
+             CAST(FLOOR(LN((CAST(cxy AS DOUBLE) / CAST(T AS DOUBLE))
+                 / ((CAST(a.c AS DOUBLE) / CAST(U AS DOUBLE))
+                    * (CAST(b.c AS DOUBLE) / CAST(U AS DOUBLE))))
+               * 1000.0 + 0.5) AS BIGINT) AS pmi_millinats
+      FROM j JOIN uni a ON a.tk = w1 JOIN uni b ON b.tk = w2, tot, btot
+    )
+    SELECT * FROM scored ORDER BY pmi_millinats DESC, w1, w2 LIMIT 50
+    """,
+)
+def text_pmi_collocations(spark, sf_dir):
+    """PMI collocation mining (``operators/retrieval.py::collocations``):
+    top-50 adjacent word pairs by pointwise mutual information (millinat
+    quantized, ≥5 occurrences), the phrase-vocabulary builder's workhorse."""
+    docs = t(spark, sf_dir, "documents")
+    return retrieval.collocations(docs, min_count=5, top_k=50)

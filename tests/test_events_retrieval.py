@@ -196,3 +196,62 @@ def test_minhash_incremental_plan_no_cartesian(spark, sf_dir):
     df = REG["dedup_minhash_incremental"].spark(spark, sf_dir)
     text = explain_text(df)
     assert "CartesianProduct" not in text
+
+
+def test_session_funnel_ordering(spark):
+    ev = spark.createDataFrame(
+        [
+            # user 1 session 1: view -> click -> purchase in order
+            (1, _ts(0), 1, "view"),
+            (2, _ts(5), 1, "click"),
+            (3, _ts(10), 1, "purchase"),
+            # user 1 session 2 (2h later): click BEFORE view -> depth 'view'
+            (4, _ts(130), 1, "click"),
+            (5, _ts(135), 1, "view"),
+            # user 2: no view at all -> 'none'
+            (6, _ts(0), 2, "error"),
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string",
+    )
+    got = {r.funnel_stage: r.n_sessions for r in __import__("opteryx_spark.operators.events", fromlist=["x"]).session_funnel(ev).collect()}
+    assert got == {"purchase": 1, "view": 1, "none": 1}
+
+
+def _pmi_expected(texts, min_count, top_k):
+    import collections
+
+    uni = collections.Counter()
+    bic = collections.Counter()
+    for t in texts:
+        tk = [x for x in (t or "").split(" ") if x]
+        uni.update(tk)
+        bic.update(f"{a} {b}" for a, b in zip(tk, tk[1:]))
+    U, T = sum(uni.values()), sum(bic.values())
+    rows = []
+    for s, cxy in bic.items():
+        if cxy < min_count:
+            continue
+        w1, w2 = s.split(" ")
+        p = (cxy / T) / ((uni[w1] / U) * (uni[w2] / U))
+        rows.append((w1, w2, cxy, math.floor(math.log(p) * 1000.0 + 0.5)))
+    rows.sort(key=lambda r: (-r[3], r[0], r[1]))
+    return rows[:top_k]
+
+
+def test_collocations_match_straightline_mirror(spark):
+    texts = [
+        "new york is a big city and new york never sleeps",
+        "the city of new york hosts new york marathons",
+        "big data and big models eat the city",
+        None,
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = [
+        (r.w1, r.w2, r.cxy, r.pmi_millinats)
+        for r in retrieval.collocations(df, min_count=2, top_k=10).collect()
+    ]
+    want = _pmi_expected(texts, 2, 10)
+    assert got == want
+    assert ("new", "york") in {g[:2] for g in got}  # the canonical collocation surfaces
