@@ -66,6 +66,7 @@ BENCH_QUERIES = [
     "dedup_minhash_incremental",
     "events_session_funnel",
     "text_pmi_collocations",
+    "events_type_transitions",
 ]
 
 

@@ -28,7 +28,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["assign_sessions", "sessionize", "session_funnel", "cohort_retention"]
+__all__ = [
+    "assign_sessions",
+    "sessionize",
+    "session_funnel",
+    "cohort_retention",
+    "type_transitions",
+]
 
 
 def assign_sessions(
@@ -191,3 +197,52 @@ def cohort_retention(
         .agg(F.count(F.lit(1)).alias("n_users"))
         .orderBy("cohort_day", "day_offset")
     )
+
+
+def type_transitions(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    order_col: str = "event_id",
+    type_col: str = "event_type",
+    gap_minutes: int = 30,
+) -> DataFrame:
+    """First-order Markov transition matrix of event types WITHIN
+    sessions: for every (prev_type, next_type) pair of consecutive
+    events in a session, the transition count and probability
+    ``p = n / Σn over prev_type`` (exact BIGINT/BIGINT → double, so the
+    probabilities are engine-reproducible).
+
+    The standard behavioural-model input (what usually follows a view?
+    where do sessions leak?).  Session starts have no predecessor and are
+    excluded; a NULL event type participates as its own state (group keys
+    treat NULL consistently in Spark and DuckDB).
+
+    Scale shape: the session window pass (shared exchange, see
+    :func:`assign_sessions`) already clusters by user — the lag is free
+    on the same sort; the pair count is a two-key aggregate with map-side
+    partial combine; the per-prev total is a second tiny aggregate joined
+    back on the vocabulary-sized type set.
+    """
+    w = Window.partitionBy(user_col, "session_id").orderBy(
+        F.col(ts_col).asc(), F.col(order_col).asc()
+    )
+    pairs = (
+        assign_sessions(events, user_col, ts_col, order_col, gap_minutes)
+        .withColumn("_prev", F.lag(type_col).over(w))
+        .withColumn("_started", F.lag(F.lit(1)).over(w))
+        # session starts carry no transition; a NULL prev TYPE does
+        .filter(F.col("_started").isNotNull())
+        .groupBy(F.col("_prev").alias("prev_type"), F.col(type_col).alias("next_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    # per-prev total via a window, not an equi-join: a NULL prev state
+    # must keep its rows (equi-join keys drop NULLs; window partitions
+    # group them), and the type matrix is tiny after the count anyway
+    wt = Window.partitionBy("prev_type")
+    return pairs.select(
+        "prev_type",
+        "next_type",
+        "n",
+        (F.col("n").cast("double") / F.sum("n").over(wt).cast("double")).alias("p"),
+    ).orderBy("prev_type", "next_type")

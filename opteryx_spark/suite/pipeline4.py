@@ -403,3 +403,49 @@ def text_pmi_collocations(spark, sf_dir):
     quantized, ≥5 occurrences), the phrase-vocabulary builder's workhorse."""
     docs = t(spark, sf_dir, "documents")
     return retrieval.collocations(docs, min_count=5, top_k=50)
+
+
+# --- Markov type transitions ----------------------------------------------------
+
+
+@register(
+    "events_type_transitions",
+    oracle=f"""
+    WITH e AS (
+      SELECT user_id, ts, event_id, event_type, epoch_us(ts) AS us
+      FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    ), f AS (
+      SELECT *,
+             CASE WHEN lag(us) OVER w IS NULL
+                    OR us - lag(us) OVER w > {_GAP_US} THEN 1 ELSE 0 END AS new_s
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), s AS (
+      SELECT *,
+             CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS session_id
+      FROM f
+    ), tr AS (
+      SELECT lag(event_type) OVER w2 AS prev_type,
+             event_type AS next_type,
+             lag(1) OVER w2 AS started
+      FROM s WINDOW w2 AS (PARTITION BY user_id, session_id ORDER BY ts, event_id)
+    ), cnt AS (
+      SELECT prev_type, next_type, CAST(COUNT(*) AS BIGINT) AS n
+      FROM tr WHERE started IS NOT NULL
+      GROUP BY prev_type, next_type
+    )
+    SELECT prev_type, next_type, n,
+           CAST(n AS DOUBLE)
+             / CAST(CAST(SUM(n) OVER (PARTITION BY prev_type) AS BIGINT) AS DOUBLE)
+             AS p
+    FROM cnt ORDER BY prev_type, next_type
+    """,
+)
+def events_type_transitions(spark, sf_dir):
+    """First-order Markov transition matrix of event types within
+    30-minute sessions (``operators/events.py::type_transitions``):
+    (prev, next) counts and exact-ratio probabilities; session starts
+    carry no transition.  The behavioural-model input."""
+    ev = t(spark, sf_dir, "events")
+    return events.type_transitions(ev, gap_minutes=30)

@@ -213,7 +213,7 @@ def test_session_funnel_ordering(spark):
         ],
         "event_id long, ts timestamp, user_id long, event_type string",
     )
-    got = {r.funnel_stage: r.n_sessions for r in __import__("opteryx_spark.operators.events", fromlist=["x"]).session_funnel(ev).collect()}
+    got = {r.funnel_stage: r.n_sessions for r in events.session_funnel(ev).collect()}
     assert got == {"purchase": 1, "view": 1, "none": 1}
 
 
@@ -255,3 +255,30 @@ def test_collocations_match_straightline_mirror(spark):
     want = _pmi_expected(texts, 2, 10)
     assert got == want
     assert ("new", "york") in {g[:2] for g in got}  # the canonical collocation surfaces
+
+
+def test_type_transitions_counts_and_probs(spark):
+    from opteryx_spark.operators import events as E
+
+    ev = spark.createDataFrame(
+        [
+            # one session: view -> click -> view -> purchase
+            (1, _ts(0), 1, "view"),
+            (2, _ts(5), 1, "click"),
+            (3, _ts(10), 1, "view"),
+            (4, _ts(15), 1, "purchase"),
+            # new session 2h later: its first event is no transition
+            (5, _ts(130), 1, "view"),
+            (6, _ts(135), 1, "click"),
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string",
+    )
+    got = {
+        (r.prev_type, r.next_type): (r.n, r.p)
+        for r in E.type_transitions(ev, gap_minutes=30).collect()
+    }
+    assert got == {
+        ("view", "click"): (2, 2 / 3),
+        ("click", "view"): (1, 1.0),
+        ("view", "purchase"): (1, 1 / 3),
+    }
