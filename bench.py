@@ -67,6 +67,7 @@ BENCH_QUERIES = [
     "events_session_funnel",
     "text_pmi_collocations",
     "events_type_transitions",
+    "text_bm25_search_index",
 ]
 
 

@@ -191,3 +191,112 @@ def collocations(
         .orderBy(F.col("pmi_millinats").desc(), "w1", "w2")
         .limit(int(top_k))
     )
+
+
+def postings_index(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Offline inverted-index artifact: one row per (term, document) —
+    ``term``, ``id_col``, ``tf`` (BIGINT), ``dl`` (BIGINT doc length).
+
+    The retrieval member of the persisted-artifact family
+    (:func:`opteryx_spark.operators.dedup.minhash_index` for near-dup,
+    ``window_digests`` for exact-substring): build once per corpus
+    change, partition by ``term`` on write, and serve every query batch
+    from it via :func:`bm25_search` without re-tokenizing the corpus.
+    Documents with no tokens (including NULL text) have no postings and
+    are invisible to index-based search — the sparse-index contract.
+    """
+    toks = text.tokens(text_col)
+    return (
+        df.select(
+            F.col(id_col),
+            F.coalesce(text._nsize(toks), F.lit(0)).cast("long").alias("dl"),
+            F.explode(toks).alias("term"),
+        )
+        .groupBy("term", id_col, "dl")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .select("term", id_col, "tf", "dl")
+    )
+
+
+def bm25_search(
+    index: DataFrame,
+    queries: list[tuple],
+    k: int = 10,
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Batch BM25 search over a :func:`postings_index`: every query in
+    ``queries`` (``[(query_id, [terms...]), ...]``) retrieves its top-``k``
+    documents in ONE pass over the index.
+
+    Returns ``(query_id, rank, id_col, n_matched, bm25)`` — rank 1-based
+    per query, ties broken by the document id.  Corpus statistics (N,
+    avgdl) are derived from the index itself, so they count INDEXED
+    documents (≥1 token) — the sparse-index contract, unlike
+    :func:`bm25_scores` whose N spans the raw corpus.
+
+    Scale shape: the query batch is bounded (a literal term list), so the
+    term→idf table broadcasts; the only index-sized work is the term-keyed
+    semi-filter of the postings (which partition pruning serves for free
+    when the artifact is written partitioned by term) and the
+    (query, doc)-keyed fixed-point reduce; per-query top-k is one bounded
+    window.  Scoring arithmetic is identical to :func:`bm25_scores`.
+    """
+    if not queries:
+        raise ValueError("queries must be non-empty")
+    spark = index.sparkSession
+    qrows = [
+        (str(qid), term) for qid, terms in queries for term in sorted(set(terms))
+    ]
+    qterms = spark.createDataFrame(qrows, "query_id string, term string")
+
+    stats = (
+        index.groupBy(id_col)
+        .agg(F.first("dl").alias("_dl"))
+        .agg(F.count(F.lit(1)).alias("_N"), F.sum("_dl").alias("_sumdl"))
+    )
+    dfreq = (
+        index.join(F.broadcast(qterms.select("term").distinct()), "term")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("_df"))
+    )
+    idf = dfreq.crossJoin(F.broadcast(stats)).select(
+        "term",
+        F.floor(
+            F.log(
+                (F.col("_N").cast("double") - F.col("_df").cast("double") + F.lit(0.5))
+                / (F.col("_df").cast("double") + F.lit(0.5))
+                + F.lit(1.0)
+            )
+            * F.lit(1000.0)
+            + F.lit(0.5)
+        ).alias("_idf_milli"),
+        (F.col("_sumdl").cast("double") / F.col("_N").cast("double")).alias("_avgdl"),
+    )
+
+    k1c, bc = F.lit(float(k1)), F.lit(float(b))
+    tf = F.col("tf").cast("double")
+    norm = tf + k1c * (F.lit(1.0) - bc + bc * F.col("dl").cast("double") / F.col("_avgdl"))
+    partial = (F.col("_idf_milli").cast("double") / F.lit(1000.0)) * (
+        tf * (k1c + F.lit(1.0)) / norm
+    )
+
+    from pyspark.sql import Window
+
+    wq = Window.partitionBy("query_id").orderBy(F.col("bm25").desc(), F.col(id_col).asc())
+    return (
+        index.join(F.broadcast(qterms), "term")
+        .join(F.broadcast(idf), "term")
+        .select("query_id", id_col, F.floor(partial * F.lit(_FP) + F.lit(0.5)).alias("_p"))
+        .groupBy("query_id", id_col)
+        .agg(F.count(F.lit(1)).alias("n_matched"), (F.sum("_p") / F.lit(_FP)).alias("bm25"))
+        .withColumn("rank", F.row_number().over(wq).cast("long"))
+        .filter(F.col("rank") <= int(k))
+        .select("query_id", "rank", id_col, "n_matched", "bm25")
+        .orderBy("query_id", "rank")
+    )

@@ -449,3 +449,69 @@ def events_type_transitions(spark, sf_dir):
     carry no transition.  The behavioural-model input."""
     ev = t(spark, sf_dir, "events")
     return events.type_transitions(ev, gap_minutes=30)
+
+
+# --- batch retrieval over the inverted-index artifact ---------------------------
+
+_SEARCH_QUERIES = [("q1", ["join", "vector"]), ("q2", ["customer", "query"]), ("q3", ["window"])]
+_O_QVALUES = ", ".join(
+    f"('{qid}', '{term}')" for qid, terms in _SEARCH_QUERIES for term in sorted(set(terms))
+)
+
+
+@register(
+    "text_bm25_search_index",
+    oracle=f"""
+    WITH postings AS (
+      SELECT tk AS term, doc_id, CAST(COUNT(*) AS BIGINT) AS tf, dl
+      FROM (SELECT doc_id, COALESCE(len({_O_TOKENS}), 0) AS dl,
+                   unnest({_O_TOKENS}) AS tk
+            FROM documents)
+      GROUP BY tk, doc_id, dl
+    ), stats AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS N, CAST(SUM(dl) AS BIGINT) AS sumdl
+      FROM (SELECT doc_id, MIN(dl) AS dl FROM postings GROUP BY doc_id)
+    ), q(query_id, term) AS (VALUES {_O_QVALUES}),
+    dfreq AS (
+      SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM postings
+      WHERE term IN (SELECT term FROM q) GROUP BY term
+    ), idf AS (
+      SELECT term,
+             CAST(FLOOR(LN((CAST(N AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+                           / (CAST(df AS DOUBLE) + 0.5) + 1.0)
+                        * 1000.0 + 0.5) AS BIGINT) AS idfm,
+             CAST(sumdl AS DOUBLE) / CAST(N AS DOUBLE) AS avgdl
+      FROM dfreq, stats
+    ), part AS (
+      SELECT q.query_id, p.doc_id,
+             CAST(FLOOR(
+               ((CAST(idfm AS DOUBLE) / 1000.0)
+                * (CAST(tf AS DOUBLE) * (1.2 + 1.0)
+                   / (CAST(tf AS DOUBLE)
+                      + 1.2 * (1.0 - 0.75
+                               + 0.75 * CAST(p.dl AS DOUBLE) / avgdl))))
+               * 10000.0 + 0.5) AS BIGINT) AS pp
+      FROM postings p JOIN q ON q.term = p.term JOIN idf ON idf.term = p.term
+    ), sc AS (
+      SELECT query_id, doc_id, CAST(COUNT(*) AS BIGINT) AS n_matched,
+             (SUM(pp) / 10000.0) AS bm25
+      FROM part GROUP BY 1, 2
+    ), rk AS (
+      SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                   ORDER BY bm25 DESC, doc_id) AS BIGINT) AS rank
+      FROM sc
+    )
+    SELECT query_id, rank, doc_id, n_matched, bm25
+    FROM rk WHERE rank <= 5 ORDER BY query_id, rank
+    """,
+)
+def text_bm25_search_index(spark, sf_dir):
+    """Batch retrieval over the persisted inverted index
+    (``retrieval.postings_index`` + ``bm25_search``): three queries
+    answered in one pass — term stats broadcast, per-(query, doc)
+    fixed-point reduce, one bounded window for per-query top-5.  The
+    index-once/query-many shape the single-query ``text_bm25_scores``
+    entry scales into."""
+    docs = t(spark, sf_dir, "documents")
+    idx = retrieval.postings_index(docs)
+    return retrieval.bm25_search(idx, _SEARCH_QUERIES, k=5)

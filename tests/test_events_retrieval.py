@@ -282,3 +282,37 @@ def test_type_transitions_counts_and_probs(spark):
         ("click", "view"): (1, 1.0),
         ("view", "purchase"): (1, 1 / 3),
     }
+
+
+def test_bm25_search_index_roundtrip(spark, tmp_path_factory):
+    """The postings artifact persists to parquet (partitioned by term)
+    and a multi-query search over it ranks like per-query bm25_scores on
+    the indexed sub-corpus."""
+    docs = spark.createDataFrame(
+        [
+            (1, "join join query"),
+            (2, "join filter scan"),
+            (3, "vector search index"),
+            (4, None),
+        ],
+        "doc_id long, text string",
+    )
+    p = str(tmp_path_factory.mktemp("oxs_postings"))
+    retrieval.postings_index(docs).write.mode("overwrite").partitionBy("term").parquet(p)
+    idx = spark.read.parquet(p)
+
+    got = retrieval.bm25_search(idx, [("a", ["join"]), ("b", ["vector", "query"])], k=2).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r.query_id, []).append((r.rank, r.doc_id))
+    assert by_q["a"] == [(1, 1), (2, 2)]  # tf 2 beats tf 1
+    # docs 1 ('query') and 3 ('vector') tie exactly (same idf/tf/dl):
+    # the id tiebreak pins the order
+    assert by_q["b"] == [(1, 1), (2, 3)]
+
+
+def test_bm25_search_plan_broadcasts(spark, sf_dir):
+    df = REG["text_bm25_search_index"].spark(spark, sf_dir)
+    text = explain_text(df)
+    assert broadcast_join_count(df) >= 2  # query terms + idf stats
+    assert "CartesianProduct" not in text
