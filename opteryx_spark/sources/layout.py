@@ -1,0 +1,111 @@
+"""Layout-aware parquet writing: the sink-side half of the scan-pruning
+story.
+
+The reference engine is read-only (its connectors never write —
+/root/reference/opteryx/connectors/ are readers); at 100 TB the WRITER
+decides whether later scans prune.  Two independent mechanisms, both
+exercised here and asserted by tests:
+
+- **Hive partition columns** (``partition_by``): directory-level
+  elimination — a filter on the partition key never lists, opens, or
+  reads the other directories (``PartitionFilters`` in the scan node).
+- **Within-file clustering** (``cluster_by``): rows range-distributed and
+  sorted on the cluster key, so parquet row-group min/max statistics are
+  tight and a point/range predicate skips whole row groups
+  (``PushedFilters`` actually eliminating pages instead of merely being
+  present).
+
+``write_clustered`` also bounds the small-files problem: with
+``partition_by`` set, data is first repartitioned BY the partition key so
+each hive directory is written by the tasks owning that key instead of by
+every task (the classic ``partitionBy`` without repartition writes
+``tasks × partitions`` fragments).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+__all__ = ["write_clustered", "layout_report"]
+
+
+def write_clustered(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str] | None = None,
+    cluster_by: list[str] | None = None,
+    num_files: int | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Write ``df`` as parquet with a scan-friendly layout.
+
+    ``partition_by``: hive directory columns (low-cardinality keys a
+    workload filters on — dates, sources, regions).
+    ``cluster_by``: range-distribute + sort rows on these columns so each
+    file covers a narrow, mostly-disjoint value range (tight row-group
+    min/max ⇒ predicate skipping).
+    ``num_files``: target output-file count for the range distribution
+    (defaults to the session shuffle parallelism); ignored without
+    ``cluster_by`` unless given, in which case the frame is coalesced.
+    """
+    out = df
+    if partition_by and cluster_by:
+        # partition key first: each hive dir written by the tasks owning
+        # its key; cluster key second: sorted runs within each file
+        cols = [F.col(c) for c in list(partition_by) + list(cluster_by)]
+        out = out.repartitionByRange(*cols).sortWithinPartitions(*cols)
+    elif cluster_by:
+        cols = [F.col(c) for c in cluster_by]
+        if num_files:
+            out = out.repartitionByRange(int(num_files), *cols)
+        else:
+            out = out.repartitionByRange(*cols)
+        out = out.sortWithinPartitions(*cols)
+    elif partition_by:
+        out = out.repartition(*[F.col(c) for c in partition_by])
+    elif num_files:
+        out = out.coalesce(int(num_files))
+    writer = out.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+
+
+def layout_report(spark: SparkSession, path: str, column: str) -> list[dict]:
+    """Per-file row counts and row-group min/max of ``column`` straight
+    from the parquet footers (no data read) — the evidence that a
+    clustered layout produced tight, mostly-disjoint ranges.  Driver-side
+    by design: it reads FOOTERS of a file listing, not rows, and is a
+    diagnostic, not a pipeline stage.
+    """
+    import pyarrow.parquet as pq
+
+    report = []
+    for root, _dirs, files in os.walk(path):
+        for f in sorted(files):
+            if not f.endswith(".parquet"):
+                continue
+            fp = os.path.join(root, f)
+            meta = pq.ParquetFile(fp).metadata
+            lo = hi = None
+            idx = {meta.schema.column(i).name: i for i in range(meta.num_columns)}
+            if column in idx:
+                ci = idx[column]
+                for rg in range(meta.num_row_groups):
+                    st = meta.row_group(rg).column(ci).statistics
+                    if st is None or not st.has_min_max:
+                        continue
+                    lo = st.min if lo is None else min(lo, st.min)
+                    hi = st.max if hi is None else max(hi, st.max)
+            report.append(
+                {
+                    "file": os.path.relpath(fp, path),
+                    "rows": meta.num_rows,
+                    "min": lo,
+                    "max": hi,
+                }
+            )
+    return report

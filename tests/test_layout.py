@@ -1,0 +1,77 @@
+"""Sink-side layout: writes must produce scans that PRUNE.
+
+Two mechanisms asserted separately: hive partition columns eliminate
+directories (``PartitionFilters`` carries the predicate), and range
+clustering gives files tight, mostly-disjoint min/max so row-group
+statistics can skip (verified from the parquet footers themselves).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from opteryx_spark.catalog import load_table
+from opteryx_spark.plans import explain_text
+from opteryx_spark.sources import layout
+
+
+def test_partitioned_write_prunes_directories(spark, sf_dir, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("oxs_layout_part"))
+    ev = load_table(spark, sf_dir, "events")
+    layout.write_clustered(ev, out, partition_by=["event_type"])
+
+    got = spark.read.parquet(out).filter(F.col("event_type") == "click")
+    text = explain_text(got)
+    part_lines = [ln for ln in text.splitlines() if "PartitionFilters" in ln]
+    assert part_lines and "event_type" in part_lines[0]
+    # the partition predicate must NOT degrade to a data filter (a scan
+    # with no remaining data filters omits the PushedFilters line entirely)
+    pushed = [ln for ln in text.splitlines() if "PushedFilters" in ln]
+    assert not pushed or "event_type" not in pushed[0]
+    # one directory per type, and each directory written as few files
+    dirs = [d for d in os.listdir(out) if d.startswith("event_type=")]
+    assert len(dirs) >= 3
+    want = ev.filter(F.col("event_type") == "click").count()
+    assert got.count() == want
+
+
+def test_clustered_write_tightens_rowgroup_stats(spark, sf_dir, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("oxs_layout_clust"))
+    ev = load_table(spark, sf_dir, "events")
+    layout.write_clustered(ev, out, cluster_by=["user_id"], num_files=8)
+
+    rep = [r for r in layout.layout_report(spark, out, "user_id") if r["rows"]]
+    assert len(rep) >= 4
+    # ranges must be mostly disjoint: total overlap-free coverage means the
+    # sum of per-file spans is close to the global span, not n x global
+    spans = sorted((r["min"], r["max"]) for r in rep)
+    overlaps = sum(
+        1 for (a, b) in zip(spans, spans[1:]) if b[0] < a[1]
+    )
+    assert overlaps <= 1  # range partitioner boundaries may share one key
+    # a point predicate on the cluster key reads, at most, one file's range
+    probe = spans[0][1]
+    hits = [r for r in rep if r["min"] <= probe <= r["max"]]
+    assert len(hits) <= 2
+
+    got = spark.read.parquet(out).filter(F.col("user_id") == int(probe))
+    text = explain_text(got)
+    pushed = [ln for ln in text.splitlines() if "PushedFilters" in ln]
+    assert pushed and "user_id" in pushed[0]
+    assert got.count() == ev.filter(F.col("user_id") == int(probe)).count()
+
+
+def test_partition_plus_cluster_roundtrip(spark, sf_dir, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("oxs_layout_both"))
+    docs = load_table(spark, sf_dir, "documents")
+    layout.write_clustered(docs, out, partition_by=["source"], cluster_by=["doc_id"])
+    back = spark.read.parquet(out)
+    assert back.count() == docs.count()
+    # every hive directory holds exactly one data file: the repartition by
+    # the partition key bounds the small-files blowup
+    for d in os.listdir(out):
+        if d.startswith("source="):
+            files = [f for f in os.listdir(os.path.join(out, d)) if f.endswith(".parquet")]
+            assert len(files) == 1, (d, files)
