@@ -462,3 +462,115 @@ def quality_features_stream(
         "boilerplate_frac",
         "quality_score",
     )
+
+
+def minhash_dedup_stream(
+    docs: DataFrame,
+    index: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+    num_hashes: int = 64,
+    bands: int = 16,
+    k: int = 2,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Streaming twin of ``operators/dedup.minhash_dedup_against_index``
+    (portable hash): flag streamed documents near-duplicating the indexed
+    corpus, with NO streaming state.
+
+    Per row (all row-local column expressions, append-compatible): the
+    minhash signature is the same one-fold array aggregate the batch
+    operator uses; the 16 banded bucket keys probe a broadcast MAP built
+    from the static :func:`~opteryx_spark.operators.dedup.minhash_index`
+    artifact (bucket key → candidate (corpus_id, sig) list, hot buckets
+    beyond ``max_bucket`` dropped whole, as in batch); est-Jaccard
+    refinement and best-match selection (max est, min id — realized as
+    ``array_sort`` over (1−est, id) structs, the row-local mirror of the
+    batch ``min(struct)``) happen inside the row.
+
+    Same membership-structure caveat as :func:`decontaminate_stream`: the
+    collapsed index must fit the broadcast; at corpus scales beyond that,
+    keep the batch operator's join form (stream-static joins) or shard
+    the stream by band.
+    """
+    from opteryx_spark.operators.dedup import (
+        _PORTABLE_MOD,
+        _PORTABLE_P,
+        _portable_hash_expr,
+        _portable_perm_params,
+    )
+    from opteryx_spark.operators.text import shingles
+
+    rows = num_hashes // bands
+    long_max = (1 << 63) - 1
+
+    # --- static side: bucket map (built once, broadcast) ---------------------
+    entries = (
+        index.select(
+            F.concat_ws(":", F.col("band"), F.col("bh")).alias("_k"),
+            F.struct(F.col("corpus_id"), F.col("sig")).alias("_v"),
+        )
+        .groupBy("_k")
+        .agg(F.collect_list("_v").alias("_vs"))
+    )
+    if max_bucket is not None:
+        entries = entries.filter(F.size("_vs") <= max_bucket)
+    idx_row = F.broadcast(
+        entries.agg(F.map_from_entries(F.collect_list(F.struct("_k", "_vs"))).alias("_idx"))
+    )
+
+    # --- per-row signature + band keys (same arithmetic as batch) ------------
+    perms = F.array(
+        *[
+            F.struct(F.lit(a).alias("a"), F.lit(b).alias("b"))
+            for a, b in _portable_perm_params(num_hashes)
+        ]
+    )
+    harr = F.transform(shingles(text_col, k), _portable_hash_expr)
+    step = lambda acc, h: F.zip_with(  # noqa: E731
+        acc, perms, lambda m, p: F.least(m, (h * p["a"] + p["b"]) % F.lit(_PORTABLE_MOD))
+    )
+    sig = F.aggregate(harr, F.array_repeat(F.lit(long_max).cast("long"), num_hashes), step)
+
+    def _band_key(i: int, s):
+        bh = F.lit(0).cast("long")
+        for j in range(rows):
+            bh = (bh * F.lit(_PORTABLE_P) + F.element_at(s, i * rows + j + 1)) % F.lit(
+                _PORTABLE_MOD
+            )
+        return F.concat_ws(":", F.lit(i), bh)
+
+    with_sig = docs.crossJoin(idx_row).withColumn("_sig", sig)
+    # docs with no shingles (NULL/short text) have no index presence either
+    keys = F.array(*[_band_key(i, F.col("_sig")) for i in range(bands)])
+    cands = F.when(
+        F.size(harr) > 0,
+        F.flatten(
+            F.filter(F.transform(keys, lambda kk: F.element_at("_idx", kk)), lambda x: x.isNotNull())
+        ),
+    ).otherwise(F.array().cast("array<struct<corpus_id:long,sig:array<bigint>>>"))
+
+    est_of = lambda c: (  # noqa: E731
+        F.size(
+            F.filter(F.zip_with(F.col("_sig"), c["sig"], lambda x, y: x == y), lambda m: m)
+        ).cast("double")
+        / F.lit(float(num_hashes))
+    )
+    scored = F.transform(
+        cands,
+        lambda c: F.struct(
+            (F.lit(1.0) - est_of(c)).alias("inv"),
+            c["corpus_id"].alias("cid"),
+            est_of(c).alias("est"),
+        ),
+    )
+    qual = F.filter(scored, lambda s: s["est"] >= F.lit(float(threshold)))
+    best = F.when(F.size(qual) > 0, F.element_at(F.array_sort(qual), 1))
+    return (
+        with_sig.withColumn("_best", best)
+        .withColumn("best_match_id", F.col("_best.cid"))
+        .withColumn("est_jaccard", F.col("_best.est"))
+        .withColumn("in_corpus_near_dup", F.col("best_match_id").isNotNull())
+        .drop("_idx", "_sig", "_best")
+    )

@@ -460,3 +460,49 @@ def test_sessionize_stream_matches_batch(spark, sf_dir, tmp_path_factory):
     assert got <= want
     # only sessions still open at the watermark may be missing
     assert len(got) >= len(want) - 200
+
+
+def test_minhash_dedup_stream_matches_batch(spark, sf_dir, tmp_path_factory):
+    """Row-local streaming fuzzy dedup against the static LSH index must
+    equal the batch join-form operator row for row."""
+    from opteryx_spark.operators import dedup as D
+
+    docs = (
+        spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        .select("doc_id", "text")
+    )
+    corpus = docs.filter(F.col("doc_id") < 250)
+    new = docs.filter(F.col("doc_id") >= 250)
+    idx = D.minhash_index(corpus, portable_hash=True)
+
+    want = {
+        (r.doc_id, r.best_match_id, r.est_jaccard, r.in_corpus_near_dup)
+        for r in D.minhash_dedup_against_index(
+            new, idx, threshold=0.5, portable_hash=True
+        ).select("doc_id", "best_match_id", "est_jaccard", "in_corpus_near_dup").collect()
+    }
+
+    # the same row-local expressions run identically on a batch frame...
+    got_batch = {
+        (r.doc_id, r.best_match_id, r.est_jaccard, r.in_corpus_near_dup)
+        for r in streaming.minhash_dedup_stream(new, idx, threshold=0.5)
+        .select("doc_id", "best_match_id", "est_jaccard", "in_corpus_near_dup")
+        .collect()
+    }
+    assert got_batch == want
+
+    # ...and drained as a real stream (availableNow) they match exactly too
+    src = str(tmp_path_factory.mktemp("oxs_mhstream_src"))
+    out = str(tmp_path_factory.mktemp("oxs_mhstream_out"))
+    ckpt = str(tmp_path_factory.mktemp("oxs_mhstream_ckpt"))
+    new.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(new.schema).parquet(src)
+    flagged = streaming.minhash_dedup_stream(stream, idx, threshold=0.5).select(
+        "doc_id", "best_match_id", "est_jaccard", "in_corpus_near_dup"
+    )
+    streaming.run_stream_once(flagged, out, ckpt)
+    got_stream = {
+        (r.doc_id, r.best_match_id, r.est_jaccard, r.in_corpus_near_dup)
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got_stream == want
