@@ -29,7 +29,32 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-__all__ = ["write_clustered", "layout_report"]
+__all__ = ["write_clustered", "layout_report", "zorder_value"]
+
+
+def zorder_value(cols: list, bits: int = 16) -> "F.Column":
+    """Morton / Z-order interleave of non-negative integer columns into
+    one BIGINT sort key (the Delta ``OPTIMIZE ZORDER`` / Hudi clustering
+    recipe): bit ``i`` of column ``j`` lands at position ``i·n + j``, so
+    sorting on the key keeps EVERY input column locally clustered —
+    point/range predicates on any of them skip row groups, where a
+    lexicographic multi-column sort only serves the leading column.
+
+    Pure bit arithmetic (shift/and/or), whole-stage-codegen'd; ``bits``
+    low bits per column are used (16 default ⇒ up to 3 columns in a
+    63-bit key).  Columns must be non-negative integers — bucketize or
+    offset first otherwise.
+    """
+    n = len(cols)
+    if n * bits > 63:
+        raise ValueError(f"{n} cols x {bits} bits exceeds the 63-bit key")
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        for j, c in enumerate(cols):
+            cc = F.col(c) if isinstance(c, str) else c
+            bit = F.shiftright(cc.cast("long"), i).bitwiseAND(F.lit(1).cast("long"))
+            z = z.bitwiseOR(F.shiftleft(bit, i * n + j))
+    return z
 
 
 def write_clustered(
@@ -37,6 +62,7 @@ def write_clustered(
     path: str,
     partition_by: list[str] | None = None,
     cluster_by: list[str] | None = None,
+    zorder_by: list[str] | None = None,
     num_files: int | None = None,
     mode: str = "overwrite",
 ) -> None:
@@ -52,6 +78,43 @@ def write_clustered(
     ``cluster_by`` unless given, in which case the frame is coalesced.
     """
     out = df
+    if zorder_by:
+        if cluster_by:
+            raise ValueError("pass cluster_by or zorder_by, not both")
+        # normalize every column to the full bit range first (the Delta
+        # recipe): raw interleaving hands the sort to whichever column
+        # spans more bits, starving the narrow ones of locality
+        bounds = df.agg(
+            *[F.min(c).cast("long").alias(f"_lo{j}") for j, c in enumerate(zorder_by)],
+            *[F.max(c).cast("long").alias(f"_hi{j}") for j, c in enumerate(zorder_by)],
+        )
+        out = df.crossJoin(F.broadcast(bounds))
+        top = (1 << 16) - 1
+        scaled = [
+            F.floor(
+                (F.col(c).cast("long") - F.col(f"_lo{j}"))
+                * F.lit(top)
+                / F.greatest(F.lit(1), F.col(f"_hi{j}") - F.col(f"_lo{j}"))
+            ).cast("long")
+            for j, c in enumerate(zorder_by)
+        ]
+        # interleaved key: every zorder column stays locally clustered;
+        # the temp key sorts the layout and is projected away before the
+        # write (projection preserves the physical order)
+        out = out.withColumn("_z", zorder_value(scaled)).drop(
+            *[f"_lo{j}" for j in range(len(zorder_by))],
+            *[f"_hi{j}" for j in range(len(zorder_by))],
+        )
+        if num_files:
+            out = out.repartitionByRange(int(num_files), "_z")
+        else:
+            out = out.repartitionByRange("_z")
+        out = out.sortWithinPartitions("_z").drop("_z")
+        writer = out.write.mode(mode)
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(path)
+        return
     if partition_by and cluster_by:
         # partition key first: each hive dir written by the tasks owning
         # its key; cluster key second: sorted runs within each file

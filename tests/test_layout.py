@@ -75,3 +75,41 @@ def test_partition_plus_cluster_roundtrip(spark, sf_dir, tmp_path_factory):
         if d.startswith("source="):
             files = [f for f in os.listdir(os.path.join(out, d)) if f.endswith(".parquet")]
             assert len(files) == 1, (d, files)
+
+
+def test_zorder_interleaves_bits(spark):
+    df = spark.createDataFrame([(3, 5)], "a long, b long")
+    # a=0b011, b=0b101 -> z bits: a0@0, b0@1, a1@2, b1@3, a2@4, b2@5
+    # = 1 + 2 + 4 + 0 + 0 + 32 = 39
+    assert df.select(layout.zorder_value(["a", "b"]).alias("z")).first().z == 39
+
+
+def test_zorder_layout_prunes_on_both_columns(spark, sf_dir, tmp_path_factory):
+    """A Z-ordered layout keeps BOTH columns locally clustered: a point
+    probe on either one hits a small fraction of the files, where a
+    lexicographic sort serves only its leading column."""
+    out = str(tmp_path_factory.mktemp("oxs_layout_z"))
+    lex = str(tmp_path_factory.mktemp("oxs_layout_lex"))
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .withColumn("minute_of_day", F.hour("ts") * 60 + F.minute("ts"))
+        .select("event_id", "user_id", "minute_of_day", "value")
+    )
+    layout.write_clustered(ev, out, zorder_by=["user_id", "minute_of_day"], num_files=16)
+    layout.write_clustered(ev, lex, cluster_by=["user_id", "minute_of_day"], num_files=16)
+
+    def hit_fraction(path, column, probe):
+        rep = [r for r in layout.layout_report(spark, path, column) if r["rows"]]
+        hits = [r for r in rep if r["min"] <= probe <= r["max"]]
+        return len(hits) / len(rep)
+
+    # z-order: BOTH columns prune (normalized interleave shares locality)
+    assert hit_fraction(out, "user_id", 7) < 0.7
+    assert hit_fraction(out, "minute_of_day", 17) < 0.7
+    # lexicographic: only the leading column is served this well; the
+    # trailing column cannot beat the z-order layout
+    assert hit_fraction(lex, "user_id", 7) < 0.7
+    assert hit_fraction(lex, "minute_of_day", 17) >= hit_fraction(out, "minute_of_day", 17)
+    # correctness: the layout changes bytes, never rows
+    got = spark.read.parquet(out).filter(F.col("minute_of_day") == 17).count()
+    assert got == ev.filter(F.col("minute_of_day") == 17).count()
