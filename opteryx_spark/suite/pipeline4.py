@@ -21,7 +21,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from opteryx_spark.operators import dedup, events, retrieval
+from opteryx_spark.operators import dedup, events, retrieval, similarity
 from opteryx_spark.suite import register
 from opteryx_spark.suite._util import t
 from opteryx_spark.suite.pipeline import _O_TOKENS, _PERM_VALUES
@@ -515,3 +515,38 @@ def text_bm25_search_index(spark, sf_dir):
     docs = t(spark, sf_dir, "documents")
     idx = retrieval.postings_index(docs)
     return retrieval.bm25_search(idx, _SEARCH_QUERIES, k=5)
+
+
+# --- random projection (pre-ANN compression) ------------------------------------
+
+
+@register(
+    "emb_random_projection",
+    oracle="""
+    WITH pl AS (
+      SELECT j.range AS dim,
+             list_transform(range(0, 64), d ->
+               CAST((((j.range * 64 + d) * 2654435761) % 4294967296)
+                    % 2001 - 1000 AS DOUBLE)) AS w
+      FROM range(16) j
+    )
+    SELECT e.vec_id, CAST(pl.dim AS BIGINT) AS dim,
+           list_reduce(list_transform(range(1, 65),
+             i -> CAST(e.embedding[i] AS DOUBLE) * pl.w[i]),
+             (x, y) -> x + y) * (1.0 / sqrt(16.0)) AS component
+    FROM embeddings e, pl
+    ORDER BY vec_id, dim
+    """,
+)
+def emb_random_projection(spark, sf_dir):
+    """Johnson–Lindenstrauss 64→16 projection
+    (``similarity.random_projection``) on the deterministic integer plane
+    matrix (same Knuth mix as ``emb_lsh_near_dup_pairs``), so the oracle
+    regenerates the planes and the sequential-fold dots bit-exactly.  The
+    pre-ANN compression stage: 4× cheaper distance arithmetic downstream."""
+    from opteryx_spark.suite.pipeline import _det_planes
+
+    emb = t(spark, sf_dir, "embeddings")
+    return similarity.random_projection(
+        emb, out_dim=16, planes=_det_planes(4, 4, 64)
+    ).orderBy("vec_id", "dim")

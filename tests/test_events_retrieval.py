@@ -316,3 +316,43 @@ def test_bm25_search_plan_broadcasts(spark, sf_dir):
     text = explain_text(df)
     assert broadcast_join_count(df) >= 2  # query terms + idf stats
     assert "CartesianProduct" not in text
+
+
+def test_random_projection_jl_property(spark):
+    """Pairwise squared distances survive the projection within loose JL
+    bounds, and a straight-line numpy mirror reproduces components exactly."""
+    import numpy as np
+
+    from opteryx_spark.operators import similarity
+    from opteryx_spark.suite.pipeline import _det_planes
+
+    rng = np.random.RandomState(7)
+    vecs = rng.randn(20, 64)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    )
+    planes = _det_planes(4, 8, 64)  # 32 output dims
+    got = similarity.random_projection(df, out_dim=32, planes=planes).collect()
+    proj = np.zeros((20, 32))
+    for r in got:
+        proj[r.vec_id][r.dim] = r.component
+
+    # exact mirror: sequential left-fold == numpy dot for these magnitudes?
+    # no — numpy pairwise-sums; mirror the fold explicitly instead
+    P = np.array(planes)
+    for i in (0, 7, 19):
+        for j in (0, 31):
+            acc = 0.0
+            for d in range(64):
+                acc = acc + vecs[i][d] * P[j][d]
+            # the operator multiplies by the reciprocal (a different IEEE
+            # op than division) — mirror exactly
+            assert proj[i][j] == acc * (1.0 / math.sqrt(32.0))
+
+    # JL: squared distances preserved within a loose factor (planes are
+    # +-1000-scale integers, variance ~ (2001^2)/12 — normalize by it)
+    var = (np.arange(-1000, 1001) ** 2).mean()
+    d_in = np.sum((vecs[0] - vecs[1]) ** 2)
+    d_out = np.sum((proj[0] - proj[1]) ** 2) / var
+    assert 0.3 * d_in < d_out < 3.0 * d_in
