@@ -172,3 +172,32 @@ def layout_report(spark: SparkSession, path: str, column: str) -> list[dict]:
                 }
             )
     return report
+
+
+def compact_dataset(
+    spark: SparkSession,
+    src: str,
+    dst: str,
+    target_rows_per_file: int = 1_000_000,
+    cluster_by: list[str] | None = None,
+) -> int:
+    """Small-files compaction: rewrite a parquet directory into
+    ``ceil(rows / target_rows_per_file)`` files at ``dst`` (optionally
+    re-clustering on the way — compaction is the natural moment to fix
+    layout).  Returns the output file count.
+
+    Streaming sinks and per-micro-batch appends accrete thousands of tiny
+    files; at 100 TB the scan-planning overhead (listing, footer reads,
+    task scheduling) dominates long before the bytes do.  The write goes
+    to a NEW path — swapping directories atomically is the caller's
+    deployment concern (object stores: conditional rename / manifest
+    flip), losing data mid-rewrite is not a risk this helper can create.
+    """
+    df = spark.read.parquet(src)
+    n = df.count()
+    files = max(1, -(-n // int(target_rows_per_file)))
+    if cluster_by:
+        write_clustered(df, dst, cluster_by=cluster_by, num_files=files)
+    else:
+        df.coalesce(files).write.mode("overwrite").parquet(dst)
+    return files

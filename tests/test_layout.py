@@ -113,3 +113,19 @@ def test_zorder_layout_prunes_on_both_columns(spark, sf_dir, tmp_path_factory):
     # correctness: the layout changes bytes, never rows
     got = spark.read.parquet(out).filter(F.col("minute_of_day") == 17).count()
     assert got == ev.filter(F.col("minute_of_day") == 17).count()
+
+
+def test_compact_dataset_bounds_file_count(spark, sf_dir, tmp_path_factory):
+    src = str(tmp_path_factory.mktemp("oxs_small_files"))
+    dst = str(tmp_path_factory.mktemp("oxs_compacted"))
+    ev = load_table(spark, sf_dir, "events")
+    ev.repartition(32).write.mode("overwrite").parquet(src)  # the accretion problem
+    n_small = len([f for f in os.listdir(src) if f.endswith(".parquet")])
+    assert n_small >= 16
+
+    n = ev.count()
+    files = layout.compact_dataset(spark, src, dst, target_rows_per_file=(n + 3) // 4)
+    assert files == 4
+    n_out = len([f for f in os.listdir(dst) if f.endswith(".parquet")])
+    assert n_out <= 4
+    assert spark.read.parquet(dst).count() == n

@@ -119,3 +119,77 @@ def test_acting_ops_match_python_reference(spark):
             ).collect()
         }
         assert got2 == _ref_remove_chunks(flat, 3, 2), f"chunks diverged (seed {seed})"
+
+
+def _ref_sessionize(rows, gap_us):
+    """Straight-line reference of the sessionize contract: per user, sort
+    by (ts_us, event_id), break on gap > gap_us, reduce per session."""
+    from collections import defaultdict
+
+    per_user = defaultdict(list)
+    for eid, uid, ts_us, value in rows:
+        if uid is None or ts_us is None:
+            continue
+        per_user[uid].append((ts_us, eid, value))
+    out = {}
+    for uid, evs in per_user.items():
+        evs.sort()
+        sid, prev = 0, None
+        sessions = defaultdict(list)
+        for ts_us, eid, value in evs:
+            if prev is None or ts_us - prev > gap_us:
+                sid += 1
+            prev = ts_us
+            sessions[sid].append((ts_us, value))
+        for sid, items in sessions.items():
+            tss = [t for t, _ in items]
+            vals = [v for _, v in items if v is not None]
+            out[(uid, sid)] = (
+                min(tss),
+                max(tss),
+                max(tss) - min(tss),
+                len(items),
+                round(sum(vals), 6) if vals else None,
+            )
+    return out
+
+
+def test_sessionize_matches_straightline_reference(spark):
+    import datetime
+    import random as _random
+
+    from opteryx_spark.operators import events as E
+
+    rng = _random.Random(20260814)
+    rows = []
+    for eid in range(400):
+        uid = rng.choice([None, 1, 2, 3, 4, 5]) if rng.random() < 0.05 else rng.randint(1, 5)
+        ts_us = None if rng.random() < 0.03 else rng.randint(0, 6 * 3600) * 1_000_000
+        value = None if rng.random() < 0.1 else round(rng.uniform(0, 50), 2)
+        rows.append((eid, uid, ts_us, value))
+
+    epoch = datetime.datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [
+            (
+                eid,
+                (epoch + datetime.timedelta(microseconds=ts_us)) if ts_us is not None else None,
+                uid,
+                value,
+            )
+            for eid, uid, ts_us, value in rows
+        ],
+        "event_id long, ts timestamp, user_id long, value double",
+    )
+    got = {
+        (r.user_id, r.session_id): (
+            int(r.session_start.timestamp() * 1e6) - int(epoch.timestamp() * 1e6),
+            int(r.session_end.timestamp() * 1e6) - int(epoch.timestamp() * 1e6),
+            r.duration_us,
+            r.n_events,
+            round(r.total_value, 6) if r.total_value is not None else None,
+        )
+        for r in E.sessionize(df, gap_minutes=30).collect()
+    }
+    want = _ref_sessionize(rows, 30 * 60 * 1_000_000)
+    assert got == want
