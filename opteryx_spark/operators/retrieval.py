@@ -222,6 +222,25 @@ def postings_index(
     )
 
 
+def index_stats(
+    df: DataFrame,
+    text_col: str = "text",
+) -> DataFrame:
+    """1-row ``(n_docs, sumdl)`` over the INDEXED documents (≥1 token) —
+    the statistics :func:`bm25_search` needs, computed map-only from the
+    raw corpus at index-build time.  Store alongside the postings
+    artifact: deriving them from the index later costs a full postings
+    aggregate per query batch.
+    """
+    toks = text.tokens(text_col)
+    dl = F.coalesce(text._nsize(toks), F.lit(0)).cast("long")
+    return (
+        df.select(dl.alias("_dl"))
+        .filter(F.col("_dl") > 0)
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("_dl").alias("sumdl"))
+    )
+
+
 def bm25_search(
     index: DataFrame,
     queries: list[tuple],
@@ -229,16 +248,19 @@ def bm25_search(
     id_col: str = "doc_id",
     k1: float = 1.2,
     b: float = 0.75,
+    stats: DataFrame | None = None,
 ) -> DataFrame:
     """Batch BM25 search over a :func:`postings_index`: every query in
     ``queries`` (``[(query_id, [terms...]), ...]``) retrieves its top-``k``
     documents in ONE pass over the index.
 
     Returns ``(query_id, rank, id_col, n_matched, bm25)`` — rank 1-based
-    per query, ties broken by the document id.  Corpus statistics (N,
-    avgdl) are derived from the index itself, so they count INDEXED
-    documents (≥1 token) — the sparse-index contract, unlike
-    :func:`bm25_scores` whose N spans the raw corpus.
+    per query, ties broken by the document id.  Corpus statistics count
+    INDEXED documents (≥1 token) — the sparse-index contract, unlike
+    :func:`bm25_scores` whose N spans the raw corpus.  Pass the stored
+    :func:`index_stats` frame as ``stats`` (identical values); deriving
+    them from the index (the default) costs an extra full postings
+    aggregate per batch.
 
     Scale shape: the query batch is bounded (a literal term list), so the
     term→idf table broadcasts; the only index-sized work is the term-keyed
@@ -255,11 +277,15 @@ def bm25_search(
     ]
     qterms = spark.createDataFrame(qrows, "query_id string, term string")
 
-    stats = (
-        index.groupBy(id_col)
-        .agg(F.first("dl").alias("_dl"))
-        .agg(F.count(F.lit(1)).alias("_N"), F.sum("_dl").alias("_sumdl"))
-    )
+    if stats is not None:
+        # the stored artifact (index_stats): skips a full postings pass
+        stats = stats.select(F.col("n_docs").alias("_N"), F.col("sumdl").alias("_sumdl"))
+    else:
+        stats = (
+            index.groupBy(id_col)
+            .agg(F.first("dl").alias("_dl"))
+            .agg(F.count(F.lit(1)).alias("_N"), F.sum("_dl").alias("_sumdl"))
+        )
     dfreq = (
         index.join(F.broadcast(qterms.select("term").distinct()), "term")
         .groupBy("term")

@@ -514,7 +514,9 @@ def text_bm25_search_index(spark, sf_dir):
     entry scales into."""
     docs = t(spark, sf_dir, "documents")
     idx = retrieval.postings_index(docs)
-    return retrieval.bm25_search(idx, _SEARCH_QUERIES, k=5)
+    return retrieval.bm25_search(
+        idx, _SEARCH_QUERIES, k=5, stats=retrieval.index_stats(docs)
+    )
 
 
 # --- random projection (pre-ANN compression) ------------------------------------
