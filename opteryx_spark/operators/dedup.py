@@ -1072,6 +1072,7 @@ def connected_components(
             F.col("a").alias("node"), F.col("a").alias("comp")
         )
     )
+    changed = 0
     for _ in range(max_iter):
         neigh = (
             edges.join(labels, edges["b"] == labels["node"])
@@ -1097,6 +1098,17 @@ def connected_components(
         if changed == 0:
             break
     edges_h.unpersist()  # final labels are checkpointed; edges no longer needed
+    if changed != 0:
+        # min-label propagation advances one hop per round, so a cluster
+        # whose diameter exceeds max_iter would otherwise return STALE
+        # labels — multiple keepers per cluster downstream, silently.
+        # Near-dup graphs are shallow; hitting this means the graph is
+        # chain-shaped (or max_iter was lowered) and the caller must say so.
+        _track_release(labels_h)
+        raise RuntimeError(
+            f"connected_components did not converge within max_iter={max_iter} "
+            "rounds (a component's diameter exceeds it); raise max_iter"
+        )
     _track_release(labels_h)
     return labels
 

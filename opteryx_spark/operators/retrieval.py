@@ -70,7 +70,14 @@ def bm25_scores(
         F.count(F.lit(1)).alias("_N"), F.sum("_dl").alias("_sumdl")
     )
 
-    postings = (
+    from opteryx_spark.operators.dedup import _track_persist
+
+    # persisted: the query-filtered postings are tiny but feed TWO branches
+    # (dfreq and the scoring join) — without the persist each branch
+    # re-tokenizes the whole corpus (Catalyst does not reuse exchanges
+    # across them; the minhash_lsh_pairs precedent).  Released via
+    # dedup.release_text_group_caches().
+    postings = _track_persist(
         base.select("_id", "_dl", F.explode("_toks").alias("_tk"))
         .filter(F.col("_tk").isin(terms))
         .groupBy("_id", "_dl", "_tk")
@@ -150,13 +157,18 @@ def collocations(
     1-row broadcast products.  Nothing corpus-sized shuffles after the
     counts.
     """
+    from opteryx_spark.operators.dedup import _track_persist
+
     toks = df.select(text.ngram_occurrences(text_col, 2).alias("_grams"))
-    bic = (
+    # both count tables are vocabulary-sized and feed 2-3 branches each
+    # (totals + probability joins) — persisted so the corpus explodes run
+    # once, not per branch; released via dedup.release_text_group_caches()
+    bic = _track_persist(
         toks.select(F.explode("_grams").alias("_s"))
         .groupBy("_s")
         .agg(F.count(F.lit(1)).alias("cxy"))
     )
-    uni = (
+    uni = _track_persist(
         df.select(F.explode(text.tokens(text_col)).alias("_tk"))
         .groupBy("_tk")
         .agg(F.count(F.lit(1)).alias("_c"))
@@ -286,11 +298,16 @@ def bm25_search(
             .agg(F.first("dl").alias("_dl"))
             .agg(F.count(F.lit(1)).alias("_N"), F.sum("_dl").alias("_sumdl"))
         )
-    dfreq = (
+    from opteryx_spark.operators.dedup import _track_persist
+
+    # the index is filtered to the query's terms ONCE and persisted (tiny:
+    # |matching postings|); dfreq and the scoring join both read the cache
+    # instead of each re-scanning the full index.  Released via
+    # dedup.release_text_group_caches().
+    filtered = _track_persist(
         index.join(F.broadcast(qterms.select("term").distinct()), "term")
-        .groupBy("term")
-        .agg(F.count(F.lit(1)).alias("_df"))
     )
+    dfreq = filtered.groupBy("term").agg(F.count(F.lit(1)).alias("_df"))
     idf = dfreq.crossJoin(F.broadcast(stats)).select(
         "term",
         F.floor(
@@ -316,7 +333,7 @@ def bm25_search(
 
     wq = Window.partitionBy("query_id").orderBy(F.col("bm25").desc(), F.col(id_col).asc())
     return (
-        index.join(F.broadcast(qterms), "term")
+        filtered.join(F.broadcast(qterms), "term")
         .join(F.broadcast(idf), "term")
         .select("query_id", id_col, F.floor(partial * F.lit(_FP) + F.lit(0.5)).alias("_p"))
         .groupBy("query_id", id_col)

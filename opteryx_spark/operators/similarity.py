@@ -473,13 +473,21 @@ def random_projection(
     component is one sequential-fold dot (:func:`_dot` determinism), zero
     shuffle, whole-stage codegen.
     """
+    dim_probe = df.select(F.size(vec_col).alias("d")).filter(F.col("d") > 0).first()
+    in_dim = int(dim_probe["d"]) if dim_probe is not None else None
     if planes is None:
-        dim_probe = df.select(F.size(vec_col).alias("d")).filter(F.col("d") > 0).first()
-        if dim_probe is None:
+        if in_dim is None:
             raise ValueError("cannot infer input dim from an all-NULL vector column")
-        planes = random_hyperplanes(int(dim_probe["d"]), out_dim, seed)
+        planes = random_hyperplanes(in_dim, out_dim, seed)
     if len(planes) != out_dim:
         raise ValueError("planes must have out_dim rows")
+    widths = {len(row) for row in planes}
+    # a width mismatch would otherwise NULL-pad inside zip_with and return
+    # all-NULL components with no error — indistinguishable from NULL input
+    if len(widths) != 1 or (in_dim is not None and widths != {in_dim}):
+        raise ValueError(
+            f"plane width(s) {sorted(widths)} do not match the vector dim {in_dim}"
+        )
     import math as _math
 
     scale = F.lit(1.0 / _math.sqrt(float(out_dim)))

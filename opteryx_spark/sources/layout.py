@@ -90,11 +90,14 @@ def write_clustered(
         )
         out = df.crossJoin(F.broadcast(bounds))
         top = (1 << 16) - 1
+        # scale in DOUBLE: (x - lo) * 65535 in BIGINT wraps once the
+        # column range exceeds ~1.4e14 (epoch-micros spans do), silently
+        # destroying the clustering; double bucketing stays monotonic
         scaled = [
             F.floor(
-                (F.col(c).cast("long") - F.col(f"_lo{j}"))
-                * F.lit(top)
-                / F.greatest(F.lit(1), F.col(f"_hi{j}") - F.col(f"_lo{j}"))
+                (F.col(c).cast("long") - F.col(f"_lo{j}")).cast("double")
+                * F.lit(float(top))
+                / F.greatest(F.lit(1), F.col(f"_hi{j}") - F.col(f"_lo{j}")).cast("double")
             ).cast("long")
             for j, c in enumerate(zorder_by)
         ]
@@ -105,11 +108,16 @@ def write_clustered(
             *[f"_lo{j}" for j in range(len(zorder_by))],
             *[f"_hi{j}" for j in range(len(zorder_by))],
         )
+        # the hive key LEADS the range distribution so each directory is
+        # written by the tasks owning it (z-ranges alone are orthogonal to
+        # the hive key: every task would hold every partition value and
+        # partitionBy would fragment tasks x partitions)
+        range_cols = [F.col(c) for c in (partition_by or [])] + [F.col("_z")]
         if num_files:
-            out = out.repartitionByRange(int(num_files), "_z")
+            out = out.repartitionByRange(int(num_files), *range_cols)
         else:
-            out = out.repartitionByRange("_z")
-        out = out.sortWithinPartitions("_z").drop("_z")
+            out = out.repartitionByRange(*range_cols)
+        out = out.sortWithinPartitions(*range_cols).drop("_z")
         writer = out.write.mode(mode)
         if partition_by:
             writer = writer.partitionBy(*partition_by)
@@ -119,7 +127,11 @@ def write_clustered(
         # partition key first: each hive dir written by the tasks owning
         # its key; cluster key second: sorted runs within each file
         cols = [F.col(c) for c in list(partition_by) + list(cluster_by)]
-        out = out.repartitionByRange(*cols).sortWithinPartitions(*cols)
+        if num_files:
+            out = out.repartitionByRange(int(num_files), *cols)
+        else:
+            out = out.repartitionByRange(*cols)
+        out = out.sortWithinPartitions(*cols)
     elif cluster_by:
         cols = [F.col(c) for c in cluster_by]
         if num_files:

@@ -474,20 +474,27 @@ def minhash_dedup_stream(
     bands: int = 16,
     k: int = 2,
     max_bucket: int = 1000,
+    portable_hash: bool = False,
 ) -> DataFrame:
-    """Streaming twin of ``operators/dedup.minhash_dedup_against_index``
-    (portable hash): flag streamed documents near-duplicating the indexed
-    corpus, with NO streaming state.
+    """Streaming twin of ``operators/dedup.minhash_dedup_against_index``:
+    flag streamed documents near-duplicating the indexed corpus, with NO
+    streaming state.
 
     Per row (all row-local column expressions, append-compatible): the
     minhash signature is the same one-fold array aggregate the batch
-    operator uses; the 16 banded bucket keys probe a broadcast MAP built
+    operator uses; the banded bucket keys probe a broadcast MAP built
     from the static :func:`~opteryx_spark.operators.dedup.minhash_index`
     artifact (bucket key → candidate (corpus_id, sig) list, hot buckets
     beyond ``max_bucket`` dropped whole, as in batch); est-Jaccard
     refinement and best-match selection (max est, min id — realized as
     ``array_sort`` over (1−est, id) structs, the row-local mirror of the
     batch ``min(struct)``) happen inside the row.
+
+    ``num_hashes``/``bands``/``k``/``portable_hash`` MUST match the values
+    the index was built with — the default (xxhash64) matches
+    ``minhash_index``'s default; a family mismatch cannot be detected
+    from the artifact (signatures carry no provenance) and would silently
+    match nothing.
 
     Same membership-structure caveat as :func:`decontaminate_stream`: the
     collapsed index must fit the broadcast; at corpus scales beyond that,
@@ -497,10 +504,12 @@ def minhash_dedup_stream(
     from opteryx_spark.operators.dedup import (
         _PORTABLE_MOD,
         _PORTABLE_P,
+        _perm_params,
         _portable_hash_expr,
         _portable_perm_params,
+        _signed64,
     )
-    from opteryx_spark.operators.text import shingles
+    from opteryx_spark.operators.text import _let, shingles
 
     rows = num_hashes // bands
     long_max = (1 << 63) - 1
@@ -521,25 +530,47 @@ def minhash_dedup_stream(
     )
 
     # --- per-row signature + band keys (same arithmetic as batch) ------------
-    perms = F.array(
-        *[
-            F.struct(F.lit(a).alias("a"), F.lit(b).alias("b"))
-            for a, b in _portable_perm_params(num_hashes)
-        ]
-    )
-    harr = F.transform(shingles(text_col, k), _portable_hash_expr)
-    step = lambda acc, h: F.zip_with(  # noqa: E731
-        acc, perms, lambda m, p: F.least(m, (h * p["a"] + p["b"]) % F.lit(_PORTABLE_MOD))
-    )
-    sig = F.aggregate(harr, F.array_repeat(F.lit(long_max).cast("long"), num_hashes), step)
+    if portable_hash:
+        perms = F.array(
+            *[
+                F.struct(F.lit(a).alias("a"), F.lit(b).alias("b"))
+                for a, b in _portable_perm_params(num_hashes)
+            ]
+        )
+        harr = F.transform(shingles(text_col, k), _portable_hash_expr)
+        step = lambda acc, h: F.zip_with(  # noqa: E731
+            acc, perms, lambda m, p: F.least(m, (h * p["a"] + p["b"]) % F.lit(_PORTABLE_MOD))
+        )
 
-    def _band_key(i: int, s):
-        bh = F.lit(0).cast("long")
-        for j in range(rows):
-            bh = (bh * F.lit(_PORTABLE_P) + F.element_at(s, i * rows + j + 1)) % F.lit(
-                _PORTABLE_MOD
+        def _band_key(i: int, s):
+            bh = F.lit(0).cast("long")
+            for j in range(rows):
+                bh = (
+                    bh * F.lit(_PORTABLE_P) + F.element_at(s, i * rows + j + 1)
+                ) % F.lit(_PORTABLE_MOD)
+            return F.concat_ws(":", F.lit(i), bh)
+
+    else:
+        perms = F.array(
+            *[
+                F.struct(F.lit(_signed64(a)).alias("a"), F.lit(_signed64(b)).alias("b"))
+                for a, b in _perm_params(num_hashes)
+            ]
+        )
+        harr = F.transform(shingles(text_col, k), lambda x: F.xxhash64(x))
+        # wrapping 64-bit permutation, exactly as minhash_signatures
+        step = lambda acc, h: F.zip_with(  # noqa: E731
+            acc, perms, lambda m, p: F.least(m, h * p["a"] + p["b"])
+        )
+
+        def _band_key(i: int, s):
+            return F.concat_ws(
+                ":",
+                F.lit(i),
+                F.xxhash64(*[F.element_at(s, i * rows + j + 1) for j in range(rows)]),
             )
-        return F.concat_ws(":", F.lit(i), bh)
+
+    sig = F.aggregate(harr, F.array_repeat(F.lit(long_max).cast("long"), num_hashes), step)
 
     with_sig = docs.crossJoin(idx_row).withColumn("_sig", sig)
     # docs with no shingles (NULL/short text) have no index presence either
@@ -551,18 +582,22 @@ def minhash_dedup_stream(
         ),
     ).otherwise(F.array().cast("array<struct<corpus_id:long,sig:array<bigint>>>"))
 
-    est_of = lambda c: (  # noqa: E731
-        F.size(
-            F.filter(F.zip_with(F.col("_sig"), c["sig"], lambda x, y: x == y), lambda m: m)
-        ).cast("double")
-        / F.lit(float(num_hashes))
-    )
+    # est computed ONCE per candidate (Catalyst does not CSE across struct
+    # fields inside higher-order lambdas — the text._let pitfall)
     scored = F.transform(
         cands,
-        lambda c: F.struct(
-            (F.lit(1.0) - est_of(c)).alias("inv"),
-            c["corpus_id"].alias("cid"),
-            est_of(c).alias("est"),
+        lambda c: _let(
+            F.size(
+                F.filter(
+                    F.zip_with(F.col("_sig"), c["sig"], lambda x, y: x == y), lambda m: m
+                )
+            ).cast("double")
+            / F.lit(float(num_hashes)),
+            lambda est: F.struct(
+                (F.lit(1.0) - est).alias("inv"),
+                c["corpus_id"].alias("cid"),
+                est.alias("est"),
+            ),
         ),
     )
     qual = F.filter(scored, lambda s: s["est"] >= F.lit(float(threshold)))

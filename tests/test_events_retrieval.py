@@ -356,3 +356,20 @@ def test_random_projection_jl_property(spark):
     d_in = np.sum((vecs[0] - vecs[1]) ** 2)
     d_out = np.sum((proj[0] - proj[1]) ** 2) / var
     assert 0.3 * d_in < d_out < 3.0 * d_in
+
+
+def test_connected_components_raises_on_nonconvergence(spark):
+    """A chain longer than max_iter hops must fail loudly, never return
+    stale labels (which would mean several keepers in one cluster)."""
+    import pytest
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(8)], "id1 long, id2 long"
+    )
+    # converges fine with enough rounds...
+    labels = {r.node: r.comp for r in dedup.connected_components(chain).collect()}
+    assert set(labels.values()) == {0}
+    # ...and raises rather than lying when the budget is too small
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup.connected_components(chain, max_iter=2)
+    dedup.release_text_group_caches()

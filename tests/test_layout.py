@@ -129,3 +129,49 @@ def test_compact_dataset_bounds_file_count(spark, sf_dir, tmp_path_factory):
     n_out = len([f for f in os.listdir(dst) if f.endswith(".parquet")])
     assert n_out <= 4
     assert spark.read.parquet(dst).count() == n
+
+
+def test_zorder_survives_epoch_micros_ranges(spark, sf_dir, tmp_path_factory):
+    """Regression: (x - lo) * 65535 in BIGINT wraps for ranges beyond
+    ~1.4e14 (epoch-micros spans) — the scaling must bucket in double and
+    still produce a clustered layout."""
+    out = str(tmp_path_factory.mktemp("oxs_layout_zwide"))
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .withColumn("ts_us", F.unix_micros(F.col("ts").cast("timestamp")))
+        .select("event_id", "user_id", "ts_us")
+    )
+    span = ev.agg(F.max("ts_us") - F.min("ts_us")).first()[0]
+    assert span > 0
+    layout.write_clustered(ev, out, zorder_by=["ts_us", "user_id"], num_files=8)
+    rep = [r for r in layout.layout_report(spark, out, "ts_us") if r["rows"]]
+    probe = rep[0]["min"]
+    hits = [r for r in rep if r["min"] <= probe <= r["max"]]
+    assert len(hits) <= max(2, len(rep) // 2)  # clustered, not shredded
+    assert spark.read.parquet(out).count() == ev.count()
+
+
+def test_zorder_with_partition_by_bounds_fragments(spark, sf_dir, tmp_path_factory):
+    """Regression: the hive key must LEAD the z-range distribution, or
+    partitionBy writes tasks x partitions fragments."""
+    out = str(tmp_path_factory.mktemp("oxs_layout_zpart"))
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .withColumn("minute_of_day", F.hour("ts") * 60 + F.minute("ts"))
+        .select("event_id", "user_id", "minute_of_day", "event_type")
+    )
+    layout.write_clustered(
+        ev, out, partition_by=["event_type"], zorder_by=["user_id", "minute_of_day"],
+        num_files=8,
+    )
+    n_types = ev.select("event_type").distinct().count()
+    total_files = sum(
+        1
+        for d in os.listdir(out)
+        if d.startswith("event_type=")
+        for f in os.listdir(os.path.join(out, d))
+        if f.endswith(".parquet")
+    )
+    # bounded by the range-partition count (8), never tasks x partitions
+    assert total_files <= 8 + n_types
+    assert spark.read.parquet(out).count() == ev.count()

@@ -473,8 +473,29 @@ def test_minhash_dedup_stream_matches_batch(spark, sf_dir, tmp_path_factory):
     )
     corpus = docs.filter(F.col("doc_id") < 250)
     new = docs.filter(F.col("doc_id") >= 250)
-    idx = D.minhash_index(corpus, portable_hash=True)
 
+    # both hash families: the default (xxhash64) must pair with a
+    # default-built index, the portable one with a portable index
+    for portable in (False, True):
+        idx_f = D.minhash_index(corpus, portable_hash=portable)
+        want_f = {
+            (r.doc_id, r.best_match_id, r.est_jaccard, r.in_corpus_near_dup)
+            for r in D.minhash_dedup_against_index(
+                new, idx_f, threshold=0.5, portable_hash=portable
+            ).select("doc_id", "best_match_id", "est_jaccard", "in_corpus_near_dup").collect()
+        }
+        assert any(f for (_, _, _, f) in want_f), "fixture lost its near-dups"
+        got_f = {
+            (r.doc_id, r.best_match_id, r.est_jaccard, r.in_corpus_near_dup)
+            for r in streaming.minhash_dedup_stream(
+                new, idx_f, threshold=0.5, portable_hash=portable
+            )
+            .select("doc_id", "best_match_id", "est_jaccard", "in_corpus_near_dup")
+            .collect()
+        }
+        assert got_f == want_f, f"portable={portable}"
+
+    idx = D.minhash_index(corpus, portable_hash=True)
     want = {
         (r.doc_id, r.best_match_id, r.est_jaccard, r.in_corpus_near_dup)
         for r in D.minhash_dedup_against_index(
@@ -482,22 +503,15 @@ def test_minhash_dedup_stream_matches_batch(spark, sf_dir, tmp_path_factory):
         ).select("doc_id", "best_match_id", "est_jaccard", "in_corpus_near_dup").collect()
     }
 
-    # the same row-local expressions run identically on a batch frame...
-    got_batch = {
-        (r.doc_id, r.best_match_id, r.est_jaccard, r.in_corpus_near_dup)
-        for r in streaming.minhash_dedup_stream(new, idx, threshold=0.5)
-        .select("doc_id", "best_match_id", "est_jaccard", "in_corpus_near_dup")
-        .collect()
-    }
-    assert got_batch == want
-
-    # ...and drained as a real stream (availableNow) they match exactly too
+    # drained as a real stream (availableNow) the rows match exactly too
     src = str(tmp_path_factory.mktemp("oxs_mhstream_src"))
     out = str(tmp_path_factory.mktemp("oxs_mhstream_out"))
     ckpt = str(tmp_path_factory.mktemp("oxs_mhstream_ckpt"))
     new.write.mode("overwrite").parquet(src)
     stream = spark.readStream.schema(new.schema).parquet(src)
-    flagged = streaming.minhash_dedup_stream(stream, idx, threshold=0.5).select(
+    flagged = streaming.minhash_dedup_stream(
+        stream, idx, threshold=0.5, portable_hash=True
+    ).select(
         "doc_id", "best_match_id", "est_jaccard", "in_corpus_near_dup"
     )
     streaming.run_stream_once(flagged, out, ckpt)
