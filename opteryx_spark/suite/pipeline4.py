@@ -552,3 +552,62 @@ def emb_random_projection(spark, sf_dir):
     return similarity.random_projection(
         emb, out_dim=16, planes=_det_planes(4, 4, 64)
     ).orderBy("vec_id", "dim")
+
+
+# --- portable HyperLogLog (value-verifiable sketch) -----------------------------
+
+
+@register(
+    "agg_hll_portable",
+    oracle="""
+    WITH h0 AS (
+      SELECT CAST(o_custkey AS BIGINT) % 4294967296 AS h
+      FROM orders WHERE o_custkey IS NOT NULL
+    ), h1 AS (
+      SELECT (xor(h >> 16, h) * 73244475) % 4294967296 AS h FROM h0
+    ), h2 AS (
+      SELECT (xor(h >> 16, h) * 73244475) % 4294967296 AS h FROM h1
+    ), h AS (
+      SELECT xor(h >> 16, h) AS h FROM h2
+    ), br AS (
+      SELECT h // 1048576 AS b, h % 1048576 AS w FROM h
+    ), regs AS (
+      SELECT b, MAX(CASE WHEN w = 0 THEN 21
+                         ELSE 20 - length(bin(w)) + 1 END) AS mj
+      FROM br GROUP BY b
+    ), s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS present,
+             CAST(SUM(CAST(POWER(2.0, 21 - mj) AS BIGINT)) AS BIGINT)
+               AS sum_present
+      FROM regs
+    ), x AS (
+      SELECT CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS exact FROM orders
+    )
+    SELECT CAST(4096 AS BIGINT) AS m,
+           CAST(4096 - present AS BIGINT) AS n_zero_registers,
+           CAST(sum_present + (4096 - present) * 2097152 AS BIGINT) AS sum_scaled,
+           CAST(FLOOR((CASE
+             WHEN ((0.7213 / (1.0 + 1.079 / 4096.0)) * 4096.0) * 4096.0
+                    / (CAST(sum_present + (4096 - present) * 2097152 AS DOUBLE)
+                       / 2097152.0) <= 10240.0
+                  AND 4096 - present > 0
+             THEN 4096.0 * LN(4096.0 / CAST(4096 - present AS DOUBLE))
+             ELSE ((0.7213 / (1.0 + 1.079 / 4096.0)) * 4096.0) * 4096.0
+                    / (CAST(sum_present + (4096 - present) * 2097152 AS DOUBLE)
+                       / 2097152.0)
+             END) * 1000.0 + 0.5) AS BIGINT) AS estimate_milli,
+           exact
+    FROM s, x
+    """,
+)
+def agg_hll_portable(spark, sf_dir):
+    """HyperLogLog with a portable hash, every stage value-verified
+    (``operators/profile.py::hll_estimate_portable``): Knuth-mix 32-bit
+    hash, top-12-bit buckets, ρ via binary length (no floats), EXACT
+    scaled harmonic sum in BIGINT, millinat-floored estimate with the
+    linear-counting branch.  The oracled counterpart of the rows-only
+    ``agg_approx_sketches`` (whose xxhash internals no SQL can replay)."""
+    from opteryx_spark.operators import profile
+
+    orders = t(spark, sf_dir, "orders")
+    return profile.hll_estimate_portable(orders, "o_custkey", p=12)

@@ -373,3 +373,16 @@ def test_connected_components_raises_on_nonconvergence(spark):
     with pytest.raises(RuntimeError, match="did not converge"):
         dedup.connected_components(chain, max_iter=2)
     dedup.release_text_group_caches()
+
+
+def test_hll_portable_error_bound(spark, sf_dir):
+    """The portable HLL lands within the ~1.04/sqrt(m) HLL bound (with
+    slack) on two different key columns."""
+    from opteryx_spark.catalog import load_table
+    from opteryx_spark.operators import profile
+
+    for table, col in (("orders", "o_custkey"), ("lineitem", "l_partkey")):
+        r = profile.hll_estimate_portable(load_table(spark, sf_dir, table), col).first()
+        est = r.estimate_milli / 1000.0
+        assert abs(est - r.exact) / r.exact < 0.05, (table, col, est, r.exact)
+        assert r.m == 4096 and r.sum_scaled > 0
