@@ -162,3 +162,62 @@ def hll_estimate_portable(
         .withColumn("estimate_milli", F.floor(est * F.lit(1000.0) + F.lit(0.5)))
         .select("m", "n_zero_registers", "sum_scaled", "estimate_milli", "exact")
     )
+
+
+def quantile_histogram(
+    df,
+    col: str,
+    quantiles: list[float] | None = None,
+    bins: int = 1024,
+):
+    """Deterministic, MERGEABLE approximate quantiles via a fixed-width
+    histogram: one bounds pass, one bin-count aggregate, linear
+    interpolation inside the target bin.
+
+    The 100 TB alternative to an exact percentile (global sort) when the
+    randomized sketches (`percentile_approx`'s KLL) can't be
+    value-verified: bin counts are plain BIGINTs that ADD across
+    partitions/days/streams, and every arithmetic step is deterministic
+    IEEE, so the whole estimator is oracle-able.  Error is bounded by the
+    bin width (range/bins) — tight for roughly uniform spreads, degrading
+    on heavy skew (use more bins or log-scale the column first).
+
+    Returns ``(q, est)`` per requested quantile.  NULLs are excluded (the
+    percentile convention).
+    """
+    from pyspark.sql import Window, functions as F
+
+    quantiles = quantiles or [0.5, 0.95, 0.99]
+    spark = df.sparkSession
+    bounds = df.agg(
+        F.min(col).cast("double").alias("_lo"),
+        F.max(col).cast("double").alias("_hi"),
+        F.count(F.col(col)).alias("_n"),
+    )
+    x = F.col(col).cast("double")
+    bin_ = F.least(
+        F.lit(bins - 1),
+        F.floor((x - F.col("_lo")) * F.lit(float(bins)) / (F.col("_hi") - F.col("_lo"))),
+    ).cast("long")
+    cnt = (
+        df.filter(F.col(col).isNotNull())
+        .crossJoin(F.broadcast(bounds))
+        .select(bin_.alias("_bin"))
+        .groupBy("_bin")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    cum = cnt.withColumn(
+        "_cum", F.sum("_c").over(Window.orderBy("_bin").rowsBetween(Window.unboundedPreceding, 0))
+    )
+    qdf = spark.createDataFrame([(float(q),) for q in quantiles], "q double")
+    t = F.col("q") * F.col("_n").cast("double")
+    sel = (
+        cum.crossJoin(F.broadcast(qdf))
+        .crossJoin(F.broadcast(bounds))
+        .filter((F.col("_cum").cast("double") >= t) & ((F.col("_cum") - F.col("_c")).cast("double") < t))
+    )
+    est = F.col("_lo") + (F.col("_hi") - F.col("_lo")) / F.lit(float(bins)) * (
+        F.col("_bin").cast("double")
+        + (t - (F.col("_cum") - F.col("_c")).cast("double")) / F.col("_c").cast("double")
+    )
+    return sel.select("q", est.alias("est")).orderBy("q")

@@ -609,3 +609,58 @@ def minhash_dedup_stream(
         .withColumn("in_corpus_near_dup", F.col("best_match_id").isNotNull())
         .drop("_idx", "_sig", "_best")
     )
+
+
+def hll_registers_stream(
+    rows: DataFrame,
+    col: str,
+    p: int = 12,
+) -> DataFrame:
+    """Streaming HyperLogLog: maintain the register table of
+    ``operators/profile.hll_estimate_portable`` over an unbounded stream
+    with ``applyInPandasWithState`` — state is EXACTLY ``2^p`` counters
+    (one max-ρ per bucket), the textbook bounded-state sketch, so the
+    distinct-count estimate never re-reads history.
+
+    Emits ``(bucket, mj)`` whenever a bucket's max-ρ increases
+    (append-compatible); the CURRENT register table is the per-bucket MAX
+    of everything emitted, and feeding it through the same harmonic-sum
+    arithmetic yields the batch-identical estimate (equivalence test).
+    Same hash, same ρ — a register table built by the stream and one
+    built by the batch operator are interchangeable/mergeable.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    wbits = 32 - p
+    mod32 = F.lit(4294967296)
+    h = F.col(col).cast("long") % mod32
+    for _ in range(2):
+        h = ((F.shiftright(h, 16).bitwiseXOR(h)) * F.lit(0x45D9F3B)) % mod32
+    h = F.shiftright(h, 16).bitwiseXOR(h)
+    bucket = F.shiftright(h, wbits)
+    w = h % F.lit(1 << wbits)
+    rho = F.when(w == 0, F.lit(wbits + 1)).otherwise(
+        F.lit(wbits) - F.length(F.bin(w)) + F.lit(1)
+    )
+    hashed = rows.select(bucket.alias("bucket"), rho.alias("rho")).filter(
+        F.col("bucket").isNotNull()
+    )
+
+    def bump(key, pdf_iter, state: GroupState):
+        (cur,) = state.get if state.exists else (0,)
+        mx = cur
+        for pdf in pdf_iter:
+            if len(pdf):
+                mx = max(mx, int(pdf["rho"].max()))
+        if mx > cur:
+            state.update((mx,))
+            yield pd.DataFrame({"bucket": [key[0]], "mj": [mx]})
+
+    return hashed.groupBy("bucket").applyInPandasWithState(
+        bump,
+        outputStructType="bucket long, mj long",
+        stateStructType="mj long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -611,3 +611,44 @@ def agg_hll_portable(spark, sf_dir):
 
     orders = t(spark, sf_dir, "orders")
     return profile.hll_estimate_portable(orders, "o_custkey", p=12)
+
+
+@register(
+    "agg_quantile_histogram",
+    oracle="""
+    WITH b AS (
+      SELECT CAST(MIN(l_extendedprice) AS DOUBLE) AS lo,
+             CAST(MAX(l_extendedprice) AS DOUBLE) AS hi,
+             CAST(COUNT(l_extendedprice) AS BIGINT) AS n
+      FROM lineitem
+    ), binned AS (
+      SELECT LEAST(1023, CAST(FLOOR((CAST(l_extendedprice AS DOUBLE) - lo)
+               * 1024.0 / (hi - lo)) AS BIGINT)) AS bin
+      FROM lineitem, b WHERE l_extendedprice IS NOT NULL
+    ), cnt AS (
+      SELECT bin, CAST(COUNT(*) AS BIGINT) AS c FROM binned GROUP BY bin
+    ), cum AS (
+      SELECT bin, c, CAST(SUM(c) OVER (ORDER BY bin
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+      FROM cnt
+    ), q(q) AS (VALUES (0.5), (0.95), (0.99))
+    SELECT q,
+           lo + (hi - lo) / 1024.0 * (CAST(bin AS DOUBLE)
+             + (q * CAST(n AS DOUBLE) - CAST(cum - c AS DOUBLE))
+               / CAST(c AS DOUBLE)) AS est
+    FROM q, cum, b
+    WHERE CAST(cum AS DOUBLE) >= q * CAST(n AS DOUBLE)
+      AND CAST(cum - c AS DOUBLE) < q * CAST(n AS DOUBLE)
+    ORDER BY q
+    """,
+)
+def agg_quantile_histogram(spark, sf_dir):
+    """Deterministic mergeable quantile estimator
+    (``operators/profile.py::quantile_histogram``): fixed-width bin
+    counts (BIGINTs that add across partitions/streams) + in-bin linear
+    interpolation — the value-verifiable counterpart of the KLL-based
+    ``percentile_approx`` in ``agg_approx_sketches``."""
+    from opteryx_spark.operators import profile
+
+    li = t(spark, sf_dir, "lineitem")
+    return profile.quantile_histogram(li, "l_extendedprice")

@@ -386,3 +386,20 @@ def test_hll_portable_error_bound(spark, sf_dir):
         est = r.estimate_milli / 1000.0
         assert abs(est - r.exact) / r.exact < 0.05, (table, col, est, r.exact)
         assert r.m == 4096 and r.sum_scaled > 0
+
+
+def test_quantile_histogram_accuracy(spark, sf_dir):
+    """Histogram quantiles land within one bin width of the exact
+    percentiles."""
+    from opteryx_spark.catalog import load_table
+    from opteryx_spark.operators import profile
+
+    li = load_table(spark, sf_dir, "lineitem")
+    got = {r.q: r.est for r in profile.quantile_histogram(li, "l_extendedprice").collect()}
+    exact = li.agg(
+        F.expr("percentile(l_extendedprice, array(0.5, 0.95, 0.99))").alias("p"),
+        (F.max("l_extendedprice") - F.min("l_extendedprice")).alias("span"),
+    ).first()
+    bin_width = exact.span / 1024.0
+    for q, want in zip((0.5, 0.95, 0.99), exact.p):
+        assert abs(got[q] - want) <= bin_width * 2, (q, got[q], want)

@@ -520,3 +520,35 @@ def test_minhash_dedup_stream_matches_batch(spark, sf_dir, tmp_path_factory):
         for r in spark.read.parquet(out).collect()
     }
     assert got_stream == want
+
+
+def test_hll_registers_stream_matches_batch(spark, sf_dir, tmp_path_factory):
+    """Registers maintained by the stream (bounded 2^p-key state) must
+    reproduce the batch operator's estimate exactly."""
+    from opteryx_spark.catalog import load_table
+    from opteryx_spark.operators import profile
+
+    src = str(tmp_path_factory.mktemp("oxs_hll_src"))
+    out = str(tmp_path_factory.mktemp("oxs_hll_out"))
+    ckpt = str(tmp_path_factory.mktemp("oxs_hll_ckpt"))
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey")
+    orders.write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema(orders.schema).parquet(src)
+    regs = streaming.hll_registers_stream(stream, "o_custkey", p=12)
+    streaming.run_stream_once(regs, out, ckpt)
+
+    streamed = (
+        spark.read.parquet(out).groupBy("bucket").agg(F.max("mj").alias("mj"))
+    )
+    # feed the streamed registers through the same harmonic arithmetic
+    n_present = streamed.count()
+    sum_present = streamed.select(
+        F.sum(F.pow(F.lit(2.0), (F.lit(21) - F.col("mj")).cast("double")).cast("long"))
+    ).first()[0]
+    m = 4096
+    sum_scaled = sum_present + (m - n_present) * (1 << 21)
+
+    want = profile.hll_estimate_portable(orders, "o_custkey", p=12).first()
+    assert n_present == m - want.n_zero_registers
+    assert sum_scaled == want.sum_scaled  # byte-identical registers
