@@ -68,6 +68,8 @@ BENCH_QUERIES = [
     "text_pmi_collocations",
     "events_type_transitions",
     "text_bm25_search_index",
+    "agg_hll_portable",
+    "agg_quantile_histogram",
 ]
 
 
@@ -96,6 +98,8 @@ SF1_QUERIES = [
     "text_quality_features",
     "events_sessionize",
     "text_bm25_scores",
+    "agg_hll_portable",
+    "agg_quantile_histogram",
 ]
 
 

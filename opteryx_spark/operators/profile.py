@@ -221,3 +221,82 @@ def quantile_histogram(
         + (t - (F.col("_cum") - F.col("_c")).cast("double")) / F.col("_c").cast("double")
     )
     return sel.select("q", est.alias("est")).orderBy("q")
+
+
+def hll_estimate_by_group(
+    df,
+    group_cols: list[str],
+    col: str,
+    p: int = 12,
+):
+    """Per-group portable-HLL distinct counts (distinct users per domain,
+    distinct docs per source — the realistic sketch deployment): same
+    hash/ρ/register arithmetic as :func:`hll_estimate_portable`, with the
+    register table keyed by (group, bucket).
+
+    Returns one row per group: ``group_cols…``, ``n_zero_registers``,
+    ``sum_scaled``, ``estimate_milli``, ``exact``.  Scale shape: one
+    (group × ≤2^p)-keyed MAX aggregate with map-side combine, one
+    group-keyed reduce — the exact column never needs a global sort, and
+    per-group registers remain mergeable across days.
+    """
+    from pyspark.sql import functions as F
+
+    m = 1 << p
+    wbits = 32 - p
+    scale_pow = wbits + 1
+    mod32 = F.lit(4294967296)
+    h = F.col(col).cast("long") % mod32
+    for _ in range(2):
+        h = ((F.shiftright(h, 16).bitwiseXOR(h)) * F.lit(0x45D9F3B)) % mod32
+    h = F.shiftright(h, 16).bitwiseXOR(h)
+    bucket = F.shiftright(h, wbits)
+    w = h % F.lit(1 << wbits)
+    rho = F.when(w == 0, F.lit(wbits + 1)).otherwise(
+        F.lit(wbits) - F.length(F.bin(w)) + F.lit(1)
+    )
+    regs = (
+        df.select(*group_cols, bucket.alias("_b"), rho.alias("_r"))
+        .filter(F.col("_b").isNotNull())
+        .groupBy(*group_cols, "_b")
+        .agg(F.max("_r").alias("_mj"))
+    )
+    term = F.pow(F.lit(2.0), (F.lit(scale_pow) - F.col("_mj")).cast("double")).cast("long")
+    alpha = 0.7213 / (1.0 + 1.079 / float(m))
+    summed = regs.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("_present"),
+        F.sum(term).alias("_sum_present"),
+    )
+    exact = df.groupBy(*group_cols).agg(F.count_distinct(F.col(col)).alias("exact"))
+    # null-safe join keys: a NULL group value is a real stratum (events
+    # with a missing type) and must carry its exact count, not lose it to
+    # equi-join NULL semantics
+    cond = None
+    for c in group_cols:
+        clause = summed[c].eqNullSafe(exact[c])
+        cond = clause if cond is None else (cond & clause)
+    out = (
+        summed.join(exact, cond, "left")
+        .select(
+            *[summed[c].alias(c) for c in group_cols],
+            (F.lit(m) - F.col("_present")).cast("long").alias("n_zero_registers"),
+            (
+                F.col("_sum_present")
+                + (F.lit(m) - F.col("_present")) * F.lit(1 << scale_pow)
+            ).alias("sum_scaled"),
+            F.col("exact"),
+        )
+    )
+    est_raw = (
+        F.lit(alpha * float(m) * float(m))
+        / (F.col("sum_scaled").cast("double") / F.lit(float(1 << scale_pow)))
+    )
+    lc = F.lit(float(m)) * F.log(
+        F.lit(float(m)) / F.col("n_zero_registers").cast("double")
+    )
+    est = F.when(
+        (est_raw <= F.lit(2.5 * m)) & (F.col("n_zero_registers") > 0), lc
+    ).otherwise(est_raw)
+    return out.withColumn(
+        "estimate_milli", F.floor(est * F.lit(1000.0) + F.lit(0.5))
+    ).orderBy(*group_cols)

@@ -652,3 +652,58 @@ def agg_quantile_histogram(spark, sf_dir):
 
     li = t(spark, sf_dir, "lineitem")
     return profile.quantile_histogram(li, "l_extendedprice")
+
+
+@register(
+    "agg_hll_by_group",
+    oracle="""
+    WITH h0 AS (
+      SELECT event_type, CAST(user_id AS BIGINT) % 4294967296 AS h, user_id
+      FROM events WHERE user_id IS NOT NULL
+    ), h1 AS (
+      SELECT event_type, (xor(h >> 16, h) * 73244475) % 4294967296 AS h, user_id FROM h0
+    ), h2 AS (
+      SELECT event_type, (xor(h >> 16, h) * 73244475) % 4294967296 AS h, user_id FROM h1
+    ), hh AS (
+      SELECT event_type, xor(h >> 16, h) AS h, user_id FROM h2
+    ), regs AS (
+      SELECT event_type, h // 1048576 AS b,
+             MAX(CASE WHEN h % 1048576 = 0 THEN 21
+                      ELSE 20 - length(bin(h % 1048576)) + 1 END) AS mj
+      FROM hh GROUP BY event_type, b
+    ), s AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS present,
+             CAST(SUM(CAST(POWER(2.0, 21 - mj) AS BIGINT)) AS BIGINT)
+               AS sum_present
+      FROM regs GROUP BY event_type
+    ), x AS (
+      SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact
+      FROM events WHERE user_id IS NOT NULL GROUP BY event_type
+    )
+    SELECT s.event_type,
+           CAST(4096 - present AS BIGINT) AS n_zero_registers,
+           CAST(sum_present + (4096 - present) * 2097152 AS BIGINT) AS sum_scaled,
+           CAST(FLOOR((CASE
+             WHEN ((0.7213 / (1.0 + 1.079 / 4096.0)) * 4096.0) * 4096.0
+                    / (CAST(sum_present + (4096 - present) * 2097152 AS DOUBLE)
+                       / 2097152.0) <= 10240.0
+                  AND 4096 - present > 0
+             THEN 4096.0 * LN(4096.0 / CAST(4096 - present AS DOUBLE))
+             ELSE ((0.7213 / (1.0 + 1.079 / 4096.0)) * 4096.0) * 4096.0
+                    / (CAST(sum_present + (4096 - present) * 2097152 AS DOUBLE)
+                       / 2097152.0)
+             END) * 1000.0 + 0.5) AS BIGINT) AS estimate_milli,
+           exact
+    FROM s LEFT JOIN x ON s.event_type IS NOT DISTINCT FROM x.event_type
+    ORDER BY s.event_type
+    """,
+)
+def agg_hll_by_group(spark, sf_dir):
+    """Per-group portable HLL (``profile.hll_estimate_by_group``):
+    distinct users per event type — the realistic sketch deployment
+    (register tables keyed by group, mergeable across days), value-
+    verified end to end like its global sibling."""
+    from opteryx_spark.operators import profile
+
+    ev = t(spark, sf_dir, "events")
+    return profile.hll_estimate_by_group(ev, ["event_type"], "user_id")
