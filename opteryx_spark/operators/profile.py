@@ -300,3 +300,93 @@ def hll_estimate_by_group(
     return out.withColumn(
         "estimate_milli", F.floor(est * F.lit(1000.0) + F.lit(0.5))
     ).orderBy(*group_cols)
+
+
+def cms_token_counts(
+    df,
+    text_col: str = "text",
+    probe_terms: list[str] | None = None,
+    d: int = 4,
+    w: int = 8192,
+):
+    """Count-min sketch over token occurrences (Cormode & Muthukrishnan
+    2005): ``d`` hash rows × ``w`` counters, estimate = MIN over rows of
+    the probed counter — completing the mergeable-sketch family
+    (:func:`hll_estimate_portable` cardinality, :func:`quantile_histogram`
+    quantiles, this one frequencies).  Counters are BIGINTs that ADD
+    across partitions/days/streams; with the portable polynomial/degski
+    hashes every counter and estimate is value-verifiable.
+
+    Returns one row per probe term: ``term``, ``est`` (BIGINT, ≥ true
+    count — CMS never underestimates), ``exact`` (BIGINT, for auditing —
+    the vocabulary-sized aggregate the sketch replaces at scale).
+
+    Scale shape: one token explode × ``d`` bucket keys (a row-local array
+    explode), one (d × w)-bounded count aggregate with map-side combine;
+    probes touch ``d`` counters each.
+    """
+    from pyspark.sql import functions as F
+
+    from opteryx_spark.operators import text as _text
+    from opteryx_spark.operators.dedup import _portable_hash_expr
+
+    probe_terms = sorted(set(probe_terms or []))
+    if not probe_terms:
+        raise ValueError("probe_terms must be non-empty")
+    spark = df.sparkSession
+    mod32 = F.lit(4294967296)
+
+    def _bucket(hcol, row: int):
+        h = (hcol + F.lit(row) * F.lit(2654435761)) % mod32
+        for _ in range(2):
+            h = ((F.shiftright(h, 16).bitwiseXOR(h)) * F.lit(0x45D9F3B)) % mod32
+        h = F.shiftright(h, 16).bitwiseXOR(h)
+        return h % F.lit(w)
+
+    toks = df.select(F.explode(_text.tokens(text_col)).alias("_tk"))
+    base_h = _portable_hash_expr(F.col("_tk"))
+    cells = toks.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(r).alias("d"), _bucket(base_h, r).alias("b"))
+                    for r in range(d)
+                ]
+            )
+        ).alias("_c")
+    )
+    counters = (
+        cells.select(F.col("_c.d").alias("d"), F.col("_c.b").alias("b"))
+        .groupBy("d", "b")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+    probes = spark.createDataFrame([(t,) for t in probe_terms], "term string")
+    ph = _portable_hash_expr(F.col("term"))
+    probe_cells = probes.select(
+        "term",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(r).alias("d"), _bucket(ph, r).alias("b"))
+                    for r in range(d)
+                ]
+            )
+        ).alias("_c"),
+    ).select("term", F.col("_c.d").alias("d"), F.col("_c.b").alias("b"))
+
+    est = (
+        probe_cells.join(counters, ["d", "b"], "left")
+        .groupBy("term")
+        .agg(F.min(F.coalesce(F.col("n"), F.lit(0))).alias("est"))
+    )
+    exact = (
+        toks.filter(F.col("_tk").isin(probe_terms))
+        .groupBy(F.col("_tk").alias("term"))
+        .agg(F.count(F.lit(1)).alias("exact"))
+    )
+    return (
+        est.join(exact, "term", "left")
+        .select("term", "est", F.coalesce("exact", F.lit(0)).cast("long").alias("exact"))
+        .orderBy("term")
+    )

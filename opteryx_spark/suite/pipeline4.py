@@ -707,3 +707,70 @@ def agg_hll_by_group(spark, sf_dir):
 
     ev = t(spark, sf_dir, "events")
     return profile.hll_estimate_by_group(ev, ["event_type"], "user_id")
+
+
+# --- count-min sketch (frequency estimation) ------------------------------------
+
+_CMS_TERMS = ["join", "query", "vector", "the", "zzz_absent"]
+_O_CMS_PROBES = ", ".join(f"('{t}')" for t in sorted(set(_CMS_TERMS)))
+_O_POLY31 = (
+    "list_reduce(list_prepend(CAST(0 AS BIGINT),"
+    " list_transform(range(1, length({v})+1),"
+    " i -> CAST(ascii({v}[i]) AS BIGINT))),"
+    " (acc, c) -> (acc * 31 + c) % 2147483647)"
+)
+
+
+@register(
+    "agg_cms_token_counts",
+    oracle=f"""
+    WITH tok AS (
+      SELECT unnest({_O_TOKENS}) AS tk FROM documents
+    ), hb AS (
+      SELECT tk, {_O_POLY31.format(v='tk')} AS h0 FROM tok
+    ), c0 AS (
+      SELECT r.range AS d, (h0 + r.range * 2654435761) % 4294967296 AS h
+      FROM hb, range(4) r
+    ), c1 AS (
+      SELECT d, (xor(h >> 16, h) * 73244475) % 4294967296 AS h FROM c0
+    ), c2 AS (
+      SELECT d, (xor(h >> 16, h) * 73244475) % 4294967296 AS h FROM c1
+    ), cells AS (
+      SELECT d, xor(h >> 16, h) % 8192 AS b FROM c2
+    ), counters AS (
+      SELECT d, b, CAST(COUNT(*) AS BIGINT) AS n FROM cells GROUP BY d, b
+    ), probes(term) AS (VALUES {_O_CMS_PROBES}),
+    p0 AS (
+      SELECT term, {_O_POLY31.format(v='term')} AS h0 FROM probes
+    ), q0 AS (
+      SELECT term, r.range AS d, (h0 + r.range * 2654435761) % 4294967296 AS h
+      FROM p0, range(4) r
+    ), q1 AS (
+      SELECT term, d, (xor(h >> 16, h) * 73244475) % 4294967296 AS h FROM q0
+    ), q2 AS (
+      SELECT term, d, (xor(h >> 16, h) * 73244475) % 4294967296 AS h FROM q1
+    ), pcells AS (
+      SELECT term, d, xor(h >> 16, h) % 8192 AS b FROM q2
+    ), est AS (
+      SELECT term, MIN(COALESCE(n, CAST(0 AS BIGINT))) AS est
+      FROM pcells LEFT JOIN counters USING (d, b) GROUP BY term
+    ), ex AS (
+      SELECT tk AS term, CAST(COUNT(*) AS BIGINT) AS exact FROM tok
+      WHERE tk IN (SELECT term FROM probes) GROUP BY tk
+    )
+    SELECT term, CAST(est AS BIGINT) AS est,
+           CAST(COALESCE(exact, 0) AS BIGINT) AS exact
+    FROM est LEFT JOIN ex USING (term) ORDER BY term
+    """,
+)
+def agg_cms_token_counts(spark, sf_dir):
+    """Count-min sketch frequency estimates
+    (``operators/profile.py::cms_token_counts``): 4×8192 BIGINT counters
+    (mergeable by addition), probe estimate = MIN over hash rows — the
+    frequency member of the value-verified sketch family (HLL =
+    cardinality, histogram = quantiles).  Includes an absent probe term
+    (CMS never underestimates; est ≥ exact always)."""
+    from opteryx_spark.operators import profile
+
+    docs = t(spark, sf_dir, "documents")
+    return profile.cms_token_counts(docs, "text", _CMS_TERMS)

@@ -403,3 +403,22 @@ def test_quantile_histogram_accuracy(spark, sf_dir):
     bin_width = exact.span / 1024.0
     for q, want in zip((0.5, 0.95, 0.99), exact.p):
         assert abs(got[q] - want) <= bin_width * 2, (q, got[q], want)
+
+
+def test_cms_overestimates_only(spark):
+    """With a tiny counter width collisions are forced: estimates may
+    exceed but never undershoot the true counts; a roomy width recovers
+    exact counts."""
+    from opteryx_spark.operators import profile
+
+    docs = spark.createDataFrame(
+        [(i, "aa bb cc dd ee ff gg hh " * (i + 1)) for i in range(6)] + [(9, None)],
+        "doc_id long, text string",
+    )
+    probes = ["aa", "dd", "hh", "absent"]
+    tight = {r.term: r for r in profile.cms_token_counts(docs, "text", probes, d=2, w=4).collect()}
+    roomy = {r.term: r for r in profile.cms_token_counts(docs, "text", probes, d=4, w=8192).collect()}
+    for t_ in probes:
+        assert tight[t_].est >= tight[t_].exact
+        assert roomy[t_].est == roomy[t_].exact
+    assert roomy["absent"].exact == 0
