@@ -1594,3 +1594,77 @@ def minhash_dedup_against_index(
         .drop("_nid")
         .withColumn("in_corpus_near_dup", F.col("best_match_id").isNotNull())
     )
+
+
+def _bloom_pos_exprs(h0, m_bits: int, k: int) -> list:
+    """k bloom positions from a base hash: the degski xorshift-multiply
+    rounds used across the portable sketch family (BIGINT-safe)."""
+    out = []
+    mod32 = F.lit(4294967296)
+    for i in range(k):
+        h = (h0 + F.lit(i) * F.lit(2654435761)) % mod32
+        for _ in range(2):
+            h = ((F.shiftright(h, 16).bitwiseXOR(h)) * F.lit(0x45D9F3B)) % mod32
+        h = F.shiftright(h, 16).bitwiseXOR(h)
+        out.append(h % F.lit(m_bits))
+    return out
+
+
+def bloom_positions(
+    keys: DataFrame,
+    key_col: str,
+    m_bits: int = 1 << 20,
+    k: int = 5,
+) -> DataFrame:
+    """Bloom-filter artifact of a key set as a DISTINCT position table
+    (one row per set bit) — mergeable by UNION, shippable as parquet, and
+    value-verifiable because the hashes are the portable polynomial +
+    degski family.
+
+    The membership structure ``decontaminate_stream`` promises for
+    100 TB: a corpus-scale digest set collapses to ≤ ``m_bits`` rows
+    (125 KB of longs per 2^20 bits) that a prefilter joins or broadcasts,
+    with NO false negatives by construction.
+    """
+    h0 = _portable_hash_expr(F.col(key_col))
+    pos = F.array(*_bloom_pos_exprs(h0, m_bits, k))
+    return (
+        keys.filter(F.col(key_col).isNotNull())
+        .select(F.explode(pos).alias("pos"))
+        .distinct()
+    )
+
+
+def bloom_prefilter(
+    new_docs: DataFrame,
+    positions: DataFrame,
+    key_col: str,
+    m_bits: int = 1 << 20,
+    k: int = 5,
+) -> DataFrame:
+    """Append ``bloom_hit`` to ``new_docs``: True when ALL ``k`` bloom
+    positions of the row's key are present in the ``positions`` artifact
+    (built with IDENTICAL ``m_bits``/``k``).  Guarantees: a key that IS
+    in the indexed set always hits (no false negatives — safe as a
+    dedup/decontamination prefilter); a miss is definitive.  False
+    positives occur at the standard ``(1 - e^{-kn/m})^k`` rate and are
+    resolved by the exact stage the prefilter gates.
+
+    Scale shape: k rows per doc exploded, one position-keyed join
+    (broadcast when the artifact is small, shuffle otherwise — AQE
+    decides), one id-keyed count reduce.  NULL keys miss by contract.
+    """
+    probe = new_docs.select(F.col(key_col).alias("_key")).distinct()
+    pos = F.array(*_bloom_pos_exprs(_portable_hash_expr(F.col("_key")), m_bits, k))
+    hits = (
+        probe.filter(F.col("_key").isNotNull())
+        .select("_key", F.explode(pos).alias("pos"))
+        .join(positions.withColumn("_in", F.lit(True)), "pos", "left")
+        .groupBy("_key")
+        .agg((F.count(F.col("_in")) == F.lit(k)).alias("bloom_hit"))
+    )
+    return (
+        new_docs.join(hits, new_docs[key_col] == hits["_key"], "left")
+        .drop("_key")
+        .withColumn("bloom_hit", F.coalesce("bloom_hit", F.lit(False)))
+    )

@@ -774,3 +774,86 @@ def agg_cms_token_counts(spark, sf_dir):
 
     docs = t(spark, sf_dir, "documents")
     return profile.cms_token_counts(docs, "text", _CMS_TERMS)
+
+
+# --- bloom prefilter (membership structure) -------------------------------------
+
+_O_POLY31_K = "list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(1, length(key)+1), i -> CAST(ascii(key[i]) AS BIGINT))), (acc, c) -> (acc * 31 + c) % 2147483647)"
+_O_NORM_KEY = "md5(trim(regexp_replace(lower(text), '[ \\t\\r\\n]+', ' ', 'g')))"
+
+
+@register(
+    "dedup_bloom_prefilter",
+    oracle=f"""
+    WITH key AS (
+      SELECT doc_id,
+             CASE WHEN text IS NOT NULL THEN {_O_NORM_KEY} END AS key
+      FROM documents
+    ), corpus AS (
+      SELECT DISTINCT key FROM key WHERE doc_id < 250 AND key IS NOT NULL
+    ), cp0 AS (
+      SELECT ({_O_POLY31_K} + r.range * 2654435761) % 4294967296 AS h
+      FROM corpus, range(5) r
+    ), cp1 AS (
+      SELECT (xor(h >> 16, h) * 73244475) % 4294967296 AS h FROM cp0
+    ), cp2 AS (
+      SELECT (xor(h >> 16, h) * 73244475) % 4294967296 AS h FROM cp1
+    ), positions AS (
+      SELECT DISTINCT xor(h >> 16, h) % 65536 AS pos FROM cp2
+    ), newk AS (
+      SELECT doc_id, key FROM key WHERE doc_id >= 250
+    ), np0 AS (
+      SELECT doc_id, ({_O_POLY31_K} + r.range * 2654435761) % 4294967296 AS h
+      FROM newk, range(5) r WHERE key IS NOT NULL
+    ), np1 AS (
+      SELECT doc_id, (xor(h >> 16, h) * 73244475) % 4294967296 AS h FROM np0
+    ), np2 AS (
+      SELECT doc_id, (xor(h >> 16, h) * 73244475) % 4294967296 AS h FROM np1
+    ), npf AS (
+      SELECT doc_id, xor(h >> 16, h) % 65536 AS pos FROM np2
+    ), hit AS (
+      SELECT doc_id, CAST(COUNT(inb) AS BIGINT) = 5 AS bloom_hit
+      FROM npf LEFT JOIN (SELECT pos, TRUE AS inb FROM positions) p USING (pos)
+      GROUP BY doc_id
+    )
+    SELECT n.doc_id, COALESCE(h.bloom_hit, FALSE) AS bloom_hit,
+           (c.key IS NOT NULL) AS exact_dup
+    FROM newk n
+    LEFT JOIN hit h USING (doc_id)
+    LEFT JOIN corpus c ON c.key = n.key
+    ORDER BY n.doc_id
+    """,
+)
+def dedup_bloom_prefilter(spark, sf_dir):
+    """Bloom-filter membership prefilter
+    (``dedup.bloom_positions`` + ``bloom_prefilter``): corpus digests
+    collapse to a distinct-position artifact (mergeable by UNION); each
+    new doc's 5 positions are probed — a miss is DEFINITIVE (no false
+    negatives), a hit gates the exact stage.  The scale form of the
+    broadcast digest set every incremental/decontamination operator uses;
+    ``exact_dup`` rides along so the driver verifies the no-false-negative
+    guarantee row by row."""
+    from opteryx_spark.operators import dedup as D
+    from opteryx_spark.operators import text as T
+
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id", F.md5(T.normalize_text("text")).alias("key")
+    )
+    corpus_keys = (
+        docs.filter((F.col("doc_id") < 250) & F.col("key").isNotNull())
+        .select("key")
+        .distinct()
+    )
+    positions = D.bloom_positions(corpus_keys, "key", m_bits=65536, k=5)
+    newd = docs.filter(F.col("doc_id") >= 250)
+    flagged = D.bloom_prefilter(newd, positions, "key", m_bits=65536, k=5)
+    exact = corpus_keys.withColumn("_dup", F.lit(True))
+    return (
+        flagged.join(exact, "key", "left")
+        .select(
+            "doc_id",
+            "bloom_hit",
+            F.coalesce("_dup", F.lit(False)).alias("exact_dup"),
+        )
+        .orderBy("doc_id")
+    )

@@ -422,3 +422,32 @@ def test_cms_overestimates_only(spark):
         assert tight[t_].est >= tight[t_].exact
         assert roomy[t_].est == roomy[t_].exact
     assert roomy["absent"].exact == 0
+
+
+def test_bloom_prefilter_one_sided(spark):
+    """Tiny filters force false positives, never false negatives; NULL
+    keys miss by contract."""
+    corpus = spark.createDataFrame(
+        [(f"key{i}",) for i in range(50)], "key string"
+    )
+    positions = dedup.bloom_positions(corpus, "key", m_bits=32, k=3)
+    probes = spark.createDataFrame(
+        [(i, f"key{i}") for i in range(40, 80)] + [(99, None)],
+        "doc_id long, key string",
+    )
+    got = {
+        r.doc_id: r.bloom_hit
+        for r in dedup.bloom_prefilter(probes, positions, "key", m_bits=32, k=3).collect()
+    }
+    for i in range(40, 50):
+        assert got[i], "member missed: bloom false negative"
+    assert got[99] is False  # NULL key
+    fp = sum(1 for i in range(50, 80) if got[i])
+    assert fp > 0  # 32 bits x 50 keys: saturated, false positives certain
+    roomy = dedup.bloom_positions(corpus, "key", m_bits=1 << 16, k=5)
+    got2 = {
+        r.doc_id: r.bloom_hit
+        for r in dedup.bloom_prefilter(probes, roomy, "key", m_bits=1 << 16, k=5).collect()
+    }
+    assert all(got2[i] for i in range(40, 50))
+    assert not any(got2[i] for i in range(50, 80))  # roomy: exact here
