@@ -70,6 +70,9 @@ BENCH_QUERIES = [
     "text_bm25_search_index",
     "agg_hll_portable",
     "agg_quantile_histogram",
+    "agg_hll_by_group",
+    "agg_cms_token_counts",
+    "dedup_bloom_prefilter",
 ]
 
 
