@@ -321,9 +321,12 @@ def cms_token_counts(
     count — CMS never underestimates), ``exact`` (BIGINT, for auditing —
     the vocabulary-sized aggregate the sketch replaces at scale).
 
-    Scale shape: one token explode × ``d`` bucket keys (a row-local array
-    explode), one (d × w)-bounded count aggregate with map-side combine;
-    probes touch ``d`` counters each.
+    Scale shape: ONE corpus tokenize pass into a vocab-sized count
+    aggregate (map-side combine), then ``d`` cells per *distinct* token
+    weighted by its count into a (d × w)-bounded SUM — the heavy explode
+    scales with the vocabulary, not with corpus token occurrences; probes
+    touch ``d`` counters each, and the exact audit reuses the persisted
+    vocab aggregate (no second corpus scan).
     """
     from pyspark.sql import functions as F
 
@@ -343,9 +346,21 @@ def cms_token_counts(
         h = F.shiftright(h, 16).bitwiseXOR(h)
         return h % F.lit(w)
 
-    toks = df.select(F.explode(_text.tokens(text_col)).alias("_tk"))
+    from opteryx_spark.operators.dedup import _track_persist
+
+    # vocab-sized token counts FIRST (map-side combine on the only
+    # corpus-wide pass), then fan out d cells per *distinct* token with
+    # the count as a weight — the d× explode touches |vocab| rows, not
+    # |corpus tokens|, and the exact-audit branch reuses the same
+    # persisted aggregate instead of re-tokenizing the corpus.
+    tok_counts = _track_persist(
+        df.select(F.explode(_text.tokens(text_col)).alias("_tk"))
+        .groupBy("_tk")
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
     base_h = _portable_hash_expr(F.col("_tk"))
-    cells = toks.select(
+    cells = tok_counts.select(
+        F.col("_n"),
         F.explode(
             F.array(
                 *[
@@ -353,12 +368,12 @@ def cms_token_counts(
                     for r in range(d)
                 ]
             )
-        ).alias("_c")
+        ).alias("_c"),
     )
     counters = (
-        cells.select(F.col("_c.d").alias("d"), F.col("_c.b").alias("b"))
+        cells.select(F.col("_c.d").alias("d"), F.col("_c.b").alias("b"), "_n")
         .groupBy("d", "b")
-        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.sum("_n").alias("n"))
     )
 
     probes = spark.createDataFrame([(t,) for t in probe_terms], "term string")
@@ -380,10 +395,8 @@ def cms_token_counts(
         .groupBy("term")
         .agg(F.min(F.coalesce(F.col("n"), F.lit(0))).alias("est"))
     )
-    exact = (
-        toks.filter(F.col("_tk").isin(probe_terms))
-        .groupBy(F.col("_tk").alias("term"))
-        .agg(F.count(F.lit(1)).alias("exact"))
+    exact = tok_counts.filter(F.col("_tk").isin(probe_terms)).select(
+        F.col("_tk").alias("term"), F.col("_n").alias("exact")
     )
     return (
         est.join(exact, "term", "left")
