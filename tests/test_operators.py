@@ -1082,3 +1082,41 @@ def test_duplicate_chunk_fraction_semantics(spark):
     assert out[3].n_chunks == 2 and out[3].n_dup_chunks == 0
     assert out[4].n_chunks == 0 and out[4].dup_chunk_frac is None
     assert out[5].n_chunks == 0
+
+
+def test_pagerank_fixed_point_semantics(spark):
+    """Known 4-node graph: dangling mass redistributes, sink out-ranks
+    sources, and ranks are identical under repartitioning (BIGINT
+    truncating arithmetic is order-independent)."""
+    from opteryx_spark.operators import web
+
+    # a->c, b->c, c->d; d dangling
+    edges = spark.createDataFrame(
+        [("a", "c"), ("b", "c"), ("c", "d")], ["src", "dst"]
+    )
+    out = {r.node: r.rank for r in web.pagerank(edges, iterations=1).collect()}
+    # n=4, init = 250_000_000 each; base = (15 * 250M) div 100 = 37_500_000
+    # d dangles: dang_share = 250M div 4 = 62_500_000
+    # inc(c) = 250M + 250M, inc(d) = 250M; inc(a)=inc(b)=0
+    assert out["a"] == out["b"] == 37_500_000 + (85 * 62_500_000) // 100
+    assert out["c"] == 37_500_000 + (85 * (500_000_000 + 62_500_000)) // 100
+    assert out["d"] == 37_500_000 + (85 * (250_000_000 + 62_500_000)) // 100
+    # mass ordering: the 2-in-edge node dominates
+    assert out["c"] > out["d"] > out["a"]
+
+    out8 = {
+        r.node: r.rank
+        for r in web.pagerank(edges.repartition(8), iterations=3).collect()
+    }
+    out1 = {
+        r.node: r.rank
+        for r in web.pagerank(edges.coalesce(1), iterations=3).collect()
+    }
+    assert out8 == out1
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        web.pagerank(edges, iterations=0)
+    with pytest.raises(ValueError):
+        web.pagerank(edges, damping_pct=100)
