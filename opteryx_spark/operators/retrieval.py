@@ -343,3 +343,61 @@ def bm25_search(
         .select("query_id", "rank", id_col, "n_matched", "bm25")
         .orderBy("query_id", "rank")
     )
+
+
+def rrf_fuse(
+    ranked: list[tuple[DataFrame, str, str]],
+    id_col: str = "doc_id",
+    k: int = 10,
+    rrf_k: int = 60,
+    scale: int = 1_000_000_000,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack, Clarke & Buettcher 2009) — the
+    standard hybrid-search combiner: each input system contributes
+    ``scale div (rrf_k + rank)`` per document and the fused score is the
+    BIGINT sum, so ranking quality from incomparable scorers (BM25
+    floats, cosine floats, recency...) combines without calibration.
+    Modern RAG retrieval stacks ship exactly this (lexical + vector →
+    RRF); beyond-reference surface.
+
+    ``ranked``: one ``(df, score_col, id_tiebreak_direction)`` triple per
+    system, where each ``df`` is that system's candidate list (top-k,
+    already truncated) and ranks are assigned here as
+    ``row_number() OVER (ORDER BY score_col DESC, id_col ASC)`` — the
+    deterministic tiebreak every suite top-k uses.  The third element is
+    reserved ("asc" today).
+
+    Fixed-point contributions make the fused score order-independent and
+    bit-reproducible; ties in the fused ranking break on ``id_col``.
+
+    Scale shape: candidate lists are top-k-bounded (hundreds of rows), so
+    the per-system rank window and the final fuse run on frames that are
+    *outputs of* corpus-scale retrieval, never the corpus itself — a
+    single-partition window over ≤ Σk rows is the right plan.  Returns
+    ``id_col``, ``rrf_score`` (BIGINT), ``n_systems``.
+    """
+    if not ranked:
+        raise ValueError("ranked must be non-empty")
+    from pyspark.sql import Window
+
+    contribs = []
+    for df, score_col, _direction in ranked:
+        w = Window.orderBy(F.col(score_col).desc(), F.col(id_col).asc())
+        contribs.append(
+            df.select(id_col, F.row_number().over(w).alias("_r")).select(
+                id_col,
+                F.expr(f"CAST({scale} AS BIGINT) div ({rrf_k} + _r)").alias("_c"),
+            )
+        )
+    allc = contribs[0]
+    for c in contribs[1:]:
+        allc = allc.unionByName(c)
+    return (
+        allc.groupBy(id_col)
+        .agg(
+            F.sum("_c").alias("rrf_score"),
+            F.count(F.lit(1)).alias("n_systems"),
+        )
+        .orderBy(F.col("rrf_score").desc(), F.col(id_col).asc())
+        .limit(k)
+    )

@@ -106,3 +106,62 @@ def web_domain_pagerank(spark, sf_dir):
         .select(F.col("node"), F.col("rank"))
         .orderBy("node")
     )
+
+
+# --- hybrid lexical+vector retrieval (RRF) -----------------------------------
+
+from opteryx_spark.operators import retrieval, similarity  # noqa: E402
+from opteryx_spark.suite.pipeline import _O_DOT, _O_NORM2  # noqa: E402
+from opteryx_spark.suite.pipeline4 import _BM25_TERMS, _O_BM25_BODY  # noqa: E402
+
+_O_COSQ = (
+    _O_DOT.replace("a.embedding", "q.embedding")
+    + f" / (sqrt({_O_NORM2.format(v='q.embedding')})"
+    + f" * sqrt({_O_NORM2.format(v='b.embedding')}))"
+)
+
+
+@register(
+    "text_hybrid_rrf",
+    oracle=_O_BM25_BODY
+    + f"""
+    , lr AS (
+        SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS r
+        FROM (SELECT * FROM scores ORDER BY bm25 DESC, doc_id LIMIT 20))
+    , vq AS (SELECT embedding FROM embeddings WHERE vec_id = 0)
+    , vs AS (
+        SELECT b.vec_id AS doc_id, {_O_COSQ} AS cosim
+        FROM vq q, embeddings b WHERE b.vec_id <> 0)
+    , vr AS (
+        SELECT doc_id, row_number() OVER (ORDER BY cosim DESC, doc_id) AS r
+        FROM (SELECT * FROM vs ORDER BY cosim DESC, doc_id LIMIT 20))
+    , allr AS (SELECT * FROM lr UNION ALL SELECT * FROM vr)
+    SELECT doc_id,
+           CAST(SUM(1000000000 // (60 + r)) AS BIGINT) AS rrf_score,
+           CAST(COUNT(*) AS BIGINT) AS n_systems
+    FROM allr GROUP BY doc_id
+    ORDER BY rrf_score DESC, doc_id LIMIT 10
+    """,
+)
+def text_hybrid_rrf(spark, sf_dir):
+    """Hybrid search: BM25 top-20 (lexical) + exact-cosine top-20 over
+    the aligned embedding table (vector), fused by fixed-point
+    reciprocal-rank fusion (``operators/retrieval.py::rrf_fuse``) — the
+    modern RAG retrieval stack end to end, value-verified.  Each leg is
+    corpus-scale retrieval with a bounded top-k output; the fuse itself
+    touches ≤ 40 rows."""
+    docs = t(spark, sf_dir, "documents")
+    emb = t(spark, sf_dir, "embeddings")
+    lex = retrieval.bm25_topk(docs, _BM25_TERMS, k=20)
+    qvec = [
+        float(v)
+        for v in emb.filter(F.col("vec_id") == 0)
+        .select("embedding")
+        .first()["embedding"]
+    ]
+    vec = similarity.cosine_topk(
+        emb.filter(F.col("vec_id") != 0), qvec, k=20
+    ).withColumnRenamed("vec_id", "doc_id")
+    return retrieval.rrf_fuse(
+        [(lex, "bm25", "asc"), (vec, "cosim", "asc")], id_col="doc_id", k=10
+    )

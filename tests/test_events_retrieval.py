@@ -451,3 +451,33 @@ def test_bloom_prefilter_one_sided(spark):
     }
     assert all(got2[i] for i in range(40, 50))
     assert not any(got2[i] for i in range(50, 80))  # roomy: exact here
+
+
+def test_rrf_fuse_semantics(spark):
+    """Known two-system fusion: contributions are scale div (60+rank),
+    overlap doubles n_systems, fused ties break on id."""
+    import pytest
+
+    from opteryx_spark.operators import retrieval
+
+    s1 = spark.createDataFrame([(1, 9.0), (2, 5.0), (3, 1.0)], ["doc_id", "s"])
+    s2 = spark.createDataFrame([(2, 0.9), (4, 0.8)], ["doc_id", "s"])
+    out = {
+        r.doc_id: (r.rrf_score, r.n_systems)
+        for r in retrieval.rrf_fuse(
+            [(s1, "s", "asc"), (s2, "s", "asc")], k=10
+        ).collect()
+    }
+    c = lambda r: 1_000_000_000 // (60 + r)  # noqa: E731
+    assert out[1] == (c(1), 1)
+    assert out[2] == (c(2) + c(1), 2)  # rank 2 lexically, rank 1 vectorially
+    assert out[3] == (c(3), 1)
+    assert out[4] == (c(2), 1)
+
+    # equal scores: rank assignment breaks ties by id, deterministically
+    tied = spark.createDataFrame([(7, 1.0), (5, 1.0)], ["doc_id", "s"])
+    ranks = retrieval.rrf_fuse([(tied, "s", "asc")], k=2).collect()
+    assert [r.doc_id for r in ranks] == [5, 7]  # id 5 gets rank 1
+
+    with pytest.raises(ValueError):
+        retrieval.rrf_fuse([])
