@@ -505,3 +505,119 @@ def random_projection(
     return df.select(F.col(id_col), F.explode(comps).alias("_c")).select(
         id_col, F.col("_c.dim").alias("dim"), F.col("_c.component").alias("component")
     )
+
+
+def kmeans_portable(
+    df: DataFrame,
+    k: int = 4,
+    iterations: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+    qscale: int = 1000,
+) -> tuple[DataFrame, list[list[int]]]:
+    """Value-verifiable distributed Lloyd k-means over quantized
+    embeddings — the clustering step semantic-dedup (SemDeDup) and IVF
+    coarse quantizers are built on, made bit-reproducible so an external
+    oracle can confirm every assignment.  (:func:`ivf_index` keeps the
+    MLlib float path for throughput; this is the portable twin.)
+
+    Determinism: components are quantized once to milli-units
+    (``floor(v·qscale)`` — identical IEEE mult+floor everywhere);
+    distances and centroid sums are BIGINT, division is truncating, so
+    results are independent of partitioning and engine.  Seeds are the
+    ``k`` vectors with the smallest ``(md5(id), id)`` — the engine's
+    standard deterministic pseudo-random order (``filtering.quota_order``)
+    — numbered 0..k-1 in that order.  Ties in assignment break toward the
+    lower cluster index; a cluster that loses all members keeps its
+    previous centroid.
+
+    Scale shape: per iteration, assignment is a map-only expression over
+    the corpus (k distance folds per row, whole-stage codegen); the
+    update is ONE groupBy(cluster) with ``dim`` partial-aggregating SUMs
+    (map-side combine, no explode); only the k centroid rows ever reach
+    the driver (the same bounded probe :func:`ivf_topk` documents).
+    Lineage is re-rooted each round via the collected literals, so deep
+    iteration counts never grow the plan.
+
+    Returns ``(assignments, centroids)``: assignments =
+    ``(id_col, cluster BIGINT, dist2 BIGINT)`` under the FINAL centroids;
+    centroids = k lists of quantized ints.
+    """
+    if k < 1 or iterations < 0:
+        raise ValueError("k >= 1 and iterations >= 0 required")
+    data = df.filter(F.col(vec_col).isNotNull())
+    if dim is None:
+        probe = data.select(F.size(vec_col).alias("_d")).first()
+        if probe is None:
+            raise ValueError("no non-null vectors to cluster")
+        dim = probe["_d"]
+    qv = F.transform(
+        F.col(vec_col), lambda x: F.floor(x.cast("double") * F.lit(float(qscale)))
+    )
+    base = data.select(F.col(id_col), qv.alias("_qv"))
+
+    seed_rows = (
+        base.orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+        .limit(k)
+        .select("_qv")
+        .collect()
+    )
+    cents = [[int(x) for x in r["_qv"]] for r in seed_rows]
+    if len(cents) < k:
+        raise ValueError(f"need >= {k} vectors, found {len(cents)}")
+
+    def _assign(frame, centroids):
+        dists = [
+            F.aggregate(
+                F.zip_with(
+                    F.col("_qv"),
+                    F.array(*[F.lit(int(c)).cast("long") for c in centroids[j]]),
+                    lambda a, b: (a - b) * (a - b),
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).alias(f"_d{j}")
+            for j in range(k)
+        ]
+        best = F.array_min(
+            F.array(
+                *[
+                    F.struct(
+                        F.col(f"_d{j}").alias("d"),
+                        F.lit(j).cast("long").alias("j"),
+                    )
+                    for j in range(k)
+                ]
+            )
+        )
+        return (
+            frame.select(F.col(id_col), F.col("_qv"), *dists)
+            .withColumn("_best", best)
+            .select(
+                F.col(id_col),
+                F.col("_qv"),
+                F.col("_best.j").alias("cluster"),
+                F.col("_best.d").alias("dist2"),
+            )
+        )
+
+    for _ in range(iterations):
+        assigned = _assign(base, cents)
+        upd = (
+            assigned.groupBy("cluster")
+            .agg(
+                *[F.sum(F.col("_qv")[i]).alias(f"_s{i}") for i in range(dim)],
+                F.count(F.lit(1)).alias("_cnt"),
+            )
+            .select(
+                "cluster",
+                F.array(*[F.expr(f"_s{i} div _cnt") for i in range(dim)]).alias("_c"),
+            )
+            .collect()
+        )
+        new = {int(r["cluster"]): [int(x) for x in r["_c"]] for r in upd}
+        cents = [new.get(j, cents[j]) for j in range(k)]
+
+    out = _assign(base, cents).select(id_col, "cluster", "dist2")
+    return out, cents

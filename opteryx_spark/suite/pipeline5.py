@@ -165,3 +165,81 @@ def text_hybrid_rrf(spark, sf_dir):
     return retrieval.rrf_fuse(
         [(lex, "bm25", "asc"), (vec, "cosim", "asc")], id_col="doc_id", k=10
     )
+
+
+# --- portable distributed k-means --------------------------------------------
+
+_KM_K = 4
+_KM_ITERS = 2
+_KM_DIM = 64
+
+
+def _km_oracle() -> str:
+    """Unrolled fixed-point Lloyd k-means: identical quantization,
+    BIGINT distances, truncating centroid division (DuckDB ``//`` ==
+    Spark ``div`` — both truncate toward zero), lowest-index tiebreak."""
+    dist = (
+        f"list_reduce(list_transform(range(1, {_KM_DIM} + 1), "
+        "i -> (q.qv[i] - c.c[i]) * (q.qv[i] - c.c[i])), (x, y) -> x + y)"
+    )
+    sql = f"""
+    WITH q AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)) AS qv
+      FROM embeddings WHERE embedding IS NOT NULL
+    ), cent0 AS (
+      SELECT CAST(row_number() OVER (
+               ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS BIGINT) AS j,
+             qv AS c
+      FROM (SELECT vec_id, qv FROM q
+            ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {_KM_K})
+    )
+    """
+    for i in range(1, _KM_ITERS + 1):
+        sql += f"""
+    , a{i} AS (
+      SELECT vec_id, j AS cluster FROM (
+        SELECT q.vec_id, c.j,
+               row_number() OVER (PARTITION BY q.vec_id
+                 ORDER BY {dist}, c.j) AS rn
+        FROM q CROSS JOIN cent{i - 1} c) WHERE rn = 1
+    ), u{i} AS (
+      SELECT cluster AS j, list(sdiv ORDER BY dimn) AS c
+      FROM (
+        SELECT a.cluster, r.range AS dimn,
+               sum(q.qv[r.range]) // count(*) AS sdiv
+        FROM a{i} a JOIN q USING (vec_id), range(1, {_KM_DIM} + 1) r
+        GROUP BY a.cluster, r.range)
+      GROUP BY cluster
+    ), cent{i} AS (
+      SELECT p.j, coalesce(u.c, p.c) AS c
+      FROM cent{i - 1} p LEFT JOIN u{i} u USING (j)
+    )
+    """
+    sql += f"""
+    SELECT vec_id, CAST(j AS BIGINT) AS cluster, CAST(d AS BIGINT) AS dist2
+    FROM (
+      SELECT q.vec_id, c.j, {dist} AS d,
+             row_number() OVER (PARTITION BY q.vec_id
+               ORDER BY {dist}, c.j) AS rn
+      FROM q CROSS JOIN cent{_KM_ITERS} c) WHERE rn = 1
+    ORDER BY vec_id
+    """
+    return sql
+
+
+@register("emb_kmeans_portable", oracle=_km_oracle())
+def emb_kmeans_portable(spark, sf_dir):
+    """Distributed Lloyd k-means, bit-reproducible
+    (``operators/similarity.py::kmeans_portable``): milli-unit quantized
+    components, BIGINT distances, truncating centroid updates,
+    md5-ordered deterministic seeds — every assignment and its squared
+    distance value-verified against the unrolled SQL twin.  Assignment is
+    map-only codegen; the update is one groupBy with 64 partial SUMs;
+    only k centroid rows reach the driver per round."""
+    emb = t(spark, sf_dir, "embeddings")
+    assigned, _cents = similarity.kmeans_portable(
+        emb, k=_KM_K, iterations=_KM_ITERS, dim=_KM_DIM
+    )
+    return assigned.orderBy("vec_id")

@@ -1120,3 +1120,38 @@ def test_pagerank_fixed_point_semantics(spark):
         web.pagerank(edges, iterations=0)
     with pytest.raises(ValueError):
         web.pagerank(edges, damping_pct=100)
+
+
+def test_kmeans_portable_semantics(spark):
+    """Two well-separated 2-D blobs converge to their means; results are
+    partition-invariant; NULL vectors are dropped; k > n raises."""
+    import pytest
+
+    from opteryx_spark.operators import similarity
+
+    rows = (
+        [(i, [0.001 * i, 0.0]) for i in range(4)]          # blob at ~0
+        + [(10 + i, [5.0 + 0.001 * i, 5.0]) for i in range(4)]  # blob at ~5,5
+        + [(99, None)]
+    )
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out, cents = similarity.kmeans_portable(df, k=2, iterations=2, dim=2)
+    got = {r.vec_id: r.cluster for r in out.collect()}
+    assert 99 not in got  # NULL dropped
+    blob0 = {got[i] for i in range(4)}
+    blob1 = {got[10 + i] for i in range(4)}
+    assert len(blob0) == 1 and len(blob1) == 1 and blob0 != blob1
+    # converged centroids are the quantized blob means (trunc division)
+    want = sorted([[(0 + 1 + 2 + 3) // 4, 0], [(5000 + 5001 + 5002 + 5003) // 4, 5000]])
+    assert sorted(cents) == want
+
+    out8, c8 = similarity.kmeans_portable(df.repartition(8), k=2, iterations=2, dim=2)
+    assert {(r.vec_id, r.cluster, r.dist2) for r in out8.collect()} == {
+        (r.vec_id, r.cluster, r.dist2) for r in out.collect()
+    }
+    assert c8 == cents
+
+    with pytest.raises(ValueError):
+        similarity.kmeans_portable(df, k=0)
+    with pytest.raises(ValueError):
+        similarity.kmeans_portable(df, k=50, iterations=1, dim=2)
