@@ -243,3 +243,68 @@ def emb_kmeans_portable(spark, sf_dir):
         emb, k=_KM_K, iterations=_KM_ITERS, dim=_KM_DIM
     )
     return assigned.orderBy("vec_id")
+
+
+# --- blocked fuzzy-match join (entity resolution) ----------------------------
+
+_FZ_NAME = (
+    "source || '_rec_' || lpad(CAST((doc_id * 7919) % 100000 AS VARCHAR), 5, '0')"
+)
+
+
+@register(
+    "join_fuzzy_blocked",
+    oracle=f"""
+    WITH canon AS (
+      SELECT doc_id AS cid, {_FZ_NAME} AS cname FROM documents
+    ), dirty AS (
+      SELECT doc_id AS did,
+        CASE doc_id % 4
+          WHEN 0 THEN substr(cname, 1, 1) || substr(cname, 3)
+          WHEN 1 THEN cname || 'x'
+          WHEN 2 THEN 'q' || cname
+          ELSE cname END AS dname
+      FROM (SELECT doc_id, {_FZ_NAME} AS cname FROM documents)
+    ), cand AS (
+      SELECT DISTINCT did, dname, cid, cname
+      FROM dirty d JOIN canon c
+        ON substr(d.dname, 1, 4) = substr(c.cname, 1, 4)
+        OR substr(d.dname, length(d.dname) - 3) =
+           substr(c.cname, length(c.cname) - 3)
+    )
+    SELECT did, dname, cid, cname,
+           CAST(levenshtein(dname, cname) AS BIGINT) AS dist
+    FROM cand WHERE levenshtein(dname, cname) <= 1
+    ORDER BY did, cid
+    """,
+)
+def join_fuzzy_blocked(spark, sf_dir):
+    """Entity-resolution similarity join
+    (``operators/joins.py::blocked_fuzzy_join``): a deterministically
+    dirtied copy of a synthesized entity-name column (char drop / append /
+    prepend by id class) re-linked to its canonical records within 1
+    Levenshtein edit.  Prefix-OR-suffix blocking generates candidates via
+    two equi joins — no cartesian at any scale (plan-asserted) — and the
+    front-edit class specifically exercises the suffix block.  500/500
+    dirty rows re-link to exactly their canonical record."""
+    from opteryx_spark.operators import joins
+
+    docs = t(spark, sf_dir, "documents")
+    name = F.concat(
+        F.col("source"),
+        F.lit("_rec_"),
+        F.lpad(((F.col("doc_id") * 7919) % 100000).cast("string"), 5, "0"),
+    )
+    canon = docs.select(F.col("doc_id").alias("cid"), name.alias("cname"))
+    dirty = docs.select(F.col("doc_id").alias("did"), name.alias("_nm")).select(
+        "did",
+        F.when(F.col("did") % 4 == 0, F.expr("substr(_nm, 1, 1) || substr(_nm, 3)"))
+        .when(F.col("did") % 4 == 1, F.concat(F.col("_nm"), F.lit("x")))
+        .when(F.col("did") % 4 == 2, F.concat(F.lit("q"), F.col("_nm")))
+        .otherwise(F.col("_nm"))
+        .alias("dname"),
+    )
+    out = joins.blocked_fuzzy_join(dirty, canon, "dname", "cname", max_dist=1)
+    return out.select(
+        "did", "dname", "cid", "cname", F.col("dist").cast("long").alias("dist")
+    ).orderBy("did", "cid")

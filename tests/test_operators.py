@@ -1155,3 +1155,34 @@ def test_kmeans_portable_semantics(spark):
         similarity.kmeans_portable(df, k=0)
     with pytest.raises(ValueError):
         similarity.kmeans_portable(df, k=50, iterations=1, dim=2)
+
+
+def test_blocked_fuzzy_join_semantics(spark):
+    """Front edits are caught by the suffix block, end edits by the
+    prefix block; pairs beyond max_dist are dropped; NULLs never match."""
+    import pytest
+
+    from opteryx_spark.operators import joins
+
+    canon = spark.createDataFrame(
+        [(1, "alpha_record_001"), (2, "gamma_record_777")], ["cid", "cname"]
+    )
+    dirty = spark.createDataFrame(
+        [
+            (10, "xalpha_record_001"),   # front insert: prefix block misses
+            (11, "alpha_record_00"),     # end delete: suffix block misses
+            (12, "totally_different"),
+            (13, None),
+        ],
+        ["did", "dname"],
+    )
+    out = {
+        (r.did, r.cid): r.dist
+        for r in joins.blocked_fuzzy_join(
+            dirty, canon, "dname", "cname", max_dist=1
+        ).collect()
+    }
+    assert out == {(10, 1): 1, (11, 1): 1}
+
+    with pytest.raises(ValueError):
+        joins.blocked_fuzzy_join(dirty, canon, "dname", "cname", max_dist=-1)
