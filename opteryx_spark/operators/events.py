@@ -34,6 +34,7 @@ __all__ = [
     "session_funnel",
     "cohort_retention",
     "type_transitions",
+    "gap_fill_series",
 ]
 
 
@@ -246,3 +247,83 @@ def type_transitions(
         "n",
         (F.col("n").cast("double") / F.sum("n").over(wt).cast("double")).alias("p"),
     ).orderBy("prev_type", "next_type")
+
+
+def gap_fill_series(
+    events: DataFrame,
+    ts_col: str = "ts",
+    group_col: str = "event_type",
+    value_col: str = "value",
+    step_seconds: int = 3600,
+) -> DataFrame:
+    """Dense per-group time series with gap fill and forward fill — the
+    dashboard/monitoring primitive Spark has no single operator for: a
+    sparse event stream becomes one row per (group, bucket) for EVERY
+    bucket between the group's first and last observation, with
+    ``n_events = 0`` on empty buckets and the value carried forward from
+    the last observed bucket.
+
+    Per group: buckets are ``step_seconds``-aligned epoch seconds; the
+    calendar spine is ``sequence(min_bucket, max_bucket, step)`` exploded
+    per group (distributed across groups; for multi-year fine-grained
+    spines swap in a range-join spine — the join/fill stages are
+    unchanged); value sums use the engine's DECIMAL(25,8) exact-sum
+    convention.  Rows with a NULL group or timestamp are excluded by
+    contract (cannot be placed on a timeline; also pins Spark-vs-oracle
+    NULL ordering).
+
+    Scale shape: one (group, bucket) aggregate with map-side combine, one
+    group-keyed min/max reduce, one equi join of the spine back onto the
+    aggregate, one forward-fill window partitioned by group — every
+    exchange is keyed by the group column; nothing global.
+
+    Returns ``group_col``, ``bucket_start`` (BIGINT epoch seconds),
+    ``n_events`` (BIGINT, 0-filled), ``is_gap`` (BOOLEAN),
+    ``filled_value`` (DOUBLE, forward-filled exact bucket sum).
+    """
+    if step_seconds < 1:
+        raise ValueError("step_seconds must be >= 1")
+    step_us = step_seconds * 1_000_000
+    base = events.filter(F.col(group_col).isNotNull() & F.col(ts_col).isNotNull())
+    actual = (
+        base.select(
+            F.col(group_col),
+            F.expr(f"unix_micros(CAST({ts_col} AS TIMESTAMP))").alias("_us"),
+            F.col(value_col).alias("_v"),
+        )
+        .select(
+            group_col,
+            F.expr(f"(_us div {step_us}) * {step_seconds}").alias("bucket_start"),
+            "_v",
+        )
+        .groupBy(group_col, "bucket_start")
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.sum(F.col("_v").cast("decimal(25,8)")).cast("double").alias("_vs"),
+        )
+    )
+    spine = (
+        actual.groupBy(group_col)
+        .agg(F.min("bucket_start").alias("_lo"), F.max("bucket_start").alias("_hi"))
+        .select(
+            group_col,
+            F.explode(
+                F.sequence(F.col("_lo"), F.col("_hi"), F.lit(step_seconds).cast("long"))
+            ).alias("bucket_start"),
+        )
+    )
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy("bucket_start")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        spine.join(actual, [group_col, "bucket_start"], "left")
+        .select(
+            group_col,
+            "bucket_start",
+            F.coalesce("_n", F.lit(0).cast("long")).alias("n_events"),
+            F.col("_n").isNull().alias("is_gap"),
+            F.last("_vs", ignorenulls=True).over(w).alias("filled_value"),
+        )
+    )

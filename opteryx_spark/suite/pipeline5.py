@@ -308,3 +308,49 @@ def join_fuzzy_blocked(spark, sf_dir):
     return out.select(
         "did", "dname", "cid", "cname", F.col("dist").cast("long").alias("dist")
     ).orderBy("did", "cid")
+
+
+# --- time-series gap fill + forward fill -------------------------------------
+
+from opteryx_spark.operators import events as _events  # noqa: E402
+
+
+@register(
+    "events_gap_fill",
+    oracle="""
+    WITH e AS (
+      SELECT event_type, epoch_us(ts) AS us, value
+      FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+    ), a AS (
+      SELECT event_type, (us // 3600000000) * 3600 AS bucket_start,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             CAST(SUM(CAST(value AS DECIMAL(25,8))) AS DOUBLE) AS value_sum
+      FROM e GROUP BY 1, 2
+    ), b AS (
+      SELECT event_type, min(bucket_start) AS lo, max(bucket_start) AS hi
+      FROM a GROUP BY 1
+    ), spine AS (
+      SELECT event_type, unnest(generate_series(lo, hi, 3600)) AS bucket_start
+      FROM b
+    )
+    SELECT s.event_type, s.bucket_start,
+           coalesce(a.n_events, 0) AS n_events,
+           a.n_events IS NULL AS is_gap,
+           last_value(a.value_sum IGNORE NULLS) OVER (
+             PARTITION BY s.event_type ORDER BY s.bucket_start
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value
+    FROM spine s LEFT JOIN a USING (event_type, bucket_start)
+    ORDER BY event_type, bucket_start
+    """,
+)
+def events_gap_fill(spark, sf_dir):
+    """Dense hourly per-type series with zero-filled gaps and
+    forward-filled value sums (``operators/events.py::gap_fill_series``):
+    the sparse stream becomes a calendar-complete time series — the
+    missing-bucket/carry-forward primitive every monitoring rollup needs.
+    Spine generation, join and fill all stay keyed by event_type; value
+    sums use the DECIMAL exact-sum convention."""
+    ev = t(spark, sf_dir, "events")
+    return _events.gap_fill_series(ev, step_seconds=3600).orderBy(
+        "event_type", "bucket_start"
+    )

@@ -481,3 +481,39 @@ def test_rrf_fuse_semantics(spark):
 
     with pytest.raises(ValueError):
         retrieval.rrf_fuse([])
+
+
+def test_gap_fill_series_semantics(spark):
+    """Missing buckets appear zero-filled with the value carried forward;
+    NULL group/ts rows excluded; per-group spines are independent."""
+    import datetime as dt
+
+    import pytest
+
+    from opteryx_spark.operators import events as E
+
+    T0 = dt.datetime(2024, 1, 1, 0, 0, 30)
+    rows = [
+        ("a", T0, 1.0),
+        ("a", T0 + dt.timedelta(hours=3), 5.0),   # 2 gap hours between
+        ("b", T0 + dt.timedelta(hours=1), 2.0),
+        ("b", T0 + dt.timedelta(hours=1, minutes=5), 3.0),  # same bucket
+        (None, T0, 9.0),
+        ("c", None, 9.0),
+    ]
+    df = spark.createDataFrame(rows, "event_type string, ts timestamp_ntz, value double")
+    out = E.gap_fill_series(df, step_seconds=3600).orderBy(
+        "event_type", "bucket_start"
+    ).collect()
+    a = [r for r in out if r.event_type == "a"]
+    b = [r for r in out if r.event_type == "b"]
+    assert len(out) == len(a) + len(b)  # NULL rows excluded entirely
+    assert [r.n_events for r in a] == [1, 0, 0, 1]
+    assert [r.is_gap for r in a] == [False, True, True, False]
+    assert [r.filled_value for r in a] == [1.0, 1.0, 1.0, 5.0]
+    assert len(b) == 1 and b[0].n_events == 2 and b[0].filled_value == 5.0
+    # buckets are step-aligned epoch seconds
+    assert all(r.bucket_start % 3600 == 0 for r in out)
+
+    with pytest.raises(ValueError):
+        E.gap_fill_series(df, step_seconds=0)
