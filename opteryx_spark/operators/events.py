@@ -35,6 +35,7 @@ __all__ = [
     "cohort_retention",
     "type_transitions",
     "gap_fill_series",
+    "rolling_window_features",
 ]
 
 
@@ -325,5 +326,52 @@ def gap_fill_series(
             F.coalesce("_n", F.lit(0).cast("long")).alias("n_events"),
             F.col("_n").isNull().alias("is_gap"),
             F.last("_vs", ignorenulls=True).over(w).alias("filled_value"),
+        )
+    )
+
+
+def rolling_window_features(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    window_seconds: int = 3600,
+) -> DataFrame:
+    """Per-event trailing-window features — "this user's activity in the
+    last hour as of each event" — the feature-engineering primitive
+    behind rate limiting, anomaly scoring and session-context features.
+
+    For every event: the count and exact value sum of the SAME user's
+    events in ``(t - window_seconds, t]``, computed with a time-RANGE
+    window frame (peers at equal timestamps are all included, so the
+    result is deterministic without a unique-order tiebreak).  Sums use
+    the DECIMAL(25,8) exact-sum convention → DOUBLE.  NULL user/ts rows
+    are excluded by contract.
+
+    Scale shape: ONE window pass partitioned by the high-cardinality
+    user key (balanced partitions; never partition a RANGE frame by a
+    low-cardinality column like event_type — five hot partitions is a
+    scale-killer) with the sort amortized into the exchange.  No join,
+    no self-join, no driver state.
+
+    Returns all input columns + ``_us`` (BIGINT micros), ``n_win``
+    (BIGINT), ``value_win`` (DOUBLE).
+    """
+    if window_seconds < 1:
+        raise ValueError("window_seconds must be >= 1")
+    win_us = window_seconds * 1_000_000
+    base = events.filter(F.col(user_col).isNotNull() & F.col(ts_col).isNotNull())
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    w = (
+        Window.partitionBy(user_col)
+        .orderBy(F.col("_us"))
+        .rangeBetween(-(win_us - 1), 0)
+    )
+    return (
+        base.withColumn("_us", us)
+        .withColumn("n_win", F.count(F.lit(1)).over(w))
+        .withColumn(
+            "value_win",
+            F.sum(F.col(value_col).cast("decimal(25,8)")).over(w).cast("double"),
         )
     )

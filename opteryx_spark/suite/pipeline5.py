@@ -354,3 +354,34 @@ def events_gap_fill(spark, sf_dir):
     return _events.gap_fill_series(ev, step_seconds=3600).orderBy(
         "event_type", "bucket_start"
     )
+
+
+@register(
+    "events_rolling_window",
+    oracle="""
+    WITH e AS (
+      SELECT event_id, user_id, epoch_us(ts) AS _us, value
+      FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    )
+    SELECT event_id, user_id, _us,
+           CAST(COUNT(*) OVER w AS BIGINT) AS n_win,
+           CAST(SUM(CAST(value AS DECIMAL(25,8))) OVER w AS DOUBLE) AS value_win
+    FROM e
+    WINDOW w AS (PARTITION BY user_id ORDER BY _us
+                 RANGE BETWEEN 3599999999 PRECEDING AND CURRENT ROW)
+    ORDER BY event_id
+    """,
+)
+def events_rolling_window(spark, sf_dir):
+    """Per-event trailing-1h user-activity features
+    (``operators/events.py::rolling_window_features``): count and exact
+    value sum of the same user's events in (t-1h, t] via a time-RANGE
+    window partitioned by the high-cardinality user key — equal-timestamp
+    peers are frame-mates on both engines, so no tiebreak is needed for
+    determinism."""
+    ev = t(spark, sf_dir, "events")
+    return (
+        _events.rolling_window_features(ev, window_seconds=3600)
+        .select("event_id", "user_id", "_us", "n_win", "value_win")
+        .orderBy("event_id")
+    )

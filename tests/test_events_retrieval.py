@@ -517,3 +517,32 @@ def test_gap_fill_series_semantics(spark):
 
     with pytest.raises(ValueError):
         E.gap_fill_series(df, step_seconds=0)
+
+
+def test_rolling_window_features_semantics(spark):
+    """Trailing (t-1h, t] frame: an event exactly 1h earlier falls OUT,
+    59m59s earlier stays in; users are independent."""
+    import datetime as dt
+
+    from opteryx_spark.operators import events as E
+
+    T0 = dt.datetime(2024, 3, 1, 12, 0, 0)
+    rows = [
+        (1, "u1", T0, 10.0),
+        (2, "u1", T0 + dt.timedelta(minutes=30), 5.0),
+        (3, "u1", T0 + dt.timedelta(hours=1), 2.0),          # 1h after e1: e1 excluded
+        (4, "u2", T0 + dt.timedelta(minutes=30), 100.0),
+        (5, None, T0, 1.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id string, ts timestamp_ntz, value double"
+    )
+    out = {
+        r.event_id: (r.n_win, r.value_win)
+        for r in E.rolling_window_features(df, window_seconds=3600).collect()
+    }
+    assert out[1] == (1, 10.0)
+    assert out[2] == (2, 15.0)
+    assert out[3] == (2, 7.0)   # e1 aged out (exactly 1h), e2 still in
+    assert out[4] == (1, 100.0)
+    assert 5 not in out
