@@ -1,0 +1,176 @@
+"""ML feature-engineering operators: robust scaling, the hashing trick,
+and target encoding — the tabular-feature counterpart of the text/
+embedding pipeline operators (beyond-reference surface; the reference
+engine stops at SQL aggregates).
+
+Everything is exact and deterministic so the suite can value-verify it:
+percentiles are Spark's exact interpolated ``percentile`` (the
+cross-engine-identical form the ClickBench entries already prove out),
+sums follow the DECIMAL(25,8) exact-sum convention, and hashed features
+use the engine's portable 31-bit polynomial + degski xorshift hashes
+(``operators/dedup.py::_portable_hash_expr`` /
+``operators/profile.py`` CMS bucketing) so every bucket and sign is
+reproducible in plain SQL.
+
+Scale notes (100 TB):
+- ``winsorize_robust_scale`` aggregates per-group stats FIRST (a
+  group-cardinality-sized frame) and broadcast-joins them back — never a
+  window partitioned by a low-cardinality group column (five hot
+  partitions is a scale-killer).  Exact percentiles buffer per-group
+  values in the aggregate; at extreme scale swap ``approx_percentile``
+  into the same shape (documented trade — the suite pins the exact
+  form).
+- ``hash_features`` is explode → map-side hash arithmetic → one
+  (id, feature-index)-keyed SUM with map-side combine.  Output is
+  sparse (only non-zero buckets), bounded by ``n_features`` per id.
+- ``target_encode`` is one map-side-combining aggregate over the
+  category key plus a broadcast of the global mean — the smoothed-mean
+  encoder (micro-averaging with an ``m``-strength prior) used for
+  high-cardinality categoricals.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from opteryx_spark.operators.dedup import _portable_hash_expr
+
+__all__ = ["winsorize_robust_scale", "hash_features", "target_encode"]
+
+
+def winsorize_robust_scale(
+    df: DataFrame,
+    value_col: str = "value",
+    group_col: str = "event_type",
+    lower: float = 0.05,
+    upper: float = 0.95,
+) -> DataFrame:
+    """Per-group winsorization + robust scaling: clip ``value_col`` to
+    the group's [``lower``, ``upper``] percentiles, then scale as
+    ``(clipped - median) / IQR`` (NULL when the IQR is 0 — a degenerate
+    group has no scale).  The standard outlier-robust normalization for
+    numeric features feeding a model.
+
+    A NULL group is a real stratum (null-safe join back); NULL values
+    pass through as NULL clipped/scaled.  Returns all input columns +
+    ``clipped`` (DOUBLE), ``scaled`` (DOUBLE).
+    """
+    if not (0.0 <= lower < upper <= 1.0):
+        raise ValueError("need 0 <= lower < upper <= 1")
+    v = F.col(value_col)
+    stats = df.groupBy(group_col).agg(
+        F.expr(f"percentile({value_col}, {lower})").alias("_plo"),
+        F.expr(f"percentile({value_col}, {upper})").alias("_phi"),
+        F.expr(f"percentile({value_col}, 0.5)").alias("_med"),
+        (
+            F.expr(f"percentile({value_col}, 0.75)")
+            - F.expr(f"percentile({value_col}, 0.25)")
+        ).alias("_iqr"),
+    )
+    joined = df.join(
+        F.broadcast(stats.withColumnRenamed(group_col, "_g")),
+        F.col(group_col).eqNullSafe(F.col("_g")),
+        "left",
+    )
+    # explicit NULL guard: least/greatest SKIP nulls (both engines), so an
+    # unguarded clip would turn a NULL value into the lower fence
+    clipped = F.when(
+        v.isNotNull(), F.least(F.greatest(v, F.col("_plo")), F.col("_phi"))
+    )
+    return (
+        joined.withColumn("clipped", clipped)
+        .withColumn(
+            "scaled",
+            F.when(
+                F.col("_iqr") != 0.0, (clipped - F.col("_med")) / F.col("_iqr")
+            ),
+        )
+        .drop("_g", "_plo", "_phi", "_med", "_iqr")
+    )
+
+
+def hash_features(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    tokens_col: str = "tokens",
+    n_features: int = 64,
+) -> DataFrame:
+    """The hashing trick (Weinberger et al. 2009; sklearn's
+    ``HashingVectorizer`` with ``alternate_sign``): each token lands in
+    bucket ``h mod n_features`` contributing ±1 by a second hash bit, so
+    arbitrary vocabularies become fixed-width feature vectors with no
+    dictionary to build, ship, or keep consistent across days — the
+    property that makes it THE featurizer for streaming/incremental
+    training data.
+
+    Hashes are the engine's portable family (31-bit polynomial → degski
+    xorshift-multiply), so every bucket index and sign is reproducible
+    in SQL.  Output is sparse: one row per (id, non-zero bucket):
+    ``id_col``, ``feature_idx`` (BIGINT), ``feature_val`` (BIGINT —
+    signed count; buckets whose signs cancel to 0 still appear, with 0).
+    """
+    if n_features < 1:
+        raise ValueError("n_features must be >= 1")
+    mod32 = F.lit(4294967296)
+    h0 = _portable_hash_expr(F.col("_tk"))
+    h = h0 % mod32
+    for _ in range(2):
+        h = ((F.shiftright(h, 16).bitwiseXOR(h)) * F.lit(0x45D9F3B)) % mod32
+    h = F.shiftright(h, 16).bitwiseXOR(h)
+    return (
+        df.select(F.col(id_col), F.explode(F.col(tokens_col)).alias("_tk"))
+        .select(
+            id_col,
+            (h % F.lit(n_features)).alias("feature_idx"),
+            F.when((F.shiftright(h, 7) % 2) == 0, F.lit(1).cast("long"))
+            .otherwise(F.lit(-1).cast("long"))
+            .alias("_sign"),
+        )
+        .groupBy(id_col, "feature_idx")
+        .agg(F.sum("_sign").alias("feature_val"))
+    )
+
+
+def target_encode(
+    df: DataFrame,
+    cat_col: str = "event_type",
+    target_col: str = "value",
+    m: float = 10.0,
+) -> DataFrame:
+    """Smoothed target (mean) encoding for categorical features:
+    ``enc = (sum_cat + m * global_mean) / (n_cat + m)`` — the
+    m-strength-prior shrinkage that keeps rare categories from memorizing
+    their few targets.  Sums are exact (DECIMAL(25,8)) and the division
+    order is fixed, so encodings are bit-deterministic.
+
+    NULL categories form a real stratum; NULL targets are excluded from
+    both the numerator and the count (standard mean semantics).
+    Returns one row per category: ``cat_col``, ``n`` (BIGINT non-NULL
+    targets), ``enc`` (DOUBLE).
+    """
+    if m < 0:
+        raise ValueError("m must be >= 0")
+    tgt = F.col(target_col).cast("decimal(25,8)")
+    per = df.groupBy(cat_col).agg(
+        F.count(target_col).alias("n"),
+        F.coalesce(F.sum(tgt), F.lit(0).cast("decimal(25,8)"))
+        .cast("double")
+        .alias("_s"),
+    )
+    glob = F.broadcast(
+        df.agg(
+            (
+                F.sum(tgt).cast("double")
+                / F.count(target_col).cast("double")
+            ).alias("_gm")
+        )
+    )
+    return per.crossJoin(glob).select(
+        cat_col,
+        "n",
+        (
+            (F.col("_s") + F.lit(float(m)) * F.col("_gm"))
+            / (F.col("n").cast("double") + F.lit(float(m)))
+        ).alias("enc"),
+    )

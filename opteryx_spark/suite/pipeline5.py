@@ -385,3 +385,110 @@ def events_rolling_window(spark, sf_dir):
         .select("event_id", "user_id", "_us", "n_win", "value_win")
         .orderBy("event_id")
     )
+
+
+# --- ML feature engineering ---------------------------------------------------
+
+from opteryx_spark.operators import features as _feat  # noqa: E402
+from opteryx_spark.operators import text as _text  # noqa: E402
+from opteryx_spark.suite.pipeline3 import _O_TOKENS  # noqa: E402
+from opteryx_spark.suite.pipeline4 import _O_POLY31  # noqa: E402
+
+
+@register(
+    "feat_winsorize_scale",
+    oracle="""
+    WITH s AS (
+      SELECT event_type,
+             quantile_cont(value, 0.05) AS plo,
+             quantile_cont(value, 0.95) AS phi,
+             quantile_cont(value, 0.5) AS med,
+             quantile_cont(value, 0.75) - quantile_cont(value, 0.25) AS iqr
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_id, e.event_type, e.value,
+           CASE WHEN e.value IS NOT NULL
+                THEN least(greatest(e.value, s.plo), s.phi) END AS clipped,
+           CASE WHEN e.value IS NOT NULL AND s.iqr <> 0
+                THEN (least(greatest(e.value, s.plo), s.phi) - s.med) / s.iqr
+           END AS scaled
+    FROM events e LEFT JOIN s ON e.event_type IS NOT DISTINCT FROM s.event_type
+    ORDER BY e.event_id
+    """,
+)
+def feat_winsorize_scale(spark, sf_dir):
+    """Per-type winsorization + robust scaling of the event value
+    (``operators/features.py::winsorize_robust_scale``): clip to the
+    group's exact [p05, p95], scale by (x - median)/IQR — the
+    outlier-robust feature normalizer.  Group stats are one aggregate
+    broadcast back (never a low-cardinality window partition); NULL
+    groups are a real stratum via null-safe join."""
+    ev = t(spark, sf_dir, "events")
+    return (
+        _feat.winsorize_robust_scale(ev, "value", "event_type")
+        .select("event_id", "event_type", "value", "clipped", "scaled")
+        .orderBy("event_id")
+    )
+
+
+@register(
+    "feat_hashed_tokens",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_O_TOKENS}) AS tk FROM documents
+    ), hb AS (
+      SELECT doc_id, {_O_POLY31.format(v='tk')} AS h FROM tok
+    ), h1 AS (
+      SELECT doc_id, (xor(h >> 16, h) * 73244475) % 4294967296 AS h FROM hb
+    ), h2 AS (
+      SELECT doc_id, (xor(h >> 16, h) * 73244475) % 4294967296 AS h FROM h1
+    ), hf AS (
+      SELECT doc_id, xor(h >> 16, h) AS h FROM h2
+    )
+    SELECT doc_id, h % 64 AS feature_idx,
+           CAST(SUM(CASE WHEN (h >> 7) % 2 = 0 THEN 1 ELSE -1 END) AS BIGINT)
+             AS feature_val
+    FROM hf GROUP BY doc_id, feature_idx
+    ORDER BY doc_id, feature_idx
+    """,
+)
+def feat_hashed_tokens(spark, sf_dir):
+    """Hashing-trick featurization of document tokens
+    (``operators/features.py::hash_features``): 64 signed buckets via the
+    portable polynomial + degski hashes — dictionary-free fixed-width
+    text features, every bucket index and sign value-verified.  Explode →
+    map-side hash → one (doc, bucket) SUM with map-side combine."""
+    docs = t(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", _text.tokens("text").alias("tokens"))
+    return _feat.hash_features(toks, "doc_id", "tokens", n_features=64).orderBy(
+        "doc_id", "feature_idx"
+    )
+
+
+@register(
+    "feat_target_encode",
+    oracle="""
+    WITH per AS (
+      SELECT event_type, CAST(COUNT(value) AS BIGINT) AS n,
+             CAST(COALESCE(SUM(CAST(value AS DECIMAL(25,8))),
+                           CAST(0 AS DECIMAL(25,8))) AS DOUBLE) AS s
+      FROM events GROUP BY event_type
+    ), g AS (
+      SELECT CAST(SUM(CAST(value AS DECIMAL(25,8))) AS DOUBLE)
+               / CAST(COUNT(value) AS DOUBLE) AS gm
+      FROM events
+    )
+    SELECT event_type, n,
+           (s + 10.0 * gm) / (CAST(n AS DOUBLE) + 10.0) AS enc
+    FROM per CROSS JOIN g ORDER BY event_type
+    """,
+)
+def feat_target_encode(spark, sf_dir):
+    """Smoothed target encoding of the event-type categorical
+    (``operators/features.py::target_encode``): shrinks each category's
+    mean toward the global mean with prior strength m=10 — exact DECIMAL
+    sums, fixed division order, broadcast global mean."""
+    ev = t(spark, sf_dir, "events")
+    return _feat.target_encode(ev, "event_type", "value", m=10.0).orderBy(
+        "event_type"
+    )

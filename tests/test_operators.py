@@ -1186,3 +1186,79 @@ def test_blocked_fuzzy_join_semantics(spark):
 
     with pytest.raises(ValueError):
         joins.blocked_fuzzy_join(dirty, canon, "dname", "cname", max_dist=-1)
+
+
+def test_winsorize_robust_scale_semantics(spark):
+    """Values clip to the group fences; scaled is (clipped-med)/IQR;
+    degenerate IQR and NULL values yield NULL; NULL group is a stratum."""
+    import pytest
+
+    from opteryx_spark.operators import features
+
+    rows = [("a", float(v)) for v in range(1, 22)]  # 1..21: p05..p95 inside
+    rows += [("b", 7.0), ("b", 7.0), ("b", 7.0)]    # IQR 0
+    rows += [(None, 1.0), (None, 3.0), ("a", None)]
+    df = spark.createDataFrame(rows, "g string, value double")
+    out = features.winsorize_robust_scale(df, "value", "g").collect()
+    a = [r for r in out if r.g == "a" and r.value is not None]
+    assert max(r.clipped for r in a) < 21.0  # top clipped to p95
+    assert min(r.clipped for r in a) > 1.0   # bottom clipped to p05
+    mid = next(r for r in a if r.value == 11.0)
+    assert mid.scaled == 0.0  # the median scales to zero
+    b = [r for r in out if r.g == "b"]
+    assert all(r.scaled is None for r in b)  # IQR 0 -> no scale
+    nulls = [r for r in out if r.g is None]
+    assert len(nulls) == 2 and all(r.clipped is not None for r in nulls)
+    nv = next(r for r in out if r.g == "a" and r.value is None)
+    assert nv.clipped is None and nv.scaled is None
+
+    with pytest.raises(ValueError):
+        features.winsorize_robust_scale(df, "value", "g", lower=0.9, upper=0.1)
+
+
+def test_hash_features_semantics(spark):
+    """Fixed-width sparse output: same token always lands in the same
+    signed bucket; repeated tokens accumulate; partition-invariant."""
+    from opteryx_spark.operators import features
+
+    df = spark.createDataFrame(
+        [(1, ["alpha", "alpha", "beta"]), (2, ["alpha"]), (3, [])],
+        "doc_id long, tokens array<string>",
+    )
+    out = features.hash_features(df, n_features=8).collect()
+    rows = {(r.doc_id, r.feature_idx): r.feature_val for r in out}
+    assert all(0 <= i < 8 for _, i in rows)
+    assert 3 not in {d for d, _ in rows}  # empty token list -> no rows
+    # doc 2's single 'alpha' bucket: sign is ±1, and doc 1 carries exactly
+    # double that contribution there (plus beta's ±1 if it collides)
+    ((i2, v2),) = [(i, v) for (d, i), v in rows.items() if d == 2]
+    assert v2 in (1, -1)
+    assert rows[(1, i2)] in (2 * v2, 2 * v2 + 1, 2 * v2 - 1)
+    assert sum(abs(v) for (d, _), v in rows.items() if d == 1) <= 3
+    out8 = features.hash_features(df.repartition(8), n_features=8).collect()
+    assert {(r.doc_id, r.feature_idx, r.feature_val) for r in out8} == {
+        (r.doc_id, r.feature_idx, r.feature_val) for r in out
+    }
+
+
+def test_target_encode_semantics(spark):
+    """Shrinkage: rare categories pull toward the global mean, the
+    no-smoothing limit recovers the plain category mean."""
+    import pytest
+
+    from opteryx_spark.operators import features
+
+    df = spark.createDataFrame(
+        [("a", 10.0)] * 8 + [("b", 0.0)] * 2 + [("c", None)],
+        "cat string, value double",
+    )
+    gm = 80.0 / 10  # NULL target excluded
+    enc = {r.cat: (r.n, r.enc) for r in features.target_encode(df, "cat", "value", m=2.0).collect()}
+    assert enc["a"] == (8, (80.0 + 2 * gm) / 10.0)
+    assert enc["b"] == (2, (0.0 + 2 * gm) / 4.0)
+    assert enc["c"][0] == 0 and enc["c"][1] == gm  # prior only
+    raw = {r.cat: r.enc for r in features.target_encode(df, "cat", "value", m=0.0).collect()}
+    assert raw["a"] == 10.0 and raw["b"] == 0.0
+
+    with pytest.raises(ValueError):
+        features.target_encode(df, "cat", "value", m=-1)
