@@ -73,6 +73,11 @@ BENCH_QUERIES = [
     "agg_hll_by_group",
     "agg_cms_token_counts",
     "dedup_bloom_prefilter",
+    "web_domain_pagerank",
+    "emb_kmeans_portable",
+    "feat_hashed_tokens",
+    "events_rolling_window",
+    "events_gap_fill",
 ]
 
 
@@ -103,6 +108,9 @@ SF1_QUERIES = [
     "text_bm25_scores",
     "agg_hll_portable",
     "agg_quantile_histogram",
+    "emb_kmeans_portable",
+    "feat_hashed_tokens",
+    "events_rolling_window",
 ]
 
 
