@@ -664,3 +664,101 @@ def hll_registers_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def rolling_features_stream(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    window_seconds: int = 3600,
+) -> DataFrame:
+    """Streaming twin of ``operators/events.rolling_window_features``:
+    per-event trailing-window activity features over an unbounded stream
+    via ``applyInPandasWithState``.  State per user is exactly the events
+    still inside the trailing window (two parallel arrays of micros +
+    values) — O(events-in-window) per user, evicted as the window slides,
+    so state never grows with history.
+
+    Every event emits ``(event_id, user_id, _us, n_win, value_win)``
+    as-of its own timestamp, the frame being ``(t - window, t]`` like the
+    batch RANGE frame.  Value sums replay the engine's DECIMAL(25,8)
+    exact-sum convention in ``decimal`` arithmetic (quantize HALF_UP →
+    exact sum → double), so a single-batch drain over in-order input is
+    bit-equal to the batch operator (equivalence test); out-of-order
+    arrivals within the window are handled by insertion in time order,
+    late events older than the window see only themselves plus
+    still-retained peers (the documented streaming-lateness trade; the
+    batch operator is the replay authority).
+    """
+    import decimal
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    if window_seconds < 1:
+        raise ValueError("window_seconds must be >= 1")
+    win_us = window_seconds * 1_000_000
+    q8 = decimal.Decimal("1e-8")
+
+    base = (
+        events.filter(F.col(user_col).isNotNull() & F.col(ts_col).isNotNull())
+        .select(
+            F.col(user_col).alias("user_id"),
+            F.col("event_id"),
+            F.unix_micros(F.col(ts_col).cast("timestamp")).alias("_us"),
+            F.col(value_col).alias("_v"),
+        )
+    )
+
+    def feats(key, pdf_iter, state: GroupState):
+        us, vals = state.get if state.exists else ([], [])
+        us, vals = list(us), list(vals)
+        rows = {"event_id": [], "user_id": [], "_us": [], "n_win": [], "value_win": []}
+        for pdf in pdf_iter:
+            pdf = pdf.sort_values(["_us", "event_id"])
+            for eid, t, v in zip(pdf["event_id"], pdf["_us"], pdf["_v"]):
+                t = int(t)
+                # insert in time order (handles bounded out-of-orderness)
+                i = len(us)
+                while i > 0 and us[i - 1] > t:
+                    i -= 1
+                us.insert(i, t)
+                vals.insert(i, None if pd.isna(v) else float(v))
+                # evict everything at or before t - window
+                lo = t - win_us
+                k = 0
+                while k < len(us) and us[k] <= lo:
+                    k += 1
+                us, vals = us[k:], vals[k:]
+                in_frame = [
+                    vv for uu, vv in zip(us, vals) if uu <= t and vv is not None
+                ]
+                n_win = sum(1 for uu in us if uu <= t)
+                if in_frame:
+                    s = sum(
+                        (decimal.Decimal(x).quantize(q8, decimal.ROUND_HALF_UP)
+                         for x in in_frame),
+                        decimal.Decimal(0),
+                    )
+                    vw = float(s)
+                else:
+                    vw = None
+                rows["event_id"].append(int(eid))
+                rows["user_id"].append(key[0])
+                rows["_us"].append(t)
+                rows["n_win"].append(n_win)
+                rows["value_win"].append(vw)
+        state.update((us, vals))
+        yield pd.DataFrame(rows)
+
+    utype = base.schema["user_id"].dataType.simpleString()
+    return base.groupBy("user_id").applyInPandasWithState(
+        feats,
+        outputStructType=(
+            f"event_id long, user_id {utype}, _us long, n_win long, value_win double"
+        ),
+        stateStructType="us array<long>, vals array<double>",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

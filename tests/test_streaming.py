@@ -552,3 +552,33 @@ def test_hll_registers_stream_matches_batch(spark, sf_dir, tmp_path_factory):
     want = profile.hll_estimate_portable(orders, "o_custkey", p=12).first()
     assert n_present == m - want.n_zero_registers
     assert sum_scaled == want.sum_scaled  # byte-identical registers
+
+
+def test_rolling_features_stream_matches_batch(spark, sf_dir, tmp_path_factory):
+    """Drained availableNow over in-order input, the stateful stream must
+    emit exactly the batch RANGE-window features (same frame, same exact
+    value sums)."""
+    from opteryx_spark.catalog import load_table
+    from opteryx_spark.operators import events as E
+
+    src = str(tmp_path_factory.mktemp("oxs_roll_src"))
+    out = str(tmp_path_factory.mktemp("oxs_roll_out"))
+    ckpt = str(tmp_path_factory.mktemp("oxs_roll_ckpt"))
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    ev.write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema(ev.schema).parquet(src)
+    feats = streaming.rolling_features_stream(stream, window_seconds=3600)
+    streaming.run_stream_once(feats, out, ckpt)
+    got = {
+        r.event_id: (r.n_win, r.value_win)
+        for r in spark.read.parquet(out).collect()
+    }
+
+    want = {
+        r.event_id: (r.n_win, r.value_win)
+        for r in E.rolling_window_features(ev, window_seconds=3600).collect()
+    }
+    assert got == want
