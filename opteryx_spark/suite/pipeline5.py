@@ -492,3 +492,93 @@ def feat_target_encode(spark, sf_dir):
     return _feat.target_encode(ev, "event_type", "value", m=10.0).orderBy(
         "event_type"
     )
+
+
+# --- data-quality constraint report ------------------------------------------
+
+from opteryx_spark.operators import quality as _quality  # noqa: E402
+
+
+@register(
+    "quality_constraint_report",
+    oracle="""
+    WITH rep AS (
+      SELECT 'not_null(text)' AS chk, 'not_null' AS kind,
+             CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(COALESCE(SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END), 0)
+                  AS BIGINT) AS n_violations
+      FROM documents
+      UNION ALL
+      SELECT 'accepted_values(lang)', 'accepted_values',
+             CAST(COUNT(*) AS BIGINT),
+             CAST(COALESCE(SUM(CASE WHEN lang IS NOT NULL
+                    AND lang NOT IN ('en', 'fr', 'de') THEN 1 ELSE 0 END), 0)
+                  AS BIGINT)
+      FROM documents
+      UNION ALL
+      SELECT 'in_range(n_chars)', 'in_range',
+             CAST(COUNT(*) AS BIGINT),
+             CAST(COALESCE(SUM(CASE WHEN n_chars IS NOT NULL
+                    AND (n_chars < 1 OR n_chars > 400) THEN 1 ELSE 0 END), 0)
+                  AS BIGINT)
+      FROM documents
+      UNION ALL
+      SELECT 'matches_regex(source)', 'matches_regex',
+             CAST(COUNT(*) AS BIGINT),
+             CAST(COALESCE(SUM(CASE WHEN source IS NOT NULL
+                    AND NOT regexp_matches(source, '^src[0-9]+$')
+                    THEN 1 ELSE 0 END), 0) AS BIGINT)
+      FROM documents
+      UNION ALL
+      SELECT 'unique(doc_id)', 'unique',
+             CAST(COALESCE(SUM(c), 0) AS BIGINT),
+             CAST(COALESCE(SUM(c - 1), 0) AS BIGINT)
+      FROM (SELECT COUNT(*) AS c FROM documents
+            WHERE doc_id IS NOT NULL GROUP BY doc_id)
+      UNION ALL
+      SELECT 'unique(lang)', 'unique',
+             CAST(COALESCE(SUM(c), 0) AS BIGINT),
+             CAST(COALESCE(SUM(c - 1), 0) AS BIGINT)
+      FROM (SELECT COUNT(*) AS c FROM documents
+            WHERE lang IS NOT NULL GROUP BY lang)
+      UNION ALL
+      SELECT 'referential(user_id -> c_custkey)', 'referential',
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM events
+              WHERE user_id IS NOT NULL),
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM events e
+              WHERE e.user_id IS NOT NULL AND NOT EXISTS
+                (SELECT 1 FROM customer c WHERE c.c_custkey = e.user_id))
+    )
+    SELECT chk AS "check", kind, n_rows, n_violations,
+           n_violations = 0 AS passed
+    FROM rep ORDER BY "check"
+    """,
+)
+def quality_constraint_report(spark, sf_dir):
+    """Deequ-style declarative data-validation report
+    (``operators/quality.py``): four row-level rules fused into ONE
+    aggregate scan (not-null, accepted-values, range, regex), two
+    uniqueness checks (one passing, one failing by construction — the
+    violation arithmetic is what's verified), and a cross-table
+    referential-integrity check via LEFT ANTI join.  Uniform report
+    schema unions across batches."""
+    docs = t(spark, sf_dir, "documents")
+    ev = t(spark, sf_dir, "events")
+    cust = t(spark, sf_dir, "customer")
+    rows = _quality.row_checks(
+        docs,
+        [
+            ("not_null", "text"),
+            ("accepted_values", "lang", ["en", "fr", "de"]),
+            ("in_range", "n_chars", 1, 400),
+            ("matches_regex", "source", "^src[0-9]+$"),
+        ],
+    )
+    rep = (
+        rows.unionByName(_quality.unique_check(docs, ["doc_id"]))
+        .unionByName(_quality.unique_check(docs, ["lang"]))
+        .unionByName(
+            _quality.referential_check(ev, cust, "user_id", "c_custkey")
+        )
+    )
+    return rep.orderBy("check")

@@ -1262,3 +1262,53 @@ def test_target_encode_semantics(spark):
 
     with pytest.raises(ValueError):
         features.target_encode(df, "cat", "value", m=-1)
+
+
+def test_quality_checks_semantics(spark):
+    """Violation arithmetic: NULL handling per rule kind, duplicate
+    counting beyond the first, orphan FKs; one fused aggregate for row
+    rules."""
+    import pytest
+
+    from opteryx_spark.operators import quality
+
+    df = spark.createDataFrame(
+        [
+            (1, "en", 10, "src1"),
+            (2, "xx", -5, "bad source"),
+            (3, None, 999, "src2"),
+            (3, "en", None, None),
+        ],
+        "id long, lang string, n long, src string",
+    )
+    rep = {
+        r.check: (r.n_rows, r.n_violations, r.passed)
+        for r in quality.row_checks(
+            df,
+            [
+                ("not_null", "lang"),
+                ("accepted_values", "lang", ["en", "fr"]),
+                ("in_range", "n", 0, 100),
+                ("matches_regex", "src", "^src[0-9]+$"),
+            ],
+        ).collect()
+    }
+    assert rep["not_null(lang)"] == (4, 1, False)
+    assert rep["accepted_values(lang)"] == (4, 1, False)   # NULL passes, 'xx' fails
+    assert rep["in_range(n)"] == (4, 2, False)             # -5 and 999; NULL passes
+    assert rep["matches_regex(src)"] == (4, 1, False)      # NULL passes, 'bad source' fails
+
+    u = quality.unique_check(df, ["id"]).first()
+    assert (u.n_rows, u.n_violations, u.passed) == (4, 1, False)  # id 3 twice
+    u2 = quality.unique_check(df, ["id", "lang"]).first()
+    assert (u2.n_rows, u2.n_violations, u2.passed) == (3, 0, True)  # NULL lang row excluded
+
+    parent = spark.createDataFrame([(1,), (2,)], "pk long")
+    child = spark.createDataFrame([(1,), (1,), (9,), (None,)], "fk long")
+    r = quality.referential_check(child, parent, "fk", "pk").first()
+    assert (r.n_rows, r.n_violations, r.passed) == (3, 1, False)  # NULL FK passes
+
+    with pytest.raises(ValueError):
+        quality.row_checks(df, [])
+    with pytest.raises(ValueError):
+        quality.row_checks(df, [("bogus", "id")])
