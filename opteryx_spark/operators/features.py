@@ -36,7 +36,7 @@ from pyspark.sql import functions as F
 
 from opteryx_spark.operators.dedup import _portable_hash_expr
 
-__all__ = ["winsorize_robust_scale", "hash_features", "target_encode"]
+__all__ = ["winsorize_robust_scale", "hash_features", "target_encode", "psi_drift"]
 
 
 def winsorize_robust_scale(
@@ -173,4 +173,100 @@ def target_encode(
             (F.col("_s") + F.lit(float(m)) * F.col("_gm"))
             / (F.col("n").cast("double") + F.lit(float(m)))
         ).alias("enc"),
+    )
+
+
+def psi_drift(
+    ref: DataFrame,
+    cur: DataFrame,
+    value_col: str = "value",
+    bin_edges: list[float] | None = None,
+) -> DataFrame:
+    """Population Stability Index between a reference batch and a current
+    batch — the standard production drift monitor for a numeric feature:
+    ``PSI = Σ_bins (p_cur − p_ref) · ln(p_cur / p_ref)`` (PSI < 0.1
+    stable, 0.1–0.25 drifting, > 0.25 shifted).
+
+    Determinism: bin shares are Laplace-smoothed exact rationals
+    ``(n_b + 1)/(N + B)`` (smoothing also makes empty bins well-defined),
+    the log-ratio is quantized to integer millinats (the engine's
+    `unigram_perplexity` strategy), and the total is the DECIMAL(25,8)
+    exact sum of per-bin contributions — bit-identical on any
+    partitioning or engine.  NULL values are excluded.
+
+    Scale shape: one pass per side — a CASE-expression bin id + one
+    bin-keyed COUNT with map-side combine (bin tables are
+    ``len(edges)+1`` rows); everything downstream is bounded-size.
+
+    Returns one row per bin: ``bin`` (BIGINT), ``n_ref``, ``n_cur``
+    (BIGINT), ``p_ref``, ``p_cur`` (DOUBLE), ``contrib`` (DOUBLE) and
+    ``psi_total`` (DOUBLE, repeated on every row).
+    """
+    edges = sorted(bin_edges or [])
+    if not edges:
+        raise ValueError("bin_edges must be non-empty")
+    n_bins = len(edges) + 1
+    spark = ref.sparkSession
+
+    def bin_of(c):
+        expr = F.lit(n_bins - 1)
+        for i in range(len(edges) - 1, -1, -1):
+            expr = F.when(c <= F.lit(float(edges[i])), F.lit(i)).otherwise(expr)
+        return expr.cast("long")
+
+    def side(df, out):
+        return (
+            df.filter(F.col(value_col).isNotNull())
+            .select(bin_of(F.col(value_col)).alias("bin"))
+            .groupBy("bin")
+            .agg(F.count(F.lit(1)).alias(out))
+        )
+
+    bins = spark.range(n_bins).select(F.col("id").alias("bin"))
+    counts = (
+        bins.join(side(ref, "_nr"), "bin", "left")
+        .join(side(cur, "_nc"), "bin", "left")
+        .select(
+            "bin",
+            F.coalesce("_nr", F.lit(0)).cast("long").alias("n_ref"),
+            F.coalesce("_nc", F.lit(0)).cast("long").alias("n_cur"),
+        )
+    )
+    tot = F.broadcast(
+        counts.agg(
+            F.sum("n_ref").alias("_tr"), F.sum("n_cur").alias("_tc")
+        )
+    )
+    b = float(n_bins)
+    withp = counts.crossJoin(tot).select(
+        "bin",
+        "n_ref",
+        "n_cur",
+        (
+            (F.col("n_ref") + F.lit(1)).cast("double")
+            / (F.col("_tr") + F.lit(b)).cast("double")
+        ).alias("p_ref"),
+        (
+            (F.col("n_cur") + F.lit(1)).cast("double")
+            / (F.col("_tc") + F.lit(b)).cast("double")
+        ).alias("p_cur"),
+    )
+    lnm = F.floor(
+        F.log(F.col("p_cur") / F.col("p_ref")) * F.lit(1000.0) + F.lit(0.5)
+    ).cast("long")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(F.lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    contrib = (F.col("p_cur") - F.col("p_ref")) * (
+        lnm.cast("double") / F.lit(1000.0)
+    )
+    return (
+        withp.withColumn("contrib", contrib)
+        .withColumn(
+            "psi_total",
+            F.sum(F.col("contrib").cast("decimal(25,8)")).over(w).cast("double"),
+        )
+        .orderBy("bin")
     )

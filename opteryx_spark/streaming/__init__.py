@@ -762,3 +762,18 @@ def rolling_features_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def row_checks_stream(rows: DataFrame, checks: list[tuple]) -> DataFrame:
+    """Streaming twin of ``operators/quality.row_checks``: the same fused
+    conditional-sum rules as a streaming global aggregate (update mode —
+    state is ONE row of counters no matter the rule count or stream
+    length), so a batch admission gate and a continuous one share rule
+    definitions and report schema.  Drained with availableNow, the final
+    update equals the batch report exactly (equivalence test).
+    """
+    from opteryx_spark.operators.quality import row_checks
+
+    # row_checks builds plan-level expressions only (one df.agg), so the
+    # same construction is streaming-legal; re-use it verbatim.
+    return row_checks(rows, checks)

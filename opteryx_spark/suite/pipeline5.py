@@ -582,3 +582,62 @@ def quality_constraint_report(spark, sf_dir):
         )
     )
     return rep.orderBy("check")
+
+
+_PSI_EDGES = [5.0, 15.0, 30.0, 60.0, 100.0, 200.0, 350.0]
+
+
+def _psi_oracle() -> str:
+    case = "CASE " + " ".join(
+        f"WHEN value <= {e} THEN {i}" for i, e in enumerate(_PSI_EDGES)
+    ) + f" ELSE {len(_PSI_EDGES)} END"
+    nb = len(_PSI_EDGES) + 1
+    return f"""
+    WITH r AS (SELECT value FROM events
+               WHERE event_id % 2 = 0 AND value IS NOT NULL),
+    c AS (SELECT value FROM events
+          WHERE event_id % 2 = 1 AND value IS NOT NULL),
+    rb AS (SELECT {case} AS bin, CAST(COUNT(*) AS BIGINT) AS n
+           FROM r GROUP BY 1),
+    cb AS (SELECT {case} AS bin, CAST(COUNT(*) AS BIGINT) AS n
+           FROM c GROUP BY 1),
+    bins AS (SELECT CAST(b.range AS BIGINT) AS bin FROM range({nb}) b),
+    counts AS (
+      SELECT bins.bin,
+             COALESCE(rb.n, 0) AS n_ref,
+             COALESCE(cb.n, 0) AS n_cur
+      FROM bins LEFT JOIN rb USING (bin) LEFT JOIN cb USING (bin)
+    ), withp AS (
+      SELECT bin, n_ref, n_cur,
+             CAST(n_ref + 1 AS DOUBLE)
+               / (CAST((SELECT COUNT(*) FROM r) AS DOUBLE) + {float(nb)})
+               AS p_ref,
+             CAST(n_cur + 1 AS DOUBLE)
+               / (CAST((SELECT COUNT(*) FROM c) AS DOUBLE) + {float(nb)})
+               AS p_cur
+      FROM counts
+    ), contribs AS (
+      SELECT bin, n_ref, n_cur, p_ref, p_cur,
+             (p_cur - p_ref)
+               * (CAST(CAST(FLOOR(LN(p_cur / p_ref) * 1000.0 + 0.5) AS BIGINT)
+                       AS DOUBLE) / 1000.0) AS contrib
+      FROM withp
+    )
+    SELECT bin, n_ref, n_cur, p_ref, p_cur, contrib,
+           CAST(SUM(CAST(contrib AS DECIMAL(25,8))) OVER () AS DOUBLE)
+             AS psi_total
+    FROM contribs ORDER BY bin
+    """
+
+
+@register("feat_psi_drift", oracle=_psi_oracle())
+def feat_psi_drift(spark, sf_dir):
+    """Population-stability-index drift monitor
+    (``operators/features.py::psi_drift``) between the even- and
+    odd-event halves of the value column: Laplace-smoothed bin shares,
+    millinat-quantized log ratios, DECIMAL-exact PSI total — the
+    batch-vs-batch feature-drift gate, value-verified per bin."""
+    ev = t(spark, sf_dir, "events")
+    ref = ev.filter(F.col("event_id") % 2 == 0)
+    cur = ev.filter(F.col("event_id") % 2 == 1)
+    return _feat.psi_drift(ref, cur, "value", _PSI_EDGES)

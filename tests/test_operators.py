@@ -1312,3 +1312,30 @@ def test_quality_checks_semantics(spark):
         quality.row_checks(df, [])
     with pytest.raises(ValueError):
         quality.row_checks(df, [("bogus", "id")])
+
+
+def test_psi_drift_semantics(spark):
+    """Identical distributions give PSI ~= 0 exactly (same smoothed
+    shares); a shifted distribution yields a large positive PSI; empty
+    bins are well-defined via smoothing."""
+    import pytest
+
+    from opteryx_spark.operators import features
+
+    same = spark.createDataFrame([(float(v),) for v in range(100)], "value double")
+    out = features.psi_drift(same, same, "value", [25.0, 50.0, 75.0]).collect()
+    assert all(r.contrib == 0.0 for r in out)
+    assert out[0].psi_total == 0.0
+    assert len(out) == 4 and [r.bin for r in out] == [0, 1, 2, 3]
+
+    shifted = spark.createDataFrame(
+        [(float(v) + 70,) for v in range(100)], "value double"
+    )
+    drift = features.psi_drift(same, shifted, "value", [25.0, 50.0, 75.0]).first()
+    assert drift.psi_total > 0.25  # "shifted" verdict
+    # bin 0 emptied out in cur but still reported, smoothed
+    b0 = [r for r in features.psi_drift(same, shifted, "value", [25.0, 50.0, 75.0]).collect() if r.bin == 0][0]
+    assert b0.n_cur == 0 and b0.p_cur > 0.0
+
+    with pytest.raises(ValueError):
+        features.psi_drift(same, same, "value", [])

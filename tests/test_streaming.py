@@ -582,3 +582,41 @@ def test_rolling_features_stream_matches_batch(spark, sf_dir, tmp_path_factory):
         for r in E.rolling_window_features(ev, window_seconds=3600).collect()
     }
     assert got == want
+
+
+def test_row_checks_stream_matches_batch(spark, sf_dir, tmp_path_factory):
+    """The streaming validation gate's final update must equal the batch
+    report (same fused counters)."""
+    from opteryx_spark.catalog import load_table
+    from opteryx_spark.operators import quality
+
+    src = str(tmp_path_factory.mktemp("oxs_qc_src"))
+    ckpt = str(tmp_path_factory.mktemp("oxs_qc_ckpt"))
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    docs.write.mode("overwrite").parquet(src)
+    checks = [
+        ("not_null", "lang"),
+        ("accepted_values", "lang", ["en", "fr", "de"]),
+        ("in_range", "n_chars", 1, 400),
+    ]
+
+    stream = spark.readStream.schema(docs.schema).parquet(src)
+    rep = streaming.row_checks_stream(stream, checks)
+    q = (
+        rep.writeStream.format("memory")
+        .queryName("qc_stream")
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r.check: (r.n_rows, r.n_violations, r.passed)
+        for r in spark.sql("SELECT * FROM qc_stream").collect()
+    }
+    want = {
+        r.check: (r.n_rows, r.n_violations, r.passed)
+        for r in quality.row_checks(docs, checks).collect()
+    }
+    assert got == want
