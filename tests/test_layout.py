@@ -175,3 +175,50 @@ def test_zorder_with_partition_by_bounds_fragments(spark, sf_dir, tmp_path_facto
     # bounded by the range-partition count (8), never tasks x partitions
     assert total_files <= 8 + n_types
     assert spark.read.parquet(out).count() == ev.count()
+
+
+def test_upsert_partitions_rewrites_only_touched_dirs(spark, tmp_path_factory):
+    """Upsert replaces matched keys and appends new ones, and files in
+    untouched hive partitions stay byte-identical (same paths, sizes,
+    mtimes)."""
+    import os
+
+    from opteryx_spark.sources import layout
+
+    path = str(tmp_path_factory.mktemp("oxs_upsert")) + "/ds"
+    base = spark.createDataFrame(
+        [(d, k, f"v{d}{k}") for d in ("d1", "d2", "d3") for k in range(5)],
+        "day string, id long, val string",
+    )
+    layout.write_clustered(base, path, partition_by=["day"])
+
+    def snapshot(day):
+        root = os.path.join(path, f"day={day}")
+        return {
+            f: (os.path.getsize(os.path.join(root, f)),
+                os.path.getmtime(os.path.join(root, f)))
+            for f in os.listdir(root)
+            if f.endswith(".parquet")
+        }
+
+    before_d1, before_d3 = snapshot("d1"), snapshot("d3")
+
+    updates = spark.createDataFrame(
+        [("d2", 1, "UPDATED"), ("d2", 99, "NEW")], "day string, id long, val string"
+    )
+    rep = layout.upsert_partitions(spark, path, updates, ["id"], "day")
+    assert rep == {"partitions": ["d2"], "n_upserted": 6}
+
+    after = spark.read.parquet(path)
+    assert after.count() == 16  # 15 - 1 replaced + 1 replacement + 1 new
+    d2 = {r.id: r.val for r in after.filter(F.col("day") == "d2").collect()}
+    assert d2[1] == "UPDATED" and d2[99] == "NEW" and d2[0] == "vd20"
+    # untouched partitions: files byte-identical
+    assert snapshot("d1") == before_d1 and snapshot("d3") == before_d3
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        layout.upsert_partitions(spark, path, updates, [], "day")
+    with pytest.raises(ValueError):
+        layout.upsert_partitions(spark, path, updates.drop("day"), ["id"], "day")
