@@ -555,7 +555,12 @@ def kmeans_portable(
     qv = F.transform(
         F.col(vec_col), lambda x: F.floor(x.cast("double") * F.lit(float(qscale)))
     )
-    base = data.select(F.col(id_col), qv.alias("_qv"))
+    from opteryx_spark.operators.dedup import _track_persist
+
+    # every iteration (seed scan, per-round update, final assignment)
+    # re-reads this frame — persist once instead of re-quantizing the
+    # corpus per pass (bounded-lifetime LRU release, as the dedup ops)
+    base = _track_persist(data.select(F.col(id_col), qv.alias("_qv")))
 
     seed_rows = (
         base.orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
