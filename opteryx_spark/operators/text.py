@@ -519,3 +519,89 @@ def readability_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
         "fk_grade",
         F.when(nonempty, ((F.lit(0.39) * wps) + (F.lit(11.8) * spw)) - F.lit(15.59)),
     )
+
+
+def bpe_train(
+    docs: DataFrame,
+    text_col: str = "text",
+    num_merges: int = 6,
+) -> DataFrame:
+    """Distributed BPE tokenizer training (Sennrich et al. 2016): learn
+    the top-``num_merges`` byte-pair merges from the corpus — the
+    tokenizer-construction step of an LLM data pipeline, not just its
+    application (``bpe_tokens`` applies a fixed regex; this LEARNS the
+    vocabulary).
+
+    The classic algorithm, distributed the way it scales: the corpus is
+    collapsed ONCE into a word-frequency table (Zipf: |vocab| << corpus
+    tokens; every subsequent pass touches only that table).  Each round:
+    count weighted adjacent symbol pairs (explode + map-side-combining
+    SUM), pick the most frequent (deterministic ``(count DESC, pair)``
+    tiebreak; a 1-row driver probe, like the k-means centroid read),
+    and apply the merge to every word.
+
+    The merge step uses a leading-separator string encoding — symbols as
+    ``SEP s1 SEP s2 ...`` (SEP = U+001F) and
+    ``replace(SEP+a+SEP+b -> SEP+ab)`` — which reproduces greedy
+    left-to-right pair merging exactly (the pattern never consumes the
+    NEXT symbol's leading separator, so runs like ``a a a a`` merge to
+    ``aa aa``) and is a single codegen'd string op per word; tokens must
+    not contain U+001F (whitespace-split tokens never do).  Each round's
+    table is persisted so round k+1 never replays rounds 1..k.
+
+    Returns the learned merge table: ``rank`` (BIGINT, 0-based),
+    ``lhs``, ``rhs`` (STRING symbols), ``n`` (BIGINT weighted pair
+    count) — deterministic, so an external oracle can reproduce every
+    merge decision.
+    """
+    if num_merges < 1:
+        raise ValueError("num_merges must be >= 1")
+    from opteryx_spark.operators.dedup import _track_persist
+
+    sep = "\u001f"
+    spark = docs.sparkSession
+    words = (
+        docs.select(F.explode(tokens(text_col)).alias("_w"))
+        .groupBy("_w")
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+    syms = _track_persist(
+        words.select(
+            "_n", F.regexp_replace("_w", "(.)", sep + "$1").alias("_s")
+        )
+    )
+    merges: list[tuple[int, str, str, int]] = []
+    for rank in range(num_merges):
+        arr = F.split("_s", sep)  # element 1 is '' (leading separator)
+        npairs = F.size(arr) - 2  # symbols = size-1, pairs = symbols-1
+        pair_arr = F.when(
+            npairs >= 1,
+            F.transform(
+                F.sequence(F.lit(2), F.size(arr) - 1),
+                lambda i: F.struct(
+                    F.element_at(arr, i).alias("a"),
+                    F.element_at(arr, i + 1).alias("b"),
+                ),
+            ),
+        ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
+        top = (
+            syms.select("_n", F.explode(pair_arr).alias("_p"))
+            .groupBy(F.col("_p.a").alias("a"), F.col("_p.b").alias("b"))
+            .agg(F.sum("_n").alias("n"))
+            .orderBy(F.desc("n"), F.asc("a"), F.asc("b"))
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        a, b, n = top[0]["a"], top[0]["b"], int(top[0]["n"])
+        merges.append((rank, a, b, n))
+        syms = _track_persist(
+            syms.select(
+                "_n",
+                F.replace(
+                    F.col("_s"), F.lit(sep + a + sep + b), F.lit(sep + a + b)
+                ).alias("_s"),
+            )
+        )
+    return spark.createDataFrame(merges, "rank long, lhs string, rhs string, n long")

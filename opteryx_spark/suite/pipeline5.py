@@ -641,3 +641,60 @@ def feat_psi_drift(spark, sf_dir):
     ref = ev.filter(F.col("event_id") % 2 == 0)
     cur = ev.filter(F.col("event_id") % 2 == 1)
     return _feat.psi_drift(ref, cur, "value", _PSI_EDGES)
+
+
+# --- BPE tokenizer training ---------------------------------------------------
+
+_BPE_MERGES = 6
+
+
+def _bpe_oracle() -> str:
+    """Unrolled BPE training: word-frequency table once, then per round a
+    weighted pair count, a (cnt DESC, pair) argmax and a greedy
+    leading-separator replace — identical mechanics to ``text.bpe_train``."""
+    sql = rf"""
+    WITH w0 AS (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS n
+      FROM (SELECT unnest({_O_TOKENS}) AS w FROM documents) GROUP BY w
+    ), s0 AS (
+      SELECT n, regexp_replace(w, '(.)', chr(31) || '\1', 'g') AS s FROM w0
+    )
+    """
+    for i in range(1, _BPE_MERGES + 1):
+        p = f"s{i - 1}"
+        sql += f"""
+    , p{i} AS (
+      SELECT pr.a AS a, pr.b AS b, CAST(SUM(n) AS BIGINT) AS cnt FROM (
+        SELECT n, unnest(list_transform(range(1, len(sym)),
+                 i -> {{'a': sym[i], 'b': sym[i+1]}})) AS pr
+        FROM (SELECT n, list_filter(string_split(s, chr(31)), x -> x <> '')
+                       AS sym
+              FROM {p})
+      ) GROUP BY pr.a, pr.b
+    ), m{i} AS (
+      SELECT a, b, cnt FROM p{i} ORDER BY cnt DESC, a, b LIMIT 1
+    ), s{i} AS (
+      SELECT n, replace(s,
+               chr(31) || (SELECT a FROM m{i}) || chr(31) || (SELECT b FROM m{i}),
+               chr(31) || (SELECT a || b FROM m{i})) AS s
+      FROM {p}
+    )
+    """
+    unions = "\n      UNION ALL ".join(
+        f"SELECT CAST({i - 1} AS BIGINT) AS rank, a AS lhs, b AS rhs, cnt AS n FROM m{i}"
+        for i in range(1, _BPE_MERGES + 1)
+    )
+    return sql + f"""
+    SELECT * FROM ({unions}) ORDER BY rank
+    """
+
+
+@register("text_bpe_train_merges", oracle=_bpe_oracle())
+def text_bpe_train_merges(spark, sf_dir):
+    """BPE tokenizer TRAINING (``operators/text.py::bpe_train``): the top
+    6 learned merges over the corpus word-frequency table — pair counts,
+    argmax tiebreaks and the greedy leading-separator merge mechanics all
+    value-verified against the unrolled SQL twin.  One corpus pass, then
+    vocabulary-sized rounds."""
+    docs = t(spark, sf_dir, "documents")
+    return _text.bpe_train(docs, num_merges=_BPE_MERGES).orderBy("rank")

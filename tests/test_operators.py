@@ -1339,3 +1339,33 @@ def test_psi_drift_semantics(spark):
 
     with pytest.raises(ValueError):
         features.psi_drift(same, same, "value", [])
+
+
+def test_bpe_train_semantics(spark):
+    """Known corpus: the most frequent weighted pair merges first, merged
+    symbols participate in later rounds, runs merge greedily
+    left-to-right, ties break lexicographically."""
+    import pytest
+
+    from opteryx_spark.operators import text as T
+
+    # 'ab' dominates; after (a,b)->ab, ('ab','c') dominates round 2
+    df = spark.createDataFrame(
+        [(1, "abc abc abc abc"), (2, "abd abd"), (3, "zz")], ["doc_id", "text"]
+    )
+    m = [(r.rank, r.lhs, r.rhs, r.n) for r in T.bpe_train(df, num_merges=3).collect()]
+    assert m[0] == (0, "a", "b", 6)       # ab appears in 6 word instances
+    assert m[1] == (1, "ab", "c", 4)      # merged symbol feeds round 2
+    # round 3: remaining pairs (ab,d)=2 and (z,z)=1 -> ab+d wins
+    assert m[2] == (2, "ab", "d", 2)
+
+    # classic pair counting includes run overlaps ('aaaa' has 3 (a,a)
+    # pairs, x2 word occurrences = 6), but the MERGE is greedy
+    # left-to-right: 'aaaa' -> (aa)(aa), so round 2 sees (aa,aa)
+    runs = spark.createDataFrame([(1, "aaaa aaaa")], ["doc_id", "text"])
+    r0 = T.bpe_train(runs, num_merges=2).collect()
+    assert (r0[0].lhs, r0[0].rhs, r0[0].n) == ("a", "a", 6)
+    assert (r0[1].lhs, r0[1].rhs, r0[1].n) == ("aa", "aa", 2)
+
+    with pytest.raises(ValueError):
+        T.bpe_train(df, num_merges=0)
