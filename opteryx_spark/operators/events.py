@@ -303,6 +303,12 @@ def gap_fill_series(
             F.sum(F.col("_v").cast("decimal(25,8)")).cast("double").alias("_vs"),
         )
     )
+    # the aggregate feeds both the spine bounds and the fill join —
+    # persist the (bucket-cardinality-sized) frame instead of scanning
+    # the event stream twice
+    from opteryx_spark.operators.dedup import _track_persist
+
+    actual = _track_persist(actual)
     spine = (
         actual.groupBy(group_col)
         .agg(F.min("bucket_start").alias("_lo"), F.max("bucket_start").alias("_hi"))

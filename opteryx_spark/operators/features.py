@@ -151,18 +151,23 @@ def target_encode(
     """
     if m < 0:
         raise ValueError("m must be >= 0")
+    from opteryx_spark.operators.dedup import _track_persist
+
     tgt = F.col(target_col).cast("decimal(25,8)")
-    per = df.groupBy(cat_col).agg(
-        F.count(target_col).alias("n"),
-        F.coalesce(F.sum(tgt), F.lit(0).cast("decimal(25,8)"))
-        .cast("double")
-        .alias("_s"),
+    # ONE corpus pass: the global mean is derived from the per-category
+    # aggregate (DECIMAL sums are exact, so Σ of category sums == the
+    # global sum bit-for-bit), not from a second scan
+    per = _track_persist(
+        df.groupBy(cat_col).agg(
+            F.count(target_col).alias("n"),
+            F.coalesce(F.sum(tgt), F.lit(0).cast("decimal(25,8)")).alias("_sd"),
+        )
     )
     glob = F.broadcast(
-        df.agg(
+        per.agg(
             (
-                F.sum(tgt).cast("double")
-                / F.count(target_col).cast("double")
+                F.sum("_sd").cast("double")
+                / F.sum("n").cast("double")
             ).alias("_gm")
         )
     )
@@ -170,7 +175,7 @@ def target_encode(
         cat_col,
         "n",
         (
-            (F.col("_s") + F.lit(float(m)) * F.col("_gm"))
+            (F.col("_sd").cast("double") + F.lit(float(m)) * F.col("_gm"))
             / (F.col("n").cast("double") + F.lit(float(m)))
         ).alias("enc"),
     )
@@ -222,8 +227,13 @@ def psi_drift(
             .agg(F.count(F.lit(1)).alias(out))
         )
 
+    from opteryx_spark.operators.dedup import _track_persist
+
     bins = spark.range(n_bins).select(F.col("id").alias("bin"))
-    counts = (
+    # bins-sized; persisted because both the totals and the share
+    # computation read it — without this each branch replays the two
+    # corpus-side scans
+    counts = _track_persist(
         bins.join(side(ref, "_nr"), "bin", "left")
         .join(side(cur, "_nc"), "bin", "left")
         .select(

@@ -218,7 +218,14 @@ def pagerank(
     if not (0 < damping_pct < 100):
         raise ValueError("damping_pct must be in (1, 99)")
 
-    e = edges.select(F.col(src_col).alias("_src"), F.col(dst_col).alias("_dst"))
+    from opteryx_spark.operators.dedup import _track_persist
+
+    # the edge list feeds every iteration's join AND the node/degree
+    # derivations — persist once (Catalyst does not dedupe the repeated
+    # subplan; without this the edge lineage replays per iteration)
+    e = _track_persist(
+        edges.select(F.col(src_col).alias("_src"), F.col(dst_col).alias("_dst"))
+    )
     nodes = (
         e.select(F.col("_src").alias("node"))
         .union(e.select(F.col("_dst").alias("node")))
