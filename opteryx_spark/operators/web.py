@@ -248,7 +248,14 @@ def pagerank(
     )
     base = F.expr(f"({100 - damping_pct} * (CAST({scale} AS BIGINT) div _n)) div 100")
 
-    ranks = base_nodes
+    from opteryx_spark.operators.dedup import _checkpoint_tracked, _track_release
+
+    # re-root the lineage each round: the rank frame feeds THREE branches
+    # per iteration (dangling mass, the contribution join, the rebuild),
+    # so an un-truncated plan re-nests 3x per round — exponential analysis
+    # and recompute.  localCheckpoint keeps every round's plan flat, the
+    # same re-rooting the connected-components loop uses.
+    ranks, prev_h = _checkpoint_tracked(base_nodes)
     for _ in range(iterations):
         dang = F.broadcast(
             ranks.filter(F.col("_deg") == 0).agg(
@@ -278,4 +285,8 @@ def pagerank(
                 ).alias("rank"),
             )
         )
+        ranks, h = _checkpoint_tracked(ranks)
+        prev_h.unpersist()  # superseded round — keep only the latest
+        prev_h = h
+    _track_release(prev_h)  # final ranks' blocks: bounded-lifetime release
     return ranks.select("node", "rank")
