@@ -78,6 +78,9 @@ BENCH_QUERIES = [
     "feat_hashed_tokens",
     "events_rolling_window",
     "events_gap_fill",
+    "text_bpe_train_merges",
+    "feat_psi_drift",
+    "quality_constraint_report",
 ]
 
 
@@ -111,6 +114,7 @@ SF1_QUERIES = [
     "emb_kmeans_portable",
     "feat_hashed_tokens",
     "events_rolling_window",
+    "text_bpe_train_merges",
 ]
 
 
