@@ -207,3 +207,59 @@ def blocked_fuzzy_join(
     return cand.withColumn("dist", F.levenshtein(lc, rc)).filter(
         F.col("dist") <= max_dist
     )
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_start: str,
+    left_end: str,
+    right_start: str,
+    right_end: str,
+    bin_width: int = 3600,
+) -> DataFrame:
+    """Interval × interval overlap join (genomics / temporal analytics;
+    Spark plans the raw theta join as BroadcastNestedLoop): pairs whose
+    half-open ranges ``[start, end)`` intersect, via the binned equi-join
+    rewrite on BOTH sides.
+
+    Each interval explodes to the bins it covers and candidates meet on
+    the bin key; the duplicate problem (an overlapping pair shares every
+    bin their intersection covers) is solved WITHOUT a distinct: a pair
+    is emitted only from the bin containing ``greatest(start_l,
+    start_r)`` — the first bin of the intersection, which is unique per
+    pair.  One equi shuffle join, a map-side refine, no dedup pass.
+
+    NULL or empty/negative intervals never match.  ``bin_width`` trades
+    interval replication (long intervals hit many bins) against bucket
+    occupancy, as :func:`range_bin_join`.  Returns all left + all right
+    columns (alias before calling to avoid collisions).
+    """
+    if bin_width < 1:
+        raise ValueError("bin_width must be >= 1")
+
+    def bins(s: str, e: str):
+        valid = (
+            F.col(s).isNotNull() & F.col(e).isNotNull() & (F.col(e) > F.col(s))
+        )
+        lo = F.expr(f"{s} div {bin_width}")
+        # half-open end: an interval ending exactly on a bin boundary
+        # does not occupy that bin
+        hi = F.expr(f"({e} - 1) div {bin_width}")
+        return F.when(valid, F.sequence(lo, hi)).otherwise(
+            F.array().cast("array<long>")
+        )
+
+    lb = left.withColumn("_bin", F.explode(bins(left_start, left_end)))
+    rb = right.withColumn("_bin", F.explode(bins(right_start, right_end)))
+    overlap = (F.col(left_start) < F.col(right_end)) & (
+        F.col(right_start) < F.col(left_end)
+    )
+    first_bin = F.expr(
+        f"greatest({left_start}, {right_start}) div {bin_width}"
+    )
+    return (
+        lb.join(rb, "_bin")
+        .filter(overlap & (F.col("_bin") == first_bin))
+        .drop("_bin")
+    )

@@ -698,3 +698,72 @@ def text_bpe_train_merges(spark, sf_dir):
     vocabulary-sized rounds."""
     docs = t(spark, sf_dir, "documents")
     return _text.bpe_train(docs, num_merges=_BPE_MERGES).orderBy("rank")
+
+
+# --- interval overlap join ----------------------------------------------------
+
+_CAMP_N = 12
+_EPOCH_2024 = 1704067200  # 2024-01-01 00:00:00 UTC
+_CAMP_STEP = 225000       # ~2.6 days between campaign starts
+_CAMP_LEN = 172800        # 2-day campaigns
+
+
+@register(
+    "join_interval_overlap",
+    oracle=f"""
+    WITH spans AS (
+      SELECT user_id,
+             CAST(min(epoch_us(ts)) // 1000000 AS BIGINT) AS span_start,
+             CAST(max(epoch_us(ts)) // 1000000 + 1 AS BIGINT) AS span_end
+      FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+      GROUP BY user_id
+    ), camps AS (
+      SELECT CAST(c.range AS BIGINT) AS camp_id,
+             CAST({_EPOCH_2024} + c.range * {_CAMP_STEP} AS BIGINT) AS camp_start,
+             CAST({_EPOCH_2024} + c.range * {_CAMP_STEP} + {_CAMP_LEN} AS BIGINT)
+               AS camp_end
+      FROM range({_CAMP_N}) c
+    )
+    SELECT s.user_id, s.span_start, s.span_end,
+           c.camp_id, c.camp_start, c.camp_end
+    FROM spans s JOIN camps c
+      ON s.span_start < c.camp_end AND c.camp_start < s.span_end
+    ORDER BY s.user_id, c.camp_id
+    """,
+)
+def join_interval_overlap(spark, sf_dir):
+    """Interval × interval overlap join
+    (``operators/joins.py::interval_overlap_join``): per-user activity
+    spans against synthesized campaign windows — the binned equi-join
+    rewrite with the first-overlap-bin emission trick (one shuffle join,
+    no distinct, no nested loop; the oracle is the plain theta join).
+    Half-open [start, end) semantics on both sides."""
+    from opteryx_spark.operators import joins
+
+    ev = t(spark, sf_dir, "events")
+    spans = (
+        ev.filter(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
+        .select(
+            "user_id",
+            F.expr("unix_micros(CAST(ts AS TIMESTAMP))").alias("_us"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.expr("min(_us) div 1000000").alias("span_start"),
+            (F.expr("max(_us) div 1000000") + 1).alias("span_end"),
+        )
+    )
+    camps = spark.range(_CAMP_N).select(
+        F.col("id").alias("camp_id"),
+        (F.lit(_EPOCH_2024) + F.col("id") * _CAMP_STEP).alias("camp_start"),
+        (F.lit(_EPOCH_2024) + F.col("id") * _CAMP_STEP + _CAMP_LEN).alias(
+            "camp_end"
+        ),
+    )
+    out = joins.interval_overlap_join(
+        spans, camps, "span_start", "span_end", "camp_start", "camp_end",
+        bin_width=86400,
+    )
+    return out.select(
+        "user_id", "span_start", "span_end", "camp_id", "camp_start", "camp_end"
+    ).orderBy("user_id", "camp_id")

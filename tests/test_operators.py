@@ -1369,3 +1369,42 @@ def test_bpe_train_semantics(spark):
 
     with pytest.raises(ValueError):
         T.bpe_train(df, num_merges=0)
+
+
+def test_interval_overlap_join_semantics(spark):
+    """Half-open overlap, boundary-touching intervals do NOT match, long
+    intervals spanning many bins emit each pair exactly once, NULLs and
+    empty intervals never match."""
+    import pytest
+
+    from opteryx_spark.operators import joins
+
+    left = spark.createDataFrame(
+        [
+            (1, 0, 100),      # overlaps r1, r2
+            (2, 100, 200),    # touches r1 end-to-start: NO match with [0,100)
+            (3, 0, 100000),   # spans many bins; overlaps all three
+            (4, None, 50),
+            (5, 60, 60),      # empty
+        ],
+        "lid long, ls long, le long",
+    )
+    right = spark.createDataFrame(
+        [(10, 50, 150), (11, 90, 95), (12, 99999, 100500)],
+        "rid long, rs long, re long",
+    )
+    out = {
+        (r.lid, r.rid)
+        for r in joins.interval_overlap_join(
+            left, right, "ls", "le", "rs", "re", bin_width=7
+        ).collect()
+    }
+    assert out == {(1, 10), (1, 11), (2, 10), (3, 10), (3, 11), (3, 12)}
+    # exactly-once despite shared bins: collect with duplicates allowed
+    rows = joins.interval_overlap_join(
+        left, right, "ls", "le", "rs", "re", bin_width=7
+    ).collect()
+    assert len(rows) == 6
+
+    with pytest.raises(ValueError):
+        joins.interval_overlap_join(left, right, "ls", "le", "rs", "re", bin_width=0)
