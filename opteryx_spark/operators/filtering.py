@@ -721,3 +721,46 @@ def token_mixture_sample(
             (F.col("tokens_before") + F.col("n_tokens")) <= F.col("budget_tokens"),
         )
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight_col: str,
+    k: int,
+    id_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic weighted sampling without replacement (Efraimidis &
+    Spirakis 2006, A-ES): each row draws a pseudo-uniform from the
+    portable hash of ``salt || id`` and is ranked by the exponential key
+    ``-ln(u) / w`` — the k smallest keys are a weight-proportional sample,
+    reproducible on any partitioning and in any engine (the same
+    derandomization strategy as :func:`quota_order`, numeric instead of
+    lexicographic).  A training pipeline uses this to sample documents
+    proportionally to quality/length weights with an auditable draw.
+
+    ``u = (h + 1) / (2^31)`` with h the 31-bit polynomial hash — never 0
+    or 1, so the log is finite; ``-ln(u)`` is quantized to integer
+    MICROnats before the weight division (the engine's millinat strategy
+    at higher resolution — raw ``ln`` differs by 1 ulp across libm
+    implementations, which would make keys engine-dependent).  Rows with
+    NULL or non-positive weight are excluded (they have no sampling
+    mass).  Different ``salt`` values give independent draws.
+
+    Scale shape: map-side key computation + one top-k (TakeOrdered — no
+    global sort).  Returns the sampled rows + ``es_key`` (DOUBLE).
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    from opteryx_spark.operators.dedup import _PORTABLE_MOD, _portable_hash_expr
+
+    h = _portable_hash_expr(F.concat(F.lit(salt), F.col(id_col).cast("string")))
+    u = (h + F.lit(1)).cast("double") / F.lit(float(_PORTABLE_MOD + 1))
+    lnm = F.floor(-F.log(u) * F.lit(1000000.0) + F.lit(0.5)).cast("long")
+    key = lnm.cast("double") / (F.col(weight_col).cast("double") * F.lit(1000000.0))
+    return (
+        df.filter(F.col(weight_col).isNotNull() & (F.col(weight_col) > 0))
+        .withColumn("es_key", key)
+        .orderBy(F.asc("es_key"), F.asc(id_col))
+        .limit(k)
+    )

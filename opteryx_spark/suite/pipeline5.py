@@ -767,3 +767,40 @@ def join_interval_overlap(spark, sf_dir):
     return out.select(
         "user_id", "span_start", "span_end", "camp_id", "camp_start", "camp_end"
     ).orderBy("user_id", "camp_id")
+
+
+# --- deterministic weighted sampling -----------------------------------------
+
+
+@register(
+    "sample_weighted_es",
+    oracle=f"""
+    WITH kx AS (
+      SELECT doc_id, n_chars, 'wsamp' || CAST(doc_id AS VARCHAR) AS ks
+      FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0
+    ), scored AS (
+      SELECT doc_id, n_chars,
+             CAST(CAST(FLOOR(-LN(({_O_POLY31.format(v='ks')} + 1)
+                               / 2147483648.0) * 1000000.0 + 0.5) AS BIGINT)
+                  AS DOUBLE)
+               / (CAST(n_chars AS DOUBLE) * 1000000.0) AS es_key
+      FROM kx
+    )
+    SELECT doc_id, n_chars, es_key
+    FROM scored ORDER BY es_key, doc_id LIMIT 50
+    """,
+)
+def sample_weighted_es(spark, sf_dir):
+    """Deterministic weighted sampling without replacement
+    (``operators/filtering.py::weighted_sample`` — Efraimidis-Spirakis
+    exponential keys over portable-hash uniforms): 50 documents drawn
+    proportionally to length weight, every key value-verified.  Map-side
+    keys + TakeOrdered top-k; no global sort, no RNG state."""
+    from opteryx_spark.operators import filtering
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return (
+        filtering.weighted_sample(docs, "n_chars", 50, salt="wsamp")
+        .select("doc_id", "n_chars", "es_key")
+        .orderBy("es_key", "doc_id")
+    )

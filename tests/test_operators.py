@@ -1408,3 +1408,35 @@ def test_interval_overlap_join_semantics(spark):
 
     with pytest.raises(ValueError):
         joins.interval_overlap_join(left, right, "ls", "le", "rs", "re", bin_width=0)
+
+
+def test_weighted_sample_semantics(spark):
+    """Weight-proportionality over independent salted draws: a 10x-weight
+    row is selected far more often; zero/NULL weights never; results are
+    partition-invariant and deterministic per salt."""
+    import pytest
+
+    from opteryx_spark.operators import filtering
+
+    rows = [(0, 1000.0)] + [(i, 100.0) for i in range(1, 21)] + [
+        (98, 0.0),
+        (99, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, w double")
+    hits = 0
+    for s in range(30):
+        picked = {
+            r.doc_id
+            for r in filtering.weighted_sample(df, "w", 3, salt=f"s{s}").collect()
+        }
+        assert 98 not in picked and 99 not in picked
+        hits += 0 in picked
+    # P(pick heavy in top-3) ~ 0.85; 30 draws ⇒ expect ~25, demand > 15
+    assert hits > 15
+
+    a = filtering.weighted_sample(df, "w", 5, salt="x").collect()
+    b = filtering.weighted_sample(df.repartition(8), "w", 5, salt="x").collect()
+    assert [(r.doc_id, r.es_key) for r in a] == [(r.doc_id, r.es_key) for r in b]
+
+    with pytest.raises(ValueError):
+        filtering.weighted_sample(df, "w", 0)
