@@ -81,6 +81,12 @@ BENCH_QUERIES = [
     "text_bpe_train_merges",
     "feat_psi_drift",
     "quality_constraint_report",
+    "events_scd2_history",
+    "cdc_snapshot_diff",
+    "text_bpe_encode",
+    "emb_mmr_rerank",
+    "text_bigram_perplexity",
+    "graph_triangle_counts",
 ]
 
 
@@ -115,6 +121,9 @@ SF1_QUERIES = [
     "feat_hashed_tokens",
     "events_rolling_window",
     "text_bpe_train_merges",
+    "events_scd2_history",
+    "cdc_snapshot_diff",
+    "text_bigram_perplexity",
 ]
 
 

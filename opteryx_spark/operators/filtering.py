@@ -764,3 +764,112 @@ def weighted_sample(
         .orderBy(F.asc("es_key"), F.asc(id_col))
         .limit(k)
     )
+
+
+def bigram_perplexity(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    alpha: float = 0.5,
+    max_avg_nll_millinats: int = 9000,
+    broadcast_costs: bool | None = None,
+) -> DataFrame:
+    """Bigram-LM perplexity gate — the conditional upgrade of
+    :func:`unigram_perplexity`: per transition, ``p(w2|w1) =
+    (c(w1,w2) + alpha) / (c(w1) + alpha·V)`` with counts trained on the
+    corpus itself (``c(w1)`` = bigrams starting with ``w1``; ``V`` =
+    distinct first-tokens + 1 for the unseen continuation mass).  Gated
+    the KenLM way: per-transition costs quantize to integer millinats
+    (``floor(-ln(p)·1000 + 0.5)``), so document totals are exact BIGINT
+    sums — order-independent and engine-identical (the same fixed-point
+    determinism contract as the unigram gate).
+
+    Documents with fewer than two tokens have no transitions and fail
+    the gate, like every NULL/empty-text gate in this module.
+
+    Scale shape: bigram and context counts are two word-count aggregates
+    over the exploded transitions; the cost table is
+    bigram-vocabulary-sized and joined back onto the transitions
+    (``broadcast_costs`` has the same contract as the unigram gate —
+    default None lets AQE size-gate it, since web-scale bigram
+    vocabularies are effectively unbounded); the per-doc reduce is keyed
+    by id.  No windows, no driver collects.
+
+    Appends ``n_bigrams``, ``bigram_nll_millinats``,
+    ``avg_nll_millinats`` (double) and ``passes_perplexity``.
+    """
+    from opteryx_spark.operators import text as _text
+
+    toks = _text.tokens(text_col)
+    pairs_arr = _text._let(
+        toks,
+        lambda t: F.transform(
+            F.slice(t, 1, F.greatest(F.size(t) - 1, F.lit(0))),
+            lambda x, i: F.struct(
+                x.alias("_w1"), F.element_at(t, i + 2).alias("_w2")
+            ),
+        ),
+    )
+    trans = df.select(
+        F.col(id_col).alias("_pid"), F.explode(pairs_arr).alias("_p")
+    ).select("_pid", F.col("_p._w1").alias("_w1"), F.col("_p._w2").alias("_w2"))
+
+    from opteryx_spark.operators.dedup import _maybe_broadcast, _track_persist
+
+    trans = _track_persist(trans)
+    big = trans.groupBy("_w1", "_w2").agg(F.count(F.lit(1)).alias("_c12"))
+    ctx = trans.groupBy("_w1").agg(F.count(F.lit(1)).alias("_c1"))
+    vterms = F.broadcast(
+        trans.agg((F.count_distinct(F.col("_w1")) + F.lit(1)).alias("_V"))
+    )
+    a = F.lit(float(alpha))
+    costs = (
+        big.join(ctx, "_w1")
+        .crossJoin(vterms)
+        .select(
+            "_w1",
+            "_w2",
+            F.floor(
+                (
+                    -F.log(
+                        (F.col("_c12").cast("double") + a)
+                        / (F.col("_c1").cast("double") + (a * F.col("_V").cast("double")))
+                    )
+                )
+                * F.lit(1000.0)
+                + F.lit(0.5)
+            ).alias("_nll"),
+        )
+    )
+    doc = (
+        trans.join(_maybe_broadcast(costs, broadcast_costs), ["_w1", "_w2"])
+        .groupBy("_pid")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("_nll").alias("bigram_nll_millinats"),
+        )
+    )
+    return (
+        df.join(doc, df[id_col] == doc["_pid"], "left")
+        .drop("_pid")
+        .withColumn("n_bigrams", F.coalesce(F.col("n_bigrams"), F.lit(0).cast("long")))
+        .withColumn(
+            "bigram_nll_millinats",
+            F.coalesce(F.col("bigram_nll_millinats"), F.lit(0).cast("long")),
+        )
+        .withColumn(
+            "avg_nll_millinats",
+            F.when(
+                F.col("n_bigrams") > 0,
+                F.col("bigram_nll_millinats").cast("double")
+                / F.col("n_bigrams").cast("double"),
+            ),
+        )
+        .withColumn(
+            "passes_perplexity",
+            F.coalesce(
+                F.col("avg_nll_millinats") <= F.lit(float(max_avg_nll_millinats)),
+                F.lit(False),
+            ),
+        )
+    )

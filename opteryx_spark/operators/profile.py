@@ -403,3 +403,79 @@ def cms_token_counts(
         .select("term", "est", F.coalesce("exact", F.lit(0)).cast("long").alias("exact"))
         .orderBy("term")
     )
+
+
+def correlation_matrix(
+    df: DataFrame,
+    cols: list[str],
+    scale: int = 1000,
+) -> DataFrame:
+    """Pairwise Pearson correlations over numeric columns in ONE
+    aggregate pass, deterministically: inputs quantize to
+    ``floor(x * scale)`` and every moment (n, Σx, Σy, Σxy, Σx², Σy²) is
+    an EXACT integer sum (products accumulate as DECIMAL(38,0), so no
+    value or partitioning order can change them); only the final
+    ``corr = (n·Σxy − Σx·Σy) / sqrt((n·Σx² − Σx²)·(n·Σy² − (Σy)²))``
+    runs in floating point — one fixed expression over exact integers,
+    so it is bit-identical in any libm-grade engine.  Rows with a NULL
+    in EITHER column of a pair are excluded from that pair's moments
+    (pairwise deletion, the standard corr-matrix contract).
+
+    Scale shape: a single global aggregate with map-side partials — the
+    whole matrix is one reduce of ~6·|pairs| scalars regardless of row
+    count; no shuffle of data rows, no per-pair pass.
+
+    Returns one row per (col_x < col_y) pair: ``col_x``, ``col_y``,
+    ``n`` (BIGINT) and ``corr`` (DOUBLE; NULL when either variance is
+    zero or fewer than two paired rows survive).
+    """
+    if len(cols) < 2:
+        raise ValueError("need at least two columns")
+    q = {
+        c: F.floor(F.col(c).cast("double") * F.lit(float(scale)))
+        .cast("decimal(18,0)")
+        .alias(f"_q_{c}")
+        for c in cols
+    }
+    base = df.select(*q.values())
+    pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i + 1 :]]
+    aggs = []
+    for a, b in pairs:
+        xa, xb = F.col(f"_q_{a}"), F.col(f"_q_{b}")
+        both = xa.isNotNull() & xb.isNotNull()
+        x = F.when(both, xa)
+        y = F.when(both, xb)
+        tag = f"{a}__{b}"
+        aggs += [
+            F.count(F.when(both, F.lit(1))).alias(f"_n_{tag}"),
+            F.sum(x).alias(f"_sx_{tag}"),
+            F.sum(y).alias(f"_sy_{tag}"),
+            F.sum((x * y).cast("decimal(38,0)")).alias(f"_sxy_{tag}"),
+            F.sum((x * x).cast("decimal(38,0)")).alias(f"_sxx_{tag}"),
+            F.sum((y * y).cast("decimal(38,0)")).alias(f"_syy_{tag}"),
+        ]
+    wide = base.agg(*aggs)
+    structs = []
+    for a, b in pairs:
+        tag = f"{a}__{b}"
+        n = F.col(f"_n_{tag}").cast("double")
+        sx = F.col(f"_sx_{tag}").cast("double")
+        sy = F.col(f"_sy_{tag}").cast("double")
+        sxy = F.col(f"_sxy_{tag}").cast("double")
+        sxx = F.col(f"_sxx_{tag}").cast("double")
+        syy = F.col(f"_syy_{tag}").cast("double")
+        num = n * sxy - sx * sy
+        den = F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+        structs.append(
+            F.struct(
+                F.lit(a).alias("col_x"),
+                F.lit(b).alias("col_y"),
+                F.col(f"_n_{tag}").alias("n"),
+                F.when(den > F.lit(0.0), num / den).alias("corr"),
+            )
+        )
+    # ONE row explodes to the |pairs| output rows — a union of per-pair
+    # selects would re-run the whole aggregate scan once per pair
+    return wide.select(F.explode(F.array(*structs)).alias("_p")).select(
+        "_p.col_x", "_p.col_y", "_p.n", "_p.corr"
+    )

@@ -30,7 +30,7 @@ from pyspark.sql import functions as F
 
 from opteryx_spark.operators import text
 
-__all__ = ["bm25_scores", "bm25_topk"]
+__all__ = ["bm25_scores", "bm25_topk", "mmr_rerank"]
 
 _FP = 10000.0  # fixed-point scale for the cross-term score sum
 
@@ -401,3 +401,105 @@ def rrf_fuse(
         .orderBy(F.col("rrf_score").desc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+def mmr_rerank(
+    df: "DataFrame",
+    query_vec: list[float],
+    k: int = 5,
+    candidates: int = 15,
+    lambda_pct: int = 70,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    qscale: int = 1000,
+) -> "DataFrame":
+    """Maximal Marginal Relevance re-ranking, bit-reproducible: pick
+    ``k`` results that balance query relevance against redundancy with
+    what is already selected — the diversity re-ranker RAG stacks run
+    after dense retrieval (Carbonell & Goldstein 1998).
+
+    All scores are integer: vectors quantize to ``floor(v·qscale)``
+    (the same milli-unit contract as ``similarity.kmeans_portable``),
+    relevance is the BIGINT dot with the quantized query, and the MMR
+    objective is ``lambda_pct·rel − (100−lambda_pct)·max_sim_to_selected``
+    — no floats, so selection order is identical on any partitioning and
+    in any engine.  Ties break toward the smaller id.  Stage 1 takes the
+    top-``candidates`` by ``(rel desc, id)`` (bounded, deterministic);
+    stage 2 greedily selects ``k``.
+
+    Scale shape: relevance is a map-only fold over the corpus; the
+    candidate cut is a bounded top-k sort; each greedy step evaluates
+    ≤ ``candidates`` rows against ≤ ``k`` collected picks (one bounded
+    1-row driver probe per step — the same pattern as kmeans' centroid
+    loop, justified because MMR's sequential dependency is inherent).
+
+    Returns ``rank`` (1-based pick order), ``id_col``, ``rel`` and
+    ``mmr_score`` (BIGINT, in quantized-dot units).
+    """
+    if k < 1 or candidates < k:
+        raise ValueError("need candidates >= k >= 1")
+    if not (0 <= lambda_pct <= 100):
+        raise ValueError("lambda_pct in [0, 100]")
+    qq = [int(__import__("math").floor(float(x) * qscale)) for x in query_vec]
+    qv = F.transform(
+        F.col(vec_col), lambda x: F.floor(x.cast("double") * F.lit(float(qscale)))
+    )
+
+    def dot(vec_expr, const_ints):
+        return F.aggregate(
+            F.zip_with(
+                vec_expr,
+                F.array(*[F.lit(int(c)).cast("long") for c in const_ints]),
+                lambda a, b: a * b,
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    cand = (
+        df.filter(F.col(vec_col).isNotNull())
+        .select(F.col(id_col).alias("_id"), qv.alias("_qv"))
+        .withColumn("_rel", dot(F.col("_qv"), qq))
+        .orderBy(F.col("_rel").desc(), F.col("_id").asc())
+        .limit(int(candidates))
+    )
+    from opteryx_spark.operators.dedup import _track_persist
+
+    cand = _track_persist(cand)
+
+    lam, mu = int(lambda_pct), 100 - int(lambda_pct)
+    picked: list[tuple] = []  # (id, rel, score, qv list)
+    for _ in range(int(k)):
+        remaining = cand
+        for pid, _r, _s, _pqv in picked:
+            remaining = remaining.filter(F.col("_id") != F.lit(pid))
+        if picked:
+            sims = [dot(F.col("_qv"), pqv) for _, _, _, pqv in picked]
+            max_sim = F.greatest(*sims) if len(sims) > 1 else sims[0]
+        else:
+            max_sim = F.lit(0).cast("long")
+        scored = remaining.withColumn(
+            "_score", F.lit(lam) * F.col("_rel") - F.lit(mu) * max_sim
+        )
+        best = scored.select(
+            F.min(
+                F.struct(
+                    (-F.col("_score")).alias("ns"),
+                    F.col("_id").alias("i"),
+                    F.col("_rel").alias("r"),
+                    F.col("_qv").alias("q"),
+                )
+            ).alias("b")
+        ).first()["b"]
+        if best is None:
+            break
+        picked.append((best["i"], best["r"], -best["ns"], [int(x) for x in best["q"]]))
+    spark = df.sparkSession
+    rows = [
+        (rank + 1, pid, rel, score)
+        for rank, (pid, rel, score, _q) in enumerate(picked)
+    ]
+    out = spark.createDataFrame(
+        rows, f"rank long, {id_col} long, rel long, mmr_score long"
+    )
+    return out

@@ -211,3 +211,54 @@ def split_assign_grouped(
     # NULL id => NULL split even though coalesce produced a NULL key
     # upstream (split_assign already guards on its key column)
     return out
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: list[str],
+    compare_cols: list[str] | None = None,
+) -> DataFrame:
+    """Change-data-capture between two dataset snapshots: one row per
+    changed key with ``op`` in {'insert', 'delete', 'update'} -- the diff
+    a downstream consumer replays instead of re-reading the full new
+    snapshot (snapshot-diff CDC, the pattern table formats expose as
+    changefeeds, over plain frames).
+
+    A key present only in ``new`` is an insert; only in ``old`` a
+    delete; present in both with differing ``compare_cols`` (default:
+    all non-key columns of ``new``) an update.  Value comparison is an
+    md5 over the canonicalized concat of compare columns (NULL encoded
+    distinctly from empty -- ``concat_ws`` alone would collapse them),
+    so wide rows exchange one digest, not every column.
+
+    Scale shape: one full outer join on the key (both sides hashed to
+    the same partitioning) carrying only keys + digests; unchanged keys
+    are filtered before the output projection.  Returns the key columns,
+    ``op`` (STRING), ``old_digest``, ``new_digest`` (nullable).
+    """
+    if not key_cols:
+        raise ValueError("key_cols must be non-empty")
+    compare_cols = compare_cols or [c for c in new.columns if c not in key_cols]
+
+    def digest(df):
+        parts = []
+        for c in compare_cols:
+            parts.append(
+                F.coalesce(
+                    F.concat(F.lit("v:"), F.col(c).cast("string")), F.lit("null")
+                )
+            )
+        return df.select(*key_cols, F.md5(F.concat_ws("", *parts)).alias("_d"))
+
+    o = digest(old).withColumnRenamed("_d", "old_digest")
+    n = digest(new).withColumnRenamed("_d", "new_digest")
+    j = o.join(n, key_cols, "full_outer")
+    op = (
+        F.when(F.col("old_digest").isNull(), F.lit("insert"))
+        .when(F.col("new_digest").isNull(), F.lit("delete"))
+        .when(F.col("old_digest") != F.col("new_digest"), F.lit("update"))
+    )
+    return j.withColumn("op", op).filter(F.col("op").isNotNull()).select(
+        *key_cols, "op", "old_digest", "new_digest"
+    )

@@ -605,3 +605,43 @@ def bpe_train(
             )
         )
     return spark.createDataFrame(merges, "rank long, lhs string, rhs string, n long")
+
+
+def bpe_encode_counts(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Apply learned BPE merges (:func:`bpe_train` output) and count the
+    resulting tokens per document -- the APPLY half of the tokenizer
+    pair, and the honest way to budget sequence lengths under the
+    tokenizer that will actually be used (the regex ``bpe_tokens``
+    estimate drifts from a trained vocabulary).
+
+    Each whitespace token is encoded with the same leading-separator
+    string mechanics as training (greedy left-to-right per merge, merges
+    applied in rank order); the symbol count per token is the separator
+    count, summed per document -- all inside ONE ``transform`` +
+    ``aggregate`` expression, fully codegen'd, zero shuffles.
+
+    Returns ``id_col``, ``n_bpe`` (BIGINT; 0 for NULL/empty text).
+    """
+    sep = "\u001f"
+
+    def enc(tok):
+        e = F.regexp_replace(tok, "(.)", sep + "$1")
+        for a, b in merges:
+            e = F.replace(e, F.lit(sep + a + sep + b), F.lit(sep + a + b))
+        return e
+
+    syms = F.transform(tokens(text_col), enc)
+    per_tok = lambda s: F.length(s) - F.length(F.replace(s, F.lit(sep), F.lit("")))  # noqa: E731
+    n = F.aggregate(
+        syms,
+        F.lit(0).cast("long"),
+        lambda acc, s: acc + per_tok(s).cast("long"),
+    )
+    return docs.select(
+        F.col(id_col), F.coalesce(n, F.lit(0).cast("long")).alias("n_bpe")
+    )

@@ -777,3 +777,107 @@ def row_checks_stream(rows: DataFrame, checks: list[tuple]) -> DataFrame:
     # row_checks builds plan-level expressions only (one df.agg), so the
     # same construction is streaming-legal; re-use it verbatim.
     return row_checks(rows, checks)
+
+
+def anomaly_stream(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    window_rows: int = 20,
+    min_points: int = 5,
+    k: int = 3,
+    scale: int = 1000,
+) -> DataFrame:
+    """Streaming twin of ``operators/events.detect_value_anomalies``:
+    per-event trailing-window z-score flags over an unbounded stream via
+    ``applyInPandasWithState``.  State per user is exactly the last
+    ``window_rows`` quantized values with their (micros, event_id) sort
+    keys — O(window) per user, never grows with history.
+
+    The z-test is the same pure-integer inequality as the batch operator
+    (``(n·x − S)² > k²·(n·SS − S²)`` over ``floor(value·scale)`` BIGINTs),
+    so a single-batch drain over in-order input is BIT-equal to the batch
+    window — no decimal replay needed, integers don't round.  Out-of-order
+    arrivals within the retained window insert in (ts, event_id) order;
+    older ones see only the retained suffix (the documented lateness
+    trade; batch is the replay authority).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    if window_rows < 1 or min_points < 1:
+        raise ValueError("window_rows and min_points must be >= 1")
+    kk = int(k) * int(k)
+
+    base = events.filter(
+        F.col(user_col).isNotNull()
+        & F.col(ts_col).isNotNull()
+        & F.col(value_col).isNotNull()
+    ).select(
+        F.col(user_col).alias("user_id"),
+        F.col("event_id"),
+        F.unix_micros(F.col(ts_col).cast("timestamp")).alias("_us"),
+        F.floor(F.col(value_col).cast("double") * F.lit(float(scale)))
+        .cast("long")
+        .alias("value_milli"),
+    )
+
+    def flags(key, pdf_iter, state: GroupState):
+        us, eids, xs = state.get if state.exists else ([], [], [])
+        us, eids, xs = list(us), list(eids), list(xs)
+        rows = {
+            "event_id": [],
+            "user_id": [],
+            "value_milli": [],
+            "n_prior": [],
+            "is_anomaly": [],
+        }
+        for pdf in pdf_iter:
+            pdf = pdf.sort_values(["_us", "event_id"])
+            for eid, t, x in zip(pdf["event_id"], pdf["_us"], pdf["value_milli"]):
+                eid, t, x = int(eid), int(t), int(x)
+                # events strictly before (t, eid) in the retained window
+                prior = [
+                    xv
+                    for uu, ee, xv in zip(us, eids, xs)
+                    if (uu, ee) < (t, eid)
+                ]
+                prior = prior[-int(window_rows):]
+                n = len(prior)
+                s = sum(prior)
+                ss = sum(v * v for v in prior)
+                dev = n * x - s
+                flag = n >= int(min_points) and dev * dev > kk * (n * ss - s * s)
+                rows["event_id"].append(eid)
+                rows["user_id"].append(key[0])
+                rows["value_milli"].append(x)
+                rows["n_prior"].append(n)
+                rows["is_anomaly"].append(bool(flag))
+                # insert in (us, event_id) order, retain the last window
+                i = len(us)
+                while i > 0 and (us[i - 1], eids[i - 1]) > (t, eid):
+                    i -= 1
+                us.insert(i, t)
+                eids.insert(i, eid)
+                xs.insert(i, x)
+                if len(us) > int(window_rows):
+                    us, eids, xs = (
+                        us[-int(window_rows):],
+                        eids[-int(window_rows):],
+                        xs[-int(window_rows):],
+                    )
+        state.update((us, eids, xs))
+        yield pd.DataFrame(rows)
+
+    utype = base.schema["user_id"].dataType.simpleString()
+    return base.groupBy("user_id").applyInPandasWithState(
+        flags,
+        outputStructType=(
+            f"event_id long, user_id {utype}, value_milli long,"
+            " n_prior long, is_anomaly boolean"
+        ),
+        stateStructType="us array<long>, eids array<long>, xs array<long>",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -221,6 +221,7 @@ def load_all() -> dict[str, QueryDef]:
     import opteryx_spark.suite.pipeline3  # noqa: F401
     import opteryx_spark.suite.pipeline4  # noqa: F401
     import opteryx_spark.suite.pipeline5  # noqa: F401
+    import opteryx_spark.suite.pipeline6  # noqa: F401
     import opteryx_spark.suite.tpch  # noqa: F401
 
     import hashlib
@@ -228,12 +229,16 @@ def load_all() -> dict[str, QueryDef]:
     from opteryx_spark.suite._green_hashes import GREEN_HASHES
 
     ordered: dict[str, QueryDef] = {}
-    # tier 1: oracle-bearing entries that are new (no green verdict yet) OR
-    # changed since their green was recorded (impl-hash mismatch)
+    # tier 1a: CHANGED entries (recorded green, impl-hash mismatch) lead —
+    # a stale green is actively misleading, so re-confirmation outranks
+    # first confirmation when the registry outgrows the driver window
     for name, qd in REGISTRY.items():
-        if qd.oracle and (
-            name not in _DRIVER_GREEN or GREEN_HASHES.get(name) != _impl_hash(qd)
-        ):
+        if qd.oracle and name in _DRIVER_GREEN and GREEN_HASHES.get(name) != _impl_hash(qd):
+            ordered[name] = qd
+    # tier 1b: new oracle-bearing entries (no green verdict yet), in
+    # registration order; entries past the window promote next round
+    for name, qd in REGISTRY.items():
+        if qd.oracle and name not in _DRIVER_GREEN and name not in ordered:
             ordered[name] = qd
     # tier 2: already-green oracle entries, rotated per round so driver
     # re-confirmation slots cycle through the whole registry over rounds

@@ -804,3 +804,162 @@ def sample_weighted_es(spark, sf_dir):
         .select("doc_id", "n_chars", "es_key")
         .orderBy("es_key", "doc_id")
     )
+
+
+# --- SCD-2 state history ------------------------------------------------------
+
+
+@register(
+    "events_scd2_history",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_id, event_type, epoch_us(ts) AS us
+      FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    ), f AS (
+      SELECT *,
+             CASE WHEN lag(us) OVER w IS NULL
+                    OR event_type IS DISTINCT FROM lag(event_type) OVER w
+                  THEN 1 ELSE 0 END AS chg
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+    ), s AS (
+      SELECT *, CAST(SUM(chg) OVER (PARTITION BY user_id ORDER BY us, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                AS version
+      FROM f
+    ), per AS (
+      SELECT user_id, version, min(event_type) AS state,
+             CAST(min(us) AS BIGINT) AS valid_from_us
+      FROM s GROUP BY 1, 2
+    )
+    SELECT user_id, state, version, valid_from_us,
+           lead(valid_from_us) OVER w2 AS valid_to_us,
+           lead(valid_from_us) OVER w2 IS NULL AS is_current
+    FROM per WINDOW w2 AS (PARTITION BY user_id ORDER BY version)
+    ORDER BY user_id, version
+    """,
+)
+def events_scd2_history(spark, sf_dir):
+    """SCD type-2 dimension build from the event change stream
+    (``operators/events.py::scd2_history``): consecutive duplicate states
+    collapse into validity intervals with effective from/to and a current
+    flag — the warehouse-dimension construction, two user-partitioned
+    window passes + one aggregate, no self-join."""
+    ev = t(spark, sf_dir, "events")
+    return _events.scd2_history(ev).orderBy("user_id", "version")
+
+
+# --- CDC snapshot diff --------------------------------------------------------
+
+_O_DIG = (
+    "md5(coalesce('v:' || CAST(text AS VARCHAR), 'null')"
+    " || coalesce('v:' || CAST(lang AS VARCHAR), 'null')"
+    " || coalesce('v:' || CAST(source AS VARCHAR), 'null')"
+    " || coalesce('v:' || CAST(n_chars AS VARCHAR), 'null'))"
+)
+
+
+@register(
+    "cdc_snapshot_diff",
+    oracle=f"""
+    WITH newsnap AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 11 = 5 THEN text || ' [edited]' ELSE text END
+               AS text,
+             lang, source, n_chars
+      FROM documents WHERE doc_id % 17 <> 3
+      UNION ALL
+      SELECT doc_id + 1000000, text, lang, source, n_chars
+      FROM documents WHERE doc_id % 13 = 2
+    ), o AS (SELECT doc_id, {_O_DIG} AS old_digest FROM documents),
+    n AS (SELECT doc_id, {_O_DIG} AS new_digest FROM newsnap)
+    SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+           CASE WHEN o.doc_id IS NULL THEN 'insert'
+                WHEN n.doc_id IS NULL THEN 'delete'
+                WHEN old_digest <> new_digest THEN 'update' END AS op,
+           old_digest, new_digest
+    FROM o FULL OUTER JOIN n USING (doc_id)
+    WHERE (o.doc_id IS NULL OR n.doc_id IS NULL OR old_digest <> new_digest)
+    ORDER BY doc_id
+    """,
+)
+def cdc_snapshot_diff(spark, sf_dir):
+    """Snapshot-diff CDC (``operators/scale.py::snapshot_diff``): the old
+    corpus vs a deterministically mutated new snapshot (every 17th key
+    deleted, every 11th text edited, every 13th re-keyed as an insert) —
+    one digest-carrying full outer join on the key, inserts/deletes/
+    updates classified and unchanged keys dropped before projection."""
+    from opteryx_spark.operators import scale as _scale
+
+    docs = t(spark, sf_dir, "documents")
+    newsnap = (
+        docs.filter(F.col("doc_id") % 17 != 3)
+        .select(
+            "doc_id",
+            F.when(
+                F.col("doc_id") % 11 == 5, F.concat(F.col("text"), F.lit(" [edited]"))
+            )
+            .otherwise(F.col("text"))
+            .alias("text"),
+            "lang",
+            "source",
+            "n_chars",
+        )
+        .unionByName(
+            docs.filter(F.col("doc_id") % 13 == 2).select(
+                (F.col("doc_id") + 1000000).alias("doc_id"),
+                "text",
+                "lang",
+                "source",
+                "n_chars",
+            )
+        )
+    )
+    return _scale.snapshot_diff(docs, newsnap, ["doc_id"]).orderBy("doc_id")
+
+
+def _bpe_encode_oracle() -> str:
+    """Train CTEs from ``_bpe_oracle`` + a cross-joined merge row so the
+    apply lambda captures the learned pairs as outer columns."""
+    base = _bpe_oracle()
+    head = base[: base.rindex("SELECT * FROM (")]
+    mm_cols = ", ".join(
+        f"(SELECT a FROM m{i}) AS a{i}, (SELECT b FROM m{i}) AS b{i}"
+        for i in range(1, _BPE_MERGES + 1)
+    )
+    rep = "regexp_replace(t, '(.)', chr(31) || '\\1', 'g')"
+    for i in range(1, _BPE_MERGES + 1):
+        rep = (
+            f"replace({rep}, chr(31) || a{i} || chr(31) || b{i},"
+            f" chr(31) || a{i} || b{i})"
+        )
+    return (
+        head
+        + f"""
+    , mm AS (SELECT {mm_cols})
+    , enc AS (
+      SELECT doc_id,
+             list_transform({_O_TOKENS}, t -> {rep}) AS syms
+      FROM documents CROSS JOIN mm
+    )
+    SELECT doc_id,
+           CAST(coalesce(list_sum(list_transform(syms,
+             s -> length(s) - length(replace(s, chr(31), '')))), 0) AS BIGINT)
+             AS n_bpe
+    FROM enc ORDER BY doc_id
+    """
+    )
+
+
+@register("text_bpe_encode", oracle=_bpe_encode_oracle())
+def text_bpe_encode(spark, sf_dir):
+    """BPE tokenizer APPLICATION (``operators/text.py::bpe_encode_counts``):
+    encode every document with the 6 merges learned by ``bpe_train`` and
+    count resulting tokens — the train/apply pair closed end-to-end, all
+    map-side (the oracle re-derives the merges and applies them with the
+    same greedy string mechanics)."""
+    docs = t(spark, sf_dir, "documents")
+    merges = [
+        (r.lhs, r.rhs)
+        for r in _text.bpe_train(docs, num_merges=_BPE_MERGES).collect()
+    ]
+    return _text.bpe_encode_counts(docs, merges).orderBy("doc_id")
