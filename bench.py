@@ -31,10 +31,6 @@ BENCH_QUERIES = [
     "tpch_q10_returned_items",
     "tpch_q13_customer_distribution",
     "tpch_q18_large_volume_customer",
-    "join_left_outer",
-    "agg_count_distinct",
-    "window_topn_per_group",
-    "unnest_tokens",
     "events_hourly_rollup",
     "dedup_exact_stats",
     "dedup_ngram_jaccard",
@@ -44,7 +40,6 @@ BENCH_QUERIES = [
     "emb_ann_lsh_topk",
     "cb_user_activity_topk",
     "cb_daily_series",
-    "window_frames_moving_avg",
     "text_quality_langid",
     "join_asof_last_click",
     "join_range_binned",
@@ -87,6 +82,11 @@ BENCH_QUERIES = [
     "emb_mmr_rerank",
     "text_bigram_perplexity",
     "graph_triangle_counts",
+    "events_ohlc_bars",
+    "events_ewma",
+    "cust_rfm_segments",
+    "events_rollup_merge",
+    "mm_phash_near_dups",
 ]
 
 

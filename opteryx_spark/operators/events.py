@@ -39,6 +39,8 @@ __all__ = [
     "scd2_history",
     "attribute_conversions",
     "detect_value_anomalies",
+    "ohlc_bars",
+    "ewma_features",
 ]
 
 
@@ -581,4 +583,115 @@ def detect_value_anomalies(
             (F.col("_n") >= F.lit(int(min_points)))
             & ((dev * dev) > F.lit(int(k) * int(k)) * var_n2)
         ).alias("is_anomaly"),
+    )
+
+
+def ohlc_bars(
+    events: DataFrame,
+    symbol_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    order_col: str = "event_id",
+    bar_minutes: int = 60,
+) -> DataFrame:
+    """Time-bar OHLC aggregation — the candlestick reduction every
+    financial/metrics warehouse ships: per ``symbol_col`` and fixed
+    time bar, the opening/highest/lowest/closing value plus volume.
+
+    Open and close are extremum-of-struct aggregates over the unique
+    ``(event micros, order_col)`` key — ``min(struct(us, id, value))``
+    — NOT rank windows, so they partial-aggregate map-side and a hot
+    symbol never concentrates a sort in one task (the keeper-selection
+    rule from NOTES_r6).  Volume sums as DECIMAL(25,8) → double
+    (exact, order-independent).  Rows with NULL symbol/ts/value are
+    excluded by contract.
+
+    Returns ``symbol_col``, ``bar_start_us`` (BIGINT micros), ``open``,
+    ``high``, ``low``, ``close``, ``volume`` (double), ``n_events``.
+    """
+    bar_us = int(bar_minutes) * 60 * 1_000_000
+    base = events.filter(
+        F.col(symbol_col).isNotNull()
+        & F.col(ts_col).isNotNull()
+        & F.col(value_col).isNotNull()
+    )
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    keyed = base.select(
+        F.col(symbol_col),
+        ((us - (us % F.lit(bar_us)))).alias("bar_start_us"),
+        us.alias("_us"),
+        F.col(order_col).alias("_oid"),
+        F.col(value_col).alias("_v"),
+    )
+    first_s = F.min(F.struct("_us", "_oid", "_v"))
+    last_s = F.max(F.struct("_us", "_oid", "_v"))
+    return keyed.groupBy(symbol_col, "bar_start_us").agg(
+        first_s.getField("_v").alias("open"),
+        F.max("_v").alias("high"),
+        F.min("_v").alias("low"),
+        last_s.getField("_v").alias("close"),
+        F.sum(F.col("_v").cast("decimal(25,8)")).cast("double").alias("volume"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+def ewma_features(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    order_col: str = "event_id",
+    window_rows: int = 16,
+    scale: int = 1000,
+) -> DataFrame:
+    """Exponentially-weighted trailing average with DYADIC decay
+    (half-life = one event), bit-reproducible: the k-th most recent of
+    the user's previous ``window_rows`` values carries weight ``2^-k``,
+    so the weighted numerator and denominator are EXACT BIGINTs
+    (quantized ``floor(value·scale)`` times a power of two) and the only
+    float is one final division of exact integers — identical in any
+    engine, on any partitioning.  The streaming-features EWMA every
+    feature store ships, restricted to weights an integer engine can
+    carry exactly.
+
+    Implemented as ``window_rows`` ``lag()`` taps sharing ONE window
+    sort (no collect_list buffering, no per-row arrays): ``num = Σ
+    lag(x,k)·2^(W-k)``, ``den = Σ 2^(W-k)`` over the non-NULL taps.
+    Rows with NULL user/ts/value are excluded by contract; an event
+    with no history gets NULL ``ewma``.
+
+    Returns ``order_col``, ``user_col``, ``value_milli``, ``n_prior``
+    and ``ewma`` (double, in ``scale`` units).
+    """
+    if window_rows < 1 or window_rows > 62:
+        raise ValueError("window_rows must be in [1, 62]")
+    base = events.filter(
+        F.col(user_col).isNotNull()
+        & F.col(ts_col).isNotNull()
+        & F.col(value_col).isNotNull()
+    )
+    x = F.floor(F.col(value_col).cast("double") * F.lit(float(scale))).cast("long")
+    w = Window.partitionBy(user_col).orderBy(
+        F.col(ts_col).asc(), F.col(order_col).asc()
+    )
+    out = base.withColumn("value_milli", x)
+    num = F.lit(0).cast("long")
+    den = F.lit(0).cast("long")
+    npr = F.lit(0).cast("long")
+    for k in range(1, int(window_rows) + 1):
+        tap = F.lag("value_milli", k).over(w)
+        wgt = F.lit(1 << (int(window_rows) - k)).cast("long")
+        num = num + F.coalesce(tap * wgt, F.lit(0).cast("long"))
+        den = den + F.coalesce(
+            F.when(tap.isNotNull(), wgt), F.lit(0).cast("long")
+        )
+        npr = npr + F.when(tap.isNotNull(), F.lit(1)).otherwise(F.lit(0))
+    return out.select(
+        order_col,
+        user_col,
+        "value_milli",
+        npr.alias("n_prior"),
+        F.when(
+            den > F.lit(0), num.cast("double") / den.cast("double")
+        ).alias("ewma"),
     )

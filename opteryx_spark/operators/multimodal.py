@@ -299,3 +299,111 @@ def resize_images(
                 yield pd.DataFrame(out)
 
     return df.select("media_id", "payload").mapInPandas(resize, RESIZE_SCHEMA)
+
+
+def _dhash_band_expr(h_col: str, band: int) -> str:
+    """SQL expression (valid in Spark AND DuckDB: instr/substring only)
+    for one 16-bit band of the 64-bit dHash over the 64 hex nibbles of
+    ``h_col``: bit j of band b is ``nibble[16b+j] > nibble[16b+j+1]``
+    (wrapping at 64), packed little-endian into a BIGINT."""
+    terms = []
+    for j in range(16):
+        k = 16 * band + j
+        nxt = (k + 1) % 64
+        a = f"(instr('0123456789abcdef', substring({h_col}, {k + 1}, 1)) - 1)"
+        b = f"(instr('0123456789abcdef', substring({h_col}, {nxt + 1}, 1)) - 1)"
+        terms.append(f"(CASE WHEN {a} > {b} THEN {1 << j} ELSE 0 END)")
+    return "CAST(" + " + ".join(terms) + " AS BIGINT)"
+
+
+def dhash_bands(
+    df: DataFrame,
+    content_col: str = "payload",
+    id_col: str = "media_id",
+) -> DataFrame:
+    """64-bit difference-hash (dHash) of media content, carried as four
+    16-bit BIGINT bands — the perceptual-hash representation image dedup
+    pipelines band-join on.  STUB pixel source: with no codec in this
+    container, the "pixel" intensities are the 64 hex nibbles of
+    ``sha256(content)`` (deterministic, engine-reproducible — the same
+    NUL-free arithmetic contract as the other multimodal stubs); a full
+    runtime swaps in real 8x9 grayscale differences, the banding and
+    join shapes are unchanged.  ``content_col`` is hashed as a STRING
+    (DuckDB's sha256 is VARCHAR-only — NOTES_r6).
+
+    bit j of band b: ``nibble[16b+j] > nibble[16b+j+1]`` (wrapping), so
+    the whole hash is one codegen'd expression — map-only, no Python.
+
+    Returns ``id_col``, ``b0``..``b3`` (BIGINT, 16 bits each); NULL
+    content yields NULL bands.
+    """
+    h = F.sha2(F.col(content_col).cast("string"), 256)
+    with_h = df.select(F.col(id_col), h.alias("_h"))
+    return with_h.select(
+        id_col,
+        *[
+            F.when(F.col("_h").isNotNull(), F.expr(_dhash_band_expr("_h", b))).alias(
+                f"b{b}"
+            )
+            for b in range(4)
+        ],
+    )
+
+
+def phash_near_dup_pairs(
+    df: DataFrame,
+    content_col: str = "payload",
+    id_col: str = "media_id",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Perceptual-hash near-duplicate pairs: band-join candidates +
+    exact Hamming verification — the image-dedup analogue of MinHash
+    LSH.  With 4 bands of 16 bits, any pair within ``max_hamming <= 3``
+    bits differs in at most 3 bands, so at least one band matches
+    EXACTLY (pigeonhole) — candidate generation by band equality has
+    perfect recall at the default threshold; larger thresholds trade
+    recall like any banding scheme (documented, not silent).
+
+    Scale shape: hashes are map-only; candidates come from ONE explode
+    (4 rows/item) + self-equi-join on ``(band_idx, value)`` carrying
+    only ids and band scalars; verification is bit_count over XOR — no
+    cartesian, no windows.
+
+    Returns ``id_a`` < ``id_b`` and ``hamming`` (BIGINT).
+    """
+    if not (0 <= max_hamming <= 64):
+        raise ValueError("max_hamming in [0, 64]")
+    from opteryx_spark.operators.dedup import _track_persist
+
+    bands = _track_persist(dhash_bands(df, content_col, id_col).filter(
+        F.col("b0").isNotNull()
+    ))
+    sig = bands.select(
+        F.col(id_col).alias("_id"),
+        F.explode(
+            F.array(*[F.struct(F.lit(b).alias("bi"), F.col(f"b{b}").alias("bv")) for b in range(4)])
+        ).alias("_e"),
+    ).select("_id", F.col("_e.bi").alias("_bi"), F.col("_e.bv").alias("_bv"))
+    cand = (
+        sig.alias("l")
+        .join(sig.alias("r"), ["_bi", "_bv"])
+        .filter(F.col("l._id") < F.col("r._id"))
+        .select(F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b"))
+        .distinct()
+    )
+    a = bands.select(
+        F.col(id_col).alias("id_a"), *[F.col(f"b{b}").alias(f"a{b}") for b in range(4)]
+    )
+    b_ = bands.select(
+        F.col(id_col).alias("id_b"), *[F.col(f"b{b}").alias(f"bb{b}") for b in range(4)]
+    )
+    ham = sum(
+        F.bit_count(F.col(f"a{i}").bitwiseXOR(F.col(f"bb{i}"))).cast("long")
+        for i in range(4)
+    )
+    return (
+        cand.join(a, "id_a")
+        .join(b_, "id_b")
+        .select("id_a", "id_b", ham.alias("hamming"))
+        .filter(F.col("hamming") <= F.lit(int(max_hamming)))
+    )

@@ -262,3 +262,52 @@ def snapshot_diff(
     return j.withColumn("op", op).filter(F.col("op").isNotNull()).select(
         *key_cols, "op", "old_digest", "new_digest"
     )
+
+
+def merge_rollups(
+    base: DataFrame,
+    delta: DataFrame,
+    key_cols: list[str],
+    combine: list[tuple[str, str]],
+) -> DataFrame:
+    """Incremental-view-maintenance merge: combine a maintained rollup
+    artifact with a freshly-aggregated delta batch so the result equals
+    re-aggregating the full input — the IVM step that lets a 100 TB
+    pipeline maintain hourly/daily rollups by touching only new data.
+
+    ``combine`` lists ``(kind, col)`` with kind in {'sum', 'count',
+    'min', 'max'}: sum/count columns ADD (missing side contributes 0 —
+    both must carry re-aggregable partials: counts as COUNTs, sums in
+    an exact type like DECIMAL, never pre-divided averages); min/max
+    combine via least/greatest (which skip NULLs in Spark and DuckDB
+    alike — a key absent on one side keeps the other side's extremum).
+
+    Scale shape: ONE full outer equi join on the rollup key — both
+    sides are already aggregates, so the frames exchanged are
+    rollup-sized, not raw-data-sized; everything else is map-side
+    arithmetic.
+    """
+    if not key_cols:
+        raise ValueError("key_cols must be non-empty")
+    kinds = {k for k, _ in combine}
+    if not kinds <= {"sum", "count", "min", "max"}:
+        raise ValueError(f"unsupported combine kind(s): {kinds - {'sum', 'count', 'min', 'max'}}")
+    b = base.select(
+        *key_cols, *[F.col(c).alias(f"_b_{c}") for _, c in combine]
+    )
+    d = delta.select(
+        *key_cols, *[F.col(c).alias(f"_d_{c}") for _, c in combine]
+    )
+    j = b.join(d, key_cols, "full_outer")
+    out_cols = [F.col(c) for c in key_cols]
+    for kind, c in combine:
+        lhs, rhs = F.col(f"_b_{c}"), F.col(f"_d_{c}")
+        if kind in ("sum", "count"):
+            zero = F.lit(0)
+            merged = F.coalesce(lhs, zero) + F.coalesce(rhs, zero)
+        elif kind == "min":
+            merged = F.least(lhs, rhs)
+        else:
+            merged = F.greatest(lhs, rhs)
+        out_cols.append(merged.alias(c))
+    return j.select(*out_cols)

@@ -378,3 +378,341 @@ def text_bigram_perplexity(spark, sf_dir):
         "avg_nll_millinats",
         "passes_perplexity",
     ).orderBy("doc_id")
+
+
+# --- OHLC time bars ---------------------------------------------------------------
+
+_BAR_US = 60 * 60 * 1_000_000
+
+
+@register(
+    "events_ohlc_bars",
+    oracle=f"""
+    WITH e AS (
+      SELECT event_type, event_id, value, epoch_us(ts) AS us
+      FROM events
+      WHERE event_type IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL
+    ), k AS (
+      SELECT event_type, us - (us % {_BAR_US}) AS bar_start_us,
+             us, event_id, value
+      FROM e
+    ), r AS (
+      SELECT *,
+             row_number() OVER (PARTITION BY event_type, bar_start_us
+                                ORDER BY us, event_id) AS rn_a,
+             row_number() OVER (PARTITION BY event_type, bar_start_us
+                                ORDER BY us DESC, event_id DESC) AS rn_d
+      FROM k
+    )
+    SELECT event_type, bar_start_us,
+           max(CASE WHEN rn_a = 1 THEN value END) AS open,
+           max(value) AS high,
+           min(value) AS low,
+           max(CASE WHEN rn_d = 1 THEN value END) AS close,
+           CAST(sum(CAST(value AS DECIMAL(25,8))) AS DOUBLE) AS volume,
+           count(*) AS n_events
+    FROM r GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def events_ohlc_bars(spark, sf_dir):
+    """Candlestick OHLC bars (``operators/events.py::ohlc_bars``): per
+    event type and hour, open/high/low/close/volume — open and close are
+    ``min/max(struct(us, id, value))`` aggregates (map-side partial
+    combine; hot bars never sort in one task), volume is the exact
+    DECIMAL sum.  The oracle takes the same extremes via rank windows —
+    semantically identical, DuckDB-side only."""
+    ev = t(spark, sf_dir, "events")
+    return _events.ohlc_bars(ev, bar_minutes=60).orderBy(
+        "event_type", "bar_start_us"
+    )
+
+
+# --- dyadic EWMA ------------------------------------------------------------------
+
+_EW_W = 16
+
+
+def _ewma_oracle() -> str:
+    num = " + ".join(
+        f"coalesce(lag(x, {k}) OVER w * {1 << (_EW_W - k)}, 0)"
+        for k in range(1, _EW_W + 1)
+    )
+    den = " + ".join(
+        f"coalesce(CASE WHEN lag(x, {k}) OVER w IS NOT NULL"
+        f" THEN {1 << (_EW_W - k)} END, 0)"
+        for k in range(1, _EW_W + 1)
+    )
+    npr = " + ".join(
+        f"CASE WHEN lag(x, {k}) OVER w IS NOT NULL THEN 1 ELSE 0 END"
+        for k in range(1, _EW_W + 1)
+    )
+    return f"""
+    WITH e AS (
+      SELECT event_id, user_id, epoch_us(ts) AS us,
+             CAST(floor(value * 1000.0) AS BIGINT) AS x
+      FROM events
+      WHERE user_id IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL
+    ), t AS (
+      SELECT event_id, user_id, x AS value_milli,
+             {num} AS num, {den} AS den, {npr} AS np
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+    )
+    SELECT event_id, user_id, value_milli, CAST(np AS BIGINT) AS n_prior,
+           CASE WHEN den > 0 THEN CAST(num AS DOUBLE) / CAST(den AS DOUBLE) END
+             AS ewma
+    FROM t ORDER BY event_id
+    """
+
+
+@register("events_ewma", oracle=_ewma_oracle())
+def events_ewma(spark, sf_dir):
+    """Dyadic-decay EWMA (``operators/events.py::ewma_features``): the
+    k-th most recent of the last 16 values weighs 2^-k, so numerator and
+    denominator are EXACT BIGINTs and the only float is one division —
+    16 lag taps sharing a single user-keyed window sort.  The oracle
+    unrolls the identical taps."""
+    ev = t(spark, sf_dir, "events")
+    return _events.ewma_features(ev, window_rows=_EW_W).orderBy("event_id")
+
+
+# --- RFM segmentation ---------------------------------------------------------------
+
+
+def _rfm_oracle() -> str:
+    def bounds(col, tag):
+        return ", ".join(
+            f"quantile_cont({col}, {i / 5!r}) AS {tag}{i}" for i in range(1, 5)
+        )
+
+    def bin_expr(col, tag):
+        s = " + ".join(
+            f"(CASE WHEN CAST({col} AS DOUBLE) > {tag}{i} THEN 1 ELSE 0 END)"
+            for i in range(1, 5)
+        )
+        return f"CAST({s} AS INTEGER)"
+
+    return f"""
+    WITH ref AS (SELECT max(o_orderdate) AS refd FROM orders),
+    per AS (
+      SELECT o_custkey,
+             CAST(date_diff('day', max(o_orderdate), (SELECT refd FROM ref))
+                  AS BIGINT) AS recency_days,
+             count(*) AS frequency,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(25,8))) AS DOUBLE) AS monetary
+      FROM orders GROUP BY o_custkey
+    ), b AS (
+      SELECT {bounds("recency_days", "r")}, {bounds("frequency", "f")},
+             {bounds("monetary", "m")}
+      FROM per
+    ), binned AS (
+      SELECT o_custkey, recency_days, frequency, monetary,
+             {bin_expr("recency_days", "r")} AS r_bin,
+             {bin_expr("frequency", "f")} AS f_bin,
+             {bin_expr("monetary", "m")} AS m_bin
+      FROM per CROSS JOIN b
+    )
+    SELECT *, CAST(r_bin AS VARCHAR) || CAST(f_bin AS VARCHAR)
+              || CAST(m_bin AS VARCHAR) AS rfm_code
+    FROM binned ORDER BY o_custkey
+    """
+
+
+@register("cust_rfm_segments", oracle=_rfm_oracle())
+def cust_rfm_segments(spark, sf_dir):
+    """RFM customer segmentation: recency/frequency/monetary per
+    customer, each quintile-binned with
+    ``operators/features.py::quantile_bin`` (three ONE-aggregate
+    percentile passes broadcast onto map-side bucket counts — no rank
+    windows) and concatenated into the classic RFM code."""
+    orders = t(spark, sf_dir, "orders")
+    ref = orders.agg(F.max("o_orderdate").alias("_ref"))
+    per = (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.max("o_orderdate").alias("_last"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum(F.col("o_totalprice").cast("decimal(25,8)"))
+            .cast("double")
+            .alias("monetary"),
+        )
+        .crossJoin(F.broadcast(ref))
+        .select(
+            "o_custkey",
+            F.datediff(F.col("_ref"), F.col("_last")).cast("long").alias("recency_days"),
+            "frequency",
+            "monetary",
+        )
+    )
+    out = _features.quantile_bin(per, "recency_days", k=5).withColumnRenamed(
+        "bin", "r_bin"
+    )
+    out = _features.quantile_bin(out, "frequency", k=5).withColumnRenamed(
+        "bin", "f_bin"
+    )
+    out = _features.quantile_bin(out, "monetary", k=5).withColumnRenamed(
+        "bin", "m_bin"
+    )
+    return out.withColumn(
+        "rfm_code",
+        F.concat(
+            F.col("r_bin").cast("string"),
+            F.col("f_bin").cast("string"),
+            F.col("m_bin").cast("string"),
+        ),
+    ).orderBy("o_custkey")
+
+
+# --- incremental rollup maintenance (IVM) -------------------------------------------
+
+
+@register(
+    "events_rollup_merge",
+    oracle=f"""
+    WITH e AS (
+      SELECT event_type, epoch_us(ts) AS us, value
+      FROM events
+      WHERE event_type IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL
+    )
+    SELECT event_type, us - (us % {_BAR_US}) AS hour_start_us,
+           count(*) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(25,8))) AS DOUBLE) AS sum_value,
+           min(value) AS min_value,
+           max(value) AS max_value
+    FROM e GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def events_rollup_merge(spark, sf_dir):
+    """Incremental-view maintenance (``operators/scale.py::merge_rollups``):
+    the hourly rollup is maintained as base (4/5 of events) merged with a
+    delta batch (1/5) — ONE rollup-sized full outer join; counts and
+    DECIMAL-exact sums add, extremes combine via least/greatest.  The
+    oracle re-aggregates the full input: equality IS the IVM correctness
+    property."""
+    from opteryx_spark.operators import scale as _scale
+
+    ev = t(spark, sf_dir, "events")
+
+    def roll(df):
+        base = df.filter(
+            F.col("event_type").isNotNull()
+            & F.col("ts").isNotNull()
+            & F.col("value").isNotNull()
+        )
+        us = F.unix_micros(F.col("ts").cast("timestamp"))
+        return (
+            base.select(
+                "event_type",
+                (us - (us % F.lit(_BAR_US))).alias("hour_start_us"),
+                "value",
+            )
+            .groupBy("event_type", "hour_start_us")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum(F.col("value").cast("decimal(25,8)")).alias("_sum_dec"),
+                F.min("value").alias("min_value"),
+                F.max("value").alias("max_value"),
+            )
+        )
+
+    merged = _scale.merge_rollups(
+        roll(ev.filter(F.col("event_id") % 5 != 0)),
+        roll(ev.filter(F.col("event_id") % 5 == 0)),
+        ["event_type", "hour_start_us"],
+        [
+            ("count", "n_events"),
+            ("sum", "_sum_dec"),
+            ("min", "min_value"),
+            ("max", "max_value"),
+        ],
+    )
+    return merged.select(
+        "event_type",
+        "hour_start_us",
+        "n_events",
+        F.col("_sum_dec").cast("double").alias("sum_value"),
+        "min_value",
+        "max_value",
+    ).orderBy("event_type", "hour_start_us")
+
+
+# --- perceptual-hash image dedup -----------------------------------------------------
+
+from opteryx_spark.operators import multimodal as _mm  # noqa: E402
+from opteryx_spark.operators.multimodal import _dhash_band_expr  # noqa: E402
+
+# deterministic stub media: every 10th doc's content duplicates doc_id-5,
+# so the near-dup ground truth is exactly n/10 hamming-0 pairs at any sf
+_MM_KEY = "CASE WHEN doc_id % 10 = 0 THEN doc_id - 5 ELSE doc_id END"
+
+
+def _mm_content(spark_side: bool):
+    if spark_side:
+        key = F.when(F.col("doc_id") % 10 == 0, F.col("doc_id") - 5).otherwise(
+            F.col("doc_id")
+        )
+        return F.repeat(F.sha2(key.cast("string"), 256), 4)
+    return f"repeat(sha256(CAST(({_MM_KEY}) AS VARCHAR)), 4)"
+
+
+def _phash_bands_oracle() -> str:
+    bands = ", ".join(f"{_dhash_band_expr('h', b)} AS b{b}" for b in range(4))
+    return f"""
+    WITH c AS (
+      SELECT doc_id, sha256({_mm_content(False)}) AS h FROM documents
+    )
+    SELECT doc_id, {bands} FROM c ORDER BY doc_id
+    """
+
+
+@register("mm_phash_bands", oracle=_phash_bands_oracle())
+def mm_phash_bands(spark, sf_dir):
+    """Perceptual dHash of stub media content
+    (``operators/multimodal.py::dhash_bands``): 64 bits as four 16-bit
+    BIGINT bands, one codegen'd expression per band (no Python, no
+    shuffle) — the banding representation image dedup joins on.  The
+    oracle evaluates the IDENTICAL instr/substring expression text."""
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id", _mm_content(True).alias("payload")
+    )
+    return _mm.dhash_bands(docs, content_col="payload", id_col="doc_id").orderBy(
+        "doc_id"
+    )
+
+
+def _phash_pairs_oracle() -> str:
+    bands = ", ".join(f"{_dhash_band_expr('h', b)} AS b{b}" for b in range(4))
+    ham = " + ".join(f"bit_count(xor(a.b{b}, b.b{b}))" for b in range(4))
+    return f"""
+    WITH c AS (
+      SELECT doc_id, sha256({_mm_content(False)}) AS h FROM documents
+    ), bands AS (
+      SELECT doc_id, {bands} FROM c
+    ), pairs AS (
+      SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+      FROM bands l JOIN bands r
+        ON l.doc_id < r.doc_id
+       AND (l.b0 = r.b0 OR l.b1 = r.b1 OR l.b2 = r.b2 OR l.b3 = r.b3)
+    )
+    SELECT p.id_a, p.id_b, CAST({ham} AS BIGINT) AS hamming
+    FROM pairs p
+    JOIN bands a ON a.doc_id = p.id_a
+    JOIN bands b ON b.doc_id = p.id_b
+    WHERE CAST({ham} AS BIGINT) <= 3
+    ORDER BY id_a, id_b
+    """
+
+
+@register("mm_phash_near_dups", oracle=_phash_pairs_oracle())
+def mm_phash_near_dups(spark, sf_dir):
+    """Perceptual-hash image near-dup pairs
+    (``operators/multimodal.py::phash_near_dup_pairs``): band-equality
+    candidates (4x16-bit LSH — perfect recall at hamming <= 3 by
+    pigeonhole) verified by XOR popcount.  The fixture plants one
+    duplicate per 10 docs; random band collisions are generated and then
+    correctly rejected by the verifier on both sides."""
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id", _mm_content(True).alias("payload")
+    )
+    return _mm.phash_near_dup_pairs(
+        docs, content_col="payload", id_col="doc_id", max_hamming=3
+    ).orderBy("id_a", "id_b")

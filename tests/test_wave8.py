@@ -1,0 +1,185 @@
+"""Unit + plan tests for the round-6 eighth wave: OHLC bars, dyadic
+EWMA, RFM quintile segmentation and incremental rollup maintenance."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from opteryx_spark.plans import explain_text
+
+
+def _ts(s):
+    return dt.datetime.fromisoformat(s)
+
+
+def test_ohlc_open_close_tie_and_null_contract(spark):
+    from opteryx_spark.operators import events
+
+    rows = [
+        # same timestamp: event_id breaks the tie for open (1) / close (2)
+        (1, _ts("2024-01-01T00:00:00"), 1, "m", 10.0, None),
+        (2, _ts("2024-01-01T00:00:00"), 1, "m", 30.0, None),
+        (3, _ts("2024-01-01T00:30:00"), 1, "m", 5.0, None),
+        (4, _ts("2024-01-01T00:45:00"), 1, "m", None, None),  # excluded
+        (5, _ts("2024-01-01T01:10:00"), 1, "m", 7.0, None),  # next bar
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    out = sorted(
+        events.ohlc_bars(ev, bar_minutes=60).collect(),
+        key=lambda r: r.bar_start_us,
+    )
+    b0 = out[0]
+    assert (b0.open, b0.high, b0.low, b0.close) == (10.0, 30.0, 5.0, 5.0)
+    assert b0.volume == 45.0 and b0.n_events == 3
+    assert out[1].open == 7.0 and out[1].n_events == 1
+
+
+def test_ohlc_plan_is_pure_aggregate(spark, sf_dir):
+    from opteryx_spark.catalog import load_table
+    from opteryx_spark.operators import events
+
+    ev = load_table(spark, sf_dir, "events")
+    text = explain_text(events.ohlc_bars(ev))
+    assert "Window" not in text  # extremum-of-struct, not rank windows
+    assert "CartesianProduct" not in text
+    assert "rangepartitioning" not in text.lower()
+
+
+def test_ewma_dyadic_weights(spark):
+    from opteryx_spark.operators import events
+
+    rows = [
+        (1, _ts("2024-01-01T00:00:00"), 1, "m", 1.0, None),
+        (2, _ts("2024-01-01T00:01:00"), 1, "m", 2.0, None),
+        (3, _ts("2024-01-01T00:02:00"), 1, "m", 4.0, None),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    out = {r.event_id: r for r in events.ewma_features(ev).collect()}
+    assert out[1].ewma is None and out[1].n_prior == 0
+    assert out[2].ewma == pytest.approx(1000.0)
+    # most recent (2.0) weighs 2x the older (1.0): (2*2000 + 1000) / 3
+    assert out[3].ewma == pytest.approx(5000.0 / 3.0)
+    assert out[3].n_prior == 2
+    with pytest.raises(ValueError):
+        events.ewma_features(ev, window_rows=0)
+
+
+def test_ewma_single_window_pass(spark, sf_dir):
+    from opteryx_spark.catalog import load_table
+    from opteryx_spark.operators import events
+
+    ev = load_table(spark, sf_dir, "events")
+    text = explain_text(events.ewma_features(ev))
+    # 16 taps share ONE window sort: exactly one Window node
+    assert text.count("(") and text.count("Window") <= 4  # tree+detail x <=2
+    assert "CartesianProduct" not in text
+
+
+def test_merge_rollups_equals_full_recompute(spark):
+    from opteryx_spark.operators import scale
+
+    df = spark.createDataFrame(
+        [(i, i % 3, float(i)) for i in range(30)], "id long, k int, v double"
+    )
+
+    def roll(d):
+        return d.groupBy("k").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("v").cast("decimal(25,8)")).alias("s"),
+            F.min("v").alias("lo"),
+            F.max("v").alias("hi"),
+        )
+
+    merged = scale.merge_rollups(
+        roll(df.filter(F.col("id") < 20)),
+        roll(df.filter(F.col("id") >= 20)),
+        ["k"],
+        [("count", "n"), ("sum", "s"), ("min", "lo"), ("max", "hi")],
+    )
+    got = {r.k: (r.n, float(r.s), r.lo, r.hi) for r in merged.collect()}
+    want = {r.k: (r.n, float(r.s), r.lo, r.hi) for r in roll(df).collect()}
+    assert got == want
+
+
+def test_merge_rollups_disjoint_keys_and_errors(spark):
+    from opteryx_spark.operators import scale
+
+    a = spark.createDataFrame([(1, 10, 5.0)], "k long, n long, hi double")
+    b = spark.createDataFrame([(2, 3, 9.0)], "k long, n long, hi double")
+    out = {
+        r.k: (r.n, r.hi)
+        for r in scale.merge_rollups(
+            a, b, ["k"], [("count", "n"), ("max", "hi")]
+        ).collect()
+    }
+    assert out == {1: (10, 5.0), 2: (3, 9.0)}
+    with pytest.raises(ValueError):
+        scale.merge_rollups(a, b, [], [("count", "n")])
+    with pytest.raises(ValueError):
+        scale.merge_rollups(a, b, ["k"], [("avg", "n")])
+
+
+def test_dhash_bands_match_python_reference(spark):
+    import hashlib
+
+    from opteryx_spark.operators import multimodal as mm
+
+    docs = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta"), (3, None)], "media_id long, payload string"
+    )
+    out = {r.media_id: (r.b0, r.b1, r.b2, r.b3) for r in mm.dhash_bands(docs).collect()}
+
+    def ref(s):
+        h = hashlib.sha256(s.encode()).hexdigest()
+        nib = [int(c, 16) for c in h]
+        bands = []
+        for b in range(4):
+            v = 0
+            for j in range(16):
+                k = 16 * b + j
+                if nib[k] > nib[(k + 1) % 64]:
+                    v |= 1 << j
+            bands.append(v)
+        return tuple(bands)
+
+    assert out[1] == ref("alpha") and out[2] == ref("beta")
+    assert out[3] == (None, None, None, None)
+
+
+def test_phash_near_dups_planted_duplicates(spark):
+    import pytest as _pt
+
+    from opteryx_spark.operators import multimodal as mm
+    from opteryx_spark.operators.dedup import release_text_group_caches
+
+    rows = [(i, f"content-{i if i % 10 else i - 5}") for i in range(1, 41)]
+    docs = spark.createDataFrame(rows, "media_id long, payload string")
+    out = mm.phash_near_dup_pairs(docs, max_hamming=3).collect()
+    # ids 10,20,30,40 duplicate ids 5,15,25,35 -> exactly those 4 pairs
+    assert sorted((r.id_a, r.id_b, r.hamming) for r in out) == [
+        (5, 10, 0), (15, 20, 0), (25, 30, 0), (35, 40, 0),
+    ]
+    with _pt.raises(ValueError):
+        mm.phash_near_dup_pairs(docs, max_hamming=65)
+    release_text_group_caches()
+
+
+def test_phash_plan_no_cartesian(spark, sf_dir):
+    from opteryx_spark.operators import multimodal as mm
+    from opteryx_spark.operators.dedup import release_text_group_caches
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .selectExpr("doc_id AS media_id", "CAST(doc_id AS STRING) AS payload")
+    )
+    text = explain_text(mm.phash_near_dup_pairs(docs))
+    assert "CartesianProduct" not in text
+    assert "rangepartitioning" not in text.lower()
+    release_text_group_caches()
