@@ -87,6 +87,7 @@ BENCH_QUERIES = [
     "cust_rfm_segments",
     "events_rollup_merge",
     "mm_phash_near_dups",
+    "events_point_in_time_state",
 ]
 
 

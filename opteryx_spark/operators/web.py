@@ -338,3 +338,80 @@ def triangle_counts(
     # unionAll of three selects would re-run both joins per corner
     corners = tri.select(F.explode(F.array("a", "b", "c")).alias("node"))
     return corners.groupBy("node").agg(F.count(F.lit(1)).alias("n_triangles"))
+
+
+def _tracking_pred(
+    x: Column, prefixes: tuple[str, ...], keys: tuple[str, ...]
+) -> Column:
+    cond = F.lit(False)
+    for p in prefixes:
+        cond = cond | x.startswith(p)
+    for k in keys:
+        cond = cond | x.startswith(k + "=") | (x == k)
+    return cond
+
+
+def canonicalize_urls(
+    df: DataFrame,
+    url_col: str = "url",
+    tracking_prefixes: tuple[str, ...] = ("utm_",),
+    tracking_keys: tuple[str, ...] = ("gclid", "fbclid", "ref", "mc_cid", "mc_eid"),
+) -> DataFrame:
+    """Append ``canonical_url``: the dedup key real crawl pipelines
+    collapse on before content hashing (C4/RefinedWeb both start with
+    URL-level dedup).  Canonicalization, all map-only codegen'd
+    expressions:
+
+    - scheme and host lowercased;
+    - default ports stripped (``http:80``, ``https:443``), others kept;
+    - fragment dropped;
+    - tracking parameters removed (``utm_*`` prefixes + exact keys) and
+      the surviving query parameters SORTED bytewise, so parameter order
+      never splits one page into two identities;
+    - missing path becomes ``/``; a trailing slash on a non-root path is
+      stripped.
+
+    Malformed / scheme-less / NULL urls yield NULL ``canonical_url``
+    (the :func:`parse_urls` contract).
+    """
+    u = F.col(url_col)
+
+    def ext(pattern: str) -> Column:
+        got = F.regexp_extract(u, pattern, 1)
+        return F.when(got == "", F.lit(None)).otherwise(got)
+
+    scheme = F.lower(ext(_SCHEME_RE))
+    host = F.lower(ext(_HOST_RE))
+    port = ext(_PORT_RE)
+    path = ext(_PATH_RE)
+    query = ext(_QUERY_RE)
+
+    port_part = F.when(
+        port.isNull()
+        | ((scheme == "http") & (port == "80"))
+        | ((scheme == "https") & (port == "443")),
+        F.lit(""),
+    ).otherwise(F.concat(F.lit(":"), port))
+
+    path_part = F.when(path.isNull(), F.lit("/")).otherwise(
+        F.when(
+            (F.length(path) > 1) & path.endswith("/"),
+            path.substr(F.lit(1), F.length(path) - 1),
+        ).otherwise(path)
+    )
+
+    params = F.array_sort(
+        F.filter(
+            F.split(query, "&"),
+            lambda x: (x != "")
+            & ~_tracking_pred(x, tracking_prefixes, tracking_keys),
+        )
+    )
+    q_part = F.when(
+        query.isNull() | (F.size(params) == 0), F.lit("")
+    ).otherwise(F.concat(F.lit("?"), F.array_join(params, "&")))
+
+    canonical = F.when(scheme.isNull() | host.isNull(), F.lit(None)).otherwise(
+        F.concat(scheme, F.lit("://"), host, port_part, path_part, q_part)
+    )
+    return df.withColumn("canonical_url", canonical)

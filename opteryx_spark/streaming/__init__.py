@@ -881,3 +881,47 @@ def anomaly_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def ohlc_bars_stream(
+    events: DataFrame,
+    symbol_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    order_col: str = "event_id",
+    bar_minutes: int = 60,
+) -> DataFrame:
+    """Streaming twin of ``operators/events.ohlc_bars``: per-symbol
+    time-bar OHLC as a plain streaming groupBy — open/close are the same
+    ``min/max(struct(us, id, value))`` extremum aggregates as batch, so
+    they fold incrementally with NO ordering assumption on arrival
+    (extremum aggregates are commutative — the reason the batch operator
+    avoided rank windows pays off twice).  Volume sums in DECIMAL(25,8)
+    and casts to double at emit, so a complete-mode drain is bit-equal
+    to the batch operator (equivalence test).
+
+    State per (symbol, bar): two structs + three scalars — O(1), evicted
+    with the window under a watermark in continuous deployments.
+    """
+    bar_us = int(bar_minutes) * 60 * 1_000_000
+    base = events.filter(
+        F.col(symbol_col).isNotNull()
+        & F.col(ts_col).isNotNull()
+        & F.col(value_col).isNotNull()
+    )
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    keyed = base.select(
+        F.col(symbol_col),
+        (us - (us % F.lit(bar_us))).alias("bar_start_us"),
+        us.alias("_us"),
+        F.col(order_col).alias("_oid"),
+        F.col(value_col).alias("_v"),
+    )
+    return keyed.groupBy(symbol_col, "bar_start_us").agg(
+        F.min(F.struct("_us", "_oid", "_v")).getField("_v").alias("open"),
+        F.max("_v").alias("high"),
+        F.min("_v").alias("low"),
+        F.max(F.struct("_us", "_oid", "_v")).getField("_v").alias("close"),
+        F.sum(F.col("_v").cast("decimal(25,8)")).cast("double").alias("volume"),
+        F.count(F.lit(1)).alias("n_events"),
+    )

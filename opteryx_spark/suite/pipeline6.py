@@ -716,3 +716,209 @@ def mm_phash_near_dups(spark, sf_dir):
     return _mm.phash_near_dup_pairs(
         docs, content_col="payload", id_col="doc_id", max_hamming=3
     ).orderBy("id_a", "id_b")
+
+
+# --- point-in-time SCD2 enrichment ---------------------------------------------------
+
+_SCD2_CTE = """
+    scd_e AS (
+      SELECT user_id, event_id, event_type, epoch_us(ts) AS us
+      FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    ), scd_f AS (
+      SELECT *,
+             CASE WHEN lag(us) OVER w IS NULL
+                    OR event_type IS DISTINCT FROM lag(event_type) OVER w
+                  THEN 1 ELSE 0 END AS chg
+      FROM scd_e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+    ), scd_s AS (
+      SELECT *, CAST(SUM(chg) OVER (PARTITION BY user_id ORDER BY us, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                AS version
+      FROM scd_f
+    ), dim AS (
+      SELECT user_id, version, min(event_type) AS state,
+             CAST(min(us) AS BIGINT) AS valid_from_us,
+             lead(CAST(min(us) AS BIGINT)) OVER
+               (PARTITION BY user_id ORDER BY version) AS valid_to_us
+      FROM scd_s GROUP BY 1, 2
+    )
+"""
+
+
+@register(
+    "events_point_in_time_state",
+    oracle=f"""
+    WITH {_SCD2_CTE}
+    SELECT e.event_id, e.user_id, CAST(e.us AS BIGINT) AS us,
+           d.state, d.version
+    FROM scd_e e
+    JOIN dim d
+      ON d.user_id = e.user_id
+     AND e.us >= d.valid_from_us
+     AND (d.valid_to_us IS NULL OR e.us < d.valid_to_us)
+    ORDER BY e.event_id
+    """,
+)
+def events_point_in_time_state(spark, sf_dir):
+    """Point-in-time dimension enrichment — the feature-leakage-safe
+    join ML training sets require: each event joined to the SCD2 state
+    valid AT ITS OWN timestamp (``operators/events.py::scd2_history``
+    composed with ``operators/joins.py::asof_join``).  The as-of form is
+    one union + one user-keyed window — no interval/range join blowup;
+    the oracle does the interval-containment join directly, proving the
+    two formulations agree on every row."""
+    from opteryx_spark.operators import joins as _joins
+
+    ev = t(spark, sf_dir, "events")
+    dim = _events.scd2_history(ev).select(
+        "user_id",
+        F.col("valid_from_us").alias("t"),
+        "state",
+        "version",
+    )
+    left = ev.filter(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    ).select(
+        "event_id",
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("t"),
+    )
+    out = _joins.asof_join(left, dim, on="t", by="user_id", how="inner")
+    return out.select(
+        "event_id", "user_id", F.col("t").alias("us"), "state", "version"
+    ).orderBy("event_id")
+
+
+# --- latency percentiles (SLO rollup) -------------------------------------------------
+
+
+@register(
+    "events_latency_percentiles",
+    oracle="""
+    SELECT event_type,
+           count(value) AS n,
+           quantile_cont(value, 0.5) AS p50,
+           quantile_cont(value, 0.95) AS p95,
+           quantile_cont(value, 0.99) AS p99
+    FROM events WHERE event_type IS NOT NULL
+    GROUP BY event_type ORDER BY event_type
+    """,
+)
+def events_latency_percentiles(spark, sf_dir):
+    """SLO percentile rollup: exact interpolated p50/p95/p99 of value
+    per event type in ONE aggregate (Spark ``percentile`` == DuckDB
+    ``quantile_cont``, the proven cross-engine pair).  At extreme scale
+    the same plan shape takes ``approx_percentile`` — see
+    ``agg_quantile_histogram`` for the sketch-based variant."""
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.filter(F.col("event_type").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.count("value").alias("n"),
+            F.expr("percentile(value, 0.5)").alias("p50"),
+            F.expr("percentile(value, 0.95)").alias("p95"),
+            F.expr("percentile(value, 0.99)").alias("p99"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# --- URL canonicalization ---------------------------------------------------------
+
+# deterministic junk-laden URL fixture — ONE SQL expression string valid
+# in BOTH engines ('||' concat, CASE, %), so the inputs are identical
+_CANON_URL_SQL = """
+    CASE WHEN doc_id % 13 = 3 THEN 'not a url' ELSE
+      (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS' ELSE 'http' END) || '://' ||
+      (CASE doc_id % 6
+         WHEN 0 THEN 'WWW.Alpha-News.com'
+         WHEN 1 THEN 'cdn.Beta.co.uk'
+         WHEN 2 THEN 'gamma.io'
+         WHEN 3 THEN 'sub.delta.com.au'
+         WHEN 4 THEN 'Blog.Epsilon.org'
+         ELSE 'localhost' END) ||
+      (CASE doc_id % 5
+         WHEN 0 THEN ':443' WHEN 1 THEN ':80' WHEN 2 THEN ':8080'
+         ELSE '' END) ||
+      (CASE WHEN doc_id % 3 = 0 THEN '/sec/a/' ELSE '/sec/a/b' END) ||
+      (CASE doc_id % 4
+         WHEN 0 THEN '?b=2&utm_source=x&a=1'
+         WHEN 1 THEN '?ref=rss'
+         WHEN 2 THEN '?z=9&y=8'
+         ELSE '' END) ||
+      (CASE WHEN doc_id % 7 = 0 THEN '#frag' ELSE '' END)
+    END
+"""
+
+_O_C_SCHEME = "lower(NULLIF(regexp_extract(url, '^([a-zA-Z][a-zA-Z0-9+.-]*)://.*$', 1), ''))"
+_O_C_HOST = (
+    "lower(NULLIF(regexp_extract(url,"
+    " '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]*).*$', 1), ''))"
+)
+_O_C_PORT = (
+    "NULLIF(regexp_extract(url,"
+    " '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?[^/?#:]*:([0-9]+).*$', 1), '')"
+)
+_O_C_PATH = (
+    "NULLIF(regexp_extract(url,"
+    " '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*(/[^?#]*).*$', 1), '')"
+)
+_O_C_QUERY = (
+    "NULLIF(regexp_extract(url,"
+    " '^[a-zA-Z][a-zA-Z0-9+.-]*://[^?#]*\\?([^#]*).*$', 1), '')"
+)
+_O_C_TRACK = (
+    "x -> x <> '' AND NOT (starts_with(x, 'utm_') OR starts_with(x, 'gclid=')"
+    " OR x = 'gclid' OR starts_with(x, 'fbclid=') OR x = 'fbclid'"
+    " OR starts_with(x, 'ref=') OR x = 'ref' OR starts_with(x, 'mc_cid=')"
+    " OR x = 'mc_cid' OR starts_with(x, 'mc_eid=') OR x = 'mc_eid')"
+)
+
+
+@register(
+    "web_canonical_urls",
+    oracle=f"""
+    WITH raw AS (
+      SELECT doc_id, {_CANON_URL_SQL} AS url FROM documents
+    ), p AS (
+      SELECT doc_id, url,
+             {_O_C_SCHEME} AS s, {_O_C_HOST} AS h, {_O_C_PORT} AS pt,
+             {_O_C_PATH} AS pa, {_O_C_QUERY} AS q
+      FROM raw
+    ), parts AS (
+      SELECT doc_id, url, s, h,
+             CASE WHEN pt IS NULL OR (s = 'http' AND pt = '80')
+                       OR (s = 'https' AND pt = '443')
+                  THEN '' ELSE ':' || pt END AS port_part,
+             CASE WHEN pa IS NULL THEN '/'
+                  WHEN length(pa) > 1 AND pa LIKE '%/'
+                  THEN substring(pa, 1, length(pa) - 1)
+                  ELSE pa END AS path_part,
+             list_sort(list_filter(string_split(q, '&'), {_O_C_TRACK})) AS prm,
+             q
+      FROM p
+    )
+    SELECT doc_id, url,
+           CASE WHEN s IS NULL OR h IS NULL THEN NULL
+                ELSE s || '://' || h || port_part || path_part ||
+                     (CASE WHEN q IS NULL OR len(prm) = 0 THEN ''
+                           ELSE '?' || array_to_string(prm, '&') END)
+           END AS canonical_url
+    FROM parts ORDER BY doc_id
+    """,
+)
+def web_canonical_urls(spark, sf_dir):
+    """URL canonicalization (``operators/web.py::canonicalize_urls``):
+    lowercased scheme/host, default ports stripped, fragments dropped,
+    tracking params removed, surviving params SORTED, trailing slash
+    normalized — the URL-level dedup key crawl pipelines collapse on
+    before content hashing.  Pure map-only expressions; the fixture
+    plants mixed case, default and non-default ports, utm/ref params,
+    fragments and malformed values."""
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_CANON_URL_SQL).alias("url")
+    )
+    return _web.canonicalize_urls(docs).select(
+        "doc_id", "url", "canonical_url"
+    ).orderBy("doc_id")

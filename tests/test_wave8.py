@@ -183,3 +183,87 @@ def test_phash_plan_no_cartesian(spark, sf_dir):
     assert "CartesianProduct" not in text
     assert "rangepartitioning" not in text.lower()
     release_text_group_caches()
+
+
+def test_ohlc_stream_matches_batch(spark, sf_dir, tmp_path_factory):
+    """Complete-mode drain of the streaming OHLC must equal the batch
+    operator — extremum-of-struct aggregates fold incrementally with no
+    arrival-order assumption."""
+    from opteryx_spark import streaming
+    from opteryx_spark.catalog import load_table
+    from opteryx_spark.operators import events as E
+
+    src = str(tmp_path_factory.mktemp("oxs_ohlc_src"))
+    ckpt = str(tmp_path_factory.mktemp("oxs_ohlc_ckpt"))
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "event_type", "value"
+    )
+    ev.write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema(ev.schema).parquet(src)
+    bars = streaming.ohlc_bars_stream(stream)
+    q = (
+        bars.writeStream.format("memory")
+        .queryName("ohlc_stream")
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.event_type, r.bar_start_us): (r.open, r.high, r.low, r.close, r.volume, r.n_events)
+        for r in spark.sql("SELECT * FROM ohlc_stream").collect()
+    }
+    want = {
+        (r.event_type, r.bar_start_us): (r.open, r.high, r.low, r.close, r.volume, r.n_events)
+        for r in E.ohlc_bars(ev).collect()
+    }
+    assert got == want
+
+
+def test_point_in_time_no_future_state(spark):
+    """The PIT join must never expose a state that starts AFTER the
+    event — the feature-leakage property, asserted directly."""
+    import datetime as _dt
+
+    from opteryx_spark.operators import events as E
+    from opteryx_spark.operators import joins as J
+
+    rows = [
+        (1, _dt.datetime(2024, 1, 1, 0, 0), 1, "A", 1.0, None),
+        (2, _dt.datetime(2024, 1, 1, 2, 0), 1, "B", 1.0, None),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    dim = E.scd2_history(ev).select(
+        "user_id", F.col("valid_from_us").alias("t"), "state", "version"
+    )
+    left = ev.select(
+        "event_id", "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("t"),
+    )
+    out = {r.event_id: r.state for r in J.asof_join(left, dim, on="t", by="user_id", how="inner").collect()}
+    # event 1 must see state A (B starts later), event 2 sees B
+    assert out == {1: "A", 2: "B"}
+
+
+def test_canonicalize_urls_cases(spark):
+    from opteryx_spark.operators import web
+
+    cases = [
+        (1, "HTTPS://WWW.Example.COM:443/a/b/?utm_source=x&b=2&a=1#frag",
+         "https://www.example.com/a/b?a=1&b=2"),
+        (2, "http://host.io:80/", "http://host.io/"),
+        (3, "http://host.io:8080/p/", "http://host.io:8080/p"),
+        (4, "https://h.co", "https://h.co/"),
+        (5, "http://h.co/x?ref=rss&gclid=1", "http://h.co/x"),
+        (6, "not a url", None),
+        (7, None, None),
+    ]
+    df = spark.createDataFrame(
+        [(i, u) for i, u, _ in cases], "id long, url string"
+    )
+    out = {r.id: r.canonical_url for r in web.canonicalize_urls(df).collect()}
+    assert out == {i: want for i, _, want in cases}
