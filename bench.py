@@ -88,6 +88,7 @@ BENCH_QUERIES = [
     "events_rollup_merge",
     "mm_phash_near_dups",
     "events_point_in_time_state",
+    "text_strip_html",
 ]
 
 
@@ -125,6 +126,7 @@ SF1_QUERIES = [
     "events_scd2_history",
     "cdc_snapshot_diff",
     "text_bigram_perplexity",
+    "text_strip_html",
 ]
 
 

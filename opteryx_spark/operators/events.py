@@ -41,6 +41,7 @@ __all__ = [
     "detect_value_anomalies",
     "ohlc_bars",
     "ewma_features",
+    "twap",
 ]
 
 
@@ -694,4 +695,66 @@ def ewma_features(
         F.when(
             den > F.lit(0), num.cast("double") / den.cast("double")
         ).alias("ewma"),
+    )
+
+
+def twap(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    order_col: str = "event_id",
+    scale: int = 1000,
+) -> DataFrame:
+    """Time-weighted average per user and calendar day — the TWAP
+    reduction metric/financial stores need where a plain AVG is wrong
+    because observations are irregular: each value holds until the next
+    observation, so it is weighted by its holding duration.
+
+    Exact arithmetic: values quantize to ``floor(value·scale)`` BIGINT,
+    durations are BIGINT micros from ``lead()``, and the weighted sum
+    accumulates as DECIMAL(38,0) (value·duration products overflow
+    BIGINT on long days) — the final division is one float op over exact
+    integers, bit-identical cross-engine.  The day's LAST observation
+    contributes no duration (nothing is held past it); single-event
+    days therefore have zero weight and a NULL TWAP.  NULL
+    user/ts/value rows are excluded by contract.
+
+    Scale shape: one ``lead`` window and one aggregate, both keyed by
+    (user, day) — the window sort and the groupBy share the exchange.
+
+    Returns ``user_col``, ``day`` (DATE), ``twap`` (double, in ``scale``
+    units), ``n_obs`` (BIGINT).
+    """
+    base = events.filter(
+        F.col(user_col).isNotNull()
+        & F.col(ts_col).isNotNull()
+        & F.col(value_col).isNotNull()
+    )
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    x = F.floor(F.col(value_col).cast("double") * F.lit(float(scale))).cast("long")
+    keyed = base.select(
+        F.col(user_col),
+        F.to_date(F.col(ts_col).cast("timestamp")).alias("day"),
+        us.alias("_us"),
+        F.col(order_col).alias("_oid"),
+        x.alias("_x"),
+    )
+    w = Window.partitionBy(user_col, "day").orderBy(
+        F.col("_us").asc(), F.col("_oid").asc()
+    )
+    seg = keyed.withColumn("_dt", F.lead("_us").over(w) - F.col("_us"))
+    agg = seg.groupBy(user_col, "day").agg(
+        F.sum((F.col("_x") * F.col("_dt")).cast("decimal(38,0)")).alias("_wsum"),
+        F.sum("_dt").alias("_dtsum"),
+        F.count(F.lit(1)).alias("n_obs"),
+    )
+    return agg.select(
+        user_col,
+        "day",
+        F.when(
+            F.col("_dtsum") > 0,
+            F.col("_wsum").cast("double") / F.col("_dtsum").cast("double"),
+        ).alias("twap"),
+        "n_obs",
     )

@@ -645,3 +645,41 @@ def bpe_encode_counts(
     return docs.select(
         F.col(id_col), F.coalesce(n, F.lit(0).cast("long")).alias("n_bpe")
     )
+
+
+# HTML-to-text patterns whose semantics agree between Java regex (Spark)
+# and RE2 (DuckDB): (?is) flags, explicit classes, non-greedy spans, no
+# lookaround.  Block elements whose CONTENT must go (script/style) are
+# removed as spans; every other tag is replaced by a space so words
+# separated only by markup don't fuse.
+_HTML_BLOCK_RE = "(?is)<(script|style)[^>]*>.*?</(script|style)>"
+_HTML_COMMENT_RE = "(?s)<!--.*?-->"
+_HTML_TAG_RE = "<[^>]+>"
+_HTML_ENTITIES = (
+    ("&nbsp;", " "),
+    ("&amp;", "&"),
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&apos;", "'"),
+)
+
+
+def strip_html(col: Column | str) -> Column:
+    """HTML → text extraction, the C4-style first step over raw crawl
+    payloads (the reference engine never sees raw HTML; beyond-reference
+    pipeline surface): drop ``<script>``/``<style>`` spans and comments
+    WITH their content, replace every remaining tag with a space, decode
+    the common entities, collapse whitespace and trim.  Pure
+    regexp_replace/replace expressions — map-only codegen at any scale,
+    and every pattern evaluates identically under Java regex and RE2 so
+    the DuckDB oracle runs the same text arithmetic.  NULL in → NULL out.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    out = F.regexp_replace(c, _HTML_BLOCK_RE, " ")
+    out = F.regexp_replace(out, _HTML_COMMENT_RE, " ")
+    out = F.regexp_replace(out, _HTML_TAG_RE, " ")
+    for ent, rep in _HTML_ENTITIES:
+        out = F.replace(out, F.lit(ent), F.lit(rep))
+    return F.trim(F.regexp_replace(out, "[ \\t\\r\\n]+", " "))

@@ -17,6 +17,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from opteryx_spark.operators import events as _events
+from opteryx_spark.operators import text as _text
 from opteryx_spark.operators import features as _features
 from opteryx_spark.operators import filtering as _filtering
 from opteryx_spark.operators import profile as _profile
@@ -922,3 +923,128 @@ def web_canonical_urls(spark, sf_dir):
     return _web.canonicalize_urls(docs).select(
         "doc_id", "url", "canonical_url"
     ).orderBy("doc_id")
+
+
+# --- HTML -> text extraction ---------------------------------------------------------
+
+# identical construction both engines ('||' concat, NULL-propagating)
+_HTML_FIX = (
+    "'<html><head><style>p{color:red}</style>"
+    "<script type=\"text/javascript\">var x=1;</script></head>"
+    "<body><!-- crawler junk --><div class=\"main\"><p>' || text || "
+    "'</p></div>&amp;<b>tail&nbsp;bits</b> &lt;raw&gt;</body></html>'"
+)
+
+
+@register(
+    "text_strip_html",
+    oracle=f"""
+    WITH raw AS (SELECT doc_id, {_HTML_FIX} AS html FROM documents)
+    SELECT doc_id,
+           trim(regexp_replace(
+             replace(replace(replace(replace(replace(replace(replace(
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(html,
+                     '(?is)<(script|style)[^>]*>.*?</(script|style)>', ' ', 'g'),
+                   '(?s)<!--.*?-->', ' ', 'g'),
+                 '<[^>]+>', ' ', 'g'),
+               '&nbsp;', ' '), '&amp;', '&'), '&lt;', '<'), '&gt;', '>'),
+               '&quot;', '"'), '&#39;', ''''), '&apos;', ''''),
+             '[ \\t\\r\\n]+', ' ', 'g')) AS text_clean
+    FROM raw ORDER BY doc_id
+    """,
+)
+def text_strip_html(spark, sf_dir):
+    """HTML -> text extraction (``operators/text.py::strip_html``): the
+    C4-style first step over raw crawl payloads — script/style/comment
+    spans dropped WITH content, tags become spaces, common entities
+    decoded, whitespace collapsed.  Map-only codegen'd expressions whose
+    regex semantics agree between Java regex and RE2, so the oracle runs
+    the identical text arithmetic on an HTML-wrapped fixture."""
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_HTML_FIX).alias("html")
+    )
+    return docs.select(
+        "doc_id", _text.strip_html("html").alias("text_clean")
+    ).orderBy("doc_id")
+
+
+# --- time-weighted average (TWAP) -----------------------------------------------------
+
+
+@register(
+    "events_twap",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, CAST(ts AS DATE) AS day, epoch_us(ts) AS us, event_id,
+             CAST(floor(value * 1000.0) AS BIGINT) AS x
+      FROM events
+      WHERE user_id IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL
+    ), s AS (
+      SELECT *, lead(us) OVER (PARTITION BY user_id, day
+                               ORDER BY us, event_id) - us AS dt
+      FROM e
+    )
+    SELECT user_id, day,
+           CASE WHEN sum(dt) > 0
+                THEN CAST(sum(CAST(x * dt AS DECIMAL(38,0))) AS DOUBLE)
+                     / CAST(CAST(sum(dt) AS BIGINT) AS DOUBLE) END AS twap,
+           count(*) AS n_obs
+    FROM s GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def events_twap(spark, sf_dir):
+    """Time-weighted average (``operators/events.py::twap``): per user
+    and day, each value weighted by its holding duration — exact BIGINT
+    durations, DECIMAL(38,0) weighted sums, one float division; one lead
+    window + one aggregate sharing the (user, day) exchange."""
+    ev = t(spark, sf_dir, "events")
+    return _events.twap(ev).orderBy("user_id", "day")
+
+
+# --- domain concentration (Gini audit) ------------------------------------------------
+
+from opteryx_spark.suite.pipeline3 import _O_HOST as _O_HOST6  # noqa: E402
+from opteryx_spark.suite.pipeline3 import _O_URL_CTE as _O_URL_CTE6  # noqa: E402
+from opteryx_spark.suite.pipeline3 import _o_domain as _o_domain6  # noqa: E402
+from opteryx_spark.suite.pipeline3 import _with_urls as _with_urls6  # noqa: E402
+
+
+@register(
+    "web_domain_gini",
+    oracle=f"""
+    {_O_URL_CTE6}
+    , d AS (
+      SELECT {_o_domain6(_O_HOST6)} AS domain FROM u
+    ), counts AS (
+      SELECT domain, count(*) AS n_docs FROM d GROUP BY domain
+    ), ranked AS (
+      SELECT *, row_number() OVER (ORDER BY n_docs ASC, domain ASC NULLS FIRST)
+                AS i
+      FROM counts
+    ), g AS (
+      SELECT (2.0 * CAST(sum(CAST(i * n_docs AS DECIMAL(38,0))) AS DOUBLE)
+              - CAST(count(*) + 1 AS DOUBLE) * CAST(CAST(sum(n_docs) AS BIGINT) AS DOUBLE))
+             / (CAST(count(*) AS DOUBLE) * CAST(CAST(sum(n_docs) AS BIGINT) AS DOUBLE))
+               AS gini,
+             CAST(sum(n_docs) AS BIGINT) AS tot
+      FROM ranked
+    )
+    SELECT domain, n_docs,
+           CAST((n_docs * 1000000) // tot AS BIGINT) AS share_ppm, gini
+    FROM counts CROSS JOIN g
+    ORDER BY domain NULLS FIRST
+    """,
+)
+def web_domain_gini(spark, sf_dir):
+    """Domain-concentration audit
+    (``operators/web.py::domain_concentration``): per-domain counts,
+    truncating parts-per-million shares and the corpus Gini coefficient
+    — the anti-domination number web-corpus curation reports.  The rank
+    window and Gini reduction run over DOMAIN rows only (≪ corpus);
+    every term is an exact integer until one final float division."""
+    docs = _with_urls6(t(spark, sf_dir, "documents"))
+    return _web.domain_concentration(docs).orderBy(
+        F.col("domain").asc_nulls_first()
+    )

@@ -267,3 +267,61 @@ def test_canonicalize_urls_cases(spark):
     )
     out = {r.id: r.canonical_url for r in web.canonicalize_urls(df).collect()}
     assert out == {i: want for i, _, want in cases}
+
+
+def test_strip_html_cases(spark):
+    from opteryx_spark.operators import text
+
+    cases = [
+        (1, "<p>Hello <b>world</b></p>", "Hello world"),
+        (2, "<script>var x = '<p>';</script>keep", "keep"),
+        (3, "<style>p{}</style>a<!-- note -->b", "a b"),
+        (4, "T&amp;C &lt;ok&gt; &nbsp;x", "T&C <ok> x"),
+        (5, None, None),
+        (6, "plain", "plain"),
+    ]
+    df = spark.createDataFrame([(i, h) for i, h, _ in cases], "id long, html string")
+    out = {r.id: r.t for r in df.select("id", text.strip_html("html").alias("t")).collect()}
+    assert out == {i: want for i, _, want in cases}
+
+
+def test_twap_holding_semantics(spark):
+    import datetime as _dt
+
+    from opteryx_spark.operators import events
+
+    rows = [
+        # value 10 held for 3h, value 20 held for 1h -> TWAP 12.5
+        (1, _dt.datetime(2024, 1, 1, 0, 0), 1, "m", 10.0, None),
+        (2, _dt.datetime(2024, 1, 1, 3, 0), 1, "m", 20.0, None),
+        (3, _dt.datetime(2024, 1, 1, 4, 0), 1, "m", 99.0, None),  # last: 0 weight
+        # single-event day -> NULL twap
+        (4, _dt.datetime(2024, 1, 2, 0, 0), 1, "m", 5.0, None),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    out = {str(r.day): (r.twap, r.n_obs) for r in events.twap(ev).collect()}
+    assert out["2024-01-01"][0] == pytest.approx(12500.0)  # milli units
+    assert out["2024-01-01"][1] == 3
+    assert out["2024-01-02"] == (None, 1)
+
+
+def test_domain_concentration_gini_bounds(spark):
+    from opteryx_spark.operators import web
+
+    # perfectly equal counts -> gini 0
+    eq = spark.createDataFrame(
+        [(i, f"http://d{i % 4}.com/x") for i in range(40)], "id long, url string"
+    )
+    rows = web.domain_concentration(eq).collect()
+    assert all(abs(r.gini) < 1e-12 for r in rows)
+    assert all(r.share_ppm == 250000 for r in rows)
+    # one dominant domain -> strongly positive gini
+    skew = spark.createDataFrame(
+        [(i, "http://big.com/x") for i in range(97)]
+        + [(100 + j, f"http://s{j}.com/x") for j in range(3)],
+        "id long, url string",
+    )
+    g = web.domain_concentration(skew).first().gini
+    assert g > 0.6
