@@ -72,7 +72,7 @@ BENCH_QUERIES = [
     "emb_kmeans_portable",
     "feat_hashed_tokens",
     "events_rolling_window",
-    "events_gap_fill",
+    "emb_knn_join",
     "text_bpe_train_merges",
     "feat_psi_drift",
     "quality_constraint_report",

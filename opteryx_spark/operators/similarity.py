@@ -626,3 +626,94 @@ def kmeans_portable(
 
     out = _assign(base, cents).select(id_col, "cluster", "dist2")
     return out, cents
+
+
+def knn_join(
+    queries: list[tuple[int, list[float]]],
+    corpus: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    qscale: int = 1000,
+) -> DataFrame:
+    """Batched exact kNN join: top-``k`` nearest corpus vectors (squared
+    L2 over milli-quantized components — exact BIGINT, engine-identical)
+    for EVERY query in a bounded batch, in one corpus pass.  The
+    multi-query upgrade of :func:`cosine_topk`/:func:`ivf_topk` — the
+    shape retrieval evaluation (recall@k sweeps) and batch inference
+    need.
+
+    Scale design — the part Spark has no built-in for: a naive
+    ``groupBy(query).collect_list`` buffers the whole corpus per query,
+    and a rank window sorts corpus-sized partitions.  Instead top-k is
+    computed in TWO phases: each input partition reduces to its local
+    top-k per query (``slice(array_sort(collect_list(struct)), 1, k)``
+    over partition-local groups — bounded at k rows per (partition,
+    query)), then the k·P survivors merge in one final per-query
+    aggregate.  Memory is O(k) per group at every stage, and the heavy
+    exchange carries k·P·Q structs, never the corpus.
+
+    Ties break toward the smaller corpus id (struct ordering).  Returns
+    ``query_id``, ``rank`` (1-based), ``id_col``, ``dist2`` (BIGINT).
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    if not queries:
+        raise ValueError("queries must be non-empty")
+    qq = [
+        (int(qid), [int(__import__("math").floor(float(x) * qscale)) for x in vec])
+        for qid, vec in queries
+    ]
+    qv = F.transform(
+        F.col(vec_col), lambda x: F.floor(x.cast("double") * F.lit(float(qscale)))
+    )
+    base = corpus.filter(F.col(vec_col).isNotNull()).select(
+        F.col(id_col).alias("_cid"), qv.alias("_qv")
+    )
+    # one row per (corpus vector, query): the query batch is a literal
+    # inline array (bounded by contract), so this is a map-side explode —
+    # no join, no broadcast exchange even
+    pairs = base.select(
+        "_cid",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(qid).cast("long").alias("qid"),
+                        F.aggregate(
+                            F.zip_with(
+                                F.col("_qv"),
+                                F.array(*[F.lit(c).cast("long") for c in vec]),
+                                lambda a, b: (a - b) * (a - b),
+                            ),
+                            F.lit(0).cast("long"),
+                            lambda acc, x: acc + x,
+                        ).alias("d2"),
+                    )
+                    for qid, vec in qq
+                ]
+            )
+        ).alias("_q"),
+    ).select(
+        F.col("_q.qid").alias("query_id"),
+        F.struct(F.col("_q.d2").alias("d2"), F.col("_cid").alias("cid")).alias("_s"),
+        F.spark_partition_id().alias("_pid"),
+    )
+    kk = int(k)
+    local = pairs.groupBy("query_id", "_pid").agg(
+        F.slice(F.array_sort(F.collect_list("_s")), 1, kk).alias("_top")
+    )
+    merged = (
+        local.select("query_id", F.explode("_top").alias("_s"))
+        .groupBy("query_id")
+        .agg(F.slice(F.array_sort(F.collect_list("_s")), 1, kk).alias("_top"))
+    )
+    out = merged.select(
+        "query_id", F.posexplode("_top").alias("_r", "_s")
+    ).select(
+        "query_id",
+        (F.col("_r") + 1).cast("long").alias("rank"),
+        F.col("_s.cid").alias(id_col),
+        F.col("_s.d2").alias("dist2"),
+    )
+    return out

@@ -1048,3 +1048,61 @@ def web_domain_gini(spark, sf_dir):
     return _web.domain_concentration(docs).orderBy(
         F.col("domain").asc_nulls_first()
     )
+
+
+# --- batched exact kNN join -----------------------------------------------------------
+
+_KNN_QIDS = (0, 1, 2)
+_KNN_K = 5
+_KNN_DIM = 64
+
+
+def _knn_oracle() -> str:
+    qids = ", ".join(str(q) for q in _KNN_QIDS)
+    dist = (
+        f"list_reduce(list_transform(range(1, {_KNN_DIM} + 1), "
+        "i -> (c.qv[i] - y.qv[i]) * (c.qv[i] - y.qv[i])), (a, b) -> a + b)"
+    )
+    return f"""
+    WITH q AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)) AS qv
+      FROM embeddings WHERE embedding IS NOT NULL
+    ), qry AS (
+      SELECT vec_id AS query_id, qv FROM q WHERE vec_id IN ({qids})
+    ), corp AS (
+      SELECT vec_id, qv FROM q WHERE vec_id NOT IN ({qids})
+    ), d AS (
+      SELECT y.query_id, c.vec_id, {dist} AS dist2
+      FROM corp c CROSS JOIN qry y
+    ), r AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY dist2, vec_id) AS rank
+      FROM d
+    )
+    SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id,
+           CAST(dist2 AS BIGINT) AS dist2
+    FROM r WHERE rank <= {_KNN_K} ORDER BY query_id, rank
+    """
+
+
+@register("emb_knn_join", oracle=_knn_oracle())
+def emb_knn_join(spark, sf_dir):
+    """Batched exact kNN join (``operators/similarity.py::knn_join``):
+    top-5 nearest corpus vectors for a 3-query batch in ONE corpus pass —
+    partition-local top-k (bounded O(k) memory per group) merged by a
+    final per-query aggregate, so the exchange carries k·P·Q structs,
+    never the corpus; no rank window over corpus-sized partitions.
+    BIGINT squared-L2 over milli-quantized components."""
+    from opteryx_spark.operators import similarity as _sim
+
+    emb = t(spark, sf_dir, "embeddings")
+    qrows = (
+        emb.filter(F.col("vec_id").isin(list(_KNN_QIDS)))
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    queries = [(r.vec_id, [float(v) for v in r.embedding]) for r in qrows]
+    corpus = emb.filter(~F.col("vec_id").isin(list(_KNN_QIDS)))
+    return _sim.knn_join(queries, corpus, k=_KNN_K).orderBy("query_id", "rank")

@@ -325,3 +325,41 @@ def test_domain_concentration_gini_bounds(spark):
     )
     g = web.domain_concentration(skew).first().gini
     assert g > 0.6
+
+
+def test_knn_join_matches_bruteforce_and_bounds_memory_shape(spark):
+    import math
+
+    from opteryx_spark.operators import similarity
+
+    rows = [(i, [float((i * 7 + d * 3) % 11) / 11.0 for d in range(8)]) for i in range(60)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    queries = [(100, rows[0][1]), (200, rows[30][1])]
+    out = similarity.knn_join(queries, df, k=4)
+    got = {
+        (r.query_id, r["rank"]): (r.vec_id, r.dist2) for r in out.collect()
+    }
+
+    def q(v):
+        return [math.floor(x * 1000) for x in v]
+
+    for qid, vec in queries:
+        dists = sorted(
+            (sum((a - b) ** 2 for a, b in zip(q(r[1]), q(vec))), r[0]) for r in rows
+        )
+        for rank, (d2, cid) in enumerate(dists[:4], start=1):
+            assert got[(qid, rank)] == (cid, d2)
+    with pytest.raises(ValueError):
+        similarity.knn_join([], df, k=4)
+    with pytest.raises(ValueError):
+        similarity.knn_join(queries, df, k=0)
+
+
+def test_knn_join_plan_no_window_no_cartesian(spark, sf_dir):
+    from opteryx_spark.operators import similarity
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = [(0, [0.1] * 64), (1, [0.2] * 64)]
+    text = explain_text(similarity.knn_join(queries, emb, k=5))
+    assert "Window" not in text  # two-phase aggregate, not a rank window
+    assert "CartesianProduct" not in text
