@@ -302,6 +302,52 @@ def hll_estimate_by_group(
     ).orderBy(*group_cols)
 
 
+def cms_bucket(hcol, row: int, w: int):
+    """Counter index for CMS hash row ``row``: the degski xorshift-multiply
+    finisher over the portable polynomial hash, offset per row — constants
+    < 2^31 so every intermediate stays BIGINT-safe and the whole expression
+    is SQL-reproducible (shared by the batch sketch, its oracle, and the
+    streaming twin so the three can never drift)."""
+    from pyspark.sql import functions as F
+
+    mod32 = F.lit(4294967296)
+    h = (hcol + F.lit(row) * F.lit(2654435761)) % mod32
+    for _ in range(2):
+        h = ((F.shiftright(h, 16).bitwiseXOR(h)) * F.lit(0x45D9F3B)) % mod32
+    h = F.shiftright(h, 16).bitwiseXOR(h)
+    return h % F.lit(w)
+
+
+def cms_counters(df, text_col: str = "text", d: int = 4, w: int = 8192):
+    """The CMS counter table itself — ``(d, b, n)`` rows, the mergeable
+    state :func:`cms_token_counts` probes.  Exposed so incremental /
+    streaming maintainers can build or merge the same counters: counters
+    from any partition of the corpus ADD (plain SUMs), which is the
+    sketch's defining property."""
+    from pyspark.sql import functions as F
+
+    from opteryx_spark.operators import text as _text
+    from opteryx_spark.operators.dedup import _portable_hash_expr
+
+    toks = df.select(F.explode(_text.tokens(text_col)).alias("_tk"))
+    base_h = _portable_hash_expr(F.col("_tk"))
+    cells = toks.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(r).alias("d"), cms_bucket(base_h, r, w).alias("b"))
+                    for r in range(d)
+                ]
+            )
+        ).alias("_c")
+    )
+    return (
+        cells.select(F.col("_c.d").alias("d"), F.col("_c.b").alias("b"))
+        .groupBy("d", "b")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
 def cms_token_counts(
     df,
     text_col: str = "text",
@@ -337,14 +383,9 @@ def cms_token_counts(
     if not probe_terms:
         raise ValueError("probe_terms must be non-empty")
     spark = df.sparkSession
-    mod32 = F.lit(4294967296)
 
     def _bucket(hcol, row: int):
-        h = (hcol + F.lit(row) * F.lit(2654435761)) % mod32
-        for _ in range(2):
-            h = ((F.shiftright(h, 16).bitwiseXOR(h)) * F.lit(0x45D9F3B)) % mod32
-        h = F.shiftright(h, 16).bitwiseXOR(h)
-        return h % F.lit(w)
+        return cms_bucket(hcol, row, w)
 
     from opteryx_spark.operators.dedup import _track_persist
 

@@ -311,3 +311,34 @@ def merge_rollups(
             merged = F.greatest(lhs, rhs)
         out_cols.append(merged.alias(c))
     return j.select(*out_cols)
+
+
+def temporal_split(
+    df: DataFrame,
+    ts_col: str,
+    split_ts_us: int,
+    embargo_minutes: int = 0,
+) -> DataFrame:
+    """Leakage-safe temporal train/test split: rows strictly before the
+    split instant train, rows at/after ``split + embargo`` test, and the
+    embargo buffer between them is EXCLUDED (the purge window financial
+    ML uses so serially-correlated observations cannot leak across the
+    boundary; random splits on time-series data are the classic
+    evaluation bug this operator exists to prevent).
+
+    Pure map-only expression — appends ``split`` ('train' | 'embargo' |
+    'test'; NULL timestamp ⇒ NULL split, by the engine's NULL-key
+    contract).  Filter on it and write; at scale pair with
+    ``layout.write_hive_partitioned(..., ["split"])`` so both sides
+    partition-prune.
+    """
+    if embargo_minutes < 0:
+        raise ValueError("embargo_minutes must be >= 0")
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    hi = int(split_ts_us) + int(embargo_minutes) * 60 * 1_000_000
+    return df.withColumn(
+        "split",
+        F.when(us < F.lit(int(split_ts_us)), F.lit("train"))
+        .when(us >= F.lit(hi), F.lit("test"))
+        .when(us.isNotNull(), F.lit("embargo")),
+    )

@@ -925,3 +925,43 @@ def ohlc_bars_stream(
         F.sum(F.col("_v").cast("decimal(25,8)")).cast("double").alias("volume"),
         F.count(F.lit(1)).alias("n_events"),
     )
+
+
+def cms_counters_stream(
+    docs: DataFrame,
+    text_col: str = "text",
+    d: int = 4,
+    w: int = 8192,
+) -> DataFrame:
+    """Streaming twin of ``operators/profile.cms_counters``: maintain the
+    count-min counter table over an unbounded document stream as ONE
+    streaming aggregation — tokens explode to their ``d`` cells and the
+    ``(d, b)`` counts fold incrementally (plain SUMs are the sketch's
+    mergeability).  State is bounded at d·w counter rows forever, which
+    is the whole point of sketching a 100 TB stream; a complete-mode
+    drain equals the batch counter table exactly (regrouped sums are
+    identical — equivalence test).
+    """
+    from opteryx_spark.operators import text as _text
+    from opteryx_spark.operators.dedup import _portable_hash_expr
+    from opteryx_spark.operators.profile import cms_bucket
+
+    toks = docs.select(F.explode(_text.tokens(text_col)).alias("_tk"))
+    base_h = _portable_hash_expr(F.col("_tk"))
+    cells = toks.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("d"), cms_bucket(base_h, r, w).alias("b")
+                    )
+                    for r in range(d)
+                ]
+            )
+        ).alias("_c")
+    )
+    return (
+        cells.select(F.col("_c.d").alias("d"), F.col("_c.b").alias("b"))
+        .groupBy("d", "b")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

@@ -1106,3 +1106,35 @@ def emb_knn_join(spark, sf_dir):
     queries = [(r.vec_id, [float(v) for v in r.embedding]) for r in qrows]
     corpus = emb.filter(~F.col("vec_id").isin(list(_KNN_QIDS)))
     return _sim.knn_join(queries, corpus, k=_KNN_K).orderBy("query_id", "rank")
+
+
+# --- leakage-safe temporal split -------------------------------------------------------
+
+# split point: a fixed instant inside the fixture's range; 1-day embargo
+_TS_SPLIT_US = 1_705_000_000_000_000  # 2024-01-11T18:46:40Z
+_TS_EMBARGO_MIN = 24 * 60
+
+
+@register(
+    "sample_temporal_split",
+    oracle=f"""
+    SELECT event_id, ts,
+           CASE WHEN epoch_us(ts) < {_TS_SPLIT_US} THEN 'train'
+                WHEN epoch_us(ts) >= {_TS_SPLIT_US + _TS_EMBARGO_MIN * 60 * 1000000}
+                  THEN 'test'
+                WHEN ts IS NOT NULL THEN 'embargo' END AS split
+    FROM events ORDER BY event_id
+    """,
+)
+def sample_temporal_split(spark, sf_dir):
+    """Leakage-safe temporal split
+    (``operators/scale.py::temporal_split``): train strictly before the
+    split instant, test at/after split + 1-day embargo, the purge window
+    between them EXCLUDED — the time-series evaluation split that
+    prevents serial-correlation leakage; pure map-only expression."""
+    from opteryx_spark.operators import scale as _scale
+
+    ev = t(spark, sf_dir, "events").select("event_id", "ts")
+    return _scale.temporal_split(
+        ev, "ts", _TS_SPLIT_US, embargo_minutes=_TS_EMBARGO_MIN
+    ).orderBy("event_id")

@@ -363,3 +363,55 @@ def test_knn_join_plan_no_window_no_cartesian(spark, sf_dir):
     text = explain_text(similarity.knn_join(queries, emb, k=5))
     assert "Window" not in text  # two-phase aggregate, not a rank window
     assert "CartesianProduct" not in text
+
+
+def test_cms_stream_matches_batch_counters(spark, sf_dir, tmp_path_factory):
+    from opteryx_spark import streaming
+    from opteryx_spark.operators import profile
+
+    src = str(tmp_path_factory.mktemp("oxs_cms_src"))
+    ckpt = str(tmp_path_factory.mktemp("oxs_cms_ckpt"))
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    docs.write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema(docs.schema).parquet(src)
+    counters = streaming.cms_counters_stream(stream, d=4, w=512)
+    q = (
+        counters.writeStream.format("memory")
+        .queryName("cms_stream")
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.d, r.b): r.n for r in spark.sql("SELECT * FROM cms_stream").collect()
+    }
+    want = {
+        (r.d, r.b): r.n for r in profile.cms_counters(docs, d=4, w=512).collect()
+    }
+    assert got == want and got
+
+
+def test_temporal_split_semantics(spark):
+    import datetime as _dt
+
+    from opteryx_spark.operators import scale
+
+    split_us = int(_dt.datetime(2024, 1, 10).timestamp() * 1_000_000)
+    rows = [
+        (1, _dt.datetime(2024, 1, 9, 23, 59)),
+        (2, _dt.datetime(2024, 1, 10, 0, 0)),   # at split: embargo
+        (3, _dt.datetime(2024, 1, 10, 23, 59)),  # inside embargo
+        (4, _dt.datetime(2024, 1, 11, 0, 0)),   # at split+1d: test
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, "id long, ts timestamp")
+    out = {
+        r.id: r.split
+        for r in scale.temporal_split(df, "ts", split_us, embargo_minutes=1440).collect()
+    }
+    assert out == {1: "train", 2: "embargo", 3: "embargo", 4: "test", 5: None}
+    with pytest.raises(ValueError):
+        scale.temporal_split(df, "ts", split_us, embargo_minutes=-1)
