@@ -42,6 +42,7 @@ __all__ = [
     "ohlc_bars",
     "ewma_features",
     "twap",
+    "dau_wau_stickiness",
 ]
 
 
@@ -757,4 +758,67 @@ def twap(
             F.col("_wsum").cast("double") / F.col("_dtsum").cast("double"),
         ).alias("twap"),
         "n_obs",
+    )
+
+
+def dau_wau_stickiness(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    window_days: int = 7,
+) -> DataFrame:
+    """DAU / WAU / stickiness per calendar day — the engagement rollup
+    every product warehouse ships: daily active users, trailing
+    ``window_days``-active users, and their ratio.
+
+    Exact rolling DISTINCT counts can't ride a window frame (COUNT
+    DISTINCT OVER RANGE is unsupported everywhere); the scalable exact
+    formulation is COVERAGE EXPLODE: reduce to distinct (user, day)
+    pairs first (one aggregate — the frame that bounds everything
+    after), then each pair covers the ``window_days`` report days it
+    contributes to (map-only ``sequence`` explode, ×7 on the
+    user-day frame, NOT on raw events), and one count-distinct per
+    report day finishes.  Report days with no trailing activity simply
+    don't appear; days seen only via coverage (no same-day actives)
+    report ``dau = 0``.  At extreme scale swap the distinct for
+    per-day HLL registers and merge them across the window
+    (``profile.hll_estimate_by_group`` is the building block) — same
+    plan shape, sketched counts.
+
+    Returns ``day`` (DATE), ``dau``, ``wau`` (BIGINT),
+    ``stickiness_ppm`` (BIGINT, ``(dau·10^6) div wau`` truncating).
+    NULL user/ts rows are excluded by contract.
+    """
+    if window_days < 1:
+        raise ValueError("window_days must be >= 1")
+    base = events.filter(F.col(user_col).isNotNull() & F.col(ts_col).isNotNull())
+    ud = base.select(
+        F.col(user_col).alias("_u"),
+        F.to_date(F.col(ts_col).cast("timestamp")).alias("_d"),
+    ).distinct()
+    from opteryx_spark.operators.dedup import _track_persist
+
+    ud = _track_persist(ud)
+    dau = ud.groupBy(F.col("_d").alias("day")).agg(
+        F.count(F.lit(1)).alias("dau")
+    )
+    covered = ud.select(
+        "_u",
+        F.explode(
+            F.sequence(
+                F.col("_d"), F.date_add(F.col("_d"), int(window_days) - 1)
+            )
+        ).alias("day"),
+    )
+    wau = covered.groupBy("day").agg(F.count_distinct(F.col("_u")).alias("wau"))
+    return (
+        wau.join(dau, "day", "left")
+        .select(
+            "day",
+            F.coalesce(F.col("dau"), F.lit(0).cast("long")).alias("dau"),
+            "wau",
+            F.expr("CAST((coalesce(dau, 0) * 1000000) div wau AS BIGINT)").alias(
+                "stickiness_ppm"
+            ),
+        )
     )

@@ -263,3 +263,48 @@ def interval_overlap_join(
         .filter(overlap & (F.col("_bin") == first_bin))
         .drop("_bin")
     )
+
+
+def fellegi_sunter_score(
+    pairs: DataFrame,
+    comparisons: list[tuple[str, float, float]],
+    threshold_millinats: int,
+) -> DataFrame:
+    """Fellegi–Sunter probabilistic record-linkage scoring (JASA 1969)
+    over a candidate-pair frame: each comparison field contributes its
+    log-likelihood-ratio weight — ``ln(m/u)`` on agreement,
+    ``ln((1−m)/(1−u))`` on disagreement, 0 when the comparison is NULL
+    (the standard missing-field convention) — and pairs at or above the
+    threshold classify as matches.
+
+    ``comparisons`` is ``[(agree_col, m, u), ...]`` where ``agree_col``
+    is a BOOLEAN column already on ``pairs`` (build agreements with
+    whatever similarity the field needs — equality, levenshtein bound,
+    bucket match) and m/u are the field's agreement probabilities among
+    true matches / non-matches (from labeled data or EM).  Weights are
+    quantized driver-side to integer MILLINATS, so the score is an exact
+    BIGINT sum — engine- and partition-independent (the module's
+    fixed-point determinism contract).
+
+    Scale shape: pure map-side arithmetic over the candidate frame —
+    blocking (``blocked_fuzzy_join``) already bounded the pair count;
+    scoring adds zero exchanges.
+
+    Appends ``score_millinats`` (BIGINT) and ``is_match`` (BOOLEAN).
+    """
+    import math
+
+    if not comparisons:
+        raise ValueError("comparisons must be non-empty")
+    score = F.lit(0).cast("long")
+    for agree_col, m, u in comparisons:
+        if not (0.0 < m < 1.0 and 0.0 < u < 1.0):
+            raise ValueError(f"m and u must be in (0,1): {agree_col}")
+        wa = int(math.floor(math.log(m / u) * 1000 + 0.5))
+        wd = int(math.floor(math.log((1.0 - m) / (1.0 - u)) * 1000 + 0.5))
+        score = score + F.when(F.col(agree_col), F.lit(wa)).when(
+            ~F.col(agree_col), F.lit(wd)
+        ).otherwise(F.lit(0)).cast("long")
+    return pairs.withColumn("score_millinats", score).withColumn(
+        "is_match", F.col("score_millinats") >= F.lit(int(threshold_millinats))
+    )

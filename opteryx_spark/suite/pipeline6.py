@@ -1138,3 +1138,151 @@ def sample_temporal_split(spark, sf_dir):
     return _scale.temporal_split(
         ev, "ts", _TS_SPLIT_US, embargo_minutes=_TS_EMBARGO_MIN
     ).orderBy("event_id")
+
+
+# --- DAU / WAU stickiness ---------------------------------------------------------------
+
+
+@register(
+    "events_dau_wau",
+    oracle="""
+    WITH ud AS (
+      SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS d
+      FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    ), dau AS (
+      SELECT d AS day, count(*) AS dau FROM ud GROUP BY d
+    ), cov AS (
+      SELECT u, unnest(generate_series(d, d + INTERVAL 6 DAY, INTERVAL 1 DAY))
+               AS day
+      FROM ud
+    ), wau AS (
+      SELECT CAST(day AS DATE) AS day, count(DISTINCT u) AS wau
+      FROM cov GROUP BY 1
+    )
+    SELECT w.day, coalesce(dau.dau, 0) AS dau, w.wau,
+           CAST((coalesce(dau.dau, 0) * 1000000) // w.wau AS BIGINT)
+             AS stickiness_ppm
+    FROM wau w LEFT JOIN dau ON dau.day = w.day
+    ORDER BY w.day
+    """,
+)
+def events_dau_wau(spark, sf_dir):
+    """DAU/WAU/stickiness (``operators/events.py::dau_wau_stickiness``):
+    exact rolling-distinct actives via COVERAGE EXPLODE — the distinct
+    (user, day) frame bounds everything, each pair covers its 7 report
+    days map-side, one count-distinct per day finishes.  No window
+    frames (COUNT DISTINCT OVER is unsupported everywhere); at extreme
+    scale the same shape runs on merged per-day HLL registers."""
+    ev = t(spark, sf_dir, "events")
+    return _events.dau_wau_stickiness(ev, window_days=7).orderBy("day")
+
+
+# --- Fellegi-Sunter record-linkage scoring ----------------------------------------------
+
+import math as _math  # noqa: E402
+
+_FS_NAME = (
+    "source || '_rec_' || lpad(CAST((doc_id * 7919) % 100000 AS VARCHAR), 5, '0')"
+)
+_FS_M_NAME, _FS_U_NAME = 0.95, 0.02
+_FS_M_LANG, _FS_U_LANG = 0.9, 0.3
+_FS_THRESH = 1500
+
+
+def _fs_w(m, u):
+    return (
+        int(_math.floor(_math.log(m / u) * 1000 + 0.5)),
+        int(_math.floor(_math.log((1.0 - m) / (1.0 - u)) * 1000 + 0.5)),
+    )
+
+
+def _fs_oracle() -> str:
+    wa_n, wd_n = _fs_w(_FS_M_NAME, _FS_U_NAME)
+    wa_l, wd_l = _fs_w(_FS_M_LANG, _FS_U_LANG)
+    return f"""
+    WITH canon AS (
+      SELECT doc_id AS cid, {_FS_NAME} AS cname, lang AS clang FROM documents
+    ), dirty AS (
+      SELECT doc_id AS did,
+        CASE doc_id % 4
+          WHEN 0 THEN substr(cname, 1, 1) || substr(cname, 3)
+          WHEN 1 THEN cname || 'x'
+          WHEN 2 THEN 'q' || cname
+          ELSE cname END AS dname,
+        CASE WHEN doc_id % 5 = 0 THEN 'xx' ELSE lang END AS dlang
+      FROM (SELECT doc_id, {_FS_NAME} AS cname, lang FROM documents)
+    ), cand AS (
+      SELECT DISTINCT did, dname, dlang, cid, cname, clang
+      FROM dirty d JOIN canon c
+        ON substr(d.dname, 1, 4) = substr(c.cname, 1, 4)
+        OR substr(d.dname, length(d.dname) - 3) =
+           substr(c.cname, length(c.cname) - 3)
+    ), scored AS (
+      SELECT did, cid, CAST(levenshtein(dname, cname) AS BIGINT) AS dist,
+             CAST((CASE WHEN levenshtein(dname, cname) <= 1
+                        THEN {wa_n} ELSE {wd_n} END)
+                + (CASE WHEN dlang IS NULL OR clang IS NULL THEN 0
+                        WHEN dlang = clang THEN {wa_l} ELSE {wd_l} END)
+                AS BIGINT) AS score_millinats
+      FROM cand WHERE levenshtein(dname, cname) <= 2
+    )
+    SELECT did, cid, dist, score_millinats,
+           score_millinats >= {_FS_THRESH} AS is_match
+    FROM scored ORDER BY did, cid
+    """
+
+
+@register("join_linkage_scored", oracle=_fs_oracle())
+def join_linkage_scored(spark, sf_dir):
+    """Fellegi-Sunter probabilistic record linkage
+    (``operators/joins.py::fellegi_sunter_score`` over
+    ``blocked_fuzzy_join`` candidates): name agreement (levenshtein <= 1)
+    and language agreement contribute integer-millinat log-likelihood
+    weights; pairs above threshold classify as matches.  Scoring is pure
+    map-side arithmetic on the blocked candidate frame — zero extra
+    exchanges; the oracle injects the identical quantized weights."""
+    from opteryx_spark.operators import joins as _joins
+
+    docs = t(spark, sf_dir, "documents")
+    name = F.concat(
+        F.col("source"),
+        F.lit("_rec_"),
+        F.lpad(((F.col("doc_id") * 7919) % 100000).cast("string"), 5, "0"),
+    )
+    canon = docs.select(
+        F.col("doc_id").alias("cid"), name.alias("cname"), F.col("lang").alias("clang")
+    )
+    dirty = docs.select(
+        F.col("doc_id").alias("did"),
+        name.alias("_nm"),
+        F.when(F.col("doc_id") % 5 == 0, F.lit("xx"))
+        .otherwise(F.col("lang"))
+        .alias("dlang"),
+    ).select(
+        "did",
+        F.when(F.col("did") % 4 == 0, F.expr("substr(_nm, 1, 1) || substr(_nm, 3)"))
+        .when(F.col("did") % 4 == 1, F.concat(F.col("_nm"), F.lit("x")))
+        .when(F.col("did") % 4 == 2, F.concat(F.lit("q"), F.col("_nm")))
+        .otherwise(F.col("_nm"))
+        .alias("dname"),
+        "dlang",
+    )
+    cand = _joins.blocked_fuzzy_join(dirty, canon, "dname", "cname", max_dist=2)
+    cand = cand.withColumn("_name_agree", F.col("dist") <= 1).withColumn(
+        "_lang_agree",
+        F.when(
+            F.col("dlang").isNull() | F.col("clang").isNull(), F.lit(None)
+        ).otherwise(F.col("dlang") == F.col("clang")),
+    )
+    scored = _joins.fellegi_sunter_score(
+        cand,
+        [
+            ("_name_agree", _FS_M_NAME, _FS_U_NAME),
+            ("_lang_agree", _FS_M_LANG, _FS_U_LANG),
+        ],
+        threshold_millinats=_FS_THRESH,
+    )
+    return scored.select(
+        "did", "cid", F.col("dist").cast("long").alias("dist"),
+        "score_millinats", "is_match",
+    ).orderBy("did", "cid")

@@ -415,3 +415,59 @@ def test_temporal_split_semantics(spark):
     assert out == {1: "train", 2: "embargo", 3: "embargo", 4: "test", 5: None}
     with pytest.raises(ValueError):
         scale.temporal_split(df, "ts", split_us, embargo_minutes=-1)
+
+
+def test_dau_wau_coverage_semantics(spark):
+    import datetime as _dt
+
+    from opteryx_spark.operators import events
+    from opteryx_spark.operators.dedup import release_text_group_caches
+
+    rows = [
+        (1, _dt.datetime(2024, 1, 1, 10), 1, "m", 1.0, None),
+        (2, _dt.datetime(2024, 1, 1, 11), 1, "m", 1.0, None),  # same user-day
+        (3, _dt.datetime(2024, 1, 1, 12), 2, "m", 1.0, None),
+        (4, _dt.datetime(2024, 1, 5, 12), 2, "m", 1.0, None),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    out = {str(r.day): (r.dau, r.wau, r.stickiness_ppm)
+           for r in events.dau_wau_stickiness(ev, window_days=7).collect()}
+    assert out["2024-01-01"] == (2, 2, 1000000)
+    # Jan 5: user 2 active; user 1+2 still inside the Jan-1 window
+    assert out["2024-01-05"] == (1, 2, 500000)
+    # Jan 2: nobody active that day, both users in window -> dau 0
+    assert out["2024-01-02"] == (0, 2, 0)
+    with pytest.raises(ValueError):
+        events.dau_wau_stickiness(ev, window_days=0)
+    release_text_group_caches()
+
+
+def test_fellegi_sunter_weights_and_null_field(spark):
+    import math
+
+    from opteryx_spark.operators import joins
+
+    pairs = spark.createDataFrame(
+        [(1, True, True), (2, True, None), (3, False, True), (4, True, False)],
+        "pid long, a1 boolean, a2 boolean",
+    )
+    out = {
+        r.pid: (r.score_millinats, r.is_match)
+        for r in joins.fellegi_sunter_score(
+            pairs, [("a1", 0.95, 0.02), ("a2", 0.9, 0.3)], 1500
+        ).collect()
+    }
+    wa1 = int(math.floor(math.log(0.95 / 0.02) * 1000 + 0.5))
+    wd1 = int(math.floor(math.log(0.05 / 0.98) * 1000 + 0.5))
+    wa2 = int(math.floor(math.log(0.9 / 0.3) * 1000 + 0.5))
+    wd2 = int(math.floor(math.log(0.1 / 0.7) * 1000 + 0.5))
+    assert out[1] == (wa1 + wa2, True)
+    assert out[2] == (wa1, True)  # NULL comparison contributes 0
+    assert out[3] == (wd1 + wa2, False)
+    assert out[4] == (wa1 + wd2, True)
+    with pytest.raises(ValueError):
+        joins.fellegi_sunter_score(pairs, [], 0)
+    with pytest.raises(ValueError):
+        joins.fellegi_sunter_score(pairs, [("a1", 1.5, 0.2)], 0)
