@@ -43,6 +43,7 @@ __all__ = [
     "ewma_features",
     "twap",
     "dau_wau_stickiness",
+    "survival_curve",
 ]
 
 
@@ -821,4 +822,104 @@ def dau_wau_stickiness(
                 "stickiness_ppm"
             ),
         )
+    )
+
+
+def survival_curve(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    churn_horizon_days: int = 7,
+) -> DataFrame:
+    """Kaplan–Meier survival estimate over user lifetimes — the churn
+    curve product analytics reports, with right-censoring done honestly:
+    a user whose last activity falls within ``churn_horizon_days`` of
+    the corpus end is CENSORED (still alive as far as the data knows),
+    not counted as churned.
+
+    Lifetime = last active day − first active day (BIGINT days).  At
+    each observed lifetime ``t`` (ascending): ``n_t`` = users at risk
+    (lifetime ≥ t), ``d_t`` = churned users with lifetime exactly ``t``;
+    the KM factor ``ln((n_t − d_t)/n_t)`` is quantized to integer
+    MICROnats and the log-survival curve is the exact BIGINT running
+    sum — order-fixed, engine-identical (the module's fixed-point ln
+    contract).  If some ``t`` kills everyone at risk (``d = n``),
+    survival is exactly zero from there on: ``reached_zero`` flips true
+    and ``log_survival_micronats`` goes NULL (ln 0 has no fixed-point).
+
+    Scale shape: one per-user aggregate over the corpus, then the curve
+    windows run on the per-LIFETIME frame (≤ days-of-history rows —
+    trivially small at any corpus scale).
+
+    Returns per observed lifetime: ``lifetime_days``, ``n_at_risk``,
+    ``n_churned`` (BIGINT), ``log_survival_micronats`` (BIGINT, ≤ 0),
+    ``reached_zero`` (BOOLEAN).
+    """
+    if churn_horizon_days < 0:
+        raise ValueError("churn_horizon_days must be >= 0")
+    base = events.filter(F.col(user_col).isNotNull() & F.col(ts_col).isNotNull())
+    days = base.select(
+        F.col(user_col).alias("_u"),
+        F.to_date(F.col(ts_col).cast("timestamp")).alias("_d"),
+    )
+    per_user = days.groupBy("_u").agg(
+        F.min("_d").alias("_first"), F.max("_d").alias("_last")
+    )
+    max_day = F.broadcast(days.agg(F.max("_d").alias("_maxd")))
+    lifetimes = per_user.crossJoin(max_day).select(
+        F.datediff(F.col("_last"), F.col("_first")).cast("long").alias("t"),
+        F.when(
+            F.col("_last") < F.date_sub(F.col("_maxd"), int(churn_horizon_days)),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("_churn"),
+    )
+    hist = lifetimes.groupBy("t").agg(
+        F.count(F.lit(1)).alias("_n_t"),
+        F.sum("_churn").alias("n_churned"),
+    )
+    w = Window.orderBy(F.col("t").asc())
+    cum_before = F.coalesce(
+        F.sum("_n_t").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+        F.lit(0).cast("long"),
+    )
+    total = F.broadcast(lifetimes.agg(F.count(F.lit(1)).alias("_total")))
+    curve = hist.crossJoin(total).withColumn(
+        "n_at_risk", F.col("_total") - cum_before
+    )
+    term = F.when(
+        F.col("n_churned") < F.col("n_at_risk"),
+        F.floor(
+            F.log(
+                (F.col("n_at_risk") - F.col("n_churned")).cast("double")
+                / F.col("n_at_risk").cast("double")
+            )
+            * F.lit(1_000_000.0)
+            + F.lit(0.5)
+        ),
+    )
+    wc = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    out = (
+        curve.withColumn("_term", term)
+        .withColumn(
+            "reached_zero",
+            F.max(
+                F.when(F.col("n_churned") >= F.col("n_at_risk"), F.lit(1)).otherwise(
+                    F.lit(0)
+                )
+            ).over(wc)
+            == F.lit(1),
+        )
+        .withColumn(
+            "log_survival_micronats",
+            F.when(~F.col("reached_zero"), F.sum("_term").over(wc)),
+        )
+    )
+    return out.select(
+        F.col("t").alias("lifetime_days"),
+        "n_at_risk",
+        F.col("n_churned").cast("long").alias("n_churned"),
+        "log_survival_micronats",
+        "reached_zero",
     )

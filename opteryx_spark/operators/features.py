@@ -42,6 +42,7 @@ __all__ = [
     "target_encode",
     "psi_drift",
     "quantile_bin",
+    "market_basket_rules",
 ]
 
 
@@ -335,3 +336,79 @@ def quantile_bin(
         .withColumn("bin", F.when(v.isNotNull(), bin_expr.cast("int")))
         .select(*keep, "bin")
     )
+
+
+def market_basket_rules(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_support_ppm: int = 100,
+) -> DataFrame:
+    """Pairwise association rules (support / confidence / lift) — the
+    market-basket reduction: for every ordered item pair (a → b) that
+    co-occurs in at least ``min_support_ppm`` parts-per-million of
+    baskets, the classic rule metrics.
+
+    Exact arithmetic end to end: co-occurrence and item counts are
+    BIGINTs from two aggregates; support/confidence/lift surface as ppm
+    BIGINTs (truncating integer division), so results are identical on
+    any partitioning and engine — no float thresholds.
+
+    Scale shape: dedup to distinct (basket, item) (one aggregate — the
+    frame that bounds everything), self equi-join on the basket key to
+    enumerate co-occurring pairs (baskets are small — the join fans out
+    per-basket |items|², never cross-basket), then one pair aggregate
+    joined to the broadcast-sized item-count frame.  Support pruning
+    happens on the aggregated pair frame, not per row.
+
+    Returns ``item_a``, ``item_b`` (a ≠ b, both directions),
+    ``n_pairs``, ``n_a``, ``n_b`` (BIGINT), ``support_ppm``,
+    ``confidence_ppm``, ``lift_ppm`` (BIGINT, truncating):
+    ``lift = confidence(a→b) / support(b)`` =
+    ``(n_pairs·N·10^6) div (n_a·n_b)``.
+    """
+    if min_support_ppm < 0:
+        raise ValueError("min_support_ppm must be >= 0")
+    from opteryx_spark.operators.dedup import _track_persist
+
+    bi = _track_persist(
+        df.filter(F.col(basket_col).isNotNull() & F.col(item_col).isNotNull())
+        .select(F.col(basket_col).alias("_b"), F.col(item_col).alias("_i"))
+        .distinct()
+    )
+    n_baskets = F.broadcast(bi.agg(F.count_distinct("_b").alias("_nb")))
+    item_counts = bi.groupBy(F.col("_i").alias("item")).agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    l = bi.select(F.col("_b"), F.col("_i").alias("item_a"))
+    r = bi.select(F.col("_b"), F.col("_i").alias("item_b"))
+    pairs = (
+        l.join(r, "_b")
+        .filter(F.col("item_a") != F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+    ia = item_counts.select(F.col("item").alias("item_a"), F.col("_n").alias("n_a"))
+    ib = item_counts.select(F.col("item").alias("item_b"), F.col("_n").alias("n_b"))
+    out = (
+        pairs.join(F.broadcast(ia), "item_a")
+        .join(F.broadcast(ib), "item_b")
+        .crossJoin(n_baskets)
+        .select(
+            "item_a",
+            "item_b",
+            "n_pairs",
+            "n_a",
+            "n_b",
+            F.expr("CAST((n_pairs * 1000000) div _nb AS BIGINT)").alias(
+                "support_ppm"
+            ),
+            F.expr("CAST((n_pairs * 1000000) div n_a AS BIGINT)").alias(
+                "confidence_ppm"
+            ),
+            F.expr(
+                "CAST((n_pairs * _nb * 1000000) div (n_a * n_b) AS BIGINT)"
+            ).alias("lift_ppm"),
+        )
+    )
+    return out.filter(F.col("support_ppm") >= F.lit(int(min_support_ppm)))

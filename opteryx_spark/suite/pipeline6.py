@@ -1286,3 +1286,106 @@ def join_linkage_scored(spark, sf_dir):
         "did", "cid", F.col("dist").cast("long").alias("dist"),
         "score_millinats", "is_match",
     ).orderBy("did", "cid")
+
+
+# --- market-basket association rules ------------------------------------------------------
+
+
+@register(
+    "feat_basket_rules",
+    oracle="""
+    WITH bi AS (
+      SELECT DISTINCT l_orderkey AS b, l_partkey % 50 AS i FROM lineitem
+    ), nb AS (SELECT count(DISTINCT b) AS n FROM bi),
+    ic AS (SELECT i AS item, count(*) AS cnt FROM bi GROUP BY i),
+    pairs AS (
+      SELECT l.i AS item_a, r.i AS item_b, count(*) AS n_pairs
+      FROM bi l JOIN bi r ON l.b = r.b AND l.i <> r.i
+      GROUP BY 1, 2
+    )
+    SELECT item_a, item_b, CAST(n_pairs AS BIGINT) AS n_pairs,
+           CAST(a.cnt AS BIGINT) AS n_a, CAST(bb.cnt AS BIGINT) AS n_b,
+           CAST((n_pairs * 1000000) // nb.n AS BIGINT) AS support_ppm,
+           CAST((n_pairs * 1000000) // a.cnt AS BIGINT) AS confidence_ppm,
+           CAST((n_pairs * nb.n * 1000000) // (a.cnt * bb.cnt) AS BIGINT)
+             AS lift_ppm
+    FROM pairs
+    JOIN ic a ON a.item = item_a
+    JOIN ic bb ON bb.item = item_b
+    CROSS JOIN nb
+    WHERE (n_pairs * 1000000) // nb.n >= 100
+    ORDER BY item_a, item_b
+    """,
+)
+def feat_basket_rules(spark, sf_dir):
+    """Market-basket association rules
+    (``operators/features.py::market_basket_rules``): support/confidence/
+    lift for part-category pairs co-ordered in the same order — all-ppm
+    BIGINT metrics (no float thresholds), distinct (basket, item) frame
+    bounds the within-basket self-join, item counts broadcast."""
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", (F.col("l_partkey") % 50).alias("item")
+    )
+    return _features.market_basket_rules(
+        li, "l_orderkey", "item", min_support_ppm=100
+    ).orderBy("item_a", "item_b")
+
+
+# --- Kaplan-Meier survival ------------------------------------------------------------------
+
+
+@register(
+    "events_survival_km",
+    oracle="""
+    WITH days AS (
+      SELECT user_id AS u, CAST(ts AS DATE) AS d
+      FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    ), per_user AS (
+      SELECT u, min(d) AS firstd, max(d) AS lastd FROM days GROUP BY u
+    ), maxd AS (SELECT max(d) AS m FROM days),
+    lifetimes AS (
+      SELECT CAST(date_diff('day', firstd, lastd) AS BIGINT) AS t,
+             CASE WHEN lastd < (SELECT m FROM maxd) - INTERVAL 7 DAY
+                  THEN 1 ELSE 0 END AS churn
+      FROM per_user
+    ), hist AS (
+      SELECT t, count(*) AS n_t, CAST(sum(churn) AS BIGINT) AS n_churned
+      FROM lifetimes GROUP BY t
+    ), tot AS (SELECT count(*) AS total FROM lifetimes),
+    curve AS (
+      SELECT t, n_churned,
+             tot.total - CAST(coalesce(sum(n_t) OVER
+               (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               0) AS BIGINT) AS n_at_risk
+      FROM hist CROSS JOIN tot
+    ), terms AS (
+      SELECT *,
+             CASE WHEN n_churned < n_at_risk THEN
+               CAST(floor(ln(CAST(n_at_risk - n_churned AS DOUBLE)
+                             / CAST(n_at_risk AS DOUBLE)) * 1000000.0 + 0.5)
+                    AS BIGINT) END AS term,
+             max(CASE WHEN n_churned >= n_at_risk THEN 1 ELSE 0 END) OVER
+               (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               = 1 AS reached_zero
+      FROM curve
+    )
+    SELECT t AS lifetime_days, n_at_risk, n_churned,
+           CASE WHEN NOT reached_zero THEN
+             CAST(sum(term) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW) AS BIGINT) END
+             AS log_survival_micronats,
+           reached_zero
+    FROM terms ORDER BY lifetime_days
+    """,
+)
+def events_survival_km(spark, sf_dir):
+    """Kaplan-Meier churn survival
+    (``operators/events.py::survival_curve``): user lifetimes with
+    honest right-censoring (active within 7 days of corpus end =
+    censored), KM factors as integer-micronat ln terms, the log-survival
+    curve an exact BIGINT running sum; curve windows run on the
+    per-lifetime frame only (<= days-of-history rows)."""
+    ev = t(spark, sf_dir, "events")
+    return _events.survival_curve(ev, churn_horizon_days=7).orderBy(
+        "lifetime_days"
+    )

@@ -471,3 +471,68 @@ def test_fellegi_sunter_weights_and_null_field(spark):
         joins.fellegi_sunter_score(pairs, [], 0)
     with pytest.raises(ValueError):
         joins.fellegi_sunter_score(pairs, [("a1", 1.5, 0.2)], 0)
+
+
+def test_market_basket_lift_semantics(spark):
+    from opteryx_spark.operators import features
+    from opteryx_spark.operators.dedup import release_text_group_caches
+
+    # 4 baskets: {a,b} x3, {a,c} x1 -> conf(a->b)=750000, lift(a->b)
+    rows = [
+        (1, "a"), (1, "b"),
+        (2, "a"), (2, "b"),
+        (3, "a"), (3, "b"),
+        (4, "a"), (4, "c"),
+        (4, "a"),  # duplicate line: distinct frame must dedup
+    ]
+    df = spark.createDataFrame(rows, "b long, i string")
+    out = {
+        (r.item_a, r.item_b): (r.n_pairs, r.support_ppm, r.confidence_ppm, r.lift_ppm)
+        for r in features.market_basket_rules(df, "b", "i", 0).collect()
+    }
+    # N=4, n_a=4, n_b=3, pairs(a,b)=3
+    assert out[("a", "b")] == (3, 750000, 750000, 1000000)
+    # lift(b->a): pairs=3, n_b=3 conf=1.0, support(a)=1.0 -> lift 1.0
+    assert out[("b", "a")] == (3, 750000, 1000000, 1000000)
+    # c only with a: lift(c->a) = (1*4*1e6)//(1*4) = 1000000
+    assert out[("c", "a")] == (1, 250000, 1000000, 1000000)
+    with pytest.raises(ValueError):
+        features.market_basket_rules(df, "b", "i", -1)
+    release_text_group_caches()
+
+
+def test_survival_curve_km_semantics(spark):
+    import datetime as _dt
+    import math
+
+    from opteryx_spark.operators import events
+    from opteryx_spark.operators.dedup import release_text_group_caches
+
+    def day(n):
+        return _dt.datetime(2024, 1, 1 + n, 12)
+
+    rows = []
+    eid = 0
+    # u1: lifetime 0, churned (last day 0, horizon ends day 30)
+    rows.append((eid := eid + 1, day(0), 1, "m", 1.0, None))
+    # u2: lifetime 2, churned
+    rows += [(eid := eid + 1, day(0), 2, "m", 1.0, None),
+             (eid := eid + 1, day(2), 2, "m", 1.0, None)]
+    # u3: lifetime 30, censored (active at corpus end)
+    rows += [(eid := eid + 1, day(0), 3, "m", 1.0, None),
+             (eid := eid + 1, day(30), 3, "m", 1.0, None)]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    out = {r.lifetime_days: r for r in events.survival_curve(ev, churn_horizon_days=7).collect()}
+    # t=0: 3 at risk, u1 churns -> ln(2/3)
+    assert (out[0].n_at_risk, out[0].n_churned) == (3, 1)
+    assert out[0].log_survival_micronats == math.floor(math.log(2 / 3) * 1e6 + 0.5)
+    # t=2: 2 at risk, u2 churns -> cum ln(2/3)+ln(1/2)
+    want = math.floor(math.log(2 / 3) * 1e6 + 0.5) + math.floor(math.log(1 / 2) * 1e6 + 0.5)
+    assert out[2].log_survival_micronats == want
+    # t=30: u3 censored, not churned; survival unchanged, not zero
+    assert (out[30].n_at_risk, out[30].n_churned) == (1, 0)
+    assert out[30].log_survival_micronats == want
+    assert not out[30].reached_zero
+    release_text_group_caches()
