@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["row_checks", "unique_check", "referential_check"]
+__all__ = ["row_checks", "unique_check", "referential_check", "benford_audit"]
 
 _REPORT_COLS = ("check", "kind", "n_rows", "n_violations", "passed")
 
@@ -136,4 +136,75 @@ def referential_check(
             F.col("v").cast("long").alias("n_violations"),
             (F.col("v") == 0).alias("passed"),
         )
+    )
+
+
+def benford_audit(
+    df: DataFrame,
+    value_col: str,
+    max_deviation_ppm: int = 30_000,
+) -> DataFrame:
+    """Benford's-law first-digit audit — the classic anomaly screen for
+    organically-generated numeric columns (amounts, populations, counts):
+    the observed share of each leading significant digit is compared to
+    ``log10(1 + 1/d)``.
+
+    Exact arithmetic: the leading digit comes from string manipulation
+    (strip sign/zeros/dot — no float log in the hot path), shares and
+    expectations are integer PPM (expected values are Python-quantized
+    constants, identical literals in any engine), and the verdict is a
+    per-digit |observed − expected| ≤ ``max_deviation_ppm`` check.
+    Zero/NULL values carry no leading digit and are excluded (reported
+    via ``n_total`` vs the digit-row sum).
+
+    Scale shape: one map-only digit extraction + one 9-row aggregate
+    with map-side combine; the audit frame is 9 rows at any corpus size.
+
+    Returns one row per digit 1-9: ``digit``, ``n`` (BIGINT),
+    ``observed_ppm``, ``expected_ppm`` (BIGINT), ``within_tolerance``
+    (BOOLEAN).
+    """
+    import math
+
+    if max_deviation_ppm < 0:
+        raise ValueError("max_deviation_ppm must be >= 0")
+    # leading significant digit, string-wise: abs -> drop '0.', '.', '-'
+    s = F.regexp_replace(
+        F.abs(F.col(value_col).cast("double")).cast("string"), "[^1-9]", ""
+    )
+    digit = F.when(F.length(s) > 0, F.substring(s, 1, 1).cast("int"))
+    base = df.filter(F.col(value_col).isNotNull()).select(digit.alias("_d"))
+    counts = base.filter(F.col("_d").isNotNull()).groupBy("_d").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    total = F.broadcast(
+        base.agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.count("_d").alias("_n_digits"),
+        )
+    )
+    spark = df.sparkSession
+    expected = F.broadcast(
+        spark.createDataFrame(
+            [
+                (d, int(math.floor(math.log10(1.0 + 1.0 / d) * 1_000_000 + 0.5)))
+                for d in range(1, 10)
+            ],
+            "digit int, expected_ppm long",
+        )
+    )
+    obs = expected.join(
+        counts.withColumnRenamed("_d", "digit"), "digit", "left"
+    ).crossJoin(total)
+    return obs.select(
+        "digit",
+        F.coalesce(F.col("n"), F.lit(0).cast("long")).alias("n"),
+        F.expr(
+            "CAST((coalesce(n, 0) * 1000000) div _n_digits AS BIGINT)"
+        ).alias("observed_ppm"),
+        "expected_ppm",
+    ).withColumn(
+        "within_tolerance",
+        F.abs(F.col("observed_ppm") - F.col("expected_ppm"))
+        <= F.lit(int(max_deviation_ppm)),
     )

@@ -1389,3 +1389,54 @@ def events_survival_km(spark, sf_dir):
     return _events.survival_curve(ev, churn_horizon_days=7).orderBy(
         "lifetime_days"
     )
+
+
+# --- Benford first-digit audit ----------------------------------------------------------------
+
+
+def _benford_oracle() -> str:
+    exp_rows = ", ".join(
+        f"({d}, {int(_math.floor(_math.log10(1.0 + 1.0 / d) * 1_000_000 + 0.5))})"
+        for d in range(1, 10)
+    )
+    return f"""
+    WITH base AS (
+      SELECT CASE WHEN length(regexp_replace(
+                    CAST(abs(CAST(l_extendedprice AS DOUBLE)) AS VARCHAR),
+                    '[^1-9]', '', 'g')) > 0
+                  THEN CAST(substring(regexp_replace(
+                    CAST(abs(CAST(l_extendedprice AS DOUBLE)) AS VARCHAR),
+                    '[^1-9]', '', 'g'), 1, 1) AS INTEGER) END AS d
+      FROM lineitem WHERE l_extendedprice IS NOT NULL
+    ), counts AS (
+      SELECT d AS digit, count(*) AS n FROM base WHERE d IS NOT NULL GROUP BY d
+    ), tot AS (
+      SELECT count(*) AS n_total, count(d) AS n_digits FROM base
+    ), expected(digit, expected_ppm) AS (VALUES {exp_rows})
+    SELECT e.digit, CAST(coalesce(c.n, 0) AS BIGINT) AS n,
+           CAST((coalesce(c.n, 0) * 1000000) // tot.n_digits AS BIGINT)
+             AS observed_ppm,
+           CAST(e.expected_ppm AS BIGINT) AS expected_ppm,
+           abs(CAST((coalesce(c.n, 0) * 1000000) // tot.n_digits AS BIGINT)
+               - e.expected_ppm) <= 30000 AS within_tolerance
+    FROM expected e LEFT JOIN counts c ON c.digit = e.digit CROSS JOIN tot
+    ORDER BY e.digit
+    """
+
+
+@register("quality_benford_audit", oracle=_benford_oracle())
+def quality_benford_audit(spark, sf_dir):
+    """Benford first-digit audit
+    (``operators/quality.py::benford_audit``): observed vs expected
+    leading-digit shares of lineitem prices in integer PPM — the classic
+    organic-data anomaly screen.  The leading significant digit is
+    extracted STRING-wise (first [1-9] character — invariant across
+    plain and scientific float renderings, so both engines agree even
+    though their double-to-string notations differ); the audit frame is
+    9 rows at any corpus size."""
+    from opteryx_spark.operators import quality as _quality
+
+    li = t(spark, sf_dir, "lineitem")
+    return _quality.benford_audit(
+        li, "l_extendedprice", max_deviation_ppm=30_000
+    ).orderBy("digit")

@@ -536,3 +536,26 @@ def test_survival_curve_km_semantics(spark):
     assert out[30].log_survival_micronats == want
     assert not out[30].reached_zero
     release_text_group_caches()
+
+
+def test_benford_audit_known_distribution(spark):
+    import math
+
+    from opteryx_spark.operators import quality
+
+    # values engineered: digit d appears round(log10(1+1/d)*1000) times
+    rows = []
+    for d in range(1, 10):
+        n = int(math.floor(math.log10(1 + 1 / d) * 1000 + 0.5))
+        rows += [(float(d) * 10 ** (i % 3),) for i in range(n)]
+    rows += [(0.0,), (None,)]  # no leading digit: excluded from shares
+    df = spark.createDataFrame(rows, "v double")
+    out = {r.digit: r for r in quality.benford_audit(df, "v").collect()}
+    assert len(out) == 9
+    assert all(out[d].within_tolerance for d in range(1, 10))
+    # scientific notation renders still yield the right digit
+    sci = spark.createDataFrame([(9.5e-7,), (1.2e9,)], "v double")
+    got = {r.digit: r.n for r in quality.benford_audit(sci, "v").collect()}
+    assert got[9] == 1 and got[1] == 1
+    with pytest.raises(ValueError):
+        quality.benford_audit(df, "v", max_deviation_ppm=-1)
