@@ -39,8 +39,8 @@ BENCH_QUERIES = [
     "emb_cosine_topk",
     "emb_ann_lsh_topk",
     "cb_user_activity_topk",
-    "cb_daily_series",
-    "text_quality_langid",
+    "events_dau_wau",
+    "feat_basket_rules",
     "join_asof_last_click",
     "join_range_binned",
     "skew_join_salted",
@@ -127,6 +127,7 @@ SF1_QUERIES = [
     "cdc_snapshot_diff",
     "text_bigram_perplexity",
     "text_strip_html",
+    "events_dau_wau",
 ]
 
 

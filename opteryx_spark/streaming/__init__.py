@@ -965,3 +965,82 @@ def cms_counters_stream(
         .groupBy("d", "b")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+def scd2_current_stream(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    state_col: str = "event_type",
+    order_col: str = "event_id",
+) -> DataFrame:
+    """Streaming maintainer of the SCD2 CURRENT row — the third leg of
+    the dimension story (batch build: ``events.scd2_history``;
+    point-in-time join: ``events_point_in_time_state``; this keeps the
+    open interval current as changes stream in).
+
+    State per key is O(1): the current state value, its 1-based version
+    and ``valid_from_us``, plus the last-seen ``(us, id)`` so in-batch
+    ordering matches the batch window's ``(ts, order_col)`` sort.  A
+    NULL state is a real state (null-safe change comparison, like
+    batch).  Each batch emits one row per touched key — the current
+    dimension row to upsert (``layout.upsert_partitions`` is the sink
+    shape); drained availableNow over in-order input the emitted rows
+    equal the batch history's ``is_current`` slice (equivalence test).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    base = events.filter(
+        F.col(user_col).isNotNull() & F.col(ts_col).isNotNull()
+    ).select(
+        F.col(user_col).alias("user_id"),
+        F.col(order_col).alias("_oid"),
+        F.unix_micros(F.col(ts_col).cast("timestamp")).alias("_us"),
+        F.col(state_col).alias("_st"),
+    )
+
+    def track(key, pdf_iter, state: GroupState):
+        if state.exists:
+            has, st, version, vfrom, lus, leid = state.get
+        else:
+            has, st, version, vfrom, lus, leid = False, None, 0, 0, -1, -1
+        touched = False
+        for pdf in pdf_iter:
+            pdf = pdf.sort_values(["_us", "_oid"])
+            for oid, us, sv in zip(pdf["_oid"], pdf["_us"], pdf["_st"]):
+                oid, us = int(oid), int(us)
+                sv = None if pd.isna(sv) else str(sv)
+                touched = True
+                changed = (not has) or (sv != st)
+                if changed:
+                    version += 1
+                    st, vfrom, has = sv, us, True
+                lus, leid = us, oid
+        state.update((has, st, int(version), int(vfrom), int(lus), int(leid)))
+        if touched:
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "state": [st],
+                    "version": [int(version)],
+                    "valid_from_us": [int(vfrom)],
+                }
+            )
+        else:
+            yield pd.DataFrame(
+                {"user_id": [], "state": [], "version": [], "valid_from_us": []}
+            )
+
+    utype = base.schema["user_id"].dataType.simpleString()
+    return base.groupBy("user_id").applyInPandasWithState(
+        track,
+        outputStructType=(
+            f"user_id {utype}, state string, version long, valid_from_us long"
+        ),
+        stateStructType=(
+            "has boolean, st string, version long, vfrom long, lus long, leid long"
+        ),
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

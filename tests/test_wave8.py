@@ -559,3 +559,32 @@ def test_benford_audit_known_distribution(spark):
     assert got[9] == 1 and got[1] == 1
     with pytest.raises(ValueError):
         quality.benford_audit(df, "v", max_deviation_ppm=-1)
+
+
+def test_scd2_current_stream_matches_batch(spark, sf_dir, tmp_path_factory):
+    """Drained availableNow, the streaming SCD2 maintainer's emitted
+    current rows must equal the batch history's is_current slice."""
+    from opteryx_spark import streaming
+    from opteryx_spark.catalog import load_table
+    from opteryx_spark.operators import events as E
+
+    src = str(tmp_path_factory.mktemp("oxs_scd_src"))
+    out = str(tmp_path_factory.mktemp("oxs_scd_out"))
+    ckpt = str(tmp_path_factory.mktemp("oxs_scd_ckpt"))
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "event_type"
+    )
+    ev.write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema(ev.schema).parquet(src)
+    cur = streaming.scd2_current_stream(stream)
+    streaming.run_stream_once(cur, out, ckpt)
+    got = {
+        r.user_id: (r.state, r.version, r.valid_from_us)
+        for r in spark.read.parquet(out).collect()
+    }
+    want = {
+        r.user_id: (r.state, r.version, r.valid_from_us)
+        for r in E.scd2_history(ev).filter(F.col("is_current")).collect()
+    }
+    assert got == want and got
