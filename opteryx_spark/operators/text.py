@@ -683,3 +683,84 @@ def strip_html(col: Column | str) -> Column:
     for ent, rep in _HTML_ENTITIES:
         out = F.replace(out, F.lit(ent), F.lit(rep))
     return F.trim(F.regexp_replace(out, "[ \\t\\r\\n]+", " "))
+
+
+def rake_keyphrases(
+    df: DataFrame,
+    text_col: str = "text",
+    lang: str = "en",
+    top_k: int = 50,
+    max_phrase_words: int = 4,
+) -> DataFrame:
+    """RAKE keyphrase extraction (Rose et al. 2010): candidate phrases
+    are maximal stopword-free token runs; each word scores
+    ``degree/frequency`` over the corpus (degree = total length of the
+    phrase occurrences it appears in) and a phrase scores the sum of its
+    words' scores -- the unsupervised keyword surface search/tagging
+    pipelines ship.
+
+    Determinism: word scores quantize to ``(degree*1000) div freq``
+    BIGINT milli-units; a phrase's score is the exact BIGINT sum of its
+    word scores (identical for every occurrence, so summing across
+    occurrences and dividing by the occurrence count is exact); top-k
+    breaks ties by phrase text.  Phrase splitting is overlap-safe:
+    stopword tokens map to a separator IN THE TOKEN ARRAY (no regex on
+    raw text, so adjacent stopwords cannot swallow each other's
+    boundary), then one join + split + trim.
+
+    Scale shape: a map-only phrase expression per document, one explode
+    to (phrase, word), two word aggregates (freq/degree, map-side
+    combine), a vocabulary-sized score join back, one phrase aggregate
+    and a bounded top-k.
+
+    Returns ``phrase``, ``n_occurrences``, ``score_milli`` (BIGINT),
+    top ``top_k`` by ``(score desc, phrase)``.
+    """
+    if top_k < 1 or max_phrase_words < 1:
+        raise ValueError("top_k and max_phrase_words must be >= 1")
+    sep = "\u001f"
+    stops = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    marked = F.transform(
+        tokens(text_col),
+        lambda t: F.when(F.array_contains(stops, t), F.lit(sep)).otherwise(t),
+    )
+    phrases_arr = F.filter(
+        F.transform(F.split(F.array_join(marked, " "), sep), lambda p: F.trim(p)),
+        lambda p: (p != "")
+        & (F.size(F.split(p, " ")) <= F.lit(int(max_phrase_words))),
+    )
+    phr = df.select(F.explode(phrases_arr).alias("phrase"))
+    from opteryx_spark.operators.dedup import _maybe_broadcast, _track_persist
+
+    pw = _track_persist(
+        phr.select(
+            "phrase",
+            F.size(F.split(F.col("phrase"), " ")).alias("_plen"),
+            F.explode(F.split(F.col("phrase"), " ")).alias("_w"),
+        )
+    )
+    words = pw.groupBy("_w").agg(
+        F.count(F.lit(1)).alias("_freq"),
+        F.sum("_plen").alias("_deg"),
+    )
+    scores = words.select(
+        "_w", F.expr("CAST((_deg * 1000) div _freq AS BIGINT)").alias("_ws")
+    )
+    # every occurrence of a phrase contributes the identical word-score
+    # sum, so sum-over-occurrences div occurrence-count is exact
+    summed = (
+        pw.join(_maybe_broadcast(scores, None), "_w")
+        .groupBy("phrase")
+        .agg(F.sum("_ws").alias("_raw"))
+    )
+    occ = phr.groupBy("phrase").agg(F.count(F.lit(1)).alias("n_occurrences"))
+    return (
+        summed.join(occ, "phrase")
+        .select(
+            "phrase",
+            "n_occurrences",
+            F.expr("CAST(_raw div n_occurrences AS BIGINT)").alias("score_milli"),
+        )
+        .orderBy(F.col("score_milli").desc(), F.col("phrase").asc())
+        .limit(int(top_k))
+    )

@@ -1440,3 +1440,54 @@ def quality_benford_audit(spark, sf_dir):
     return _quality.benford_audit(
         li, "l_extendedprice", max_deviation_ppm=30_000
     ).orderBy("digit")
+
+
+# --- RAKE keyphrase extraction -----------------------------------------------------------------
+
+_RAKE_STOPS = "'the', 'a', 'of', 'to', 'and', 'in', 'is', 'it'"
+
+
+@register(
+    "text_rake_keyphrases",
+    oracle=f"""
+    WITH tok AS (
+      SELECT {_O_TOKENS6} AS t FROM documents
+    ), marked AS (
+      SELECT list_transform(t, x -> CASE WHEN x IN ({_RAKE_STOPS})
+                                         THEN chr(31) ELSE x END) AS mt
+      FROM tok
+    ), phr AS (
+      SELECT trim(p) AS phrase
+      FROM (SELECT unnest(string_split(array_to_string(mt, ' '), chr(31))) AS p
+            FROM marked)
+      WHERE trim(p) <> '' AND len(string_split(trim(p), ' ')) <= 4
+    ), pw AS (
+      SELECT phrase, len(string_split(phrase, ' ')) AS plen,
+             unnest(string_split(phrase, ' ')) AS w
+      FROM phr
+    ), words AS (
+      SELECT w, count(*) AS freq, CAST(sum(plen) AS BIGINT) AS deg
+      FROM pw GROUP BY w
+    ), scores AS (
+      SELECT w, CAST((deg * 1000) // freq AS BIGINT) AS ws FROM words
+    ), summed AS (
+      SELECT phrase, CAST(sum(ws) AS BIGINT) AS raw
+      FROM pw JOIN scores USING (w) GROUP BY phrase
+    ), occ AS (
+      SELECT phrase, count(*) AS n_occurrences FROM phr GROUP BY phrase
+    )
+    SELECT s.phrase, o.n_occurrences,
+           CAST(raw // n_occurrences AS BIGINT) AS score_milli
+    FROM summed s JOIN occ o USING (phrase)
+    ORDER BY score_milli DESC, s.phrase LIMIT 50
+    """,
+)
+def text_rake_keyphrases(spark, sf_dir):
+    """RAKE keyphrase extraction
+    (``operators/text.py::rake_keyphrases``): stopword-delimited
+    candidate phrases scored by summed word degree/frequency — milli-
+    quantized BIGINT scores, overlap-safe token-array splitting (regex
+    on raw text would let adjacent stopwords swallow each other's
+    boundary); map-only phrases, two word aggregates, bounded top-50."""
+    docs = t(spark, sf_dir, "documents")
+    return _text.rake_keyphrases(docs, top_k=50, max_phrase_words=4)

