@@ -44,6 +44,7 @@ __all__ = [
     "twap",
     "dau_wau_stickiness",
     "survival_curve",
+    "seasonal_residuals",
 ]
 
 
@@ -922,4 +923,72 @@ def survival_curve(
         F.col("n_churned").cast("long").alias("n_churned"),
         "log_survival_micronats",
         "reached_zero",
+    )
+
+
+def seasonal_residuals(
+    events: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    group_col: str | None = "event_type",
+) -> DataFrame:
+    """Seasonal-naive decomposition on the weekly grid: the seasonal
+    component is the exact mean value at each (weekday, hour) slot —
+    per ``group_col`` when given — and the residual is what anomaly
+    detection should actually look at once the daily/weekly rhythm is
+    removed (raw-value thresholds fire every rush hour).
+
+    Determinism: slot means are DECIMAL(25,8)-exact sums divided by
+    BIGINT counts in ONE fixed float expression; the residual is one
+    float subtraction of engine-identical doubles.  Weekday is pinned
+    Monday=0 (Spark ``weekday`` == DuckDB ``isodow − 1`` — engines'
+    default day-numbering disagrees, verified).  NULL ts/value rows are
+    excluded by contract.
+
+    Scale shape: one slot aggregate (≤ |groups|·168 rows) broadcast
+    back onto the corpus — map-only after the aggregate; no windows.
+
+    Returns ``event_id``, ``group_col`` (if given), ``dow`` (0=Mon),
+    ``hour``, ``value``, ``seasonal`` (double), ``residual`` (double),
+    ``n_slot`` (BIGINT — slot sample size, for confidence gating).
+    """
+    base = events.filter(F.col(ts_col).isNotNull() & F.col(value_col).isNotNull())
+    ts = F.col(ts_col).cast("timestamp")
+    keys = ([group_col] if group_col else []) + ["dow", "hour"]
+    keyed = base.select(
+        "event_id",
+        *([F.col(group_col)] if group_col else []),
+        F.weekday(ts).alias("dow"),
+        F.hour(ts).alias("hour"),
+        F.col(value_col).alias("value"),
+    )
+    slots = keyed.groupBy(*keys).agg(
+        (
+            F.sum(F.col("value").cast("decimal(25,8)")).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("seasonal"),
+        F.count(F.lit(1)).alias("n_slot"),
+    )
+    from opteryx_spark.operators.dedup import _maybe_broadcast
+
+    # null-safe join keys: a NULL group is a REAL slot (the oracle's
+    # IS NOT DISTINCT FROM) — a plain key-list join would silently drop
+    # NULL-group rows
+    s = _maybe_broadcast(
+        slots.select(*[F.col(k).alias(f"_s_{k}") for k in keys], "seasonal", "n_slot"),
+        None,
+    )
+    cond = None
+    for k in keys:
+        c = F.col(k).eqNullSafe(F.col(f"_s_{k}"))
+        cond = c if cond is None else (cond & c)
+    return keyed.join(s, cond).select(
+        "event_id",
+        *([F.col(group_col)] if group_col else []),
+        "dow",
+        "hour",
+        "value",
+        "seasonal",
+        (F.col("value") - F.col("seasonal")).alias("residual"),
+        "n_slot",
     )

@@ -1491,3 +1491,42 @@ def text_rake_keyphrases(spark, sf_dir):
     boundary); map-only phrases, two word aggregates, bounded top-50."""
     docs = t(spark, sf_dir, "documents")
     return _text.rake_keyphrases(docs, top_k=50, max_phrase_words=4)
+
+
+# --- weekly seasonal decomposition --------------------------------------------------------------
+
+
+@register(
+    "events_seasonal_residuals",
+    oracle="""
+    WITH base AS (
+      SELECT event_id, event_type,
+             CAST(date_part('isodow', ts) - 1 AS INTEGER) AS dow,
+             CAST(hour(ts) AS INTEGER) AS hour, value
+      FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+    ), slots AS (
+      SELECT event_type, dow, hour,
+             CAST(sum(CAST(value AS DECIMAL(25,8))) AS DOUBLE)
+               / CAST(count(*) AS DOUBLE) AS seasonal,
+             count(*) AS n_slot
+      FROM base GROUP BY 1, 2, 3
+    )
+    SELECT b.event_id, b.event_type, b.dow, b.hour, b.value,
+           s.seasonal, b.value - s.seasonal AS residual,
+           CAST(s.n_slot AS BIGINT) AS n_slot
+    FROM base b
+    JOIN slots s ON s.event_type IS NOT DISTINCT FROM b.event_type
+                AND s.dow = b.dow AND s.hour = b.hour
+    ORDER BY b.event_id
+    """,
+)
+def events_seasonal_residuals(spark, sf_dir):
+    """Weekly seasonal-naive decomposition
+    (``operators/events.py::seasonal_residuals``): exact (weekday, hour)
+    slot means per event type removed from each value — the residual
+    stream rate/value anomaly detection should consume.  Weekday pinned
+    Monday=0 (Spark weekday == DuckDB isodow-1; the engines' default
+    day numbering disagrees).  One <=|groups|*168-row aggregate
+    broadcast back, map-only after."""
+    ev = t(spark, sf_dir, "events")
+    return _events.seasonal_residuals(ev).orderBy("event_id")

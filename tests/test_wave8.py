@@ -612,3 +612,28 @@ def test_rake_keyphrases_scoring(spark):
     with pytest.raises(ValueError):
         text.rake_keyphrases(docs, top_k=0)
     release_text_group_caches()
+
+
+def test_seasonal_residuals_removes_weekly_pattern(spark):
+    import datetime as _dt
+
+    from opteryx_spark.operators import events
+    from opteryx_spark.operators.dedup import release_text_group_caches
+
+    rows = []
+    eid = 0
+    # Mondays 10:00 always 100, Tuesdays 10:00 always 20, one spike
+    for wk in range(3):
+        rows.append((eid := eid + 1, _dt.datetime(2024, 1, 1 + 7 * wk, 10), 1, "m", 100.0, None))
+        rows.append((eid := eid + 1, _dt.datetime(2024, 1, 2 + 7 * wk, 10), 1, "m", 20.0, None))
+    rows.append((eid := eid + 1, _dt.datetime(2024, 1, 22, 10), 1, "m", 160.0, None))  # Mon spike
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    out = {r.event_id: r for r in events.seasonal_residuals(ev).collect()}
+    # slot mean Monday-10: (100*3 + 160)/4 = 115 -> steady Mondays residual -15
+    assert out[1].seasonal == 115.0 and out[1].residual == -15.0
+    assert out[7].residual == 45.0  # the spike stands out
+    assert out[2].seasonal == 20.0 and out[2].residual == 0.0
+    assert out[1].dow == 0 and out[1].hour == 10
+    release_text_group_caches()
