@@ -717,3 +717,123 @@ def knn_join(
         F.col("_s.d2").alias("dist2"),
     )
     return out
+
+
+def pq_adc_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    m: int = 8,
+    n_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    qscale: int = 1000,
+) -> DataFrame:
+    """Product-quantization ANN with asymmetric distance computation
+    (Jégou et al., PAMI 2011) — the remaining member of this module's
+    ANN family (brute, hyperplane-LSH, IVF, SQ8): vectors compress to
+    ``m`` sub-space code indices and query distances come from ``m``
+    lookup tables, so the scan touches ``m`` bytes-ish per vector
+    instead of ``dim`` floats.
+
+    Value-verifiable variant: components quantize to milli-units;
+    sub-space codebooks are the ``n_codes`` corpus vectors with the
+    smallest ``(md5(id), id)`` (the engine's canonical deterministic
+    seed order — no Lloyd refinement, so the whole pipeline is exact
+    integer arithmetic an oracle can replay); encoding takes the argmin
+    squared-L2 code per sub-space (ties to the lower index) and the ADC
+    distance is the BIGINT sum of per-sub-space table entries.
+
+    Scale shape: codebooks and the query table are bounded driver
+    probes (``n_codes`` rows); encoding is map-only codegen (m·n_codes
+    distance folds per row); the ADC scan is map-only + one bounded
+    top-k.  At production scale the codes are materialized once
+    (write the encoded frame) and every query pays only the table scan.
+
+    Returns ``rank``, ``id_col``, ``adc_dist2`` (BIGINT) — top-``k`` by
+    ``(adc_dist2, id)``.
+    """
+    import math
+
+    if dim % m != 0:
+        raise ValueError("dim must divide into m sub-spaces")
+    if k < 1 or n_codes < 1:
+        raise ValueError("k and n_codes must be >= 1")
+    sub = dim // m
+    qq = [int(math.floor(float(x) * qscale)) for x in query_vec]
+    if len(qq) != dim:
+        raise ValueError(f"query_vec must have {dim} components")
+    qv = F.transform(
+        F.col(vec_col), lambda x: F.floor(x.cast("double") * F.lit(float(qscale)))
+    )
+    from opteryx_spark.operators.dedup import _track_persist
+
+    base = _track_persist(
+        df.filter(F.col(vec_col).isNotNull()).select(
+            F.col(id_col).alias("_id"), qv.alias("_qv")
+        )
+    )
+    seed_rows = (
+        base.orderBy(F.md5(F.col("_id").cast("string")), F.col("_id"))
+        .limit(int(n_codes))
+        .collect()
+    )
+    books = [[int(x) for x in r["_qv"]] for r in seed_rows]
+    if len(books) < n_codes:
+        raise ValueError(f"need >= {n_codes} vectors, found {len(books)}")
+
+    def sub_dist(s: int, code_vec: list[int]):
+        # squared L2 between the row's sub-vector s and a codebook row
+        terms = None
+        for d in range(s * sub, (s + 1) * sub):
+            e = F.element_at(F.col("_qv"), d + 1) - F.lit(code_vec[d])
+            t = e * e
+            terms = t if terms is None else terms + t
+        return terms
+
+    # per sub-space: argmin code (ties -> lower index), then the ADC
+    # lookup from the query's literal distance table
+    tables = []
+    for s in range(m):
+        row = []
+        for j in range(n_codes):
+            row.append(
+                sum(
+                    (qq[d] - books[j][d]) ** 2
+                    for d in range(s * sub, (s + 1) * sub)
+                )
+            )
+        tables.append(row)
+    adc = None
+    for s in range(m):
+        best = F.array_min(
+            F.array(
+                *[
+                    F.struct(
+                        sub_dist(s, books[j]).alias("d"),
+                        F.lit(j).cast("long").alias("j"),
+                    )
+                    for j in range(n_codes)
+                ]
+            )
+        )
+        lookup = F.element_at(
+            F.array(*[F.lit(int(v)).cast("long") for v in tables[s]]),
+            (best.getField("j") + 1).cast("int"),
+        )
+        adc = lookup if adc is None else adc + lookup
+    scored = base.select("_id", adc.alias("adc_dist2"))
+    top = scored.orderBy(F.col("adc_dist2").asc(), F.col("_id").asc()).limit(int(k))
+    w = top.select(
+        F.col("_id").alias(id_col),
+        "adc_dist2",
+    )
+    from pyspark.sql import Window as _W
+
+    return w.withColumn(
+        "rank",
+        F.row_number().over(
+            _W.orderBy(F.col("adc_dist2").asc(), F.col(id_col).asc())
+        ).cast("long"),
+    ).select("rank", id_col, "adc_dist2")

@@ -1530,3 +1530,77 @@ def events_seasonal_residuals(spark, sf_dir):
     broadcast back, map-only after."""
     ev = t(spark, sf_dir, "events")
     return _events.seasonal_residuals(ev).orderBy("event_id")
+
+
+# --- product-quantization ADC ANN ----------------------------------------------------------------
+
+_PQ_M = 8
+_PQ_CODES = 16
+_PQ_SUB = 8  # dims per sub-space (64 / 8)
+_PQ_K = 10
+
+
+def _pq_oracle() -> str:
+    fold = (
+        "list_reduce(list_transform(range(s.s * {sub} + 1, s.s * {sub} + {sub} + 1), "
+        "i -> ({l}[i] - b.c[i]) * ({l}[i] - b.c[i])), (a, bb) -> a + bb)"
+    )
+    return f"""
+    WITH q AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)) AS qv
+      FROM embeddings WHERE embedding IS NOT NULL
+    ), corp AS (
+      SELECT vec_id, qv FROM q WHERE vec_id <> 0
+    ), qry AS (
+      SELECT qv FROM q WHERE vec_id = 0
+    ), books AS (
+      SELECT CAST(row_number() OVER (
+               ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS BIGINT) AS j,
+             qv AS c
+      FROM (SELECT vec_id, qv FROM corp
+            ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {_PQ_CODES})
+    ), subs AS (SELECT unnest(range(0, {_PQ_M})) AS s),
+    enc AS (
+      SELECT vec_id, s, j AS code FROM (
+        SELECT c.vec_id, s.s, b.j,
+               row_number() OVER (PARTITION BY c.vec_id, s.s
+                 ORDER BY {fold.format(sub=_PQ_SUB, l="c.qv")}, b.j) AS rn
+        FROM corp c CROSS JOIN subs s CROSS JOIN books b)
+      WHERE rn = 1
+    ), qtab AS (
+      SELECT s.s, b.j, {fold.format(sub=_PQ_SUB, l="y.qv")} AS d
+      FROM qry y CROSS JOIN subs s CROSS JOIN books b
+    ), adc AS (
+      SELECT e.vec_id, CAST(sum(t.d) AS BIGINT) AS adc_dist2
+      FROM enc e JOIN qtab t ON t.s = e.s AND t.j = e.code
+      GROUP BY e.vec_id
+    )
+    SELECT CAST(row_number() OVER (ORDER BY adc_dist2, vec_id) AS BIGINT)
+             AS rank, vec_id, adc_dist2
+    FROM adc ORDER BY adc_dist2, vec_id LIMIT {_PQ_K}
+    """
+
+
+@register("emb_pq_adc_topk", oracle=_pq_oracle())
+def emb_pq_adc_topk(spark, sf_dir):
+    """Product-quantization ANN with asymmetric distance (Jegou et al.
+    2011; ``operators/similarity.py::pq_adc_topk``) — completes the ANN
+    family (brute, LSH, IVF, SQ8, PQ).  Deterministic md5-seeded
+    sub-space codebooks (no Lloyd refinement ⇒ pure integer pipeline),
+    argmin encoding with lower-index ties, BIGINT table-lookup ADC scan,
+    bounded top-k.  The oracle re-derives codebooks, codes, the query
+    distance table and the ADC sum in SQL."""
+    from opteryx_spark.operators import similarity as _sim
+
+    emb = t(spark, sf_dir, "embeddings")
+    qrow = emb.filter(F.col("vec_id") == 0).select("embedding").first()
+    qvec = [float(v) for v in qrow["embedding"]]
+    return _sim.pq_adc_topk(
+        emb.filter(F.col("vec_id") != 0),
+        qvec,
+        k=_PQ_K,
+        m=_PQ_M,
+        n_codes=_PQ_CODES,
+    ).orderBy("rank")

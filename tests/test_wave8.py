@@ -637,3 +637,48 @@ def test_seasonal_residuals_removes_weekly_pattern(spark):
     assert out[2].seasonal == 20.0 and out[2].residual == 0.0
     assert out[1].dow == 0 and out[1].hour == 10
     release_text_group_caches()
+
+
+def test_pq_adc_matches_python_mirror(spark):
+    import hashlib
+    import math
+
+    from opteryx_spark.operators import similarity
+    from opteryx_spark.operators.dedup import release_text_group_caches
+
+    dim, m, codes = 8, 2, 2
+    rows = [(i, [((i * 3 + d * 5) % 7) / 7.0 for d in range(dim)]) for i in range(1, 13)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    query = rows[0][1]
+    out = {
+        r["rank"]: (r.vec_id, r.adc_dist2)
+        for r in similarity.pq_adc_topk(df, query, k=5, m=m, n_codes=codes, dim=dim).collect()
+    }
+
+    def q(v):
+        # float32 storage: quantize what Spark actually reads back
+        import struct as _s
+        return [math.floor(_s.unpack("f", _s.pack("f", x))[0] * 1000) for x in v]
+
+    qv = {i: q(v) for i, v in rows}
+    seeds = sorted(qv, key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i))[:codes]
+    books = [qv[i] for i in seeds]
+    qq = [math.floor(x * 1000) for x in query]
+    sub = dim // m
+    expected = []
+    for i, v in qv.items():
+        adc = 0
+        for s in range(m):
+            dists = [
+                (sum((v[d] - books[j][d]) ** 2 for d in range(s * sub, (s + 1) * sub)), j)
+                for j in range(codes)
+            ]
+            code = min(dists)[1]
+            adc += sum((qq[d] - books[code][d]) ** 2 for d in range(s * sub, (s + 1) * sub))
+        expected.append((adc, i))
+    expected.sort()
+    for rank, (adc, i) in enumerate(expected[:5], start=1):
+        assert out[rank] == (i, adc)
+    with pytest.raises(ValueError):
+        similarity.pq_adc_topk(df, query, m=3, dim=8)
+    release_text_group_caches()
