@@ -38,6 +38,7 @@ __all__ = [
     "rolling_window_features",
     "scd2_history",
     "attribute_conversions",
+    "attributed_conversions",
     "detect_value_anomalies",
     "ohlc_bars",
     "ewma_features",
@@ -489,6 +490,33 @@ def attribute_conversions(
     Returns one row per channel: ``channel``, ``n_conversions``,
     ``total_value``.
     """
+    conv = attributed_conversions(
+        events, conversion_type, lookback_minutes, user_col, ts_col,
+        type_col, value_col, order_col,
+    )
+    return conv.groupBy("channel").agg(
+        F.count(F.lit(1)).alias("n_conversions"),
+        F.sum(F.col("value").cast("decimal(25,8)")).cast("double").alias("total_value"),
+    )
+
+
+def attributed_conversions(
+    events: DataFrame,
+    conversion_type: str = "purchase",
+    lookback_minutes: int = 7 * 24 * 60,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    value_col: str = "value",
+    order_col: str = "event_id",
+) -> DataFrame:
+    """Per-conversion channel assignment — the row-level half of
+    :func:`attribute_conversions` (which aggregates this to channels),
+    exposed so the streaming twin and downstream revenue models can
+    consume individual attributed conversions.  Same window shape and
+    NULL contracts; returns ``order_col``, ``user_col``, ``channel``
+    and ``value``.
+    """
     lb_us = int(lookback_minutes) * 60 * 1_000_000
     base = events.filter(F.col(user_col).isNotNull() & F.col(ts_col).isNotNull())
     us = F.unix_micros(F.col(ts_col).cast("timestamp"))
@@ -502,11 +530,13 @@ def attribute_conversions(
         F.when(is_touch, F.struct(F.col("_us").alias("t_us"), F.col(type_col).alias("t_type"))),
         ignorenulls=True,
     ).over(w)
-    conv = (
+    return (
         base.withColumn("_us", us)
         .withColumn("_touch", touch)
         .filter(F.col(type_col) == F.lit(conversion_type))
         .select(
+            F.col(order_col),
+            F.col(user_col),
             F.when(
                 F.col("_touch").isNotNull()
                 & (F.col("_touch.t_us") >= F.col("_us") - F.lit(lb_us)),
@@ -514,12 +544,8 @@ def attribute_conversions(
             )
             .otherwise(F.lit("direct"))
             .alias("channel"),
-            F.col(value_col).alias("_v"),
+            F.col(value_col).alias("value"),
         )
-    )
-    return conv.groupBy("channel").agg(
-        F.count(F.lit(1)).alias("n_conversions"),
-        F.sum(F.col("_v").cast("decimal(25,8)")).cast("double").alias("total_value"),
     )
 
 

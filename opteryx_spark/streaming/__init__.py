@@ -1044,3 +1044,77 @@ def scd2_current_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def attribution_stream(
+    events: DataFrame,
+    conversion_type: str = "purchase",
+    lookback_minutes: int = 7 * 24 * 60,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    value_col: str = "value",
+    order_col: str = "event_id",
+) -> DataFrame:
+    """Streaming twin of ``operators/events.attributed_conversions``:
+    last-touch channel assignment over an unbounded stream via
+    ``applyInPandasWithState``.  State per user is O(1) — the last
+    touch's (micros, type) — because last-touch attribution is a
+    one-cell state machine (the reason it streams so cheaply while
+    multi-touch models need history).
+
+    Touch events (non-NULL type ≠ ``conversion_type``) update the cell;
+    conversion events APPEND ``(order_col, user, channel, value)`` with
+    the lookback applied.  In-batch rows process in ``(ts, order)``
+    order, so a drained availableNow run over in-order input is
+    row-identical to the batch window (equivalence test); NULL-typed
+    events are neither touches nor conversions, like batch.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    lb_us = int(lookback_minutes) * 60 * 1_000_000
+    base = events.filter(
+        F.col(user_col).isNotNull() & F.col(ts_col).isNotNull()
+    ).select(
+        F.col(user_col).alias("user_id"),
+        F.col(order_col).alias("_oid"),
+        F.unix_micros(F.col(ts_col).cast("timestamp")).alias("_us"),
+        F.col(type_col).alias("_ty"),
+        F.col(value_col).alias("_v"),
+    )
+
+    def attrib(key, pdf_iter, state: GroupState):
+        t_us, t_type = state.get if state.exists else (-1, None)
+        rows = {"event_id": [], "user_id": [], "channel": [], "value": []}
+        for pdf in pdf_iter:
+            pdf = pdf.sort_values(["_us", "_oid"])
+            for oid, us, ty, v in zip(pdf["_oid"], pdf["_us"], pdf["_ty"], pdf["_v"]):
+                oid, us = int(oid), int(us)
+                ty = None if pd.isna(ty) else str(ty)
+                if ty is None:
+                    continue
+                if ty != conversion_type:
+                    t_us, t_type = us, ty
+                    continue
+                if t_type is not None and t_us >= us - lb_us:
+                    ch = t_type
+                else:
+                    ch = "direct"
+                rows["event_id"].append(oid)
+                rows["user_id"].append(key[0])
+                rows["channel"].append(ch)
+                rows["value"].append(None if pd.isna(v) else float(v))
+        state.update((int(t_us), t_type))
+        yield pd.DataFrame(rows)
+
+    utype = base.schema["user_id"].dataType.simpleString()
+    return base.groupBy("user_id").applyInPandasWithState(
+        attrib,
+        outputStructType=(
+            f"event_id long, user_id {utype}, channel string, value double"
+        ),
+        stateStructType="t_us long, t_type string",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

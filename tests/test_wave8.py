@@ -682,3 +682,30 @@ def test_pq_adc_matches_python_mirror(spark):
     with pytest.raises(ValueError):
         similarity.pq_adc_topk(df, query, m=3, dim=8)
     release_text_group_caches()
+
+
+def test_attribution_stream_matches_batch(spark, sf_dir, tmp_path_factory):
+    from opteryx_spark import streaming
+    from opteryx_spark.catalog import load_table
+    from opteryx_spark.operators import events as E
+
+    src = str(tmp_path_factory.mktemp("oxs_attr_src"))
+    out = str(tmp_path_factory.mktemp("oxs_attr_out"))
+    ckpt = str(tmp_path_factory.mktemp("oxs_attr_ckpt"))
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "event_type", "value"
+    )
+    ev.write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema(ev.schema).parquet(src)
+    attributed = streaming.attribution_stream(stream, lookback_minutes=3 * 24 * 60)
+    streaming.run_stream_once(attributed, out, ckpt)
+    got = {
+        r.event_id: (r.user_id, r.channel, r.value)
+        for r in spark.read.parquet(out).collect()
+    }
+    want = {
+        r.event_id: (r.user_id, r.channel, r.value)
+        for r in E.attributed_conversions(ev, lookback_minutes=3 * 24 * 60).collect()
+    }
+    assert got == want and got
