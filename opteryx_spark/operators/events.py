@@ -46,6 +46,7 @@ __all__ = [
     "dau_wau_stickiness",
     "survival_curve",
     "seasonal_residuals",
+    "new_vs_returning",
 ]
 
 
@@ -1017,4 +1018,44 @@ def seasonal_residuals(
         "seasonal",
         (F.col("value") - F.col("seasonal")).alias("residual"),
         "n_slot",
+    )
+
+
+def new_vs_returning(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Daily new-vs-returning active users — the acquisition/retention
+    split on every product dashboard: a user is NEW on their first
+    active day and RETURNING on every later active day.
+
+    One distinct (user, day) reduction, one per-user MIN-day aggregate
+    (reusing the same frame), one per-day count split — exact BIGINTs
+    throughout, plus a truncating ppm share.  NULL user/ts rows are
+    excluded by contract.
+
+    Returns ``day`` (DATE), ``n_new``, ``n_returning`` (BIGINT),
+    ``new_share_ppm`` (BIGINT, of that day's actives).
+    """
+    base = events.filter(F.col(user_col).isNotNull() & F.col(ts_col).isNotNull())
+    from opteryx_spark.operators.dedup import _track_persist
+
+    ud = _track_persist(
+        base.select(
+            F.col(user_col).alias("_u"),
+            F.to_date(F.col(ts_col).cast("timestamp")).alias("_d"),
+        ).distinct()
+    )
+    first = ud.groupBy("_u").agg(F.min("_d").alias("_first"))
+    flagged = ud.join(first, "_u").select(
+        F.col("_d").alias("day"),
+        F.when(F.col("_d") == F.col("_first"), F.lit(1)).otherwise(F.lit(0)).alias("_new"),
+    )
+    return flagged.groupBy("day").agg(
+        F.sum("_new").cast("long").alias("n_new"),
+        (F.count(F.lit(1)) - F.sum("_new")).cast("long").alias("n_returning"),
+        F.expr(
+            "CAST((CAST(sum(_new) AS BIGINT) * 1000000) div count(1) AS BIGINT)"
+        ).alias("new_share_ppm"),
     )

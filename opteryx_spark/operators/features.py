@@ -43,6 +43,7 @@ __all__ = [
     "psi_drift",
     "quantile_bin",
     "market_basket_rules",
+    "one_hot_top_k",
 ]
 
 
@@ -412,3 +413,55 @@ def market_basket_rules(
         )
     )
     return out.filter(F.col("support_ppm") >= F.lit(int(min_support_ppm)))
+
+
+def one_hot_top_k(
+    df: DataFrame,
+    cat_col: str,
+    k: int = 8,
+    id_cols: list[str] | None = None,
+) -> DataFrame:
+    """One-hot encode the top-``k`` categories of ``cat_col`` (by count,
+    ties to the lexically smaller value) plus an ``oh_other`` bucket —
+    the bounded-width categorical featurization that never lets a
+    high-cardinality column explode the schema (everything outside the
+    top-k folds into OTHER; NULL category is NULL across all
+    indicators, the standard missing-value contract).
+
+    Deterministic: the vocabulary is one exact count aggregate ordered
+    ``(count desc, value)`` — a bounded top-k, broadcast back as literal
+    comparisons after one driver probe of k rows (the kmeans-centroid
+    pattern; the encode itself is pure map-side codegen).
+
+    Returns ``id_cols`` (default all input columns) + ``oh_<value>``
+    INT columns in vocabulary order + ``oh_other``.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    keep = id_cols if id_cols is not None else list(df.columns)
+    vocab_rows = (
+        df.filter(F.col(cat_col).isNotNull())
+        .groupBy(cat_col)
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .orderBy(F.col("_n").desc(), F.col(cat_col).asc())
+        .limit(int(k))
+        .collect()
+    )
+    vocab = [r[cat_col] for r in vocab_rows]
+    c = F.col(cat_col)
+    cols = [
+        F.when(c.isNull(), F.lit(None))
+        .when(c == F.lit(v), F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("int")
+        .alias(f"oh_{v}")
+        for v in vocab
+    ]
+    other = (
+        F.when(c.isNull(), F.lit(None))
+        .when(c.isin([str(v) for v in vocab]) if vocab else F.lit(False), F.lit(0))
+        .otherwise(F.lit(1))
+        .cast("int")
+        .alias("oh_other")
+    )
+    return df.select(*keep, *cols, other)

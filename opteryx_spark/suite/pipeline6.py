@@ -1604,3 +1604,79 @@ def emb_pq_adc_topk(spark, sf_dir):
         m=_PQ_M,
         n_codes=_PQ_CODES,
     ).orderBy("rank")
+
+
+# --- one-hot top-k encoding -----------------------------------------------------------------------
+
+_OH_K = 3  # documents.lang has ~4-6 values: top-3 + other exercises both paths
+
+
+def _oh_oracle() -> str:
+    # vocabulary re-derived with the same (count desc, value) order
+    return f"""
+    WITH vocab AS (
+      SELECT lang, row_number() OVER (ORDER BY count(*) DESC, lang) AS r
+      FROM documents WHERE lang IS NOT NULL GROUP BY lang
+    ), v AS (SELECT lang FROM vocab WHERE r <= {_OH_K}),
+    named AS (
+      SELECT lang, r FROM vocab WHERE r <= {_OH_K}
+    )
+    SELECT d.doc_id,
+           {", ".join(
+             f"CAST(CASE WHEN d.lang IS NULL THEN NULL WHEN d.lang = "
+             f"(SELECT lang FROM named WHERE r = {i}) THEN 1 ELSE 0 END AS INTEGER)"
+             f" AS oh_{i}" for i in range(1, _OH_K + 1))},
+           CAST(CASE WHEN d.lang IS NULL THEN NULL
+                     WHEN d.lang IN (SELECT lang FROM v) THEN 0
+                     ELSE 1 END AS INTEGER) AS oh_other
+    FROM documents d ORDER BY d.doc_id
+    """
+
+
+@register("feat_one_hot_lang", oracle=_oh_oracle())
+def feat_one_hot_lang(spark, sf_dir):
+    """Bounded one-hot encoding (``operators/features.py::one_hot_top_k``):
+    top-3 languages by exact count (ties to the lexically smaller value)
+    plus an OTHER bucket; NULL category is NULL across all indicators.
+    The vocabulary is a bounded k-row driver probe; the encode is pure
+    map-side codegen.  Oracle columns are positional (oh_1..oh_3) since
+    the vocabulary VALUES are data-derived — the Spark side renames its
+    value-named columns to the same positional names."""
+    docs = t(spark, sf_dir, "documents").select("doc_id", "lang")
+    out = _features.one_hot_top_k(docs, "lang", k=_OH_K, id_cols=["doc_id"])
+    oh_cols = [c for c in out.columns if c.startswith("oh_") and c != "oh_other"]
+    renamed = out
+    for i, c in enumerate(oh_cols, start=1):
+        renamed = renamed.withColumnRenamed(c, f"oh_{i}")
+    return renamed.orderBy("doc_id")
+
+
+# --- new vs returning users --------------------------------------------------------------------
+
+
+@register(
+    "events_new_vs_returning",
+    oracle="""
+    WITH ud AS (
+      SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS d
+      FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    ), firstd AS (
+      SELECT u, min(d) AS f FROM ud GROUP BY u
+    ), flagged AS (
+      SELECT ud.d AS day, CASE WHEN ud.d = firstd.f THEN 1 ELSE 0 END AS nw
+      FROM ud JOIN firstd ON firstd.u = ud.u
+    )
+    SELECT day, CAST(sum(nw) AS BIGINT) AS n_new,
+           CAST(count(*) - sum(nw) AS BIGINT) AS n_returning,
+           CAST((CAST(sum(nw) AS BIGINT) * 1000000) // count(*) AS BIGINT)
+             AS new_share_ppm
+    FROM flagged GROUP BY day ORDER BY day
+    """,
+)
+def events_new_vs_returning(spark, sf_dir):
+    """Daily new-vs-returning actives
+    (``operators/events.py::new_vs_returning``): first-active-day split
+    with an exact ppm share — one distinct user-day frame, one per-user
+    MIN, one per-day count split."""
+    ev = t(spark, sf_dir, "events")
+    return _events.new_vs_returning(ev).orderBy("day")

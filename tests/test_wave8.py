@@ -709,3 +709,42 @@ def test_attribution_stream_matches_batch(spark, sf_dir, tmp_path_factory):
         for r in E.attributed_conversions(ev, lookback_minutes=3 * 24 * 60).collect()
     }
     assert got == want and got
+
+
+def test_one_hot_top_k_vocab_and_nulls(spark):
+    from opteryx_spark.operators import features
+
+    df = spark.createDataFrame(
+        [(1, "en"), (2, "en"), (3, "fr"), (4, "fr"), (5, "de"), (6, "xx"), (7, None)],
+        "id long, lang string",
+    )
+    out = {r.id: r for r in features.one_hot_top_k(df, "lang", k=2, id_cols=["id"]).collect()}
+    # vocab: en(2), fr(2) -> tie broken... counts: en 2, fr 2, de 1, xx 1 -> top2 en, fr
+    assert (out[1].oh_en, out[1].oh_fr, out[1].oh_other) == (1, 0, 0)
+    assert (out[5].oh_en, out[5].oh_fr, out[5].oh_other) == (0, 0, 1)
+    assert (out[7].oh_en, out[7].oh_fr, out[7].oh_other) == (None, None, None)
+    with pytest.raises(ValueError):
+        features.one_hot_top_k(df, "lang", k=0)
+
+
+def test_new_vs_returning_split(spark):
+    import datetime as _dt
+
+    from opteryx_spark.operators import events
+    from opteryx_spark.operators.dedup import release_text_group_caches
+
+    rows = [
+        (1, _dt.datetime(2024, 1, 1, 9), 1, "m", 1.0, None),
+        (2, _dt.datetime(2024, 1, 1, 10), 2, "m", 1.0, None),
+        (3, _dt.datetime(2024, 1, 2, 9), 1, "m", 1.0, None),   # returning
+        (4, _dt.datetime(2024, 1, 2, 9), 3, "m", 1.0, None),   # new
+        (5, _dt.datetime(2024, 1, 2, 18), 1, "m", 1.0, None),  # same user-day
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    out = {str(r.day): (r.n_new, r.n_returning, r.new_share_ppm)
+           for r in events.new_vs_returning(ev).collect()}
+    assert out["2024-01-01"] == (2, 0, 1000000)
+    assert out["2024-01-02"] == (1, 1, 500000)
+    release_text_group_caches()
