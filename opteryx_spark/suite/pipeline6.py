@@ -1680,3 +1680,104 @@ def events_new_vs_returning(spark, sf_dir):
     MIN, one per-day count split."""
     ev = t(spark, sf_dir, "events")
     return _events.new_vs_returning(ev).orderBy("day")
+
+
+# --- funnel stage-to-stage conversion rates --------------------------------------------------------
+
+
+@register(
+    "events_funnel_rates",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id, event_id, event_type, epoch_us(ts) AS us
+      FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    ), lagged AS (
+      SELECT *, CASE WHEN lag(us) OVER w IS NULL
+                      OR us - lag(us) OVER w > 1800000000
+                     THEN 1 ELSE 0 END AS newflag
+      FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+    ), sess AS (
+      SELECT *, CAST(SUM(newflag) OVER (PARTITION BY user_id
+                  ORDER BY us, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS session_id
+      FROM lagged
+    ), per AS (
+      SELECT user_id, session_id,
+             min(CASE WHEN event_type = 'view' THEN us END) AS t0,
+             min(CASE WHEN event_type = 'click' THEN us END) AS t1,
+             min(CASE WHEN event_type = 'purchase' THEN us END) AS t2
+      FROM sess GROUP BY 1, 2
+    ), depths AS (
+      SELECT CASE WHEN t0 IS NOT NULL AND t1 IS NOT NULL AND t1 > t0
+                   AND t2 IS NOT NULL AND t2 > t1 THEN 3
+                  WHEN t0 IS NOT NULL AND t1 IS NOT NULL AND t1 > t0 THEN 2
+                  WHEN t0 IS NOT NULL THEN 1
+                  ELSE 0 END AS depth
+      FROM per
+    ), reach AS (
+      SELECT 1 AS stage_idx, 'view' AS stage,
+             count(CASE WHEN depth >= 1 THEN 1 END) AS n_reached,
+             count(*) AS n_prev
+      FROM depths
+      UNION ALL
+      SELECT 2, 'click', count(CASE WHEN depth >= 2 THEN 1 END),
+             count(CASE WHEN depth >= 1 THEN 1 END) FROM depths
+      UNION ALL
+      SELECT 3, 'purchase', count(CASE WHEN depth >= 3 THEN 1 END),
+             count(CASE WHEN depth >= 2 THEN 1 END) FROM depths
+    )
+    SELECT stage_idx, stage, CAST(n_reached AS BIGINT) AS n_reached,
+           CASE WHEN n_prev > 0
+                THEN CAST((n_reached * 1000000) // n_prev AS BIGINT)
+                ELSE CAST(NULL AS BIGINT) END AS conversion_ppm
+    FROM reach ORDER BY stage_idx
+    """,
+)
+def events_funnel_rates(spark, sf_dir):
+    """Stage-to-stage funnel conversion rates: the session-funnel depths
+    (``operators/events.py::session_funnel`` semantics — first-touch
+    strictly-increasing ordering inside 30-min sessions) reduced to
+    per-stage reach and conversion ppm from the previous stage (stage 1
+    converts from ALL sessions).  The whole rate table is one aggregate
+    over the per-session depth frame."""
+    from opteryx_spark.operators import events as _ev
+
+    ev = t(spark, sf_dir, "events")
+    per = (
+        _ev.assign_sessions(ev)
+        .groupBy("user_id", "session_id")
+        .agg(
+            *[
+                F.min(F.when(F.col("event_type") == s, F.col("_us"))).alias(f"_t{i}")
+                for i, s in enumerate(("view", "click", "purchase"))
+            ]
+        )
+    )
+    d1 = F.col("_t0").isNotNull()
+    d2 = d1 & F.col("_t1").isNotNull() & (F.col("_t1") > F.col("_t0"))
+    d3 = d2 & F.col("_t2").isNotNull() & (F.col("_t2") > F.col("_t1"))
+    depths = per.select(
+        F.when(d3, F.lit(3)).when(d2, F.lit(2)).when(d1, F.lit(1)).otherwise(F.lit(0)).alias("depth")
+    )
+    agg = depths.agg(
+        F.count(F.lit(1)).alias("_all"),
+        F.count(F.when(F.col("depth") >= 1, F.lit(1))).alias("_r1"),
+        F.count(F.when(F.col("depth") >= 2, F.lit(1))).alias("_r2"),
+        F.count(F.when(F.col("depth") >= 3, F.lit(1))).alias("_r3"),
+    )
+    rows = [
+        F.struct(
+            F.lit(i).cast("int").alias("stage_idx"),
+            F.lit(s).alias("stage"),
+            F.col(f"_r{i}").alias("n_reached"),
+            F.when(
+                F.col(prev) > 0,
+                F.expr(f"CAST((_r{i} * 1000000) div {prev} AS BIGINT)"),
+            ).alias("conversion_ppm"),
+        )
+        for i, s, prev in [(1, "view", "_all"), (2, "click", "_r1"), (3, "purchase", "_r2")]
+    ]
+    return agg.select(F.explode(F.array(*rows)).alias("_p")).select(
+        "_p.stage_idx", "_p.stage", "_p.n_reached", "_p.conversion_ppm"
+    ).orderBy("stage_idx")
