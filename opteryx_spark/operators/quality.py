@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["row_checks", "unique_check", "referential_check", "benford_audit"]
+__all__ = ["row_checks", "unique_check", "referential_check", "benford_audit", "freshness_check"]
 
 _REPORT_COLS = ("check", "kind", "n_rows", "n_violations", "passed")
 
@@ -207,4 +207,44 @@ def benford_audit(
         "within_tolerance",
         F.abs(F.col("observed_ppm") - F.col("expected_ppm"))
         <= F.lit(int(max_deviation_ppm)),
+    )
+
+
+def freshness_check(
+    df: DataFrame,
+    ts_col: str,
+    as_of_us: int,
+    max_lag_minutes: int,
+    group_col: str | None = None,
+) -> DataFrame:
+    """Data-freshness SLA check — the first thing an ingestion monitor
+    asks: when did each partition/source last produce a row, and is the
+    lag within tolerance?  ``as_of_us`` is an explicit reference instant
+    (BIGINT micros) rather than now(): deterministic, replayable, and
+    honest about WHEN the check ran.
+
+    One aggregate (per ``group_col`` when given); NULL timestamps are
+    ignored (they carry no recency evidence); a group with only NULL
+    timestamps reports NULL ``last_ts_us``/``lag_us`` and fails.
+
+    Returns [``group_col``,] ``n_rows``, ``last_ts_us``, ``lag_us``
+    (BIGINT) and ``is_fresh`` (BOOLEAN).
+    """
+    if max_lag_minutes < 0:
+        raise ValueError("max_lag_minutes must be >= 0")
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    keys = [group_col] if group_col else []
+    agg = (df.groupBy(*keys) if keys else df.groupBy()).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.max(us).alias("last_ts_us"),
+    )
+    lag = F.lit(int(as_of_us)) - F.col("last_ts_us")
+    return agg.select(
+        *keys,
+        "n_rows",
+        "last_ts_us",
+        lag.alias("lag_us"),
+        F.coalesce(
+            lag <= F.lit(int(max_lag_minutes) * 60 * 1_000_000), F.lit(False)
+        ).alias("is_fresh"),
     )

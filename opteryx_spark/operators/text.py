@@ -764,3 +764,22 @@ def rake_keyphrases(
         .orderBy(F.col("score_milli").desc(), F.col("phrase").asc())
         .limit(int(top_k))
     )
+
+
+def encoding_issues(col: Column | str) -> Column:
+    """Count of mojibake/encoding-damage markers in a text value — the
+    cheap crawl-hygiene signal (UTF-8 read as Latin-1 leaves 'Ã'-pair
+    artifacts; decoders leave U+FFFD): occurrences of the replacement
+    character, the 'Ã'/'Â' double-encode leads and stray C1 artifacts
+    'â€' (the mangled curly-quote family).  Pure expression arithmetic —
+    count = Σ (len − len(replace(s, marker))) / len(marker) per marker;
+    NULL in → NULL out.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    total = None
+    for marker in ("�", "Ã", "Â", "â€"):
+        n = (F.length(c) - F.length(F.replace(c, F.lit(marker), F.lit("")))) / F.lit(
+            len(marker)
+        )
+        total = n if total is None else total + n
+    return total.cast("long")

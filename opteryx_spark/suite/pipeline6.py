@@ -1781,3 +1781,75 @@ def events_funnel_rates(spark, sf_dir):
     return agg.select(F.explode(F.array(*rows)).alias("_p")).select(
         "_p.stage_idx", "_p.stage", "_p.n_reached", "_p.conversion_ppm"
     ).orderBy("stage_idx")
+
+
+# --- freshness SLA + encoding hygiene ------------------------------------------------------------
+
+_FRESH_AS_OF = 1_706_000_000_000_000  # fixed reference instant (2024-01-23)
+_FRESH_LAG_MIN = 10 * 24 * 60
+
+
+@register(
+    "quality_freshness",
+    oracle=f"""
+    SELECT event_type, count(*) AS n_rows,
+           CAST(max(epoch_us(ts)) AS BIGINT) AS last_ts_us,
+           {_FRESH_AS_OF} - CAST(max(epoch_us(ts)) AS BIGINT) AS lag_us,
+           coalesce({_FRESH_AS_OF} - CAST(max(epoch_us(ts)) AS BIGINT)
+                    <= {_FRESH_LAG_MIN * 60 * 1000000}, FALSE) AS is_fresh
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def quality_freshness(spark, sf_dir):
+    """Data-freshness SLA check (``operators/quality.py::freshness_check``):
+    per-source last-row lag against an EXPLICIT reference instant
+    (deterministic and replayable, unlike now()) — one aggregate, the
+    ingestion monitor's first question."""
+    from opteryx_spark.operators import quality as _quality
+
+    ev = t(spark, sf_dir, "events")
+    return _quality.freshness_check(
+        ev, "ts", as_of_us=_FRESH_AS_OF, max_lag_minutes=_FRESH_LAG_MIN,
+        group_col="event_type",
+    ).orderBy("event_type")
+
+
+_MOJI_FIX = (
+    "text || CASE doc_id % 4 WHEN 0 THEN ' Ã©tÃ©' WHEN 1 THEN ' â€œqâ€'"
+    " WHEN 2 THEN ' �bad' ELSE '' END"
+)
+
+
+@register(
+    "text_encoding_issues",
+    oracle=f"""
+    WITH raw AS (SELECT doc_id, {_MOJI_FIX} AS text FROM documents)
+    SELECT doc_id,
+           CAST((length(text) - length(replace(text, '�', '')))
+              + (length(text) - length(replace(text, 'Ã', '')))
+              + (length(text) - length(replace(text, 'Â', '')))
+              + (length(text) - length(replace(text, 'â€', ''))) / 2
+              AS BIGINT) AS n_issues,
+           coalesce(CAST((length(text) - length(replace(text, '�', '')))
+              + (length(text) - length(replace(text, 'Ã', '')))
+              + (length(text) - length(replace(text, 'Â', '')))
+              + (length(text) - length(replace(text, 'â€', ''))) / 2
+              AS BIGINT) = 0, FALSE) AS is_clean
+    FROM raw ORDER BY doc_id
+    """,
+)
+def text_encoding_issues(spark, sf_dir):
+    """Mojibake detection (``operators/text.py::encoding_issues``):
+    count of encoding-damage markers (U+FFFD, double-encode leads,
+    mangled curly-quote artifacts) planted deterministically on the
+    fixture — pure length/replace arithmetic, map-only, the crawl
+    hygiene gate that precedes every text pipeline."""
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_MOJI_FIX).alias("text")
+    )
+    n = _text.encoding_issues("text")
+    return docs.select(
+        "doc_id",
+        n.alias("n_issues"),
+        F.coalesce(n == 0, F.lit(False)).alias("is_clean"),
+    ).orderBy("doc_id")

@@ -748,3 +748,43 @@ def test_new_vs_returning_split(spark):
     assert out["2024-01-01"] == (2, 0, 1000000)
     assert out["2024-01-02"] == (1, 1, 500000)
     release_text_group_caches()
+
+
+def test_freshness_check_lag_semantics(spark):
+    import datetime as _dt
+
+    from opteryx_spark.operators import quality
+
+    rows = [
+        (1, _dt.datetime(2024, 1, 1), "a"),
+        (2, _dt.datetime(2024, 1, 10), "a"),
+        (3, _dt.datetime(2024, 1, 2), "b"),
+        (4, None, "c"),  # only NULL ts -> fails with NULL lag
+    ]
+    df = spark.createDataFrame(rows, "id long, ts timestamp, src string")
+    as_of = int(_dt.datetime(2024, 1, 11).timestamp() * 1_000_000)
+    out = {
+        r.src: (r.n_rows, r.lag_us, r.is_fresh)
+        for r in quality.freshness_check(
+            df, "ts", as_of_us=as_of, max_lag_minutes=3 * 24 * 60, group_col="src"
+        ).collect()
+    }
+    assert out["a"] == (2, 86400000000, True)      # 1 day lag
+    assert out["b"][2] is False                     # 9 days > 3
+    assert out["c"] == (1, None, False)
+    with pytest.raises(ValueError):
+        quality.freshness_check(df, "ts", as_of, -1)
+
+
+def test_encoding_issues_counts(spark):
+    from opteryx_spark.operators import text
+
+    df = spark.createDataFrame(
+        [(1, "clean text"), (2, "Ã©tÃ© â€œqâ€"), (3, "a�b�c"), (4, None)],
+        "id long, t string",
+    )
+    out = {r.id: r.n for r in df.select("id", text.encoding_issues("t").alias("n")).collect()}
+    assert out[1] == 0
+    assert out[2] == 4  # two 'Ã' + two 'â€'
+    assert out[3] == 2
+    assert out[4] is None
