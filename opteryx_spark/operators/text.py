@@ -783,3 +783,63 @@ def encoding_issues(col: Column | str) -> Column:
         )
         total = n if total is None else total + n
     return total.cast("long")
+
+
+def ngram_novelty(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+) -> DataFrame:
+    """Per-document n-gram novelty in corpus id order: the fraction of a
+    document's distinct word ``k``-grams whose FIRST corpus occurrence
+    (smallest ``id_col``) is this document — the duplication-growth
+    curve pretraining ablations track (novelty collapsing toward zero
+    means the crawl is re-reading itself; Lee et al. 2021 motivate
+    dedup with exactly this measurement).
+
+    Exact integers end to end: ``n_grams``/``n_novel`` are BIGINT
+    counts, novelty is ppm with truncating division; docs with no grams
+    (short/NULL text) report 0 grams and NULL ppm.
+
+    Scale shape: one explode of distinct per-doc grams, one MIN(id)
+    aggregate per gram (map-side combine — the keeper rule), one join
+    back on the gram, one per-doc reduce.  No windows, no self-join.
+
+    Returns ``id_col``, ``n_grams``, ``n_novel`` (BIGINT),
+    ``novelty_ppm`` (BIGINT, NULL when no grams).
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    grams = df.select(
+        F.col(id_col).alias("_id"), F.explode(shingles(text_col, k)).alias("_g")
+    )
+    from opteryx_spark.operators.dedup import _track_persist
+
+    grams = _track_persist(grams)
+    first = grams.groupBy("_g").agg(F.min("_id").alias("_first"))
+    per = (
+        grams.join(first, "_g")
+        .groupBy("_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(
+                F.when(F.col("_id") == F.col("_first"), F.lit(1)).otherwise(F.lit(0))
+            )
+            .cast("long")
+            .alias("n_novel"),
+        )
+    )
+    return (
+        df.select(F.col(id_col))
+        .join(per, df[id_col] == per["_id"], "left")
+        .select(
+            id_col,
+            F.coalesce("n_grams", F.lit(0).cast("long")).alias("n_grams"),
+            F.coalesce("n_novel", F.lit(0).cast("long")).alias("n_novel"),
+            F.expr(
+                "CASE WHEN coalesce(n_grams, 0) > 0 "
+                "THEN CAST((n_novel * 1000000) div n_grams AS BIGINT) END"
+            ).alias("novelty_ppm"),
+        )
+    )

@@ -1853,3 +1853,45 @@ def text_encoding_issues(spark, sf_dir):
         n.alias("n_issues"),
         F.coalesce(n == 0, F.lit(False)).alias("is_clean"),
     ).orderBy("doc_id")
+
+
+# --- n-gram novelty (duplication growth) ------------------------------------------------------------
+
+
+@register(
+    "text_ngram_novelty",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, {_O_TOKENS6} AS tk FROM documents
+    ), grams AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(
+               range(1, coalesce(len(tk), 1) - 1),
+               i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2])))) AS g
+      FROM tok
+    ), firstd AS (
+      SELECT g, min(doc_id) AS f FROM grams GROUP BY g
+    ), per AS (
+      SELECT grams.doc_id, count(*) AS n_grams,
+             CAST(sum(CASE WHEN grams.doc_id = firstd.f THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_novel
+      FROM grams JOIN firstd USING (g) GROUP BY grams.doc_id
+    )
+    SELECT d.doc_id,
+           coalesce(per.n_grams, 0) AS n_grams,
+           coalesce(per.n_novel, 0) AS n_novel,
+           CASE WHEN coalesce(per.n_grams, 0) > 0
+                THEN CAST((per.n_novel * 1000000) // per.n_grams AS BIGINT) END
+             AS novelty_ppm
+    FROM documents d LEFT JOIN per ON per.doc_id = d.doc_id
+    ORDER BY d.doc_id
+    """,
+)
+def text_ngram_novelty(spark, sf_dir):
+    """Per-document trigram novelty in corpus id order
+    (``operators/text.py::ngram_novelty``): the fraction of a doc's
+    distinct 3-grams first seen in THIS document — the duplication-
+    growth curve dedup economics are argued from (Lee et al. 2021).
+    One explode + one MIN-keeper aggregate + one join back; no windows,
+    no self-join."""
+    docs = t(spark, sf_dir, "documents")
+    return _text.ngram_novelty(docs, k=3).orderBy("doc_id")

@@ -788,3 +788,29 @@ def test_encoding_issues_counts(spark):
     assert out[2] == 4  # two 'Ã' + two 'â€'
     assert out[3] == 2
     assert out[4] is None
+
+
+def test_ngram_novelty_first_occurrence_semantics(spark):
+    from opteryx_spark.operators import text
+    from opteryx_spark.operators.dedup import release_text_group_caches
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d"),        # trigrams: 'a b c', 'b c d' -> both novel
+            (2, "a b c x"),        # 'a b c' seen in doc 1; 'b c x' novel
+            (3, "a b c d"),        # exact dup of 1 -> nothing novel
+            (4, "xy"),             # too short -> 0 grams
+            (5, None),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: (r.n_grams, r.n_novel, r.novelty_ppm)
+           for r in text.ngram_novelty(docs, k=3).collect()}
+    assert out[1] == (2, 2, 1000000)
+    assert out[2] == (2, 1, 500000)
+    assert out[3] == (2, 0, 0)
+    assert out[4] == (0, 0, None)
+    assert out[5] == (0, 0, None)
+    with pytest.raises(ValueError):
+        text.ngram_novelty(docs, k=0)
+    release_text_group_caches()
