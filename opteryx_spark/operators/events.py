@@ -47,6 +47,7 @@ __all__ = [
     "survival_curve",
     "seasonal_residuals",
     "new_vs_returning",
+    "peak_concurrency",
 ]
 
 
@@ -1058,4 +1059,62 @@ def new_vs_returning(
         F.expr(
             "CAST((CAST(sum(_new) AS BIGINT) * 1000000) div count(1) AS BIGINT)"
         ).alias("new_share_ppm"),
+    )
+
+
+def peak_concurrency(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    order_col: str = "event_id",
+    gap_minutes: int = 30,
+) -> DataFrame:
+    """Peak concurrent sessions per calendar day — the capacity-planning
+    number (license seats, connection pools, live-ops dashboards)
+    computed with the classic sweep line: +1 at each session start, −1
+    just after its end, running sum in time order, MAX per day.
+
+    Sessions come from :func:`sessionize` (same gap semantics as the
+    streaming ``session_window``).  The sweep orders by ``(us, delta
+    desc, user, session)`` — at an exact start/end tie the START counts
+    first, so back-to-back sessions at the same instant register as
+    overlapping (the conservative capacity answer; documented, not
+    accidental).  Sessions are attributed to their START day; a session
+    crossing midnight contributes its whole span to that day's sweep
+    (the simple contract — split spans upstream if per-day clipping is
+    needed).
+
+    Scale shape: the sweep runs over SESSION boundary rows (2 per
+    session — ≪ events), partitioned by day, so no event-scale sort;
+    one window + one per-day MAX.
+
+    Returns ``day`` (DATE), ``peak_concurrent`` (BIGINT),
+    ``n_sessions`` (BIGINT, sessions starting that day).
+    """
+    sess = sessionize(events, user_col, ts_col, order_col, gap_minutes)
+    start_us = F.unix_micros(F.col("session_start").cast("timestamp"))
+    end_us = F.unix_micros(F.col("session_end").cast("timestamp"))
+    day = F.to_date(F.col("session_start").cast("timestamp"))
+    deltas = sess.select(
+        day.alias("day"),
+        start_us.alias("_us"),
+        F.lit(1).alias("_delta"),
+        F.col(user_col).alias("_u"),
+        F.col("session_id").alias("_sid"),
+    ).unionByName(
+        sess.select(
+            day.alias("day"),
+            (end_us + F.lit(1)).alias("_us"),  # end is inclusive: -1 AFTER it
+            F.lit(-1).alias("_delta"),
+            F.col(user_col).alias("_u"),
+            F.col("session_id").alias("_sid"),
+        )
+    )
+    w = Window.partitionBy("day").orderBy(
+        F.col("_us").asc(), F.col("_delta").desc(), F.col("_u").asc(), F.col("_sid").asc()
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    running = deltas.withColumn("_cur", F.sum("_delta").over(w))
+    return running.groupBy("day").agg(
+        F.max("_cur").cast("long").alias("peak_concurrent"),
+        (F.count(F.lit(1)) / 2).cast("long").alias("n_sessions"),
     )

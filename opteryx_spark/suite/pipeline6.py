@@ -1895,3 +1895,56 @@ def text_ngram_novelty(spark, sf_dir):
     no self-join."""
     docs = t(spark, sf_dir, "documents")
     return _text.ngram_novelty(docs, k=3).orderBy("doc_id")
+
+
+# --- peak concurrent sessions ------------------------------------------------------------------------
+
+
+@register(
+    "events_peak_concurrency",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id, event_id, epoch_us(ts) AS us
+      FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    ), lagged AS (
+      SELECT *, CASE WHEN lag(us) OVER w IS NULL
+                      OR us - lag(us) OVER w > 1800000000
+                     THEN 1 ELSE 0 END AS newflag
+      FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+    ), sess AS (
+      SELECT *, CAST(SUM(newflag) OVER (PARTITION BY user_id
+                  ORDER BY us, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS session_id
+      FROM lagged
+    ), per AS (
+      SELECT user_id, session_id, min(us) AS s_us, max(us) AS e_us
+      FROM sess GROUP BY 1, 2
+    ), deltas AS (
+      SELECT CAST(make_timestamp(s_us) AS DATE) AS day, s_us AS us,
+             1 AS delta, user_id, session_id
+      FROM per
+      UNION ALL
+      SELECT CAST(make_timestamp(s_us) AS DATE), e_us + 1, -1, user_id,
+             session_id
+      FROM per
+    ), running AS (
+      SELECT day, SUM(delta) OVER (PARTITION BY day
+               ORDER BY us, delta DESC, user_id, session_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cur
+      FROM deltas
+    )
+    SELECT day, CAST(max(cur) AS BIGINT) AS peak_concurrent,
+           CAST(count(*) // 2 AS BIGINT) AS n_sessions
+    FROM running GROUP BY day ORDER BY day
+    """,
+)
+def events_peak_concurrency(spark, sf_dir):
+    """Peak concurrent sessions per day
+    (``operators/events.py::peak_concurrency``): the sweep-line count —
+    +1 at session start, -1 after end, running sum, MAX per day; ties
+    count the START first (the conservative capacity answer).  The
+    sweep runs over session BOUNDARY rows (2 per session, << events)
+    partitioned by day."""
+    ev = t(spark, sf_dir, "events")
+    return _events.peak_concurrency(ev, gap_minutes=30).orderBy("day")

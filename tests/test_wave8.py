@@ -814,3 +814,30 @@ def test_ngram_novelty_first_occurrence_semantics(spark):
     with pytest.raises(ValueError):
         text.ngram_novelty(docs, k=0)
     release_text_group_caches()
+
+
+def test_peak_concurrency_sweep(spark):
+    import datetime as _dt
+
+    from opteryx_spark.operators import events
+    from opteryx_spark.operators.dedup import release_text_group_caches
+
+    rows = [
+        # u1 session 09:00-09:10, u2 session 09:05-09:20 -> overlap peak 2
+        (1, _dt.datetime(2024, 1, 1, 9, 0), 1, "m", 1.0, None),
+        (2, _dt.datetime(2024, 1, 1, 9, 10), 1, "m", 1.0, None),
+        (3, _dt.datetime(2024, 1, 1, 9, 5), 2, "m", 1.0, None),
+        (4, _dt.datetime(2024, 1, 1, 9, 20), 2, "m", 1.0, None),
+        # u3 disjoint afternoon session -> still peak 2 that day
+        (5, _dt.datetime(2024, 1, 1, 15, 0), 3, "m", 1.0, None),
+        # next day single session -> peak 1
+        (6, _dt.datetime(2024, 1, 2, 9, 0), 1, "m", 1.0, None),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    out = {str(r.day): (r.peak_concurrent, r.n_sessions)
+           for r in events.peak_concurrency(ev).collect()}
+    assert out["2024-01-01"] == (2, 3)
+    assert out["2024-01-02"] == (1, 1)
+    release_text_group_caches()
