@@ -31,7 +31,7 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from opteryx_spark.operators.dedup import _portable_hash_expr
@@ -44,6 +44,7 @@ __all__ = [
     "quantile_bin",
     "market_basket_rules",
     "one_hot_top_k",
+    "lag_features",
 ]
 
 
@@ -465,3 +466,40 @@ def one_hot_top_k(
         .alias("oh_other")
     )
     return df.select(*keep, *cols, other)
+
+
+def lag_features(
+    df: DataFrame,
+    entity_col: str,
+    ts_col: str,
+    value_col: str,
+    lags: list[int] = (1, 7),
+    order_col: str | None = None,
+) -> DataFrame:
+    """Forecasting lag features: per entity, the value ``k`` observations
+    back for each ``k`` in ``lags`` plus the delta from it — the
+    supervised-learning frame every demand/metric forecaster trains on
+    (lag-1 for momentum, lag-7 for weekly seasonality on daily series).
+
+    One window sort per entity serves ALL the lag taps (the EWMA
+    lesson); rows too early for a lag get NULL (never zero — a real
+    observation of zero means something).  Order is ``(ts, order_col)``
+    when a tiebreaker is given, else ``ts`` (callers must ensure
+    uniqueness for full determinism).
+
+    Returns the input columns plus ``lag_<k>`` and ``delta_<k>`` per
+    requested lag.
+    """
+    if not lags or any(int(k) < 1 for k in lags):
+        raise ValueError("lags must be >= 1 and non-empty")
+    order = [F.col(ts_col).asc()] + (
+        [F.col(order_col).asc()] if order_col else []
+    )
+    w = Window.partitionBy(entity_col).orderBy(*order)
+    out = df
+    for k in lags:
+        tap = F.lag(value_col, int(k)).over(w)
+        out = out.withColumn(f"lag_{k}", tap).withColumn(
+            f"delta_{k}", F.col(value_col) - tap
+        )
+    return out

@@ -1948,3 +1948,37 @@ def events_peak_concurrency(spark, sf_dir):
     partitioned by day."""
     ev = t(spark, sf_dir, "events")
     return _events.peak_concurrency(ev, gap_minutes=30).orderBy("day")
+
+
+# --- forecasting lag features ---------------------------------------------------------------------------
+
+
+@register(
+    "feat_lag_features",
+    oracle="""
+    WITH e AS (
+      SELECT event_id, user_id, epoch_us(ts) AS us, value
+      FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    )
+    SELECT event_id, user_id, value,
+           lag(value, 1) OVER w AS lag_1,
+           value - lag(value, 1) OVER w AS delta_1,
+           lag(value, 7) OVER w AS lag_7,
+           value - lag(value, 7) OVER w AS delta_7
+    FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+    ORDER BY event_id
+    """,
+)
+def feat_lag_features(spark, sf_dir):
+    """Forecasting lag features (``operators/features.py::lag_features``):
+    per-user lag-1 and lag-7 values + deltas from ONE shared window sort;
+    too-early rows stay NULL (zero would be a lie)."""
+    ev = t(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    ).select("event_id", "user_id", "ts", "value")
+    out = _features.lag_features(
+        ev, "user_id", "ts", "value", lags=[1, 7], order_col="event_id"
+    )
+    return out.select(
+        "event_id", "user_id", "value", "lag_1", "delta_1", "lag_7", "delta_7"
+    ).orderBy("event_id")
