@@ -53,21 +53,63 @@ def register(name: str, oracle: str | None = None):
 # (deterministic per-round shuffle keyed by _ROTATION_SALT, so successive
 # rounds re-confirm different entries instead of the same first-registered
 # ones); rows-only entries always go last.
-_ROTATION_SALT = "r6"
+_ROTATION_SALT = "r7"
+
+
+def _collect_sources(fn, seen: set) -> list[tuple[str, str]]:
+    """Source text of ``fn`` plus every opteryx_spark function it references,
+    transitively.  Most suite entries are thin wrappers delegating to
+    ``operators/*`` / ``streaming/*`` — hashing only the wrapper would let an
+    operator edit coast on a stale driver green (ADVICE r6, medium), so the
+    hash walks ``__code__.co_names`` (including nested code objects), resolves
+    them through ``__globals__``, and follows both direct function refs and
+    one-hop module attribute refs (``events.peak_concurrency(...)``)."""
+    import inspect
+    import types
+
+    key = (getattr(fn, "__module__", "") or "", getattr(fn, "__qualname__", None) or repr(fn))
+    if key in seen:
+        return []
+    seen.add(key)
+    try:
+        src = inspect.getsource(fn)
+    except (OSError, TypeError):  # builtins/lambdas without source
+        src = repr(fn)
+    out = [(f"{key[0]}.{key[1]}", src)]
+    code = getattr(fn, "__code__", None)
+    g = getattr(fn, "__globals__", None)
+    if code is None or g is None:
+        return out
+    names: set[str] = set()
+    stack = [code]
+    while stack:  # nested defs/lambdas/comprehensions live in co_consts
+        c = stack.pop()
+        names.update(c.co_names)
+        stack.extend(k for k in c.co_consts if hasattr(k, "co_names"))
+    for name in sorted(names):
+        val = g.get(name)
+        if isinstance(val, types.FunctionType) and (val.__module__ or "").startswith("opteryx_spark"):
+            out.extend(_collect_sources(val, seen))
+        elif isinstance(val, types.ModuleType) and val.__name__.startswith("opteryx_spark"):
+            for attr in sorted(names):
+                sub = getattr(val, attr, None)
+                if isinstance(sub, types.FunctionType) and (
+                    getattr(sub, "__module__", "") or ""
+                ).startswith("opteryx_spark"):
+                    out.extend(_collect_sources(sub, seen))
+    return out
 
 
 def _impl_hash(qd: QueryDef) -> str:
     """Hash of what the driver actually verifies: the Spark impl's source
-    text plus the oracle SQL.  Any edit to either re-promotes the entry
-    into the driver window."""
+    text (wrapper PLUS all delegated opteryx_spark functions it calls,
+    transitively — see ``_collect_sources``) plus the oracle SQL.  Any edit
+    to any of them re-promotes the entry into the driver window."""
     import hashlib
-    import inspect
 
-    try:
-        src = inspect.getsource(qd.spark)
-    except (OSError, TypeError):  # builtins/lambdas without source
-        src = repr(qd.spark)
-    return hashlib.md5((src + "\x00" + (qd.oracle or "")).encode()).hexdigest()
+    parts = sorted(_collect_sources(qd.spark, set()))
+    blob = "\x00".join(f"{q}\x01{s}" for q, s in parts) + "\x00" + (qd.oracle or "")
+    return hashlib.md5(blob.encode()).hexdigest()
 
 # Every entry with a full green (rows+schema+hash) verdict in some round's
 # CORRECTNESS JSON.  New oracle-bearing entries (not in this set) are
@@ -75,57 +117,85 @@ def _impl_hash(qd: QueryDef) -> str:
 _DRIVER_GREEN = frozenset({
     "agg_array_agg",
     "agg_bool_bit",
+    "agg_cms_token_counts",
     "agg_count_distinct",
     "agg_cube_grouping",
     "agg_global",
     "agg_histogram",
+    "agg_hll_by_group",
+    "agg_hll_portable",
     "agg_median_percentile",
+    "agg_quantile_histogram",
     "agg_rollup",
     "agg_variance_stddev",
     "any_all_array_ops",
     "array_funcs",
     "cb_daily_series",
+    "cb_hour_histogram",
+    "cb_minute_bursts",
+    "cb_props_extract_topk",
     "cb_type_share",
     "cb_user_activity_topk",
     "cb_user_first_last",
+    "cb_user_type_matrix",
     "cb_value_percentiles_by_type",
     "count_null_semantics",
     "cte_with_chain",
     "curate_pipeline_audit",
     "curate_pipeline_v2",
+    "curate_pipeline_v3",
     "datetime_extract_unix",
     "decontaminate_benchmark",
+    "dedup_bloom_prefilter",
     "dedup_chunk_fraction",
     "dedup_connected_groups",
     "dedup_exact_stats",
     "dedup_fingerprint",
+    "dedup_fuzzy_keepers",
     "dedup_incremental_exact",
+    "dedup_minhash_incremental",
     "dedup_minhash_lsh_portable",
     "dedup_minhash_verified",
     "dedup_ngram_jaccard",
+    "dedup_remove_chunks",
+    "dedup_remove_corpus_chunks",
     "dedup_simhash_portable",
     "dedup_winnow_pairs",
     "distinct_on_latest_order",
     "emb_ann_ivf_topk",
     "emb_ann_lsh_topk",
+    "emb_ann_sq8_topk",
     "emb_cosine_pairs",
     "emb_cosine_topk",
+    "emb_kmeans_portable",
     "emb_l2_norms",
+    "emb_lsh_near_dup_pairs",
     "emb_quantize_int8",
+    "emb_random_projection",
     "emb_semantic_dedup",
+    "events_cohort_retention",
+    "events_gap_fill",
     "events_hourly_rollup",
+    "events_rolling_window",
+    "events_session_funnel",
+    "events_sessionize",
     "events_sessionless_funnel",
+    "events_type_transitions",
     "expr_case_when",
     "expr_date_funcs",
     "expr_json_extract",
     "expr_math_funcs",
     "expr_string_funcs",
+    "feat_hashed_tokens",
+    "feat_target_encode",
+    "feat_winsorize_scale",
     "hash_encode_funcs",
     "having_post_aggregation",
     "interval_arithmetic",
     "join_asof_last_click",
     "join_cross",
     "join_full_outer",
+    "join_fuzzy_blocked",
     "join_left_anti",
     "join_left_outer",
     "join_left_semi",
@@ -135,6 +205,7 @@ _DRIVER_GREEN = frozenset({
     "multimodal_audio_features",
     "multimodal_image_features",
     "multimodal_resize_images",
+    "multimodal_video_frames",
     "null_in_notin",
     "null_three_valued_logic",
     "null_where_filters",
@@ -143,10 +214,14 @@ _DRIVER_GREEN = frozenset({
     "pred_between_casts",
     "pred_like_battery",
     "profile_orders",
+    "quality_constraint_report",
     "regexp_funcs",
     "sample_hash_deterministic",
     "sample_quota_stratified",
     "sample_split_assign",
+    "sample_split_no_leakage",
+    "sample_token_budget",
+    "sample_token_mixture",
     "scalar_conditional_funcs",
     "set_except",
     "set_intersect",
@@ -157,14 +232,22 @@ _DRIVER_GREEN = frozenset({
     "sort_limit_offset",
     "string_funcs_2",
     "subquery_scalar_correlated",
+    "text_bm25_scores",
+    "text_bm25_search_index",
+    "text_bm25_topk",
     "text_boilerplate_fraction",
     "text_bpe_token_stats",
     "text_characteristic_terms",
     "text_chunk_documents",
     "text_gopher_quality",
+    "text_hybrid_rrf",
+    "text_line_boilerplate",
     "text_normalize",
     "text_pack_sequences",
     "text_perplexity_filter",
+    "text_pmi_collocations",
+    "text_quality_features",
+    "text_quality_gate",
     "text_quality_langid",
     "text_readability",
     "text_redact_pii",
@@ -198,6 +281,7 @@ _DRIVER_GREEN = frozenset({
     "unnest_lateral_filtered_distinct",
     "unnest_tokens",
     "web_domain_blocklist",
+    "web_domain_pagerank",
     "web_domain_quota",
     "web_parse_urls",
     "window_frames_moving_avg",
