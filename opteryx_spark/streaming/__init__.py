@@ -246,8 +246,11 @@ def curate_stream_v2(
     the two semantics a stream permits (both documented on the underlying
     operators): dedup keeps the FIRST arrival of a digest instead of the
     min id, and the quota admits the first ``n_per_group`` arrivals per
-    stratum instead of the md5-ordered subset — per-stratum admitted
-    counts and the admitted digest set match the batch run exactly.
+    stratum instead of the md5-ordered subset — so per-stratum admitted
+    COUNTS match the batch run exactly, and every admitted digest is a
+    batch pre-quota survivor (the admitted SET is arrival-order
+    dependent when survivors exceed the quota; the equivalence test
+    asserts exactly this subset relation).
 
     Scale shape: gates are map-only, the benchmark set is one broadcast
     array row, dedup state is watermark-bounded, quota state is one
@@ -941,30 +944,14 @@ def cms_counters_stream(
     is the whole point of sketching a 100 TB stream; a complete-mode
     drain equals the batch counter table exactly (regrouped sums are
     identical — equivalence test).
-    """
-    from opteryx_spark.operators import text as _text
-    from opteryx_spark.operators.dedup import _portable_hash_expr
-    from opteryx_spark.operators.profile import cms_bucket
 
-    toks = docs.select(F.explode(_text.tokens(text_col)).alias("_tk"))
-    base_h = _portable_hash_expr(F.col("_tk"))
-    cells = toks.select(
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(r).alias("d"), cms_bucket(base_h, r, w).alias("b")
-                    )
-                    for r in range(d)
-                ]
-            )
-        ).alias("_c")
-    )
-    return (
-        cells.select(F.col("_c.d").alias("d"), F.col("_c.b").alias("b"))
-        .groupBy("d", "b")
-        .agg(F.count(F.lit(1)).alias("n"))
-    )
+    The construction is streaming-legal as-is, so this DELEGATES to the
+    batch builder (same pattern as ``row_checks_stream``) — one body,
+    zero twin-drift risk.
+    """
+    from opteryx_spark.operators.profile import cms_counters
+
+    return cms_counters(docs, text_col, d, w)
 
 
 def scd2_current_stream(
