@@ -217,6 +217,40 @@ def curate_corpus_v3(
     operators; stages 3-4 add one map pass and one digest aggregate.
     Nothing here is new machinery — the pipeline is evidence the
     operators COMPOSE.
+
+    Split form for the build-once/gate-many deployment:
+    :func:`curate_rewrite_corpus` (stages 1-2, the offline corpus
+    rewrite — materialize to parquet once per corpus change) +
+    :func:`curate_gate_outcomes` (stages 3-4 over the stored artifact).
+    This function is exactly their composition.
+    """
+    return curate_gate_outcomes(
+        curate_rewrite_corpus(
+            docs, id_col, text_col, line_min_doc_freq, chunk_tokens,
+            min_chunk_tokens,
+        ),
+        id_col,
+        min_tokens=min_tokens,
+        min_quality=min_quality,
+    )
+
+
+def curate_rewrite_corpus(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    line_min_doc_freq: int = 2,
+    chunk_tokens: int = 16,
+    min_chunk_tokens: int = 4,
+) -> DataFrame:
+    """Stages 1-2 of :func:`curate_corpus_v3` — the OFFLINE corpus
+    rewrite: line-frequency boilerplate removal, then exact-substring
+    chunk dedup on the cleaned text.  Returns the rewrite artifact
+    ``(id_col, n_tokens_raw BIGINT, final_text)``: write it to parquet
+    once per corpus change and serve every downstream gate pass from the
+    stored artifact (:func:`curate_gate_outcomes`) without re-running
+    either rewrite — the rewrites are the corpus-sized cost, the gates
+    are one map pass plus one digest aggregate.
     """
     from opteryx_spark.operators import filtering
 
@@ -245,13 +279,34 @@ def curate_corpus_v3(
             F.regexp_replace(F.col("cleaned_text"), "\n", " ").alias("_t1"),
         )
     )
-    s2 = dedup._track_persist(
+    return dedup._track_persist(
         dedup.remove_duplicate_chunks(
             s1, id_col, "_t1", chunk_tokens=chunk_tokens,
             min_chunk_tokens=min_chunk_tokens,
-        ).select(id_col, "_n_tokens_raw", F.col("cleaned_text").alias("final_text"))
+        ).select(
+            id_col,
+            F.col("_n_tokens_raw").alias("n_tokens_raw"),
+            F.col("cleaned_text").alias("final_text"),
+        )
     )
 
+
+def curate_gate_outcomes(
+    rewritten: DataFrame,
+    id_col: str = "doc_id",
+    min_tokens: int = 10,
+    min_quality: float = 0.4,
+) -> DataFrame:
+    """Stages 3-4 of :func:`curate_corpus_v3` — quality/length gates and
+    exact dedup over a stored :func:`curate_rewrite_corpus` artifact
+    (``id_col, n_tokens_raw, final_text``), emitting the per-doc outcome
+    audit.  The ONLINE half of the split: no token
+    re-derivation of the raw corpus, one map pass + one digest aggregate
+    + one id-keyed join against the keeper set.
+    """
+    s2 = rewritten.select(
+        id_col, F.col("n_tokens_raw").alias("_n_tokens_raw"), "final_text"
+    )
     ft = F.col("final_text")
     n_final = F.when(ft.isNotNull(), F.size(text.tokens(ft))).cast("long")
     quality = text.quality_score("final_text")

@@ -63,9 +63,22 @@ def _collect_sources(fn, seen: set) -> list[tuple[str, str]]:
     operator edit coast on a stale driver green (ADVICE r6, medium), so the
     hash walks ``__code__.co_names`` (including nested code objects), resolves
     them through ``__globals__``, and follows both direct function refs and
-    one-hop module attribute refs (``events.peak_concurrency(...)``)."""
+    one-hop module attribute refs (``events.peak_concurrency(...)``).
+
+    Resolution IMPORTS candidate opteryx_spark modules (importlib, not a
+    bare sys.modules probe) so the hash is deterministic regardless of
+    what the current process happens to have imported already."""
+    import importlib
     import inspect
     import types
+
+    def _try_import(modname: str):
+        if not modname.startswith("opteryx_spark"):
+            return None
+        try:
+            return importlib.import_module(modname)
+        except Exception:
+            return None
 
     key = (getattr(fn, "__module__", "") or "", getattr(fn, "__qualname__", None) or repr(fn))
     if key in seen:
@@ -85,18 +98,41 @@ def _collect_sources(fn, seen: set) -> list[tuple[str, str]]:
     while stack:  # nested defs/lambdas/comprehensions live in co_consts
         c = stack.pop()
         names.update(c.co_names)
+        names.update(c.co_varnames)  # `from pkg import mod` binds mod as a LOCAL
         stack.extend(k for k in c.co_consts if hasattr(k, "co_names"))
+
+    # candidate opteryx_spark modules: module-valued globals, plus dotted
+    # co_names hitting sys.modules (function-LOCAL `from opteryx_spark.x
+    # import y` compiles to IMPORT_NAME "opteryx_spark.x" — the bound name
+    # is a varname, so globals alone never sees it), plus one submodule
+    # hop (`from opteryx_spark.operators import curate`)
+    mods: dict[str, types.ModuleType] = {}
+    funcs: list[types.FunctionType] = []
     for name in sorted(names):
         val = g.get(name)
+        if val is None and "." in name:
+            val = _try_import(name)
         if isinstance(val, types.FunctionType) and (val.__module__ or "").startswith("opteryx_spark"):
-            out.extend(_collect_sources(val, seen))
+            funcs.append(val)
         elif isinstance(val, types.ModuleType) and val.__name__.startswith("opteryx_spark"):
-            for attr in sorted(names):
-                sub = getattr(val, attr, None)
-                if isinstance(sub, types.FunctionType) and (
-                    getattr(sub, "__module__", "") or ""
-                ).startswith("opteryx_spark"):
-                    out.extend(_collect_sources(sub, seen))
+            mods[val.__name__] = val
+    for mod in list(mods.values()):
+        is_pkg = hasattr(mod, "__path__")
+        for name in sorted(names):
+            sub = getattr(mod, name, None)
+            if sub is None and is_pkg:
+                sub = _try_import(f"{mod.__name__}.{name}")
+            if isinstance(sub, types.ModuleType) and sub.__name__.startswith("opteryx_spark"):
+                mods.setdefault(sub.__name__, sub)
+    for _, mod in sorted(mods.items()):
+        for name in sorted(names):
+            sub = getattr(mod, name, None)
+            if isinstance(sub, types.FunctionType) and (
+                getattr(sub, "__module__", "") or ""
+            ).startswith("opteryx_spark"):
+                funcs.append(sub)
+    for f in funcs:
+        out.extend(_collect_sources(f, seen))
     return out
 
 
