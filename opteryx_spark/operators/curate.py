@@ -337,3 +337,142 @@ def curate_gate_outcomes(
         .select(id_col, "n_tokens_raw", "n_tokens_final", "final_text", "outcome")
     )
     return out
+
+
+def curate_incremental(
+    new_docs: DataFrame,
+    corpus_digests: DataFrame,
+    window_digests: DataFrame,
+    lsh_index: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 16,
+    min_chunk_tokens: int = 4,
+    neardup_threshold: float = 0.5,
+    num_hashes: int = 64,
+    bands: int = 16,
+    lsh_k: int = 2,
+    max_bucket: int = 1000,
+    min_tokens: int = 10,
+    min_quality: float = 0.4,
+    portable_hash: bool = True,
+) -> DataFrame:
+    """The recurring-crawl curation pipeline, composed end-to-end from
+    the three incremental-dedup artifacts: a new crawl is judged against
+    the ACCEPTED corpus without the corpus ever being re-read — every
+    corpus-sized computation happened once, offline, when the artifacts
+    were built.
+
+    Inputs (each a stored parquet artifact, or the builder's output):
+    - ``corpus_digests`` — :func:`dedup.corpus_digests
+      <opteryx_spark.operators.dedup.corpus_digests>` (``_digest``):
+      byte-exact membership (token-set fingerprint keys).
+    - ``window_digests`` — :func:`dedup.window_digests
+      <opteryx_spark.operators.dedup.window_digests>` (``_ck``):
+      the exact-substring window index.
+    - ``lsh_index`` — :func:`dedup.minhash_index
+      <opteryx_spark.operators.dedup.minhash_index>`
+      (``corpus_id, band, bh, sig``): the near-dup index (must have been
+      built with the same ``num_hashes``/``bands``/``lsh_k``/
+      ``portable_hash``).
+
+    Stages over the DELTA only:
+    1. byte-exact: fingerprint each new doc, one key join against
+       ``corpus_digests``;
+    2. near-dup: sign each new doc, one (band, bh) bucket join against
+       ``lsh_index`` (:func:`dedup.minhash_dedup_against_index` — raw
+       text, the representation the index was built from);
+    3. exact-substring rewrite: remove every window already in
+       ``window_digests``, rebuild survivors
+       (:func:`dedup.remove_chunks_in_corpus`);
+    4. quality/length gates on the REWRITTEN text.
+
+    Output: one audited row per new doc — ``already_in_corpus``,
+    ``best_match_id``/``est_jaccard``, ``n_chunks``/
+    ``n_removed_chunks``/``n_tokens_final``/``final_text``, and
+    ``outcome`` with precedence ``invalid_text`` → ``exact_in_corpus`` →
+    ``near_dup_in_corpus`` → ``all_removed`` → ``too_short`` →
+    ``low_quality`` → ``kept`` (judgments before rewrites before gates:
+    a doc the corpus already holds never wastes gate work downstream,
+    and per-stage counts fall out of one ``groupBy(outcome)``).
+
+    Scale shape: the three artifact joins are each single-pass over the
+    delta and key-slim (digest set, window digest set, banded buckets);
+    the delta is scanned once per stage (bounded — the delta is the
+    small side by construction); nothing re-derives the corpus.  The
+    plan test asserts the corpus source appears NOWHERE in the composed
+    plan — the artifacts fully decouple crawl cycles from corpus size.
+    """
+    from opteryx_spark.operators import dedup as _dedup
+    from opteryx_spark.operators import text as _text
+
+    did = F.col(id_col)
+    slim = new_docs.select(id_col, text_col)
+
+    # 1. byte-exact membership (token-set fingerprint, the
+    # dedup_against_corpus "fingerprint" key)
+    ex = (
+        slim.withColumn("_fp", _text.fingerprint(text_col))
+        .join(
+            corpus_digests.select(F.col("_digest").alias("_fp"))
+            .distinct()
+            .withColumn("_seen", F.lit(True)),
+            "_fp",
+            "left",
+        )
+        .select(did.alias("_eid"), F.col("_seen").isNotNull().alias("already_in_corpus"))
+    )
+
+    # 2. near-dup membership against the LSH index (raw text — the
+    # representation the index was signed from)
+    fz = _dedup.minhash_dedup_against_index(
+        slim,
+        lsh_index,
+        id_col,
+        text_col,
+        threshold=neardup_threshold,
+        num_hashes=num_hashes,
+        bands=bands,
+        k=lsh_k,
+        max_bucket=max_bucket,
+        portable_hash=portable_hash,
+    ).select(did.alias("_fid"), "best_match_id", "est_jaccard")
+
+    # 3. exact-substring rewrite against the window index
+    rw = _dedup.remove_chunks_in_corpus(
+        slim,
+        window_digests,
+        id_col,
+        text_col,
+        chunk_tokens=chunk_tokens,
+        min_chunk_tokens=min_chunk_tokens,
+    ).select(
+        did.alias("_rid"),
+        "n_chunks",
+        "n_removed_chunks",
+        F.col("cleaned_text").alias("final_text"),
+    )
+
+    # 4. gates on the rewritten text + outcome precedence
+    ft = F.col("final_text")
+    n_final = F.when(ft.isNotNull(), F.size(_text.tokens(ft))).cast("long")
+    out = (
+        new_docs.join(ex, did == F.col("_eid"), "left")
+        .join(fz, did == F.col("_fid"), "left")
+        .join(rw, did == F.col("_rid"), "left")
+        .drop("_eid", "_fid", "_rid")
+        .withColumn("n_tokens_final", n_final)
+        .withColumn("_quality", _text.quality_score("final_text"))
+        .withColumn(
+            "outcome",
+            F.when(F.col(text_col).isNull(), "invalid_text")
+            .when(F.col("already_in_corpus"), "exact_in_corpus")
+            .when(F.col("best_match_id").isNotNull(), "near_dup_in_corpus")
+            .when(F.col("n_tokens_final") == 0, "all_removed")
+            .when(F.col("n_tokens_final") < min_tokens, "too_short")
+            .when(F.col("_quality") < min_quality, "low_quality")
+            .otherwise("kept"),
+        )
+        .drop("_quality")
+    )
+    return out

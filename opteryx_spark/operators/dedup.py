@@ -1156,6 +1156,30 @@ def dedup_against_corpus(
     )
 
 
+def corpus_digests(
+    reference_docs: DataFrame,
+    text_col: str = "text",
+    method: str = "digest",
+) -> DataFrame:
+    """The byte-exact member of the incremental-dedup artifact family
+    (:func:`window_digests` for exact-substring, :func:`minhash_index`
+    for near-dup): the accepted corpus's distinct content-key set as a
+    one-column ``_digest`` frame.  Persist to parquet once per corpus
+    change; every crawl cycle joins its delta against it
+    (:func:`curate.curate_incremental <opteryx_spark.operators.curate.curate_incremental>`
+    or a bare key join) without re-hashing the corpus.  Same key
+    definitions as :func:`dedup_against_corpus`."""
+    from opteryx_spark.operators import text as _text
+
+    if method == "fingerprint":
+        key = _text.fingerprint(text_col)
+    elif method == "digest":
+        key = F.md5(_text.normalize_text(text_col))
+    else:
+        raise ValueError("method must be 'digest' or 'fingerprint'")
+    return reference_docs.select(key.alias("_digest")).distinct()
+
+
 def duplicate_chunk_fraction(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -719,51 +719,29 @@ def knn_join(
     return out
 
 
-def pq_adc_topk(
+def pq_train(
     df: DataFrame,
-    query_vec: list[float],
-    k: int = 10,
     m: int = 8,
     n_codes: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int = 64,
     qscale: int = 1000,
-) -> DataFrame:
-    """Product-quantization ANN with asymmetric distance computation
-    (Jégou et al., PAMI 2011) — the remaining member of this module's
-    ANN family (brute, hyperplane-LSH, IVF, SQ8): vectors compress to
-    ``m`` sub-space code indices and query distances come from ``m``
-    lookup tables, so the scan touches ``m`` bytes-ish per vector
-    instead of ``dim`` floats.
-
-    Value-verifiable variant: components quantize to milli-units;
-    sub-space codebooks are the ``n_codes`` corpus vectors with the
-    smallest ``(md5(id), id)`` (the engine's canonical deterministic
-    seed order — no Lloyd refinement, so the whole pipeline is exact
-    integer arithmetic an oracle can replay); encoding takes the argmin
-    squared-L2 code per sub-space (ties to the lower index) and the ADC
-    distance is the BIGINT sum of per-sub-space table entries.
-
-    Scale shape: codebooks and the query table are bounded driver
-    probes (``n_codes`` rows); encoding is map-only codegen (m·n_codes
-    distance folds per row); the ADC scan is map-only + one bounded
-    top-k.  At production scale the codes are materialized once
-    (write the encoded frame) and every query pays only the table scan.
-
-    Returns ``rank``, ``id_col``, ``adc_dist2`` (BIGINT) — top-``k`` by
-    ``(adc_dist2, id)``.
+) -> tuple[DataFrame, list[list[int]]]:
+    """Deterministic PQ "training": milli-quantize the corpus and pick
+    the ``n_codes`` sub-space codebook rows as the corpus vectors with
+    the smallest ``(md5(id), id)`` — the engine's canonical seed order
+    (no Lloyd refinement, so the whole pipeline stays exact integer
+    arithmetic an oracle can replay).  Returns ``(base, books)`` where
+    ``base`` is the persisted quantized frame ``(_id, _qv)`` and
+    ``books`` the ``n_codes`` codebook vectors (driver-side — a bounded
+    ``n_codes``-row collect, the only driver data movement in the
+    family).
     """
-    import math
-
     if dim % m != 0:
         raise ValueError("dim must divide into m sub-spaces")
-    if k < 1 or n_codes < 1:
-        raise ValueError("k and n_codes must be >= 1")
-    sub = dim // m
-    qq = [int(math.floor(float(x) * qscale)) for x in query_vec]
-    if len(qq) != dim:
-        raise ValueError(f"query_vec must have {dim} components")
+    if n_codes < 1:
+        raise ValueError("n_codes must be >= 1")
     qv = F.transform(
         F.col(vec_col), lambda x: F.floor(x.cast("double") * F.lit(float(qscale)))
     )
@@ -782,58 +760,254 @@ def pq_adc_topk(
     books = [[int(x) for x in r["_qv"]] for r in seed_rows]
     if len(books) < n_codes:
         raise ValueError(f"need >= {n_codes} vectors, found {len(books)}")
+    return base, books
 
-    def sub_dist(s: int, code_vec: list[int]):
-        # squared L2 between the row's sub-vector s and a codebook row
-        terms = None
-        for d in range(s * sub, (s + 1) * sub):
-            e = F.element_at(F.col("_qv"), d + 1) - F.lit(code_vec[d])
-            t = e * e
-            terms = t if terms is None else terms + t
-        return terms
 
-    # per sub-space: argmin code (ties -> lower index), then the ADC
-    # lookup from the query's literal distance table
-    tables = []
-    for s in range(m):
-        row = []
-        for j in range(n_codes):
-            row.append(
-                sum(
-                    (qq[d] - books[j][d]) ** 2
-                    for d in range(s * sub, (s + 1) * sub)
-                )
-            )
-        tables.append(row)
-    adc = None
+def _pq_sub_dist(s: int, sub: int, code_vec: list[int]):
+    """Squared L2 between the row sub-vector ``s`` of ``_qv`` and a
+    codebook row — an unrolled codegen expression, no UDF."""
+    terms = None
+    for d in range(s * sub, (s + 1) * sub):
+        e = F.element_at(F.col("_qv"), d + 1) - F.lit(code_vec[d])
+        t = e * e
+        terms = t if terms is None else terms + t
+    return terms
+
+
+def pq_encode(
+    base: DataFrame,
+    books: list[list[int]],
+    m: int = 8,
+) -> DataFrame:
+    """Encode the quantized corpus against the codebooks: per sub-space
+    the argmin-squared-L2 code index (ties to the lower index), emitted
+    as ``(_id, _codes array<long>)`` — the m-byte-per-vector artifact a
+    PQ index persists.  Map-only codegen (m * n_codes distance folds per
+    row), no shuffle."""
+    dim = len(books[0])
+    if dim % m != 0:
+        raise ValueError("codebook dim must divide into m sub-spaces")
+    sub = dim // m
+    n_codes = len(books)
+    codes = []
     for s in range(m):
         best = F.array_min(
             F.array(
                 *[
                     F.struct(
-                        sub_dist(s, books[j]).alias("d"),
+                        _pq_sub_dist(s, sub, books[j]).alias("d"),
                         F.lit(j).cast("long").alias("j"),
                     )
                     for j in range(n_codes)
                 ]
             )
         )
+        codes.append(best.getField("j"))
+    return base.select("_id", F.array(*codes).alias("_codes"))
+
+
+def pq_adc_probe(
+    codes: DataFrame,
+    books: list[list[int]],
+    query_vec: list[float],
+    k: int = 10,
+    m: int = 8,
+    qscale: int = 1000,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """ADC scan over an encoded PQ corpus: quantize the query, build the
+    m per-sub-space distance tables driver-side (m * n_codes ints), and
+    score every row as the BIGINT sum of table lookups at its stored
+    codes — the scan touches only the codes column, never the vectors.
+    Returns ``rank``, ``id_col``, ``adc_dist2`` — top-``k`` by
+    ``(adc_dist2, id)``."""
+    import math
+
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    dim = len(books[0])
+    if dim % m != 0:
+        raise ValueError("codebook dim must divide into m sub-spaces")
+    sub = dim // m
+    n_codes = len(books)
+    qq = [int(math.floor(float(x) * qscale)) for x in query_vec]
+    if len(qq) != dim:
+        raise ValueError(f"query_vec must have {dim} components")
+    adc = None
+    for s in range(m):
+        table = [
+            sum((qq[d] - books[j][d]) ** 2 for d in range(s * sub, (s + 1) * sub))
+            for j in range(n_codes)
+        ]
         lookup = F.element_at(
-            F.array(*[F.lit(int(v)).cast("long") for v in tables[s]]),
-            (best.getField("j") + 1).cast("int"),
+            F.array(*[F.lit(int(v)).cast("long") for v in table]),
+            (F.element_at(F.col("_codes"), s + 1) + 1).cast("int"),
         )
         adc = lookup if adc is None else adc + lookup
-    scored = base.select("_id", adc.alias("adc_dist2"))
+    scored = codes.select("_id", adc.alias("adc_dist2"))
     top = scored.orderBy(F.col("adc_dist2").asc(), F.col("_id").asc()).limit(int(k))
-    w = top.select(
-        F.col("_id").alias(id_col),
-        "adc_dist2",
-    )
+    w = top.select(F.col("_id").alias(id_col), "adc_dist2")
     from pyspark.sql import Window as _W
 
     return w.withColumn(
         "rank",
-        F.row_number().over(
-            _W.orderBy(F.col("adc_dist2").asc(), F.col(id_col).asc())
-        ).cast("long"),
+        F.row_number()
+        .over(_W.orderBy(F.col("adc_dist2").asc(), F.col(id_col).asc()))
+        .cast("long"),
     ).select("rank", id_col, "adc_dist2")
+
+
+def pq_adc_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    m: int = 8,
+    n_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    qscale: int = 1000,
+) -> DataFrame:
+    """Product-quantization ANN with asymmetric distance computation
+    (Jegou et al., PAMI 2011) — the remaining member of this module's
+    ANN family (brute, hyperplane-LSH, IVF, SQ8): vectors compress to
+    ``m`` sub-space code indices and query distances come from ``m``
+    lookup tables, so the scan touches ``m`` bytes-ish per vector
+    instead of ``dim`` floats.
+
+    Composed from :func:`pq_train` -> :func:`pq_encode` ->
+    :func:`pq_adc_probe`; :func:`pq_persist` materializes the first two
+    stages to parquet and :func:`pq_adc_topk_indexed` probes the stored
+    artifact without re-encoding — at production scale the codes are
+    written once and every query pays only the table scan.
+
+    Returns ``rank``, ``id_col``, ``adc_dist2`` (BIGINT) — top-``k`` by
+    ``(adc_dist2, id)``.
+    """
+    if k < 1 or n_codes < 1:
+        raise ValueError("k and n_codes must be >= 1")
+    base, books = pq_train(df, m, n_codes, id_col, vec_col, dim, qscale)
+    codes = pq_encode(base, books, m)
+    return pq_adc_probe(codes, books, query_vec, k, m, qscale, id_col)
+
+
+def pq_persist(
+    df: DataFrame,
+    path: str,
+    m: int = 8,
+    n_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    qscale: int = 1000,
+) -> None:
+    """Materialize the PQ index: the encoded codes frame at ``path``
+    (``id_col``, ``codes array<long>`` — m longs per vector, the whole
+    scan payload) and the codebooks at ``path + "_books"`` (``j``,
+    ``c``, plus the ``m``/``qscale`` the probe must reuse — the sidecar
+    is self-describing, so a probe cannot silently mix parameters).
+    Both side files go through Spark's filesystem layer, so the artifact
+    works on any Hadoop-compatible path, like :func:`ivf_persist`."""
+    base, books = pq_train(df, m, n_codes, id_col, vec_col, dim, qscale)
+    pq_encode(base, books, m).select(
+        F.col("_id").alias(id_col), F.col("_codes").alias("codes")
+    ).write.mode("overwrite").parquet(path)
+    spark = df.sparkSession
+    rows = [(j, [int(x) for x in c], int(m), int(qscale)) for j, c in enumerate(books)]
+    spark.createDataFrame(
+        rows, "j int, c array<long>, m int, qscale int"
+    ).coalesce(1).write.mode("overwrite").parquet(path.rstrip("/") + "_books")
+
+
+def pq_adc_topk_indexed(
+    spark,
+    path: str,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """ADC top-k against a persisted PQ index: read the codebook sidecar
+    (a bounded ``n_codes``-row collect), rebuild the query's distance
+    tables, and scan ONLY the stored codes — no re-quantization, no
+    re-encoding, no original vectors.  The build-once/probe-many hot
+    path: at 100 TB the probe reads m longs per vector."""
+    brows = spark.read.parquet(path.rstrip("/") + "_books").orderBy("j").collect()
+    books = [[int(x) for x in r["c"]] for r in brows]
+    m, qscale = int(brows[0]["m"]), int(brows[0]["qscale"])
+    codes = spark.read.parquet(path).select(
+        F.col(id_col).alias("_id"), F.col("codes").alias("_codes")
+    )
+    return pq_adc_probe(codes, books, query_vec, k, m, qscale, id_col)
+
+
+def sq8_persist(
+    df: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize the SQ8 index: the :func:`quantize_int8` frame
+    (``id_col``, ``qvec array<int>``, ``scale``) to parquet — 4x
+    smaller than the float corpus, and everything
+    :func:`sq8_topk_indexed` needs (shortlist AND rescore) without the
+    original vectors."""
+    quantize_int8(df, id_col, vec_col).write.mode("overwrite").parquet(path)
+
+
+def sq8_probe(
+    art: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    shortlist: int | None = None,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """SQ8 ANN probe over an index artifact frame (``id_col``, ``qvec``,
+    ``scale`` — :func:`quantize_int8`'s schema), original vectors never
+    read: shortlist by the exact INTEGER quantized dot
+    (bit-deterministic), rescore the shortlist with exact double cosine
+    over the DEQUANTIZED vectors (``qvec[i] / scale`` — the standard SQ8
+    reconstruction, so the rescore is approximate relative to
+    :func:`sq8_topk`'s full-precision rescore but needs only the
+    4x-smaller artifact).  Zero-scale rows (all-zero or NULL source
+    vectors) are excluded up front — they cannot rank and a NULL cosine
+    would sort differently across engines.  Fully deterministic, so a
+    SQL oracle twins it."""
+    import math
+
+    s = shortlist or 4 * k
+    art = art.filter(F.col("scale") > 0)
+    qmax = max(abs(float(v)) for v in query_vec)
+    qscale = 127.0 / qmax if qmax > 0 else 0.0
+    qq = [math.floor(float(v) * qscale + 0.5) for v in query_vec]
+    qarr = F.array(*[F.lit(int(v)).cast("long") for v in qq])
+    dot = F.aggregate(
+        F.zip_with(F.col("qvec"), qarr, lambda a, b: a.cast("long") * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    sl = (
+        art.select(F.col(id_col), "qvec", "scale", dot.alias("qdot"))
+        .orderBy(F.desc("qdot"), F.asc(id_col))
+        .limit(s)
+    )
+    dq = F.transform(F.col("qvec"), lambda x: x.cast("double") / F.col("scale"))
+    qv = F.array(*[F.lit(float(v)) for v in query_vec])
+    return (
+        sl.select(F.col(id_col), cosine(dq, qv).alias("cosim"))
+        .orderBy(F.desc("cosim"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def sq8_topk_indexed(
+    spark,
+    path: str,
+    query_vec: list[float],
+    k: int = 10,
+    shortlist: int | None = None,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """:func:`sq8_probe` against a persisted :func:`sq8_persist` index —
+    the build-once/probe-many hot path: the probe scans the 4x-smaller
+    quantized artifact, never the float corpus."""
+    return sq8_probe(spark.read.parquet(path), query_vec, k, shortlist, id_col)

@@ -1540,7 +1540,7 @@ _PQ_SUB = 8  # dims per sub-space (64 / 8)
 _PQ_K = 10
 
 
-def _pq_oracle() -> str:
+def _pq_oracle(qid: int = 0) -> str:
     fold = (
         "list_reduce(list_transform(range(s.s * {sub} + 1, s.s * {sub} + {sub} + 1), "
         "i -> ({l}[i] - b.c[i]) * ({l}[i] - b.c[i])), (a, bb) -> a + bb)"
@@ -1552,9 +1552,9 @@ def _pq_oracle() -> str:
                x -> CAST(floor(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)) AS qv
       FROM embeddings WHERE embedding IS NOT NULL
     ), corp AS (
-      SELECT vec_id, qv FROM q WHERE vec_id <> 0
+      SELECT vec_id, qv FROM q WHERE vec_id <> {qid}
     ), qry AS (
-      SELECT qv FROM q WHERE vec_id = 0
+      SELECT qv FROM q WHERE vec_id = {qid}
     ), books AS (
       SELECT CAST(row_number() OVER (
                ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS BIGINT) AS j,
