@@ -248,3 +248,89 @@ def freshness_check(
             lag <= F.lit(int(max_lag_minutes) * 60 * 1_000_000), F.lit(False)
         ).alias("is_fresh"),
     )
+
+
+def snapshot_drift(
+    a: DataFrame,
+    b: DataFrame,
+    columns: list[str],
+) -> DataFrame:
+    """Schema/statistics drift between two snapshots of one table —
+    the check a recurring ingestion runs before promoting a new batch:
+    did a column's null rate or cardinality move?  (Distribution drift
+    for NUMERIC columns is :func:`opteryx_spark.operators.features.psi_drift`;
+    this is the cheap every-column structural screen.)
+
+    For every named column, both sides contribute exact counts:
+    ``rows``, ``nulls`` and ``n_distinct`` (exact; swap in HLL via
+    ``operators/profile.py`` when columns are ultra-high-cardinality).
+    Counts for ALL columns come from ONE aggregate pass per side —
+    one conditional SUM + one COUNT DISTINCT per column fused into a
+    single ``groupBy()`` (Spark plans multi-distinct aggregates via
+    expand, still a single scan per side) — then unpivot to one row
+    per column via an explode of a struct array (no per-column scans,
+    no unions of subplans).
+
+    Returns ``col_name``, ``rows_a``, ``nulls_a``, ``distinct_a``,
+    ``rows_b``, ``nulls_b``, ``distinct_b``, ``null_delta_ppm``
+    (BIGINT, signed b−a null-rate change in parts-per-million of each
+    side's rows; 0 when either side is empty) — deterministic integer
+    output, no floats.
+    """
+    if not columns:
+        raise ValueError("columns must be non-empty")
+
+    def _side(df: DataFrame) -> DataFrame:
+        aggs = [F.count(F.lit(1)).alias("_rows")]
+        for c in columns:
+            aggs.append(
+                F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).cast("bigint").alias(f"_n_{c}")
+            )
+            aggs.append(F.count_distinct(F.col(c)).alias(f"_d_{c}"))
+        g = df.groupBy().agg(*aggs)
+        pairs = F.array(
+            *[
+                F.struct(
+                    F.lit(c).alias("col_name"),
+                    F.col(f"_n_{c}").alias("nulls"),
+                    F.col(f"_d_{c}").alias("n_distinct"),
+                )
+                for c in columns
+            ]
+        )
+        return g.select(F.col("_rows").alias("rows"), F.explode(pairs).alias("_p")).select(
+            F.col("_p.col_name").alias("col_name"),
+            F.col("rows"),
+            F.col("_p.nulls").alias("nulls"),
+            F.col("_p.n_distinct").alias("n_distinct"),
+        )
+
+    sa = _side(a).select(
+        "col_name",
+        F.col("rows").alias("rows_a"),
+        F.col("nulls").alias("nulls_a"),
+        F.col("n_distinct").alias("distinct_a"),
+    )
+    sb = _side(b).select(
+        "col_name",
+        F.col("rows").alias("rows_b"),
+        F.col("nulls").alias("nulls_b"),
+        F.col("n_distinct").alias("distinct_b"),
+    )
+    out = sa.join(sb, "col_name")
+    # pure integer: per-side null ppm via truncating div, then the
+    # signed difference — no float anywhere, trivially engine-exact
+    ppm = F.when(
+        (F.col("rows_a") > 0) & (F.col("rows_b") > 0),
+        F.expr("(nulls_b * 1000000) div rows_b - (nulls_a * 1000000) div rows_a"),
+    ).otherwise(F.lit(0))
+    return out.select(
+        "col_name",
+        "rows_a",
+        "nulls_a",
+        "distinct_a",
+        "rows_b",
+        "nulls_b",
+        "distinct_b",
+        ppm.cast("bigint").alias("null_delta_ppm"),
+    )

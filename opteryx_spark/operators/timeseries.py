@@ -1,0 +1,164 @@
+"""Time-series diagnostics over keyed regular series: autocorrelation
+and CUSUM change-point detection.
+
+Large telemetry pipelines watch per-key daily/hourly series (event
+counts, error rates, revenue) for two things the existing events
+operators don't answer: *is this series self-correlated* (seasonality /
+momentum — the ACF at small lags) and *where did its level shift*
+(CUSUM — the classic change-point statistic).  Both are implemented
+here as exact-integer formulations so a DuckDB oracle reproduces them
+bit-for-bit (the suite determinism rules in ``suite/__init__``):
+
+- ACF uses the Pearson-on-lag-pairs form.  All six sufficient
+  statistics (n, Σx, Σy, Σxx, Σyy, Σxy) are BIGINT-exact over integer
+  series values; the final correlation is ONE fixed float expression
+  over those exact integers — bit-identical in any IEEE-754 engine.
+- CUSUM avoids the non-integer mean entirely: the statistic is scaled
+  by n (``T_i = n·prefix_i − i·total``), keeping every intermediate a
+  BIGINT.  argmax |T| with an earliest-timestamp tie-break is a
+  ``min(struct(...))`` keeper — map-side combinable, no rank window.
+
+Scale shape: both operators are one ``groupBy`` over the key columns
+(ACF adds one per-key equi self-join for the lag alignment); nothing is
+ever moved to a single partition, and no driver collects happen.
+
+Reference parity note: the reference engine has no time-series
+operators — this is beyond-reference surface in the same charter as
+``operators/events.py`` (which owns the series *construction*:
+rollups, gap fill, seasonal decomposition).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def autocorrelation(
+    series: DataFrame,
+    key_cols: list[str],
+    t_col: str,
+    value_col: str,
+    max_lag: int = 7,
+) -> DataFrame:
+    """Per-key autocorrelation of an integer-valued regular series at
+    lags ``1..max_lag``.
+
+    ``series`` holds one row per (key, t) with an integer time index
+    ``t_col`` (e.g. a day number) and an integer ``value_col``.  For
+    each lag k the series is aligned with itself shifted by k — an
+    equi self-join on ``key AND t+k = t`` (gaps in t simply produce
+    fewer pairs; densify with events.gap_fill first if gaps should
+    count as zeros) — and the Pearson correlation of the (x, y) pairs
+    is computed from BIGINT-exact sufficient statistics:
+
+        acf = (n·Σxy − Σx·Σy) / sqrt(double(n·Σxx − Σx²) · double(n·Σyy − Σy²))
+
+    A constant window (zero variance on either side) yields NULL.
+
+    Scale shape: the lag explode multiplies the series by ``max_lag``
+    (small), the self-join and the aggregate both hash on the key
+    columns — co-partitioned, no global window, no collect.
+
+    Returns key cols + ``lag`` (BIGINT), ``n_pairs`` (BIGINT), ``acf``
+    (DOUBLE, NULL when degenerate), one row per key per lag with at
+    least one pair.
+    """
+    if max_lag < 1:
+        raise ValueError("max_lag must be >= 1")
+    lags = F.array(*[F.lit(k).cast("bigint") for k in range(1, max_lag + 1)])
+    a = series.select(
+        *key_cols,
+        F.col(t_col).cast("bigint").alias("_t"),
+        F.col(value_col).cast("bigint").alias("_x"),
+    ).withColumn("lag", F.explode(lags))
+    b = series.select(
+        *key_cols,
+        F.col(t_col).cast("bigint").alias("_tb"),
+        F.col(value_col).cast("bigint").alias("_y"),
+    )
+    pairs = a.join(b, [*key_cols], "inner").filter(
+        F.col("_tb") == F.col("_t") + F.col("lag")
+    )
+    agg = pairs.groupBy(*key_cols, "lag").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum("_x").alias("_sx"),
+        F.sum("_y").alias("_sy"),
+        F.sum(F.col("_x") * F.col("_x")).alias("_sxx"),
+        F.sum(F.col("_y") * F.col("_y")).alias("_syy"),
+        F.sum(F.col("_x") * F.col("_y")).alias("_sxy"),
+    )
+    n = F.col("n_pairs")
+    num = n * F.col("_sxy") - F.col("_sx") * F.col("_sy")
+    dx = n * F.col("_sxx") - F.col("_sx") * F.col("_sx")
+    dy = n * F.col("_syy") - F.col("_sy") * F.col("_sy")
+    acf = F.when(
+        (dx > 0) & (dy > 0),
+        num.cast("double") / F.sqrt(dx.cast("double") * dy.cast("double")),
+    )
+    return agg.select(*key_cols, "lag", "n_pairs", acf.alias("acf"))
+
+
+def cusum_changepoint(
+    series: DataFrame,
+    key_cols: list[str],
+    t_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Per-key CUSUM change-point: the time index where the cumulative
+    deviation from the series mean peaks.
+
+    The textbook statistic ``S_i = Σ_{t≤i}(x_t − x̄)`` involves the
+    non-integer mean; scaling by n keeps everything BIGINT-exact:
+
+        T_i = n·prefix_i − i·total        (≡ n·S_i)
+
+    where ``prefix_i`` is the running sum and ``i`` the 1-based rank in
+    time order.  The change point is the i maximizing ``|T_i|`` (the
+    most likely level-shift boundary); ties break to the EARLIEST time
+    index so the result is deterministic.
+
+    Scale shape: one running-sum window PARTITIONED BY the key columns
+    (never a global window) feeding one ``min(struct)`` keeper
+    aggregate — map-side combinable, no rank-then-filter second window.
+
+    Returns key cols + ``n_points``, ``total`` (Σx), ``cp_t`` (the time
+    index at the peak), ``cusum_peak_abs`` (max |T_i|, BIGINT).  Keys
+    with a single point report their only t with peak 0.
+    """
+    from pyspark.sql.window import Window
+
+    w_order = Window.partitionBy(*key_cols).orderBy(t_col)
+    w_sum = w_order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    x = F.col(value_col).cast("bigint")
+    pre = series.select(
+        *key_cols,
+        F.col(t_col).cast("bigint").alias("_t"),
+        F.sum(x).over(w_sum).alias("_prefix"),
+        F.row_number().over(w_order).cast("bigint").alias("_i"),
+    )
+    totals = series.groupBy(*key_cols).agg(
+        F.count(F.lit(1)).alias("n_points"), F.sum(x).alias("total")
+    )
+    t_stat = (
+        F.col("n_points") * F.col("_prefix") - F.col("_i") * F.col("total")
+    )
+    scored = pre.join(totals, [*key_cols]).select(
+        *key_cols,
+        "n_points",
+        "total",
+        F.abs(t_stat).alias("_abs_t"),
+        F.col("_t"),
+    )
+    # argmax |T| with earliest-t tie-break == min over (-|T|, t): one
+    # map-side-combinable keeper aggregate, no rank window
+    keeper = scored.groupBy(*key_cols, "n_points", "total").agg(
+        F.min(F.struct((-F.col("_abs_t")).alias("_neg"), F.col("_t"))).alias("_k")
+    )
+    return keeper.select(
+        *key_cols,
+        "n_points",
+        "total",
+        F.col("_k._t").alias("cp_t"),
+        (-F.col("_k._neg")).alias("cusum_peak_abs"),
+    )

@@ -478,3 +478,85 @@ def domain_concentration(
             "gini",
         )
     )
+
+
+def kcore(
+    edges: DataFrame,
+    k: int,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_rounds: int | None = None,
+) -> DataFrame:
+    """k-core decomposition membership: the maximal subgraph in which
+    every node has degree ≥ k — the standard "dense kernel" filter for
+    link graphs (spam rings and authority clusters live in high cores;
+    crawl frontiers prune to a core before expensive per-node scoring).
+    Beyond-reference surface like :func:`pagerank` / :func:`triangle_counts`.
+
+    Edges are canonicalized undirected (``least < greatest``, dedup,
+    self-loops dropped) exactly as in :func:`triangle_counts`.  Peeling
+    then iterates: compute degrees, keep nodes with degree ≥ k, keep
+    edges whose BOTH endpoints survive, until a fixpoint (or
+    ``max_rounds``).  Each round is one count aggregate plus two
+    semi joins on node id — all hash-partitioned on node keys, no
+    windows, no cartesian, no driver data; the loop re-roots lineage
+    per round via ``dedup._checkpoint_tracked`` (the pagerank pattern)
+    so the plan never grows with the round count.
+
+    The fixpoint test costs one ``count()`` action per round; pass
+    ``max_rounds`` to run a fixed number of peels instead (deterministic
+    whether or not the fixpoint was reached — the oracle-twin mode).
+
+    Returns ``node``, ``core_degree`` (BIGINT, the node's degree inside
+    the final subgraph; ≥ k at fixpoint) for surviving nodes.
+    """
+    from opteryx_spark.operators.dedup import _checkpoint_tracked, _track_release
+
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    e = (
+        edges.filter(F.col(src_col).isNotNull() & F.col(dst_col).isNotNull())
+        .filter(F.col(src_col) != F.col(dst_col))
+        .select(
+            F.least(src_col, dst_col).alias("_a"),
+            F.greatest(src_col, dst_col).alias("_b"),
+        )
+        .distinct()
+    )
+    e, handle = _checkpoint_tracked(e)
+    n_edges = e.count() if max_rounds is None else None
+    rounds = 0
+    while True:
+        if max_rounds is not None and rounds >= max_rounds:
+            break
+        deg = (
+            e.select(F.col("_a").alias("node"))
+            .unionAll(e.select(F.col("_b").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("_deg"))
+        )
+        keep = deg.filter(F.col("_deg") >= F.lit(int(k))).select("node")
+        nxt = (
+            e.join(keep.withColumnRenamed("node", "_a"), "_a", "left_semi")
+            .join(keep.withColumnRenamed("node", "_b"), "_b", "left_semi")
+            .select("_a", "_b")
+        )
+        nxt, h = _checkpoint_tracked(nxt)
+        rounds += 1
+        if max_rounds is None:
+            n_next = nxt.count()
+            if n_next == n_edges:
+                _track_release(h)
+                break
+            n_edges = n_next
+        _track_release(handle)
+        handle = h
+        e = nxt
+    _track_release(handle)
+    deg = (
+        e.select(F.col("_a").alias("node"))
+        .unionAll(e.select(F.col("_b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("core_degree"))
+    )
+    return deg

@@ -1,0 +1,317 @@
+"""Suite wave 27 (round 7): time-series diagnostics (ACF, CUSUM
+change-point), graph k-core membership, and snapshot-governance audits
+(multi-relationship referential integrity, schema/statistics drift) —
+registered after ``pipeline7`` so the round-6 backlog plus the round-7
+registrations drain through the driver window first (the same tier-1b
+discipline as pipeline7's header note)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from opteryx_spark.operators import quality as _quality
+from opteryx_spark.operators import timeseries as _ts
+from opteryx_spark.operators import web as _web
+from opteryx_spark.suite import register
+from opteryx_spark.suite._util import t
+
+# --- daily series construction (shared by the two time-series entries) ---------
+
+_US_PER_DAY = 86_400_000_000
+
+_O_DAILY = f"""
+      SELECT event_type, epoch_us(ts) // {_US_PER_DAY} AS d,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM events GROUP BY event_type, epoch_us(ts) // {_US_PER_DAY}
+"""
+
+
+def _daily_counts(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.select(
+            "event_type",
+            F.expr(f"unix_micros(CAST(ts AS TIMESTAMP)) div {_US_PER_DAY}").alias("d"),
+        )
+        .groupBy("event_type", "d")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+# --- autocorrelation ------------------------------------------------------------
+
+_ACF_MAX_LAG = 7
+
+
+@register(
+    "ts_acf_daily",
+    oracle=f"""
+    WITH daily AS ({_O_DAILY}),
+    lags AS (SELECT CAST(x AS BIGINT) AS lag FROM range(1, {_ACF_MAX_LAG + 1}) t(x)),
+    pairs AS (
+      SELECT a.event_type, l.lag, a.cnt AS x, b.cnt AS y
+      FROM daily a CROSS JOIN lags l
+      JOIN daily b ON b.event_type = a.event_type AND b.d = a.d + l.lag
+    ), agg AS (
+      SELECT event_type, lag, count(*) AS n_pairs,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * x) AS BIGINT) AS sxx,
+             CAST(sum(y * y) AS BIGINT) AS syy,
+             CAST(sum(x * y) AS BIGINT) AS sxy
+      FROM pairs GROUP BY event_type, lag
+    )
+    SELECT event_type, lag, n_pairs,
+           CASE WHEN (n_pairs * sxx - sx * sx) > 0
+                 AND (n_pairs * syy - sy * sy) > 0
+                THEN CAST(n_pairs * sxy - sx * sy AS DOUBLE)
+                     / sqrt(CAST(n_pairs * sxx - sx * sx AS DOUBLE)
+                            * CAST(n_pairs * syy - sy * sy AS DOUBLE))
+           END AS acf
+    FROM agg ORDER BY event_type, lag
+    """,
+)
+def ts_acf_daily(spark, sf_dir):
+    """Per-type autocorrelation of the daily event-count series at lags
+    1..{_ACF_MAX_LAG} (``operators/timeseries.py::autocorrelation``):
+    BIGINT-exact Pearson sufficient statistics per (type, lag), one
+    fixed float expression at the end — the seasonality screen for
+    telemetry series.  Key-partitioned self-join + one aggregate; no
+    global window."""
+    return _ts.autocorrelation(
+        _daily_counts(spark, sf_dir),
+        key_cols=["event_type"],
+        t_col="d",
+        value_col="cnt",
+        max_lag=_ACF_MAX_LAG,
+    ).orderBy("event_type", "lag")
+
+
+# --- CUSUM change-point ---------------------------------------------------------
+
+
+@register(
+    "ts_cusum_changepoint",
+    oracle=f"""
+    WITH daily AS ({_O_DAILY}),
+    tot AS (
+      SELECT event_type, count(*) AS n_points, CAST(sum(cnt) AS BIGINT) AS total
+      FROM daily GROUP BY event_type
+    ), pre AS (
+      SELECT event_type, d,
+             CAST(sum(cnt) OVER (PARTITION BY event_type ORDER BY d
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS prefix,
+             CAST(row_number() OVER (PARTITION BY event_type ORDER BY d) AS BIGINT) AS i
+      FROM daily
+    ), scored AS (
+      SELECT p.event_type, t.n_points, t.total,
+             abs(t.n_points * p.prefix - p.i * t.total) AS abs_t, p.d
+      FROM pre p JOIN tot t USING (event_type)
+    ), ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY event_type
+                                   ORDER BY abs_t DESC, d ASC) AS rn
+      FROM scored
+    )
+    SELECT event_type, n_points, total, d AS cp_t,
+           CAST(abs_t AS BIGINT) AS cusum_peak_abs
+    FROM ranked WHERE rn = 1 ORDER BY event_type
+    """,
+)
+def ts_cusum_changepoint(spark, sf_dir):
+    """Per-type CUSUM change-point over the daily event-count series
+    (``operators/timeseries.py::cusum_changepoint``): the n-scaled
+    statistic ``T_i = n·prefix_i − i·total`` stays BIGINT-exact; the
+    peak |T| picks the level-shift boundary (earliest-day tie-break via
+    a ``min(struct)`` keeper, not a rank window)."""
+    return _ts.cusum_changepoint(
+        _daily_counts(spark, sf_dir),
+        key_cols=["event_type"],
+        t_col="d",
+        value_col="cnt",
+    ).orderBy("event_type")
+
+
+# --- k-core membership ----------------------------------------------------------
+
+# Same deterministic doc-id permutation family as graph_triangle_counts
+# (pipeline6), densified with three linear generators so the 5-core
+# peel is non-trivial: fixpoint in 3 rounds (206 of 211 nodes survive);
+# max_rounds=6 gives 2x margin and a fixed-depth oracle.  The edge set
+# depends only on doc_id mod 211, so it is identical at every SF.
+_KC_N = 211
+_KC_K = 5
+_KC_ROUNDS = 6
+
+_O_KC_EDGES = f"""
+      SELECT DISTINCT least(a, b) AS a, greatest(a, b) AS b FROM (
+        SELECT doc_id % {_KC_N} AS a, (doc_id * 31 + 7) % {_KC_N} AS b FROM documents
+        UNION ALL SELECT doc_id % {_KC_N}, (doc_id * 17 + 3) % {_KC_N} FROM documents
+        UNION ALL SELECT (doc_id * 13 + 5) % {_KC_N}, (doc_id * 41 + 11) % {_KC_N} FROM documents
+      ) t(a, b) WHERE a <> b
+"""
+
+
+def _kcore_oracle() -> str:
+    # every round CTE is MATERIALIZED: inlining would expand e{r} three
+    # times per round (once per reference) — 3^rounds re-scans of the
+    # base table, which exhausts file descriptors before it gets slow
+    parts = [f"WITH e0 AS MATERIALIZED ({_O_KC_EDGES})"]
+    for r in range(_KC_ROUNDS):
+        parts.append(
+            f""",
+    d{r} AS MATERIALIZED (SELECT node, count(*) AS deg
+             FROM (SELECT a AS node FROM e{r} UNION ALL SELECT b FROM e{r}) t(node)
+             GROUP BY node),
+    k{r} AS MATERIALIZED (SELECT node FROM d{r} WHERE deg >= {_KC_K}),
+    e{r + 1} AS MATERIALIZED (SELECT e.a, e.b FROM e{r} e
+                 JOIN k{r} ka ON e.a = ka.node
+                 JOIN k{r} kb ON e.b = kb.node)"""
+        )
+    parts.append(
+        f"""
+    SELECT node, count(*) AS core_degree
+    FROM (SELECT a AS node FROM e{_KC_ROUNDS}
+          UNION ALL SELECT b FROM e{_KC_ROUNDS}) t(node)
+    GROUP BY node ORDER BY node"""
+    )
+    return "".join(parts)
+
+
+@register("graph_kcore_membership", oracle=_kcore_oracle())
+def graph_kcore_membership(spark, sf_dir):
+    """{_KC_K}-core membership (``operators/web.py::kcore``) over the
+    deterministic doc-id permutation graph: iterative degree-peel, each
+    round one aggregate + two semi joins hash-partitioned on node id,
+    lineage re-rooted per round (the pagerank loop pattern).  Fixed
+    ``max_rounds={_KC_ROUNDS}`` (fixpoint reached in 3) so the oracle
+    unrolls the same number of peels."""
+    docs = t(spark, sf_dir, "documents")
+    g = [
+        docs.select(
+            (F.col("doc_id") % _KC_N).alias("src"),
+            ((F.col("doc_id") * 31 + 7) % _KC_N).alias("dst"),
+        ),
+        docs.select(
+            (F.col("doc_id") % _KC_N).alias("src"),
+            ((F.col("doc_id") * 17 + 3) % _KC_N).alias("dst"),
+        ),
+        docs.select(
+            ((F.col("doc_id") * 13 + 5) % _KC_N).alias("src"),
+            ((F.col("doc_id") * 41 + 11) % _KC_N).alias("dst"),
+        ),
+    ]
+    edges = g[0].unionAll(g[1]).unionAll(g[2])
+    return _web.kcore(edges, k=_KC_K, max_rounds=_KC_ROUNDS).orderBy("node")
+
+
+# --- multi-relationship referential-integrity audit -----------------------------
+
+
+def _o_fk(label: str, child: str, fk: str, parent_sql: str, pk: str) -> str:
+    return f"""
+      SELECT '{label}' AS chk, 'referential' AS kind,
+             (SELECT CAST(count(*) AS BIGINT) FROM {child} WHERE {fk} IS NOT NULL) AS n_rows,
+             (SELECT CAST(count(*) AS BIGINT) FROM {child} c
+              WHERE c.{fk} IS NOT NULL AND NOT EXISTS
+                (SELECT 1 FROM ({parent_sql}) p WHERE p.{pk} = c.{fk})) AS n_violations
+    """
+
+
+@register(
+    "quality_fk_audit",
+    oracle=f"""
+    WITH rep AS (
+      {_o_fk("lineitem.l_orderkey -> orders.o_orderkey", "lineitem", "l_orderkey", "SELECT o_orderkey FROM orders", "o_orderkey")}
+      UNION ALL {_o_fk("orders.o_custkey -> customer.c_custkey", "orders", "o_custkey", "SELECT c_custkey FROM customer", "c_custkey")}
+      UNION ALL {_o_fk("customer.c_nationkey -> nation.n_nationkey", "customer", "c_nationkey", "SELECT n_nationkey FROM nation", "n_nationkey")}
+      UNION ALL {_o_fk("events.user_id -> active_customer.c_custkey", "events", "user_id", "SELECT c_custkey FROM customer WHERE c_custkey < 100", "c_custkey")}
+      UNION ALL {_o_fk("embeddings.vec_id -> documents.doc_id", "embeddings", "vec_id", "SELECT doc_id FROM documents", "doc_id")}
+    )
+    SELECT chk AS "check", kind, n_rows, n_violations,
+           n_violations = 0 AS passed
+    FROM rep ORDER BY "check"
+    """,
+)
+def quality_fk_audit(spark, sf_dir):
+    """Whole-schema referential-integrity audit: five FK relationships,
+    each one LEFT ANTI join against the distinct (broadcastable) parent
+    key set (``operators/quality.py::referential_check``), unioned into
+    the uniform report schema.  The ``active_customer`` relationship
+    audits against a FILTERED dimension — the nonzero-orphan case that
+    proves the detection arithmetic (TPC-H proper is consistent by
+    construction)."""
+    li = t(spark, sf_dir, "lineitem")
+    orders = t(spark, sf_dir, "orders")
+    cust = t(spark, sf_dir, "customer")
+    nat = t(spark, sf_dir, "nation")
+    ev = t(spark, sf_dir, "events")
+    emb = t(spark, sf_dir, "embeddings")
+    docs = t(spark, sf_dir, "documents")
+    checks = [
+        _quality.referential_check(
+            li, orders, "l_orderkey", "o_orderkey",
+            name="lineitem.l_orderkey -> orders.o_orderkey"),
+        _quality.referential_check(
+            orders, cust, "o_custkey", "c_custkey",
+            name="orders.o_custkey -> customer.c_custkey"),
+        _quality.referential_check(
+            cust, nat, "c_nationkey", "n_nationkey",
+            name="customer.c_nationkey -> nation.n_nationkey"),
+        _quality.referential_check(
+            ev, cust.filter(F.col("c_custkey") < 100), "user_id", "c_custkey",
+            name="events.user_id -> active_customer.c_custkey"),
+        _quality.referential_check(
+            emb, docs, "vec_id", "doc_id",
+            name="embeddings.vec_id -> documents.doc_id"),
+    ]
+    out = checks[0]
+    for c in checks[1:]:
+        out = out.unionAll(c)
+    return out.orderBy("check")
+
+
+# --- snapshot schema/statistics drift -------------------------------------------
+
+# split boundary: 2024-01-16 00:00:00 UTC in epoch micros
+_DRIFT_SPLIT_US = 1_705_363_200_000_000
+_DRIFT_COLS = ("event_type", "user_id", "value", "props")
+
+
+def _o_drift_side(tag: str, pred: str) -> str:
+    aggs = [f"count(*) AS r"]
+    for i, c in enumerate(_DRIFT_COLS):
+        aggs.append(f"CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n{i}")
+        aggs.append(f"count(DISTINCT {c}) AS d{i}")
+    branches = " UNION ALL ".join(
+        f"SELECT '{c}' AS col_name, r AS rows_{tag}, coalesce(n{i}, 0) AS nulls_{tag}, d{i} AS distinct_{tag} FROM agg_{tag}"
+        for i, c in enumerate(_DRIFT_COLS)
+    )
+    return (
+        f"agg_{tag} AS (SELECT {', '.join(aggs)} FROM events WHERE {pred}),\n"
+        f"    u{tag} AS ({branches})"
+    )
+
+
+@register(
+    "quality_schema_drift",
+    oracle=f"""
+    WITH {_o_drift_side("a", f"epoch_us(ts) < {_DRIFT_SPLIT_US}")},
+    {_o_drift_side("b", f"epoch_us(ts) >= {_DRIFT_SPLIT_US}")}
+    SELECT ua.col_name, rows_a, nulls_a, distinct_a,
+           rows_b, nulls_b, distinct_b,
+           CAST(CASE WHEN rows_a > 0 AND rows_b > 0
+                THEN (nulls_b * 1000000) // rows_b - (nulls_a * 1000000) // rows_a
+                ELSE 0 END AS BIGINT) AS null_delta_ppm
+    FROM ua JOIN ub USING (col_name) ORDER BY col_name
+    """,
+)
+def quality_schema_drift(spark, sf_dir):
+    """Structural drift between two snapshots of ``events`` (split at a
+    fixed instant): per-column exact rows/nulls/distincts from ONE
+    fused aggregate pass per side, unpivoted via a struct-array explode
+    (``operators/quality.py::snapshot_drift``) — the cheap every-column
+    screen a recurring ingestion runs before batch promotion."""
+    ev = t(spark, sf_dir, "events")
+    us = F.expr("unix_micros(CAST(ts AS TIMESTAMP))")
+    a = ev.filter(us < F.lit(_DRIFT_SPLIT_US))
+    b = ev.filter(us >= F.lit(_DRIFT_SPLIT_US))
+    return _quality.snapshot_drift(a, b, list(_DRIFT_COLS)).orderBy("col_name")

@@ -1,0 +1,173 @@
+"""Unit tests for the wave-27 operators: time-series ACF/CUSUM, graph
+k-core, and snapshot drift.  Edge cases the suite oracles don't reach:
+degenerate (constant / single-point) series, k-core fixpoint mode vs
+fixed-round mode, empty-side drift."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from opteryx_spark.operators.quality import snapshot_drift
+from opteryx_spark.operators.timeseries import autocorrelation, cusum_changepoint
+from opteryx_spark.operators.web import kcore
+
+
+# --- autocorrelation ------------------------------------------------------------
+
+
+def test_acf_perfect_positive(spark):
+    # strictly increasing series: every lag-k alignment is perfectly
+    # correlated (both windows are affine in t) => acf == 1.0 exactly
+    rows = [("a", t, 10 + 3 * t) for t in range(10)]
+    df = spark.createDataFrame(rows, ["k", "t", "x"])
+    out = autocorrelation(df, ["k"], "t", "x", max_lag=2).collect()
+    assert len(out) == 2
+    for r in out:
+        assert r["n_pairs"] == 10 - r["lag"]
+        assert r["acf"] == pytest.approx(1.0)
+
+
+def test_acf_alternating_negative(spark):
+    # period-2 alternation: lag 1 perfectly anti-correlated, lag 2 perfect
+    rows = [("a", t, 5 if t % 2 == 0 else 1) for t in range(8)]
+    df = spark.createDataFrame(rows, ["k", "t", "x"])
+    out = {r["lag"]: r["acf"] for r in autocorrelation(df, ["k"], "t", "x", 2).collect()}
+    assert out[1] == pytest.approx(-1.0)
+    assert out[2] == pytest.approx(1.0)
+
+
+def test_acf_constant_series_null(spark):
+    # zero variance on both sides => NULL, not a division error
+    df = spark.createDataFrame([("a", t, 7) for t in range(6)], ["k", "t", "x"])
+    out = autocorrelation(df, ["k"], "t", "x", 1).collect()
+    assert len(out) == 1 and out[0]["acf"] is None
+
+
+def test_acf_gap_reduces_pairs(spark):
+    # missing t=2: lag-1 alignment loses the (1,2) and (2,3) pairs
+    df = spark.createDataFrame(
+        [("a", 0, 1), ("a", 1, 2), ("a", 3, 4), ("a", 4, 5)], ["k", "t", "x"]
+    )
+    out = autocorrelation(df, ["k"], "t", "x", 1).collect()
+    assert out[0]["n_pairs"] == 2
+
+
+def test_acf_rejects_bad_lag(spark):
+    df = spark.createDataFrame([("a", 0, 1)], ["k", "t", "x"])
+    with pytest.raises(ValueError):
+        autocorrelation(df, ["k"], "t", "x", max_lag=0)
+
+
+# --- CUSUM ----------------------------------------------------------------------
+
+
+def test_cusum_finds_level_shift(spark):
+    # 5 days at 10 then 5 days at 50: |T| peaks exactly at the boundary
+    rows = [("a", t, 10) for t in range(5)] + [("a", t, 50) for t in range(5, 10)]
+    df = spark.createDataFrame(rows, ["k", "t", "x"])
+    r = cusum_changepoint(df, ["k"], "t", "x").collect()[0]
+    assert r["cp_t"] == 4  # last point of the low regime
+    assert r["n_points"] == 10 and r["total"] == 300
+    # T_5 = n*prefix - i*total = 10*50 - 5*300 = -1000
+    assert r["cusum_peak_abs"] == 1000
+
+
+def test_cusum_constant_series_ties_to_earliest(spark):
+    # constant series: T_i == 0 everywhere; earliest t wins the tie
+    df = spark.createDataFrame([("a", t, 3) for t in range(4)], ["k", "t", "x"])
+    r = cusum_changepoint(df, ["k"], "t", "x").collect()[0]
+    assert r["cp_t"] == 0 and r["cusum_peak_abs"] == 0
+
+
+def test_cusum_single_point(spark):
+    df = spark.createDataFrame([("a", 9, 42)], ["k", "t", "x"])
+    r = cusum_changepoint(df, ["k"], "t", "x").collect()[0]
+    assert r["cp_t"] == 9 and r["n_points"] == 1 and r["cusum_peak_abs"] == 0
+
+
+def test_cusum_per_key_independent(spark):
+    rows = [("a", t, 1 if t < 3 else 9) for t in range(6)] + [
+        ("b", t, 9 if t < 3 else 1) for t in range(6)
+    ]
+    df = spark.createDataFrame(rows, ["k", "t", "x"])
+    out = {r["k"]: r for r in cusum_changepoint(df, ["k"], "t", "x").collect()}
+    assert out["a"]["cp_t"] == 2 and out["b"]["cp_t"] == 2
+    assert out["a"]["cusum_peak_abs"] == out["b"]["cusum_peak_abs"]
+
+
+# --- k-core ---------------------------------------------------------------------
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(list(pairs), ["src", "dst"])
+
+
+def test_kcore_triangle_plus_tail(spark):
+    # triangle {1,2,3} is the 2-core; the 3-4-5 tail peels away
+    e = _edges(spark, [(1, 2), (2, 3), (3, 1), (3, 4), (4, 5)])
+    got = {r["node"]: r["core_degree"] for r in kcore(e, k=2).collect()}
+    assert got == {1: 2, 2: 2, 3: 2}
+
+
+def test_kcore_cascade_peel(spark):
+    # removing the tail drops node 3 below degree 3 => cascades: chain
+    # 3-4, 4-5 peels first, then 3 loses its 3rd edge and peels too
+    e = _edges(spark, [(1, 2), (2, 3), (3, 1), (1, 4), (2, 4), (3, 4), (4, 5)])
+    got = {r["node"]: r["core_degree"] for r in kcore(e, k=3).collect()}
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3}
+
+
+def test_kcore_empty_result(spark):
+    e = _edges(spark, [(1, 2), (2, 3)])
+    assert kcore(e, k=2).count() == 0
+
+
+def test_kcore_fixed_rounds_matches_fixpoint(spark):
+    # max_rounds beyond the true fixpoint depth == fixpoint mode
+    e = _edges(spark, [(1, 2), (2, 3), (3, 1), (3, 4), (4, 5), (5, 6)])
+    fix = sorted(map(tuple, kcore(e, k=2).collect()))
+    capped = sorted(map(tuple, kcore(e, k=2, max_rounds=8).collect()))
+    assert fix == capped
+
+
+def test_kcore_canonicalizes_direction_and_loops(spark):
+    # duplicate reversed edges and self-loops must not inflate degrees
+    e = _edges(spark, [(1, 2), (2, 1), (2, 3), (3, 1), (1, 1)])
+    got = {r["node"]: r["core_degree"] for r in kcore(e, k=2).collect()}
+    assert got == {1: 2, 2: 2, 3: 2}
+
+
+def test_kcore_rejects_bad_k(spark):
+    with pytest.raises(ValueError):
+        kcore(_edges(spark, [(1, 2)]), k=0)
+
+
+# --- snapshot drift -------------------------------------------------------------
+
+
+def test_snapshot_drift_counts(spark):
+    a = spark.createDataFrame(
+        [(1, "x"), (2, "y"), (3, None), (4, "y")], ["id", "s"]
+    )
+    b = spark.createDataFrame([(5, None), (6, None)], "id: bigint, s: string")
+    out = {r["col_name"]: r for r in snapshot_drift(a, b, ["id", "s"]).collect()}
+    assert out["id"]["rows_a"] == 4 and out["id"]["rows_b"] == 2
+    assert out["s"]["nulls_a"] == 1 and out["s"]["nulls_b"] == 2
+    assert out["s"]["distinct_a"] == 2 and out["s"]["distinct_b"] == 0
+    # null rate 25% -> 100%: delta == 750000 ppm
+    assert out["s"]["null_delta_ppm"] == 750_000
+    assert out["id"]["null_delta_ppm"] == 0
+
+
+def test_snapshot_drift_empty_side(spark):
+    a = spark.createDataFrame([(1, "x")], ["id", "s"])
+    b = a.filter(F.lit(False))
+    out = {r["col_name"]: r for r in snapshot_drift(a, b, ["s"]).collect()}
+    assert out["s"]["rows_b"] == 0 and out["s"]["null_delta_ppm"] == 0
+
+
+def test_snapshot_drift_rejects_empty_columns(spark):
+    df = spark.createDataFrame([(1,)], ["id"])
+    with pytest.raises(ValueError):
+        snapshot_drift(df, df, [])
