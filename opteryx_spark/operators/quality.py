@@ -19,7 +19,15 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["row_checks", "unique_check", "referential_check", "benford_audit", "freshness_check"]
+__all__ = [
+    "row_checks",
+    "unique_check",
+    "referential_check",
+    "benford_audit",
+    "freshness_check",
+    "snapshot_drift",
+    "categorical_drift",
+]
 
 _REPORT_COLS = ("check", "kind", "n_rows", "n_violations", "passed")
 
@@ -333,4 +341,51 @@ def snapshot_drift(
         "nulls_b",
         "distinct_b",
         ppm.cast("bigint").alias("null_delta_ppm"),
+    )
+
+
+def categorical_drift(
+    a: DataFrame,
+    b: DataFrame,
+    col: str,
+) -> DataFrame:
+    """Categorical-distribution drift between two snapshots: per-category
+    counts and integer-ppm share deltas — the companion to
+    :func:`snapshot_drift` (structural) and ``features.psi_drift``
+    (numeric binned).  Half the sum of ``abs_delta_ppm`` is the total
+    variation distance in ppm, the scalar most drift monitors alert on.
+
+    A NULL category is a REAL stratum (a null-rate shift is exactly the
+    drift this screen must catch), so the two count frames align on a
+    null-safe equality and a category absent from one side counts 0
+    there.  Shares are truncating integer ppm (``div`` — identical in
+    Spark and DuckDB), so the output is float-free and engine-exact.
+
+    Scale shape: one groupBy per side + a full outer join on the
+    category key + two single-row total frames broadcast in — no
+    windows, no collect.
+
+    Returns ``category``, ``n_a``, ``n_b``, ``share_a_ppm``,
+    ``share_b_ppm``, ``abs_delta_ppm`` (all counts/shares BIGINT).
+    """
+    ca = a.groupBy(F.col(col).alias("_cat_a")).agg(F.count(F.lit(1)).alias("n_a"))
+    cb = b.groupBy(F.col(col).alias("_cat_b")).agg(F.count(F.lit(1)).alias("n_b"))
+    ta = a.groupBy().agg(F.count(F.lit(1)).alias("_tot_a"))
+    tb = b.groupBy().agg(F.count(F.lit(1)).alias("_tot_b"))
+    joined = (
+        ca.join(cb, F.col("_cat_a").eqNullSafe(F.col("_cat_b")), "full_outer")
+        .crossJoin(F.broadcast(ta))
+        .crossJoin(F.broadcast(tb))
+    )
+    n_a = F.coalesce(F.col("n_a"), F.lit(0))
+    n_b = F.coalesce(F.col("n_b"), F.lit(0))
+    share_a = F.when(F.col("_tot_a") > 0, F.expr("(coalesce(n_a, 0) * 1000000) div _tot_a")).otherwise(F.lit(0))
+    share_b = F.when(F.col("_tot_b") > 0, F.expr("(coalesce(n_b, 0) * 1000000) div _tot_b")).otherwise(F.lit(0))
+    return joined.select(
+        F.coalesce(F.col("_cat_a"), F.col("_cat_b")).alias("category"),
+        n_a.cast("bigint").alias("n_a"),
+        n_b.cast("bigint").alias("n_b"),
+        share_a.cast("bigint").alias("share_a_ppm"),
+        share_b.cast("bigint").alias("share_b_ppm"),
+        F.abs(share_a - share_b).cast("bigint").alias("abs_delta_ppm"),
     )

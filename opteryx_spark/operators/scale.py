@@ -342,3 +342,58 @@ def temporal_split(
         .when(us >= F.lit(hi), F.lit("test"))
         .when(us.isNotNull(), F.lit("embargo")),
     )
+
+
+def backtest_folds(
+    df: DataFrame,
+    ts_col: str,
+    cuts_us: list[int],
+    horizon_minutes: int,
+    embargo_minutes: int = 0,
+) -> DataFrame:
+    """Rolling-origin backtest assignment — the time-series
+    cross-validation counterpart of :func:`temporal_split`: each fold f
+    trains on everything strictly before its cut instant and tests on
+    the ``horizon_minutes`` window that starts ``embargo_minutes``
+    after the cut (the purge gap, same rationale as temporal_split).
+    Rows in a fold's embargo gap or beyond its test window simply don't
+    participate in that fold; NULL timestamps participate in none.
+
+    Map-only: one explode over the (tiny, literal) fold-spec array —
+    a row lands in at most ``len(cuts_us)`` folds, no shuffle, no
+    window.  At scale, aggregate or write per (fold, role) directly;
+    each fold is an independent training run anyway.
+
+    Returns the input columns + ``fold`` (BIGINT, index into
+    ``cuts_us``) and ``role`` ('train' | 'test'), one output row per
+    (input row, participating fold).
+    """
+    if not cuts_us:
+        raise ValueError("cuts_us must be non-empty")
+    if horizon_minutes <= 0:
+        raise ValueError("horizon_minutes must be > 0")
+    if embargo_minutes < 0:
+        raise ValueError("embargo_minutes must be >= 0")
+    emb = int(embargo_minutes) * 60 * 1_000_000
+    hor = int(horizon_minutes) * 60 * 1_000_000
+    specs = F.array(
+        *[
+            F.struct(
+                F.lit(i).cast("bigint").alias("fold"),
+                F.lit(int(c)).alias("cut_us"),
+            )
+            for i, c in enumerate(cuts_us)
+        ]
+    )
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    e = df.withColumn("_us", us).withColumn("_f", F.explode(specs))
+    lo = F.col("_f.cut_us") + F.lit(emb)
+    role = (
+        F.when(F.col("_us") < F.col("_f.cut_us"), F.lit("train"))
+        .when((F.col("_us") >= lo) & (F.col("_us") < lo + F.lit(hor)), F.lit("test"))
+    )
+    return (
+        e.withColumn("role", role)
+        .filter(F.col("_us").isNotNull() & F.col("role").isNotNull())
+        .select(*df.columns, F.col("_f.fold").alias("fold"), "role")
+    )

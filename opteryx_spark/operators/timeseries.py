@@ -162,3 +162,54 @@ def cusum_changepoint(
         F.col("_k._t").alias("cp_t"),
         (-F.col("_k._neg")).alias("cusum_peak_abs"),
     )
+
+
+def seasonal_naive_forecast(
+    series: DataFrame,
+    key_cols: list[str],
+    t_col: str,
+    value_col: str,
+    season: int = 7,
+    horizon: int | None = None,
+) -> DataFrame:
+    """Seasonal-naive forecast — the baseline every forecasting system
+    must beat (and the M-competition yardstick): the forecast for step
+    h ahead is the observation one season back at the same phase,
+    ``ŷ(T+h) = y(T+h−season)`` for ``h ≤ season``.
+
+    Per key, the anchor T is the max time index; the last season of
+    observations is re-dated forward by one season.  A key whose series
+    is shorter than its last season simply emits fewer forecast rows
+    (no imputation — honesty over coverage).  Composes with
+    ``events.gap_fill_series`` (densify first so every phase exists)
+    and ``events.seasonal_residuals`` (which measures exactly the error
+    this baseline leaves behind).
+
+    One groupBy for the anchors + one key-partitioned join — no global
+    window, integer-exact output.
+
+    Returns key cols + ``h`` (1-based steps ahead, BIGINT), ``for_t``
+    (= T + h), ``forecast`` (the lagged value, original type).
+    """
+    if season < 1:
+        raise ValueError("season must be >= 1")
+    hor = season if horizon is None else int(horizon)
+    if not 1 <= hor <= season:
+        raise ValueError("horizon must be in 1..season")
+    anchors = series.groupBy(*key_cols).agg(F.max(F.col(t_col).cast("bigint")).alias("_t_anchor"))
+    s = series.select(
+        *key_cols,
+        F.col(t_col).cast("bigint").alias("_t"),
+        F.col(value_col).alias("_v"),
+    )
+    out = (
+        s.join(anchors, [*key_cols])
+        .withColumn("h", F.col("_t") + F.lit(int(season)) - F.col("_t_anchor"))
+        .filter((F.col("h") >= 1) & (F.col("h") <= F.lit(hor)))
+    )
+    return out.select(
+        *key_cols,
+        "h",
+        (F.col("_t_anchor") + F.col("h")).alias("for_t"),
+        F.col("_v").alias("forecast"),
+    )

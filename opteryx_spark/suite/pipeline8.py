@@ -315,3 +315,124 @@ def quality_schema_drift(spark, sf_dir):
     a = ev.filter(us < F.lit(_DRIFT_SPLIT_US))
     b = ev.filter(us >= F.lit(_DRIFT_SPLIT_US))
     return _quality.snapshot_drift(a, b, list(_DRIFT_COLS)).orderBy("col_name")
+
+
+# --- wave 28: categorical drift, backtest folds, seasonal-naive forecast --------
+
+from opteryx_spark.operators import scale as _scale  # noqa: E402
+
+
+@register(
+    "quality_categorical_drift",
+    oracle=f"""
+    WITH a AS (SELECT event_type FROM events WHERE epoch_us(ts) < {_DRIFT_SPLIT_US}),
+    b AS (SELECT event_type FROM events WHERE epoch_us(ts) >= {_DRIFT_SPLIT_US}),
+    ca AS (SELECT event_type AS cat_a, CAST(count(*) AS BIGINT) AS n_a FROM a GROUP BY event_type),
+    cb AS (SELECT event_type AS cat_b, CAST(count(*) AS BIGINT) AS n_b FROM b GROUP BY event_type),
+    ta AS (SELECT count(*) AS tot_a FROM a),
+    tb AS (SELECT count(*) AS tot_b FROM b),
+    j AS (
+      SELECT coalesce(cat_a, cat_b) AS category,
+             coalesce(n_a, 0) AS n_a, coalesce(n_b, 0) AS n_b,
+             CASE WHEN tot_a > 0 THEN (coalesce(n_a, 0) * 1000000) // tot_a ELSE 0 END AS sa,
+             CASE WHEN tot_b > 0 THEN (coalesce(n_b, 0) * 1000000) // tot_b ELSE 0 END AS sb
+      FROM ca FULL OUTER JOIN cb ON cat_a IS NOT DISTINCT FROM cat_b
+      CROSS JOIN ta CROSS JOIN tb
+    )
+    SELECT category, CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+           CAST(sa AS BIGINT) AS share_a_ppm, CAST(sb AS BIGINT) AS share_b_ppm,
+           CAST(abs(sa - sb) AS BIGINT) AS abs_delta_ppm
+    FROM j ORDER BY category
+    """,
+)
+def quality_categorical_drift(spark, sf_dir):
+    """Categorical-distribution drift of ``event_type`` across the same
+    snapshot split as `quality_schema_drift`
+    (``operators/quality.py::categorical_drift``): per-category counts
+    both sides (NULL-safe category alignment — a NULL stratum is real),
+    truncating integer ppm shares, |delta| per category.  One groupBy
+    per side + a full outer join; float-free."""
+    ev = t(spark, sf_dir, "events")
+    us = F.expr("unix_micros(CAST(ts AS TIMESTAMP))")
+    a = ev.filter(us < F.lit(_DRIFT_SPLIT_US))
+    b = ev.filter(us >= F.lit(_DRIFT_SPLIT_US))
+    return _quality.categorical_drift(a, b, "event_type").orderBy("category")
+
+
+# rolling-origin folds: weekly cuts, 1-day embargo, 7-day test horizon
+_BT_CUTS_US = (1_704_672_000_000_000, 1_705_276_800_000_000, 1_705_881_600_000_000)
+_BT_EMB_MIN = 1_440
+_BT_HOR_MIN = 7 * 1_440
+
+
+@register(
+    "sample_backtest_folds",
+    oracle=f"""
+    WITH folds AS (
+      SELECT * FROM (VALUES
+        (0, {_BT_CUTS_US[0]}), (1, {_BT_CUTS_US[1]}), (2, {_BT_CUTS_US[2]})
+      ) t(fold, cut_us)
+    ), e AS (SELECT epoch_us(ts) AS us FROM events WHERE ts IS NOT NULL),
+    asn AS (
+      SELECT f.fold,
+             CASE WHEN e.us < f.cut_us THEN 'train'
+                  WHEN e.us >= f.cut_us + {_BT_EMB_MIN * 60_000_000}
+                   AND e.us < f.cut_us + {(_BT_EMB_MIN + _BT_HOR_MIN) * 60_000_000}
+                  THEN 'test' END AS role,
+             e.us
+      FROM e CROSS JOIN folds f
+    )
+    SELECT CAST(fold AS BIGINT) AS fold, role,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(min(us) AS BIGINT) AS min_us, CAST(max(us) AS BIGINT) AS max_us
+    FROM asn WHERE role IS NOT NULL
+    GROUP BY fold, role ORDER BY fold, role
+    """,
+)
+def sample_backtest_folds(spark, sf_dir):
+    """Rolling-origin backtest folds over ``events``
+    (``operators/scale.py::backtest_folds``): three weekly cut instants,
+    1-day embargo (purge gap), 7-day test horizon — summarized per
+    (fold, role) as counts + time bounds.  The assignment itself is
+    map-only (one literal fold-spec explode, no shuffle)."""
+    ev = t(spark, sf_dir, "events")
+    assigned = _scale.backtest_folds(
+        ev, "ts", list(_BT_CUTS_US),
+        horizon_minutes=_BT_HOR_MIN, embargo_minutes=_BT_EMB_MIN,
+    )
+    us = F.expr("unix_micros(CAST(ts AS TIMESTAMP))")
+    return (
+        assigned.groupBy("fold", "role")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min(us).alias("min_us"),
+            F.max(us).alias("max_us"),
+        )
+        .orderBy("fold", "role")
+    )
+
+
+@register(
+    "ts_forecast_snaive",
+    oracle=f"""
+    WITH daily AS ({_O_DAILY}),
+    anch AS (SELECT event_type, max(d) AS t_max FROM daily GROUP BY event_type)
+    SELECT s.event_type, s.d + 7 - a.t_max AS h, s.d + 7 AS for_t,
+           s.cnt AS forecast
+    FROM daily s JOIN anch a USING (event_type)
+    WHERE s.d + 7 - a.t_max BETWEEN 1 AND 7
+    ORDER BY event_type, h
+    """,
+)
+def ts_forecast_snaive(spark, sf_dir):
+    """Seasonal-naive forecast of the next week of daily per-type event
+    counts (``operators/timeseries.py::seasonal_naive_forecast``): the
+    M-competition baseline ŷ(T+h) = y(T+h−7) — one anchor aggregate +
+    one key-partitioned join, integer-exact."""
+    return _ts.seasonal_naive_forecast(
+        _daily_counts(spark, sf_dir),
+        key_cols=["event_type"],
+        t_col="d",
+        value_col="cnt",
+        season=7,
+    ).orderBy("event_type", "h")

@@ -171,3 +171,91 @@ def test_snapshot_drift_rejects_empty_columns(spark):
     df = spark.createDataFrame([(1,)], ["id"])
     with pytest.raises(ValueError):
         snapshot_drift(df, df, [])
+
+
+# --- wave 28: categorical drift / backtest folds / seasonal-naive ---------------
+
+from opteryx_spark.operators.quality import categorical_drift
+from opteryx_spark.operators.scale import backtest_folds
+from opteryx_spark.operators.timeseries import seasonal_naive_forecast
+
+_MIN_US = 60_000_000
+
+
+def test_categorical_drift_null_stratum(spark):
+    a = spark.createDataFrame([("x",), ("x",), ("y",), (None,)], "c: string")
+    b = spark.createDataFrame([("x",), (None,), (None,), (None,)], "c: string")
+    out = {r["category"]: r for r in categorical_drift(a, b, "c").collect()}
+    # NULL is a real stratum: 25% -> 75%
+    assert out[None]["n_a"] == 1 and out[None]["n_b"] == 3
+    assert out[None]["share_a_ppm"] == 250_000 and out[None]["share_b_ppm"] == 750_000
+    assert out[None]["abs_delta_ppm"] == 500_000
+    # category absent from one side counts 0 there
+    assert out["y"]["n_b"] == 0 and out["y"]["share_b_ppm"] == 0
+
+
+def test_categorical_drift_empty_side(spark):
+    a = spark.createDataFrame([("x",)], "c: string")
+    b = a.filter("c = 'nope'")
+    out = {r["category"]: r for r in categorical_drift(a, b, "c").collect()}
+    assert out["x"]["share_b_ppm"] == 0 and out["x"]["abs_delta_ppm"] == 1_000_000
+
+
+def _ts_df(spark, rows):
+    return spark.createDataFrame(
+        [(i, f"2024-01-{d:02d} 12:00:00") for i, d in rows], "id: bigint, ts: string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+
+def test_backtest_folds_roles(spark):
+    # cut at Jan 10 00:00 UTC; embargo 1 day; horizon 2 days
+    cut = 1_704_844_800_000_000
+    df = _ts_df(spark, [(1, 5), (2, 10), (3, 11), (4, 12), (5, 20)])
+    out = backtest_folds(df, "ts", [cut], horizon_minutes=2 * 1440, embargo_minutes=1440)
+    got = {(r["id"], r["fold"]): r["role"] for r in out.collect()}
+    assert got[(1, 0)] == "train"       # before cut
+    assert (2, 0) not in got            # embargo day (Jan 10) excluded
+    assert got[(3, 0)] == "test" and got[(4, 0)] == "test"
+    assert (5, 0) not in got            # beyond horizon
+
+
+def test_backtest_folds_multi_fold_membership(spark):
+    # a row before both cuts trains in both folds
+    cuts = [1_704_844_800_000_000, 1_705_276_800_000_000]  # Jan 10, Jan 15
+    df = _ts_df(spark, [(1, 5)])
+    out = backtest_folds(df, "ts", cuts, horizon_minutes=1440)
+    assert sorted(r["fold"] for r in out.collect()) == [0, 1]
+
+
+def test_backtest_folds_validation(spark):
+    df = _ts_df(spark, [(1, 5)])
+    with pytest.raises(ValueError):
+        backtest_folds(df, "ts", [], horizon_minutes=60)
+    with pytest.raises(ValueError):
+        backtest_folds(df, "ts", [0], horizon_minutes=0)
+
+
+def test_snaive_forecast_shifts_last_season(spark):
+    rows = [("a", t, 100 + t) for t in range(10)]  # t = 0..9, anchor T=9
+    df = spark.createDataFrame(rows, ["k", "t", "x"])
+    out = {r["h"]: r for r in seasonal_naive_forecast(df, ["k"], "t", "x", season=3).collect()}
+    # last season: t in {7,8,9} -> h = t+3-9 in {1,2,3}; forecast = y(t)
+    assert set(out) == {1, 2, 3}
+    assert out[1]["forecast"] == 107 and out[1]["for_t"] == 10
+    assert out[3]["forecast"] == 109 and out[3]["for_t"] == 12
+
+
+def test_snaive_forecast_short_series(spark):
+    # series shorter than one season: emits only what exists, no imputation
+    df = spark.createDataFrame([("a", 0, 5), ("a", 1, 6)], ["k", "t", "x"])
+    out = seasonal_naive_forecast(df, ["k"], "t", "x", season=7).collect()
+    assert len(out) == 2
+    assert {r["forecast"] for r in out} == {5, 6}
+
+
+def test_snaive_forecast_validation(spark):
+    df = spark.createDataFrame([("a", 0, 5)], ["k", "t", "x"])
+    with pytest.raises(ValueError):
+        seasonal_naive_forecast(df, ["k"], "t", "x", season=0)
+    with pytest.raises(ValueError):
+        seasonal_naive_forecast(df, ["k"], "t", "x", season=7, horizon=8)
