@@ -436,3 +436,45 @@ def ts_forecast_snaive(spark, sf_dir):
         value_col="cnt",
         season=7,
     ).orderBy("event_type", "h")
+
+
+# --- rank-family window functions (ntile / percent_rank / cume_dist / nth) ------
+
+
+@register(
+    "window_rank_variants",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority,
+           ntile(4) OVER w AS quartile,
+           percent_rank() OVER w AS pct_rank,
+           cume_dist() OVER w AS cume,
+           nth_value(o_orderkey, 2) OVER (PARTITION BY o_orderpriority
+                ORDER BY o_orderkey
+                ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+             AS second_key
+    FROM orders
+    WHERE o_custkey < 50
+    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_orderkey)
+    ORDER BY o_orderpriority, o_orderkey
+    """,
+)
+def window_rank_variants(spark, sf_dir):
+    """The rank-family window functions the other window entries don't
+    reach: NTILE(4), PERCENT_RANK, CUME_DIST, NTH_VALUE — partitioned
+    by priority, ordered by the unique key (fully deterministic).
+    percent_rank/cume_dist are the same (rank−1)/(n−1)- and
+    rank/n-style IEEE expressions in both engines over exact integer
+    ranks; nth_value pins the full-partition frame explicitly."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("o_orderpriority").orderBy("o_orderkey")
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    orders = t(spark, sf_dir, "orders").filter(F.col("o_custkey") < 50)
+    return orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+        F.nth_value("o_orderkey", 2).over(w_full).alias("second_key"),
+    ).orderBy("o_orderpriority", "o_orderkey")

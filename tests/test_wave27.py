@@ -259,3 +259,47 @@ def test_snaive_forecast_validation(spark):
         seasonal_naive_forecast(df, ["k"], "t", "x", season=0)
     with pytest.raises(ValueError):
         seasonal_naive_forecast(df, ["k"], "t", "x", season=7, horizon=8)
+
+
+# --- plan-shape assertions (the 100 TB properties of the new operators) ---------
+
+from opteryx_spark.operators.scale import explain_shuffle_count
+from opteryx_spark.plans import explain_text
+
+
+def test_backtest_folds_is_map_only(spark):
+    # fold assignment itself must not shuffle: literal-array explode + filter
+    df = _ts_df(spark, [(i, 1 + i % 20) for i in range(50)])
+    out = backtest_folds(df, "ts", [1_704_844_800_000_000], horizon_minutes=1440)
+    assert explain_shuffle_count(out) == 0
+
+
+def test_acf_no_global_window_or_cartesian(spark):
+    df = spark.createDataFrame(
+        [("k%d" % (i % 3), i // 3, i) for i in range(30)], ["k", "t", "x"]
+    )
+    text = explain_text(autocorrelation(df, ["k"], "t", "x", 3))
+    assert "CartesianProduct" not in text
+    assert "Window" not in text  # ACF is join+agg, never a window
+
+
+def test_cusum_window_is_key_partitioned(spark):
+    df = spark.createDataFrame(
+        [("k%d" % (i % 3), i // 3, i) for i in range(30)], ["k", "t", "x"]
+    )
+    text = explain_text(cusum_changepoint(df, ["k"], "t", "x"))
+    assert "CartesianProduct" not in text
+    # the running-sum window must carry the key partition spec, and the
+    # keeper must be an aggregate (min(struct)), not a second window
+    assert "partial_min" in text
+
+
+def test_categorical_drift_no_cartesian_fact_join(spark):
+    a = spark.createDataFrame([("x",)] * 10, "c: string")
+    b = spark.createDataFrame([("y",)] * 10, "c: string")
+    text = explain_text(categorical_drift(a, b, "c"))
+    # the only nested-loop joins are the two single-row total broadcasts
+    # (formatted explain prints each node twice: tree line + detail
+    # section — count detail sections, one per physical node)
+    assert "CartesianProduct" not in text
+    assert text.count("Join type: Cross") <= 2
