@@ -118,6 +118,12 @@ def cusum_changepoint(
     most likely level-shift boundary); ties break to the EARLIEST time
     index so the result is deterministic.
 
+    Rows with a NULL time index are EXCLUDED: a point without a
+    position has no place in a cumulative-in-time statistic (and NULL
+    sort placement differs across engines — NULLS FIRST in Spark ASC,
+    NULLS LAST in DuckDB — so admitting them would also make the
+    result engine-dependent).
+
     Scale shape: one running-sum window PARTITIONED BY the key columns
     (never a global window) feeding one ``min(struct)`` keeper
     aggregate — map-side combinable, no rank-then-filter second window.
@@ -128,6 +134,7 @@ def cusum_changepoint(
     """
     from pyspark.sql.window import Window
 
+    series = series.filter(F.col(t_col).isNotNull())
     w_order = Window.partitionBy(*key_cols).orderBy(t_col)
     w_sum = w_order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     x = F.col(value_col).cast("bigint")

@@ -22,12 +22,15 @@ _US_PER_DAY = 86_400_000_000
 _O_DAILY = f"""
       SELECT event_type, epoch_us(ts) // {_US_PER_DAY} AS d,
              CAST(count(*) AS BIGINT) AS cnt
-      FROM events GROUP BY event_type, epoch_us(ts) // {_US_PER_DAY}
+      FROM events WHERE ts IS NOT NULL
+      GROUP BY event_type, epoch_us(ts) // {_US_PER_DAY}
 """
 
 
 def _daily_counts(spark, sf_dir):
-    ev = t(spark, sf_dir, "events")
+    # NULL-ts rows carry no series position (and the cusum operator
+    # excludes NULL t by contract) — drop them on BOTH engine sides
+    ev = t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     return (
         ev.select(
             "event_type",

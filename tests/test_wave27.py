@@ -303,3 +303,13 @@ def test_categorical_drift_no_cartesian_fact_join(spark):
     # section — count detail sections, one per physical node)
     assert "CartesianProduct" not in text
     assert text.count("Join type: Cross") <= 2
+
+
+def test_cusum_excludes_null_time_index(spark):
+    # a point with NULL t has no series position — excluded by contract
+    df = spark.createDataFrame(
+        [("a", 0, 10), ("a", 1, 10), ("a", None, 999), ("a", 2, 50)],
+        "k: string, t: bigint, x: bigint",
+    )
+    r = cusum_changepoint(df, ["k"], "t", "x").collect()[0]
+    assert r["n_points"] == 3 and r["total"] == 70
