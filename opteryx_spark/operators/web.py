@@ -560,3 +560,82 @@ def kcore(
         .agg(F.count(F.lit(1)).alias("core_degree"))
     )
     return deg
+
+
+def core_numbers(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_rounds: int | None = None,
+) -> DataFrame:
+    """Full core decomposition — every node's core number (the largest k
+    for which it survives the k-core peel; :func:`kcore` answers one k,
+    this answers all of them at once) via distributed h-index iteration
+    (Lü, Zhou, Zhang & Stanley, "The H-index of a network node", 2016):
+    start every node at its degree, then repeatedly replace each node's
+    value with the h-index of its neighbors' values; the sequence is
+    monotone non-increasing and converges to the exact core number.
+
+    The classic peeling algorithm is inherently sequential (a global
+    min-degree bucket queue); h-index iteration is the scale-out
+    formulation — each round is one key-partitioned join (neighbor
+    values), one per-NODE window (rank neighbor values descending) and
+    one max aggregate: ``h = max(least(rank, val))``.  No global state,
+    no driver data; lineage re-roots per round (the pagerank pattern).
+
+    Fixpoint mode costs one small fixpoint-check count per round;
+    ``max_rounds`` runs a fixed number of rounds instead (the
+    oracle-twin mode — values are exact once the fixpoint round count
+    is covered, conservative upper bounds otherwise).
+
+    Returns ``node``, ``core_number`` (BIGINT).
+    """
+    from opteryx_spark.operators.dedup import _checkpoint_tracked, _track_release
+
+    e = (
+        edges.filter(F.col(src_col).isNotNull() & F.col(dst_col).isNotNull())
+        .filter(F.col(src_col) != F.col(dst_col))
+        .select(
+            F.least(src_col, dst_col).alias("_a"),
+            F.greatest(src_col, dst_col).alias("_b"),
+        )
+        .distinct()
+    )
+    nbrs = e.select(F.col("_a").alias("node"), F.col("_b").alias("nbr")).unionAll(
+        e.select(F.col("_b").alias("node"), F.col("_a").alias("nbr"))
+    )
+    nbrs, nbrs_handle = _checkpoint_tracked(nbrs)
+    v = nbrs.groupBy("node").agg(F.count(F.lit(1)).alias("val"))
+    v, handle = _checkpoint_tracked(v)
+    rounds = 0
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("node").orderBy(F.col("_nv").desc(), F.col("nbr"))
+    while max_rounds is None or rounds < max_rounds:
+        ranked = nbrs.join(
+            v.select(F.col("node").alias("nbr"), F.col("val").alias("_nv")), "nbr"
+        ).select(
+            "node", "_nv", F.row_number().over(w).cast("bigint").alias("_rn")
+        )
+        nxt = ranked.groupBy("node").agg(
+            F.max(F.least(F.col("_rn"), F.col("_nv"))).alias("val")
+        )
+        nxt, h = _checkpoint_tracked(nxt)
+        rounds += 1
+        if max_rounds is None:
+            # converged when no node's value moved this round
+            n_changed = (
+                nxt.select("node", F.col("val").alias("_new"))
+                .join(v, "node")
+                .filter(F.col("_new") != F.col("val"))
+                .count()
+            )
+            if n_changed == 0:
+                _track_release(h)
+                break
+        _track_release(handle)
+        handle = h
+        v = nxt
+    _track_release(handle)
+    _track_release(nbrs_handle)
+    return v.select("node", F.col("val").alias("core_number"))

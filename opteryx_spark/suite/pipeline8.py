@@ -481,3 +481,67 @@ def window_rank_variants(spark, sf_dir):
         F.cume_dist().over(w).alias("cume"),
         F.nth_value("o_orderkey", 2).over(w_full).alias("second_key"),
     ).orderBy("o_orderpriority", "o_orderkey")
+
+
+# --- full core decomposition (h-index iteration) --------------------------------
+
+_CN_ROUNDS = 6  # fixpoint reached in 4 on this graph; 6 = margin
+
+
+def _core_numbers_oracle() -> str:
+    parts = [
+        f"""WITH e0 AS MATERIALIZED ({_O_KC_EDGES}),
+    nbrs AS MATERIALIZED (
+      SELECT a AS node, b AS nbr FROM e0
+      UNION ALL SELECT b AS node, a AS nbr FROM e0
+    ),
+    v0 AS MATERIALIZED (
+      SELECT node, CAST(count(*) AS BIGINT) AS val FROM nbrs GROUP BY node
+    )"""
+    ]
+    for r in range(_CN_ROUNDS):
+        parts.append(
+            f""",
+    v{r + 1} AS MATERIALIZED (
+      SELECT node, max(least(rn, val)) AS val FROM (
+        SELECT nb.node, v.val,
+               CAST(row_number() OVER (PARTITION BY nb.node
+                    ORDER BY v.val DESC, nb.nbr) AS BIGINT) AS rn
+        FROM nbrs nb JOIN v{r} v ON v.node = nb.nbr
+      ) ranked GROUP BY node
+    )"""
+        )
+    parts.append(
+        f"""
+    SELECT node, CAST(val AS BIGINT) AS core_number
+    FROM v{_CN_ROUNDS} ORDER BY node"""
+    )
+    return "".join(parts)
+
+
+@register("graph_core_numbers", oracle=_core_numbers_oracle())
+def graph_core_numbers(spark, sf_dir):
+    """Every node's core number via distributed h-index iteration
+    (``operators/web.py::core_numbers``; Lü et al. 2016) over the same
+    permutation graph as `graph_kcore_membership` — the scale-out
+    replacement for the inherently-sequential peeling algorithm.
+    Fixed ``max_rounds={_CN_ROUNDS}`` (fixpoint in 4), oracle unrolls
+    the same rounds; consistency cross-check: every node with
+    core_number ≥ 5 is exactly the 5-core membership entry."""
+    docs = t(spark, sf_dir, "documents")
+    g = [
+        docs.select(
+            (F.col("doc_id") % _KC_N).alias("src"),
+            ((F.col("doc_id") * 31 + 7) % _KC_N).alias("dst"),
+        ),
+        docs.select(
+            (F.col("doc_id") % _KC_N).alias("src"),
+            ((F.col("doc_id") * 17 + 3) % _KC_N).alias("dst"),
+        ),
+        docs.select(
+            ((F.col("doc_id") * 13 + 5) % _KC_N).alias("src"),
+            ((F.col("doc_id") * 41 + 11) % _KC_N).alias("dst"),
+        ),
+    ]
+    edges = g[0].unionAll(g[1]).unionAll(g[2])
+    return _web.core_numbers(edges, max_rounds=_CN_ROUNDS).orderBy("node")

@@ -313,3 +313,38 @@ def test_cusum_excludes_null_time_index(spark):
     )
     r = cusum_changepoint(df, ["k"], "t", "x").collect()[0]
     assert r["n_points"] == 3 and r["total"] == 70
+
+
+# --- core numbers (h-index iteration) -------------------------------------------
+
+from opteryx_spark.operators.web import core_numbers
+
+
+def test_core_numbers_triangle_plus_tail(spark):
+    # triangle = 2-core; tail nodes peel at k=1 => core number 1
+    e = _edges(spark, [(1, 2), (2, 3), (3, 1), (3, 4), (4, 5)])
+    got = {r["node"]: r["core_number"] for r in core_numbers(e).collect()}
+    assert got == {1: 2, 2: 2, 3: 2, 4: 1, 5: 1}
+
+
+def test_core_numbers_clique_is_uniform(spark):
+    # K4: every node has core number 3
+    pairs = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    got = {r["node"]: r["core_number"] for r in core_numbers(_edges(spark, pairs)).collect()}
+    assert got == {0: 3, 1: 3, 2: 3, 3: 3}
+
+
+def test_core_numbers_fixed_rounds_matches_fixpoint(spark):
+    e = _edges(spark, [(1, 2), (2, 3), (3, 1), (1, 4), (2, 4), (3, 4), (4, 5), (5, 6)])
+    fix = sorted(map(tuple, core_numbers(e).collect()))
+    capped = sorted(map(tuple, core_numbers(e, max_rounds=10).collect()))
+    assert fix == capped
+
+
+def test_core_numbers_consistent_with_kcore(spark):
+    # nodes with core_number >= k are EXACTLY the k-core membership
+    pairs = [(1, 2), (2, 3), (3, 1), (1, 4), (2, 4), (3, 4), (4, 5), (5, 6), (6, 4)]
+    e = _edges(spark, pairs)
+    cores = {r["node"] for r in core_numbers(e).collect() if r["core_number"] >= 2}
+    members = {r["node"] for r in kcore(e, k=2).collect()}
+    assert cores == members
