@@ -1,6 +1,8 @@
-"""Suite wave 27 (round 7): time-series diagnostics (ACF, CUSUM
-change-point), graph k-core membership, and snapshot-governance audits
-(multi-relationship referential integrity, schema/statistics drift) —
+"""Suite waves 27-28 (round 7): time-series diagnostics (ACF, CUSUM
+change-point, seasonal-naive forecast), graph k-core membership + full
+core decomposition, snapshot-governance audits (multi-relationship
+referential integrity, schema/statistics drift, categorical drift),
+rolling-origin backtest folds, and the rank-family window functions —
 registered after ``pipeline7`` so the round-6 backlog plus the round-7
 registrations drain through the driver window first (the same tier-1b
 discipline as pipeline7's header note)."""
