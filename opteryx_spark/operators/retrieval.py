@@ -503,3 +503,117 @@ def mmr_rerank(
         rows, f"rank long, {id_col} long, rel long, mmr_score long"
     )
     return out
+
+
+def rank_metrics(
+    results: DataFrame,
+    qrels: DataFrame,
+    query_col: str = "query_id",
+    doc_col: str = "doc_id",
+    rank_col: str = "rank",
+    rel_col: str = "rel",
+    k: int = 10,
+) -> DataFrame:
+    """Ranked-retrieval evaluation: per-query MRR and nDCG@k — the
+    metrics a retrieval stack (BM25 / ANN / hybrid RRF, all implemented
+    in this module and ``operators/similarity.py``) is tuned against.
+
+    ``results`` holds ranked lists (one row per (query, doc) with a
+    1-based ``rank_col``); ``qrels`` holds graded relevance (BIGINT
+    ``rel_col`` ≥ 0; missing pairs are irrelevant).  Determinism: the
+    discount weights 1/log2(rank+1) are PYTHON-quantized ppm constants
+    (identical literals in any engine — no runtime log), so every
+    metric is integer arithmetic end to end:
+
+    - ``rr_ppm``      = 1e6 div (first rank with rel > 0); 0 if no hit
+    - ``dcg_micro``   = Σ_{rank ≤ k} rel · w_ppm[rank]
+    - ``idcg_micro``  = the same sum over the query's relevant docs
+      sorted rel DESC (doc id tiebreak), top k — the ideal ordering
+    - ``ndcg_ppm``    = dcg_micro·1e6 div idcg_micro; 0 when idcg = 0
+
+    Scale shape: one equi join on (query, doc), one query-partitioned
+    window for the ideal ordering, two key-partitioned aggregates — no
+    global window, no collect; macro-average by summing the ppm columns
+    over queries downstream (exact).
+
+    Returns one row per query in ``results``: query col + ``n_retrieved``,
+    ``n_relevant``, ``rr_ppm``, ``dcg_micro``, ``idcg_micro``,
+    ``ndcg_ppm`` (all BIGINT).
+    """
+    import math
+
+    from pyspark.sql.window import Window
+
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    w_ppm = {r: int(math.floor(1_000_000 / math.log2(r + 1) + 0.5)) for r in range(1, k + 1)}
+
+    hits = results.join(
+        qrels.select(
+            F.col(query_col), F.col(doc_col), F.col(rel_col).cast("bigint").alias("_rel")
+        ),
+        [query_col, doc_col],
+        "left",
+    ).select(
+        F.col(query_col),
+        F.col(rank_col).cast("bigint").alias("_rank"),
+        F.coalesce(F.col("_rel"), F.lit(0)).alias("_rel"),
+    )
+    per_q = hits.groupBy(query_col).agg(
+        F.count(F.lit(1)).alias("n_retrieved"),
+        F.min(F.when(F.col("_rel") > 0, F.col("_rank"))).alias("_first_hit"),
+        F.sum(
+            F.when(
+                (F.col("_rank") <= k) & (F.col("_rel") > 0),
+                F.col("_rel") * F.element_at(
+                    F.array(*[F.lit(w_ppm[r]).cast("bigint") for r in range(1, k + 1)]),
+                    F.col("_rank").cast("int"),
+                ),
+            ).otherwise(F.lit(0))
+        ).alias("dcg_micro"),
+    )
+
+    w_ideal = Window.partitionBy(query_col).orderBy(
+        F.col(rel_col).cast("bigint").desc(), F.col(doc_col)
+    )
+    ideal = (
+        qrels.filter(F.col(rel_col) > 0)
+        .select(
+            F.col(query_col),
+            F.col(rel_col).cast("bigint").alias("_rel"),
+            F.row_number().over(w_ideal).cast("bigint").alias("_irank"),
+        )
+        .groupBy(query_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_relevant"),
+            F.sum(
+                F.when(
+                    F.col("_irank") <= k,
+                    F.col("_rel") * F.element_at(
+                        F.array(*[F.lit(w_ppm[r]).cast("bigint") for r in range(1, k + 1)]),
+                        F.col("_irank").cast("int"),
+                    ),
+                ).otherwise(F.lit(0))
+            ).alias("idcg_micro"),
+        )
+    )
+
+    out = per_q.join(ideal, [query_col], "left")
+    return out.select(
+        F.col(query_col),
+        "n_retrieved",
+        F.coalesce(F.col("n_relevant"), F.lit(0)).cast("bigint").alias("n_relevant"),
+        F.coalesce(
+            F.when(F.col("_first_hit").isNotNull(), F.expr("1000000 div _first_hit")),
+            F.lit(0),
+        ).cast("bigint").alias("rr_ppm"),
+        F.col("dcg_micro").cast("bigint").alias("dcg_micro"),
+        F.coalesce(F.col("idcg_micro"), F.lit(0)).cast("bigint").alias("idcg_micro"),
+        F.coalesce(
+            F.when(
+                F.coalesce(F.col("idcg_micro"), F.lit(0)) > 0,
+                F.expr("(dcg_micro * 1000000) div idcg_micro"),
+            ),
+            F.lit(0),
+        ).cast("bigint").alias("ndcg_ppm"),
+    )

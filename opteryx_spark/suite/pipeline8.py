@@ -547,3 +547,94 @@ def graph_core_numbers(spark, sf_dir):
     ]
     edges = g[0].unionAll(g[1]).unionAll(g[2])
     return _web.core_numbers(edges, max_rounds=_CN_ROUNDS).orderBy("node")
+
+
+# --- ranked-retrieval evaluation (MRR / nDCG@k) ---------------------------------
+
+from opteryx_spark.operators import retrieval as _retrieval  # noqa: E402
+
+_EVAL_K = 10
+# floor(1e6 / log2(r+1) + 0.5) for r = 1..10 — Python-quantized ONCE,
+# identical literals on both engine sides (no runtime log anywhere)
+_EVAL_W = (
+    "(1, 1000000), (2, 630930), (3, 500000), (4, 430677), (5, 386853), "
+    "(6, 356207), (7, 333333), (8, 315465), (9, 301030), (10, 289065)"
+)
+
+
+@register(
+    "text_retrieval_eval",
+    oracle=f"""
+    WITH res AS (
+      SELECT lang AS query_id, doc_id,
+             CAST(row_number() OVER (PARTITION BY lang
+                  ORDER BY n_chars DESC, doc_id) AS BIGINT) AS rank
+      FROM documents WHERE lang IS NOT NULL
+      QUALIFY rank <= {_EVAL_K}
+    ), qr AS (
+      SELECT lang AS query_id, doc_id, CAST(doc_id % 4 AS BIGINT) AS rel
+      FROM documents WHERE lang IS NOT NULL
+    ), w(r, w_ppm) AS (VALUES {_EVAL_W}),
+    hits AS (
+      SELECT res.query_id, res.rank, COALESCE(qr.rel, 0) AS rel
+      FROM res LEFT JOIN qr ON qr.query_id = res.query_id
+                           AND qr.doc_id = res.doc_id
+    ), perq AS (
+      SELECT h.query_id, CAST(count(*) AS BIGINT) AS n_retrieved,
+             min(CASE WHEN h.rel > 0 THEN h.rank END) AS first_hit,
+             CAST(COALESCE(sum(CASE WHEN h.rel > 0 AND h.rank <= {_EVAL_K}
+                                    THEN h.rel * w.w_ppm ELSE 0 END), 0)
+                  AS BIGINT) AS dcg_micro
+      FROM hits h LEFT JOIN w ON w.r = h.rank
+      GROUP BY h.query_id
+    ), irk AS (
+      SELECT query_id, doc_id, rel,
+             CAST(row_number() OVER (PARTITION BY query_id
+                  ORDER BY rel DESC, doc_id) AS BIGINT) AS irank
+      FROM qr WHERE rel > 0
+    ), ideal AS (
+      SELECT i.query_id, CAST(count(*) AS BIGINT) AS n_relevant,
+             CAST(COALESCE(sum(CASE WHEN i.irank <= {_EVAL_K}
+                                    THEN i.rel * w.w_ppm ELSE 0 END), 0)
+                  AS BIGINT) AS idcg_micro
+      FROM irk i LEFT JOIN w ON w.r = i.irank
+      GROUP BY i.query_id
+    )
+    SELECT p.query_id, p.n_retrieved,
+           CAST(COALESCE(i.n_relevant, 0) AS BIGINT) AS n_relevant,
+           CAST(COALESCE(1000000 // p.first_hit, 0) AS BIGINT) AS rr_ppm,
+           p.dcg_micro,
+           CAST(COALESCE(i.idcg_micro, 0) AS BIGINT) AS idcg_micro,
+           CAST(CASE WHEN COALESCE(i.idcg_micro, 0) > 0
+                THEN (p.dcg_micro * 1000000) // i.idcg_micro
+                ELSE 0 END AS BIGINT) AS ndcg_ppm
+    FROM perq p LEFT JOIN ideal i USING (query_id)
+    ORDER BY p.query_id
+    """,
+)
+def text_retrieval_eval(spark, sf_dir):
+    """Per-query MRR and nDCG@{_EVAL_K}
+    (``operators/retrieval.py::rank_metrics``) over a deterministic
+    per-language ranking (docs by n_chars DESC, id tiebreak) against
+    graded qrels (rel = doc_id % 4): discount weights are
+    Python-quantized ppm literals shared with the oracle, so the whole
+    evaluation is BIGINT arithmetic — the tuning loop for the BM25 /
+    ANN / RRF retrieval stack."""
+    from pyspark.sql.window import Window
+
+    docs = t(spark, sf_dir, "documents").filter(F.col("lang").isNotNull())
+    w = Window.partitionBy("lang").orderBy(F.col("n_chars").desc(), "doc_id")
+    results = (
+        docs.select(
+            F.col("lang").alias("query_id"),
+            "doc_id",
+            F.row_number().over(w).cast("bigint").alias("rank"),
+        )
+        .filter(F.col("rank") <= _EVAL_K)
+    )
+    qrels = docs.select(
+        F.col("lang").alias("query_id"),
+        "doc_id",
+        (F.col("doc_id") % 4).cast("bigint").alias("rel"),
+    )
+    return _retrieval.rank_metrics(results, qrels, k=_EVAL_K).orderBy("query_id")

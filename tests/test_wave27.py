@@ -348,3 +348,61 @@ def test_core_numbers_consistent_with_kcore(spark):
     cores = {r["node"] for r in core_numbers(e).collect() if r["core_number"] >= 2}
     members = {r["node"] for r in kcore(e, k=2).collect()}
     assert cores == members
+
+
+# --- ranked-retrieval evaluation ------------------------------------------------
+
+from opteryx_spark.operators.retrieval import rank_metrics
+
+_W1, _W2, _W3 = 1_000_000, 630_930, 500_000  # floor(1e6/log2(r+1)+0.5)
+
+
+def test_rank_metrics_hand_computed(spark):
+    results = spark.createDataFrame(
+        [("q", "A", 1), ("q", "B", 2), ("q", "C", 3)],
+        "query_id: string, doc_id: string, rank: bigint",
+    )
+    qrels = spark.createDataFrame(
+        [("q", "B", 2), ("q", "C", 1), ("q", "D", 3)],  # D relevant, not retrieved
+        "query_id: string, doc_id: string, rel: bigint",
+    )
+    r = rank_metrics(results, qrels, k=3).collect()[0]
+    assert r["n_retrieved"] == 3 and r["n_relevant"] == 3
+    assert r["rr_ppm"] == 500_000  # first hit at rank 2
+    dcg = 2 * _W2 + 1 * _W3
+    idcg = 3 * _W1 + 2 * _W2 + 1 * _W3  # ideal: D(3), B(2), C(1)
+    assert r["dcg_micro"] == dcg and r["idcg_micro"] == idcg
+    assert r["ndcg_ppm"] == (dcg * 1_000_000) // idcg
+
+
+def test_rank_metrics_no_hits(spark):
+    results = spark.createDataFrame(
+        [("q", "A", 1)], "query_id: string, doc_id: string, rank: bigint"
+    )
+    qrels = spark.createDataFrame(
+        [("q", "Z", 0)], "query_id: string, doc_id: string, rel: bigint"
+    )
+    r = rank_metrics(results, qrels, k=3).collect()[0]
+    assert r["rr_ppm"] == 0 and r["dcg_micro"] == 0
+    assert r["idcg_micro"] == 0 and r["ndcg_ppm"] == 0 and r["n_relevant"] == 0
+
+
+def test_rank_metrics_perfect_ranking(spark):
+    results = spark.createDataFrame(
+        [("q", "A", 1), ("q", "B", 2)],
+        "query_id: string, doc_id: string, rank: bigint",
+    )
+    qrels = spark.createDataFrame(
+        [("q", "A", 3), ("q", "B", 1)],
+        "query_id: string, doc_id: string, rel: bigint",
+    )
+    r = rank_metrics(results, qrels, k=2).collect()[0]
+    assert r["rr_ppm"] == 1_000_000
+    assert r["dcg_micro"] == r["idcg_micro"]
+    assert r["ndcg_ppm"] == 1_000_000
+
+
+def test_rank_metrics_rejects_bad_k(spark):
+    df = spark.createDataFrame([("q", "A", 1)], "query_id: string, doc_id: string, rank: bigint")
+    with pytest.raises(ValueError):
+        rank_metrics(df, df.select("query_id", "doc_id", F.lit(1).alias("rel")), k=0)
