@@ -843,3 +843,78 @@ def ngram_novelty(
             ).alias("novelty_ppm"),
         )
     )
+
+
+def ln_micro_table(n: int) -> list[int]:
+    """``floor(ln(x)·1e6 + 0.5)`` for x = 1..n — the Python-quantized
+    natural-log lookup both engine sides of :func:`char_entropy` share
+    as identical literals (no runtime ``ln`` anywhere, so no libm
+    bit-divergence between engines)."""
+    import math
+
+    return [int(math.floor(math.log(x) * 1_000_000 + 0.5)) for x in range(1, n + 1)]
+
+
+def char_entropy(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    prefix_len: int = 512,
+) -> DataFrame:
+    """Per-document character-distribution entropy — the classic cheap
+    gibberish/encoding-junk screen (random bytes score near ln(alphabet),
+    natural language sits far lower; pairs with
+    :func:`encoding_issues` and the Gopher gates as a quality signal).
+
+    Computed over the first ``prefix_len`` characters (bounds per-doc
+    cost AND the size of the log lookup, since no character can repeat
+    more than ``prefix_len`` times).  Exact integer arithmetic via the
+    identity ``H = ln(n) − (1/n)·Σ cᵢ·ln(cᵢ)`` with Python-quantized
+    micronat logs (:func:`ln_micro_table`):
+
+        H_micronats = (n·L[n] − Σ cᵢ·L[cᵢ]) div n
+
+    Scale shape: one position explode (≤ ``prefix_len`` rows per doc)
+    and two aggregates keyed by doc id — linear, partition-local by id,
+    no windows.  NULL or empty text → NULL entropy (never silently 0 —
+    a gate must see missing).
+
+    Returns ``id_col``, ``n_chars_used``, ``n_distinct_chars``,
+    ``char_entropy_micronats`` (BIGINT; 0 for single-character docs).
+    """
+    if prefix_len < 1:
+        raise ValueError("prefix_len must be >= 1")
+    lns = ln_micro_table(prefix_len)
+    arr = F.array(*[F.lit(v).cast("bigint") for v in lns])  # element_at(arr, x) = L[x]
+
+    s = F.substring(F.col(text_col), 1, prefix_len)
+    base = (
+        df.filter(F.col(text_col).isNotNull() & (F.length(s) >= 1))
+        .select(F.col(id_col), s.alias("_s"), F.length(s).alias("_len"))
+        .select(
+            id_col,
+            F.explode(F.sequence(F.lit(1), F.col("_len"))).alias("_i"),
+            F.col("_s"),
+        )
+        .select(id_col, F.expr("substr(_s, _i, 1)").alias("_c"))
+    )
+    counts = base.groupBy(id_col, "_c").agg(F.count(F.lit(1)).alias("_n"))
+    agg = counts.groupBy(id_col).agg(
+        F.sum("_n").alias("n_chars_used"),
+        F.count(F.lit(1)).alias("n_distinct_chars"),
+        F.sum(F.col("_n") * F.element_at(arr, F.col("_n").cast("int"))).alias("_sum_cl"),
+    )
+    scored = (
+        agg.withColumn("_ln_n", F.element_at(arr, F.col("n_chars_used").cast("int")))
+        .select(
+            id_col,
+            F.col("n_chars_used").cast("bigint").alias("n_chars_used"),
+            F.col("n_distinct_chars").cast("bigint").alias("n_distinct_chars"),
+            F.expr(
+                "CAST((n_chars_used * _ln_n - _sum_cl) div n_chars_used AS BIGINT)"
+            ).alias("char_entropy_micronats"),
+        )
+    )
+    # docs with NULL/empty text surface with NULL metrics
+    ids = df.select(id_col)
+    return ids.join(scored, [id_col], "left")

@@ -638,3 +638,56 @@ def text_retrieval_eval(spark, sf_dir):
         (F.col("doc_id") % 4).cast("bigint").alias("rel"),
     )
     return _retrieval.rank_metrics(results, qrels, k=_EVAL_K).orderBy("query_id")
+
+
+# --- character-entropy quality signal -------------------------------------------
+
+from opteryx_spark.operators import text as _text  # noqa: E402
+
+_ENT_PREFIX = 512
+_ENT_LNT = ", ".join(
+    f"({x}, {v})" for x, v in enumerate(_text.ln_micro_table(_ENT_PREFIX), start=1)
+)
+
+
+@register(
+    "text_char_entropy",
+    oracle=f"""
+    WITH lnt(x, lx) AS (VALUES {_ENT_LNT}),
+    src AS (
+      SELECT doc_id, substring(text, 1, {_ENT_PREFIX}) AS s
+      FROM documents
+      WHERE text IS NOT NULL AND length(substring(text, 1, {_ENT_PREFIX})) >= 1
+    ), ch AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, length(s) + 1), i -> s[i])) AS c
+      FROM src
+    ), cnt AS (
+      SELECT doc_id, c, CAST(count(*) AS BIGINT) AS n
+      FROM ch GROUP BY doc_id, c
+    ), agg AS (
+      SELECT cnt.doc_id, CAST(sum(n) AS BIGINT) AS n_chars_used,
+             CAST(count(*) AS BIGINT) AS n_distinct_chars,
+             CAST(sum(n * l.lx) AS BIGINT) AS sum_cl
+      FROM cnt JOIN lnt l ON l.x = cnt.n GROUP BY cnt.doc_id
+    ), fin AS (
+      SELECT a.doc_id, a.n_chars_used, a.n_distinct_chars,
+             CAST((a.n_chars_used * ln2.lx - a.sum_cl) // a.n_chars_used
+                  AS BIGINT) AS char_entropy_micronats
+      FROM agg a JOIN lnt ln2 ON ln2.x = a.n_chars_used
+    )
+    SELECT d.doc_id, f.n_chars_used, f.n_distinct_chars,
+           f.char_entropy_micronats
+    FROM documents d LEFT JOIN fin f USING (doc_id)
+    ORDER BY d.doc_id
+    """,
+)
+def text_char_entropy(spark, sf_dir):
+    """Per-document character-distribution entropy over a bounded
+    prefix (``operators/text.py::char_entropy``): the classic cheap
+    gibberish / encoding-junk screen, exact in integer micronats via
+    the Python-quantized ln table both engines share as literals
+    (``H = (n·L[n] − Σ c·L[c]) div n``).  NULL/empty text → NULL
+    metrics, never silently zero."""
+    docs = t(spark, sf_dir, "documents")
+    return _text.char_entropy(docs, prefix_len=_ENT_PREFIX).orderBy("doc_id")

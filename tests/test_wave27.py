@@ -406,3 +406,41 @@ def test_rank_metrics_rejects_bad_k(spark):
     df = spark.createDataFrame([("q", "A", 1)], "query_id: string, doc_id: string, rank: bigint")
     with pytest.raises(ValueError):
         rank_metrics(df, df.select("query_id", "doc_id", F.lit(1).alias("rel")), k=0)
+
+
+# --- character entropy ----------------------------------------------------------
+
+from opteryx_spark.operators.text import char_entropy, ln_micro_table
+
+
+def test_char_entropy_known_values(spark):
+    df = spark.createDataFrame(
+        [(1, "aabb"), (2, "aaaa"), (3, None), (4, ""), (5, "abcd")],
+        "doc_id: bigint, text: string",
+    )
+    out = {r["doc_id"]: r for r in char_entropy(df).collect()}
+    assert out[1]["char_entropy_micronats"] == 693147  # ln 2
+    assert out[2]["char_entropy_micronats"] == 0  # constant string
+    assert out[3]["char_entropy_micronats"] is None  # NULL text
+    assert out[4]["char_entropy_micronats"] is None  # empty text
+    # uniform over 4 chars: ln 4 (integer identity is exact here)
+    assert out[5]["char_entropy_micronats"] == 1386294
+    assert out[5]["n_distinct_chars"] == 4
+
+
+def test_char_entropy_prefix_cap(spark):
+    # only the first prefix_len chars participate
+    df = spark.createDataFrame([(1, "aab")], "doc_id: bigint, text: string")
+    r = char_entropy(df, prefix_len=2).collect()[0]
+    assert r["n_chars_used"] == 2 and r["char_entropy_micronats"] == 0
+
+
+def test_ln_micro_table_anchors(spark):
+    t = ln_micro_table(8)
+    assert t[0] == 0 and t[1] == 693147 and t[7] == 2079442  # ln1, ln2, ln8
+
+
+def test_char_entropy_rejects_bad_prefix(spark):
+    df = spark.createDataFrame([(1, "x")], "doc_id: bigint, text: string")
+    with pytest.raises(ValueError):
+        char_entropy(df, prefix_len=0)
