@@ -220,3 +220,68 @@ def seasonal_naive_forecast(
         (F.col("_t_anchor") + F.col("h")).alias("for_t"),
         F.col("_v").alias("forecast"),
     )
+
+
+def cross_correlation(
+    a: DataFrame,
+    b: DataFrame,
+    key_cols: list[str],
+    t_col: str,
+    value_col: str,
+    max_lag: int = 7,
+) -> DataFrame:
+    """Per-key cross-correlation between two integer regular series at
+    signed lags ``−max_lag..+max_lag`` — the lead/lag discovery tool
+    (e.g. "does the click series lead the purchase series by two
+    days?"): a positive-lag peak means ``a`` leads ``b`` by that many
+    steps.  :func:`autocorrelation` is the special case ``a is b``
+    restricted to positive lags.
+
+    For each lag k, pairs are ``(a(t), b(t+k))`` aligned by an equi
+    self-join on key and shifted time; correlation comes from the same
+    six BIGINT-exact sufficient statistics and single fixed float
+    expression as :func:`autocorrelation` (bit-identical cross-engine).
+    Rows with NULL time index participate in no alignment.  Degenerate
+    (zero-variance) windows → NULL.
+
+    Scale shape: one lag explode (2·max_lag+1, small) + one key-hashed
+    equi join + one aggregate — no global window, no collect.
+
+    Returns key cols + ``lag`` (BIGINT, signed), ``n_pairs``, ``ccf``
+    (DOUBLE), one row per key per lag with at least one pair.
+    """
+    if max_lag < 0:
+        raise ValueError("max_lag must be >= 0")
+    lags = F.array(
+        *[F.lit(k).cast("bigint") for k in range(-max_lag, max_lag + 1)]
+    )
+    sa = a.select(
+        *key_cols,
+        F.col(t_col).cast("bigint").alias("_t"),
+        F.col(value_col).cast("bigint").alias("_x"),
+    ).withColumn("lag", F.explode(lags))
+    sb = b.select(
+        *key_cols,
+        F.col(t_col).cast("bigint").alias("_tb"),
+        F.col(value_col).cast("bigint").alias("_y"),
+    )
+    pairs = sa.join(sb, [*key_cols], "inner").filter(
+        F.col("_tb") == F.col("_t") + F.col("lag")
+    )
+    agg = pairs.groupBy(*key_cols, "lag").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum("_x").alias("_sx"),
+        F.sum("_y").alias("_sy"),
+        F.sum(F.col("_x") * F.col("_x")).alias("_sxx"),
+        F.sum(F.col("_y") * F.col("_y")).alias("_syy"),
+        F.sum(F.col("_x") * F.col("_y")).alias("_sxy"),
+    )
+    n = F.col("n_pairs")
+    num = n * F.col("_sxy") - F.col("_sx") * F.col("_sy")
+    dx = n * F.col("_sxx") - F.col("_sx") * F.col("_sx")
+    dy = n * F.col("_syy") - F.col("_sy") * F.col("_sy")
+    ccf = F.when(
+        (dx > 0) & (dy > 0),
+        num.cast("double") / F.sqrt(dx.cast("double") * dy.cast("double")),
+    )
+    return agg.select(*key_cols, "lag", "n_pairs", ccf.alias("ccf"))

@@ -691,3 +691,56 @@ def text_char_entropy(spark, sf_dir):
     metrics, never silently zero."""
     docs = t(spark, sf_dir, "documents")
     return _text.char_entropy(docs, prefix_len=_ENT_PREFIX).orderBy("doc_id")
+
+
+# --- cross-correlation (lead/lag between two metrics) ---------------------------
+
+_CCF_MAX_LAG = 7
+
+
+@register(
+    "ts_ccf_daily",
+    oracle=f"""
+    WITH daily AS ({_O_DAILY}),
+    sa AS (SELECT 'click->purchase' AS g, d, cnt FROM daily WHERE event_type = 'click'),
+    sb AS (SELECT 'click->purchase' AS g, d, cnt FROM daily WHERE event_type = 'purchase'),
+    lags AS (SELECT CAST(x AS BIGINT) AS lag
+             FROM range({-_CCF_MAX_LAG}, {_CCF_MAX_LAG + 1}) t(x)),
+    pairs AS (
+      SELECT a.g, l.lag, a.cnt AS x, b.cnt AS y
+      FROM sa a CROSS JOIN lags l
+      JOIN sb b ON b.g = a.g AND b.d = a.d + l.lag
+    ), agg AS (
+      SELECT g, lag, count(*) AS n_pairs,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * x) AS BIGINT) AS sxx,
+             CAST(sum(y * y) AS BIGINT) AS syy,
+             CAST(sum(x * y) AS BIGINT) AS sxy
+      FROM pairs GROUP BY g, lag
+    )
+    SELECT g, lag, n_pairs,
+           CASE WHEN (n_pairs * sxx - sx * sx) > 0
+                 AND (n_pairs * syy - sy * sy) > 0
+                THEN CAST(n_pairs * sxy - sx * sy AS DOUBLE)
+                     / sqrt(CAST(n_pairs * sxx - sx * sx AS DOUBLE)
+                            * CAST(n_pairs * syy - sy * sy AS DOUBLE))
+           END AS ccf
+    FROM agg ORDER BY g, lag
+    """,
+)
+def ts_ccf_daily(spark, sf_dir):
+    """Cross-correlation between the daily click and purchase count
+    series at signed lags −{_CCF_MAX_LAG}..+{_CCF_MAX_LAG}
+    (``operators/timeseries.py::cross_correlation``): a positive-lag
+    peak means clicks LEAD purchases — the lead/lag discovery tool,
+    BIGINT-exact sufficient statistics, one fixed float expression."""
+    daily = _daily_counts(spark, sf_dir)
+    a = daily.filter(F.col("event_type") == "click").select(
+        F.lit("click->purchase").alias("g"), "d", "cnt"
+    )
+    b = daily.filter(F.col("event_type") == "purchase").select(
+        F.lit("click->purchase").alias("g"), "d", "cnt"
+    )
+    return _ts.cross_correlation(
+        a, b, key_cols=["g"], t_col="d", value_col="cnt", max_lag=_CCF_MAX_LAG
+    ).orderBy("g", "lag")

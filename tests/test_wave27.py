@@ -444,3 +444,35 @@ def test_char_entropy_rejects_bad_prefix(spark):
     df = spark.createDataFrame([(1, "x")], "doc_id: bigint, text: string")
     with pytest.raises(ValueError):
         char_entropy(df, prefix_len=0)
+
+
+# --- cross-correlation ----------------------------------------------------------
+
+from opteryx_spark.operators.timeseries import cross_correlation
+
+
+def test_ccf_detects_lead(spark):
+    # b is a shifted copy of a (b(t) = a(t-2)): perfect corr at lag -2,
+    # i.e. pairing a(t) with b(t-2)... sign convention: pairs are
+    # (a(t), b(t+lag)), so b(t+lag) == a(t) when lag == +2
+    xs = [3, 1, 4, 1, 5, 9, 2, 6, 5, 3]
+    a = spark.createDataFrame([("g", t, v) for t, v in enumerate(xs)], ["g", "t", "x"])
+    b = spark.createDataFrame(
+        [("g", t + 2, v) for t, v in enumerate(xs)], ["g", "t", "x"]
+    )
+    out = {r["lag"]: r for r in cross_correlation(a, b, ["g"], "t", "x", 3).collect()}
+    assert out[2]["ccf"] == pytest.approx(1.0)
+    assert out[2]["n_pairs"] == len(xs)
+
+
+def test_ccf_lag_zero_is_pearson(spark):
+    a = spark.createDataFrame([("g", t, t) for t in range(6)], ["g", "t", "x"])
+    b = spark.createDataFrame([("g", t, 10 - t) for t in range(6)], ["g", "t", "x"])
+    out = {r["lag"]: r["ccf"] for r in cross_correlation(a, b, ["g"], "t", "x", 0).collect()}
+    assert set(out) == {0} and out[0] == pytest.approx(-1.0)
+
+
+def test_ccf_rejects_negative_max_lag(spark):
+    df = spark.createDataFrame([("g", 0, 1)], ["g", "t", "x"])
+    with pytest.raises(ValueError):
+        cross_correlation(df, df, ["g"], "t", "x", -1)
