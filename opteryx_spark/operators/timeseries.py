@@ -1,13 +1,15 @@
-"""Time-series diagnostics over keyed regular series: autocorrelation
-and CUSUM change-point detection.
+"""Time-series diagnostics over keyed regular series: autocorrelation,
+cross-correlation, CUSUM change-point detection, and the seasonal-naive
+forecasting baseline.
 
 Large telemetry pipelines watch per-key daily/hourly series (event
-counts, error rates, revenue) for two things the existing events
+counts, error rates, revenue) for questions the existing events
 operators don't answer: *is this series self-correlated* (seasonality /
-momentum — the ACF at small lags) and *where did its level shift*
-(CUSUM — the classic change-point statistic).  Both are implemented
-here as exact-integer formulations so a DuckDB oracle reproduces them
-bit-for-bit (the suite determinism rules in ``suite/__init__``):
+momentum — the ACF at small lags), *does one metric lead another* (the
+CCF at signed lags), *where did its level shift* (CUSUM), and *what
+would the no-model baseline forecast be* (seasonal-naive).  All are
+implemented as exact-integer formulations so a DuckDB oracle reproduces
+them bit-for-bit (the suite determinism rules in ``suite/__init__``):
 
 - ACF uses the Pearson-on-lag-pairs form.  All six sufficient
   statistics (n, Σx, Σy, Σxx, Σyy, Σxy) are BIGINT-exact over integer
