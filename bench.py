@@ -131,6 +131,11 @@ SF1_QUERIES = [
     "text_bm25_search_index",  # split: probe number; build recorded separately
     "emb_knn_join",
     "events_point_in_time_state",
+    # r7 wave-27/29 operators whose cost scales with the data (the graph
+    # entries are constant-size by construction and stay out)
+    "ts_acf_daily",
+    "quality_fk_audit",
+    "text_char_entropy",
 ]
 
 # Artifact-backed entries (VERDICT r6 #2): the suite entry rebuilds its

@@ -617,3 +617,80 @@ def rank_metrics(
             F.lit(0),
         ).cast("bigint").alias("ndcg_ppm"),
     )
+
+
+def best_snippets(
+    df: DataFrame,
+    query_terms: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window_tokens: int = 20,
+) -> DataFrame:
+    """Best-snippet (KWIC) extraction: for each document matching ≥1
+    query term, the ``window_tokens``-token window containing the MOST
+    query-term occurrences — the result-page companion to
+    :func:`bm25_topk` (rank with BM25, display with this).
+
+    An optimal window can always be anchored at a match, so only match
+    positions are candidates: per candidate start p, the score is the
+    count of match positions in ``[p, p+window_tokens−1]`` — one RANGE
+    window over match positions (partitioned by doc, ordered by
+    position; matches per doc ≪ tokens per doc).  The winner is the
+    highest count with the EARLIEST start as tiebreak, picked by a
+    ``min(struct)`` keeper — no rank window.  Tokenization is the
+    package-standard literal-space split (``text.tokens``; normalize
+    first), so the snippet text reconstructs by slicing the token
+    array.
+
+    Scale shape: one posexplode (filtered to matches immediately), one
+    doc-partitioned RANGE window over the (small) match set, one keeper
+    aggregate, one id-keyed join back for the slice — no global window,
+    no collect.
+
+    Returns ``id_col``, ``snippet_start`` (1-based token index,
+    BIGINT), ``n_matched`` (matches inside the window, BIGINT),
+    ``snippet`` (STRING).  Documents with no match are absent.
+    """
+    from opteryx_spark.operators import text as _textops
+    from pyspark.sql.window import Window
+
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    if window_tokens < 1:
+        raise ValueError("window_tokens must be >= 1")
+    terms = sorted(set(query_terms))
+
+    toks = _textops.tokens(text_col)
+    base = df.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col), toks.alias("_toks")
+    )
+    matches = base.select(
+        id_col, F.posexplode(F.col("_toks")).alias("_p0", "_tk")
+    ).filter(F.col("_tk").isin(terms)).select(
+        id_col, (F.col("_p0") + 1).cast("bigint").alias("_p")
+    )
+    w = (
+        Window.partitionBy(id_col)
+        .orderBy("_p")
+        .rangeBetween(0, int(window_tokens) - 1)
+    )
+    scored = matches.select(
+        id_col, "_p", F.count(F.lit(1)).over(w).cast("bigint").alias("_n")
+    )
+    keeper = scored.groupBy(id_col).agg(
+        F.min(F.struct((-F.col("_n")).alias("_neg"), F.col("_p"))).alias("_k")
+    )
+    best = keeper.select(
+        id_col,
+        F.col("_k._p").alias("snippet_start"),
+        (-F.col("_k._neg")).alias("n_matched"),
+    )
+    return best.join(base, [id_col]).select(
+        id_col,
+        "snippet_start",
+        "n_matched",
+        F.array_join(
+            F.slice(F.col("_toks"), F.col("snippet_start").cast("int"), window_tokens),
+            " ",
+        ).alias("snippet"),
+    )

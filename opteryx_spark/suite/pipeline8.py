@@ -744,3 +744,51 @@ def ts_ccf_daily(spark, sf_dir):
     return _ts.cross_correlation(
         a, b, key_cols=["g"], t_col="d", value_col="cnt", max_lag=_CCF_MAX_LAG
     ).orderBy("g", "lag")
+
+
+# --- best-snippet (KWIC) extraction ---------------------------------------------
+
+from opteryx_spark.suite.pipeline import _O_TOKENS as _O_TOKENS8  # noqa: E402
+from opteryx_spark.suite.pipeline4 import _BM25_TERMS, _O_TERMS  # noqa: E402
+
+_SNIP_W = 20
+
+
+@register(
+    "text_best_snippets",
+    oracle=f"""
+    WITH src AS MATERIALIZED (
+      SELECT doc_id, {_O_TOKENS8} AS arr FROM documents WHERE text IS NOT NULL
+    ), m AS (
+      SELECT doc_id, CAST(i AS BIGINT) AS p FROM (
+        SELECT doc_id, unnest(range(1, len(arr) + 1)) AS i, arr FROM src
+      ) t WHERE arr[i] IN ({_O_TERMS})
+    ), s AS (
+      SELECT doc_id, p,
+             CAST(count(*) OVER (PARTITION BY doc_id ORDER BY p
+                  RANGE BETWEEN CURRENT ROW AND {_SNIP_W - 1} FOLLOWING)
+                  AS BIGINT) AS n
+      FROM m
+    ), r AS (
+      SELECT *, row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY n DESC, p ASC) AS rn
+      FROM s
+    )
+    SELECT r.doc_id, r.p AS snippet_start, r.n AS n_matched,
+           array_to_string(list_slice(arr, r.p, r.p + {_SNIP_W - 1}), ' ')
+             AS snippet
+    FROM r JOIN src USING (doc_id)
+    WHERE rn = 1 ORDER BY r.doc_id
+    """,
+)
+def text_best_snippets(spark, sf_dir):
+    """Best-snippet (KWIC) extraction for the BM25 probe terms
+    (``operators/retrieval.py::best_snippets``): the {_SNIP_W}-token
+    window with the most query-term hits per matching doc — candidate
+    windows anchored at match positions, one doc-partitioned RANGE
+    window over the (sparse) match set, ``min(struct)`` keeper,
+    token-array slice for the display text."""
+    docs = t(spark, sf_dir, "documents")
+    return _retrieval.best_snippets(
+        docs, _BM25_TERMS, window_tokens=_SNIP_W
+    ).orderBy("doc_id")

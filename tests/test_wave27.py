@@ -476,3 +476,45 @@ def test_ccf_rejects_negative_max_lag(spark):
     df = spark.createDataFrame([("g", 0, 1)], ["g", "t", "x"])
     with pytest.raises(ValueError):
         cross_correlation(df, df, ["g"], "t", "x", -1)
+
+
+# --- best snippets ---------------------------------------------------------------
+
+from opteryx_spark.operators.retrieval import best_snippets
+
+
+def test_best_snippets_picks_densest_window(spark):
+    # matches at tokens 2 and 4 fit one 3-token window starting at 2;
+    # the lone match at 9 does not beat it
+    text = "a cat b cat c d e f g cat"
+    df = spark.createDataFrame([(1, text)], "doc_id: bigint, text: string")
+    r = best_snippets(df, ["cat"], window_tokens=3).collect()[0]
+    assert r["snippet_start"] == 2 and r["n_matched"] == 2
+    assert r["snippet"] == "cat b cat"
+
+
+def test_best_snippets_tie_breaks_earliest(spark):
+    df = spark.createDataFrame(
+        [(1, "x cat y z cat w")], "doc_id: bigint, text: string"
+    )
+    r = best_snippets(df, ["cat"], window_tokens=2).collect()[0]
+    assert r["snippet_start"] == 2 and r["n_matched"] == 1
+
+
+def test_best_snippets_no_match_absent(spark):
+    df = spark.createDataFrame([(1, "nothing here")], "doc_id: bigint, text: string")
+    assert best_snippets(df, ["cat"]).count() == 0
+
+
+def test_best_snippets_clips_at_end(spark):
+    df = spark.createDataFrame([(1, "a b cat")], "doc_id: bigint, text: string")
+    r = best_snippets(df, ["cat"], window_tokens=5).collect()[0]
+    assert r["snippet"] == "cat"  # slice clipped at array end
+
+
+def test_best_snippets_validation(spark):
+    df = spark.createDataFrame([(1, "x")], "doc_id: bigint, text: string")
+    with pytest.raises(ValueError):
+        best_snippets(df, [])
+    with pytest.raises(ValueError):
+        best_snippets(df, ["x"], window_tokens=0)
