@@ -53,7 +53,7 @@ def register(name: str, oracle: str | None = None):
 # (deterministic per-round shuffle keyed by _ROTATION_SALT, so successive
 # rounds re-confirm different entries instead of the same first-registered
 # ones); rows-only entries always go last.
-_ROTATION_SALT = "r7"
+_ROTATION_SALT = "r8"
 
 
 def _collect_sources(fn, seen: set) -> list[tuple[str, str]]:
@@ -175,11 +175,14 @@ _DRIVER_GREEN = frozenset({
     "cb_user_first_last",
     "cb_user_type_matrix",
     "cb_value_percentiles_by_type",
+    "cdc_snapshot_diff",
     "count_null_semantics",
     "cte_with_chain",
+    "curate_incremental",
     "curate_pipeline_audit",
     "curate_pipeline_v2",
     "curate_pipeline_v3",
+    "cust_rfm_segments",
     "datetime_extract_unix",
     "decontaminate_benchmark",
     "dedup_bloom_prefilter",
@@ -200,31 +203,57 @@ _DRIVER_GREEN = frozenset({
     "distinct_on_latest_order",
     "emb_ann_ivf_topk",
     "emb_ann_lsh_topk",
+    "emb_ann_pq_indexed",
+    "emb_ann_sq8_indexed",
     "emb_ann_sq8_topk",
     "emb_cosine_pairs",
     "emb_cosine_topk",
     "emb_kmeans_portable",
+    "emb_knn_join",
     "emb_l2_norms",
     "emb_lsh_near_dup_pairs",
+    "emb_mmr_rerank",
+    "emb_pq_adc_topk",
     "emb_quantize_int8",
     "emb_random_projection",
     "emb_semantic_dedup",
+    "events_attribution",
     "events_cohort_retention",
+    "events_dau_wau",
+    "events_ewma",
+    "events_funnel_rates",
     "events_gap_fill",
     "events_hourly_rollup",
+    "events_latency_percentiles",
+    "events_new_vs_returning",
+    "events_ohlc_bars",
+    "events_peak_concurrency",
+    "events_point_in_time_state",
     "events_rolling_window",
+    "events_rollup_merge",
+    "events_scd2_history",
+    "events_seasonal_residuals",
     "events_session_funnel",
     "events_sessionize",
     "events_sessionless_funnel",
+    "events_survival_km",
+    "events_twap",
     "events_type_transitions",
+    "events_value_anomalies",
     "expr_case_when",
     "expr_date_funcs",
     "expr_json_extract",
     "expr_math_funcs",
     "expr_string_funcs",
+    "feat_basket_rules",
     "feat_hashed_tokens",
+    "feat_lag_features",
+    "feat_one_hot_lang",
+    "feat_psi_drift",
+    "feat_quantile_bin",
     "feat_target_encode",
     "feat_winsorize_scale",
+    "graph_triangle_counts",
     "hash_encode_funcs",
     "having_post_aggregation",
     "interval_arithmetic",
@@ -232,12 +261,16 @@ _DRIVER_GREEN = frozenset({
     "join_cross",
     "join_full_outer",
     "join_fuzzy_blocked",
+    "join_interval_overlap",
     "join_left_anti",
     "join_left_outer",
     "join_left_semi",
+    "join_linkage_scored",
     "join_non_equi",
     "join_range_binned",
     "join_right_outer",
+    "mm_phash_bands",
+    "mm_phash_near_dups",
     "multimodal_audio_features",
     "multimodal_image_features",
     "multimodal_resize_images",
@@ -249,15 +282,20 @@ _DRIVER_GREEN = frozenset({
     "pivot_status_by_priority",
     "pred_between_casts",
     "pred_like_battery",
+    "profile_correlations",
     "profile_orders",
+    "quality_benford_audit",
     "quality_constraint_report",
+    "quality_freshness",
     "regexp_funcs",
     "sample_hash_deterministic",
     "sample_quota_stratified",
     "sample_split_assign",
     "sample_split_no_leakage",
+    "sample_temporal_split",
     "sample_token_budget",
     "sample_token_mixture",
+    "sample_weighted_es",
     "scalar_conditional_funcs",
     "set_except",
     "set_intersect",
@@ -268,16 +306,21 @@ _DRIVER_GREEN = frozenset({
     "sort_limit_offset",
     "string_funcs_2",
     "subquery_scalar_correlated",
+    "text_bigram_perplexity",
     "text_bm25_scores",
     "text_bm25_search_index",
     "text_bm25_topk",
     "text_boilerplate_fraction",
+    "text_bpe_encode",
     "text_bpe_token_stats",
+    "text_bpe_train_merges",
     "text_characteristic_terms",
     "text_chunk_documents",
+    "text_encoding_issues",
     "text_gopher_quality",
     "text_hybrid_rrf",
     "text_line_boilerplate",
+    "text_ngram_novelty",
     "text_normalize",
     "text_pack_sequences",
     "text_perplexity_filter",
@@ -285,8 +328,10 @@ _DRIVER_GREEN = frozenset({
     "text_quality_features",
     "text_quality_gate",
     "text_quality_langid",
+    "text_rake_keyphrases",
     "text_readability",
     "text_redact_pii",
+    "text_strip_html",
     "text_token_stats",
     "text_vocab_topk",
     "text_winnow_fingerprints",
@@ -312,11 +357,15 @@ _DRIVER_GREEN = frozenset({
     "tpch_q7_volume_shipping",
     "tpch_q8_market_share",
     "tpch_q9_product_profit",
+    "ts_acf_daily",
+    "ts_cusum_changepoint",
     "tvf_generate_series",
     "tvf_values_clause",
     "unnest_lateral_filtered_distinct",
     "unnest_tokens",
+    "web_canonical_urls",
     "web_domain_blocklist",
+    "web_domain_gini",
     "web_domain_pagerank",
     "web_domain_quota",
     "web_parse_urls",
