@@ -548,6 +548,15 @@ def rank_metrics(
         raise ValueError("k must be >= 1")
     w_ppm = {r: int(math.floor(1_000_000 / math.log2(r + 1) + 0.5)) for r in range(1, k + 1)}
 
+    # qrels may carry duplicate (query, doc) judgments (multi-assessor
+    # dumps); a duplicate would fan out the left join and inflate
+    # n_retrieved / dcg / rr silently (ADVICE r7).  Collapse to the MAX
+    # grade per pair — the standard union-of-assessors convention — so
+    # one result row matches exactly one judgment.
+    qrels = qrels.groupBy(query_col, doc_col).agg(
+        F.max(F.col(rel_col).cast("bigint")).alias(rel_col)
+    )
+
     hits = results.join(
         qrels.select(
             F.col(query_col), F.col(doc_col), F.col(rel_col).cast("bigint").alias("_rel")

@@ -68,6 +68,11 @@ def autocorrelation(
     """
     if max_lag < 1:
         raise ValueError("max_lag must be >= 1")
+    # NULL values are excluded up front: n_pairs counts rows while the six
+    # sums skip NULLs, so a NULL value admitted into a pair would silently
+    # skew the correlation (ADVICE r7).  NULL time indexes already align
+    # with nothing (NULL never equals _t + lag).
+    series = series.filter(F.col(value_col).isNotNull())
     lags = F.array(*[F.lit(k).cast("bigint") for k in range(1, max_lag + 1)])
     a = series.select(
         *key_cols,
@@ -136,7 +141,12 @@ def cusum_changepoint(
     """
     from pyspark.sql.window import Window
 
-    series = series.filter(F.col(t_col).isNotNull())
+    # NULL t: no position in time (see docstring).  NULL value: n_points
+    # counts the row while Σx skips it, skewing T_i (ADVICE r7) — both
+    # are excluded so every counted point contributes to every statistic.
+    series = series.filter(
+        F.col(t_col).isNotNull() & F.col(value_col).isNotNull()
+    )
     w_order = Window.partitionBy(*key_cols).orderBy(t_col)
     w_sum = w_order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     x = F.col(value_col).cast("bigint")
@@ -254,6 +264,10 @@ def cross_correlation(
     """
     if max_lag < 0:
         raise ValueError("max_lag must be >= 0")
+    # NULL values excluded on both sides for the same reason as
+    # :func:`autocorrelation` (n_pairs vs NULL-skipping sums, ADVICE r7)
+    a = a.filter(F.col(value_col).isNotNull())
+    b = b.filter(F.col(value_col).isNotNull())
     lags = F.array(
         *[F.lit(k).cast("bigint") for k in range(-max_lag, max_lag + 1)]
     )

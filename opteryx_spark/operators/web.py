@@ -546,13 +546,16 @@ def kcore(
         if max_rounds is None:
             n_next = nxt.count()
             if n_next == n_edges:
-                _track_release(h)
+                h.unpersist()  # superseded (equal to e) and already counted
                 break
             n_edges = n_next
-        _track_release(handle)
+        # superseded round — release NOW (safe: localCheckpoint is eager, so
+        # nxt is already materialized); deferring to _track_release would pin
+        # every peel round's edge blocks for the whole call (ADVICE r7)
+        handle.unpersist()
         handle = h
         e = nxt
-    _track_release(handle)
+    _track_release(handle)  # final surviving round: bounded-lifetime release
     deg = (
         e.select(F.col("_a").alias("node"))
         .unionAll(e.select(F.col("_b").alias("node")))
@@ -631,11 +634,12 @@ def core_numbers(
                 .count()
             )
             if n_changed == 0:
-                _track_release(h)
+                h.unpersist()  # superseded (values equal v) and already counted
                 break
-        _track_release(handle)
+        # superseded round — release NOW (pagerank pattern; see kcore)
+        handle.unpersist()
         handle = h
         v = nxt
-    _track_release(handle)
+    _track_release(handle)  # final values: bounded-lifetime release
     _track_release(nbrs_handle)
     return v.select("node", F.col("val").alias("core_number"))
