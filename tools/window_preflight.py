@@ -11,6 +11,13 @@ Usage:
     python tools/window_preflight.py                 # full 50-slot window, sf0.01
     python tools/window_preflight.py --limit 10      # just the window head
     python tools/window_preflight.py --only ts_acf_daily quality_fk_audit
+    python tools/window_preflight.py --heavy         # heaviest entries at sf0.1
+
+``--heavy`` (VERDICT r7 #4) re-runs the most expensive oracle entries at
+sf0.1 instead of sf0.01: every cross-engine divergence found so far
+(NULLS placement, HUGEINT promotion) surfaced only when conditions
+changed, and the standard compare never leaves sf0.01 — this is the
+opt-in larger-scale pass.
 """
 
 from __future__ import annotations
@@ -25,14 +32,37 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
+# The most expensive oracle-bearing entries by sf0.1 bench/pytest cost —
+# the --heavy set (kept ~a dozen; update as the bench's top lines move).
+HEAVY_ENTRIES = [
+    "dedup_fuzzy_keepers",
+    "emb_kmeans_portable",
+    "dedup_minhash_incremental",
+    "events_sessionize",
+    "curate_incremental",
+    "emb_ann_pq_indexed",
+    "emb_ann_sq8_indexed",
+    "curate_pipeline_v3",
+    "text_bm25_search_index",
+    "dedup_bloom_prefilter",
+    "events_point_in_time_state",
+    "text_bpe_encode",
+]
+
 
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
     ap.add_argument("--limit", type=int, default=50, help="window size to check")
     ap.add_argument("--only", nargs="*", help="check just these entries instead")
+    ap.add_argument("--heavy", action="store_true",
+                    help="run the heaviest oracle entries at sf0.1 (larger-scale compare)")
     ap.add_argument("--cpus", default=os.environ.get("SPARK_GRAFT_CPUS", "8"))
     args = ap.parse_args()
+    if args.heavy:
+        args.only = list(HEAVY_ENTRIES)
+        if args.sf == "/root/testdata/sf0.01":
+            args.sf = "/root/testdata/sf0.1"
 
     os.environ["SPARK_GRAFT_CPUS"] = str(args.cpus)
     sys.path.insert(0, REPO)
