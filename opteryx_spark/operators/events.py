@@ -1118,3 +1118,148 @@ def peak_concurrency(
         F.max("_cur").cast("long").alias("peak_concurrent"),
         (F.count(F.lit(1)) / 2).cast("long").alias("n_sessions"),
     )
+
+
+def interval_coverage(
+    df: DataFrame,
+    key_cols: list[str],
+    start_col: str,
+    end_col: str,
+) -> DataFrame:
+    """Per-key union length of a set of (possibly overlapping) intervals
+    — "how much wall-clock was this user/machine actually active",
+    the sweep-free gaps-and-islands reduction (uptime from heartbeat
+    leases, billed seconds from session spans, sensor coverage).
+
+    Intervals are merged per key: an interval starts a new island when
+    its start exceeds the running max end of everything before it (one
+    window, ordered by (start, end) so equal intervals are
+    deterministic); islands are then aggregated.  Half-open [start, end)
+    semantics: a touching interval (start == prev end) EXTENDS the
+    island (no gap between them).  NULL starts/ends are excluded by
+    contract (an unbounded interval has no finite length; and NULL sort
+    placement differs across engines).  Integer (e.g. epoch-micro)
+    bounds stay BIGINT-exact end to end.
+
+    Scale shape: one key-partitioned window + two key-grouped
+    aggregates sharing the same hash partitioning — never a global
+    sort.
+
+    Returns key cols + ``n_intervals`` (BIGINT, input count),
+    ``n_islands`` (BIGINT, merged runs), ``covered`` (BIGINT, union
+    length), ``span`` (BIGINT, max end − min start).
+    """
+    from pyspark.sql.window import Window
+
+    s = F.col(start_col).cast("bigint")
+    e = F.col(end_col).cast("bigint")
+    base = df.filter(
+        F.col(start_col).isNotNull() & F.col(end_col).isNotNull()
+    ).select(*key_cols, s.alias("_s"), e.alias("_e"))
+    w = Window.partitionBy(*key_cols).orderBy("_s", "_e")
+    prev_max = F.max("_e").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    marked = base.select(
+        *key_cols,
+        "_s",
+        "_e",
+        F.when(prev_max.isNull() | (F.col("_s") > prev_max), 1)
+        .otherwise(0)
+        .alias("_new"),
+    )
+    islands = marked.select(
+        *key_cols,
+        "_s",
+        "_e",
+        F.sum("_new").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("_isl"),
+    )
+    per_island = islands.groupBy(*key_cols, "_isl").agg(
+        F.min("_s").alias("_is"),
+        F.max("_e").alias("_ie"),
+        F.count(F.lit(1)).alias("_cnt"),
+    )
+    return per_island.groupBy(*key_cols).agg(
+        F.sum("_cnt").cast("bigint").alias("n_intervals"),
+        F.count(F.lit(1)).cast("bigint").alias("n_islands"),
+        F.sum(F.col("_ie") - F.col("_is")).cast("bigint").alias("covered"),
+        (F.max("_ie") - F.min("_is")).cast("bigint").alias("span"),
+    )
+
+
+def activity_streaks(
+    df: DataFrame,
+    user_col: str,
+    day_col,
+) -> DataFrame:
+    """Per-user longest consecutive-day activity streak — the retention
+    product metric (and the canonical gaps-and-islands application over
+    a distinct day grid).
+
+    ``day_col`` is an integer day index (column name or Column, e.g.
+    ``epoch_us div 86400e6``).  The distinct (user, day) frame is
+    row-numbered per user in day order; ``day − row_number`` is constant
+    exactly along a consecutive run, so grouping on it yields streaks.
+    NULL users/days are excluded by contract.
+
+    Scale shape: distinct + one user-partitioned window + two
+    user-grouped aggregates, all sharing the user hash partitioning.
+
+    Returns ``user_col``, ``active_days`` (BIGINT), ``longest_streak``
+    (BIGINT), ``n_streaks`` (BIGINT).
+    """
+    from pyspark.sql.window import Window
+
+    d = (F.col(day_col) if isinstance(day_col, str) else day_col).cast("bigint")
+    days = (
+        df.filter(F.col(user_col).isNotNull() & d.isNotNull())
+        .select(F.col(user_col).alias("_u"), d.alias("_d"))
+        .distinct()
+    )
+    w = Window.partitionBy("_u").orderBy("_d")
+    runs = days.select(
+        "_u", "_d", (F.col("_d") - F.row_number().over(w)).alias("_run")
+    )
+    per_run = runs.groupBy("_u", "_run").agg(F.count(F.lit(1)).alias("_len"))
+    return per_run.groupBy("_u").agg(
+        F.sum("_len").cast("bigint").alias("active_days"),
+        F.max("_len").cast("bigint").alias("longest_streak"),
+        F.count(F.lit(1)).cast("bigint").alias("n_streaks"),
+    ).withColumnRenamed("_u", user_col)
+
+
+def path_ngrams(
+    df: DataFrame,
+    user_col: str,
+    t_col,
+    type_col: str,
+    n: int = 3,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Per-user event-type path n-grams — "what do users actually do in
+    sequence" (the navigation-pattern / funnel-discovery primitive;
+    :func:`type_transitions` is the n = 2 special case in matrix form).
+
+    Each user's events are ordered by (t, tiebreak) — pass a unique
+    ``tiebreak_col`` so equal timestamps are deterministic — and every
+    window of ``n`` consecutive types becomes one path string
+    ``'a>b>c'``.  NULL users/times are excluded by contract (a path
+    needs an owner and an order); NULL types print as the literal
+    ``'∅'`` placeholder so a missing step is still a distinct path.
+
+    ONE user-partitioned window (the ``n−1`` leads share its sort) +
+    one count aggregate — no self-joins.
+
+    Returns ``path`` (string), ``n_paths`` (BIGINT, occurrences).
+    """
+    from pyspark.sql.window import Window
+
+    tc = F.col(t_col) if isinstance(t_col, str) else t_col
+    base = df.filter(F.col(user_col).isNotNull() & tc.isNotNull())
+    order = [tc.asc()] + ([F.col(tiebreak_col).asc()] if tiebreak_col else [])
+    w = Window.partitionBy(user_col).orderBy(*order)
+    step = F.coalesce(F.col(type_col).cast("string"), F.lit("∅"))
+    steps = [step] + [F.lead(step, k).over(w) for k in range(1, n)]
+    paths = base.select(
+        F.concat_ws(">", *steps).alias("path"),
+        steps[-1].isNotNull().alias("_complete"),
+    ).filter(F.col("_complete"))
+    return paths.groupBy("path").agg(F.count(F.lit(1)).cast("bigint").alias("n_paths"))

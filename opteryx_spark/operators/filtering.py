@@ -873,3 +873,40 @@ def bigram_perplexity(
             ),
         )
     )
+
+
+def temperature_weights(df, stratum_col: str):
+    """Temperature-scaled (α = 0.5) mixture sampling weights per stratum
+    — the multilingual-corpus balancing rule (mT5/XLM-R style): sampling
+    probability ∝ n_i^α upweights low-resource strata relative to their
+    raw share while preserving order.  α is pinned at 1/2 because
+    ``sqrt`` is CORRECTLY ROUNDED under IEEE-754 (unlike ``pow``/``ln``,
+    which vary by libm) — so ``floor(sqrt(n))`` is the integer square
+    root, bit-identical in any engine, and every downstream number stays
+    exact integer arithmetic (``div``).
+
+    One stratum aggregate + one single-row total broadcast back (the
+    pagerank "n rides as a one-row frame" pattern) — no collect, no
+    window.  A NULL stratum is a real group.
+
+    Returns one row per stratum: ``stratum_col``, ``n_docs`` (BIGINT),
+    ``isqrt_n`` (BIGINT), ``weight_ppm`` (BIGINT, ``1e6·isqrt_n div
+    Σ isqrt_n``) — callers feed ``weight_ppm`` into
+    :func:`token_mixture_sample` or a per-stratum rate sampler.
+    """
+    from pyspark.sql import functions as F
+
+    counts = df.groupBy(stratum_col).agg(F.count(F.lit(1)).alias("n_docs"))
+    counts = counts.withColumn(
+        "isqrt_n", F.floor(F.sqrt(F.col("n_docs").cast("double"))).cast("bigint")
+    )
+    total = counts.agg(F.sum("isqrt_n").alias("_tot"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            stratum_col,
+            "n_docs",
+            "isqrt_n",
+            F.expr("(1000000 * isqrt_n) div _tot").alias("weight_ppm"),
+        )
+    )

@@ -308,3 +308,93 @@ def fellegi_sunter_score(
     return pairs.withColumn("score_millinats", score).withColumn(
         "is_match", F.col("score_millinats") >= F.lit(int(threshold_millinats))
     )
+
+
+def asof_join_nearest(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_t: str,
+    right_t: str,
+    tolerance: int,
+    left_id: str,
+    right_id: str,
+) -> DataFrame:
+    """Nearest-neighbor as-of join: each left row matches the right row
+    (same keys) whose timestamp is CLOSEST within ``± tolerance`` —
+    pandas ``merge_asof(direction='nearest')`` semantics, which the
+    backward-only :func:`asof_join` cannot express (sensor alignment,
+    trade-to-quote matching where the nearest quote on either side is
+    the right one).
+
+    Deterministic total preference order per left row:
+    ``(|Δt|, direction, right id)`` — exact ties prefer the BACKWARD
+    candidate (direction 0), then the lowest right id.  Implemented as
+    a band equi-join (the :func:`range_bin_join` strategy: each left
+    row probes time bands band−1..band+1, which provably covers
+    ``± tolerance``) + one ``min(struct)`` keeper aggregate — no
+    windowed sort over the union, no nested loop, both sides hashed on
+    (keys, band) at any scale.
+
+    NULL keys/timestamps never match (equi-join semantics).  Left rows
+    with no candidate in range are kept with NULL match columns (left
+    outer behavior).
+
+    Returns the left columns plus ``matched_{right_id}``,
+    ``matched_{right_t}``, ``match_delta`` (signed: right − left) and
+    ``match_direction`` ('backward' / 'forward' / NULL).
+    """
+    if tolerance < 1:
+        raise ValueError("tolerance must be >= 1")
+    lt = F.col(left_t).cast("bigint")
+    rt = F.col(right_t).cast("bigint")
+    band = (lt / F.lit(int(tolerance))).cast("bigint")
+    rband = (rt / F.lit(int(tolerance))).cast("bigint")
+    probes = left.select(
+        *on,
+        F.col(left_id).alias("_lid"),
+        lt.alias("_lt"),
+        F.explode(F.array(band - 1, band, band + 1)).alias("_band"),
+    ).filter(F.col("_lt").isNotNull())
+    builds = right.select(
+        *on,
+        F.col(right_id).alias("_rid"),
+        rt.alias("_rt"),
+        rband.alias("_band"),
+    ).filter(F.col("_rt").isNotNull())
+    cand = probes.join(builds, [*on, "_band"]).filter(
+        F.abs(F.col("_rt") - F.col("_lt")) <= F.lit(int(tolerance))
+    )
+    keeper = cand.groupBy(*on, "_lid", "_lt").agg(
+        F.min(
+            F.struct(
+                F.abs(F.col("_rt") - F.col("_lt")).alias("_d"),
+                F.when(F.col("_rt") <= F.col("_lt"), 0).otherwise(1).alias("_dir"),
+                F.col("_rid").alias("_rid"),
+                F.col("_rt").alias("_rt"),
+            )
+        ).alias("_k")
+    )
+    matched = keeper.select(
+        *on,
+        F.col("_lid").alias(left_id),
+        F.col("_lt").alias(left_t),
+        F.col("_k._rid").alias(f"matched_{right_id}"),
+        F.col("_k._rt").alias(f"matched_{right_t}"),
+        (F.col("_k._rt") - F.col("_lt")).cast("bigint").alias("match_delta"),
+        F.when(F.col("_k._dir") == 0, F.lit("backward"))
+        .otherwise(F.lit("forward"))
+        .alias("match_direction"),
+    )
+    base = left.select(*on, F.col(left_id), lt.alias(left_t))
+    return base.join(
+        matched.select(
+            left_id,
+            f"matched_{right_id}",
+            f"matched_{right_t}",
+            "match_delta",
+            "match_direction",
+        ),
+        left_id,
+        "left",
+    )

@@ -520,3 +520,204 @@ def correlation_matrix(
     return wide.select(F.explode(F.array(*structs)).alias("_p")).select(
         "_p.col_x", "_p.col_y", "_p.n", "_p.corr"
     )
+
+
+def mode_by_group(
+    df: DataFrame,
+    key_cols: list[str],
+    value_col: str,
+) -> DataFrame:
+    """Exact per-group mode with a deterministic tie-break (highest
+    count, then LOWEST value) — the categorical summary statistic
+    ``profile_table`` deliberately omits (mode needs a second aggregate
+    level).  NULL values are not candidates (they are a completeness
+    metric, not a value); groups with only NULL values drop out.
+
+    Two chained aggregates sharing the key hash partitioning — counts
+    per (key, value), then a ``min(struct(-count, value))`` keeper (the
+    engine's standard extremum idiom: map-side combinable, no rank
+    window).
+
+    Returns key cols + ``mode`` (value type), ``mode_count`` (BIGINT),
+    ``n_distinct`` (BIGINT, distinct non-NULL values in the group).
+    """
+    counts = (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(*key_cols, value_col)
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+    )
+    keeper = counts.groupBy(*key_cols).agg(
+        F.min(
+            F.struct((-F.col("_cnt")).alias("_neg"), F.col(value_col).alias("_v"))
+        ).alias("_k"),
+        F.count(F.lit(1)).cast("bigint").alias("n_distinct"),
+    )
+    return keeper.select(
+        *key_cols,
+        F.col("_k._v").alias("mode"),
+        (-F.col("_k._neg")).cast("bigint").alias("mode_count"),
+        "n_distinct",
+    )
+
+
+def weighted_median(
+    df: DataFrame,
+    key_cols: list[str],
+    value_col: str,
+    weight_col: str,
+) -> DataFrame:
+    """Exact per-group weighted (lower) median — the aggregate Spark
+    lacks natively (``percentile`` takes a frequency but pipelines carry
+    arbitrary integer weights: token counts, durations, repetition
+    factors).  Definition: the smallest value v whose cumulative weight
+    reaches half the total (``2·cumw(v) ≥ W``) — the type-1 (no
+    interpolation) estimator, chosen because it is exact integer
+    arithmetic end to end.
+
+    One value-ordered window for the running weight (tie rows share
+    their run via a deterministic (value, rows) order) + one
+    ``min(struct)`` keeper over qualifying rows.  NULL values and NULL
+    or non-positive weights are excluded by contract.
+
+    Returns key cols + ``total_weight`` (BIGINT), ``weighted_median``
+    (value type).
+    """
+    from pyspark.sql.window import Window
+
+    base = df.filter(
+        F.col(value_col).isNotNull()
+        & F.col(weight_col).isNotNull()
+        & (F.col(weight_col) > 0)
+    ).select(
+        *key_cols,
+        F.col(value_col).alias("_v"),
+        F.col(weight_col).cast("bigint").alias("_w"),
+    )
+    w_ord = Window.partitionBy(*key_cols).orderBy("_v")
+    # RANGE frame: all rows with value <= current value (ties included),
+    # so cumw is a function of the VALUE, deterministic under any tie order
+    cum = base.select(
+        *key_cols,
+        "_v",
+        "_w",
+        F.sum("_w").over(w_ord.rangeBetween(Window.unboundedPreceding, 0)).alias("_cumw"),
+        F.sum("_w").over(Window.partitionBy(*key_cols)).alias("_tot"),
+    )
+    qual = cum.filter(2 * F.col("_cumw") >= F.col("_tot"))
+    keeper = qual.groupBy(*key_cols).agg(
+        F.min("_tot").cast("bigint").alias("total_weight"),
+        F.min("_v").alias("weighted_median"),
+    )
+    return keeper
+
+
+def _hash32(col) -> "F.Column":
+    """The module's portable 32-bit degski xorshift-multiply hash (the
+    :func:`hll_estimate_portable` recipe) — BIGINT-safe, full avalanche,
+    SQL-reproducible (`xor(h >> 16, h) * 73244475 % 2^32` twice + fold)."""
+    mod32 = F.lit(4294967296)
+    h = col.cast("long") % mod32
+    for _ in range(2):
+        h = ((F.shiftright(h, 16).bitwiseXOR(h)) * F.lit(0x45D9F3B)) % mod32
+    return F.shiftright(h, 16).bitwiseXOR(h)
+
+
+def kmv_distinct_ops(
+    a: DataFrame,
+    b: DataFrame,
+    col: str,
+    k: int = 256,
+) -> DataFrame:
+    """KMV (k-minimum-values / bottom-k) distinct sketch with SET
+    OPERATIONS — the capability HLL lacks: besides per-side distinct
+    estimates, the bottom-k of the union is a uniform sample of the
+    union's distinct values, so membership flags on it estimate the
+    INTERSECTION (and Jaccard) between two streams (Beyer et al. 2007;
+    the theta-sketch idea).  "How many users did A and B share" at
+    100 TB without a COUNT DISTINCT over either.
+
+    Fully deterministic — portable hash, integer arithmetic (truncating
+    ``div``), no randomness — so a SQL oracle replays every number:
+
+    - per side / union: keep the k smallest DISTINCT hash values; with
+      n ≥ k distinct, ``est = (k−1) · 2^32 div h_k`` (h_k = the k-th
+      smallest); with n < k the sketch is exact (est = n).
+    - intersection: among the union's bottom-k, count values present in
+      BOTH sides (j) — ``est_inter = j · est_union div k``.
+
+    Scale shape: one tagged union + one (hash → side-mask) aggregate,
+    then three k-bounded TakeOrdered sorts — the only data leaving the
+    aggregate is k rows per sketch.  Sketches merge by min-union
+    (mergeable across partitions/days like the module's other sketches).
+
+    NULL values are excluded (COUNT DISTINCT semantics).
+
+    Returns one row: ``k``, ``est_a``, ``est_b``, ``est_union``,
+    ``union_k_in_both``, ``est_intersection`` (all BIGINT).
+    """
+    tagged = (
+        a.filter(F.col(col).isNotNull())
+        .select(_hash32(F.col(col)).alias("_h"), F.lit(1).alias("_m"))
+        .unionAll(
+            b.filter(F.col(col).isNotNull()).select(
+                _hash32(F.col(col)).alias("_h"), F.lit(2).alias("_m")
+            )
+        )
+    )
+    from opteryx_spark.operators.dedup import _track_persist
+
+    # max-flags, not a tag sum: inputs are NOT pre-distinct, so a value
+    # appearing many times on one side must still flag that side exactly once
+    hashes = _track_persist(
+        tagged.groupBy("_h").agg(
+            F.max(F.when(F.col("_m") == 1, 1).otherwise(0)).alias("_ina"),
+            F.max(F.when(F.col("_m") == 2, 1).otherwise(0)).alias("_inb"),
+        )
+    )
+
+    def bottom(df: DataFrame) -> DataFrame:
+        return df.orderBy("_h").limit(int(k))
+
+    def est(bk: DataFrame, extra=None) -> DataFrame:
+        agg = bk.agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.max("_h").alias("_hk"),
+            *([extra] if extra is not None else []),
+        )
+        return agg.withColumn(
+            "_est",
+            F.when(F.col("_n") < k, F.col("_n")).otherwise(
+                F.expr(f"({k} - 1) * 4294967296 div _hk")
+            ).cast("bigint"),
+        )
+
+    ea = est(bottom(hashes.filter(F.col("_ina") == 1))).select(
+        F.col("_est").alias("est_a"), F.lit(1).alias("_j")
+    )
+    eb = est(bottom(hashes.filter(F.col("_inb") == 1))).select(
+        F.col("_est").alias("est_b"), F.lit(1).alias("_j")
+    )
+    eu = est(
+        bottom(hashes),
+        F.sum((F.col("_ina") * F.col("_inb")).cast("long")).alias("_both"),
+    ).select(
+        F.col("_est").alias("est_union"),
+        F.col("_both").cast("bigint").alias("union_k_in_both"),
+        F.col("_n").alias("_un"),
+        F.lit(1).alias("_j"),
+    )
+    out = ea.join(eb, "_j").join(eu, "_j")
+    return out.select(
+        F.lit(int(k)).cast("long").alias("k"),
+        "est_a",
+        "est_b",
+        "est_union",
+        "union_k_in_both",
+        # j/k of the union sample are shared => inter ~= (j/min(k,n))*union
+        F.expr(
+            f"(union_k_in_both * est_union)"
+            f" div least(CAST(_un AS BIGINT), CAST({int(k)} AS BIGINT))"
+        )
+        .cast("bigint")
+        .alias("est_intersection"),
+    )

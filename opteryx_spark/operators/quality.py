@@ -389,3 +389,162 @@ def categorical_drift(
         share_b.cast("bigint").alias("share_b_ppm"),
         F.abs(share_a - share_b).cast("bigint").alias("abs_delta_ppm"),
     )
+
+
+def fd_check(
+    df: DataFrame,
+    determinant: list[str],
+    dependent: str,
+    name: str | None = None,
+) -> DataFrame:
+    """Functional-dependency audit: does ``determinant → dependent``
+    hold?  The schema-inference / data-contract primitive (candidate-key
+    discovery, denormalization safety, "is this column redundant"): a
+    violation is a determinant value whose rows carry more than one
+    distinct non-NULL dependent value.
+
+    Contract: rows with a NULL determinant component are excluded (a
+    NULL determines nothing), and NULL dependents do not count as a
+    variant (count(distinct) semantics, identical in both engines).
+
+    ONE groupBy on the determinant + one global aggregate — no window,
+    no join, no collect.
+
+    Returns one report row: ``check``, ``kind`` ('functional'),
+    ``n_groups`` (BIGINT, distinct determinant values), ``n_violating``
+    (BIGINT, determinant values with ≥ 2 dependent variants),
+    ``max_variants`` (BIGINT), ``passed`` (bool).
+    """
+    det = [F.col(c) for c in determinant]
+    base = df
+    for c in determinant:
+        base = base.filter(F.col(c).isNotNull())
+    per_group = base.groupBy(*det).agg(
+        F.countDistinct(F.col(dependent)).alias("_variants")
+    )
+    label = name or f"fd({', '.join(determinant)} -> {dependent})"
+    rep = per_group.agg(
+        F.count(F.lit(1)).alias("_g"),
+        F.sum(F.when(F.col("_variants") >= 2, 1).otherwise(0)).alias("_v"),
+        F.max("_variants").alias("_m"),
+    )
+    return rep.select(
+        F.lit(label).alias("check"),
+        F.lit("functional").alias("kind"),
+        F.col("_g").cast("long").alias("n_groups"),
+        F.col("_v").cast("long").alias("n_violating"),
+        F.coalesce(F.col("_m"), F.lit(0)).cast("long").alias("max_variants"),
+        (F.coalesce(F.col("_v"), F.lit(0)) == 0).alias("passed"),
+    )
+
+
+def mad_outliers(
+    df: DataFrame,
+    key_cols: list[str],
+    value_col: str,
+    k_tenths: int = 30,
+) -> DataFrame:
+    """Robust per-group outlier screen via median absolute deviation:
+    flag values with ``|x − median| > (k_tenths/10) · MAD`` — the
+    heavy-tail-safe alternative to z-scores (one wild value corrupts a
+    mean/stddev fence but not a median/MAD one).  ``k_tenths`` keeps the
+    threshold a ratio of integers (default 3.0).
+
+    Both the median and the MAD are EXACT interpolated percentiles
+    (Spark ``percentile`` == DuckDB ``quantile_cont``, the equivalence
+    the latency-percentile and quantile-bin entries already pin); the
+    comparison arithmetic is the same fixed float expression in both
+    engines.  NULL values are excluded (they are a completeness issue,
+    not an outlier).  Groups with MAD = 0 (over half the values at the
+    median) flag only values strictly different from the median when
+    k > 0 — degenerate but deterministic; n < 1 groups cannot occur.
+
+    Scale shape: two cascaded whole-partition window aggregates sharing
+    ONE key-hash exchange (windows, not joins, so a NULL group is a
+    real stratum with no null-safe-join machinery) + one final group
+    aggregate on the same partitioning — never a global sort.
+
+    Returns key cols + ``n`` (BIGINT), ``median`` (DOUBLE), ``mad``
+    (DOUBLE), ``n_outliers`` (BIGINT).
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(*key_cols)
+    base = df.filter(F.col(value_col).isNotNull())
+    x = F.col(value_col).cast("double")
+    with_med = base.select(
+        *key_cols,
+        x.alias("_x"),
+        F.expr(f"percentile({value_col}, 0.5)").over(w).alias("_med"),
+    )
+    with_mad = with_med.select(
+        *key_cols,
+        "_x",
+        "_med",
+        F.expr("percentile(abs(_x - _med), 0.5)").over(w).alias("_mad"),
+    )
+    hit = (
+        F.abs(F.col("_x") - F.col("_med"))
+        > F.col("_mad") * F.lit(k_tenths) / F.lit(10.0)
+    )
+    return with_mad.groupBy(*key_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.min("_med").alias("median"),
+        F.min("_mad").alias("mad"),
+        F.sum(hit.cast("int")).cast("long").alias("n_outliers"),
+    )
+
+
+def completeness_by_partition(
+    df: DataFrame,
+    part_col,
+    columns: list[str],
+    part_alias: str = "part",
+) -> DataFrame:
+    """Per-partition completeness trend: for every time/ingest partition
+    and every named column, exact row and null counts with a truncating
+    null-rate ppm — "which day did the crawler start dropping the
+    author field" (:func:`snapshot_drift` compares two snapshots; this
+    profiles one table ALONG its partition axis).
+
+    Same fused-aggregate shape as :func:`snapshot_drift`: one
+    conditional SUM per column fused into ONE ``groupBy(part)`` pass,
+    then a struct-array explode unpivots to (part, column) rows — a
+    single scan regardless of column count, partial-aggregated
+    map-side.  A NULL partition value is a real group.
+
+    Returns ``part_alias``, ``col_name``, ``n_rows``, ``n_nulls``
+    (BIGINT), ``null_ppm`` (BIGINT, truncating; NULL when the
+    partition is empty — cannot happen for groupBy-produced rows).
+    """
+    if not columns:
+        raise ValueError("columns must be non-empty")
+    p = F.col(part_col) if isinstance(part_col, str) else part_col
+    aggs = [F.count(F.lit(1)).alias("_rows")]
+    for c in columns:
+        aggs.append(
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"_n_{c}")
+        )
+    g = df.groupBy(p.alias(part_alias)).agg(*aggs)
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("col_name"), F.col(f"_n_{c}").alias("n_nulls")
+            )
+            for c in columns
+        ]
+    )
+    return (
+        g.select(part_alias, F.col("_rows").alias("n_rows"), F.explode(pairs).alias("_p"))
+        .select(
+            part_alias,
+            F.col("_p.col_name").alias("col_name"),
+            F.col("n_rows").cast("bigint").alias("n_rows"),
+            F.col("_p.n_nulls").alias("n_nulls"),
+            F.when(
+                F.col("n_rows") > 0, F.expr("(_p.n_nulls * 1000000) div n_rows")
+            ).cast("bigint").alias("null_ppm"),
+        )
+    )

@@ -1018,3 +1018,67 @@ def sq8_topk_indexed(
     the build-once/probe-many hot path: the probe scans the 4x-smaller
     quantized artifact, never the float corpus."""
     return sq8_probe(spark.read.parquet(path), query_vec, k, shortlist, id_col)
+
+
+def centroid_drift(
+    a: DataFrame,
+    b: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    qscale: int = 1000,
+) -> DataFrame:
+    """Per-label centroid drift between two embedding snapshots — the
+    embedding-space monitoring primitive (re-embedding with a new model
+    revision, or a corpus refresh, moves class centroids; alert when a
+    label's centroid travels): squared L2 distance between the per-label
+    mean vectors, in exact quantized integer units.
+
+    Determinism: components are milli-quantized (``floor(x·qscale)``,
+    BIGINT), per-label per-dimension SUMS are exact, the centroid is the
+    truncating ``div`` of sum by count (the :func:`kmeans_portable`
+    convention), and the drift is a BIGINT sum of squared differences —
+    no floats anywhere.
+
+    Scale shape: ONE groupBy per side with ``dim`` fused partial sums
+    (no posexplode fan-out — the kmeans update shape), one label-keyed
+    join of label-cardinality frames.  NULL vectors are excluded; labels
+    present on only one side are reported with NULL drift.
+
+    Returns ``label_col``, ``n_a``, ``n_b`` (BIGINT), ``drift2_q``
+    (BIGINT, squared quantized-unit distance; NULL when one-sided).
+    """
+
+    def _sums(df: DataFrame, tag: str) -> DataFrame:
+        qv = F.transform(
+            F.col(vec_col), lambda x: F.floor(x.cast("double") * F.lit(float(qscale)))
+        )
+        base = df.filter(F.col(vec_col).isNotNull()).select(
+            F.col(label_col).alias("_l"), qv.alias("_qv")
+        )
+        aggs = [F.count(F.lit(1)).alias(f"n_{tag}")]
+        for d in range(dim):
+            aggs.append(F.sum(F.element_at(F.col("_qv"), d + 1)).alias(f"_s{tag}{d}"))
+        return base.groupBy("_l").agg(*aggs)
+
+    sa = _sums(a, "a")
+    sb = _sums(b, "b")
+    joined = sa.join(sb, "_l", "full_outer")
+    diffs = [
+        (
+            F.expr(f"_sa{d} div n_a") - F.expr(f"_sb{d} div n_b")
+        )
+        for d in range(dim)
+    ]
+    drift = None
+    for d_expr in diffs:
+        term = d_expr * d_expr
+        drift = term if drift is None else drift + term
+    return joined.select(
+        F.col("_l").alias(label_col),
+        F.coalesce(F.col("n_a"), F.lit(0)).cast("bigint").alias("n_a"),
+        F.coalesce(F.col("n_b"), F.lit(0)).cast("bigint").alias("n_b"),
+        F.when(
+            F.col("n_a").isNotNull() & F.col("n_b").isNotNull(), drift
+        ).cast("bigint").alias("drift2_q"),
+    )

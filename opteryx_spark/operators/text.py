@@ -918,3 +918,117 @@ def char_entropy(
     # docs with NULL/empty text surface with NULL metrics
     ids = df.select(id_col)
     return ids.join(scored, [id_col], "left")
+
+
+def script_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document character-class profile: counts and ppm shares of
+    ASCII letters, digits, whitespace, and everything else — the cheap
+    script/garbage screen that complements :func:`char_entropy`
+    (distributional) and :func:`encoding_issues` (damage markers): a
+    "text" column that is 40% digits is a table dump, one that is 90%
+    "other" is binary or non-Latin (route to per-script handling).
+
+    Pure length-difference arithmetic over ``regexp_replace`` with
+    explicit character classes (identical semantics in Java regex and
+    RE2/DuckDB) — map-only, zero shuffle, fully codegen'd.  NULL text
+    yields NULL everywhere (never silent zeros); empty text yields zero
+    counts with NULL shares.
+
+    Appends ``n_chars``, ``n_letters``, ``n_digits``, ``n_spaces``,
+    ``n_other`` (BIGINT) and ``letters_ppm``, ``digits_ppm``,
+    ``spaces_ppm``, ``other_ppm`` (BIGINT, truncating ``div``).
+    """
+    c = F.col(text_col)
+    n = F.length(c).cast("bigint")
+
+    def cls(pattern: str) -> Column:
+        return (n - F.length(F.regexp_replace(c, pattern, "")).cast("bigint"))
+
+    letters = cls("[A-Za-z]")
+    digits = cls("[0-9]")
+    spaces = cls("[ \\t\\n\\r]")
+    other = n - letters - digits - spaces
+
+    out = (
+        df.withColumn("n_chars", n)
+        .withColumn("n_letters", letters)
+        .withColumn("n_digits", digits)
+        .withColumn("n_spaces", spaces)
+        .withColumn("n_other", other)
+    )
+    # truncating integer div (never float-divide-then-cast: Spark casts
+    # double->bigint by truncation, DuckDB by rounding — the engines
+    # would disagree on .5 boundaries)
+    for name, src in [
+        ("letters_ppm", "n_letters"),
+        ("digits_ppm", "n_digits"),
+        ("spaces_ppm", "n_spaces"),
+        ("other_ppm", "n_other"),
+    ]:
+        out = out.withColumn(
+            name,
+            F.when(n > 0, F.expr(f"(1000000 * {src}) div n_chars")),
+        )
+    return out
+
+
+def lexical_diversity(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document lexical diversity: token count, distinct-token
+    (type) count, type-token ratio, and hapax legomena (types occurring
+    exactly once) — the vocabulary-richness quality signal (template
+    and boilerplate text has low TTR; keyboard mash has high TTR with
+    high hapax share).
+
+    Zero-shuffle formulation (the ``repetition_metrics`` strategy): the
+    token array is sorted once per row and both counts fall out of
+    neighbor comparisons over the sorted array — ``types`` counts
+    positions that differ from their left neighbor, ``hapax`` counts
+    positions that differ from BOTH neighbors.  Map-only, no explode,
+    no groupBy; the whole operator is one projection.
+
+    NULL text yields NULL metrics; tokenless text yields zeros with
+    NULL ratios.
+
+    Appends ``n_tokens``, ``n_types``, ``hapax`` (BIGINT), ``ttr_ppm``
+    (types·1e6 div tokens), ``hapax_ppm`` (hapax·1e6 div types).
+    """
+    arr = F.array_sort(tokens(F.col(text_col)))
+    n = F.size(arr).cast("bigint")
+    # sequence(1, 0) is DESCENDING in Spark ([1, 0] — index 0 then errors),
+    # so the tokenless case must short-circuit to an empty index list
+    idx = F.when(
+        F.size(arr) > 0, F.sequence(F.lit(1), F.size(arr))
+    ).otherwise(F.array().cast("array<int>"))
+
+    def neq(i: Column, j: Column) -> Column:
+        return F.element_at(arr, i) != F.element_at(arr, j)
+
+    new_type = F.transform(
+        idx, lambda i: F.when((i == 1) | neq(i, i - 1), 1).otherwise(0)
+    )
+    hapax_flag = F.transform(
+        idx,
+        lambda i: F.when(
+            ((i == 1) | neq(i, i - 1)) & ((i == F.size(arr)) | neq(i, i + 1)), 1
+        ).otherwise(0),
+    )
+    types = F.aggregate(new_type, F.lit(0).cast("bigint"), lambda a, x: a + x)
+    hapax = F.aggregate(hapax_flag, F.lit(0).cast("bigint"), lambda a, x: a + x)
+    nn = F.when(F.col(text_col).isNotNull(), F.coalesce(n, F.lit(0)))
+    return (
+        df.withColumn("n_tokens", nn)
+        .withColumn("n_types", F.when(F.col(text_col).isNotNull(), F.coalesce(types, F.lit(0))))
+        .withColumn("hapax", F.when(F.col(text_col).isNotNull(), F.coalesce(hapax, F.lit(0))))
+        .withColumn(
+            "ttr_ppm",
+            F.when(F.col("n_tokens") > 0, F.expr("(1000000 * n_types) div n_tokens")),
+        )
+        .withColumn(
+            "hapax_ppm",
+            F.when(F.col("n_types") > 0, F.expr("(1000000 * hapax) div n_types")),
+        )
+    )

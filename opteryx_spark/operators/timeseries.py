@@ -234,6 +234,64 @@ def seasonal_naive_forecast(
     )
 
 
+def ols_trend(
+    series: DataFrame,
+    key_cols: list[str],
+    t_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Per-key ordinary-least-squares linear trend of an integer regular
+    series — the "is this metric growing, and how fast" screen that
+    complements :func:`cusum_changepoint` (level shift) and
+    :func:`autocorrelation` (seasonality).
+
+    The five sufficient statistics (n, Σt, Σy, Σtt, Σty) are BIGINT-exact
+    over integer time indexes and values; slope and intercept are each
+    ONE fixed closed-form float expression over those exact integers —
+    bit-identical in any IEEE-754 engine (the suite determinism rule):
+
+        slope     = (n·Σty − Σt·Σy) / (n·Σtt − Σt²)
+        intercept = (Σy·Σtt − Σt·Σty) / (n·Σtt − Σt²)
+
+    Degenerate keys (n < 2 or zero time variance) yield NULL for both.
+    NULL time indexes and NULL values are excluded up front (same
+    contract and reasons as :func:`cusum_changepoint`).
+
+    Scale shape: ONE groupBy over the key columns — no window, no join,
+    no collect.
+
+    Returns key cols + ``n_points`` (BIGINT), ``slope``, ``intercept``
+    (DOUBLE, NULL when degenerate).
+    """
+    series = series.filter(
+        F.col(t_col).isNotNull() & F.col(value_col).isNotNull()
+    )
+    tt = F.col(t_col).cast("bigint")
+    y = F.col(value_col).cast("bigint")
+    agg = series.groupBy(*key_cols).agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.sum(tt).alias("_st"),
+        F.sum(y).alias("_sy"),
+        F.sum(tt * tt).alias("_stt"),
+        F.sum(tt * y).alias("_sty"),
+    )
+    n = F.col("n_points")
+    den = n * F.col("_stt") - F.col("_st") * F.col("_st")
+    slope = F.when(
+        den > 0,
+        (n * F.col("_sty") - F.col("_st") * F.col("_sy")).cast("double")
+        / den.cast("double"),
+    )
+    intercept = F.when(
+        den > 0,
+        (F.col("_sy") * F.col("_stt") - F.col("_st") * F.col("_sty")).cast("double")
+        / den.cast("double"),
+    )
+    return agg.select(
+        *key_cols, "n_points", slope.alias("slope"), intercept.alias("intercept")
+    )
+
+
 def cross_correlation(
     a: DataFrame,
     b: DataFrame,

@@ -643,3 +643,121 @@ def core_numbers(
     _track_release(handle)  # final values: bounded-lifetime release
     _track_release(nbrs_handle)
     return v.select("node", F.col("val").alias("core_number"))
+
+
+def _canonical_edges(
+    edges: DataFrame, src_col: str, dst_col: str
+) -> DataFrame:
+    """Undirected canonical edge set ``(_a < _b)``, deduped, self-loops
+    and NULL endpoints dropped — the shared normalization of
+    :func:`triangle_counts` / :func:`kcore` / :func:`core_numbers`."""
+    return (
+        edges.filter(F.col(src_col).isNotNull() & F.col(dst_col).isNotNull())
+        .filter(F.col(src_col) != F.col(dst_col))
+        .select(
+            F.least(src_col, dst_col).alias("_a"),
+            F.greatest(src_col, dst_col).alias("_b"),
+        )
+        .distinct()
+    )
+
+
+def degree_assortativity(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Degree assortativity coefficient (Newman 2002): the Pearson
+    correlation of the degrees at the two ends of each edge — positive
+    when hubs link to hubs (social graphs), negative when hubs link to
+    leaves (web/biological graphs).  A one-number structural screen for
+    link-graph curation (a crawl whose assortativity flips between
+    snapshots changed its growth regime).
+
+    Edges are canonicalized undirected; each edge contributes BOTH
+    orientations (j,k) and (k,j) — the standard symmetric treatment, so
+    Σx = Σy and Σxx = Σyy by construction.  All sufficient statistics
+    are BIGINT-exact; the coefficient is ONE fixed float expression over
+    exact integers (bit-identical cross-engine).  Zero degree variance
+    (regular graph) yields NULL.
+
+    Scale shape: one degree aggregate, two node-keyed joins to attach
+    endpoint degrees, one global aggregate of five numbers — no window,
+    no collect.
+
+    Returns one row: ``n_edges`` (BIGINT, canonical undirected count),
+    ``assortativity`` (DOUBLE, NULL when degenerate).
+    """
+    e = _canonical_edges(edges, src_col, dst_col)
+    deg = (
+        e.select(F.col("_a").alias("node"))
+        .unionAll(e.select(F.col("_b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("_deg"))
+    )
+    da = deg.select(F.col("node").alias("_a"), F.col("_deg").alias("_ja"))
+    db = deg.select(F.col("node").alias("_b"), F.col("_deg").alias("_jb"))
+    pairs = e.join(da, "_a").join(db, "_b")
+    # both orientations: (ja, jb) and (jb, ja)
+    xy = pairs.select(F.col("_ja").alias("_x"), F.col("_jb").alias("_y")).unionAll(
+        pairs.select(F.col("_jb").alias("_x"), F.col("_ja").alias("_y"))
+    )
+    agg = xy.agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum("_x").alias("_sx"),
+        F.sum("_y").alias("_sy"),
+        F.sum(F.col("_x") * F.col("_x")).alias("_sxx"),
+        F.sum(F.col("_x") * F.col("_y")).alias("_sxy"),
+    )
+    n = F.col("_n")
+    num = n * F.col("_sxy") - F.col("_sx") * F.col("_sy")
+    dx = n * F.col("_sxx") - F.col("_sx") * F.col("_sx")
+    r = F.when(dx > 0, num.cast("double") / dx.cast("double"))
+    return agg.select(
+        (F.col("_n") / F.lit(2)).cast("bigint").alias("n_edges"),
+        r.alias("assortativity"),
+    )
+
+
+def clustering_coefficients(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Per-node local clustering coefficient: the fraction of a node's
+    neighbor pairs that are themselves connected —
+    ``2·triangles(v) / (deg(v)·(deg(v)−1))`` — reported as a truncated
+    integer ppm (``div``, exact cross-engine; no float arithmetic at
+    all).  The node-level density signal that complements the global
+    :func:`degree_assortativity` and the per-node :func:`triangle_counts`
+    it composes.
+
+    Nodes of degree < 2 have no neighbor pairs: ``coeff_ppm`` is NULL
+    (honest, not 0).  Triangle counting reuses :func:`triangle_counts`
+    (ordered two-join enumeration); the degree aggregate LEFT-joins the
+    triangle counts so triangle-free nodes report 0 triangles.
+
+    Returns ``node``, ``degree`` (BIGINT), ``n_triangles`` (BIGINT),
+    ``coeff_ppm`` (BIGINT, NULL when degree < 2).
+    """
+    e = _canonical_edges(edges, src_col, dst_col)
+    deg = (
+        e.select(F.col("_a").alias("node"))
+        .unionAll(e.select(F.col("_b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    tri = triangle_counts(e, src_col="_a", dst_col="_b")
+    out = deg.join(tri, "node", "left").select(
+        "node",
+        "degree",
+        F.coalesce(F.col("n_triangles"), F.lit(0)).cast("bigint").alias("n_triangles"),
+        F.when(
+            F.col("degree") >= 2,
+            F.expr(
+                "(2000000 * coalesce(n_triangles, CAST(0 AS BIGINT)))"
+                " div (degree * (degree - 1))"
+            ),
+        ).alias("coeff_ppm"),
+    )
+    return out
