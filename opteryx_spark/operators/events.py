@@ -1263,3 +1263,68 @@ def path_ngrams(
         steps[-1].isNotNull().alias("_complete"),
     ).filter(F.col("_complete"))
     return paths.groupBy("path").agg(F.count(F.lit(1)).cast("bigint").alias("n_paths"))
+
+
+def markov_stationary(
+    transitions: DataFrame,
+    from_col: str,
+    to_col: str,
+    count_col: str,
+    rounds: int = 8,
+) -> DataFrame:
+    """Stationary distribution of a first-order Markov chain given as
+    transition COUNTS — "where does user behavior settle": the
+    long-run share of time spent in each state (the behavioral
+    analogue of PageRank; :func:`type_transitions` produces exactly
+    this input).
+
+    Fixed-point integer formulation so an oracle replays it exactly:
+    row-normalized transition probabilities in truncating ppm
+    (``p_ij = cnt·1e6 div row_total``), the distribution vector in ppm
+    starting uniform, and each power-iteration round
+    ``v'(j) = Σ_i v(i)·p_ij div 1e6`` — every intermediate a BIGINT.
+    Truncation bleeds ≤ n_states ppm of mass per round (not
+    renormalized — deterministic beats pretty); fixed ``rounds`` keeps
+    the oracle an unrolled CTE chain.  States with no outgoing
+    transitions simply absorb nothing (their row is missing — mass
+    fades; add self-loops upstream for absorbing semantics).
+
+    Scale shape: state-count-sized frames throughout (the chain has
+    |states| rows, not |events|): one normalization window + ``rounds``
+    joins/aggregates over tiny keyed frames — no driver data, no
+    collect.
+
+    Returns ``state``, ``stationary_ppm`` (BIGINT).
+    """
+    if rounds < 1:
+        raise ValueError("rounds must be >= 1")
+    base = transitions.filter(
+        F.col(from_col).isNotNull() & F.col(to_col).isNotNull()
+    ).select(
+        F.col(from_col).alias("_i"),
+        F.col(to_col).alias("_j"),
+        F.col(count_col).cast("bigint").alias("_c"),
+    )
+    w = Window.partitionBy("_i")
+    probs = base.select(
+        "_i",
+        "_j",
+        F.expr("(_c * 1000000) div sum(_c) OVER (PARTITION BY _i)").alias("_p_ppm"),
+    )
+    states = (
+        base.select(F.col("_i").alias("state"))
+        .unionAll(base.select(F.col("_j").alias("state")))
+        .distinct()
+    )
+    n_states = states.count()  # chain-sized (tiny): bounded driver scalar
+    v = states.select(
+        "state", F.lit(1_000_000 // n_states).cast("bigint").alias("v_ppm")
+    )
+    for _ in range(rounds):
+        v = (
+            probs.join(v.select(F.col("state").alias("_i"), "v_ppm"), "_i")
+            .groupBy("_j")
+            .agg(F.sum(F.expr("(v_ppm * _p_ppm) div 1000000")).alias("v_ppm"))
+            .select(F.col("_j").alias("state"), F.col("v_ppm").cast("bigint"))
+        )
+    return v.select("state", F.col("v_ppm").alias("stationary_ppm"))

@@ -503,3 +503,71 @@ def lag_features(
             f"delta_{k}", F.col(value_col) - tap
         )
     return out
+
+
+def target_encode_loo(
+    df: DataFrame,
+    cat_col: str,
+    target_col: str,
+    fold_col: str,
+    m: int = 10,
+) -> DataFrame:
+    """Leakage-safe (leave-fold-out) smoothed target encoding: each
+    row's category encoding is computed from the OTHER folds' rows
+    only — the cross-validated variant of :func:`target_encode` that a
+    training pipeline must use (same-fold target leakage inflates
+    feature importance and overfits high-cardinality categories):
+
+        enc = (S_cat − S_cat,fold + m·prior) / (N_cat − N_cat,fold + m)
+
+    with ``prior`` the global target mean.  Determinism: target sums
+    are fixed-point BIGINTs (``floor(x·1e4 + 0.5)``, the engine's q1
+    idiom — order-independent, engine-exact); prior and encoding are
+    fixed float expressions over those exact integers.
+
+    Scale shape: ONE groupBy on (category, fold) with the per-category
+    totals recovered by a window SUM over the same partitioning, one
+    single-row global aggregate broadcast back, one map-side join of
+    the per-(cat, fold) stats onto the rows.  NULL categories and NULL
+    folds get a NULL encoding (no group to borrow from); NULL targets
+    are excluded from the statistics but still receive an encoding.
+
+    Returns the input columns + ``enc`` (DOUBLE).
+    """
+    from pyspark.sql.window import Window
+
+    fp = F.floor(F.col(target_col).cast("double") * 10000.0 + 0.5)
+    stats = (
+        df.filter(F.col(cat_col).isNotNull() & F.col(fold_col).isNotNull())
+        .groupBy(cat_col, fold_col)
+        .agg(
+            F.sum(fp).alias("_s_cf"),
+            F.count(F.col(target_col)).alias("_n_cf"),
+        )
+    )
+    wc = Window.partitionBy(cat_col)
+    stats = stats.select(
+        cat_col,
+        fold_col,
+        "_s_cf",
+        "_n_cf",
+        F.sum("_s_cf").over(wc).alias("_s_c"),
+        F.sum("_n_cf").over(wc).alias("_n_c"),
+    )
+    g = df.agg(
+        F.sum(fp).alias("_s_all"), F.count(F.col(target_col)).alias("_n_all")
+    )
+    joined = df.join(stats, [cat_col, fold_col], "left").crossJoin(F.broadcast(g))
+    prior = F.col("_s_all").cast("double") / 10000.0 / F.col("_n_all").cast("double")
+    enc = (
+        (F.col("_s_c") - F.col("_s_cf")).cast("double") / 10000.0
+        + F.lit(float(m)) * prior
+    ) / ((F.col("_n_c") - F.col("_n_cf")) + F.lit(m)).cast("double")
+    return joined.select(
+        *df.columns,
+        F.when(
+            F.col(cat_col).isNotNull() & F.col(fold_col).isNotNull()
+            & F.col("_n_c").isNotNull(),
+            enc,
+        ).alias("enc"),
+    )

@@ -359,3 +359,52 @@ def cross_correlation(
         num.cast("double") / F.sqrt(dx.cast("double") * dy.cast("double")),
     )
     return agg.select(*key_cols, "lag", "n_pairs", ccf.alias("ccf"))
+
+
+def rolling_median_detrend(
+    series: DataFrame,
+    key_cols: list[str],
+    t_col: str,
+    value_col: str,
+    half_window: int = 3,
+) -> DataFrame:
+    """Per-key rolling-median detrend: each point's trend level is the
+    exact median of the ``2·half_window + 1`` surrounding observations
+    (ROWS frame, so gaps in t widen the time span rather than shrink
+    the sample — document or densify first), and the residual is what
+    anomaly screens should look at once level and slow trend are
+    removed.  The median (not mean) version survives outliers in the
+    window — the robust counterpart of ``events.seasonal_residuals``.
+
+    Exact interpolated percentile over a moving ROWS frame (Spark
+    ``percentile`` == DuckDB ``quantile_cont``, the pinned
+    equivalence); the residual is one fixed float subtraction.  NULL
+    time indexes and NULL values are excluded up front (the module's
+    standard contract — NULL order keys place differently across
+    engines).
+
+    One key-partitioned window — no joins, no collect.
+
+    Returns key cols + ``t_col`` (BIGINT), ``value_col`` (BIGINT),
+    ``rolling_med`` (DOUBLE), ``residual`` (DOUBLE).
+    """
+    from pyspark.sql.window import Window
+
+    if half_window < 1:
+        raise ValueError("half_window must be >= 1")
+    series = series.filter(
+        F.col(t_col).isNotNull() & F.col(value_col).isNotNull()
+    )
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy(t_col)
+        .rowsBetween(-half_window, half_window)
+    )
+    med = F.expr(f"percentile({value_col}, 0.5)").over(w)
+    return series.select(
+        *key_cols,
+        F.col(t_col).cast("bigint").alias(t_col),
+        F.col(value_col).cast("bigint").alias(value_col),
+        med.alias("rolling_med"),
+        (F.col(value_col).cast("double") - med).alias("residual"),
+    )

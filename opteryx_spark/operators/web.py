@@ -761,3 +761,67 @@ def clustering_coefficients(
         ).alias("coeff_ppm"),
     )
     return out
+
+
+def label_communities(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    rounds: int = 4,
+) -> DataFrame:
+    """Community detection by synchronous label propagation (Raghavan
+    et al. 2007): every node starts as its own label; each round it
+    adopts the most frequent label among its neighbors (ties to the
+    SMALLEST label, so every round is deterministic).  The linear-time
+    community method for link graphs — finds denser-than-chance groups
+    (mutual-link clusters) that :func:`kcore` (density threshold) and
+    connected components (mere reachability) do not.
+
+    Fixed ``rounds`` (synchronous LPA can oscillate on bipartite
+    structure, so a fixpoint test may never fire; a fixed-round run is
+    deterministic regardless and lets an oracle unroll the exact same
+    rounds).  Per round: one label join on the static neighbor list +
+    one ``min(struct(-count, label))`` keeper — both hash-partitioned
+    on node id, lineage re-rooted per round with eager superseded-round
+    release (the :func:`pagerank` pattern).  Isolated nodes never
+    appear (edges define the population).
+
+    Returns ``node``, ``community`` (BIGINT, a node id serving as the
+    label).
+    """
+    from opteryx_spark.operators.dedup import _checkpoint_tracked, _track_release
+
+    if rounds < 1:
+        raise ValueError("rounds must be >= 1")
+    e = _canonical_edges(edges, src_col, dst_col)
+    nbrs = e.select(F.col("_a").alias("node"), F.col("_b").alias("nbr")).unionAll(
+        e.select(F.col("_b").alias("node"), F.col("_a").alias("nbr"))
+    )
+    nbrs, nbrs_h = _checkpoint_tracked(nbrs)
+    labels = nbrs.select("node").distinct().select(
+        "node", F.col("node").alias("community")
+    )
+    labels, handle = _checkpoint_tracked(labels)
+    for _ in range(rounds):
+        counted = (
+            nbrs.join(
+                labels.select(
+                    F.col("node").alias("nbr"), F.col("community").alias("_nl")
+                ),
+                "nbr",
+            )
+            .groupBy("node", "_nl")
+            .agg(F.count(F.lit(1)).alias("_c"))
+        )
+        nxt = counted.groupBy("node").agg(
+            F.min(
+                F.struct((-F.col("_c")).alias("_neg"), F.col("_nl").alias("_l"))
+            ).alias("_k")
+        ).select("node", F.col("_k._l").alias("community"))
+        nxt, h = _checkpoint_tracked(nxt)
+        handle.unpersist()  # superseded round (eager: localCheckpoint is eager)
+        handle = h
+        labels = nxt
+    _track_release(handle)
+    _track_release(nbrs_h)
+    return labels
