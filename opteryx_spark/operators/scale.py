@@ -397,3 +397,54 @@ def backtest_folds(
         .filter(F.col("_us").isNotNull() & F.col("role").isNotNull())
         .select(*df.columns, F.col("_f.fold").alias("fold"), "role")
     )
+
+
+def epoch_shuffle(
+    df: DataFrame,
+    id_col: str,
+    seed: str,
+    epoch: int,
+    n_shards: int,
+) -> DataFrame:
+    """Deterministic epoch shuffle for training-data ordering: assign
+    every row a shard and a position such that (a) the order is
+    pseudo-random, (b) every epoch gets a DIFFERENT order, and (c) the
+    whole assignment is a pure function of (seed, epoch, id) — rerun
+    the job, resume mid-epoch, or re-materialize a shard on another
+    cluster and the order is identical.  The data-loading counterpart
+    of :func:`split_assign` (same md5 machinery, same reproducibility
+    guarantees).
+
+    ``shard = md5_32(seed:epoch:id) mod n_shards`` and ``pos`` ranks by
+    the full md5 hex within the shard (id tiebreak for the
+    astronomically-unlikely digest collision).  One shard-partitioned
+    window — writers then emit one file per (epoch, shard), and a
+    trainer streams shards in any order knowing each is internally
+    shuffled.
+
+    NULL ids are excluded by contract (no identity → no stable
+    position).
+
+    Returns ``id_col``, ``shard`` (BIGINT), ``pos`` (BIGINT, 1-based
+    within shard).
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    if n_shards < 1:
+        raise ValueError("n_shards must be >= 1")
+    key = F.md5(
+        F.concat_ws(
+            ":", F.lit(seed), F.lit(str(int(epoch))), F.col(id_col).cast("string")
+        )
+    )
+    bucket = F.conv(F.substring(key, 1, 8), 16, 10).cast("long")
+    base = df.filter(F.col(id_col).isNotNull()).select(
+        F.col(id_col), key.alias("_key"), (bucket % F.lit(int(n_shards))).alias("shard")
+    )
+    w = Window.partitionBy("shard").orderBy("_key", id_col)
+    return base.select(
+        id_col,
+        F.col("shard").cast("bigint").alias("shard"),
+        F.row_number().over(w).cast("bigint").alias("pos"),
+    )

@@ -1,8 +1,9 @@
 """Suite wave 33 (round 8): iterative/relational algorithm surface —
 label-propagation communities, rolling-median detrend, Markov
-stationary distribution by integer power iteration, and leakage-safe
-(leave-fold-out) target encoding — registered after ``pipeline11``
-(tier-1b order; r8 new-entry total 19 + 4 = 23, under the 35 cap)."""
+stationary distribution by integer power iteration, leakage-safe
+(leave-fold-out) target encoding, and the deterministic epoch shuffle —
+registered after ``pipeline11`` (tier-1b order; r8 new-entry total
+19 + 5 = 24, under the 35 cap)."""
 
 from __future__ import annotations
 
@@ -242,3 +243,47 @@ def feat_target_encode_loo(spark, sf_dir):
     return _features.target_encode_loo(
         ev, "event_type", "value", "fold", m=_TE_M
     ).orderBy("event_id")
+
+
+# --- deterministic epoch shuffle ------------------------------------------------
+
+_ES_SEED = "r8seed"
+_ES_EPOCH = 1
+_ES_SHARDS = 8
+
+_O_ES_BUCKET = f"""
+    list_reduce(list_prepend(CAST(0 AS BIGINT),
+      list_transform(range(1, 9), i ->
+        CAST(strpos('0123456789abcdef', substring(k, i, 1)) - 1 AS BIGINT))),
+      (a, c) -> a * 16 + c)
+"""
+
+
+@register(
+    "sample_epoch_shuffle",
+    oracle=f"""
+    WITH h AS (
+      SELECT doc_id,
+             md5('{_ES_SEED}' || ':' || '{_ES_EPOCH}'
+                 || ':' || CAST(doc_id AS VARCHAR)) AS k
+      FROM documents WHERE doc_id IS NOT NULL
+    ),
+    s AS (SELECT doc_id, k, {_O_ES_BUCKET} % {_ES_SHARDS} AS shard FROM h)
+    SELECT doc_id, CAST(shard AS BIGINT) AS shard,
+           CAST(row_number() OVER (PARTITION BY shard ORDER BY k, doc_id)
+                AS BIGINT) AS pos
+    FROM s ORDER BY doc_id
+    """,
+)
+def sample_epoch_shuffle(spark, sf_dir):
+    """Deterministic epoch shuffle (``operators/scale.py::
+    epoch_shuffle``): shard + in-shard position as a pure function of
+    (seed, epoch, id) — reproducible training-data order across
+    reruns, resumes, and clusters; different every epoch.  Same md5
+    machinery as ``split_assign``, one shard-partitioned window."""
+    from opteryx_spark.operators import scale as _scale
+
+    d = t(spark, sf_dir, "documents")
+    return _scale.epoch_shuffle(
+        d, "doc_id", _ES_SEED, _ES_EPOCH, _ES_SHARDS
+    ).orderBy("doc_id")

@@ -130,3 +130,33 @@ def test_loo_null_category_null_enc(spark):
     out = {r["id"]: r["enc"] for r in
            target_encode_loo(df, "cat", "y", "fold").collect()}
     assert out[1] is None and out[2] is None and out[3] is not None
+
+
+# --- epoch shuffle --------------------------------------------------------------
+
+
+def test_epoch_shuffle_reproducible_and_epoch_varying(spark):
+    from opteryx_spark.operators.scale import epoch_shuffle
+
+    df = spark.createDataFrame([(i,) for i in range(100)], ["id"])
+    a = sorted(epoch_shuffle(df, "id", "s", 1, 4).collect())
+    b = sorted(epoch_shuffle(df.repartition(7), "id", "s", 1, 4).collect())
+    assert a == b  # partitioning-invariant
+    c = sorted(epoch_shuffle(df, "id", "s", 2, 4).collect())
+    assert a != c  # a different epoch is a different order
+    # positions within each shard are a contiguous 1..n_s ranking
+    from collections import defaultdict
+
+    by_shard = defaultdict(list)
+    for r in a:
+        by_shard[r["shard"]].append(r["pos"])
+    for poss in by_shard.values():
+        assert sorted(poss) == list(range(1, len(poss) + 1))
+
+
+def test_epoch_shuffle_null_ids_excluded(spark):
+    from opteryx_spark.operators.scale import epoch_shuffle
+
+    df = spark.createDataFrame([(1,), (None,)], "id long")
+    out = epoch_shuffle(df, "id", "s", 1, 2).collect()
+    assert len(out) == 1
