@@ -984,11 +984,17 @@ def lexical_diversity(
     high hapax share).
 
     Zero-shuffle formulation (the ``repetition_metrics`` strategy): the
-    token array is sorted once per row and both counts fall out of
-    neighbor comparisons over the sorted array — ``types`` counts
-    positions that differ from their left neighbor, ``hapax`` counts
-    positions that differ from BOTH neighbors.  Map-only, no explode,
-    no groupBy; the whole operator is one projection.
+    token array is sorted once per row and both counts fall out of ONE
+    left fold over it — the accumulator carries (previous token, types
+    so far, current run length, hapax so far); a run that closes at
+    length 1 was a hapax.  Map-only, no explode, no groupBy; the whole
+    operator is one projection.
+
+    (The first formulation indexed the sorted array from per-position
+    ``transform`` lambdas; higher-order-function lambdas do NOT share
+    subexpressions, so ``array_sort`` re-evaluated per element — an
+    O(n²·log n)/row blow-up the sf0.1 bench caught at 68 s.  The single
+    fold evaluates the sort exactly once per row.)
 
     NULL text yields NULL metrics; tokenless text yields zeros with
     NULL ratios.
@@ -998,26 +1004,39 @@ def lexical_diversity(
     """
     arr = F.array_sort(tokens(F.col(text_col)))
     n = F.size(arr).cast("bigint")
-    # sequence(1, 0) is DESCENDING in Spark ([1, 0] — index 0 then errors),
-    # so the tokenless case must short-circuit to an empty index list
-    idx = F.when(
-        F.size(arr) > 0, F.sequence(F.lit(1), F.size(arr))
-    ).otherwise(F.array().cast("array<int>"))
-
-    def neq(i: Column, j: Column) -> Column:
-        return F.element_at(arr, i) != F.element_at(arr, j)
-
-    new_type = F.transform(
-        idx, lambda i: F.when((i == 1) | neq(i, i - 1), 1).otherwise(0)
+    zero = F.lit(0).cast("bigint")
+    init = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        zero.alias("types"),
+        zero.alias("run"),
+        zero.alias("hapax"),
     )
-    hapax_flag = F.transform(
-        idx,
-        lambda i: F.when(
-            ((i == 1) | neq(i, i - 1)) & ((i == F.size(arr)) | neq(i, i + 1)), 1
-        ).otherwise(0),
-    )
-    types = F.aggregate(new_type, F.lit(0).cast("bigint"), lambda a, x: a + x)
-    hapax = F.aggregate(hapax_flag, F.lit(0).cast("bigint"), lambda a, x: a + x)
+
+    def step(acc, x):
+        same = acc["prev"].isNotNull() & (x == acc["prev"])
+        return F.struct(
+            x.alias("prev"),
+            F.when(same, acc["types"]).otherwise(acc["types"] + 1).alias("types"),
+            F.when(same, acc["run"] + 1).otherwise(F.lit(1).cast("bigint")).alias("run"),
+            # a run closes when the token changes; closed-at-length-1 => hapax
+            F.when(
+                ~same & acc["prev"].isNotNull() & (acc["run"] == 1),
+                acc["hapax"] + 1,
+            ).otherwise(acc["hapax"]).alias("hapax"),
+        )
+
+    def finish(acc):
+        return F.struct(
+            acc["types"].alias("types"),
+            # close the final run
+            F.when(acc["run"] == 1, acc["hapax"] + 1)
+            .otherwise(acc["hapax"])
+            .alias("hapax"),
+        )
+
+    folded = F.aggregate(arr, init, step, finish)
+    types = folded["types"]
+    hapax = folded["hapax"]
     nn = F.when(F.col(text_col).isNotNull(), F.coalesce(n, F.lit(0)))
     return (
         df.withColumn("n_tokens", nn)
