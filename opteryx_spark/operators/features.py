@@ -571,3 +571,62 @@ def target_encode_loo(
             enc,
         ).alias("enc"),
     )
+
+
+def calibration_bins(
+    df: DataFrame,
+    score_ppm_col: str,
+    label_col: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Reliability-diagram bins for a probabilistic scorer — the
+    calibration eval (Guo 2017's ECE decomposition) a filtering /
+    quality-scoring pipeline runs before trusting model scores as
+    probabilities: bucket predictions into ``n_bins`` equal-width
+    confidence bins and compare mean predicted confidence against the
+    observed positive rate in each.
+
+    Inputs are already exact: ``score_ppm_col`` is a BIGINT confidence
+    in [0, 1e6] ppm (quantize upstream — the suite's standing idiom
+    keeps float policy OUT of the operator), ``label_col`` is 0/1.
+    Bin = ``least(n_bins-1, score*n_bins div 1e6)`` (the 1.0 edge case
+    folds into the top bin).  Per bin: n, mean confidence and positive
+    rate as truncating-div ppm, and the absolute gap — the per-bin term
+    of ECE, which recomposes as ``sum(n*gap)/N``.  Rows with a NULL
+    score or label are excluded (unscored/unlabeled rows have no place
+    in a reliability curve).
+
+    ONE groupBy over at most ``n_bins`` groups; map-side combinable.
+
+    Returns ``bin`` (BIGINT), ``n`` (BIGINT), ``conf_ppm``, ``acc_ppm``,
+    ``gap_ppm`` (BIGINT).
+    """
+    if n_bins < 1:
+        raise ValueError("n_bins must be >= 1")
+    b = df.filter(
+        F.col(score_ppm_col).isNotNull() & F.col(label_col).isNotNull()
+    ).select(
+        F.least(
+            F.lit(int(n_bins) - 1).cast("bigint"),
+            F.expr(f"({score_ppm_col} * {int(n_bins)}) div 1000000"),
+        ).alias("bin"),
+        F.col(score_ppm_col).cast("bigint").alias("_s"),
+        F.col(label_col).cast("bigint").alias("_y"),
+    )
+    return (
+        b.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("_s").alias("_ss"),
+            F.sum("_y").alias("_sy"),
+        )
+        .select(
+            "bin",
+            "n",
+            F.expr("_ss div n").alias("conf_ppm"),
+            F.expr("(_sy * 1000000) div n").alias("acc_ppm"),
+            F.abs(F.expr("_ss div n") - F.expr("(_sy * 1000000) div n")).alias(
+                "gap_ppm"
+            ),
+        )
+    )

@@ -448,3 +448,79 @@ def epoch_shuffle(
         F.col("shard").cast("bigint").alias("shard"),
         F.row_number().over(w).cast("bigint").alias("pos"),
     )
+
+
+def negative_sample(
+    df: DataFrame,
+    id_col: str,
+    seed: str,
+    k: int = 4,
+    n_buckets: int = 256,
+) -> DataFrame:
+    """Deterministic negative sampling for contrastive training: every
+    anchor row gets ``k`` pseudo-random negatives, as a pure function of
+    ``(seed, anchor id, j)`` — rerun the job anywhere and the pairs are
+    identical (the :func:`split_assign` / :func:`epoch_shuffle`
+    reproducibility contract, same md5 machinery).
+
+    Scale design: a naive "pick the row at random global position p"
+    needs a TOTAL enumeration of the corpus — a single-partition sort at
+    100 TB.  Instead the corpus is hashed into ``n_buckets`` buckets
+    (``md5_32(seed:b:id) mod n_buckets``) and each bucket elects one
+    deterministic representative (min (digest, id) — a bucket-keyed
+    window over ~N/B rows); an anchor's j-th negative is the
+    representative of bucket ``md5_32(seed:n:id:j) mod n_buckets``.
+    The representative table is ``n_buckets`` rows — broadcast — so the
+    whole operator is one bucket-partitioned window + one broadcast
+    join; no global ordering anywhere.
+
+    Self-pairs (the anchor IS the target bucket's representative) are
+    dropped, as are ``j`` values whose target bucket is empty — both
+    deterministic, both sides of an oracle agree.  NULL ids are excluded
+    (no identity).  Negatives are sampled from the same ``df``
+    population; callers wanting cross-table negatives pass the union.
+
+    Returns ``anchor_id``, ``j`` (BIGINT, 0-based draw index),
+    ``neg_id``.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    if k < 1 or n_buckets < 1:
+        raise ValueError("k and n_buckets must be >= 1")
+
+    def _bucket32(key):
+        return F.conv(F.substring(key, 1, 8), 16, 10).cast("long")
+
+    ids = df.filter(F.col(id_col).isNotNull()).select(F.col(id_col).alias("_id"))
+    bkey = F.md5(F.concat_ws(":", F.lit(seed), F.lit("b"), F.col("_id").cast("string")))
+    bucketed = ids.select(
+        "_id", bkey.alias("_bk"), (_bucket32(bkey) % F.lit(int(n_buckets))).alias("_b")
+    )
+    w = Window.partitionBy("_b").orderBy("_bk", "_id")
+    reps = (
+        bucketed.select("_id", "_b", F.row_number().over(w).alias("_rn"))
+        .filter(F.col("_rn") == 1)
+        .select(F.col("_b").alias("_tb"), F.col("_id").alias("neg_id"))
+    )
+    draws = ids.select(
+        F.col("_id").alias("anchor_id"),
+        F.explode(F.array(*[F.lit(j).cast("bigint") for j in range(int(k))])).alias("j"),
+    )
+    tkey = F.md5(
+        F.concat_ws(
+            ":",
+            F.lit(seed),
+            F.lit("n"),
+            F.col("anchor_id").cast("string"),
+            F.col("j").cast("string"),
+        )
+    )
+    targeted = draws.select(
+        "anchor_id", "j", (_bucket32(tkey) % F.lit(int(n_buckets))).alias("_tb")
+    )
+    return (
+        targeted.join(F.broadcast(reps), "_tb")
+        .filter(F.col("neg_id") != F.col("anchor_id"))
+        .select("anchor_id", "j", "neg_id")
+    )

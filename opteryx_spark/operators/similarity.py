@@ -1082,3 +1082,180 @@ def centroid_drift(
             F.col("n_a").isNotNull() & F.col("n_b").isNotNull(), drift
         ).cast("bigint").alias("drift2_q"),
     )
+
+
+def silhouette_lite(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    qscale: int = 1000,
+) -> DataFrame:
+    """Simplified (centroid-based) silhouette per cluster — the
+    clustering-quality eval that closes the loop on
+    :func:`kmeans_portable` / any labeled embedding partition: for each
+    vector, ``a2`` = squared distance to its OWN cluster centroid and
+    ``b2`` = squared distance to the nearest OTHER centroid, scored
+    ``s = (b2 - a2) / max(a2, b2)`` in ppm.  The centroid form
+    (Hruschka 2004's "simplified silhouette") replaces the classic
+    all-pairs ``a``/``b`` — O(n²) and unshippable at corpus scale —
+    with O(n·k): centroids are ONE groupBy with ``dim`` fused partial
+    sums (the kmeans update shape), and scoring is a broadcast of the
+    k-row centroid frame against a map-only pass.
+
+    Determinism: components milli-quantized (``floor(x*qscale)``,
+    BIGINT), centroids truncating ``div``, distances exact BIGINT
+    sums of squares, the ppm score a truncating integer div with a
+    ``max(a2,b2)=0 -> 0`` guard — no floats anywhere.  NULL ids, NULL
+    labels and NULL vectors are excluded (no identity / no cluster / no
+    geometry).  Clusters
+    need k >= 2 to score; with a single cluster every ``s`` is NULL and
+    ``mean_s_ppm`` is NULL.
+
+    Returns ``label_col``, ``n_vecs`` (BIGINT), ``mean_s_ppm`` (BIGINT,
+    sum(s) div n over scored vectors; higher = tighter/better
+    separated).
+    """
+    from pyspark.sql.functions import broadcast
+
+    if dim < 1 or qscale < 1:
+        raise ValueError("dim and qscale must be >= 1")
+    qv = F.transform(
+        F.col(vec_col), lambda x: F.floor(x.cast("double") * F.lit(float(qscale)))
+    )
+    base = df.filter(
+        F.col(id_col).isNotNull()
+        & F.col(label_col).isNotNull()
+        & F.col(vec_col).isNotNull()
+    ).select(F.col(id_col).alias("_id"), F.col(label_col).alias("_l"), qv.alias("_qv"))
+
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for d in range(dim):
+        aggs.append(F.sum(F.element_at(F.col("_qv"), d + 1)).alias(f"_s{d}"))
+    cents = base.groupBy("_l").agg(*aggs).select(
+        F.col("_l").alias("_cl"),
+        F.array(*[F.expr(f"_s{d} div _n") for d in range(dim)]).alias("_cv"),
+    )
+
+    d2 = F.aggregate(
+        F.zip_with(F.col("_qv"), F.col("_cv"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, t: acc + t,
+    )
+    scored = (
+        base.crossJoin(broadcast(cents))
+        .select("_id", "_l", "_cl", d2.alias("_d2"))
+        .groupBy("_id", "_l")
+        .agg(
+            F.min(F.when(F.col("_cl") == F.col("_l"), F.col("_d2"))).alias("_a2"),
+            F.min(F.when(F.col("_cl") != F.col("_l"), F.col("_d2"))).alias("_b2"),
+        )
+        .select(
+            "_l",
+            F.when(F.col("_b2").isNull(), F.lit(None).cast("long"))
+            .when(F.greatest("_a2", "_b2") == 0, F.lit(0).cast("long"))
+            .otherwise(
+                F.expr("((_b2 - _a2) * 1000000) div greatest(_a2, _b2)")
+            )
+            .alias("_s_ppm"),
+        )
+    )
+    return scored.groupBy("_l").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+        F.expr("CASE WHEN count(_s_ppm) > 0 THEN sum(_s_ppm) div count(_s_ppm) END").alias(
+            "mean_s_ppm"
+        ),
+    ).select(F.col("_l").alias(label_col), "n_vecs", "mean_s_ppm")
+
+
+def quantization_recall(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    qscale: int = 1000,
+) -> DataFrame:
+    """Recall@k of int8-quantized similarity scoring against exact
+    scoring — the eval every quantized-ANN deployment needs BEFORE
+    swapping :func:`quantize_int8` / :func:`sq8_topk` into the serving
+    path: how much of the true top-k does the 4x-smaller representation
+    keep?
+
+    Both rankings are exact-integer and fully deterministic, so a SQL
+    oracle can replay the measurement end to end:
+
+    - *exact* rank: BIGINT dot product of milli-quantized components
+      (``floor(x*qscale)``) — the suite's standing exact-similarity
+      twin;
+    - *quantized* rank: BIGINT dot product of per-vector symmetric int8
+      codes (:func:`quantize_int8` arithmetic: ``scale = 127/max|v|``,
+      ``floor(x*scale + 0.5)``) — what an SQ8 scan actually compares;
+    - both orders tie-break on corpus id; recall@k =
+      ``|topk_exact ∩ topk_int8| * 1e6 div k`` per query, in ppm.
+
+    Shape: the query side is small by construction (a sampled panel) —
+    broadcast against the corpus, ONE map pass computes both scores per
+    pair, two windows rank within query, one (query, id)-keyed self-join
+    intersects the lists.  Nothing all-pairs on the corpus side.  NULL
+    ids/vectors excluded on both sides.
+
+    Returns ``query_id``, ``n_hits`` (BIGINT, overlap size),
+    ``recall_ppm`` (BIGINT).
+    """
+    from pyspark.sql.functions import broadcast
+    from pyspark.sql.window import Window
+
+    if k < 1 or qscale < 1:
+        raise ValueError("k and qscale must be >= 1")
+
+    def _prep(df: DataFrame, tag: str) -> DataFrame:
+        c = F.col(vec_col)
+        qmilli = F.transform(
+            c, lambda x: F.floor(x.cast("double") * F.lit(float(qscale)))
+        )
+        maxabs = F.array_max(F.transform(c, lambda x: F.abs(x.cast("double"))))
+        scale = F.when(maxabs > 0, F.lit(127.0) / maxabs).otherwise(F.lit(0.0))
+        q8 = F.transform(
+            c, lambda x: F.floor(x.cast("double") * scale + F.lit(0.5)).cast("long")
+        )
+        return df.filter(F.col(id_col).isNotNull() & c.isNotNull()).select(
+            F.col(id_col).alias(f"{tag}_id"),
+            qmilli.alias(f"{tag}_qm"),
+            q8.alias(f"{tag}_q8"),
+        )
+
+    def _dot(a: str, b: str):
+        return F.aggregate(
+            F.zip_with(F.col(a), F.col(b), lambda x, y: x * y),
+            F.lit(0).cast("long"),
+            lambda acc, t: acc + t,
+        )
+
+    pairs = _prep(corpus, "c").crossJoin(broadcast(_prep(queries, "q"))).select(
+        F.col("q_id").alias("query_id"),
+        F.col("c_id"),
+        _dot("q_qm", "c_qm").alias("_se"),
+        _dot("q_q8", "c_q8").alias("_s8"),
+    )
+    we = Window.partitionBy("query_id").orderBy(F.col("_se").desc(), F.col("c_id"))
+    w8 = Window.partitionBy("query_id").orderBy(F.col("_s8").desc(), F.col("c_id"))
+    ranked = pairs.select(
+        "query_id",
+        "c_id",
+        F.row_number().over(we).alias("_re"),
+        F.row_number().over(w8).alias("_r8"),
+    )
+    hits = ranked.groupBy("query_id").agg(
+        F.sum(
+            F.when((F.col("_re") <= k) & (F.col("_r8") <= k), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_hits")
+    )
+    return hits.select(
+        "query_id",
+        "n_hits",
+        F.expr(f"(n_hits * 1000000) div {int(k)}").alias("recall_ppm"),
+    )

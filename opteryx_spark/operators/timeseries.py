@@ -408,3 +408,77 @@ def rolling_median_detrend(
         med.alias("rolling_med"),
         (F.col(value_col).cast("double") - med).alias("residual"),
     )
+
+
+def holt_linear(
+    series: DataFrame,
+    key_cols: list[str],
+    t_col: str,
+    value_col: str,
+    qscale: int = 1000,
+) -> DataFrame:
+    """Holt's linear-trend exponential smoothing per key, in exact
+    integer arithmetic with alpha = beta = 1/2 (Holt 1957; the
+    double-exponential baseline one step up from :func:`~opteryx_spark.
+    operators.events` EWMA, which has no trend term).  The halving
+    weights are the point: ``x/2`` on a BIGINT is exact truncating
+    arithmetic both engines replay bit-for-bit, where a general float
+    alpha would accumulate rounding skew across engines.
+
+    Recurrence over the time-ordered series (values pre-scaled by
+    ``qscale``): ``l_0 = q*y_0``, ``b_0 = 0``, then
+
+        ``l_t = (q*y_t + l_{t-1} + b_{t-1}) div 2``
+        ``b_t = ((l_t - l_{t-1}) + b_{t-1}) div 2``
+
+    where ``div`` truncates toward zero (trend terms go negative; Spark
+    ``div`` and DuckDB ``//`` agree on truncation).  Implemented as one
+    ``collect_list`` + ``array_sort`` + ``F.aggregate`` left fold per
+    key — the recurrence is inherently sequential IN t, but every key
+    folds independently, so the shape is one groupBy and the per-key
+    cost is the series length (a daily series is ~365·years rows even
+    at 100 TB of raw events; the fold state is two BIGINTs).  Truncating
+    halving uses ``shiftright(x - x % 2, 1)``: the adjusted numerator is
+    even, so the arithmetic shift is an exact /2 for either sign at full
+    int64 range (no float detour).
+
+    NULL time indexes and NULL values are excluded up front (module
+    contract).  Returns key cols + ``n_points`` (BIGINT), ``level_q``,
+    ``trend_q``, ``forecast_next_q`` (BIGINT, ``qscale``-scaled; the
+    one-step-ahead forecast is ``level + trend``).
+    """
+    if qscale < 1:
+        raise ValueError("qscale must be >= 1")
+    s = series.filter(F.col(t_col).isNotNull() & F.col(value_col).isNotNull())
+    q = F.lit(int(qscale)).cast("long")
+    pts = s.groupBy(*key_cols).agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col(t_col).cast("bigint").alias("t"),
+                    (F.col(value_col).cast("bigint") * q).alias("qy"),
+                )
+            )
+        ).alias("_pts")
+    )
+
+    def _half(x):  # truncating x div 2, exact at full int64 range
+        return F.shiftright(x - (x % F.lit(2)), 1)
+
+    def _step(acc, p):
+        lv = _half(p["qy"] + acc["l"] + acc["b"])
+        return F.struct(
+            lv.alias("l"), _half((lv - acc["l"]) + acc["b"]).alias("b")
+        )
+
+    first = F.element_at(F.col("_pts"), 1)
+    rest = F.slice(F.col("_pts"), 2, F.greatest(F.size("_pts") - 1, F.lit(0)))
+    init = F.struct(first["qy"].alias("l"), F.lit(0).cast("long").alias("b"))
+    folded = F.aggregate(rest, init, _step)
+    return pts.select(
+        *key_cols,
+        F.size("_pts").cast("bigint").alias("n_points"),
+        folded["l"].alias("level_q"),
+        folded["b"].alias("trend_q"),
+        (folded["l"] + folded["b"]).alias("forecast_next_q"),
+    )

@@ -825,3 +825,69 @@ def label_communities(
     _track_release(handle)
     _track_release(nbrs_h)
     return labels
+
+
+def hop_distances(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_hops: int = 4,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    node_col: str = "node",
+) -> DataFrame:
+    """Multi-source BFS hop distances, bounded at ``max_hops``: the
+    graph-proximity primitive behind "how far is every page from the
+    seed/trusted set" (TrustRank-style seed propagation, crawl-frontier
+    depth audits, contamination blast-radius checks).  Undirected, over
+    the same canonical edge normalization as :func:`kcore` /
+    :func:`triangle_counts`.
+
+    Implemented as fixed-round Bellman-Ford relaxation rather than a
+    frontier queue: each round the candidate distance set is the union
+    of the current labels and every neighbor's label + 1, reduced by a
+    ``min`` groupBy.  A frontier BFS does less work per round but needs
+    a data-dependent loop condition; fixed-round relaxation is
+    deterministic, oracle-unrollable, and each round is ONE node-keyed
+    join + ONE node-keyed aggregate — both hash-partitioned on node id,
+    no global structure.  Lineage is re-rooted per round with eager
+    superseded-round release (the :func:`pagerank` pattern).
+
+    ``seeds`` is a one-column DataFrame of node ids (distance 0); NULL
+    seeds are dropped.  Nodes unreachable within ``max_hops`` are absent
+    from the result (distance unknown, not infinite).
+
+    Returns ``node``, ``hops`` (BIGINT, 0 for seeds).
+    """
+    from opteryx_spark.operators.dedup import _checkpoint_tracked, _track_release
+
+    if max_hops < 0:
+        raise ValueError("max_hops must be >= 0")
+    e = _canonical_edges(edges, src_col, dst_col)
+    nbrs = e.select(F.col("_a").alias("node"), F.col("_b").alias("nbr")).unionAll(
+        e.select(F.col("_b").alias("node"), F.col("_a").alias("nbr"))
+    )
+    nbrs, nbrs_h = _checkpoint_tracked(nbrs)
+    dist = (
+        seeds.filter(F.col(node_col).isNotNull())
+        .select(F.col(node_col).cast("bigint").alias("node"))
+        .distinct()
+        .select("node", F.lit(0).cast("bigint").alias("hops"))
+    )
+    dist, handle = _checkpoint_tracked(dist)
+    for _ in range(max_hops):
+        relaxed = nbrs.join(
+            dist.select(F.col("node").alias("nbr"), F.col("hops").alias("_nh")),
+            "nbr",
+        ).select("node", (F.col("_nh") + F.lit(1).cast("bigint")).alias("hops"))
+        nxt = (
+            dist.unionAll(relaxed)
+            .groupBy("node")
+            .agg(F.min("hops").alias("hops"))
+        )
+        nxt, h = _checkpoint_tracked(nxt)
+        handle.unpersist()  # superseded round (eager: localCheckpoint is eager)
+        handle = h
+        dist = nxt
+    _track_release(handle)
+    _track_release(nbrs_h)
+    return dist

@@ -397,6 +397,7 @@ def load_all() -> dict[str, QueryDef]:
     import opteryx_spark.suite.pipeline10  # noqa: F401
     import opteryx_spark.suite.pipeline11  # noqa: F401
     import opteryx_spark.suite.pipeline12  # noqa: F401
+    import opteryx_spark.suite.pipeline13  # noqa: F401
     import opteryx_spark.suite.tpch  # noqa: F401
 
     import hashlib
