@@ -1105,3 +1105,157 @@ def attribution_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def calibration_bins_stream(
+    rows: DataFrame,
+    score_ppm_col: str,
+    label_col: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Streaming twin of ``operators/features.calibration_bins``:
+    maintain the reliability-diagram table over an unbounded prediction
+    stream via ``applyInPandasWithState`` — state is EXACTLY ``n_bins``
+    (n, Σscore, Σlabel) triples, the smallest sufficient statistic for
+    the whole diagram, so calibration monitoring never re-reads
+    history.
+
+    Each micro-batch emits every touched bin's CURRENT row
+    ``(bin, n, conf_ppm, acc_ppm, gap_ppm)``; the live table is the
+    latest emission per bin (``n`` is monotone — take the max-n row).
+    All arithmetic is Python int (exact) with the same truncating
+    divisions as the batch operator, so a single availableNow drain is
+    row-identical to the batch table (equivalence test), and the state
+    triples from two streams merge by plain addition.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    if n_bins < 1:
+        raise ValueError("n_bins must be >= 1")
+    binned = rows.filter(
+        F.col(score_ppm_col).isNotNull() & F.col(label_col).isNotNull()
+    ).select(
+        F.least(
+            F.lit(int(n_bins) - 1).cast("bigint"),
+            F.expr(f"({score_ppm_col} * {int(n_bins)}) div 1000000"),
+        ).alias("bin"),
+        F.col(score_ppm_col).cast("long").alias("s"),
+        F.col(label_col).cast("long").alias("y"),
+    )
+
+    def bump(key, pdf_iter, state: GroupState):
+        n, ss, sy = state.get if state.exists else (0, 0, 0)
+        touched = False
+        for pdf in pdf_iter:
+            if len(pdf):
+                touched = True
+                n += len(pdf)
+                ss += int(pdf["s"].sum())
+                sy += int(pdf["y"].sum())
+        if touched:
+            state.update((n, ss, sy))
+            conf = ss // n  # nonneg: // == truncating div
+            acc = (sy * 1000000) // n
+            yield pd.DataFrame(
+                {
+                    "bin": [key[0]],
+                    "n": [n],
+                    "conf_ppm": [conf],
+                    "acc_ppm": [acc],
+                    "gap_ppm": [abs(conf - acc)],
+                }
+            )
+
+    return binned.groupBy("bin").applyInPandasWithState(
+        bump,
+        outputStructType="bin long, n long, conf_ppm long, acc_ppm long, gap_ppm long",
+        stateStructType="n long, ss long, sy long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def holt_linear_stream(
+    series: DataFrame,
+    key_col: str,
+    t_col: str,
+    value_col: str,
+    qscale: int = 1000,
+) -> DataFrame:
+    """Streaming twin of ``operators/timeseries.holt_linear``: fold new
+    series points into each key's Holt state via
+    ``applyInPandasWithState`` — state per key is just
+    ``(n_points, level_q, trend_q)``, so the smoother never re-reads the
+    series (the recurrence's own sufficient state; this is what makes
+    Holt/EWMA the streaming-native forecasters).
+
+    Points are folded in ``t_col`` order within each micro-batch with
+    the batch operator's exact integer halvings (Python int arithmetic,
+    truncation toward zero), so an in-order availableNow drain emits a
+    final per-key row identical to the batch operator (equivalence
+    test).  Across micro-batches the fold continues from stored state —
+    points arriving out of order ACROSS batches are folded late (the
+    documented streaming-lateness trade; the batch operator is the
+    replay authority).  NULL t/value rows are excluded (batch
+    contract).
+
+    Emits each key's CURRENT ``(key, n_points, level_q, trend_q,
+    forecast_next_q)`` per touched micro-batch; the live table is the
+    max-n_points row per key.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    if qscale < 1:
+        raise ValueError("qscale must be >= 1")
+    pts = series.filter(
+        F.col(t_col).isNotNull() & F.col(value_col).isNotNull()
+    ).select(
+        # key normalized to string: the stateful output schema is fixed
+        F.col(key_col).cast("string").alias("k"),
+        F.col(t_col).cast("long").alias("t"),
+        (F.col(value_col).cast("long") * F.lit(int(qscale))).alias("qy"),
+    )
+
+    def _tdiv2(x: int) -> int:  # truncate toward zero, both signs
+        return x // 2 if x >= 0 else -((-x) // 2)
+
+    def fold(key, pdf_iter, state: GroupState):
+        n, lv, b = state.get if state.exists else (0, 0, 0)
+        touched = False
+        for pdf in pdf_iter:
+            if not len(pdf):
+                continue
+            touched = True
+            for qy in pdf.sort_values("t")["qy"]:
+                qy = int(qy)
+                if n == 0:
+                    lv, b = qy, 0
+                else:
+                    nl = _tdiv2(qy + lv + b)
+                    b = _tdiv2((nl - lv) + b)
+                    lv = nl
+                n += 1
+        if touched:
+            state.update((n, lv, b))
+            yield pd.DataFrame(
+                {
+                    "k": [key[0]],
+                    "n_points": [n],
+                    "level_q": [lv],
+                    "trend_q": [b],
+                    "forecast_next_q": [lv + b],
+                }
+            )
+
+    out = pts.groupBy("k").applyInPandasWithState(
+        fold,
+        outputStructType=(
+            "k string, n_points long, level_q long, trend_q long, forecast_next_q long"
+        ),
+        stateStructType="n long, l long, b long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return out.withColumnRenamed("k", key_col)

@@ -620,3 +620,119 @@ def test_row_checks_stream_matches_batch(spark, sf_dir, tmp_path_factory):
         for r in quality.row_checks(docs, checks).collect()
     }
     assert got == want
+
+
+def test_calibration_bins_stream_matches_batch(spark, sf_dir, tmp_path_factory):
+    """A single availableNow drain must emit the batch reliability table
+    row-for-row (bounded n_bins-triple state, exact int arithmetic)."""
+    from opteryx_spark.catalog import load_table
+    from opteryx_spark.operators.features import calibration_bins
+
+    src = str(tmp_path_factory.mktemp("oxs_cal_src"))
+    out = str(tmp_path_factory.mktemp("oxs_cal_out"))
+    ckpt = str(tmp_path_factory.mktemp("oxs_cal_ckpt"))
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull() & F.col("event_type").isNotNull()
+    )
+    scored = ev.select(
+        F.least(
+            F.lit(1000000).cast("bigint"),
+            F.greatest(
+                F.lit(0).cast("bigint"),
+                F.floor(F.col("value").cast("double") * 10000.0).cast("bigint"),
+            ),
+        ).alias("s"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).cast("bigint").alias("y"),
+    )
+    want = {
+        (r.bin, r.n, r.conf_ppm, r.acc_ppm, r.gap_ppm)
+        for r in calibration_bins(scored, "s", "y", n_bins=10).collect()
+    }
+    scored.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(scored.schema).parquet(src)
+    bins = streaming.calibration_bins_stream(stream, "s", "y", n_bins=10)
+    streaming.run_stream_once(bins, out, ckpt)
+    got = {
+        (r.bin, r.n, r.conf_ppm, r.acc_ppm, r.gap_ppm)
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got == want
+
+
+def test_holt_linear_stream_matches_batch(spark, sf_dir, tmp_path_factory):
+    """In-order single-batch drain: the stateful Holt fold must emit the
+    batch operator's exact (level, trend, forecast) per key."""
+    from opteryx_spark.catalog import load_table
+    from opteryx_spark.operators.timeseries import holt_linear
+
+    src = str(tmp_path_factory.mktemp("oxs_holt_src"))
+    out = str(tmp_path_factory.mktemp("oxs_holt_out"))
+    ckpt = str(tmp_path_factory.mktemp("oxs_holt_ckpt"))
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    daily = (
+        ev.select(
+            "event_type",
+            F.expr("unix_micros(CAST(ts AS TIMESTAMP)) div 86400000000").alias("d"),
+        )
+        .groupBy("event_type", "d")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    want = {
+        (r.event_type, r.n_points, r.level_q, r.trend_q, r.forecast_next_q)
+        for r in holt_linear(daily, ["event_type"], "d", "cnt").collect()
+        if r.event_type is not None  # string-keyed stream drops the NULL key
+    }
+    daily.filter(F.col("event_type").isNotNull()).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(
+        daily.filter(F.col("event_type").isNotNull()).schema
+    ).parquet(src)
+    holt = streaming.holt_linear_stream(stream, "event_type", "d", "cnt")
+    streaming.run_stream_once(holt, out, ckpt)
+    got = {
+        (r.event_type, r.n_points, r.level_q, r.trend_q, r.forecast_next_q)
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got == want
+
+
+def test_holt_linear_stream_multibatch_continues_state(spark, tmp_path_factory):
+    """Feeding the tail of a series in a SECOND drain must continue the
+    fold from stored state — equal to the batch fold over the whole
+    series."""
+    import os
+
+    from opteryx_spark.operators.timeseries import holt_linear
+
+    src = str(tmp_path_factory.mktemp("oxs_holt2_src"))
+    out = str(tmp_path_factory.mktemp("oxs_holt2_out"))
+    ckpt = str(tmp_path_factory.mktemp("oxs_holt2_ckpt"))
+    rows = [("a", t, 10 + 3 * t + (t % 2)) for t in range(1, 9)]
+    full = spark.createDataFrame(rows, ["k", "t", "v"])
+    want = {
+        (r.n_points, r.level_q, r.trend_q)
+        for r in holt_linear(full, ["k"], "t", "v").collect()
+    }
+    head = full.filter("t <= 4")
+    tail = full.filter("t > 4")
+    head.write.mode("overwrite").parquet(src)
+    schema = full.schema
+
+    def drain():
+        stream = spark.readStream.schema(schema).parquet(src)
+        holt = streaming.holt_linear_stream(stream, "k", "t", "v")
+        streaming.run_stream_once(holt, out, ckpt)
+
+    drain()
+    # append the tail as new files into the SAME source dir
+    tmpd = src + "_tail"
+    tail.write.mode("overwrite").parquet(tmpd)
+    for f in os.listdir(tmpd):
+        if f.endswith(".parquet"):
+            os.rename(os.path.join(tmpd, f), os.path.join(src, "tail_" + f))
+    drain()
+    # latest emission per key = the max-n_points row
+    final = max(
+        ((r.n_points, r.level_q, r.trend_q) for r in spark.read.parquet(out).collect()),
+        key=lambda x: x[0],
+    )
+    assert {final} == want
