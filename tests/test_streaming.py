@@ -736,3 +736,43 @@ def test_holt_linear_stream_multibatch_continues_state(spark, tmp_path_factory):
         key=lambda x: x[0],
     )
     assert {final} == want
+
+
+def test_calibration_bins_stream_multibatch_merges_state(spark, tmp_path_factory):
+    """A second drain over NEW predictions must fold into the stored
+    (n, Σs, Σy) triples — final per-bin rows equal the batch table over
+    the union."""
+    import os
+
+    from opteryx_spark.operators.features import calibration_bins
+
+    src = str(tmp_path_factory.mktemp("oxs_cal2_src"))
+    out = str(tmp_path_factory.mktemp("oxs_cal2_out"))
+    ckpt = str(tmp_path_factory.mktemp("oxs_cal2_ckpt"))
+    rows = [(i * 97_000 % 1_000_001, i % 2) for i in range(60)]
+    full = spark.createDataFrame(rows, ["s", "y"])
+    want = {
+        (r.bin, r.n, r.conf_ppm, r.acc_ppm, r.gap_ppm)
+        for r in calibration_bins(full, "s", "y", n_bins=10).collect()
+    }
+    head = full.limit(30)
+    tail = full.exceptAll(head)
+    head.write.mode("overwrite").parquet(src)
+
+    def drain():
+        stream = spark.readStream.schema(full.schema).parquet(src)
+        bins = streaming.calibration_bins_stream(stream, "s", "y", n_bins=10)
+        streaming.run_stream_once(bins, out, ckpt)
+
+    drain()
+    tmpd = src + "_tail"
+    tail.write.mode("overwrite").parquet(tmpd)
+    for f in os.listdir(tmpd):
+        if f.endswith(".parquet"):
+            os.rename(os.path.join(tmpd, f), os.path.join(src, "tail_" + f))
+    drain()
+    latest = {}
+    for r in spark.read.parquet(out).collect():
+        if r.bin not in latest or r.n > latest[r.bin][1]:
+            latest[r.bin] = (r.bin, r.n, r.conf_ppm, r.acc_ppm, r.gap_ppm)
+    assert set(latest.values()) == want
