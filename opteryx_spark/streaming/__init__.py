@@ -1259,3 +1259,78 @@ def holt_linear_stream(
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
     return out.withColumnRenamed("k", key_col)
+
+
+def kmv_registers_stream(
+    rows: DataFrame,
+    col: str,
+    k: int = 256,
+    n_shards: int = 32,
+) -> DataFrame:
+    """Streaming KMV (bottom-k) distinct sketch, SHARDED: maintain
+    ``n_shards`` independent bottom-k register sets over an unbounded
+    stream via ``applyInPandasWithState`` — the streaming side of
+    ``operators/profile.kmv_distinct_ops``'s sketch.  Sharding is the
+    scale design: a single global bottom-k would serialize the stream
+    through one task, but bottom-k sets are MIN-UNION MERGEABLE, so
+    each shard (``hash % n_shards``) keeps its own k smallest distinct
+    hashes in parallel and the reader reduces all emissions to the
+    global bottom-k.  Any hash in the global bottom-k is necessarily
+    within its own shard's bottom-k (≤ k global winners land in a
+    shard, all among that shard's smallest), so it was admitted and
+    emitted on arrival — the reduction is exact, not approximate.
+
+    State per shard is a sorted array of ≤ k hashes (bounded forever);
+    a shard emits ``(shard, h)`` only when a NEW hash enters its
+    bottom-k (append-compatible, like ``hll_registers_stream``).  The
+    global estimate from the reduced registers equals the batch
+    sketch's: exact below k, else ``(k-1)·2^32 div h_k`` —
+    equivalence-tested against the batch arithmetic.  NULL values are
+    excluded (COUNT DISTINCT semantics).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from opteryx_spark.operators.profile import _hash32
+
+    if k < 1 or n_shards < 1:
+        raise ValueError("k and n_shards must be >= 1")
+    hashed = (
+        rows.filter(F.col(col).isNotNull())
+        .select(_hash32(F.col(col)).alias("h"))
+        .select("h", (F.col("h") % F.lit(int(n_shards))).alias("shard"))
+    )
+
+    def bump(key, pdf_iter, state: GroupState):
+        (hs,) = state.get if state.exists else ([],)
+        hs = list(hs)
+        cur = set(hs)
+        admitted = []
+        for pdf in pdf_iter:
+            for h in pdf["h"]:
+                h = int(h)
+                if h in cur:
+                    continue
+                if len(hs) < k:
+                    hs.append(h)
+                    cur.add(h)
+                    admitted.append(h)
+                elif h < max(hs):
+                    evict = max(hs)
+                    hs.remove(evict)
+                    cur.discard(evict)
+                    hs.append(h)
+                    cur.add(h)
+                    admitted.append(h)
+        if admitted:
+            hs.sort()
+            state.update((hs,))
+            yield pd.DataFrame({"shard": [key[0]] * len(admitted), "h": admitted})
+
+    return hashed.groupBy("shard").applyInPandasWithState(
+        bump,
+        outputStructType="shard long, h long",
+        stateStructType="hs array<bigint>",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

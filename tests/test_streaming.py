@@ -776,3 +776,45 @@ def test_calibration_bins_stream_multibatch_merges_state(spark, tmp_path_factory
         if r.bin not in latest or r.n > latest[r.bin][1]:
             latest[r.bin] = (r.bin, r.n, r.conf_ppm, r.acc_ppm, r.gap_ppm)
     assert set(latest.values()) == want
+
+
+def test_kmv_registers_stream_matches_batch(spark, sf_dir, tmp_path_factory):
+    """Reducing the sharded stream emissions to the global bottom-k must
+    reproduce the batch sketch's registers and estimate exactly."""
+    from opteryx_spark.catalog import load_table
+    from opteryx_spark.operators.profile import _hash32
+
+    k = 64
+    src = str(tmp_path_factory.mktemp("oxs_kmv_src"))
+    out = str(tmp_path_factory.mktemp("oxs_kmv_out"))
+    ckpt = str(tmp_path_factory.mktemp("oxs_kmv_ckpt"))
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey")
+    orders.write.mode("overwrite").parquet(src)
+
+    # batch reference: global bottom-k of the distinct portable hashes
+    want_bk = [
+        r["h"]
+        for r in orders.filter(F.col("o_custkey").isNotNull())
+        .select(_hash32(F.col("o_custkey")).alias("h"))
+        .distinct()
+        .orderBy("h")
+        .limit(k)
+        .collect()
+    ]
+    n_distinct = (
+        orders.filter(F.col("o_custkey").isNotNull())
+        .select("o_custkey")
+        .distinct()
+        .count()
+    )
+    want_est = n_distinct if n_distinct < k else (k - 1) * 4294967296 // want_bk[-1]
+
+    stream = spark.readStream.schema(orders.schema).parquet(src)
+    regs = streaming.kmv_registers_stream(stream, "o_custkey", k=k, n_shards=8)
+    streaming.run_stream_once(regs, out, ckpt)
+
+    emitted = sorted({r["h"] for r in spark.read.parquet(out).collect()})
+    got_bk = emitted[:k]
+    assert got_bk == want_bk  # byte-identical registers after reduction
+    got_est = len(got_bk) if len(emitted) < k else (k - 1) * 4294967296 // got_bk[-1]
+    assert got_est == want_est
