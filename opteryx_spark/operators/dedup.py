@@ -1692,3 +1692,72 @@ def bloom_prefilter(
         .drop("_key")
         .withColumn("bloom_hit", F.coalesce("bloom_hit", F.lit(False)))
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    min_containment_ppm: int = 500_000,
+    max_df: int | None = 1000,
+) -> DataFrame:
+    """Asymmetric near-dup pairs by shingle CONTAINMENT (Broder 1997's
+    second measure): ``c(A→B) = |A∩B| / |A|`` — the doc-in-doc signal
+    resemblance/Jaccard misses by construction.  A short document fully
+    quoted inside a long one has tiny Jaccard (the union is huge) but
+    containment ≈ 1 in the short→long direction; this is the detector
+    for quote farms, wrapper pages, and subset-scrapes that survive
+    :func:`ngram_jaccard_pairs`.
+
+    Exact, not sketched: distinct word ``k``-shingles per doc, one
+    inverted-index self-join on the shingle key (the :func:`winnow_pairs`
+    plan shape — one shuffle, document-frequency cap dropping boilerplate
+    shingles for hot-key skew control), intersection counts per pair,
+    then BOTH directions' containments in truncating-ppm.  A pair
+    surfaces when EITHER direction clears ``min_containment_ppm`` —
+    callers keep the direction(s) they care about.  Shingle-less docs
+    (< k tokens, NULL text) cannot be contained or containing — absent.
+
+    Returns ``id1``, ``id2`` (id1 < id2), ``n_shared``, ``n_a``,
+    ``n_b`` (BIGINT distinct-shingle counts), ``c_a_in_b_ppm``,
+    ``c_b_in_a_ppm`` (BIGINT; containment of id1's shingles in id2's and
+    vice versa — note both divide ``n_shared`` by the OWNING side's
+    size).
+    """
+    from opteryx_spark.operators.text import shingles
+
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    if not (0 <= min_containment_ppm <= 1_000_000):
+        raise ValueError("min_containment_ppm must be in [0, 1e6]")
+    sh = _spread(df).select(
+        F.col(id_col).alias("id"), F.explode(shingles(text_col, k)).alias("sh")
+    )
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    if max_df is not None:
+        hot = sh.groupBy("sh").count().filter(F.col("count") > max_df).select("sh")
+        sh = sh.join(F.broadcast(hot), "sh", "left_anti")
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id1"), F.col("b.id").alias("id2"))
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    out = (
+        inter.join(sizes.select(F.col("id").alias("id1"), F.col("n_sh").alias("n_a")), "id1")
+        .join(sizes.select(F.col("id").alias("id2"), F.col("n_sh").alias("n_b")), "id2")
+        .select(
+            "id1",
+            "id2",
+            F.col("n_shared").cast("bigint").alias("n_shared"),
+            F.col("n_a").cast("bigint").alias("n_a"),
+            F.col("n_b").cast("bigint").alias("n_b"),
+            F.expr("(n_shared * 1000000) div n_a").alias("c_a_in_b_ppm"),
+            F.expr("(n_shared * 1000000) div n_b").alias("c_b_in_a_ppm"),
+        )
+    )
+    return out.filter(
+        (F.col("c_a_in_b_ppm") >= min_containment_ppm)
+        | (F.col("c_b_in_a_ppm") >= min_containment_ppm)
+    )

@@ -1328,3 +1328,59 @@ def markov_stationary(
             .select(F.col("_j").alias("state"), F.col("v_ppm").cast("bigint"))
         )
     return v.select("state", F.col("v_ppm").alias("stationary_ppm"))
+
+
+def funnel_time_to_convert(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    stage_a: str = "view",
+    stage_b: str = "purchase",
+    us_col_prefix: str = "t",
+) -> DataFrame:
+    """Per-user time-to-convert between two funnel stages: for each user
+    the FIRST ``stage_a`` touch and the FIRST ``stage_b`` at-or-after it,
+    and the gap between them — the latency companion to
+    :func:`session_funnel` (which counts conversions;
+    product/growth work needs *how long* they took, and per-user deltas
+    feed any percentile/survival downstream without re-scanning).
+
+    Exact semantics: ``t_a = min(ts of stage_a)``; ``t_b = min(ts of
+    stage_b with ts >= t_a)`` — a purchase at the same instant as the
+    first view converts (instrumentation batches events); users with a
+    ``stage_b`` only BEFORE their first ``stage_a`` are not converted
+    (NULL ``t_b``/``delta``); users with no ``stage_a`` are absent.
+    Timestamps as unix micros (BIGINT — the engine's cross-engine-exact
+    instant idiom).  NULL users/timestamps are excluded.
+
+    Scale shape: one groupBy for the anchors, one user-keyed join onto
+    the ``stage_b`` rows, one groupBy min — all hash-partitioned on the
+    user key, no windows over full histories.
+
+    Returns ``user_col``, ``{prefix}_a_us``, ``{prefix}_b_us``,
+    ``delta_us`` (BIGINT; NULL b/delta for non-converted).
+    """
+    us = F.expr(f"unix_micros(CAST({ts_col} AS TIMESTAMP))")
+    base = events.filter(
+        F.col(user_col).isNotNull() & F.col(ts_col).isNotNull()
+    ).select(F.col(user_col).alias("_u"), us.alias("_us"), F.col(type_col).alias("_t"))
+    ta = (
+        base.filter(F.col("_t") == stage_a)
+        .groupBy("_u")
+        .agg(F.min("_us").alias("_ta"))
+    )
+    tb = (
+        base.filter(F.col("_t") == stage_b)
+        .join(ta, "_u")
+        .filter(F.col("_us") >= F.col("_ta"))
+        .groupBy("_u")
+        .agg(F.min("_us").alias("_tb"))
+    )
+    p = us_col_prefix
+    return ta.join(tb, "_u", "left").select(
+        F.col("_u").alias(user_col),
+        F.col("_ta").alias(f"{p}_a_us"),
+        F.col("_tb").alias(f"{p}_b_us"),
+        (F.col("_tb") - F.col("_ta")).alias("delta_us"),
+    )

@@ -1259,3 +1259,176 @@ def quantization_recall(
         "n_hits",
         F.expr(f"(n_hits * 1000000) div {int(k)}").alias("recall_ppm"),
     )
+
+
+def kcenter_coreset(
+    df: DataFrame,
+    k: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    qscale: int = 1000,
+) -> DataFrame:
+    """Greedy k-center coreset selection (Gonzalez 1985 2-approximation)
+    over an embedding corpus — the diversity-maximizing data-selection
+    primitive (pick the k most mutually-distant exemplars; the coreset
+    idea behind diverse fine-tuning subsets and cluster seeding, and the
+    farthest-point counterpart to :func:`~opteryx_spark.operators.
+    retrieval.mmr_rerank`'s relevance-diversity trade).
+
+    Greedy farthest-point: the anchor is the smallest id; each round
+    picks the point with the LARGEST distance to its nearest selected
+    center (ties to the smallest id).  The per-point nearest-center
+    distance is maintained INCREMENTALLY — after a pick, ``dmin' =
+    least(dmin, d2(·, new_center))`` — so every round is ONE map pass
+    against the single newest center (broadcast as a literal) plus one
+    1-row argmax collect; never k×n distance recomputation, never
+    all-pairs.  The k 1-row collects are the same bounded driver loop
+    as :func:`kmeans_portable` / MMR (algorithm-inherent, documented).
+
+    Exact integers end to end: milli-quantized components, BIGINT
+    squared L2, ``min(struct(-dmin, id))`` keepers — an oracle replays
+    every pick.  With fewer than k distinct points the greedy repeats
+    an exhausted anchor (max dmin = 0; deterministic).  NULL ids and
+    vectors are excluded.
+
+    Returns ``sel_idx`` (BIGINT, 1-based pick order), ``id_col``,
+    ``radius2_q`` (BIGINT, the pick's distance² to the previously
+    selected set — the shrinking covering radius; NULL for the anchor).
+    """
+    if k < 1 or qscale < 1:
+        raise ValueError("k and qscale must be >= 1")
+    qv = F.transform(
+        F.col(vec_col), lambda x: F.floor(x.cast("double") * F.lit(float(qscale)))
+    )
+    base = df.filter(F.col(id_col).isNotNull() & F.col(vec_col).isNotNull()).select(
+        F.col(id_col).alias("_id"), qv.alias("_qv")
+    )
+    first = base.orderBy("_id").select("_id", "_qv").first()
+    if first is None:
+        spark = df.sparkSession
+        return spark.createDataFrame(
+            [], f"sel_idx bigint, {id_col} bigint, radius2_q bigint"
+        )
+    picks = [(1, first["_id"], None)]
+    center = [int(v) for v in first["_qv"]]
+
+    def _d2_to(center_vals: list[int]):
+        arr = F.array(*[F.lit(int(v)).cast("long") for v in center_vals])
+        return F.aggregate(
+            F.zip_with(F.col("_qv"), arr, lambda x, y: (x - y) * (x - y)),
+            F.lit(0).cast("long"),
+            lambda acc, t: acc + t,
+        )
+
+    from opteryx_spark.operators.dedup import _checkpoint_tracked, _track_release
+
+    cur = base.select("_id", "_qv", _d2_to(center).alias("_dmin"))
+    cur, handle = _checkpoint_tracked(cur)
+    for r in range(2, int(k) + 1):
+        # ONE action per round: the struct keeper carries the winning
+        # vector along (id is unique, so the array field never compares)
+        pick = (
+            cur.select(
+                F.min(
+                    F.struct((-F.col("_dmin")).alias("_nd"), "_id", "_qv")
+                ).alias("_k")
+            )
+            .select(
+                F.col("_k._id").alias("_id"),
+                (-F.col("_k._nd")).alias("_dmin"),
+                F.col("_k._qv").alias("_qv"),
+            )
+            .first()
+        )
+        center = [int(v) for v in pick["_qv"]]
+        picks.append((r, pick["_id"], int(pick["_dmin"])))
+        nxt = cur.select(
+            "_id", "_qv", F.least("_dmin", _d2_to(center)).alias("_dmin")
+        )
+        nxt, h = _checkpoint_tracked(nxt)
+        handle.unpersist()  # superseded round (localCheckpoint is eager)
+        handle = h
+        cur = nxt
+    _track_release(handle)
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        picks, f"sel_idx bigint, {id_col} bigint, radius2_q bigint"
+    )
+
+
+def pca_power_portable(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    dim: int = 64,
+    rounds: int = 3,
+    qscale: int = 1000,
+) -> DataFrame:
+    """Top principal direction of an embedding corpus by fixed-round
+    power iteration, in exact integer arithmetic — the bit-reproducible
+    twin of an SVD/PCA top component (MLlib's float SVD is the fast
+    path; this is the value-verifiable formulation, the
+    :func:`kmeans_portable` convention applied to linear algebra).
+    Pipelines use the top direction for embedding-drift axes, whitening
+    checks, and "is this corpus collapsing to one direction" monitors.
+
+    Each round computes ``w = Xᵀ(Xv)`` distributed: one map pass for the
+    per-row projection ``u = Σ_d qv_d·v_d`` and ONE aggregate with
+    ``dim`` fused sums ``w_d = Σ_rows qv_d·u`` (the kmeans update
+    shape — no dim explosion), then renormalizes ``v' = w·qscale div
+    max|w|`` so components stay in ±``qscale`` milli units.  The
+    per-round 1-row collect of ``w`` (``dim`` values) is the same
+    bounded driver loop as kmeans' k centroids.  Mean-centering is
+    deliberately omitted (this is the top direction of the raw second
+    moment; center upstream if PCA-proper is wanted — keeps the
+    operator composable and the oracle small).
+
+    Overflow bound (documented, not silent): with components quantized
+    to ``qscale`` and ``|x| ≤ 8``, ``|w_d| ≤ N·dim·(8·qscale)²`` —
+    int64-safe beyond 2e6 rows at the defaults; larger corpora shrink
+    ``qscale`` or pre-aggregate blocks.  Init is the all-ones direction
+    (generic for non-degenerate spectra); NULL vectors are excluded; a
+    zero ``max|w|`` round (corpus orthogonal to v) returns the zero
+    vector from that round on (deterministic).
+
+    Returns ``dim_idx`` (BIGINT 0-based), ``component_milli`` (BIGINT,
+    ±``qscale`` units).
+    """
+    if dim < 1 or rounds < 1 or qscale < 1:
+        raise ValueError("dim, rounds, qscale must be >= 1")
+    from opteryx_spark.operators.dedup import _track_persist
+
+    qv = F.transform(
+        F.col(vec_col), lambda x: F.floor(x.cast("double") * F.lit(float(qscale)))
+    )
+    base = _track_persist(
+        df.filter(F.col(vec_col).isNotNull()).select(qv.alias("_qv"))
+    )
+    v = [int(qscale)] * int(dim)
+    for _ in range(int(rounds)):
+        varr = F.array(*[F.lit(int(c)).cast("long") for c in v])
+        u = F.aggregate(
+            F.zip_with(F.col("_qv"), varr, lambda x, y: x * y),
+            F.lit(0).cast("long"),
+            lambda acc, t: acc + t,
+        )
+        rowed = base.select("_qv", u.alias("_u"))
+        sums = rowed.agg(
+            *[
+                F.sum(F.element_at(F.col("_qv"), d + 1) * F.col("_u")).alias(f"_w{d}")
+                for d in range(int(dim))
+            ]
+        ).first()
+        w = [int(sums[f"_w{d}"] or 0) for d in range(int(dim))]
+        mx = max(abs(c) for c in w)
+        if mx == 0:
+            v = [0] * int(dim)
+            break
+        # truncating div toward zero, matching SQL div on either sign
+        v = [
+            (abs(c) * int(qscale) // mx) * (1 if c >= 0 else -1) for c in w
+        ]
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        [(d, v[d]) for d in range(int(dim))],
+        "dim_idx bigint, component_milli bigint",
+    )

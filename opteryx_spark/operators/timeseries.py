@@ -482,3 +482,68 @@ def holt_linear(
         folded["b"].alias("trend_q"),
         (folded["l"] + folded["b"]).alias("forecast_next_q"),
     )
+
+
+def weekday_anova(
+    series: DataFrame,
+    key_cols: list[str],
+    t_col: str,
+    value_col: str,
+    period: int = 7,
+) -> DataFrame:
+    """Seasonal-strength screen by one-way ANOVA over the phase groups
+    of a periodic index (day-of-week by default): how much of a per-key
+    series' variance is explained by its position in the cycle —
+    eta² = SS_between / SS_total — BEFORE fitting any seasonal model.
+    The decision stat for "does this metric need weekday adjustment";
+    complements :func:`autocorrelation` (which sees the periodicity but
+    not its explained-variance share).
+
+    Exact-integer formulation: with integer values, n-scaled sums of
+    squares are BIGINT-exact and cross-engine —
+
+        ``SS_total·n  = n·Σy² − (Σy)²``
+        ``SS_between·n = n·Σ_g (S_g² div n_g) − (Σy)²``  (S_g = phase-g sum)
+
+    (the phase term uses a truncating div per group — documented; both
+    engines replay it identically) and ``eta2_ppm = SSB_n·1e6 div
+    SST_n`` with a ``SST_n = 0 → NULL`` guard (constant series have no
+    variance to explain).  Phase = ``t mod period`` on the integer time
+    index.  NULL times/values are excluded (module contract).
+
+    ONE (key, phase) groupBy + ONE key groupBy, map-side combinable —
+    no windows, no joins.
+
+    Returns key cols + ``n_points``, ``n_phases``, ``ssb_n``, ``sst_n``,
+    ``eta2_ppm`` (BIGINT; NULL when the series is constant).
+    """
+    if period < 2:
+        raise ValueError("period must be >= 2")
+    s = series.filter(F.col(t_col).isNotNull() & F.col(value_col).isNotNull()).select(
+        *key_cols,
+        (F.col(t_col).cast("bigint") % F.lit(int(period))).alias("_ph"),
+        F.col(value_col).cast("bigint").alias("_y"),
+    )
+    per_phase = s.groupBy(*key_cols, "_ph").agg(
+        F.count(F.lit(1)).alias("_ng"),
+        F.sum("_y").alias("_sg"),
+        F.sum(F.col("_y") * F.col("_y")).alias("_sqg"),
+    )
+    agg = per_phase.groupBy(*key_cols).agg(
+        F.sum("_ng").alias("_n"),
+        F.count(F.lit(1)).alias("n_phases"),
+        F.sum("_sg").alias("_s"),
+        F.sum("_sqg").alias("_sq"),
+        F.sum(F.expr("(_sg * _sg) div _ng")).alias("_sb"),
+    )
+    return agg.select(
+        *key_cols,
+        F.col("_n").cast("bigint").alias("n_points"),
+        F.col("n_phases").cast("bigint").alias("n_phases"),
+        (F.col("_n") * F.col("_sb") - F.col("_s") * F.col("_s")).alias("ssb_n"),
+        (F.col("_n") * F.col("_sq") - F.col("_s") * F.col("_s")).alias("sst_n"),
+        F.when(
+            F.col("_n") * F.col("_sq") - F.col("_s") * F.col("_s") > 0,
+            F.expr("((_n * _sb - _s * _s) * 1000000) div (_n * _sq - _s * _s)"),
+        ).alias("eta2_ppm"),
+    )
