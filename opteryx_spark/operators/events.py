@@ -1384,3 +1384,80 @@ def funnel_time_to_convert(
         F.col("_tb").alias(f"{p}_b_us"),
         (F.col("_tb") - F.col("_ta")).alias("delta_us"),
     )
+
+
+def ab_test_conversion(
+    events: DataFrame,
+    user_col: str = "user_id",
+    variant_expr: str = "user_id % 2",
+    conv_pred: str = "event_type = 'purchase'",
+) -> DataFrame:
+    """Two-variant conversion A/B readout with the z statistic —
+    user-level (the correct unit: rates over events double-count heavy
+    users), exact where exactness is possible and ONE fixed float
+    expression where it is not (the ACF/OLS convention):
+
+    - per user: variant (a deterministic expression over the user key)
+      and a converted flag (any event matching ``conv_pred``);
+    - per variant: exact BIGINT ``n`` and ``conv``; rates as truncating
+      ppm; ``lift_ppm = rate_b − rate_a`` exact;
+    - the two-proportion pooled z: ``(p̂_b − p̂_a) / sqrt(p̂(1−p̂)·(1/n_a
+      + 1/n_b))`` as a single float expression over the five exact
+      integers — IEEE +,−,×,÷,sqrt are all correctly rounded, so the
+      double is bit-identical in any engine (no p-value: that needs erf,
+      which is NOT correctly rounded across libms; consumers threshold
+      |z| directly, e.g. 1.96).
+
+    Shape: one user groupBy + one 2-group aggregate + a 1×1 self-pair —
+    map-side combinable throughout.  NULL users excluded.
+
+    Returns one row: ``n_a``, ``conv_a``, ``rate_a_ppm``, ``n_b``,
+    ``conv_b``, ``rate_b_ppm``, ``lift_ppm`` (BIGINT), ``z`` (DOUBLE;
+    NULL when the pooled rate is degenerate — all or no conversions).
+    An empty variant yields an EMPTY result (no users → no readout),
+    never a half-filled row.
+    """
+    per_user = (
+        events.filter(F.col(user_col).isNotNull())
+        .groupBy(user_col)
+        .agg(
+            F.max(F.when(F.expr(conv_pred), 1).otherwise(0)).alias("_c"),
+        )
+        .select(
+            (F.expr(variant_expr) % 2).alias("_v"),
+            F.col("_c"),
+        )
+    )
+    by_variant = per_user.groupBy("_v").agg(
+        F.count(F.lit(1)).alias("_n"), F.sum("_c").alias("_conv")
+    )
+    a = by_variant.filter(F.col("_v") == 0).select(
+        F.col("_n").alias("n_a"), F.col("_conv").alias("conv_a")
+    )
+    b = by_variant.filter(F.col("_v") == 1).select(
+        F.col("_n").alias("n_b"), F.col("_conv").alias("conv_b")
+    )
+    z = (
+        "CASE WHEN n_a > 0 AND n_b > 0 "
+        "AND (conv_a + conv_b) > 0 AND (conv_a + conv_b) < (n_a + n_b) THEN "
+        "(CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE)"
+        " - CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE)) / "
+        "sqrt((CAST(conv_a + conv_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))"
+        " * (1.0 - CAST(conv_a + conv_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))"
+        " * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE))) END"
+    )
+    return (
+        a.crossJoin(b)
+        .select(
+            F.col("n_a").cast("bigint").alias("n_a"),
+            F.col("conv_a").cast("bigint").alias("conv_a"),
+            F.expr("(conv_a * 1000000) div n_a").alias("rate_a_ppm"),
+            F.col("n_b").cast("bigint").alias("n_b"),
+            F.col("conv_b").cast("bigint").alias("conv_b"),
+            F.expr("(conv_b * 1000000) div n_b").alias("rate_b_ppm"),
+            F.expr(
+                "(conv_b * 1000000) div n_b - (conv_a * 1000000) div n_a"
+            ).alias("lift_ppm"),
+            F.expr(z).alias("z"),
+        )
+    )

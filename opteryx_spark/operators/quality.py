@@ -548,3 +548,117 @@ def completeness_by_partition(
             ).cast("bigint").alias("null_ppm"),
         )
     )
+
+
+def ks_drift(
+    a: DataFrame,
+    b: DataFrame,
+    value_col: str,
+    qscale: int = 10_000,
+    n_range_buckets: int = 64,
+) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov drift statistic, exactly: the KS
+    distance D = max |ECDF_a − ECDF_b| is a RATIONAL number —
+    ``max |cum_a(v)·n_b − cum_b(v)·n_a|`` over the pooled values, scaled
+    by ``n_a·n_b`` — so unlike the usual float KS this one is BIGINT
+    end-to-end and cross-engine exact.  The shape-sensitive complement
+    to :func:`categorical_drift` (TV distance needs bins; KS sees the
+    whole continuous CDF) and PSI (which also bins): "did the value
+    distribution move between these two samples", for drift gates on
+    model scores and metric monitors.
+
+    Values are quantized (``floor(v·qscale)``, BIGINT) first — the
+    statistic becomes the exact KS of the discretized distributions,
+    which sidesteps cross-engine float-grouping semantics and is the
+    resolution any monitoring gate actually needs.  NULLs are excluded.
+
+    Scale shape — the textbook distributed prefix sum, because a naive
+    global cumulative window is a one-partition sort (a scale killer):
+    per-value side counts (ONE groupBy), values range-bucketed on
+    broadcast min/max bounds, per-bucket subtotals cumulated on a
+    TINY n_buckets-row frame (single partition is fine there), offsets
+    broadcast back, within-bucket window cumsum partitioned BY BUCKET.
+    No full-data single-partition stage anywhere.
+
+    Returns one row: ``n_a``, ``n_b``, ``d_scaled`` (BIGINT,
+    ``D·n_a·n_b``), ``d_ppm`` (BIGINT, ``d_scaled·1e6 div (n_a·n_b)``).
+    """
+    from pyspark.sql.window import Window
+
+    if qscale < 1 or n_range_buckets < 1:
+        raise ValueError("qscale and n_range_buckets must be >= 1")
+    qv = F.floor(F.col(value_col).cast("double") * F.lit(float(qscale))).cast("long")
+
+    def _side(df: DataFrame, tag: int) -> DataFrame:
+        return df.filter(F.col(value_col).isNotNull()).select(
+            qv.alias("_v"), F.lit(tag).alias("_m")
+        )
+
+    tagged = _side(a, 1).unionAll(_side(b, 2))
+    per_v = tagged.groupBy("_v").agg(
+        F.sum(F.when(F.col("_m") == 1, 1).otherwise(0)).alias("_ca"),
+        F.sum(F.when(F.col("_m") == 2, 1).otherwise(0)).alias("_cb"),
+    )
+    bounds = F.broadcast(
+        per_v.agg(F.min("_v").alias("_lo"), F.max("_v").alias("_hi"))
+    )
+    nb = F.lit(int(n_range_buckets))
+    bucketed = per_v.crossJoin(bounds).select(
+        "_v",
+        "_ca",
+        "_cb",
+        F.when(
+            F.col("_hi") > F.col("_lo"),
+            F.least(
+                nb - 1,
+                ((F.col("_v") - F.col("_lo")) * nb) / (F.col("_hi") - F.col("_lo") + 1),
+            ).cast("long"),
+        )
+        .otherwise(F.lit(0))
+        .alias("_bkt"),
+    )
+    # per-bucket subtotals: an n_buckets-row frame — the single-partition
+    # window here is over <= n_range_buckets rows, not the data
+    w_b = Window.orderBy("_bkt").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        bucketed.groupBy("_bkt")
+        .agg(F.sum("_ca").alias("_ba"), F.sum("_cb").alias("_bb"))
+        .select(
+            "_bkt",
+            F.coalesce(F.sum("_ba").over(w_b), F.lit(0)).alias("_offa"),
+            F.coalesce(F.sum("_bb").over(w_b), F.lit(0)).alias("_offb"),
+        )
+    )
+    w_v = (
+        Window.partitionBy("_bkt")
+        .orderBy("_v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cums = bucketed.join(F.broadcast(offsets), "_bkt").select(
+        (F.col("_offa") + F.sum("_ca").over(w_v)).alias("_cuma"),
+        (F.col("_offb") + F.sum("_cb").over(w_v)).alias("_cumb"),
+    )
+    totals = F.broadcast(
+        per_v.agg(
+            F.sum("_ca").cast("long").alias("n_a"),
+            F.sum("_cb").cast("long").alias("n_b"),
+        )
+    )
+    return (
+        cums.crossJoin(totals)
+        .select(
+            "n_a",
+            "n_b",
+            F.abs(F.col("_cuma") * F.col("n_b") - F.col("_cumb") * F.col("n_a")).alias(
+                "_d"
+            ),
+        )
+        .groupBy("n_a", "n_b")
+        .agg(F.max("_d").alias("d_scaled"))
+        .select(
+            F.col("n_a").cast("bigint").alias("n_a"),
+            F.col("n_b").cast("bigint").alias("n_b"),
+            F.col("d_scaled").cast("bigint").alias("d_scaled"),
+            F.expr("(d_scaled * 1000000) div (n_a * n_b)").alias("d_ppm"),
+        )
+    )

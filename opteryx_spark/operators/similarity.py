@@ -1432,3 +1432,96 @@ def pca_power_portable(
         [(d, v[d]) for d in range(int(dim))],
         "dim_idx bigint, component_milli bigint",
     )
+
+
+def triplet_mining(
+    anchors: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    qscale: int = 1000,
+) -> DataFrame:
+    """Semi-hard triplet selection (FaceNet, Schroff 2015) for
+    contrastive/metric training data: for each anchor, the nearest
+    SAME-label corpus vector is the positive, and the negative is the
+    nearest DIFFERENT-label vector that is still FARTHER than the
+    positive (``d(a,p) < d(a,n)``) — the semi-hard band that trains
+    stably where hardest-negative mining collapses.  The labeled
+    counterpart to :func:`~opteryx_spark.operators.scale.
+    negative_sample` (which is label-blind and random).
+
+    Exact BIGINT squared distances on milli-quantized components with
+    id tie-breaks, so every pick is oracle-replayable.  Anchors joining
+    the corpus by identity are excluded from their own positives.
+    Anchors with no same-label corpus vector are absent; anchors whose
+    negatives are ALL nearer than the positive get NULL negative
+    (no semi-hard candidate — the caller's margin decision, not ours).
+
+    Shape: the anchor panel is small by construction — broadcast; ONE
+    map pass computes pair distances, two struct-keeper aggregates pick
+    positives then semi-hard negatives.  Never corpus × corpus.  NULL
+    ids/labels/vectors are excluded on both sides.
+
+    Returns ``anchor_id``, ``pos_id``, ``pos_d2_q``, ``neg_id``,
+    ``neg_d2_q`` (BIGINT; neg side NULL when no semi-hard candidate).
+    """
+    from pyspark.sql.functions import broadcast
+
+    if qscale < 1:
+        raise ValueError("qscale must be >= 1")
+    qv = F.transform(
+        F.col(vec_col), lambda x: F.floor(x.cast("double") * F.lit(float(qscale)))
+    )
+
+    def _prep(df: DataFrame, tag: str) -> DataFrame:
+        return df.filter(
+            F.col(id_col).isNotNull()
+            & F.col(label_col).isNotNull()
+            & F.col(vec_col).isNotNull()
+        ).select(
+            F.col(id_col).alias(f"{tag}_id"),
+            F.col(label_col).alias(f"{tag}_l"),
+            qv.alias(f"{tag}_qv"),
+        )
+
+    d2 = F.aggregate(
+        F.zip_with(F.col("a_qv"), F.col("c_qv"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, t: acc + t,
+    )
+    pairs = (
+        _prep(corpus, "c")
+        .crossJoin(broadcast(_prep(anchors, "a")))
+        .filter(F.col("c_id") != F.col("a_id"))
+        .select("a_id", "a_l", "c_id", "c_l", d2.alias("_d2"))
+    )
+    pos = (
+        pairs.filter(F.col("c_l") == F.col("a_l"))
+        .groupBy("a_id")
+        .agg(F.min(F.struct("_d2", "c_id")).alias("_p"))
+        .select(
+            "a_id",
+            F.col("_p.c_id").alias("pos_id"),
+            F.col("_p._d2").alias("pos_d2_q"),
+        )
+    )
+    neg = (
+        pairs.filter(F.col("c_l") != F.col("a_l"))
+        .join(F.broadcast(pos), "a_id")
+        .filter(F.col("_d2") > F.col("pos_d2_q"))
+        .groupBy("a_id")
+        .agg(F.min(F.struct("_d2", "c_id")).alias("_n"))
+        .select(
+            "a_id",
+            F.col("_n.c_id").alias("neg_id"),
+            F.col("_n._d2").alias("neg_d2_q"),
+        )
+    )
+    return pos.join(neg, "a_id", "left").select(
+        F.col("a_id").alias("anchor_id"),
+        "pos_id",
+        "pos_d2_q",
+        "neg_id",
+        "neg_d2_q",
+    )

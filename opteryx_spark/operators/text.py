@@ -1051,3 +1051,86 @@ def lexical_diversity(
             F.when(F.col("n_types") > 0, F.expr("(1000000 * hapax) div n_types")),
         )
     )
+
+
+def term_trends(
+    df: DataFrame,
+    batch_col: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_total: int = 5,
+    top_k: int = 50,
+) -> DataFrame:
+    """Emerging/declining terms across corpus batches: per-token OLS
+    slope of the per-batch counts — the corpus-monitoring screen for
+    "what vocabulary is a new crawl injecting" (spam campaign n-grams,
+    breaking-news terms, template rot), one step up from the static
+    :func:`token_document_frequency` vocabulary.
+
+    Exact arithmetic (the :func:`~opteryx_spark.operators.timeseries.
+    ols_trend` sufficient-statistic idiom): with batch index x and
+    count y, ``slope = (n·Σxy − Σx·Σy) / (n·Σxx − Σx²)`` — numerator
+    and denominator are exact BIGINTs, the reported ``slope_ppm`` is
+    the truncating-div ratio ×1e6.  Every (token, batch) cell is
+    DENSIFIED to zero first (a token absent from a batch is a count of
+    0, not a missing observation — skipping it biases slopes toward
+    survivors), so n = the batch count for every token and the
+    denominator is a constant.  Tokens below ``min_total`` occurrences
+    are dropped (slope noise), then the top/bottom movers by
+    ``slope_ppm`` (id-tiebreak) are kept.
+
+    Shape: one explode + (token, batch) groupBy, a ``batches``-sized
+    literal array fan-out for densification (period count, not data),
+    one token groupBy, two TakeOrdered top-ks.  NULL text/batch rows
+    are excluded.
+
+    Returns ``token``, ``n_batches``, ``total``, ``slope_num``,
+    ``slope_den``, ``slope_ppm`` (BIGINT), ``direction`` ('rising' /
+    'falling').
+    """
+    if min_total < 1 or top_k < 1:
+        raise ValueError("min_total and top_k must be >= 1")
+    toks = df.filter(
+        F.col(text_col).isNotNull() & F.col(batch_col).isNotNull()
+    ).select(
+        F.col(batch_col).cast("bigint").alias("_b"),
+        F.explode(
+            F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
+        ).alias("_tok"),
+    )
+    batches = toks.select("_b").distinct()
+    counts = toks.groupBy("_tok", "_b").agg(F.count(F.lit(1)).alias("_y"))
+    dense = (
+        counts.select("_tok")
+        .distinct()
+        .crossJoin(F.broadcast(batches))
+        .join(counts, ["_tok", "_b"], "left")
+        .select("_tok", "_b", F.coalesce("_y", F.lit(0)).cast("long").alias("_y"))
+    )
+    agg = dense.groupBy("_tok").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum("_b").alias("_sx"),
+        F.sum("_y").alias("total"),
+        F.sum(F.col("_b") * F.col("_b")).alias("_sxx"),
+        F.sum(F.col("_b") * F.col("_y")).alias("_sxy"),
+    ).filter(F.col("total") >= min_total)
+    scored = agg.select(
+        F.col("_tok").alias("token"),
+        F.col("_n").cast("bigint").alias("n_batches"),
+        F.col("total").cast("bigint").alias("total"),
+        (F.col("_n") * F.col("_sxy") - F.col("_sx") * F.col("total")).alias("slope_num"),
+        (F.col("_n") * F.col("_sxx") - F.col("_sx") * F.col("_sx")).alias("slope_den"),
+    ).filter(F.col("slope_den") > 0).select(
+        "*", F.expr("(slope_num * 1000000) div slope_den").alias("slope_ppm")
+    )
+    rising = (
+        scored.orderBy(F.col("slope_ppm").desc(), "token")
+        .limit(int(top_k))
+        .select("*", F.lit("rising").alias("direction"))
+    )
+    falling = (
+        scored.orderBy(F.col("slope_ppm").asc(), "token")
+        .limit(int(top_k))
+        .select("*", F.lit("falling").alias("direction"))
+    )
+    return rising.unionAll(falling)

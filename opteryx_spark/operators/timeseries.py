@@ -547,3 +547,78 @@ def weekday_anova(
             F.expr("((_n * _sb - _s * _s) * 1000000) div (_n * _sq - _s * _s)"),
         ).alias("eta2_ppm"),
     )
+
+
+def classical_decompose(
+    series: DataFrame,
+    key_cols: list[str],
+    t_col: str,
+    value_col: str,
+    period: int = 7,
+    half_window: int = 3,
+    qscale: int = 1000,
+) -> DataFrame:
+    """Classical additive decomposition per key — trend + seasonal +
+    residual, the textbook pre-model split (the one STL refines), in
+    exact integer arithmetic:
+
+    - ``trend_q``: centered moving average over ±``half_window`` rows as
+      ``SUM·qscale div COUNT`` (frame-count division handles the series
+      edges; truncating div, cross-engine);
+    - ``seasonal_q``: per-(key, phase) mean of the detrended values
+      (``phase = t mod period``), again ``SUM div COUNT`` truncating —
+      negatives truncate toward zero identically in both engines;
+    - ``resid_q = y·qscale − trend_q − seasonal_q`` — the anomaly
+      input, now free of both level and cycle.
+
+    Two exchanges total: one key-partitioned ROWS window, one
+    (key, phase)-partitioned window — no joins, no collects, nothing
+    global.  NULL times/values are excluded (module contract).  Note
+    the seasonal means are NOT re-centered to sum to zero (classical
+    decomposition's optional final touch) — that would add a third
+    pass for a constant offset already visible in ``seasonal_q``.
+
+    Returns key cols + ``t_col``, ``value_col`` (BIGINT), ``trend_q``,
+    ``seasonal_q``, ``resid_q`` (BIGINT, ``qscale`` units).
+    """
+    if period < 2 or half_window < 1 or qscale < 1:
+        raise ValueError("period, half_window, qscale out of range")
+    if not key_cols:
+        raise ValueError("key_cols must be non-empty (a global window cannot scale)")
+    s = series.filter(F.col(t_col).isNotNull() & F.col(value_col).isNotNull()).select(
+        *key_cols,
+        F.col(t_col).cast("bigint").alias(t_col),
+        F.col(value_col).cast("bigint").alias("_y"),
+    )
+    q = F.lit(int(qscale)).cast("long")
+    with_trend = s.select(
+        *key_cols,
+        t_col,
+        "_y",
+        F.expr(
+            f"(sum(_y) OVER (PARTITION BY {', '.join(key_cols)} ORDER BY {t_col} "
+            f"ROWS BETWEEN {half_window} PRECEDING AND {half_window} FOLLOWING) "
+            f"* {int(qscale)}) div "
+            f"count(1) OVER (PARTITION BY {', '.join(key_cols)} ORDER BY {t_col} "
+            f"ROWS BETWEEN {half_window} PRECEDING AND {half_window} FOLLOWING)"
+        ).alias("trend_q"),
+    )
+    detr = with_trend.select(
+        *key_cols,
+        t_col,
+        "_y",
+        "trend_q",
+        (F.col("_y") * q - F.col("trend_q")).alias("_detr"),
+        (F.col(t_col) % F.lit(int(period))).alias("_ph"),
+    )
+    seasonal = F.expr("sum(_detr) OVER (PARTITION BY {}, _ph) div count(1) OVER (PARTITION BY {}, _ph)".format(
+        ", ".join(key_cols), ", ".join(key_cols)
+    ))
+    return detr.select(
+        *key_cols,
+        t_col,
+        F.col("_y").alias(value_col),
+        "trend_q",
+        seasonal.alias("seasonal_q"),
+        (F.col("_detr") - seasonal).alias("resid_q"),
+    )
