@@ -721,3 +721,37 @@ def kmv_distinct_ops(
         .cast("bigint")
         .alias("est_intersection"),
     )
+
+
+def null_patterns(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
+    """Co-occurring NULL-pattern mining: group rows by their exact
+    missingness signature across ``cols`` and count each pattern — the
+    structural-missingness profiler.  Per-column null COUNTS (what
+    :func:`profile_table` reports) can't distinguish "two columns are
+    each 10% null independently" from "the same 10% of rows lost both"
+    — joint patterns expose instrumentation failures, schema migrations
+    and upstream join bugs that marginals hide.
+
+    One groupBy over a computed signature string (e.g. ``'1001'`` =
+    first and last of four columns NULL) — map-side combinable, at most
+    ``2^|cols|`` groups but in practice a handful; no scan fan-out.
+
+    Returns ``pattern`` (STRING of 0/1 per column, in ``cols`` order),
+    ``n_cols_null`` (BIGINT), ``n_rows`` (BIGINT), ordered nowhere —
+    callers sort by ``n_rows``.
+    """
+    cols = df.columns if cols is None else list(cols)
+    if not cols:
+        raise ValueError("cols must be non-empty")
+    sig = F.concat(
+        *[F.when(F.col(c).isNull(), F.lit("1")).otherwise(F.lit("0")) for c in cols]
+    )
+    ones = None
+    for c in cols:
+        flag = F.when(F.col(c).isNull(), 1).otherwise(0)
+        ones = flag if ones is None else ones + flag
+    return (
+        df.select(sig.alias("pattern"), ones.cast("bigint").alias("n_cols_null"))
+        .groupBy("pattern", "n_cols_null")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"))
+    )

@@ -524,3 +524,45 @@ def negative_sample(
         .filter(F.col("neg_id") != F.col("anchor_id"))
         .select("anchor_id", "j", "neg_id")
     )
+
+
+def balanced_downsample(
+    df: DataFrame,
+    label_col: str,
+    id_col: str,
+    seed: str = "bal",
+) -> DataFrame:
+    """Deterministic class-balanced downsampling: keep exactly
+    ``min(class size)`` rows of EVERY class, chosen by md5 order — the
+    classifier-training prep that kills majority-class dominance
+    without the usual nondeterministic ``sampleBy`` (rerun the job
+    anywhere, same subset: the :func:`split_assign` reproducibility
+    contract).
+
+    Per class the keep-set is the first ``n_min`` rows ranked by
+    ``md5(seed:id)`` (id tiebreak) — a label-partitioned window, NOT a
+    global sort; the minority size rides along as a broadcast 1-row
+    frame.  Rows with NULL label or id are excluded (no class / no
+    identity).  Note this keeps the minority class INTACT (rank ≤ its
+    own size) — only larger classes shrink.
+
+    Returns the input columns of the kept rows plus ``_keep_rank``
+    (BIGINT) for auditability.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    base = df.filter(F.col(label_col).isNotNull() & F.col(id_col).isNotNull())
+    n_min = F.broadcast(
+        base.groupBy(label_col)
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .agg(F.min("_n").alias("_n_min"))
+    )
+    key = F.md5(F.concat_ws(":", F.lit(seed), F.col(id_col).cast("string")))
+    w = Window.partitionBy(label_col).orderBy(key.asc(), F.col(id_col).asc())
+    return (
+        base.select("*", F.row_number().over(w).cast("bigint").alias("_keep_rank"))
+        .crossJoin(n_min)
+        .filter(F.col("_keep_rank") <= F.col("_n_min"))
+        .drop("_n_min")
+    )

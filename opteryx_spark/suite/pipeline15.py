@@ -291,3 +291,88 @@ def events_ab_test_z(spark, sf_dir):
     consumers threshold |z|)."""
     ev = t(spark, sf_dir, "events")
     return _events.ab_test_conversion(ev)
+
+
+# --- NULL-pattern mining -----------------------------------------------------------------
+
+
+@register(
+    "profile_null_patterns",
+    oracle="""
+    SELECT concat(
+             CASE WHEN ts IS NULL THEN '1' ELSE '0' END,
+             CASE WHEN user_id IS NULL THEN '1' ELSE '0' END,
+             CASE WHEN event_type IS NULL THEN '1' ELSE '0' END,
+             CASE WHEN value IS NULL THEN '1' ELSE '0' END,
+             CASE WHEN props IS NULL THEN '1' ELSE '0' END
+           ) AS pattern,
+           CAST((CASE WHEN ts IS NULL THEN 1 ELSE 0 END)
+              + (CASE WHEN user_id IS NULL THEN 1 ELSE 0 END)
+              + (CASE WHEN event_type IS NULL THEN 1 ELSE 0 END)
+              + (CASE WHEN value IS NULL THEN 1 ELSE 0 END)
+              + (CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_cols_null,
+           CAST(count(*) AS BIGINT) AS n_rows
+    FROM events GROUP BY 1, 2 ORDER BY pattern
+    """,
+)
+def profile_null_patterns(spark, sf_dir):
+    """Joint NULL-pattern mining over the events table
+    (``operators/profile.py::null_patterns``): rows grouped by their
+    exact missingness signature — the structural-missingness view
+    per-column null counts cannot give (same-rows-lost-both vs
+    independent losses); ONE map-side-combinable groupBy."""
+    ev = t(spark, sf_dir, "events")
+    from opteryx_spark.operators import profile as _profile
+
+    return _profile.null_patterns(
+        ev, ["ts", "user_id", "event_type", "value", "props"]
+    ).orderBy("pattern")
+
+
+# --- class-balanced downsample ----------------------------------------------------------------
+
+
+@register(
+    "sample_balanced_classes",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, lang FROM documents
+      WHERE lang IS NOT NULL AND doc_id IS NOT NULL
+    ),
+    nm AS (
+      SELECT CAST(min(n) AS BIGINT) AS n_min
+      FROM (SELECT count(*) AS n FROM base GROUP BY lang)
+    ),
+    ranked AS (
+      SELECT doc_id, lang,
+             CAST(row_number() OVER (
+               PARTITION BY lang
+               ORDER BY md5('bal' || ':' || CAST(doc_id AS VARCHAR)), doc_id
+             ) AS BIGINT) AS _keep_rank
+      FROM base
+    )
+    SELECT r.lang, CAST(count(*) AS BIGINT) AS n_kept,
+           CAST(sum(r.doc_id) AS BIGINT) AS sum_ids
+    FROM ranked r, nm WHERE r._keep_rank <= nm.n_min
+    GROUP BY r.lang ORDER BY r.lang
+    """,
+)
+def sample_balanced_classes(spark, sf_dir):
+    """Deterministic class-balanced downsampling by language
+    (``operators/scale.py::balanced_downsample``): every class kept at
+    exactly the minority size, members chosen by md5 order (rerun
+    anywhere → same subset); label-partitioned window + broadcast
+    1-row minimum, no global sort.  Aggregated per class (count +
+    id-sum) so the oracle value-checks the exact kept SET."""
+    from opteryx_spark.operators import scale as _scale
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "lang")
+    kept = _scale.balanced_downsample(docs, "lang", "doc_id", seed="bal")
+    return (
+        kept.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+            F.sum("doc_id").cast("bigint").alias("sum_ids"),
+        )
+        .orderBy("lang")
+    )

@@ -221,3 +221,54 @@ def test_ab_test_empty_variant_empty_result(spark):
     rows = [(0, "purchase"), (2, "view")]  # only even users -> variant 1 empty
     df = spark.createDataFrame(rows, ["user_id", "event_type"])
     assert ab_test_conversion(df).collect() == []
+
+
+# --- null patterns -----------------------------------------------------------------------
+
+
+def test_null_patterns_joint_vs_marginal(spark):
+    from opteryx_spark.operators.profile import null_patterns
+
+    rows = [(1, None, None), (2, None, None), (3, "x", 1.0), (4, "y", None)]
+    df = spark.createDataFrame(rows, "id bigint, a string, b double")
+    out = {r["pattern"]: (r["n_cols_null"], r["n_rows"]) for r in null_patterns(df, ["a", "b"]).collect()}
+    assert out == {"11": (2, 2), "00": (0, 1), "01": (1, 1)}
+
+
+def test_null_patterns_validation(spark):
+    from opteryx_spark.operators.profile import null_patterns
+
+    df = spark.createDataFrame([(1,)], ["a"])
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        null_patterns(df, [])
+
+
+# --- balanced downsample ------------------------------------------------------------------
+
+
+def test_balanced_downsample_exact_min_per_class(spark):
+    from opteryx_spark.operators.scale import balanced_downsample
+
+    rows = [(i, "big") for i in range(20)] + [(100 + i, "small") for i in range(3)]
+    df = spark.createDataFrame(rows, ["doc_id", "label"])
+    kept = balanced_downsample(df, "label", "doc_id").collect()
+    by_label = {}
+    for r in kept:
+        by_label.setdefault(r["label"], []).append(r["doc_id"])
+    assert len(by_label["big"]) == 3 and len(by_label["small"]) == 3
+    assert sorted(by_label["small"]) == [100, 101, 102]  # minority intact
+
+
+def test_balanced_downsample_deterministic(spark):
+    from opteryx_spark.operators.scale import balanced_downsample
+
+    rows = [(i, i % 3) for i in range(40)]
+    df = spark.createDataFrame(rows, ["doc_id", "label"])
+    a = sorted((r["label"], r["doc_id"]) for r in balanced_downsample(df, "label", "doc_id").collect())
+    b = sorted((r["label"], r["doc_id"]) for r in balanced_downsample(df.repartition(9), "label", "doc_id").collect())
+    assert a == b
+    # seed changes the kept set
+    c = sorted((r["label"], r["doc_id"]) for r in balanced_downsample(df, "label", "doc_id", seed="other").collect())
+    assert a != c
