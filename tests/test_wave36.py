@@ -272,3 +272,56 @@ def test_balanced_downsample_deterministic(spark):
     # seed changes the kept set
     c = sorted((r["label"], r["doc_id"]) for r in balanced_downsample(df, "label", "doc_id", seed="other").collect())
     assert a != c
+
+
+# --- plan-shape assertions (scale claims, pinned) -------------------------------------------
+
+
+def test_ks_no_data_sized_single_partition(spark):
+    # the distributed prefix sum: the only SinglePartition exchange may feed
+    # the n_buckets-row offsets frame / final 1-row reduce, never a
+    # data-sized window — assert the per-value cumsum window partitions by
+    # the bucket key
+    from opteryx_spark.plans import explain_text
+
+    a = spark.createDataFrame([(float(i),) for i in range(50)], ["v"])
+    b = spark.createDataFrame([(float(i) + 0.5,) for i in range(50)], ["v"])
+    text = explain_text(ks_drift(a, b, "v"))
+    # the per-value cumulative window is PARTITIONED BY the range bucket
+    # (its Arguments list shows [_bkt] as the partition spec before the
+    # _v ordering); the only unpartitioned windows are the n_buckets-row
+    # offsets frame
+    assert "windowspecdefinition(_bkt#" in text
+
+
+def test_triplet_broadcasts_anchor_panel(spark):
+    from opteryx_spark.plans import explain_text
+
+    df = spark.createDataFrame(
+        [(i, i % 2, [float(i), 1.0]) for i in range(20)],
+        ["vec_id", "label", "embedding"],
+    )
+    text = explain_text(triplet_mining(df.filter("vec_id < 2"), df))
+    assert "BroadcastExchange" in text
+    assert "CartesianProduct" not in text
+
+
+def test_term_trends_topk_not_global_sort(spark):
+    # top movers must plan TakeOrderedAndProject, not a full Sort+Limit
+    from opteryx_spark.plans import explain_text
+
+    rows = [(i, i % 4, "tok%d x" % (i % 5)) for i in range(40)]
+    df = spark.createDataFrame(rows, ["doc_id", "batch", "text"])
+    text = explain_text(term_trends(df, "batch", min_total=1, top_k=3))
+    assert "TakeOrderedAndProject" in text
+
+
+def test_balanced_downsample_label_partitioned_window(spark):
+    from opteryx_spark.operators.scale import balanced_downsample
+    from opteryx_spark.plans import explain_text
+
+    df = spark.createDataFrame([(i, i % 3) for i in range(30)], ["doc_id", "label"])
+    text = explain_text(balanced_downsample(df, "label", "doc_id"))
+    assert "BroadcastExchange" in text  # the 1-row minimum, never a shuffle
+    # the ranking window is PARTITIONED BY the label, not global
+    assert "windowspecdefinition(label#" in text
