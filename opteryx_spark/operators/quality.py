@@ -662,3 +662,126 @@ def ks_drift(
             F.expr("(d_scaled * 1000000) div (n_a * n_b)").alias("d_ppm"),
         )
     )
+
+
+def w1_drift(
+    a: DataFrame,
+    b: DataFrame,
+    value_col: str,
+    qscale: int = 10_000,
+    n_range_buckets: int = 64,
+) -> DataFrame:
+    """Exact 1-Wasserstein (earth-mover) drift between two samples:
+    ``W1 = ∫|F_a − F_b| dv`` — KS's integral sibling, sensitive to HOW
+    FAR mass moved where KS only sees the single worst CDF gap (a small
+    shift of a whole distribution barely moves KS but moves W1 by the
+    shift).  On ``qscale``-quantized values the CDF difference is a step
+    function, so the integral is the exact BIGINT sum
+    ``Σ_i |cum_a(v_i)·n_b − cum_b(v_i)·n_a| · (v_{i+1} − v_i)`` over the
+    observed pooled values (the global max contributes 0 — both CDFs
+    are complete there — so its missing gap is irrelevant).
+
+    Same distributed shape as :func:`ks_drift` (shared rationale): ONE
+    per-value groupBy, range-bucketed two-phase prefix sums, and the
+    value GAPS come from a within-bucket ``lead`` plus a broadcast
+    next-non-empty-bucket-start frame (n_buckets rows) for the
+    boundaries — no one-partition pass over data anywhere.
+
+    Returns one row: ``n_a``, ``n_b``, ``w1_scaled`` (BIGINT,
+    ``W1·n_a·n_b`` in quantized-value units), ``w1_milli_units``
+    (BIGINT, ``w1_scaled·1000 div (n_a·n_b·qscale)`` — milli original
+    value units of mean displacement).
+    """
+    from pyspark.sql.window import Window
+
+    if qscale < 1 or n_range_buckets < 1:
+        raise ValueError("qscale and n_range_buckets must be >= 1")
+    qv = F.floor(F.col(value_col).cast("double") * F.lit(float(qscale))).cast("long")
+
+    def _side(df: DataFrame, tag: int) -> DataFrame:
+        return df.filter(F.col(value_col).isNotNull()).select(
+            qv.alias("_v"), F.lit(tag).alias("_m")
+        )
+
+    tagged = _side(a, 1).unionAll(_side(b, 2))
+    per_v = tagged.groupBy("_v").agg(
+        F.sum(F.when(F.col("_m") == 1, 1).otherwise(0)).alias("_ca"),
+        F.sum(F.when(F.col("_m") == 2, 1).otherwise(0)).alias("_cb"),
+    )
+    bounds = F.broadcast(
+        per_v.agg(F.min("_v").alias("_lo"), F.max("_v").alias("_hi"))
+    )
+    nb = F.lit(int(n_range_buckets))
+    bucketed = per_v.crossJoin(bounds).select(
+        "_v",
+        "_ca",
+        "_cb",
+        F.when(
+            F.col("_hi") > F.col("_lo"),
+            F.least(
+                nb - 1,
+                ((F.col("_v") - F.col("_lo")) * nb) / (F.col("_hi") - F.col("_lo") + 1),
+            ).cast("long"),
+        )
+        .otherwise(F.lit(0))
+        .alias("_bkt"),
+    )
+    w_b = Window.orderBy("_bkt").rowsBetween(Window.unboundedPreceding, -1)
+    w_next = Window.orderBy("_bkt")
+    # tiny frame: per-bucket totals, prefix offsets AND the next
+    # non-empty bucket's first value (for boundary gaps)
+    offsets = (
+        bucketed.groupBy("_bkt")
+        .agg(
+            F.sum("_ca").alias("_ba"),
+            F.sum("_cb").alias("_bb"),
+            F.min("_v").alias("_bstart"),
+        )
+        .select(
+            "_bkt",
+            F.coalesce(F.sum("_ba").over(w_b), F.lit(0)).alias("_offa"),
+            F.coalesce(F.sum("_bb").over(w_b), F.lit(0)).alias("_offb"),
+            F.lead("_bstart", 1).over(w_next).alias("_nextstart"),
+        )
+    )
+    w_v = (
+        Window.partitionBy("_bkt")
+        .orderBy("_v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_lead = Window.partitionBy("_bkt").orderBy("_v")
+    cums = bucketed.join(F.broadcast(offsets), "_bkt").select(
+        (F.col("_offa") + F.sum("_ca").over(w_v)).alias("_cuma"),
+        (F.col("_offb") + F.sum("_cb").over(w_v)).alias("_cumb"),
+        (
+            F.coalesce(F.lead("_v", 1).over(w_lead), F.col("_nextstart"), F.col("_v"))
+            - F.col("_v")
+        ).alias("_gap"),
+    )
+    totals = F.broadcast(
+        per_v.agg(
+            F.sum("_ca").cast("long").alias("n_a"),
+            F.sum("_cb").cast("long").alias("n_b"),
+        )
+    )
+    return (
+        cums.crossJoin(totals)
+        .select(
+            "n_a",
+            "n_b",
+            (
+                F.abs(F.col("_cuma") * F.col("n_b") - F.col("_cumb") * F.col("n_a"))
+                * F.col("_gap")
+            ).alias("_t"),
+        )
+        .groupBy("n_a", "n_b")
+        .agg(F.sum("_t").alias("w1_scaled"))
+        .select(
+            F.col("n_a").cast("bigint").alias("n_a"),
+            F.col("n_b").cast("bigint").alias("n_b"),
+            F.col("w1_scaled").cast("bigint").alias("w1_scaled"),
+            F.expr(f"(w1_scaled * 1000) div (n_a * n_b * {int(qscale)})").alias(
+                "w1_milli_units"
+            ),
+        )
+    )

@@ -376,3 +376,56 @@ def sample_balanced_classes(spark, sf_dir):
         )
         .orderBy("lang")
     )
+
+
+# --- exact Wasserstein-1 drift ------------------------------------------------------------
+
+
+@register(
+    "quality_w1_drift",
+    oracle="""
+    WITH av AS (
+      SELECT CAST(floor(CAST(value AS DOUBLE) * 10000.0) AS BIGINT) AS v
+      FROM events WHERE value IS NOT NULL AND event_type = 'click'
+    ),
+    bv AS (
+      SELECT CAST(floor(CAST(value AS DOUBLE) * 10000.0) AS BIGINT) AS v
+      FROM events WHERE value IS NOT NULL AND event_type = 'purchase'
+    ),
+    pv AS (
+      SELECT v, CAST(sum(CASE WHEN m = 1 THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+             CAST(sum(CASE WHEN m = 2 THEN 1 ELSE 0 END) AS BIGINT) AS cb
+      FROM (SELECT v, 1 AS m FROM av UNION ALL SELECT v, 2 AS m FROM bv)
+      GROUP BY v
+    ),
+    c AS (
+      SELECT CAST(sum(ca) OVER (ORDER BY v) AS BIGINT) AS cuma,
+             CAST(sum(cb) OVER (ORDER BY v) AS BIGINT) AS cumb,
+             coalesce(lead(v, 1) OVER (ORDER BY v), v) - v AS gap
+      FROM pv
+    ),
+    tt AS (
+      SELECT CAST((SELECT count(*) FROM av) AS BIGINT) AS na,
+             CAST((SELECT count(*) FROM bv) AS BIGINT) AS nb
+    )
+    SELECT tt.na AS n_a, tt.nb AS n_b,
+           CAST(sum(abs(c.cuma * tt.nb - c.cumb * tt.na) * c.gap) AS BIGINT)
+             AS w1_scaled,
+           (CAST(sum(abs(c.cuma * tt.nb - c.cumb * tt.na) * c.gap) AS BIGINT) * 1000)
+             // (tt.na * tt.nb * 10000) AS w1_milli_units
+    FROM c, tt GROUP BY tt.na, tt.nb
+    """,
+)
+def quality_w1_drift(spark, sf_dir):
+    """Exact 1-Wasserstein (earth-mover) distance between the click and
+    purchase value distributions (``operators/quality.py::w1_drift``):
+    KS's integral sibling — the gap-weighted BIGINT sum of the CDF
+    difference, sensitive to how FAR mass moved; same two-phase
+    distributed prefix sum as the KS entry, boundary gaps from a
+    broadcast next-non-empty-bucket frame."""
+    ev = t(spark, sf_dir, "events")
+    return _quality.w1_drift(
+        ev.filter(F.col("event_type") == "click"),
+        ev.filter(F.col("event_type") == "purchase"),
+        "value",
+    )

@@ -325,3 +325,65 @@ def test_balanced_downsample_label_partitioned_window(spark):
     assert "BroadcastExchange" in text  # the 1-row minimum, never a shuffle
     # the ranking window is PARTITIONED BY the label, not global
     assert "windowspecdefinition(label#" in text
+
+
+# --- Wasserstein-1 drift ---------------------------------------------------------------------
+
+
+def test_w1_pure_shift_hand_computed(spark):
+    from opteryx_spark.operators.quality import w1_drift
+
+    # b = a + 2.0 exactly: W1 = 2.0 -> 20000 quantized units
+    av = [0.0, 1.0, 5.0, 9.0]
+    a = spark.createDataFrame([(v,) for v in av], ["v"])
+    b = spark.createDataFrame([(v + 2.0,) for v in av], ["v"])
+    out = w1_drift(a, b, "v").collect()[0]
+    assert out["w1_scaled"] == 20_000 * 4 * 4
+    assert out["w1_milli_units"] == 2_000  # 2.0 in milli units
+
+
+def test_w1_identical_zero_and_python_reference(spark):
+    import math
+    import random
+
+    from opteryx_spark.operators.quality import w1_drift
+
+    a0 = spark.createDataFrame([(float(i % 7),) for i in range(30)], ["v"])
+    assert w1_drift(a0, a0, "v").collect()[0]["w1_scaled"] == 0
+
+    rng = random.Random(909)
+    av = [rng.uniform(0, 4) for _ in range(70)]
+    bv = [rng.gauss(2.5, 1.0) for _ in range(50)]
+
+    def ref(xs, ys, q=10_000):
+        xs = sorted(math.floor(v * q) for v in xs)
+        ys = sorted(math.floor(v * q) for v in ys)
+        vals = sorted(set(xs) | set(ys))
+        import bisect
+
+        tot = 0
+        for i, v in enumerate(vals[:-1]):
+            ca = bisect.bisect_right(xs, v)
+            cb = bisect.bisect_right(ys, v)
+            tot += abs(ca * len(ys) - cb * len(xs)) * (vals[i + 1] - v)
+        return tot
+
+    a = spark.createDataFrame([(v,) for v in av], ["v"])
+    b = spark.createDataFrame([(v,) for v in bv], ["v"])
+    want = ref(av, bv)
+    for nbk in (1, 5, 64):  # bucket invariance again
+        out = w1_drift(a, b, "v", n_range_buckets=nbk).collect()[0]
+        assert out["w1_scaled"] == want, nbk
+
+
+def test_w1_vs_ks_sensitivity(spark):
+    from opteryx_spark.operators.quality import ks_drift, w1_drift
+
+    # a tiny uniform shift: KS stays small-ish, W1 captures the full shift
+    av = [float(i) for i in range(100)]
+    a = spark.createDataFrame([(v,) for v in av], ["v"])
+    b = spark.createDataFrame([(v + 0.5,) for v in av], ["v"])
+    ks = ks_drift(a, b, "v").collect()[0]
+    w1 = w1_drift(a, b, "v").collect()[0]
+    assert w1["w1_milli_units"] == 500  # the exact 0.5 mean displacement
+    assert ks["d_ppm"] <= 20_000  # KS barely sees it (1/100)
