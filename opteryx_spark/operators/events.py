@@ -1461,3 +1461,201 @@ def ab_test_conversion(
             F.expr(z).alias("z"),
         )
     )
+
+
+def removal_effect_attribution(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+    conv_type: str = "purchase",
+    rounds: int = 12,
+) -> DataFrame:
+    """Markov removal-effect attribution (Anderl 2014) — the
+    data-driven multi-touch model that replaces position heuristics
+    (:func:`last_touch` etc.): build the first-order journey chain
+    START → channels → {CONV, DROP}, then credit each channel by how
+    much the chain's conversion probability FALLS when that channel is
+    removed (transitions into it rerouted to DROP).
+
+    Fully relational — NO per-channel driver loop: the chain is
+    replicated over a ``removed`` tag column (one row set per channel +
+    the intact chain), removal is a relational rewrite of the shared
+    transition counts, and ALL chains power-iterate together, keyed by
+    ``(removed, state)`` — one join + one aggregate per round for every
+    scenario at once.  Exact integers throughout (truncating-ppm rows,
+    ``Σ T(s,t)·v(t) div 1e6`` rounds); ``rounds`` bounds journey length
+    (the R-step conversion probability — journeys are short; fixed R
+    keeps the oracle an unrolled CTE chain).
+
+    Journey semantics: per user, channel touches strictly before the
+    FIRST ``conv_type`` event (ts, id ordered), then CONV if the user
+    converted else DROP; converting users with no prior touches
+    contribute START→CONV.  NULL users/timestamps are excluded; NULL
+    channel types are the real channel '∅' (the
+    :func:`markov_stationary` convention).
+
+    Returns one row per channel: ``channel``, ``p_full_ppm`` (the
+    intact chain's START→CONV probability — same every row),
+    ``p_removed_ppm``, ``removal_effect_ppm`` (the drop, floored at 0),
+    ``share_ppm`` (effect share of the summed effects; NULL when all
+    effects are 0).
+    """
+    from pyspark.sql.window import Window
+
+    if rounds < 1:
+        raise ValueError("rounds must be >= 1")
+    PPM = 1_000_000
+    base = events.filter(
+        F.col(user_col).isNotNull() & F.col(ts_col).isNotNull()
+    ).select(
+        F.col(user_col).alias("_u"),
+        F.expr(f"unix_micros(CAST({ts_col} AS TIMESTAMP))").alias("_t"),
+        # NULL ids coalesce to -1: NULLS-placement in (ts, id) orderings
+        # differs across engines, and a deterministic sentinel beats a
+        # NULLS FIRST/LAST dance in every window and struct comparison
+        F.coalesce(F.col(id_col).cast("bigint"), F.lit(-1)).alias("_i"),
+        F.coalesce(F.col(type_col).cast("string"), F.lit("∅")).alias("_et"),
+    )
+    conv = base.filter(F.col("_et") == conv_type).groupBy("_u").agg(
+        F.min(F.struct("_t", "_i")).alias("_cp")
+    )
+    touches = (
+        base.filter(F.col("_et") != conv_type)
+        .join(conv, "_u", "left")
+        .filter(
+            F.col("_cp").isNull() | (F.struct("_t", "_i") < F.col("_cp"))
+        )
+        .select("_u", "_t", "_i", "_et", F.col("_cp").isNotNull().alias("_cv"))
+    )
+    w = Window.partitionBy("_u").orderBy("_t", "_i")
+    seq = touches.select(
+        "_u",
+        "_et",
+        "_cv",
+        F.lag("_et", 1).over(w).alias("_prev"),
+        F.lead("_et", 1).over(w).alias("_next"),
+    )
+    pairs = seq.select(
+        F.coalesce("_prev", F.lit("START")).alias("fi"), F.col("_et").alias("tj")
+    ).unionAll(
+        seq.filter(F.col("_next").isNull()).select(
+            F.col("_et").alias("fi"),
+            F.when(F.col("_cv"), F.lit("CONV")).otherwise(F.lit("DROP")).alias("tj"),
+        )
+    ).unionAll(
+        # converting users with zero prior touches: START -> CONV
+        conv.join(touches.select("_u").distinct(), "_u", "left_anti").select(
+            F.lit("START").alias("fi"), F.lit("CONV").alias("tj")
+        )
+    )
+    counts = pairs.groupBy("fi", "tj").agg(F.count(F.lit(1)).alias("c"))
+
+    channels = counts.select(F.col("fi").alias("_ch")).unionAll(
+        counts.select(F.col("tj").alias("_ch"))
+    ).filter(~F.col("_ch").isin("START", "CONV", "DROP")).distinct()
+    tags = channels.select(F.col("_ch").alias("removed")).unionAll(
+        channels.sparkSession.createDataFrame([("(none)",)], ["removed"])
+    )
+    # replicate counts per scenario; removal rewrites relationally:
+    # drop the removed channel's outgoing row, reroute arrivals to DROP
+    sc = (
+        counts.crossJoin(F.broadcast(tags))
+        .filter(F.col("fi") != F.col("removed"))
+        .select(
+            "removed",
+            "fi",
+            F.when(F.col("tj") == F.col("removed"), F.lit("DROP"))
+            .otherwise(F.col("tj"))
+            .alias("tj"),
+            "c",
+        )
+        .groupBy("removed", "fi", "tj")
+        .agg(F.sum("c").alias("c"))
+    )
+    p = sc.select(
+        "removed",
+        "fi",
+        "tj",
+        F.expr(f"(c * {PPM}) div sum(c) OVER (PARTITION BY removed, fi)").alias(
+            "p_ppm"
+        ),
+    )
+    from opteryx_spark.operators.dedup import _checkpoint_tracked, _track_release
+
+    p, p_h = _checkpoint_tracked(p)
+    # v(state) = P(absorb in CONV within remaining rounds), per scenario
+    v = p.select("removed", F.col("tj").alias("state")).unionAll(
+        p.select("removed", F.col("fi").alias("state"))
+    ).distinct().select(
+        "removed",
+        "state",
+        F.when(F.col("state") == "CONV", F.lit(PPM).cast("long"))
+        .otherwise(F.lit(0).cast("long"))
+        .alias("v"),
+    )
+    v, handle = _checkpoint_tracked(v)
+    for _ in range(rounds):
+        stepped = (
+            p.join(
+                v.select("removed", F.col("state").alias("tj"), F.col("v").alias("_vt")),
+                ["removed", "tj"],
+            )
+            .groupBy("removed", F.col("fi").alias("state"))
+            .agg(F.expr(f"sum(p_ppm * _vt) div {PPM}").alias("v"))
+        )
+        nxt = (
+            v.join(
+                stepped.select("removed", "state", F.col("v").alias("_nv")),
+                ["removed", "state"],
+                "left",
+            )
+            .select(
+                "removed",
+                "state",
+                F.when(F.col("state") == "CONV", F.lit(PPM).cast("long"))
+                .otherwise(F.coalesce("_nv", F.lit(0)))
+                .alias("v"),
+            )
+        )
+        nxt, h = _checkpoint_tracked(nxt)
+        handle.unpersist()  # superseded round (localCheckpoint is eager)
+        handle = h
+        v = nxt
+    starts = v.filter(F.col("state") == "START").select(
+        "removed", F.col("v").alias("p_ppm")
+    )
+    full = F.broadcast(
+        starts.filter(F.col("removed") == "(none)").select(
+            F.col("p_ppm").alias("p_full_ppm")
+        )
+    )
+    eff = (
+        starts.filter(F.col("removed") != "(none)")
+        .crossJoin(full)
+        .select(
+            F.col("removed").alias("channel"),
+            "p_full_ppm",
+            F.col("p_ppm").alias("p_removed_ppm"),
+            F.greatest(
+                F.col("p_full_ppm") - F.col("p_ppm"), F.lit(0).cast("long")
+            ).alias("removal_effect_ppm"),
+        )
+    )
+    tot = F.broadcast(
+        eff.agg(F.sum("removal_effect_ppm").alias("_tot"))
+    )
+    out = eff.crossJoin(tot).select(
+        "channel",
+        "p_full_ppm",
+        "p_removed_ppm",
+        "removal_effect_ppm",
+        F.when(
+            F.col("_tot") > 0,
+            F.expr(f"(removal_effect_ppm * {PPM}) div _tot"),
+        ).alias("share_ppm"),
+    )
+    _track_release(handle)
+    _track_release(p_h)
+    return out

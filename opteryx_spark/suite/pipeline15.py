@@ -429,3 +429,128 @@ def quality_w1_drift(spark, sf_dir):
         ev.filter(F.col("event_type") == "purchase"),
         "value",
     )
+
+
+# --- Markov removal-effect attribution -------------------------------------------------------
+
+_RA_ROUNDS = 12
+
+
+def _removal_oracle() -> str:
+    parts = [
+        """WITH b AS MATERIALIZED (
+      SELECT user_id AS u, epoch_us(ts) AS t,
+             coalesce(CAST(event_id AS BIGINT), -1) AS i,
+             coalesce(CAST(event_type AS VARCHAR), '∅') AS et
+      FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    ),
+    cp AS MATERIALIZED (
+      SELECT u, t AS pt, i AS pi FROM (
+        SELECT u, t, i, row_number() OVER (PARTITION BY u ORDER BY t, i) AS rn
+        FROM b WHERE et = 'purchase'
+      ) WHERE rn = 1
+    ),
+    tou AS MATERIALIZED (
+      SELECT b.u, b.t, b.i, b.et, cp.u IS NOT NULL AS cvf
+      FROM b LEFT JOIN cp ON cp.u = b.u
+      WHERE b.et <> 'purchase'
+        AND (cp.u IS NULL OR b.t < cp.pt OR (b.t = cp.pt AND b.i < cp.pi))
+    ),
+    seq AS MATERIALIZED (
+      SELECT u, et, cvf, lag(et) OVER w AS prev, lead(et) OVER w AS nxt
+      FROM tou WINDOW w AS (PARTITION BY u ORDER BY t, i)
+    ),
+    pairs AS MATERIALIZED (
+      SELECT coalesce(prev, 'START') AS fi, et AS tj FROM seq
+      UNION ALL
+      SELECT et, CASE WHEN cvf THEN 'CONV' ELSE 'DROP' END FROM seq WHERE nxt IS NULL
+      UNION ALL
+      SELECT 'START', 'CONV'
+      FROM cp ANTI JOIN (SELECT DISTINCT u FROM tou) tu USING (u)
+    ),
+    counts AS MATERIALIZED (
+      SELECT fi, tj, CAST(count(*) AS BIGINT) AS c FROM pairs GROUP BY fi, tj
+    ),
+    tags AS MATERIALIZED (
+      SELECT DISTINCT ch AS removed FROM (
+        SELECT fi AS ch FROM counts UNION ALL SELECT tj FROM counts
+      ) WHERE ch NOT IN ('START', 'CONV', 'DROP')
+      UNION ALL SELECT '(none)'
+    ),
+    sc AS MATERIALIZED (
+      SELECT tg.removed, c.fi,
+             CASE WHEN c.tj = tg.removed THEN 'DROP' ELSE c.tj END AS tj,
+             CAST(sum(c.c) AS BIGINT) AS c
+      FROM counts c CROSS JOIN tags tg WHERE c.fi <> tg.removed
+      GROUP BY 1, 2, 3
+    ),
+    p AS MATERIALIZED (
+      SELECT removed, fi, tj,
+             (c * 1000000) // CAST(sum(c) OVER (PARTITION BY removed, fi) AS BIGINT)
+               AS p_ppm
+      FROM sc
+    ),
+    st AS MATERIALIZED (
+      SELECT DISTINCT removed, state FROM (
+        SELECT removed, tj AS state FROM p UNION ALL SELECT removed, fi FROM p
+      )
+    ),
+    v0 AS MATERIALIZED (
+      SELECT removed, state,
+             CAST(CASE WHEN state = 'CONV' THEN 1000000 ELSE 0 END AS BIGINT) AS v
+      FROM st
+    )"""
+    ]
+    for r in range(1, _RA_ROUNDS + 1):
+        parts.append(
+            f""",
+    s{r} AS MATERIALIZED (
+      SELECT p.removed, p.fi AS state,
+             CAST(sum(p.p_ppm * v.v) AS BIGINT) // 1000000 AS v
+      FROM p JOIN v{r - 1} v ON v.removed = p.removed AND v.state = p.tj
+      GROUP BY p.removed, p.fi
+    ),
+    v{r} AS MATERIALIZED (
+      SELECT st.removed, st.state,
+             CAST(CASE WHEN st.state = 'CONV' THEN 1000000
+                       ELSE coalesce(s.v, 0) END AS BIGINT) AS v
+      FROM st LEFT JOIN s{r} s ON s.removed = st.removed AND s.state = st.state
+    )"""
+        )
+    parts.append(
+        f""",
+    starts AS (SELECT removed, v AS pr FROM v{_RA_ROUNDS} WHERE state = 'START'),
+    fu AS (SELECT pr AS p_full FROM starts WHERE removed = '(none)'),
+    eff AS (
+      SELECT removed AS channel, fu.p_full AS p_full_ppm, pr AS p_removed_ppm,
+             greatest(fu.p_full - pr, 0) AS removal_effect_ppm
+      FROM starts, fu WHERE removed <> '(none)'
+    ),
+    tot AS (SELECT CAST(sum(removal_effect_ppm) AS BIGINT) AS tot FROM eff)
+    SELECT channel, p_full_ppm, p_removed_ppm, removal_effect_ppm,
+           CASE WHEN tot.tot > 0
+                THEN (removal_effect_ppm * 1000000) // tot.tot END AS share_ppm
+    FROM eff, tot ORDER BY channel"""
+    )
+    return "".join(parts)
+
+
+@register("events_attribution_removal", oracle=_removal_oracle())
+def events_attribution_removal(spark, sf_dir):
+    """Markov removal-effect attribution (Anderl 2014;
+    ``operators/events.py::removal_effect_attribution``): journey chain
+    START → channels → CONV/DROP from first-purchase-truncated paths,
+    then every channel's credit = the drop in the chain's {r}-step
+    conversion probability when transitions into it reroute to DROP —
+    computed for ALL removal scenarios AT ONCE over a (removed, state)
+    key (no per-channel loop), truncating-ppm integers throughout; the
+    data-driven replacement for position heuristics."""
+    ev = t(spark, sf_dir, "events")
+    return _events.removal_effect_attribution(ev, rounds=_RA_ROUNDS).orderBy(
+        "channel"
+    )
+
+
+events_attribution_removal.__doc__ = events_attribution_removal.__doc__.format(
+    r=_RA_ROUNDS
+)

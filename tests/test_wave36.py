@@ -387,3 +387,62 @@ def test_w1_vs_ks_sensitivity(spark):
     w1 = w1_drift(a, b, "v").collect()[0]
     assert w1["w1_milli_units"] == 500  # the exact 0.5 mean displacement
     assert ks["d_ppm"] <= 20_000  # KS barely sees it (1/100)
+
+
+# --- removal-effect attribution ------------------------------------------------------------
+
+
+def _ev(uid, minute, etype, eid):
+    import datetime as dt
+
+    return (uid, dt.datetime(2024, 5, 1, 10, minute), etype, eid)
+
+
+def test_removal_attribution_hand_computed(spark):
+    from opteryx_spark.operators.events import removal_effect_attribution
+
+    rows = [
+        _ev(1, 0, "click", 1), _ev(1, 5, "purchase", 2),   # converts via click
+        _ev(2, 0, "view", 3),                              # never converts
+        _ev(3, 0, "purchase", 4),                          # START -> CONV direct
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts", "event_type", "event_id"])
+    out = {r["channel"]: r for r in removal_effect_attribution(df).collect()}
+    # full chain: START -> {click 1/3, view 1/3, CONV 1/3}; click -> CONV
+    assert out["click"]["p_full_ppm"] == 666_666
+    assert out["click"]["p_removed_ppm"] == 333_333
+    assert out["click"]["removal_effect_ppm"] == 333_333
+    assert out["click"]["share_ppm"] == 1_000_000
+    assert out["view"]["removal_effect_ppm"] == 0
+    assert out["view"]["share_ppm"] == 0
+
+
+def test_removal_attribution_post_purchase_excluded(spark):
+    from opteryx_spark.operators.events import removal_effect_attribution
+
+    rows = [
+        _ev(4, 0, "view", 1), _ev(4, 2, "purchase", 2), _ev(4, 5, "click", 3),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts", "event_type", "event_id"])
+    out = {r["channel"]: r for r in removal_effect_attribution(df).collect()}
+    # click happened AFTER the first purchase: not a journey touch at all
+    assert set(out) == {"view"}
+    assert out["view"]["p_full_ppm"] == 1_000_000
+    assert out["view"]["removal_effect_ppm"] == 1_000_000
+
+
+def test_removal_attribution_deterministic(spark):
+    import random
+
+    from opteryx_spark.operators.events import removal_effect_attribution
+
+    rng = random.Random(77)
+    types = ["view", "click", "signup", "purchase"]
+    rows = [
+        _ev(rng.randint(1, 30), rng.randint(0, 59), rng.choice(types), i)
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts", "event_type", "event_id"])
+    a = sorted(map(tuple, removal_effect_attribution(df).collect()))
+    b = sorted(map(tuple, removal_effect_attribution(df.repartition(7)).collect()))
+    assert a == b and len(a) == 3
