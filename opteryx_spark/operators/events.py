@@ -1659,3 +1659,67 @@ def removal_effect_attribution(
     _track_release(handle)
     _track_release(p_h)
     return out
+
+
+def cohort_ltv(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    qscale: int = 10_000,
+    max_offset_days: int | None = None,
+) -> DataFrame:
+    """Cohort lifetime-value matrix — :func:`cohort_retention`'s revenue
+    companion: users cohorted by first active day, and for each
+    (cohort, age) cell the value booked that day plus the RUNNING
+    cumulative per cohort — the curve LTV models are fit to and
+    payback-period decisions read from.
+
+    Value sums are fixed-point BIGINT (``floor(v·qscale + 0.5)``, the
+    engine's q1 idiom — order-independent, cross-engine exact); the
+    cumulative is one cohort-partitioned RANGE-free running window over
+    the per-cell aggregate (cells per cohort = days observed, tiny).
+    NULL users/timestamps are excluded; NULL values count activity but
+    add no revenue (SUM semantics).
+
+    Returns ``cohort_day`` (DATE), ``day_offset`` (BIGINT),
+    ``n_active_users``, ``rev_q``, ``cum_rev_q`` (BIGINT,
+    ``qscale``-scaled).
+    """
+    from pyspark.sql.window import Window
+
+    if qscale < 1:
+        raise ValueError("qscale must be >= 1")
+    base = events.filter(
+        F.col(user_col).isNotNull() & F.col(ts_col).isNotNull()
+    ).select(
+        F.col(user_col).alias("_uid"),
+        F.to_date(F.col(ts_col)).alias("_day"),
+        F.floor(F.col(value_col).cast("double") * F.lit(float(qscale)) + F.lit(0.5))
+        .cast("long")
+        .alias("_vq"),
+    )
+    cohort = base.groupBy("_uid").agg(F.min("_day").alias("cohort_day"))
+    cells = (
+        base.join(cohort, "_uid")
+        .withColumn("day_offset", F.datediff(F.col("_day"), F.col("cohort_day")).cast("long"))
+        .groupBy("cohort_day", "day_offset")
+        .agg(
+            F.countDistinct("_uid").cast("bigint").alias("n_active_users"),
+            F.coalesce(F.sum("_vq"), F.lit(0)).cast("bigint").alias("rev_q"),
+        )
+    )
+    if max_offset_days is not None:
+        cells = cells.filter(F.col("day_offset") <= int(max_offset_days))
+    w = (
+        Window.partitionBy("cohort_day")
+        .orderBy("day_offset")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return cells.select(
+        "cohort_day",
+        "day_offset",
+        "n_active_users",
+        "rev_q",
+        F.sum("rev_q").over(w).cast("bigint").alias("cum_rev_q"),
+    )

@@ -1000,3 +1000,82 @@ def hits_scores(
         F.coalesce("hub_ppm", F.lit(0)).cast("bigint").alias("hub_ppm"),
         F.coalesce("auth_ppm", F.lit(0)).cast("bigint").alias("auth_ppm"),
     )
+
+
+def link_prediction_jaccard(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    top_k: int = 50,
+    max_degree: int | None = 1000,
+) -> DataFrame:
+    """Link prediction by common-neighbor Jaccard (Liben-Nowell 2003's
+    strongest simple baseline): score every NON-adjacent pair that
+    shares at least one neighbor by ``|N(a)∩N(b)| / |N(a)∪N(b)|`` and
+    keep the top-k — "which links are missing": recommendation
+    candidates, knowledge-graph completion, crawl-frontier hints.
+
+    Exact and integer: common counts from the wedge join (the
+    :func:`triangle_counts` two-hop shape — one shuffle on the shared
+    neighbor), union sizes from degrees (``deg_a + deg_b − common``),
+    scores as truncating ppm, ``(score DESC, a, b)`` tie-broken top-k
+    via TakeOrdered.  Existing edges are removed with a broadcast-
+    eligible anti-join (prediction means NEW links).
+
+    Scale control: wedge fan-out is quadratic in the hub's degree, so
+    nodes above ``max_degree`` are excluded as wedge CENTERS (their
+    neighborhoods still count toward degrees/denominators) — the same
+    auditable hot-key cap as :func:`~opteryx_spark.operators.dedup.
+    winnow_pairs`; at web scale a super-hub's common-neighbor signal is
+    boilerplate anyway.
+
+    Returns ``a``, ``b`` (a < b), ``n_common``, ``deg_a``, ``deg_b``,
+    ``jaccard_ppm`` (BIGINT).
+    """
+    from opteryx_spark.operators.dedup import _track_persist
+
+    if top_k < 1:
+        raise ValueError("top_k must be >= 1")
+    e = _track_persist(_canonical_edges(edges, src_col, dst_col))
+    nbrs = e.select(F.col("_a").alias("node"), F.col("_b").alias("nbr")).unionAll(
+        e.select(F.col("_b").alias("node"), F.col("_a").alias("nbr"))
+    )
+    deg = _track_persist(nbrs.groupBy("node").agg(F.count(F.lit(1)).alias("deg")))
+    centers = nbrs
+    if max_degree is not None:
+        hot = deg.filter(F.col("deg") > int(max_degree)).select(
+            F.col("node").alias("nbr")
+        )
+        centers = nbrs.select(
+            F.col("nbr").alias("ctr"), F.col("node").alias("leaf")
+        ).join(F.broadcast(hot.select(F.col("nbr").alias("ctr"))), "ctr", "left_anti")
+    else:
+        centers = nbrs.select(F.col("nbr").alias("ctr"), F.col("node").alias("leaf"))
+    l, r = centers.alias("l"), centers.alias("r")
+    cand = (
+        l.join(r, (F.col("l.ctr") == F.col("r.ctr")) & (F.col("l.leaf") < F.col("r.leaf")))
+        .groupBy(F.col("l.leaf").alias("a"), F.col("r.leaf").alias("b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+        .join(
+            e.select(F.col("_a").alias("a"), F.col("_b").alias("b")),
+            ["a", "b"],
+            "left_anti",
+        )
+    )
+    scored = (
+        cand.join(deg.select(F.col("node").alias("a"), F.col("deg").alias("deg_a")), "a")
+        .join(deg.select(F.col("node").alias("b"), F.col("deg").alias("deg_b")), "b")
+        .select(
+            "a",
+            "b",
+            F.col("n_common").cast("bigint").alias("n_common"),
+            F.col("deg_a").cast("bigint").alias("deg_a"),
+            F.col("deg_b").cast("bigint").alias("deg_b"),
+            F.expr(
+                "(n_common * 1000000) div (deg_a + deg_b - n_common)"
+            ).alias("jaccard_ppm"),
+        )
+    )
+    return scored.orderBy(
+        F.col("jaccard_ppm").desc(), "a", "b"
+    ).limit(int(top_k))

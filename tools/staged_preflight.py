@@ -23,7 +23,11 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
-STAGED_MODULES = ["opteryx_spark.suite.pipeline14", "opteryx_spark.suite.pipeline15"]
+STAGED_MODULES = [
+    "opteryx_spark.suite.pipeline14",
+    "opteryx_spark.suite.pipeline15",
+    "opteryx_spark.suite.pipeline16",
+]
 
 
 def main() -> int:
