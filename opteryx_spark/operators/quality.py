@@ -785,3 +785,65 @@ def w1_drift(
             ),
         )
     )
+
+
+def monotonic_check(
+    df: DataFrame,
+    key_cols: list[str],
+    order_col: str,
+    value_col: str,
+    strict: bool = False,
+) -> DataFrame:
+    """Per-key monotonicity audit: counters, cumulative totals, sequence
+    numbers and watermark columns must never decrease along their order
+    column — a decrease is a replay, a clock skew, or an upstream
+    re-aggregation bug.  The windowed complement to
+    :func:`row_checks`'s row-local rules (which cannot see ORDER).
+
+    Per key: ``n_steps`` (adjacent ordered pairs), ``n_violations``
+    (next < current, or <= when ``strict``), and the ORDER position of
+    the first violation (``first_violation_at``, NULL when clean) —
+    enough to alert AND to jump straight to the breakage.  Rows with
+    NULL order or value are excluded (no position / nothing to
+    compare); ties in ``order_col`` compare in value order (ties are
+    deterministic, not engine luck).
+
+    ONE key-partitioned window + ONE groupBy — no joins, no global
+    sort.
+
+    Returns key cols + ``n_steps``, ``n_violations`` (BIGINT),
+    ``first_violation_at`` (BIGINT, the order value where the first
+    violating STEP starts; NULL when monotone).
+    """
+    from pyspark.sql.window import Window
+
+    if not key_cols:
+        raise ValueError("key_cols must be non-empty (a global window cannot scale)")
+    s = df.filter(
+        F.col(order_col).isNotNull() & F.col(value_col).isNotNull()
+    ).select(
+        *key_cols,
+        F.col(order_col).cast("bigint").alias("_o"),
+        F.col(value_col).cast("bigint").alias("_v"),
+    )
+    w = Window.partitionBy(*key_cols).orderBy("_o", "_v")
+    cmp_bad = (
+        (F.col("_nv") <= F.col("_v")) if strict else (F.col("_nv") < F.col("_v"))
+    )
+    stepped = s.select(
+        *key_cols,
+        "_o",
+        "_v",
+        F.lead("_v", 1).over(w).alias("_nv"),
+    ).filter(F.col("_nv").isNotNull())
+    flagged = stepped.select(
+        *key_cols,
+        F.lit(1).alias("_one"),
+        F.when(cmp_bad, 1).otherwise(0).alias("_bad"),
+        F.when(cmp_bad, F.col("_o")).alias("_bad_at"),
+    )
+    return flagged.groupBy(*key_cols).agg(
+        F.sum("_one").cast("bigint").alias("n_steps"),
+        F.sum("_bad").cast("bigint").alias("n_violations"),
+        F.min("_bad_at").cast("bigint").alias("first_violation_at"),
+    )

@@ -101,3 +101,47 @@ def events_cohort_ltv(spark, sf_dir):
     counts — the curve LTV models fit and payback decisions read."""
     ev = t(spark, sf_dir, "events")
     return _events.cohort_ltv(ev).orderBy("cohort_day", "day_offset")
+
+
+# --- monotonicity audit ---------------------------------------------------------------
+
+
+@register(
+    "quality_monotonic_ts",
+    oracle="""
+    WITH s AS (
+      SELECT user_id AS u, CAST(event_id AS BIGINT) AS o, epoch_us(ts) AS v
+      FROM events WHERE event_id IS NOT NULL AND ts IS NOT NULL
+    ),
+    st AS (
+      SELECT u, o, v, lead(v) OVER (PARTITION BY u ORDER BY o, v) AS nv FROM s
+    ),
+    f AS (
+      SELECT u, 1 AS one, CASE WHEN nv < v THEN 1 ELSE 0 END AS bad,
+             CASE WHEN nv < v THEN o END AS bad_at
+      FROM st WHERE nv IS NOT NULL
+    )
+    SELECT u AS user_id, CAST(sum(one) AS BIGINT) AS n_steps,
+           CAST(sum(bad) AS BIGINT) AS n_violations,
+           CAST(min(bad_at) AS BIGINT) AS first_violation_at
+    FROM f GROUP BY u ORDER BY user_id
+    """,
+)
+def quality_monotonic_ts(spark, sf_dir):
+    """Per-user id-vs-time monotonicity audit
+    (``operators/quality.py::monotonic_check``): do event ids arrive in
+    timestamp order?  A decrease is a replay, clock skew or a
+    backfill — the windowed data-quality check `quality_constraint_
+    report`'s row-local rules cannot express; per user the step count,
+    violation count and the id where the FIRST violation starts; ONE
+    key-partitioned window + ONE groupBy."""
+    ev = t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.expr("unix_micros(CAST(ts AS TIMESTAMP))").alias("ts_us"),
+    )
+    from opteryx_spark.operators import quality as _quality
+
+    return _quality.monotonic_check(
+        ev, ["user_id"], "event_id", "ts_us"
+    ).orderBy("user_id")

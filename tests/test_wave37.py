@@ -90,3 +90,39 @@ def test_cohort_ltv_validation(spark):
     df = spark.createDataFrame([(1, dt.datetime(2024, 6, 1), 1.0)], ["user_id", "ts", "value"])
     with pytest.raises(ValueError):
         cohort_ltv(df, qscale=0)
+
+
+# --- monotonicity audit -----------------------------------------------------------------
+
+
+def test_monotonic_check_hand_case(spark):
+    from opteryx_spark.operators.quality import monotonic_check
+
+    rows = [
+        ("a", 1, 10), ("a", 2, 12), ("a", 3, 11), ("a", 4, 15),  # dip at step 3
+        ("b", 1, 5), ("b", 2, 5), ("b", 3, 6),                    # plateau ok
+    ]
+    df = spark.createDataFrame(rows, ["k", "o", "v"])
+    out = {r["k"]: r for r in monotonic_check(df, ["k"], "o", "v").collect()}
+    assert out["a"]["n_steps"] == 3 and out["a"]["n_violations"] == 1
+    assert out["a"]["first_violation_at"] == 2  # the step STARTING at o=2 drops
+    assert out["b"]["n_violations"] == 0 and out["b"]["first_violation_at"] is None
+
+
+def test_monotonic_check_strict_flags_plateaus(spark):
+    from opteryx_spark.operators.quality import monotonic_check
+
+    rows = [("b", 1, 5), ("b", 2, 5), ("b", 3, 6)]
+    df = spark.createDataFrame(rows, ["k", "o", "v"])
+    out = monotonic_check(df, ["k"], "o", "v", strict=True).collect()[0]
+    assert out["n_violations"] == 1 and out["first_violation_at"] == 1
+
+
+def test_monotonic_check_null_excluded_and_tie_order(spark):
+    from opteryx_spark.operators.quality import monotonic_check
+
+    rows = [("a", 1, 3), ("a", 1, 2), ("a", None, 99), ("a", 2, None), ("a", 2, 4)]
+    df = spark.createDataFrame(rows, "k string, o int, v int")
+    out = monotonic_check(df, ["k"], "o", "v").collect()[0]
+    # ties at o=1 order by value (2 then 3): steps 2->3->4, clean
+    assert out["n_steps"] == 2 and out["n_violations"] == 0
