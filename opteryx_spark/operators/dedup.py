@@ -1714,7 +1714,11 @@ def containment_pairs(
     inverted-index self-join on the shingle key (the :func:`winnow_pairs`
     plan shape — one shuffle, document-frequency cap dropping boilerplate
     shingles for hot-key skew control), intersection counts per pair,
-    then BOTH directions' containments in truncating-ppm.  A pair
+    then BOTH directions' containments in truncating-ppm.  Denominators
+    are the TRUE (uncapped) shingle counts while intersections only see
+    non-hot shingles — the cap therefore makes containment estimates
+    conservative (never inflated), the right direction for a dedup
+    gate.  A pair
     surfaces when EITHER direction clears ``min_containment_ppm`` —
     callers keep the direction(s) they care about.  Shingle-less docs
     (< k tokens, NULL text) cannot be contained or containing — absent.
