@@ -53,7 +53,7 @@ def register(name: str, oracle: str | None = None):
 # (deterministic per-round shuffle keyed by _ROTATION_SALT, so successive
 # rounds re-confirm different entries instead of the same first-registered
 # ones); rows-only entries always go last.
-_ROTATION_SALT = "r8"
+_ROTATION_SALT = "r9"
 
 
 def _collect_sources(fn, seen: set) -> list[tuple[str, str]]:
@@ -160,10 +160,13 @@ _DRIVER_GREEN = frozenset({
     "agg_histogram",
     "agg_hll_by_group",
     "agg_hll_portable",
+    "agg_kmv_distinct",
     "agg_median_percentile",
+    "agg_mode_exact",
     "agg_quantile_histogram",
     "agg_rollup",
     "agg_variance_stddev",
+    "agg_weighted_median",
     "any_all_array_ops",
     "array_funcs",
     "cb_daily_series",
@@ -201,11 +204,13 @@ _DRIVER_GREEN = frozenset({
     "dedup_simhash_portable",
     "dedup_winnow_pairs",
     "distinct_on_latest_order",
+    "emb_ann_filtered",
     "emb_ann_ivf_topk",
     "emb_ann_lsh_topk",
     "emb_ann_pq_indexed",
     "emb_ann_sq8_indexed",
     "emb_ann_sq8_topk",
+    "emb_centroid_drift",
     "emb_cosine_pairs",
     "emb_cosine_topk",
     "emb_kmeans_portable",
@@ -214,9 +219,11 @@ _DRIVER_GREEN = frozenset({
     "emb_lsh_near_dup_pairs",
     "emb_mmr_rerank",
     "emb_pq_adc_topk",
+    "emb_quantization_recall",
     "emb_quantize_int8",
     "emb_random_projection",
     "emb_semantic_dedup",
+    "emb_silhouette_lite",
     "events_attribution",
     "events_cohort_retention",
     "events_dau_wau",
@@ -224,7 +231,9 @@ _DRIVER_GREEN = frozenset({
     "events_funnel_rates",
     "events_gap_fill",
     "events_hourly_rollup",
+    "events_interval_coverage",
     "events_latency_percentiles",
+    "events_markov_stationary",
     "events_new_vs_returning",
     "events_ohlc_bars",
     "events_peak_concurrency",
@@ -236,7 +245,9 @@ _DRIVER_GREEN = frozenset({
     "events_session_funnel",
     "events_sessionize",
     "events_sessionless_funnel",
+    "events_streaks",
     "events_survival_km",
+    "events_top_paths",
     "events_twap",
     "events_type_transitions",
     "events_value_anomalies",
@@ -246,18 +257,27 @@ _DRIVER_GREEN = frozenset({
     "expr_math_funcs",
     "expr_string_funcs",
     "feat_basket_rules",
+    "feat_calibration_ece",
     "feat_hashed_tokens",
     "feat_lag_features",
     "feat_one_hot_lang",
     "feat_psi_drift",
     "feat_quantile_bin",
     "feat_target_encode",
+    "feat_target_encode_loo",
     "feat_winsorize_scale",
+    "graph_assortativity",
+    "graph_clustering_coeff",
+    "graph_core_numbers",
+    "graph_hop_distance",
+    "graph_kcore_membership",
+    "graph_label_communities",
     "graph_triangle_counts",
     "hash_encode_funcs",
     "having_post_aggregation",
     "interval_arithmetic",
     "join_asof_last_click",
+    "join_asof_nearest",
     "join_cross",
     "join_full_outer",
     "join_fuzzy_blocked",
@@ -285,13 +305,23 @@ _DRIVER_GREEN = frozenset({
     "profile_correlations",
     "profile_orders",
     "quality_benford_audit",
+    "quality_categorical_drift",
+    "quality_completeness_by_day",
     "quality_constraint_report",
+    "quality_fd_violations",
+    "quality_fk_audit",
     "quality_freshness",
+    "quality_mad_outliers",
+    "quality_schema_drift",
     "regexp_funcs",
+    "sample_backtest_folds",
+    "sample_epoch_shuffle",
     "sample_hash_deterministic",
+    "sample_negative_pairs",
     "sample_quota_stratified",
     "sample_split_assign",
     "sample_split_no_leakage",
+    "sample_temperature_weights",
     "sample_temporal_split",
     "sample_token_budget",
     "sample_token_mixture",
@@ -306,6 +336,7 @@ _DRIVER_GREEN = frozenset({
     "sort_limit_offset",
     "string_funcs_2",
     "subquery_scalar_correlated",
+    "text_best_snippets",
     "text_bigram_perplexity",
     "text_bm25_scores",
     "text_bm25_search_index",
@@ -314,11 +345,13 @@ _DRIVER_GREEN = frozenset({
     "text_bpe_encode",
     "text_bpe_token_stats",
     "text_bpe_train_merges",
+    "text_char_entropy",
     "text_characteristic_terms",
     "text_chunk_documents",
     "text_encoding_issues",
     "text_gopher_quality",
     "text_hybrid_rrf",
+    "text_lexical_diversity",
     "text_line_boilerplate",
     "text_ngram_novelty",
     "text_normalize",
@@ -331,6 +364,8 @@ _DRIVER_GREEN = frozenset({
     "text_rake_keyphrases",
     "text_readability",
     "text_redact_pii",
+    "text_retrieval_eval",
+    "text_script_profile",
     "text_strip_html",
     "text_token_stats",
     "text_vocab_topk",
@@ -358,7 +393,12 @@ _DRIVER_GREEN = frozenset({
     "tpch_q8_market_share",
     "tpch_q9_product_profit",
     "ts_acf_daily",
+    "ts_ccf_daily",
     "ts_cusum_changepoint",
+    "ts_forecast_snaive",
+    "ts_holt_linear",
+    "ts_ols_trend",
+    "ts_rolling_median_detrend",
     "tvf_generate_series",
     "tvf_values_clause",
     "unnest_lateral_filtered_distinct",
@@ -372,8 +412,10 @@ _DRIVER_GREEN = frozenset({
     "window_frames_moving_avg",
     "window_lag_rank",
     "window_range_percent",
+    "window_rank_variants",
     "window_running_sum",
     "window_topn_per_group",
+    "window_value_functions",
 })
 
 
@@ -398,6 +440,9 @@ def load_all() -> dict[str, QueryDef]:
     import opteryx_spark.suite.pipeline11  # noqa: F401
     import opteryx_spark.suite.pipeline12  # noqa: F401
     import opteryx_spark.suite.pipeline13  # noqa: F401
+    import opteryx_spark.suite.pipeline14  # noqa: F401
+    import opteryx_spark.suite.pipeline15  # noqa: F401
+    import opteryx_spark.suite.pipeline16  # noqa: F401
     import opteryx_spark.suite.tpch  # noqa: F401
 
     import hashlib
