@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import sys
 import time
 
@@ -366,12 +367,21 @@ def main() -> None:
         and os.path.basename(os.path.normpath(SF_DIR)) == "sf0.1"
     ):
         sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools"))
+        # build into a temp dir and rename on success: a partial build
+        # must not leave .data/sf1 present, or the isdir() gate below
+        # would time the sf1 section against incomplete tables
+        _tmp_sf1 = SF1_DIR.rstrip("/") + ".building"
         try:
             from make_sf1 import build as _build_sf1
 
-            _build_sf1(spark, SF_DIR, SF1_DIR, replicas=10)
+            if os.path.isdir(_tmp_sf1):
+                shutil.rmtree(_tmp_sf1)
+            _build_sf1(spark, SF_DIR, _tmp_sf1, replicas=10)
+            os.rename(_tmp_sf1, SF1_DIR)
         except Exception as exc:  # noqa: BLE001 — degrade to sf0.1-only, loudly
             print(f"sf1 self-heal failed: {exc}", file=sys.stderr)
+            if os.path.isdir(_tmp_sf1):
+                shutil.rmtree(_tmp_sf1, ignore_errors=True)
 
     run_sf1 = os.path.isdir(SF1_DIR) and os.environ.get("SPARK_GRAFT_SKIP_SF1") != "1"
 

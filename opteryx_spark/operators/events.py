@@ -1424,7 +1424,11 @@ def ab_test_conversion(
             F.max(F.when(F.expr(conv_pred), 1).otherwise(0)).alias("_c"),
         )
         .select(
-            (F.expr(variant_expr) % 2).alias("_v"),
+            # pmod, not %: Spark's % keeps the dividend's sign, so a
+            # variant_expr that can go negative (hash()-based splits,
+            # negative ids) would map to {-1, 0, 1} and silently drop
+            # the -1 users from both arms
+            F.pmod(F.expr(variant_expr), F.lit(2)).alias("_v"),
             F.col("_c"),
         )
     )

@@ -1129,8 +1129,12 @@ def term_trends(
         .select("*", F.lit("rising").alias("direction"))
     )
     falling = (
-        scored.orderBy(F.col("slope_ppm").asc(), "token")
+        # anti-join against the rising set: with <= 2*top_k scored tokens
+        # (or zero-slope ties) the same token could otherwise appear in
+        # both directions and double-count under a per-token groupBy
+        scored.join(rising.select("token"), "token", "left_anti")
+        .orderBy(F.col("slope_ppm").asc(), "token")
         .limit(int(top_k))
-        .select("*", F.lit("falling").alias("direction"))
+        .select(*[c for c in scored.columns], F.lit("falling").alias("direction"))
     )
     return rising.unionAll(falling)

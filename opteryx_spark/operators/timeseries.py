@@ -506,7 +506,9 @@ def weekday_anova(
         ``SS_between·n = n·Σ_g (S_g² div n_g) − (Σy)²``  (S_g = phase-g sum)
 
     (the phase term uses a truncating div per group — documented; both
-    engines replay it identically) and ``eta2_ppm = SSB_n·1e6 div
+    engines replay it identically; ``SSB_n`` is floored at 0 because
+    that truncation can push it a hair negative when the true
+    between-group variance is ~0) and ``eta2_ppm = SSB_n·1e6 div
     SST_n`` with a ``SST_n = 0 → NULL`` guard (constant series have no
     variance to explain).  Phase = ``t mod period`` on the integer time
     index.  NULL times/values are excluded (module contract).
@@ -540,11 +542,20 @@ def weekday_anova(
         *key_cols,
         F.col("_n").cast("bigint").alias("n_points"),
         F.col("n_phases").cast("bigint").alias("n_phases"),
-        (F.col("_n") * F.col("_sb") - F.col("_s") * F.col("_s")).alias("ssb_n"),
+        # floor at 0 (removal_effect_ppm convention): the truncating
+        # per-phase div in _sb can push the n-scaled SS_between a hair
+        # negative when the true between-group variance is ~0, and an
+        # explained-variance share must never read negative
+        F.greatest(
+            F.col("_n") * F.col("_sb") - F.col("_s") * F.col("_s"), F.lit(0)
+        ).alias("ssb_n"),
         (F.col("_n") * F.col("_sq") - F.col("_s") * F.col("_s")).alias("sst_n"),
         F.when(
             F.col("_n") * F.col("_sq") - F.col("_s") * F.col("_s") > 0,
-            F.expr("((_n * _sb - _s * _s) * 1000000) div (_n * _sq - _s * _s)"),
+            F.expr(
+                "(greatest(_n * _sb - _s * _s, 0) * 1000000)"
+                " div (_n * _sq - _s * _s)"
+            ),
         ).alias("eta2_ppm"),
     )
 

@@ -1228,7 +1228,10 @@ def holt_linear_stream(
             if not len(pdf):
                 continue
             touched = True
-            for qy in pdf.sort_values("t")["qy"]:
+            # sort on (t, qy) with a stable kind: mirrors the batch
+            # operator's array_sort over struct(t, qy) — sorting by t
+            # alone leaves duplicate-timestamp fold order nondeterministic
+            for qy in pdf.sort_values(["t", "qy"], kind="stable")["qy"]:
                 qy = int(qy)
                 if n == 0:
                     lv, b = qy, 0

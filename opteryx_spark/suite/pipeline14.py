@@ -205,9 +205,10 @@ def events_funnel_ttc(spark, sf_dir):
       FROM pp GROUP BY event_type
     )
     SELECT event_type, n AS n_points, n_phases,
-           n * sb - s * s AS ssb_n, n * sq - s * s AS sst_n,
+           -- floored at 0: truncating per-phase div can dip a hair negative
+           greatest(n * sb - s * s, 0) AS ssb_n, n * sq - s * s AS sst_n,
            CASE WHEN n * sq - s * s > 0
-                THEN ((n * sb - s * s) * 1000000) // (n * sq - s * s)
+                THEN (greatest(n * sb - s * s, 0) * 1000000) // (n * sq - s * s)
            END AS eta2_ppm
     FROM ag ORDER BY event_type
     """,

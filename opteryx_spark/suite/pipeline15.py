@@ -221,14 +221,17 @@ _TT_K = 40
              n * sxx - sx * sx AS slope_den,
              ((n * sxy - sx * total) * 1000000) // (n * sxx - sx * sx) AS slope_ppm
       FROM ag WHERE n * sxx - sx * sx > 0
-    )
-    SELECT * FROM (
+    ),
+    rising AS MATERIALIZED (
       SELECT *, 'rising' AS direction FROM sc
       ORDER BY slope_ppm DESC, token LIMIT {_TT_K}
     )
+    SELECT * FROM rising
     UNION ALL
     SELECT * FROM (
+      -- anti-join vs the rising set: a token must not appear both ways
       SELECT *, 'falling' AS direction FROM sc
+      WHERE token NOT IN (SELECT token FROM rising)
       ORDER BY slope_ppm ASC, token LIMIT {_TT_K}
     )
     ORDER BY direction, slope_ppm, token
@@ -259,7 +262,7 @@ text_term_trends.__doc__ = text_term_trends.__doc__.format(k=_TT_K)
     "events_ab_test_z",
     oracle="""
     WITH pu AS (
-      SELECT user_id % 2 AS v,
+      SELECT ((user_id % 2) + 2) % 2 AS v,  -- pmod: DuckDB % keeps sign, mirror Spark-side F.pmod
              max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS c
       FROM events WHERE user_id IS NOT NULL GROUP BY user_id
     ),
