@@ -521,10 +521,17 @@ def readability_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+#: each BPE merge round is one full Spark job (groupBy + 1-row collect);
+#: a real 32k-merge vocabulary would launch 32k sequential jobs, which is
+#: a driver-loop pattern this engine refuses by default at that scale
+BPE_TRAIN_MAX_MERGES = 256
+
+
 def bpe_train(
     docs: DataFrame,
     text_col: str = "text",
     num_merges: int = 6,
+    allow_large: bool = False,
 ) -> DataFrame:
     """Distributed BPE tokenizer training (Sennrich et al. 2016): learn
     the top-``num_merges`` byte-pair merges from the corpus — the
@@ -553,9 +560,26 @@ def bpe_train(
     ``lhs``, ``rhs`` (STRING symbols), ``n`` (BIGINT weighted pair
     count) — deterministic, so an external oracle can reproduce every
     merge decision.
+
+    Scale honesty: each merge round is ONE Spark job (a pair-count
+    groupBy plus a 1-row collect), so wall time is linear in
+    ``num_merges`` — fine for the tens-to-hundreds of merges this
+    word-frequency-table formulation targets, but a production 32k-merge
+    vocabulary would launch 32k sequential jobs.  Requests above
+    ``BPE_TRAIN_MAX_MERGES`` raise unless ``allow_large=True``; at that
+    scale, train offline on the word-frequency table (it is small —
+    export ``words`` below) with a heap-based trainer instead.
     """
     if num_merges < 1:
         raise ValueError("num_merges must be >= 1")
+    if num_merges > BPE_TRAIN_MAX_MERGES and not allow_large:
+        raise ValueError(
+            f"bpe_train(num_merges={num_merges}) would launch {num_merges} "
+            f"sequential Spark jobs (one groupBy + collect per merge round); "
+            f"the default ceiling is {BPE_TRAIN_MAX_MERGES}. Pass "
+            f"allow_large=True to proceed anyway, or export the word-frequency "
+            f"table and train the large vocabulary offline."
+        )
     from opteryx_spark.operators.dedup import _track_persist
 
     sep = "\u001f"

@@ -1370,6 +1370,12 @@ def test_bpe_train_semantics(spark):
     with pytest.raises(ValueError):
         T.bpe_train(df, num_merges=0)
 
+    # scale guard: one Spark job per merge round, so a 32k-vocab request
+    # must refuse by default (and state the escape hatch) rather than
+    # silently launch 32k sequential jobs
+    with pytest.raises(ValueError, match="allow_large"):
+        T.bpe_train(df, num_merges=T.BPE_TRAIN_MAX_MERGES + 1)
+
 
 def test_interval_overlap_join_semantics(spark):
     """Half-open overlap, boundary-touching intervals do NOT match, long
