@@ -208,28 +208,77 @@ def having_post_aggregation(spark, sf_dir):
     )
 
 
-@register("tvf_fake_table", oracle=None)  # generated data: rows-only check
+@register(
+    "tvf_fake_table",
+    oracle="""
+    WITH h0 AS (SELECT range AS row_id, range % 4294967296 AS h FROM range(1000)),
+    h1 AS (SELECT row_id, (xor(h >> 16, h) * 73244475) % 4294967296 AS h FROM h0),
+    h2 AS (SELECT row_id, (xor(h >> 16, h) * 73244475) % 4294967296 AS h FROM h1),
+    hf AS (SELECT row_id, xor(h >> 16, h) AS h FROM h2)
+    SELECT row_id,
+           'user_' || CAST(h % 500 AS VARCHAR) AS name,
+           CAST(h % 10000 AS DOUBLE) / 100.0 AS amount,
+           CASE WHEN h % 3 = 0 THEN 'bronze'
+                WHEN h % 3 = 1 THEN 'silver'
+                ELSE 'gold' END AS tier
+    FROM hf ORDER BY row_id
+    """,
+)
 def tvf_fake_table(spark, sf_dir):
     """Reference FAKE table function (``function_dataset_node.py:70-139``):
     deterministic synthetic rows, generated distributed via spark.range
-    (never a driver-side list)."""
+    (never a driver-side list).  Values derive from the engine's portable
+    degski xorshift-multiply hash of the row id, so the generator is an
+    engine-independent specification — the oracle replays every value in
+    SQL (the minhash-portable-twin recipe); IEEE double division by 100.0
+    is correctly rounded in both engines, so ``amount`` is bit-identical."""
     n = 1000
     base = spark.range(n)
-    h = F.xxhash64(F.col("id"))
+    mod32 = F.lit(4294967296)
+    h = F.col("id") % mod32
+    for _ in range(2):
+        h = ((F.shiftright(h, 16).bitwiseXOR(h)) * F.lit(0x45D9F3B)) % mod32
+    h = F.shiftright(h, 16).bitwiseXOR(h)
     return base.select(
         F.col("id").alias("row_id"),
-        F.concat(F.lit("user_"), (F.pmod(h, F.lit(500))).cast("string")).alias("name"),
-        (F.pmod(h, F.lit(10000)).cast("double") / 100.0).alias("amount"),
-        F.when(F.pmod(h, F.lit(3)) == 0, "bronze")
-        .when(F.pmod(h, F.lit(3)) == 1, "silver")
+        F.concat(F.lit("user_"), (h % F.lit(500)).cast("string")).alias("name"),
+        ((h % F.lit(10000)).cast("double") / 100.0).alias("amount"),
+        F.when(h % 3 == 0, "bronze")
+        .when(h % 3 == 1, "silver")
         .otherwise("gold")
         .alias("tier"),
-    )
+    ).orderBy("row_id")
 
 
-@register("sample_order_by_rand", oracle=None)  # nondeterministic: rows-only
+@register(
+    "sample_order_by_rand",
+    oracle="""
+    WITH h0 AS (SELECT c_custkey, c_name, c_custkey % 4294967296 AS h FROM customer),
+    h1 AS (SELECT c_custkey, c_name, (xor(h >> 16, h) * 73244475) % 4294967296 AS h FROM h0),
+    h2 AS (SELECT c_custkey, c_name, (xor(h >> 16, h) * 73244475) % 4294967296 AS h FROM h1),
+    hf AS (SELECT c_custkey, c_name, xor(h >> 16, h) AS h FROM h2)
+    SELECT c_custkey, c_name FROM hf
+    ORDER BY h, c_custkey LIMIT 25
+    """,
+)
 def sample_order_by_rand(spark, sf_dir):
     """ORDER BY RAND() LIMIT n (reference ``sort_node.py:60-90``) — a
-    distributed shuffle-sample, seeded for reproducibility."""
+    distributed shuffle-sample.  The reproducible twin orders by the
+    portable degski hash of the key rather than ``rand(seed)``: Spark's
+    seeded rand depends on the partition layout (the same seed yields a
+    DIFFERENT sample after a repartition), so a hash order is the only
+    shuffle-sample a distributed pipeline can actually replay — and the
+    only one an external oracle can verify.  The cursor dialect still
+    accepts literal ``ORDER BY RAND()``."""
     cust = t(spark, sf_dir, "customer")
-    return cust.orderBy(F.rand(seed=42)).limit(25).select("c_custkey", "c_name")
+    mod32 = F.lit(4294967296)
+    h = F.col("c_custkey") % mod32
+    for _ in range(2):
+        h = ((F.shiftright(h, 16).bitwiseXOR(h)) * F.lit(0x45D9F3B)) % mod32
+    h = F.shiftright(h, 16).bitwiseXOR(h)
+    return (
+        cust.select("c_custkey", "c_name", h.alias("_h"))
+        .orderBy("_h", "c_custkey")
+        .limit(25)
+        .select("c_custkey", "c_name")
+    )
