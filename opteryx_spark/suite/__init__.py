@@ -28,14 +28,21 @@ from pyspark.sql import DataFrame, SparkSession
 class QueryDef:
     spark: Callable[[SparkSession, str], DataFrame]
     oracle: str | None  # ANSI SQL for DuckDB, None => rows-only check
+    # estimated ORACLE-side compare cost in seconds at sf0.01 (the DuckDB
+    # run, not ours).  Default 1.0 covers almost the whole registry; only
+    # outliers annotate it (text_bpe_encode's unrolled BPE CTE chain is
+    # ~750 s, SF-insensitive — NOTES_r8).  window_preflight surfaces the
+    # window's total so composition never schedules two such entries
+    # into one 50-slot driver window unnoticed.
+    oracle_cost_s: float = 1.0
 
 
 REGISTRY: dict[str, QueryDef] = {}
 
 
-def register(name: str, oracle: str | None = None):
+def register(name: str, oracle: str | None = None, oracle_cost_s: float = 1.0):
     def deco(fn: Callable[[SparkSession, str], DataFrame]):
-        REGISTRY[name] = QueryDef(spark=fn, oracle=oracle)
+        REGISTRY[name] = QueryDef(spark=fn, oracle=oracle, oracle_cost_s=oracle_cost_s)
         return fn
 
     return deco

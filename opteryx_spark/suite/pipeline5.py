@@ -689,7 +689,7 @@ def _bpe_oracle() -> str:
     """
 
 
-@register("text_bpe_train_merges", oracle=_bpe_oracle())
+@register("text_bpe_train_merges", oracle=_bpe_oracle(), oracle_cost_s=150.0)
 def text_bpe_train_merges(spark, sf_dir):
     """BPE tokenizer TRAINING (``operators/text.py::bpe_train``): the top
     6 learned merges over the corpus word-frequency table — pair counts,
@@ -950,7 +950,7 @@ def _bpe_encode_oracle() -> str:
     )
 
 
-@register("text_bpe_encode", oracle=_bpe_encode_oracle())
+@register("text_bpe_encode", oracle=_bpe_encode_oracle(), oracle_cost_s=750.0)
 def text_bpe_encode(spark, sf_dir):
     """BPE tokenizer APPLICATION (``operators/text.py::bpe_encode_counts``):
     encode every document with the 6 merges learned by ``bpe_train`` and

@@ -61,16 +61,14 @@ BATTERY_DIR = "/root/reference/tests/integration/sql_battery"
 # in the container / source data the checkout does not ship), not debt.
 _SKIP_PATTERNS = [
     ("iceberg-jar", re.compile(r"\biceberg\.", re.I)),
-    ("missing-fixture-data", re.compile(r"\btestdata[./]flat[./]formats\b", re.I)),
     ("missing-fixture-data", re.compile(r"\btestdata\.tweets\b", re.I)),
-    # expects a 196902-row mixed-schema dataset; the checkout ships only a
-    # 9-row planets.parquet in flat/different
-    ("missing-fixture-data", re.compile(r"\btestdata[./]flat[./]different\b", re.I)),
     ("missing-fixture-data", re.compile(r"\$derived\b")),
     ("live-http-endpoint", re.compile(r"\bHTTP\s*\(", re.I)),
-    # fixture files the reference checkout itself does not ship
-    ("missing-fixture-data", re.compile(r"formats/arrow/", re.I)),
 ]
+# flat/formats (parquet/arrow/csv/tsv) and flat/different no longer skip:
+# tools/make_fixtures.py synthesizes shape-twin datasets satisfying every
+# pinned predicate count and overlays them (symlink farm) on the shipped
+# read-only testdata — see its module docstring for the constraint list.
 
 _FIXTURES = "/root/reference/testdata"
 
@@ -99,10 +97,16 @@ def _build_sqlite_fixture() -> str:
     return db
 
 
+def _overlay_root() -> str:
+    from make_fixtures import ensure as _ensure_fixture_overlay
+
+    return _ensure_fixture_overlay()
+
+
 def _register_fixture_stores() -> None:
     from opteryx_spark.sources.registry import register_store
 
-    register_store("testdata", root=_FIXTURES)
+    register_store("testdata", root=_overlay_root())
     register_store(
         "sqlite", kind="sql", connection=f"sqlite:///{_build_sqlite_fixture()}"
     )
@@ -178,8 +182,9 @@ def run_battery(files: list[str]) -> dict:
                 report["skip_reasons"][reason] = report["skip_reasons"].get(reason, 0) + 1
                 continue
             # the reference resolves file-relative fixture paths from its
-            # own checkout; point them there (read-only)
-            stmt = re.sub(r"'(\.\./)*testdata/", "'/root/reference/testdata/", stmt)
+            # own checkout; point them at the overlay (shipped files via
+            # symlink, synthesized shape-twins materialized beside them)
+            stmt = re.sub(r"'(\.\./)*testdata/", f"'{_overlay_root()}/", stmt)
             try:
                 cur = conn.cursor().execute(stmt)
                 got = cur.fetchall()

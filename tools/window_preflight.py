@@ -84,6 +84,22 @@ def main() -> int:
     else:
         names = [n for n in list(qs)[: args.limit] if qs[n].oracle]
 
+    # oracle-cost budget (VERDICT r8 #7): surface the window's total
+    # annotated DuckDB-side cost so composition never schedules two
+    # ~750 s oracles into one driver window unnoticed
+    total_cost = sum(qs[n].oracle_cost_s for n in names)
+    heavy = [(n, qs[n].oracle_cost_s) for n in names if qs[n].oracle_cost_s >= 120.0]
+    if heavy:
+        print(
+            f"WARNING: window contains {len(heavy)} expensive oracle(s): "
+            + ", ".join(f"{n} (~{c:.0f}s)" for n, c in heavy)
+        )
+    if total_cost > 1200.0:
+        print(
+            f"WARNING: window's annotated oracle cost ~{total_cost:.0f}s "
+            f"exceeds the 1200s budget — recompose before the driver runs"
+        )
+
     spark = get_session(shuffle_partitions=8)
     con = duckdb.connect()
     for t in TABLES:
