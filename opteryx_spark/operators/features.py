@@ -573,6 +573,106 @@ def target_encode_loo(
     )
 
 
+def chi2_screen(
+    df: DataFrame,
+    tokens_col: str = "tokens",
+    label_col: str = "label",
+    min_df: int = 2,
+    top_k: int = 20,
+) -> DataFrame:
+    """Chi-square feature screening of token presence against a binary
+    label (the sklearn ``chi2``/``SelectKBest`` step of building a
+    quality/toxicity/domain classifier over corpus text): which tokens'
+    document frequency differs most from independence with the label.
+    Doc-level PRESENCE, not counts — the standard formulation, robust to
+    length.
+
+    Per token the 2x2 table is ``a`` (label-1 docs containing it), ``b``
+    (label-0 docs containing it), ``c = n1 - a``, ``d = n0 - b``, and
+
+        ``chi2 = n * (a*d - b*c)^2 / ((a+b) * (c+d) * (a+c) * (b+d))``
+
+    computed as ONE fixed float expression over the exact BIGINT counts
+    (the ab_test_z / ACF convention: IEEE *, -, /, are correctly
+    rounded, so the double is bit-identical in any engine; a BIGINT
+    formulation overflows at (ad-bc)^2).  Degenerate margins (token in
+    every doc, single-label corpus) yield NULL.  ``assoc`` gives the
+    direction ('pos' when the token is enriched in label-1 docs).
+
+    Shape: one explode -> (doc, token) distinct -> ONE token groupBy
+    with map-side combine; the label totals ride along as a broadcast
+    1-row frame; top-k is a TakeOrdered (chi2 DESC, token) — no windows,
+    no driver collect.  NULL labels/token arrays excluded.
+
+    Returns ``token``, ``n_docs``, ``pos_docs``, ``neg_docs`` (BIGINT),
+    ``chi2`` (DOUBLE), ``assoc`` (STRING).
+    """
+    if min_df < 1 or top_k < 1:
+        raise ValueError("min_df and top_k must be >= 1")
+    base = df.filter(
+        F.col(label_col).isNotNull() & F.col(tokens_col).isNotNull()
+    ).select(
+        F.monotonically_increasing_id().alias("_doc"),
+        F.col(label_col).cast("bigint").alias("_y"),
+        F.col(tokens_col).alias("_tks"),
+    )
+    totals = F.broadcast(
+        base.agg(
+            F.sum("_y").cast("bigint").alias("_n1"),
+            (F.count(F.lit(1)) - F.sum("_y")).cast("bigint").alias("_n0"),
+        )
+    )
+    present = (
+        base.select("_doc", "_y", F.explode("_tks").alias("token"))
+        .groupBy("_doc", "token")
+        .agg(F.max("_y").alias("_y"))
+    )
+    counts = present.groupBy("token").agg(
+        F.sum("_y").cast("bigint").alias("pos_docs"),
+        (F.count(F.lit(1)) - F.sum("_y")).cast("bigint").alias("neg_docs"),
+    )
+    chi2 = (
+        "CASE WHEN (pos_docs + neg_docs) > 0 AND (_c + _d) > 0 "
+        "AND (pos_docs + _c) > 0 AND (neg_docs + _d) > 0 THEN "
+        "(CAST(_n1 + _n0 AS DOUBLE) * "
+        " (CAST(pos_docs AS DOUBLE) * CAST(_d AS DOUBLE)"
+        "  - CAST(neg_docs AS DOUBLE) * CAST(_c AS DOUBLE)) * "
+        " (CAST(pos_docs AS DOUBLE) * CAST(_d AS DOUBLE)"
+        "  - CAST(neg_docs AS DOUBLE) * CAST(_c AS DOUBLE))) / "
+        "(CAST(pos_docs + neg_docs AS DOUBLE) * CAST(_c + _d AS DOUBLE)"
+        " * CAST(pos_docs + _c AS DOUBLE) * CAST(neg_docs + _d AS DOUBLE)) END"
+    )
+    return (
+        counts.crossJoin(totals)
+        .filter((F.col("pos_docs") + F.col("neg_docs")) >= min_df)
+        .select(
+            "token",
+            (F.col("pos_docs") + F.col("neg_docs")).alias("n_docs"),
+            "pos_docs",
+            "neg_docs",
+            (F.col("_n1") - F.col("pos_docs")).alias("_c"),
+            (F.col("_n0") - F.col("neg_docs")).alias("_d"),
+            F.col("_n1"),
+            F.col("_n0"),
+        )
+        .select(
+            "token",
+            "n_docs",
+            "pos_docs",
+            "neg_docs",
+            F.expr(chi2).alias("chi2"),
+            F.when(
+                F.col("pos_docs") * F.col("_d") > F.col("neg_docs") * F.col("_c"),
+                "pos",
+            )
+            .otherwise("neg")
+            .alias("assoc"),
+        )
+        .orderBy(F.col("chi2").desc_nulls_last(), "token")
+        .limit(int(top_k))
+    )
+
+
 def calibration_bins(
     df: DataFrame,
     score_ppm_col: str,

@@ -723,6 +723,106 @@ def token_mixture_sample(
     )
 
 
+def epochs_upsample(
+    df: DataFrame,
+    group_cols: list[str],
+    targets: dict[str, int] | dict[tuple, int],
+    default_target: int = 0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Data-constrained UPSAMPLING to per-stratum token targets
+    (Muennighoff et al. 2023: when the target mixture wants more tokens
+    than a stratum has, you repeat it for multiple epochs): each stratum
+    is replicated ``target div available`` full epochs, plus a partial
+    epoch admitting documents in the canonical md5 order until the
+    remainder budget fills — :func:`token_mixture_sample` generalized
+    past ``target <= available`` (a 0-full-epoch stratum degenerates to
+    exactly its downsampling rule, same admission inequality).
+
+    One row per (document, epoch): ``epoch`` is 0-based, identical
+    document sets per full epoch (epoch-level shuffling is a separate
+    concern — :func:`~opteryx_spark.operators.scale` epoch_shuffle
+    composes on top).  Deterministic end to end: replica counts are pure
+    functions of the per-stratum token sums and the md5 admission
+    order.
+
+    Shape: one per-stratum window for the running token sum (same
+    bounded window as the mixture sampler), the per-stratum totals as a
+    groupBy broadcast back onto the rows, then ONE ``explode(sequence)``
+    — map-side expansion, the output is the training corpus so the blow
+    -up IS the product.  NULL ids excluded (no deterministic order for
+    them).
+
+    Returns ``id_col`` + ``group_cols`` + ``n_tokens``, ``full_epochs``,
+    ``extra_replica`` (0/1), ``epoch``.
+    """
+    from pyspark.sql import Window
+
+    key = (
+        F.col(group_cols[0]).cast("string")
+        if len(group_cols) == 1
+        else F.concat_ws("\x1f", *[F.col(g).cast("string") for g in group_cols])
+    )
+    expr = None
+    for stratum, tgt in sorted(targets.items(), key=lambda kv: str(kv[0])):
+        lit_key = (
+            str(stratum)
+            if not isinstance(stratum, tuple)
+            else "\x1f".join(str(s) for s in stratum)
+        )
+        cond = key == F.lit(lit_key)
+        expr = F.when(cond, int(tgt)) if expr is None else expr.when(cond, int(tgt))
+    target_col = (
+        F.lit(int(default_target)) if expr is None else expr.otherwise(int(default_target))
+    ).cast("long")
+
+    w = (
+        Window.partitionBy(*group_cols)
+        .orderBy(*quota_order(id_col))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    n = F.size(text.tokens(text_col)).cast("long")
+    rows = (
+        df.filter(F.col(id_col).isNotNull())
+        .withColumn(
+            "n_tokens", F.when(F.col(text_col).isNotNull(), n).otherwise(F.lit(0))
+        )
+        .withColumn("tokens_before", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)))
+        .withColumn("target_tokens", target_col)
+    )
+    avail = rows.groupBy(*group_cols).agg(
+        F.sum("n_tokens").cast("bigint").alias("_avail")
+    )
+    staged = (
+        rows.join(F.broadcast(avail), group_cols)
+        .withColumn(
+            "full_epochs",
+            F.when(
+                F.col("_avail") > 0, F.expr("target_tokens div _avail")
+            ).otherwise(F.lit(0)),
+        )
+        .withColumn(
+            # the partial epoch's budget is the remainder; admission is
+            # the mixture sampler's inequality over the SAME md5 order
+            "extra_replica",
+            (
+                (F.col("tokens_before") + F.col("n_tokens"))
+                <= (F.col("target_tokens") - F.col("full_epochs") * F.col("_avail"))
+            ).cast("int"),
+        )
+        .withColumn("_reps", F.col("full_epochs") + F.col("extra_replica"))
+    )
+    return staged.filter(F.col("_reps") > 0).select(
+        id_col,
+        *group_cols,
+        "n_tokens",
+        "full_epochs",
+        "extra_replica",
+        F.explode(F.sequence(F.lit(0).cast("long"), F.col("_reps") - 1)).alias("epoch"),
+    )
+
+
 def weighted_sample(
     df: DataFrame,
     weight_col: str,

@@ -88,6 +88,75 @@ def asof_join(
     return out
 
 
+def asof_join_forward(
+    left: DataFrame,
+    right: DataFrame,
+    on: str = "ts",
+    by: str | list[str] | None = None,
+    how: str = "left",
+    suffix: str = "_r",
+) -> DataFrame:
+    """Forward as-of join: EARLIEST right row with ``right.on >= left.on``
+    — pandas ``merge_asof(direction='forward')``; completes the as-of
+    family next to :func:`asof_join` (backward) and
+    :func:`asof_join_nearest`.  The canonical use is next-event lookup:
+    each reading joined to the first maintenance/settlement/price tick at
+    or after it.
+
+    Same single-shuffle shape as the backward join: union the two sides,
+    ONE key-partitioned window ordered by ``on`` DESCENDING (right rows
+    first at equal timestamps, so ties match), running ``last`` of the
+    right payload — no range join, no per-row probe.  Right rows should
+    be unique per (by, on); if several share a timestamp the last in
+    sort order wins.  NULL ``on`` keys never match (DuckDB ASOF drops
+    them).  ``how="inner"`` drops unmatched left rows.
+    """
+    if how not in ("left", "inner"):
+        raise ValueError(f"asof_join_forward supports left|inner, got {how!r}")
+    keys = [by] if isinstance(by, str) else list(by or [])
+    rcols = [c for c in right.columns if c not in (*keys, on)]
+    payload = F.struct(
+        F.col(on).alias("__asof_t"), *[F.col(c) for c in rcols]
+    )
+    r = right.filter(F.col(on).isNotNull()).select(
+        *keys,
+        F.col(on).alias("__asof_ts"),
+        payload.alias("__asof_p"),
+        F.lit(0).alias("__asof_side"),
+    )
+    l = (  # noqa: E741
+        left.withColumn("__asof_ts", F.col(on))
+        .withColumn("__asof_p", F.lit(None).cast(r.schema["__asof_p"].dataType))
+        .withColumn("__asof_side", F.lit(1))
+    )
+    unioned = l.unionByName(r, allowMissingColumns=True)
+    # descending scan: the running `last` payload at a left row is the
+    # SMALLEST right timestamp that is still >= it; right-before-left at
+    # equal timestamps makes ties match
+    w = (
+        Window.partitionBy(*[F.col(k) for k in keys])
+        if keys
+        else Window.partitionBy(F.lit(1))
+    )
+    # desc_nulls_first: a left row with a NULL timestamp must precede
+    # every right row in the scan, so it sees no payload and never
+    # matches (Spark's plain desc puts NULLs last, which would hand it
+    # the smallest right timestamp)
+    w = w.orderBy(
+        F.col("__asof_ts").desc_nulls_first(), F.col("__asof_side").asc()
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    matched = unioned.withColumn("__asof_m", F.last("__asof_p", ignorenulls=True).over(w))
+    out_cols = [F.col(c) for c in left.columns]
+    out_cols.append(F.col("__asof_m.__asof_t").alias(f"{on}{suffix}"))
+    for c in rcols:
+        name = c + suffix if c in left.columns else c
+        out_cols.append(F.col(f"__asof_m.{c}").alias(name))
+    out = matched.filter(F.col("__asof_side") == 1).select(*out_cols)
+    if how == "inner":
+        out = out.filter(F.col(f"{on}{suffix}").isNotNull())
+    return out
+
+
 _TS_TYPES = (T.TimestampType, T.TimestampNTZType)
 
 

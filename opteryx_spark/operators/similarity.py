@@ -1261,6 +1261,90 @@ def quantization_recall(
     )
 
 
+def matryoshka_recall(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    prefix_dims: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    qscale: int = 1000,
+) -> DataFrame:
+    """Recall@k of PREFIX-dimension similarity scoring against full-dim
+    scoring — the Matryoshka-representation eval (Kusupati et al. 2022):
+    MRL-trained embeddings pack the most information into the leading
+    dimensions, so serving can score on the first ``prefix_dims``
+    components (a ``d/prefix_dims``-fold smaller index and dot product)
+    IF the truncated ranking still recovers the full top-k.  This
+    measures exactly that, per query, before any index is rebuilt — the
+    dimension-axis counterpart to :func:`quantization_recall` (which
+    measures the precision axis).
+
+    Both rankings are exact-integer (BIGINT dot products of
+    milli-quantized components, ties to the corpus id), so a SQL oracle
+    replays the measurement end to end.  Shape: identical to
+    :func:`quantization_recall` — broadcast query panel, ONE map pass
+    computes both scores per pair (the prefix score is a fold over
+    ``slice(vec, 1, prefix_dims)``), two windows, one aggregate.
+    Nothing all-pairs on the corpus side.
+
+    Returns ``query_id``, ``n_hits`` (BIGINT), ``recall_ppm`` (BIGINT).
+    """
+    from pyspark.sql.functions import broadcast
+    from pyspark.sql.window import Window
+
+    if k < 1 or qscale < 1 or prefix_dims < 1:
+        raise ValueError("k, prefix_dims and qscale must be >= 1")
+
+    def _prep(df: DataFrame, tag: str) -> DataFrame:
+        c = F.col(vec_col)
+        qmilli = F.transform(
+            c, lambda x: F.floor(x.cast("double") * F.lit(float(qscale)))
+        )
+        return df.filter(F.col(id_col).isNotNull() & c.isNotNull()).select(
+            F.col(id_col).alias(f"{tag}_id"),
+            qmilli.alias(f"{tag}_qm"),
+        )
+
+    def _dot(a: str, b: str, dims: int | None = None):
+        va, vb = F.col(a), F.col(b)
+        if dims is not None:
+            va = F.slice(va, 1, dims)
+            vb = F.slice(vb, 1, dims)
+        return F.aggregate(
+            F.zip_with(va, vb, lambda x, y: x * y),
+            F.lit(0).cast("long"),
+            lambda acc, t: acc + t,
+        )
+
+    pairs = _prep(corpus, "c").crossJoin(broadcast(_prep(queries, "q"))).select(
+        F.col("q_id").alias("query_id"),
+        F.col("c_id"),
+        _dot("q_qm", "c_qm").alias("_sf"),
+        _dot("q_qm", "c_qm", prefix_dims).alias("_sp"),
+    )
+    wf = Window.partitionBy("query_id").orderBy(F.col("_sf").desc(), F.col("c_id"))
+    wp = Window.partitionBy("query_id").orderBy(F.col("_sp").desc(), F.col("c_id"))
+    ranked = pairs.select(
+        "query_id",
+        "c_id",
+        F.row_number().over(wf).alias("_rf"),
+        F.row_number().over(wp).alias("_rp"),
+    )
+    hits = ranked.groupBy("query_id").agg(
+        F.sum(
+            F.when((F.col("_rf") <= k) & (F.col("_rp") <= k), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_hits")
+    )
+    return hits.select(
+        "query_id",
+        "n_hits",
+        F.expr(f"(n_hits * 1000000) div {int(k)}").alias("recall_ppm"),
+    )
+
+
 def kcenter_coreset(
     df: DataFrame,
     k: int = 8,

@@ -484,6 +484,96 @@ def holt_linear(
     )
 
 
+def holt_winters(
+    series: DataFrame,
+    key_cols: list[str],
+    t_col: str,
+    value_col: str,
+    period: int = 7,
+    qscale: int = 1000,
+) -> DataFrame:
+    """Additive Holt-Winters (triple exponential smoothing; Winters
+    1960) per key in exact integer arithmetic with alpha = beta =
+    gamma = 1/2 — :func:`holt_linear` plus the seasonal component, the
+    classical operational forecaster for weekday-periodic pipeline
+    metrics (ingest volume, event counts) where Holt alone chases the
+    cycle and :func:`weekday_anova` says a cycle exists.  Halving
+    weights keep every update an exact truncating BIGINT op both
+    engines replay bit-for-bit (the holt_linear determinism contract).
+
+    Recurrence over the time-ordered series (values pre-scaled by
+    ``qscale``; ``m = period``; ``s`` a ring of the last ``m`` seasonal
+    estimates, oldest first, initialized to zero; ``div`` truncates)::
+
+        l_t = (q*y_t - s_head + l_{t-1} + b_{t-1}) div 2
+        b_t = ((l_t - l_{t-1}) + b_{t-1}) div 2
+        s_t = ((q*y_t - l_t) + s_head) div 2      (appended; head popped)
+
+    with ``l_0 = q*y_0``, ``b_0 = 0``.  After the fold the ring head is
+    the seasonal the NEXT point consumes, so the one-step forecast is
+    ``l + b + s_head``.  Shape: identical to :func:`holt_linear` — ONE
+    groupBy, a ``collect_list`` + ``array_sort`` + ``F.aggregate`` left
+    fold per key; the fold state is two BIGINTs plus an m-length BIGINT
+    ring (m = 7 for weekday data).  The series must be CONTIGUOUS in
+    ``t`` (one row per period tick) for the phase alignment to mean
+    anything — gap-fill upstream (``events.gap_fill``) if not.
+
+    NULL times/values are excluded (module contract).  Returns key cols
+    + ``n_points``, ``level_q``, ``trend_q``, ``season_next_q``,
+    ``forecast_next_q`` (BIGINT, ``qscale``-scaled).
+    """
+    if qscale < 1:
+        raise ValueError("qscale must be >= 1")
+    if period < 2:
+        raise ValueError("period must be >= 2")
+    s = series.filter(F.col(t_col).isNotNull() & F.col(value_col).isNotNull())
+    q = F.lit(int(qscale)).cast("long")
+    m = int(period)
+    pts = s.groupBy(*key_cols).agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col(t_col).cast("bigint").alias("t"),
+                    (F.col(value_col).cast("bigint") * q).alias("qy"),
+                )
+            )
+        ).alias("_pts")
+    )
+
+    def _half(x):  # truncating x div 2, exact at full int64 range
+        return F.shiftright(x - (x % F.lit(2)), 1)
+
+    zeros = F.array_repeat(F.lit(0).cast("long"), m)
+
+    def _step(acc, p):
+        s_old = F.element_at(acc["s"], 1)
+        lv = _half(p["qy"] - s_old + acc["l"] + acc["b"])
+        bv = _half((lv - acc["l"]) + acc["b"])
+        sv = _half((p["qy"] - lv) + s_old)
+        ring = F.concat(F.slice(acc["s"], 2, m - 1), F.array(sv))
+        return F.struct(lv.alias("l"), bv.alias("b"), ring.alias("s"))
+
+    first = F.element_at(F.col("_pts"), 1)
+    rest = F.slice(F.col("_pts"), 2, F.greatest(F.size("_pts") - 1, F.lit(0)))
+    # point 0 with l = qy_0 and an all-zero ring: s_new = ((qy - l) + 0)
+    # div 2 = 0, so the post-point-0 ring is still all zeros — the
+    # explicit init below IS the state after processing the first point
+    init = F.struct(
+        first["qy"].alias("l"), F.lit(0).cast("long").alias("b"), zeros.alias("s")
+    )
+    folded = F.aggregate(rest, init, _step)
+    return pts.select(
+        *key_cols,
+        F.size("_pts").cast("bigint").alias("n_points"),
+        folded["l"].alias("level_q"),
+        folded["b"].alias("trend_q"),
+        F.element_at(folded["s"], 1).alias("season_next_q"),
+        (folded["l"] + folded["b"] + F.element_at(folded["s"], 1)).alias(
+            "forecast_next_q"
+        ),
+    )
+
+
 def weekday_anova(
     series: DataFrame,
     key_cols: list[str],

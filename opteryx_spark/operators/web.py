@@ -292,6 +292,129 @@ def pagerank(
     return ranks.select("node", "rank")
 
 
+def personalized_pagerank(
+    edges: DataFrame,
+    seeds: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    seed_col: str = "node",
+    iterations: int = 3,
+    damping_pct: int = 85,
+    scale: int = 1_000_000_000,
+) -> DataFrame:
+    """Personalized PageRank (Jeh & Widom 2003): :func:`pagerank` with
+    the teleport restricted to a SEED set — authority relative to a
+    trusted frontier rather than globally.  The curation use is seed
+    expansion: start from the domains/documents you already trust
+    (curated source lists, human-rated exemplars) and rank everything
+    else by random-walk proximity to them, the TrustRank-style signal
+    for crawl-frontier prioritization and source weighting that a global
+    rank cannot give (a globally-popular spam hub scores high on
+    :func:`pagerank`, low here).
+
+    Identical exact-integer contract and join-agg loop shape as
+    :func:`pagerank` — the only deltas are where mass (re)enters::
+
+        base   = ((100 - damping_pct) * (scale div n_seeds)) div 100   (seeds only)
+        dang   = (sum of dangling ranks) div n_seeds                   (to seeds only)
+        rank' = base + (damping_pct * (incoming + dang)) div 100
+
+    Non-seed nodes get teleport/dangling mass 0.  Seeds listed in
+    ``seeds`` but absent from the graph are ignored (no edges can carry
+    their mass); if NO seed is in the graph every rank comes back NULL
+    (``x div 0`` is NULL in both engines) — validate the seed list
+    upstream rather than paying a driver-side count here.  The seed frame is expected to be small (a curated
+    list) and joins broadcast; everything else co-partitions on node id
+    per round exactly like :func:`pagerank`.
+
+    Returns one row per node: ``node``, ``rank`` (BIGINT, ``scale``
+    units; mass sums to ~``scale`` up to truncation loss).
+    """
+    if iterations < 1:
+        raise ValueError("iterations must be >= 1")
+    if not (0 < damping_pct < 100):
+        raise ValueError("damping_pct must be in (1, 99)")
+
+    from opteryx_spark.operators.dedup import (
+        _checkpoint_tracked,
+        _track_persist,
+        _track_release,
+    )
+
+    e = _track_persist(
+        edges.select(F.col(src_col).alias("_src"), F.col(dst_col).alias("_dst"))
+    )
+    nodes = (
+        e.select(F.col("_src").alias("node"))
+        .union(e.select(F.col("_dst").alias("node")))
+        .distinct()
+    )
+    seed_nodes = F.broadcast(
+        seeds.select(F.col(seed_col).alias("node")).distinct()
+    )
+    outdeg = e.groupBy(F.col("_src").alias("node")).agg(
+        F.count(F.lit(1)).alias("_deg")
+    )
+    # in-graph seeds only: mass teleports where edges can carry it out
+    flagged = nodes.join(
+        seed_nodes.select("node", F.lit(1).alias("_is_seed")), "node", "left"
+    ).select("node", F.coalesce("_is_seed", F.lit(0)).alias("_is_seed"))
+    ns_df = F.broadcast(
+        flagged.agg(F.sum("_is_seed").cast("bigint").alias("_ns"))
+    )
+    base_nodes = (
+        flagged.join(outdeg, "node", "left")
+        .crossJoin(ns_df)
+        .select(
+            "node",
+            "_is_seed",
+            F.coalesce("_deg", F.lit(0)).alias("_deg"),
+            F.col("_ns"),
+            F.expr(f"_is_seed * (CAST({scale} AS BIGINT) div _ns)").alias("rank"),
+        )
+    )
+    base = F.expr(
+        f"_is_seed * (({100 - damping_pct} * (CAST({scale} AS BIGINT) div _ns)) div 100)"
+    )
+
+    ranks, prev_h = _checkpoint_tracked(base_nodes)
+    for _ in range(iterations):
+        dang = F.broadcast(
+            ranks.filter(F.col("_deg") == 0).agg(
+                F.coalesce(F.sum("rank"), F.lit(0)).alias("_dang_mass")
+            )
+        )
+        incoming = (
+            e.join(ranks.select(F.col("node").alias("_src"), "rank", "_deg"), "_src")
+            .select(F.col("_dst").alias("node"), F.expr("rank div _deg").alias("_share"))
+            .groupBy("node")
+            .agg(F.sum("_share").alias("_inc"))
+        )
+        ranks = (
+            ranks.select("node", "_is_seed", "_deg", "_ns")
+            .join(incoming, "node", "left")
+            .crossJoin(dang)
+            .select(
+                "node",
+                "_is_seed",
+                "_deg",
+                "_ns",
+                (
+                    base
+                    + F.expr(
+                        f"({damping_pct} * (coalesce(_inc, CAST(0 AS BIGINT))"
+                        " + _is_seed * (_dang_mass div _ns))) div 100"
+                    )
+                ).alias("rank"),
+            )
+        )
+        ranks, h = _checkpoint_tracked(ranks)
+        prev_h.unpersist()
+        prev_h = h
+    _track_release(prev_h)
+    return ranks.select("node", "rank")
+
+
 def triangle_counts(
     edges: DataFrame,
     src_col: str = "src",

@@ -450,6 +450,7 @@ def load_all() -> dict[str, QueryDef]:
     import opteryx_spark.suite.pipeline14  # noqa: F401
     import opteryx_spark.suite.pipeline15  # noqa: F401
     import opteryx_spark.suite.pipeline16  # noqa: F401
+    import opteryx_spark.suite.pipeline17  # noqa: F401
     import opteryx_spark.suite.tpch  # noqa: F401
 
     import hashlib
