@@ -723,3 +723,95 @@ def classical_decompose(
         seasonal.alias("seasonal_q"),
         (F.col("_detr") - seasonal).alias("resid_q"),
     )
+
+
+def seasonal_strength(
+    series: DataFrame,
+    key_cols: list[str],
+    t_col: str,
+    value_col: str,
+    period: int = 7,
+    half_window: int = 3,
+    qscale: int = 1000,
+) -> DataFrame:
+    """Seasonal and trend STRENGTH per key (Hyndman & Athanasopoulos
+    FPP; the ``stl_features`` screen): how much variance the seasonal
+    and trend components of :func:`classical_decompose` actually explain
+    —
+
+        ``F_seasonal = max(0, 1 - Var(resid) / Var(seasonal + resid))``
+        ``F_trend    = max(0, 1 - Var(resid) / Var(trend + resid))``
+
+    in truncating ppm.  This is the routing stat between the modeling
+    operators: strong season → :func:`holt_winters` / seasonal
+    adjustment, strong trend → :func:`holt_linear`, neither → model the
+    raw series (complements :func:`weekday_anova`, which tests ONE
+    candidate period's phase means; strength measures the fitted
+    components themselves).
+
+    Exactness: each component is first DE-SCALED by ``qscale``
+    (truncating div — sub-unit precision is noise for a variance-share
+    stat), then the three n-scaled variances are exact BIGINTs
+    (``Var_n(x) = n·Σx² − (Σx)²``) and each strength is ONE truncating
+    division.  int64 bound: |value|·sqrt(n)·1000 must stay below ~3e9
+    (a daily series needs per-day magnitudes beyond ~1e7 over decades
+    to overflow).  Shape: the decompose windows plus ONE per-key
+    aggregate, map-side combinable.
+
+    Returns key cols + ``n_points``, ``var_resid_n``, ``var_seas_n``,
+    ``var_trend_n`` (BIGINT), ``seasonal_strength_ppm``,
+    ``trend_strength_ppm`` (BIGINT; NULL when the denominator variance
+    is 0 — a constant component has no share to explain).
+    """
+    comp = classical_decompose(
+        series, key_cols, t_col, value_col,
+        period=period, half_window=half_window, qscale=qscale,
+    )
+    q = int(qscale)
+    de = comp.select(
+        *key_cols,
+        F.expr(f"resid_q div {q}").alias("_r"),
+        F.expr(f"(seasonal_q + resid_q) div {q}").alias("_sr"),
+        F.expr(f"(trend_q + resid_q) div {q}").alias("_tr"),
+    )
+    agg = de.groupBy(*key_cols).agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum("_r").alias("_s_r"),
+        F.sum(F.col("_r") * F.col("_r")).alias("_ss_r"),
+        F.sum("_sr").alias("_s_sr"),
+        F.sum(F.col("_sr") * F.col("_sr")).alias("_ss_sr"),
+        F.sum("_tr").alias("_s_tr"),
+        F.sum(F.col("_tr") * F.col("_tr")).alias("_ss_tr"),
+    )
+    vr = F.col("_n") * F.col("_ss_r") - F.col("_s_r") * F.col("_s_r")
+    vs = F.col("_n") * F.col("_ss_sr") - F.col("_s_sr") * F.col("_s_sr")
+    vt = F.col("_n") * F.col("_ss_tr") - F.col("_s_tr") * F.col("_s_tr")
+    return agg.select(
+        *key_cols,
+        F.col("_n").cast("bigint").alias("n_points"),
+        vr.alias("var_resid_n"),
+        vs.alias("var_seas_n"),
+        vt.alias("var_trend_n"),
+        F.when(
+            vs > 0,
+            F.greatest(
+                F.lit(0).cast("bigint"),
+                F.lit(1_000_000).cast("bigint")
+                - F.expr(
+                    "((_n * _ss_r - _s_r * _s_r) * 1000000)"
+                    " div (_n * _ss_sr - _s_sr * _s_sr)"
+                ),
+            ),
+        ).alias("seasonal_strength_ppm"),
+        F.when(
+            vt > 0,
+            F.greatest(
+                F.lit(0).cast("bigint"),
+                F.lit(1_000_000).cast("bigint")
+                - F.expr(
+                    "((_n * _ss_r - _s_r * _s_r) * 1000000)"
+                    " div (_n * _ss_tr - _s_tr * _s_tr)"
+                ),
+            ),
+        ).alias("trend_strength_ppm"),
+    )

@@ -1264,6 +1264,103 @@ def holt_linear_stream(
     return out.withColumnRenamed("k", key_col)
 
 
+def holt_winters_stream(
+    series: DataFrame,
+    key_col: str,
+    t_col: str,
+    value_col: str,
+    period: int = 7,
+    qscale: int = 1000,
+) -> DataFrame:
+    """Streaming twin of ``operators/timeseries.holt_winters``: the
+    additive triple smoother's state per key is ``(n, level, trend,
+    m-slot seasonal ring)`` — still a fixed-size sufficient state, so
+    like Holt/EWMA it is streaming-native (the ring adds ``period``
+    BIGINTs, nothing corpus-sized).
+
+    Points fold in ``(t, qy)`` order within each micro-batch (stable
+    sort — the batch array_sort tiebreak) with the batch operator's
+    exact integer halvings in Python-int arithmetic; an in-order
+    availableNow drain emits a final per-key row identical to the batch
+    operator, and across micro-batches the fold continues from stored
+    state (equivalence + continuation tests).  Out-of-order arrivals
+    ACROSS batches fold late — the documented streaming-lateness trade;
+    the batch operator is the replay authority.  NULL t/value rows are
+    excluded (batch contract).
+
+    Emits each key's CURRENT ``(key, n_points, level_q, trend_q,
+    season_next_q, forecast_next_q)`` per touched micro-batch; the live
+    table is the max-n_points row per key.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    if qscale < 1:
+        raise ValueError("qscale must be >= 1")
+    if period < 2:
+        raise ValueError("period must be >= 2")
+    m = int(period)
+    pts = series.filter(
+        F.col(t_col).isNotNull() & F.col(value_col).isNotNull()
+    ).select(
+        F.col(key_col).cast("string").alias("k"),
+        F.col(t_col).cast("long").alias("t"),
+        (F.col(value_col).cast("long") * F.lit(int(qscale))).alias("qy"),
+    )
+
+    def _tdiv2(x: int) -> int:  # truncate toward zero, both signs
+        return x // 2 if x >= 0 else -((-x) // 2)
+
+    def fold(key, pdf_iter, state: GroupState):
+        if state.exists:
+            n, lv, b, ring = state.get
+            ring = list(ring)
+        else:
+            n, lv, b, ring = 0, 0, 0, [0] * m
+        touched = False
+        for pdf in pdf_iter:
+            if not len(pdf):
+                continue
+            touched = True
+            for qy in pdf.sort_values(["t", "qy"], kind="stable")["qy"]:
+                qy = int(qy)
+                if n == 0:
+                    lv, b = qy, 0
+                    # post-point-0 ring: s_new = ((qy - lv) + 0) div 2 = 0
+                else:
+                    s_old = ring[0]
+                    nl = _tdiv2(qy - s_old + lv + b)
+                    nb = _tdiv2((nl - lv) + b)
+                    ns = _tdiv2((qy - nl) + s_old)
+                    ring = ring[1:] + [ns]
+                    lv, b = nl, nb
+                n += 1
+        if touched:
+            state.update((n, lv, b, ring))
+            yield pd.DataFrame(
+                {
+                    "k": [key[0]],
+                    "n_points": [n],
+                    "level_q": [lv],
+                    "trend_q": [b],
+                    "season_next_q": [ring[0]],
+                    "forecast_next_q": [lv + b + ring[0]],
+                }
+            )
+
+    out = pts.groupBy("k").applyInPandasWithState(
+        fold,
+        outputStructType=(
+            "k string, n_points long, level_q long, trend_q long,"
+            " season_next_q long, forecast_next_q long"
+        ),
+        stateStructType="n long, l long, b long, s array<long>",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return out.withColumnRenamed("k", key_col)
+
+
 def kmv_registers_stream(
     rows: DataFrame,
     col: str,

@@ -425,3 +425,78 @@ def sample_epochs_upsample(spark, sf_dir):
     return _filtering.epochs_upsample(
         docs, ["lang"], _EU_TARGETS, id_col="doc_id", text_col="text"
     ).orderBy("lang", "doc_id", "epoch")
+
+# --- seasonal / trend strength -----------------------------------------------------------
+
+from opteryx_spark.suite.pipeline15 import _CD_HW, _CD_P  # noqa: E402
+
+
+@register(
+    "ts_seasonal_strength",
+    oracle=f"""
+    WITH daily AS ({_O_DAILY}),
+    tr AS (
+      SELECT event_type, d, cnt,
+             (CAST(sum(cnt) OVER w AS BIGINT) * 1000)
+               // CAST(count(*) OVER w AS BIGINT) AS trend_q
+      FROM daily
+      WINDOW w AS (PARTITION BY event_type ORDER BY d
+                   ROWS BETWEEN {_CD_HW} PRECEDING AND {_CD_HW} FOLLOWING)
+    ),
+    de AS (
+      SELECT event_type, d, cnt, trend_q, cnt * 1000 - trend_q AS detr,
+             d % {_CD_P} AS ph
+      FROM tr
+    ),
+    comp AS (
+      SELECT event_type,
+             (detr - (CAST(sum(detr) OVER p AS BIGINT)
+                      // CAST(count(*) OVER p AS BIGINT))) // 1000 AS r,
+             (CAST(sum(detr) OVER p AS BIGINT) // CAST(count(*) OVER p AS BIGINT)
+              + (detr - (CAST(sum(detr) OVER p AS BIGINT)
+                         // CAST(count(*) OVER p AS BIGINT)))) // 1000 AS sr,
+             (trend_q
+              + (detr - (CAST(sum(detr) OVER p AS BIGINT)
+                         // CAST(count(*) OVER p AS BIGINT)))) // 1000 AS tr_
+      FROM de
+      WINDOW p AS (PARTITION BY event_type, ph)
+    ),
+    ag AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(r) AS BIGINT) AS s_r, CAST(sum(r * r) AS BIGINT) AS ss_r,
+             CAST(sum(sr) AS BIGINT) AS s_sr, CAST(sum(sr * sr) AS BIGINT) AS ss_sr,
+             CAST(sum(tr_) AS BIGINT) AS s_tr, CAST(sum(tr_ * tr_) AS BIGINT) AS ss_tr
+      FROM comp GROUP BY event_type
+    )
+    SELECT event_type, n AS n_points,
+           n * ss_r - s_r * s_r AS var_resid_n,
+           n * ss_sr - s_sr * s_sr AS var_seas_n,
+           n * ss_tr - s_tr * s_tr AS var_trend_n,
+           CASE WHEN n * ss_sr - s_sr * s_sr > 0 THEN
+             greatest(CAST(0 AS BIGINT), 1000000
+               - ((n * ss_r - s_r * s_r) * 1000000) // (n * ss_sr - s_sr * s_sr))
+           END AS seasonal_strength_ppm,
+           CASE WHEN n * ss_tr - s_tr * s_tr > 0 THEN
+             greatest(CAST(0 AS BIGINT), 1000000
+               - ((n * ss_r - s_r * s_r) * 1000000) // (n * ss_tr - s_tr * s_tr))
+           END AS trend_strength_ppm
+    FROM ag ORDER BY event_type
+    """,
+)
+def ts_seasonal_strength(spark, sf_dir):
+    """Seasonal + trend strength of the per-type daily series
+    (``operators/timeseries.py::seasonal_strength``; Hyndman FPP
+    ``F_s/F_t``): variance shares of the classical-decompose components
+    in truncating ppm, every variance an exact n-scaled BIGINT over
+    de-scaled components — the routing stat between holt_linear,
+    holt_winters and no-model; decompose windows + ONE per-key
+    aggregate."""
+    return _ts.seasonal_strength(
+        _daily_counts(spark, sf_dir),
+        key_cols=["event_type"],
+        t_col="d",
+        value_col="cnt",
+        period=_CD_P,
+        half_window=_CD_HW,
+        qscale=1000,
+    ).orderBy("event_type")

@@ -818,3 +818,84 @@ def test_kmv_registers_stream_matches_batch(spark, sf_dir, tmp_path_factory):
     assert got_bk == want_bk  # byte-identical registers after reduction
     got_est = len(got_bk) if len(emitted) < k else (k - 1) * 4294967296 // got_bk[-1]
     assert got_est == want_est
+
+
+def test_holt_winters_stream_matches_batch(spark, sf_dir, tmp_path_factory):
+    """In-order single-batch drain: the stateful Holt-Winters fold must
+    emit the batch operator's exact (level, trend, season, forecast)
+    per key."""
+    from opteryx_spark.catalog import load_table
+    from opteryx_spark.operators.timeseries import holt_winters
+
+    src = str(tmp_path_factory.mktemp("oxs_hw_src"))
+    out = str(tmp_path_factory.mktemp("oxs_hw_out"))
+    ckpt = str(tmp_path_factory.mktemp("oxs_hw_ckpt"))
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    daily = (
+        ev.select(
+            "event_type",
+            F.expr("unix_micros(CAST(ts AS TIMESTAMP)) div 86400000000").alias("d"),
+        )
+        .groupBy("event_type", "d")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    want = {
+        (r.event_type, r.n_points, r.level_q, r.trend_q,
+         r.season_next_q, r.forecast_next_q)
+        for r in holt_winters(daily, ["event_type"], "d", "cnt", period=7).collect()
+        if r.event_type is not None
+    }
+    daily.filter(F.col("event_type").isNotNull()).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(
+        daily.filter(F.col("event_type").isNotNull()).schema
+    ).parquet(src)
+    hw = streaming.holt_winters_stream(stream, "event_type", "d", "cnt", period=7)
+    streaming.run_stream_once(hw, out, ckpt)
+    got = {
+        (r.event_type, r.n_points, r.level_q, r.trend_q,
+         r.season_next_q, r.forecast_next_q)
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got == want
+
+
+def test_holt_winters_stream_multibatch_continues_state(spark, tmp_path_factory):
+    """A second drain over the series tail must continue the fold — the
+    state ring included — equal to the batch fold over the whole
+    series."""
+    import os
+
+    from opteryx_spark.operators.timeseries import holt_winters
+
+    src = str(tmp_path_factory.mktemp("oxs_hw2_src"))
+    out = str(tmp_path_factory.mktemp("oxs_hw2_out"))
+    ckpt = str(tmp_path_factory.mktemp("oxs_hw2_ckpt"))
+    rows = [("a", t, 10 + 3 * t + 7 * (t % 3)) for t in range(1, 12)]
+    full = spark.createDataFrame(rows, ["k", "t", "v"])
+    want = {
+        (r.n_points, r.level_q, r.trend_q, r.season_next_q)
+        for r in holt_winters(full, ["k"], "t", "v", period=3).collect()
+    }
+    head = full.filter("t <= 6")
+    tail = full.filter("t > 6")
+    head.write.mode("overwrite").parquet(src)
+    schema = full.schema
+
+    def drain():
+        stream = spark.readStream.schema(schema).parquet(src)
+        hw = streaming.holt_winters_stream(stream, "k", "t", "v", period=3)
+        streaming.run_stream_once(hw, out, ckpt)
+
+    drain()
+    tmpd = src + "_tail"
+    tail.write.mode("overwrite").parquet(tmpd)
+    for f in os.listdir(tmpd):
+        if f.endswith(".parquet"):
+            os.rename(os.path.join(tmpd, f), os.path.join(src, "tail_" + f))
+    drain()
+    final = max(
+        ((r.n_points, r.level_q, r.trend_q, r.season_next_q)
+         for r in spark.read.parquet(out).collect()),
+        key=lambda x: x[0],
+    )
+    assert {final} == want

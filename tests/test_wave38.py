@@ -301,3 +301,38 @@ def test_epochs_upsample_downsampling_degenerates_to_mixture(spark):
 def test_epochs_upsample_unlisted_stratum_excluded(spark):
     df = spark.createDataFrame([(1, "zz", "t")], ["doc_id", "lang", "text"])
     assert epochs_upsample(df, ["lang"], {"a": 10}).count() == 0
+
+
+# --- seasonal / trend strength ---------------------------------------------------------
+
+
+def test_seasonal_strength_contrasts(spark):
+    from opteryx_spark.operators.timeseries import seasonal_strength
+
+    # strict period-2 alternation, no trend: seasonal strength near 1e6,
+    # trend strength near 0 after the seasonal variance is removed
+    seasonal_rows = [("s", t, 100 + 80 * (t % 2)) for t in range(20)]
+    # clean linear ramp: trend strength near 1e6, seasonal near 0
+    trend_rows = [("t", t, 10 * t) for t in range(20)]
+    df = spark.createDataFrame(seasonal_rows + trend_rows, ["k", "d", "v"])
+    out = {
+        r["k"]: r
+        for r in seasonal_strength(
+            df, ["k"], "d", "v", period=2, half_window=2, qscale=1000
+        ).collect()
+    }
+    assert out["s"]["seasonal_strength_ppm"] > 800_000
+    assert out["t"]["trend_strength_ppm"] > 900_000
+    assert out["t"]["seasonal_strength_ppm"] < out["t"]["trend_strength_ppm"]
+    assert out["s"]["n_points"] == 20
+
+
+def test_seasonal_strength_constant_series_null(spark):
+    from opteryx_spark.operators.timeseries import seasonal_strength
+
+    df = spark.createDataFrame([("k", t, 5) for t in range(10)], ["k", "d", "v"])
+    out = seasonal_strength(df, ["k"], "d", "v", period=2).collect()[0]
+    # constant series: all variances 0 -> strengths NULL, not 1e6
+    assert out["var_resid_n"] == 0
+    assert out["seasonal_strength_ppm"] is None
+    assert out["trend_strength_ppm"] is None
