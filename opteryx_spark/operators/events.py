@@ -1467,6 +1467,136 @@ def ab_test_conversion(
     )
 
 
+def decay_attribution(
+    events: DataFrame,
+    conversion_type: str = "purchase",
+    lookback_days: int = 3,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Time-decay MULTI-touch attribution: every conversion's value is
+    split across ALL the user's touches in the lookback, each weighted
+    by how recently it happened — the standard middle ground between
+    last-touch (``attribute_conversions``: winner-take-all recency) and
+    the Markov removal effect (``removal_effect_attribution``:
+    model-based).  Industry convention is an exponential half-life;
+    dyadic decay makes it EXACT: a touch ``a`` whole days before the
+    conversion carries weight ``2^(lookback_days - a)`` (an integer —
+    the newest day weighs ``2^lookback_days``, each older day exactly
+    half), so per-conversion credit
+
+        ``credit_milli = (value_milli * w_touch) div Σ w_touches``
+
+    is one truncating BIGINT division (the remainder — at most
+    Σw−1 milli-units per conversion — is dropped, documented).
+    Conversions with NO touch in the lookback credit 'direct' in full.
+
+    Shape: one band join (touches at most ``lookback_days`` before
+    their user's conversion — candidates bounded per user like the
+    as-of band joins), ONE conversion-keyed window for Σw, one channel
+    groupBy.  NULL users/timestamps excluded; touches are
+    non-conversion events with a non-NULL type.
+
+    Returns ``channel``, ``n_touches`` (BIGINT, credited touch rows),
+    ``credited_milli`` (BIGINT, milli-value units).
+    """
+    if lookback_days < 1:
+        raise ValueError("lookback_days must be >= 1")
+    day_us = 86_400_000_000
+    lb_us = lookback_days * day_us
+    base = events.filter(F.col(user_col).isNotNull() & F.col(ts_col).isNotNull())
+    us = F.expr(f"unix_micros(CAST({ts_col} AS TIMESTAMP))")
+    conv = base.filter(F.col(type_col) == conversion_type).select(
+        F.col(user_col).alias("_u"),
+        F.col(id_col).alias("_cid"),
+        us.alias("_cus"),
+        F.coalesce(
+            F.floor(F.col(value_col).cast("double") * 1000.0).cast("bigint"),
+            F.lit(0),
+        ).alias("_vm"),
+    )
+    tch = base.filter(
+        (F.col(type_col) != conversion_type) & F.col(type_col).isNotNull()
+    ).select(
+        F.col(user_col).alias("_u"),
+        us.alias("_tus"),
+        F.col(type_col).alias("channel"),
+    )
+    cand = conv.join(tch, "_u").filter(
+        (F.col("_tus") < F.col("_cus")) & (F.col("_tus") >= F.col("_cus") - lb_us)
+    )
+    # weight = 2^(lookback_days - whole_days_before): BIGINT, exact
+    # (SQL shiftleft — the DataFrame F.shiftleft wants a literal bit count)
+    w = F.expr(
+        f"shiftleft(CAST(1 AS BIGINT), "
+        f"{int(lookback_days)} - CAST((_cus - _tus) div 86400000000 AS INT))"
+    )
+    per_conv = Window.partitionBy("_cid")
+    credited = cand.select(
+        "_cid", "_vm", "channel", w.alias("_w")
+    ).select(
+        "channel",
+        F.expr("(_vm * _w)").alias("_num"),
+        F.sum("_w").over(per_conv).alias("_tw"),
+    ).select("channel", F.expr("_num div _tw").alias("_credit"))
+    touched = credited.groupBy("channel").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_touches"),
+        F.sum("_credit").cast("bigint").alias("credited_milli"),
+    )
+    direct = (
+        conv.join(
+            cand.select("_cid").distinct(), "_cid", "left_anti"
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_touches"),
+            F.coalesce(F.sum("_vm"), F.lit(0)).cast("bigint").alias("credited_milli"),
+        )
+        .select(F.lit("direct").alias("channel"), "n_touches", "credited_milli")
+        .filter(F.col("n_touches") > 0)
+    )
+    return touched.unionByName(direct)
+
+
+def session_dwell_summary(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    order_col: str = "event_id",
+    gap_minutes: int = 30,
+) -> DataFrame:
+    """Session-quality readout over :func:`sessionize`: how long do
+    sessions last and how many BOUNCE (single-event sessions — the
+    classic engagement-quality split web analytics keys on).  One
+    aggregate over the per-session rows; every number a BIGINT
+    (``avg_dwell_us`` is a truncating div; bounce rate in ppm).
+
+    Returns one row: ``n_sessions``, ``n_bounces``, ``bounce_ppm``,
+    ``total_dwell_us``, ``avg_dwell_us`` (BIGINT; avg NULL when there
+    are no sessions).
+    """
+    s = sessionize(
+        events, user_col, ts_col, order_col, gap_minutes, value_col=None
+    )
+    return s.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sessions"),
+        F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_bounces"),
+        F.coalesce(F.sum("duration_us"), F.lit(0))
+        .cast("bigint")
+        .alias("total_dwell_us"),
+    ).select(
+        "n_sessions",
+        "n_bounces",
+        F.expr("(n_bounces * 1000000) div n_sessions").alias("bounce_ppm"),
+        "total_dwell_us",
+        F.expr("total_dwell_us div n_sessions").alias("avg_dwell_us"),
+    )
+
+
 def removal_effect_attribution(
     events: DataFrame,
     user_col: str = "user_id",

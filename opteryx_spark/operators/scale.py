@@ -566,3 +566,40 @@ def balanced_downsample(
         .filter(F.col("_keep_rank") <= F.col("_n_min"))
         .drop("_n_min")
     )
+
+
+def stratified_kfold(
+    df: DataFrame,
+    strata_cols: list[str],
+    k: int = 5,
+    id_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic stratified k-fold assignment — the cross-validation
+    counterpart of :func:`split_assign`'s fractional buckets: within
+    every stratum, rows take folds ``0..k-1`` round-robin in the
+    canonical md5-of-(salt||id) order, so every fold holds each
+    stratum's count within ±1 (EXACTLY balanced, which hash-range
+    bucketing cannot guarantee) and the assignment is a pure function of
+    (salt, id, stratum contents) — reproducible across runs, engines and
+    partitionings.
+
+    Shape: ONE bounded per-stratum window (row_number over the md5
+    order) — the quota-sampler shape; no shuffle beyond the stratum
+    key.  NULL ids excluded (no deterministic order for them).
+
+    Returns ``id_col`` + ``strata_cols`` + ``fold`` (BIGINT, 0-based).
+    """
+    from pyspark.sql import Window
+
+    if k < 2:
+        raise ValueError("k must be >= 2")
+    w = Window.partitionBy(*strata_cols).orderBy(
+        F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))),
+        F.col(id_col),
+    )
+    return df.filter(F.col(id_col).isNotNull()).select(
+        id_col,
+        *strata_cols,
+        ((F.row_number().over(w) - 1) % F.lit(int(k))).cast("bigint").alias("fold"),
+    )

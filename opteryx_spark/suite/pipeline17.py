@@ -500,3 +500,152 @@ def ts_seasonal_strength(spark, sf_dir):
         half_window=_CD_HW,
         qscale=1000,
     ).orderBy("event_type")
+
+# --- time-decay multi-touch attribution ---------------------------------------------------
+
+from opteryx_spark.operators import events as _events  # noqa: E402
+from opteryx_spark.operators import scale as _scale  # noqa: E402
+
+_AD_LB_DAYS = 3
+
+
+@register(
+    "events_attribution_decay",
+    oracle=f"""
+    WITH base AS (
+      SELECT user_id, event_id, event_type, value, epoch_us(ts) AS us
+      FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    ),
+    conv AS (
+      SELECT user_id AS u, event_id AS cid, us AS cus,
+             coalesce(CAST(floor(CAST(value AS DOUBLE) * 1000.0) AS BIGINT), 0) AS vm
+      FROM base WHERE event_type = 'purchase'
+    ),
+    tch AS (
+      SELECT user_id AS u, us AS tus, event_type AS channel
+      FROM base WHERE event_type <> 'purchase' AND event_type IS NOT NULL
+    ),
+    cand AS (
+      SELECT c.cid, c.vm, t.channel,
+             (1::BIGINT << ({_AD_LB_DAYS} - CAST((c.cus - t.tus) // 86400000000 AS INT)))
+               AS w
+      FROM conv c JOIN tch t ON t.u = c.u
+      WHERE t.tus < c.cus AND t.tus >= c.cus - {_AD_LB_DAYS} * 86400000000
+    ),
+    cr AS (
+      SELECT channel,
+             (vm * w) // CAST(sum(w) OVER (PARTITION BY cid) AS BIGINT) AS credit
+      FROM cand
+    ),
+    touched AS (
+      SELECT channel, CAST(count(*) AS BIGINT) AS n_touches,
+             CAST(sum(credit) AS BIGINT) AS credited_milli
+      FROM cr GROUP BY channel
+    ),
+    direct AS (
+      SELECT 'direct' AS channel, CAST(count(*) AS BIGINT) AS n_touches,
+             CAST(coalesce(sum(vm), 0) AS BIGINT) AS credited_milli
+      FROM conv WHERE cid NOT IN (SELECT DISTINCT cid FROM cand)
+      HAVING count(*) > 0
+    )
+    SELECT * FROM touched UNION ALL SELECT * FROM direct
+    ORDER BY channel
+    """,
+)
+def events_attribution_decay(spark, sf_dir):
+    """Time-decay multi-touch attribution
+    (``operators/events.py::decay_attribution``): every purchase's
+    milli-value split across its user's lookback touches with EXACT
+    dyadic decay — a touch a whole days old weighs 2^({d} - a), so each
+    older day is exactly half — one truncating division per touch; the
+    middle ground between last-touch and the Markov removal effect.
+    One band join + ONE conversion-keyed window + one channel
+    groupBy."""
+    ev = t(spark, sf_dir, "events")
+    return _events.decay_attribution(
+        ev, conversion_type="purchase", lookback_days=_AD_LB_DAYS
+    ).orderBy("channel")
+
+
+events_attribution_decay.__doc__ = events_attribution_decay.__doc__.format(
+    d=_AD_LB_DAYS
+)
+
+# --- session dwell / bounce summary ---------------------------------------------------------
+
+_DW_GAP_US = 30 * 60 * 1_000_000
+
+
+@register(
+    "events_dwell_bounce",
+    oracle=f"""
+    WITH e AS (
+      SELECT user_id, ts, event_id, epoch_us(ts) AS us
+      FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    ), f AS (
+      SELECT *,
+             CASE WHEN lag(us) OVER w IS NULL
+                    OR us - lag(us) OVER w > {_DW_GAP_US} THEN 1 ELSE 0 END AS new_s
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), s AS (
+      SELECT *,
+             CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS session_id
+      FROM f
+    ), per AS (
+      SELECT user_id, session_id,
+             CAST(MAX(us) - MIN(us) AS BIGINT) AS duration_us,
+             CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM s GROUP BY user_id, session_id
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_sessions,
+           CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_bounces,
+           (CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT) * 1000000)
+             // CAST(count(*) AS BIGINT) AS bounce_ppm,
+           CAST(coalesce(sum(duration_us), 0) AS BIGINT) AS total_dwell_us,
+           CAST(coalesce(sum(duration_us), 0) AS BIGINT) // CAST(count(*) AS BIGINT)
+             AS avg_dwell_us
+    FROM per
+    """,
+)
+def events_dwell_bounce(spark, sf_dir):
+    """Session dwell/bounce readout
+    (``operators/events.py::session_dwell_summary`` over the gap
+    sessionizer): session count, single-event bounce count + ppm rate,
+    total and truncating-average dwell — the engagement-quality split;
+    the sessionize window + ONE aggregate, every number a BIGINT."""
+    ev = t(spark, sf_dir, "events")
+    return _events.session_dwell_summary(ev, gap_minutes=30)
+
+
+# --- stratified k-fold ---------------------------------------------------------------------
+
+_KF_K = 5
+
+
+@register(
+    "sample_stratified_kfold",
+    oracle=f"""
+    SELECT doc_id, lang,
+           CAST((row_number() OVER (PARTITION BY lang
+                  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) - 1) % {_KF_K}
+             AS BIGINT) AS fold
+    FROM documents WHERE doc_id IS NOT NULL
+    ORDER BY lang, doc_id
+    """,
+)
+def sample_stratified_kfold(spark, sf_dir):
+    """Deterministic stratified {k}-fold CV assignment
+    (``operators/scale.py::stratified_kfold``; strata = lang):
+    round-robin folds in the canonical md5 order, so every fold holds
+    each stratum's count within +-1 — exactly balanced where
+    hash-range bucketing is only balanced in expectation; ONE bounded
+    per-stratum window."""
+    docs = t(spark, sf_dir, "documents")
+    return _scale.stratified_kfold(docs, ["lang"], k=_KF_K).orderBy(
+        "lang", "doc_id"
+    )
+
+
+sample_stratified_kfold.__doc__ = sample_stratified_kfold.__doc__.format(k=_KF_K)

@@ -336,3 +336,97 @@ def test_seasonal_strength_constant_series_null(spark):
     assert out["var_resid_n"] == 0
     assert out["seasonal_strength_ppm"] is None
     assert out["trend_strength_ppm"] is None
+
+
+# --- time-decay attribution --------------------------------------------------------------
+
+
+def test_decay_attribution_hand_computed(spark):
+    import datetime as dt
+
+    from opteryx_spark.operators.events import decay_attribution
+
+    t0 = dt.datetime(2024, 1, 10, 12, 0, 0)
+
+    def ts(days_before):
+        return t0 - dt.timedelta(days=days_before)
+
+    rows = [
+        # user u: purchase value 2.0 with two touches: click 0 days old
+        # (w = 2^3 = 8), view 1 day old (w = 2^2 = 4); total w = 12
+        ("u", 1, "view", None, ts(1)),
+        ("u", 2, "click", None, ts(0.5)),
+        ("u", 3, "purchase", 2.0, ts(0)),
+        # user v: purchase 1.0 with NO touch in the 3-day lookback
+        ("v", 4, "view", None, ts(10)),
+        ("v", 5, "purchase", 1.0, ts(0)),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id string, event_id long, event_type string, value double, ts timestamp"
+    )
+    out = {r["channel"]: (r["n_touches"], r["credited_milli"])
+           for r in decay_attribution(df).collect()}
+    # click: 2000 * 8 div 12 = 1333 ; view: 2000 * 4 div 12 = 666
+    assert out["click"] == (1, 1333)
+    assert out["view"] == (1, 666)
+    assert out["direct"] == (1, 1000)
+
+
+def test_decay_attribution_validation(spark):
+    import datetime as dt
+
+    from opteryx_spark.operators.events import decay_attribution
+
+    df = spark.createDataFrame(
+        [("u", 1, "view", 1.0, dt.datetime(2024, 1, 1))],
+        "user_id string, event_id long, event_type string, value double, ts timestamp",
+    )
+    with pytest.raises(ValueError):
+        decay_attribution(df, lookback_days=0)
+
+
+# --- session dwell / bounce -----------------------------------------------------------------
+
+
+def test_session_dwell_summary(spark):
+    import datetime as dt
+
+    from opteryx_spark.operators.events import session_dwell_summary
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        # user u: one 2-event session lasting 60s, then (after 2h) a bounce
+        ("u", 1, t0),
+        ("u", 2, t0 + dt.timedelta(seconds=60)),
+        ("u", 3, t0 + dt.timedelta(hours=2)),
+        # user v: a single bounce
+        ("v", 4, t0),
+    ]
+    df = spark.createDataFrame(rows, "user_id string, event_id long, ts timestamp")
+    out = session_dwell_summary(df, gap_minutes=30).collect()[0]
+    assert out["n_sessions"] == 3 and out["n_bounces"] == 2
+    assert out["bounce_ppm"] == (2 * 1_000_000) // 3
+    assert out["total_dwell_us"] == 60_000_000
+    assert out["avg_dwell_us"] == 60_000_000 // 3
+
+
+# --- stratified k-fold -----------------------------------------------------------------------
+
+
+def test_stratified_kfold_balance_and_determinism(spark):
+    from opteryx_spark.operators.scale import stratified_kfold
+
+    rows = [(i, "a" if i % 3 else "b") for i in range(101)]
+    df = spark.createDataFrame(rows, ["doc_id", "lang"])
+    out = stratified_kfold(df, ["lang"], k=5).collect()
+    from collections import Counter
+
+    per = Counter((r["lang"], r["fold"]) for r in out)
+    for lang in ("a", "b"):
+        sizes = [per[(lang, f)] for f in range(5)]
+        assert max(sizes) - min(sizes) <= 1   # exactly balanced
+    # partitioning-invariant
+    out2 = stratified_kfold(df.repartition(7), ["lang"], k=5).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
+    with pytest.raises(ValueError):
+        stratified_kfold(df, ["lang"], k=1)
