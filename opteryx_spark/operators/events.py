@@ -1857,3 +1857,61 @@ def cohort_ltv(
         "rev_q",
         F.sum("rev_q").over(w).cast("bigint").alias("cum_rev_q"),
     )
+
+
+def inter_event_histogram(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    order_col: str = "event_id",
+) -> DataFrame:
+    """Inter-arrival-time histogram per event type on powers-of-2
+    second buckets — the latency/cadence distribution ops dashboards
+    key on (is this stream bursty or steady; did the cadence regime
+    shift), with EXACT bucketing: ``bucket = floor(log2(gap_s + 1))``
+    computed as ``length(bin(gap_s + 1)) - 1`` — pure integer string
+    arithmetic, no float log, identical in any engine (bucket 0 =
+    sub-second, 1 = 1s, 2 = 2-3s, ...).
+
+    Gaps are between a user's CONSECUTIVE events of the same type
+    (ordered by ``(ts, order_col)``); the first event of each (user,
+    type) has no gap and contributes nothing.  NULL users/timestamps
+    excluded.
+
+    Shape: ONE (user, type)-partitioned lag window + ONE (type, bucket)
+    groupBy with map-side combine.
+
+    Returns ``event_type``, ``bucket`` (BIGINT), ``n_gaps`` (BIGINT),
+    ``min_gap_s``, ``max_gap_s`` (BIGINT seconds, the bucket's observed
+    range).
+    """
+    from pyspark.sql.window import Window
+
+    base = events.filter(
+        F.col(user_col).isNotNull() & F.col(ts_col).isNotNull()
+        & F.col(type_col).isNotNull()
+    ).select(
+        F.col(user_col).alias("_u"),
+        F.col(type_col).alias("event_type"),
+        F.expr(f"unix_micros(CAST({ts_col} AS TIMESTAMP))").alias("_us"),
+        F.col(order_col).alias("_o"),
+    )
+    w = Window.partitionBy("_u", "event_type").orderBy("_us", "_o")
+    gaps = base.select(
+        "event_type",
+        ((F.col("_us") - F.lag("_us").over(w)) / F.lit(1_000_000))
+        .cast("bigint")
+        .alias("_gap_s"),
+    ).filter(F.col("_gap_s").isNotNull())
+    # exact floor(log2(gap+1)) via the binary-string length — no float log
+    bucket = (F.length(F.bin(F.col("_gap_s") + 1)) - 1).cast("bigint")
+    return (
+        gaps.select("event_type", bucket.alias("bucket"), "_gap_s")
+        .groupBy("event_type", "bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_gaps"),
+            F.min("_gap_s").cast("bigint").alias("min_gap_s"),
+            F.max("_gap_s").cast("bigint").alias("max_gap_s"),
+        )
+    )

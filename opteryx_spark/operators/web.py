@@ -1202,3 +1202,50 @@ def link_prediction_jaccard(
     return scored.orderBy(
         F.col("jaccard_ppm").desc(), "a", "b"
     ).limit(int(top_k))
+
+
+def reciprocity(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Directed-graph reciprocity (Newman 2002's r): the fraction of
+    directed edges whose REVERSE edge also exists — the
+    mutual-vs-broadcast structure split (link exchanges and mirror
+    farms score high, editorially-linked content low), a one-number
+    companion to :func:`degree_assortativity` for auditing a crawl's
+    link graph before trusting :func:`pagerank`-style signals on it.
+
+    Self-loops are dropped and parallel edges collapse first (the
+    :func:`hits_scores` simple-graph convention), so the ratio is over
+    distinct ordered pairs.  Exact arithmetic: counts are BIGINT,
+    ``reciprocity_ppm`` a truncating div.
+
+    Shape: ONE dedup + ONE self-semi-join on the reversed key + one
+    global aggregate — hash-partitioned on the edge key, nothing
+    driver-side.
+
+    Returns one row: ``n_edges``, ``n_reciprocal`` (BIGINT),
+    ``reciprocity_ppm`` (BIGINT; NULL on an empty graph).
+    """
+    e = (
+        edges.select(F.col(src_col).alias("_s"), F.col(dst_col).alias("_d"))
+        .filter(F.col("_s") != F.col("_d"))
+        .distinct()
+    )
+    rev = e.select(F.col("_d").alias("_s"), F.col("_s").alias("_d"))
+    recip = e.join(rev, ["_s", "_d"], "left_semi")
+    return (
+        e.agg(F.count(F.lit(1)).cast("bigint").alias("n_edges"))
+        .crossJoin(
+            recip.agg(F.count(F.lit(1)).cast("bigint").alias("n_reciprocal"))
+        )
+        .select(
+            "n_edges",
+            "n_reciprocal",
+            F.when(
+                F.col("n_edges") > 0,
+                F.expr("(n_reciprocal * 1000000) div n_edges"),
+            ).alias("reciprocity_ppm"),
+        )
+    )

@@ -649,3 +649,69 @@ def sample_stratified_kfold(spark, sf_dir):
 
 
 sample_stratified_kfold.__doc__ = sample_stratified_kfold.__doc__.format(k=_KF_K)
+
+# --- directed-graph reciprocity ---------------------------------------------------------------
+
+
+@register(
+    "graph_reciprocity",
+    oracle=f"""
+    WITH e AS MATERIALIZED ({_O_KC_DIRECTED}),
+    r AS (SELECT count(*) AS n_recip FROM e
+          WHERE EXISTS (SELECT 1 FROM e e2 WHERE e2.s = e.d AND e2.d = e.s))
+    SELECT CAST((SELECT count(*) FROM e) AS BIGINT) AS n_edges,
+           CAST(r.n_recip AS BIGINT) AS n_reciprocal,
+           CASE WHEN (SELECT count(*) FROM e) > 0 THEN
+             (CAST(r.n_recip AS BIGINT) * 1000000)
+               // CAST((SELECT count(*) FROM e) AS BIGINT)
+           END AS reciprocity_ppm
+    FROM r
+    """,
+)
+def graph_reciprocity(spark, sf_dir):
+    """Directed-graph reciprocity (``operators/web.py::reciprocity``):
+    the fraction of distinct directed edges whose reverse edge exists —
+    the mutual-vs-broadcast link-structure audit (link exchanges score
+    high) run before trusting authority signals on a crawl graph.  One
+    dedup + one reversed-key self-semi-join + one aggregate, BIGINT
+    counts, truncating ppm."""
+    return _web.reciprocity(_kc_edges(spark, sf_dir))
+
+
+# --- inter-event-time histogram ------------------------------------------------------------------
+
+
+@register(
+    "events_inter_event_time",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_type, event_id, epoch_us(ts) AS us
+      FROM events
+      WHERE user_id IS NOT NULL AND ts IS NOT NULL AND event_type IS NOT NULL
+    ),
+    g AS (
+      SELECT event_type,
+             CAST((us - lag(us) OVER (PARTITION BY user_id, event_type
+                                      ORDER BY us, event_id)) // 1000000
+               AS BIGINT) AS gap_s
+      FROM e
+    )
+    SELECT event_type,
+           CAST(length(bin(gap_s + 1)) - 1 AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n_gaps,
+           CAST(min(gap_s) AS BIGINT) AS min_gap_s,
+           CAST(max(gap_s) AS BIGINT) AS max_gap_s
+    FROM g WHERE gap_s IS NOT NULL
+    GROUP BY event_type, length(bin(gap_s + 1)) - 1
+    ORDER BY event_type, bucket
+    """,
+)
+def events_inter_event_time(spark, sf_dir):
+    """Inter-arrival-time histogram per event type
+    (``operators/events.py::inter_event_histogram``): same-user
+    same-type consecutive gaps on EXACT powers-of-2 second buckets —
+    ``floor(log2(gap_s + 1))`` via binary-string length, no float log —
+    the burstiness/cadence distribution; ONE lag window + ONE (type,
+    bucket) groupBy."""
+    ev = t(spark, sf_dir, "events")
+    return _events.inter_event_histogram(ev).orderBy("event_type", "bucket")

@@ -430,3 +430,58 @@ def test_stratified_kfold_balance_and_determinism(spark):
     assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
     with pytest.raises(ValueError):
         stratified_kfold(df, ["lang"], k=1)
+
+
+# --- reciprocity --------------------------------------------------------------------------------
+
+
+def test_reciprocity_hand_computed(spark):
+    from opteryx_spark.operators.web import reciprocity
+
+    # edges: 1->2 and 2->1 (reciprocal pair), 1->3 (one-way), 4->4
+    # (self-loop dropped), duplicate 1->2 (collapsed)
+    rows = [(1, 2), (2, 1), (1, 3), (4, 4), (1, 2)]
+    df = spark.createDataFrame(rows, ["src", "dst"])
+    out = reciprocity(df).collect()[0]
+    assert out["n_edges"] == 3 and out["n_reciprocal"] == 2
+    assert out["reciprocity_ppm"] == (2 * 1_000_000) // 3
+
+
+def test_reciprocity_empty_graph_null(spark):
+    from opteryx_spark.operators.web import reciprocity
+
+    df = spark.createDataFrame([(1, 1)], ["src", "dst"])  # only a self-loop
+    out = reciprocity(df).collect()[0]
+    assert out["n_edges"] == 0 and out["reciprocity_ppm"] is None
+
+
+# --- inter-event-time histogram -------------------------------------------------------------------
+
+
+def test_inter_event_histogram_buckets(spark):
+    import datetime as dt
+
+    from opteryx_spark.operators.events import inter_event_histogram
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        # user u, type a: gaps of 0s, 1s, 3s, 7s -> buckets
+        # floor(log2(g+1)) = 0, 1, 2, 3
+        ("u", "a", 1, t0),
+        ("u", "a", 2, t0),
+        ("u", "a", 3, t0 + dt.timedelta(seconds=1)),
+        ("u", "a", 4, t0 + dt.timedelta(seconds=4)),
+        ("u", "a", 5, t0 + dt.timedelta(seconds=11)),
+        # type boundary: no cross-type gaps
+        ("u", "b", 6, t0 + dt.timedelta(seconds=100)),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id string, event_type string, event_id long, ts timestamp"
+    )
+    out = {(r["event_type"], r["bucket"]): (r["n_gaps"], r["min_gap_s"], r["max_gap_s"])
+           for r in inter_event_histogram(df).collect()}
+    assert out[("a", 0)] == (1, 0, 0)
+    assert out[("a", 1)] == (1, 1, 1)
+    assert out[("a", 2)] == (1, 3, 3)
+    assert out[("a", 3)] == (1, 7, 7)
+    assert not any(k[0] == "b" for k in out)  # single event: no gap
