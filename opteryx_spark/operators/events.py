@@ -1534,9 +1534,12 @@ def decay_attribution(
         f"shiftleft(CAST(1 AS BIGINT), "
         f"{int(lookback_days)} - CAST((_cus - _tus) div 86400000000 AS INT))"
     )
-    per_conv = Window.partitionBy("_cid")
+    # (_u, _cid), never _cid alone: conversion ids need only be unique
+    # PER USER (per-user sequence numbers are a common schema) — keying
+    # by id alone would merge same-id conversions across users
+    per_conv = Window.partitionBy("_u", "_cid")
     credited = cand.select(
-        "_cid", "_vm", "channel", w.alias("_w")
+        "_u", "_cid", "_vm", "channel", w.alias("_w")
     ).select(
         "channel",
         F.expr("(_vm * _w)").alias("_num"),
@@ -1548,7 +1551,7 @@ def decay_attribution(
     )
     direct = (
         conv.join(
-            cand.select("_cid").distinct(), "_cid", "left_anti"
+            cand.select("_u", "_cid").distinct(), ["_u", "_cid"], "left_anti"
         )
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_touches"),

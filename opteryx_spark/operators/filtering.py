@@ -747,12 +747,13 @@ def epochs_upsample(
     functions of the per-stratum token sums and the md5 admission
     order.
 
-    Shape: one per-stratum window for the running token sum (same
-    bounded window as the mixture sampler), the per-stratum totals as a
-    groupBy broadcast back onto the rows, then ONE ``explode(sequence)``
-    — map-side expansion, the output is the training corpus so the blow
-    -up IS the product.  NULL ids excluded (no deterministic order for
-    them).
+    Shape: one per-stratum window pass (running token sum + the
+    stratum total as an unbounded frame over the same partition), then
+    ONE ``explode(sequence)`` — map-side expansion, the output is the
+    training corpus so the blow-up IS the product.  NULL ids excluded
+    (no deterministic order for them); NULL strata are kept and quota
+    together (the mixture-sampler convention), hitting
+    ``default_target`` like any unlisted stratum.
 
     Returns ``id_col`` + ``group_cols`` + ``n_tokens``, ``full_epochs``,
     ``extra_replica`` (0/1), ``epoch``.
@@ -791,11 +792,15 @@ def epochs_upsample(
         .withColumn("tokens_before", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)))
         .withColumn("target_tokens", target_col)
     )
-    avail = rows.groupBy(*group_cols).agg(
-        F.sum("n_tokens").cast("bigint").alias("_avail")
+    # per-stratum totals as an unbounded frame over the SAME partition
+    # the running sum already uses — one window, no extra aggregate+join,
+    # and (unlike an equi-join on the stratum key) NULL strata keep their
+    # rows, matching token_mixture_sample and the SQL oracle
+    w_all = Window.partitionBy(*group_cols).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
     )
     staged = (
-        rows.join(F.broadcast(avail), group_cols)
+        rows.withColumn("_avail", F.sum("n_tokens").over(w_all).cast("bigint"))
         .withColumn(
             "full_epochs",
             F.when(

@@ -1317,11 +1317,26 @@ def matryoshka_recall(
             lambda acc, t: acc + t,
         )
 
+    # slice past the array end silently returns the WHOLE vector, which
+    # would make the "prefix" ranking identical to the full ranking and
+    # report a meaningless recall of 1e6 — fail loudly instead (the
+    # assert rides the row pipeline: NULL on success, raise on a vector
+    # shorter than prefix_dims)
+    dim_guard = F.coalesce(
+        F.assert_true(
+            F.size(F.col("c_qm")) >= F.lit(int(prefix_dims)),
+            F.lit(
+                f"matryoshka_recall: embedding has fewer than "
+                f"prefix_dims={int(prefix_dims)} components"
+            ),
+        ).cast("long"),
+        F.lit(0).cast("long"),
+    )
     pairs = _prep(corpus, "c").crossJoin(broadcast(_prep(queries, "q"))).select(
         F.col("q_id").alias("query_id"),
         F.col("c_id"),
         _dot("q_qm", "c_qm").alias("_sf"),
-        _dot("q_qm", "c_qm", prefix_dims).alias("_sp"),
+        (_dot("q_qm", "c_qm", prefix_dims) + dim_guard).alias("_sp"),
     )
     wf = Window.partitionBy("query_id").orderBy(F.col("_sf").desc(), F.col("c_id"))
     wp = Window.partitionBy("query_id").orderBy(F.col("_sp").desc(), F.col("c_id"))

@@ -526,15 +526,16 @@ _AD_LB_DAYS = 3
       FROM base WHERE event_type <> 'purchase' AND event_type IS NOT NULL
     ),
     cand AS (
-      SELECT c.cid, c.vm, t.channel,
+      SELECT c.u, c.cid, c.vm, t.channel,
              (1::BIGINT << ({_AD_LB_DAYS} - CAST((c.cus - t.tus) // 86400000000 AS INT)))
                AS w
       FROM conv c JOIN tch t ON t.u = c.u
       WHERE t.tus < c.cus AND t.tus >= c.cus - {_AD_LB_DAYS} * 86400000000
     ),
     cr AS (
+      -- (u, cid): conversion ids need only be unique per user
       SELECT channel,
-             (vm * w) // CAST(sum(w) OVER (PARTITION BY cid) AS BIGINT) AS credit
+             (vm * w) // CAST(sum(w) OVER (PARTITION BY u, cid) AS BIGINT) AS credit
       FROM cand
     ),
     touched AS (
@@ -545,7 +546,8 @@ _AD_LB_DAYS = 3
     direct AS (
       SELECT 'direct' AS channel, CAST(count(*) AS BIGINT) AS n_touches,
              CAST(coalesce(sum(vm), 0) AS BIGINT) AS credited_milli
-      FROM conv WHERE cid NOT IN (SELECT DISTINCT cid FROM cand)
+      FROM conv c
+      WHERE NOT EXISTS (SELECT 1 FROM cand a WHERE a.u = c.u AND a.cid = c.cid)
       HAVING count(*) > 0
     )
     SELECT * FROM touched UNION ALL SELECT * FROM direct

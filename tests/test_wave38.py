@@ -485,3 +485,56 @@ def test_inter_event_histogram_buckets(spark):
     assert out[("a", 2)] == (1, 3, 3)
     assert out[("a", 3)] == (1, 7, 7)
     assert not any(k[0] == "b" for k in out)  # single event: no gap
+
+
+# --- review fixes (round-9 code review) ------------------------------------------------------
+
+
+def test_epochs_upsample_null_stratum_kept(spark):
+    # NULL strata must quota together under default_target like any
+    # unlisted stratum (token_mixture_sample convention) — the stratum
+    # totals ride a window, not a NULL-dropping equi-join
+    rows = [(1, None, ""), (2, "en", "t t")]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    out = epochs_upsample(df, ["lang"], {"en": 2}, id_col="doc_id").collect()
+    got = {(r["doc_id"], r["lang"], r["epoch"]) for r in out}
+    # en doc: one full epoch; NULL-lang zero-token doc: admitted into the
+    # target-0 partial epoch (0 + 0 <= 0), exactly as the SQL oracle says
+    assert (2, "en", 0) in got
+    assert (1, None, 0) in got
+
+
+def test_decay_attribution_per_user_event_ids(spark):
+    import datetime as dt
+
+    from opteryx_spark.operators.events import decay_attribution
+
+    t0 = dt.datetime(2024, 1, 10, 12, 0, 0)
+    # event ids restart per user: both purchases have event_id=7; each
+    # user has ONE touch, so each touch must get the FULL credit —
+    # a _cid-only window would pool the weights and halve both
+    rows = [
+        ("a", 1, "click", None, t0 - dt.timedelta(hours=1)),
+        ("a", 7, "purchase", 1.0, t0),
+        ("b", 2, "view", None, t0 - dt.timedelta(hours=2)),
+        ("b", 7, "purchase", 3.0, t0),
+        # user c: conversion with id=7 and NO touches -> 'direct'
+        ("c", 7, "purchase", 5.0, t0),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id string, event_id long, event_type string, value double, ts timestamp"
+    )
+    out = {r["channel"]: (r["n_touches"], r["credited_milli"])
+           for r in decay_attribution(df).collect()}
+    assert out["click"] == (1, 1000)
+    assert out["view"] == (1, 3000)
+    assert out["direct"] == (1, 5000)
+
+
+def test_matryoshka_short_vector_raises(spark):
+    rows = [(0, [1.0, 2.0]), (1, [2.0, 1.0])]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    q = df.filter(F.col("vec_id") == 0)
+    c = df.filter(F.col("vec_id") != 0)
+    with pytest.raises(Exception, match="prefix_dims"):
+        matryoshka_recall(q, c, k=1, prefix_dims=16).collect()
