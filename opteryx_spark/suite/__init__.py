@@ -60,7 +60,7 @@ def register(name: str, oracle: str | None = None, oracle_cost_s: float = 1.0):
 # (deterministic per-round shuffle keyed by _ROTATION_SALT, so successive
 # rounds re-confirm different entries instead of the same first-registered
 # ones); rows-only entries always go last.
-_ROTATION_SALT = "r9"
+_ROTATION_SALT = "r10"
 
 
 def _collect_sources(fn, seen: set) -> list[tuple[str, str]]:
@@ -198,6 +198,7 @@ _DRIVER_GREEN = frozenset({
     "dedup_bloom_prefilter",
     "dedup_chunk_fraction",
     "dedup_connected_groups",
+    "dedup_containment_pairs",
     "dedup_exact_stats",
     "dedup_fingerprint",
     "dedup_fuzzy_keepers",
@@ -220,24 +221,35 @@ _DRIVER_GREEN = frozenset({
     "emb_centroid_drift",
     "emb_cosine_pairs",
     "emb_cosine_topk",
+    "emb_kcenter_coreset",
     "emb_kmeans_portable",
     "emb_knn_join",
     "emb_l2_norms",
     "emb_lsh_near_dup_pairs",
+    "emb_matryoshka_recall",
     "emb_mmr_rerank",
+    "emb_pca_power",
     "emb_pq_adc_topk",
     "emb_quantization_recall",
     "emb_quantize_int8",
     "emb_random_projection",
     "emb_semantic_dedup",
     "emb_silhouette_lite",
+    "emb_triplet_mining",
+    "events_ab_test_z",
     "events_attribution",
+    "events_attribution_decay",
+    "events_attribution_removal",
+    "events_cohort_ltv",
     "events_cohort_retention",
     "events_dau_wau",
+    "events_dwell_bounce",
     "events_ewma",
     "events_funnel_rates",
+    "events_funnel_ttc",
     "events_gap_fill",
     "events_hourly_rollup",
+    "events_inter_event_time",
     "events_interval_coverage",
     "events_latency_percentiles",
     "events_markov_stationary",
@@ -265,6 +277,7 @@ _DRIVER_GREEN = frozenset({
     "expr_string_funcs",
     "feat_basket_rules",
     "feat_calibration_ece",
+    "feat_chi2_screen",
     "feat_hashed_tokens",
     "feat_lag_features",
     "feat_one_hot_lang",
@@ -276,13 +289,18 @@ _DRIVER_GREEN = frozenset({
     "graph_assortativity",
     "graph_clustering_coeff",
     "graph_core_numbers",
+    "graph_hits_scores",
     "graph_hop_distance",
     "graph_kcore_membership",
     "graph_label_communities",
+    "graph_link_prediction",
+    "graph_personalized_pagerank",
+    "graph_reciprocity",
     "graph_triangle_counts",
     "hash_encode_funcs",
     "having_post_aggregation",
     "interval_arithmetic",
+    "join_asof_forward",
     "join_asof_last_click",
     "join_asof_nearest",
     "join_cross",
@@ -310,6 +328,7 @@ _DRIVER_GREEN = frozenset({
     "pred_between_casts",
     "pred_like_battery",
     "profile_correlations",
+    "profile_null_patterns",
     "profile_orders",
     "quality_benford_audit",
     "quality_categorical_drift",
@@ -318,16 +337,23 @@ _DRIVER_GREEN = frozenset({
     "quality_fd_violations",
     "quality_fk_audit",
     "quality_freshness",
+    "quality_ks_drift",
     "quality_mad_outliers",
+    "quality_monotonic_ts",
     "quality_schema_drift",
+    "quality_w1_drift",
     "regexp_funcs",
     "sample_backtest_folds",
+    "sample_balanced_classes",
     "sample_epoch_shuffle",
+    "sample_epochs_upsample",
     "sample_hash_deterministic",
     "sample_negative_pairs",
+    "sample_order_by_rand",
     "sample_quota_stratified",
     "sample_split_assign",
     "sample_split_no_leakage",
+    "sample_stratified_kfold",
     "sample_temperature_weights",
     "sample_temporal_split",
     "sample_token_budget",
@@ -374,6 +400,7 @@ _DRIVER_GREEN = frozenset({
     "text_retrieval_eval",
     "text_script_profile",
     "text_strip_html",
+    "text_term_trends",
     "text_token_stats",
     "text_vocab_topk",
     "text_winnow_fingerprints",
@@ -401,11 +428,16 @@ _DRIVER_GREEN = frozenset({
     "tpch_q9_product_profit",
     "ts_acf_daily",
     "ts_ccf_daily",
+    "ts_classical_decompose",
     "ts_cusum_changepoint",
     "ts_forecast_snaive",
     "ts_holt_linear",
+    "ts_holt_winters",
     "ts_ols_trend",
     "ts_rolling_median_detrend",
+    "ts_seasonal_strength",
+    "ts_weekday_anova",
+    "tvf_fake_table",
     "tvf_generate_series",
     "tvf_values_clause",
     "unnest_lateral_filtered_distinct",
