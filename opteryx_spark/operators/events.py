@@ -1498,7 +1498,12 @@ def decay_attribution(
     their user's conversion — candidates bounded per user like the
     as-of band joins), ONE conversion-keyed window for Σw, one channel
     groupBy.  NULL users/timestamps excluded; touches are
-    non-conversion events with a non-NULL type.
+    non-conversion events with a non-NULL type.  Conversions with a
+    NULL ``id_col`` are EXCLUDED (same contract as the NULL-user/ts
+    exclusions): the id is the per-user conversion key, and a NULL key
+    would both pool all of a user's NULL-id conversions into one
+    weight window AND re-credit them to 'direct' (the anti-join never
+    matches NULL keys) — double counting (ADVICE r9).
 
     Returns ``channel``, ``n_touches`` (BIGINT, credited touch rows),
     ``credited_milli`` (BIGINT, milli-value units).
@@ -1509,7 +1514,9 @@ def decay_attribution(
     lb_us = lookback_days * day_us
     base = events.filter(F.col(user_col).isNotNull() & F.col(ts_col).isNotNull())
     us = F.expr(f"unix_micros(CAST({ts_col} AS TIMESTAMP))")
-    conv = base.filter(F.col(type_col) == conversion_type).select(
+    conv = base.filter(
+        (F.col(type_col) == conversion_type) & F.col(id_col).isNotNull()
+    ).select(
         F.col(user_col).alias("_u"),
         F.col(id_col).alias("_cid"),
         us.alias("_cus"),

@@ -1321,10 +1321,14 @@ def matryoshka_recall(
     # would make the "prefix" ranking identical to the full ranking and
     # report a meaningless recall of 1e6 — fail loudly instead (the
     # assert rides the row pipeline: NULL on success, raise on a vector
-    # shorter than prefix_dims)
+    # shorter than prefix_dims).  BOTH sides are checked: a short QUERY
+    # vector would otherwise zip_with-pad with NULLs, NULL the prefix
+    # dot for every pair, and silently degrade the prefix ranking to
+    # bare c_id order (ADVICE r9).
     dim_guard = F.coalesce(
         F.assert_true(
-            F.size(F.col("c_qm")) >= F.lit(int(prefix_dims)),
+            (F.size(F.col("c_qm")) >= F.lit(int(prefix_dims)))
+            & (F.size(F.col("q_qm")) >= F.lit(int(prefix_dims))),
             F.lit(
                 f"matryoshka_recall: embedding has fewer than "
                 f"prefix_dims={int(prefix_dims)} components"
@@ -1336,7 +1340,11 @@ def matryoshka_recall(
         F.col("q_id").alias("query_id"),
         F.col("c_id"),
         _dot("q_qm", "c_qm").alias("_sf"),
-        (_dot("q_qm", "c_qm", prefix_dims) + dim_guard).alias("_sp"),
+        # guard FIRST: Add evaluates its left child first and returns
+        # NULL without touching the right when the left is NULL — a
+        # length-mismatched prefix dot IS NULL (zip_with pads), so a
+        # right-side guard would be skipped exactly when it matters
+        (dim_guard + _dot("q_qm", "c_qm", prefix_dims)).alias("_sp"),
     )
     wf = Window.partitionBy("query_id").orderBy(F.col("_sf").desc(), F.col("c_id"))
     wp = Window.partitionBy("query_id").orderBy(F.col("_sp").desc(), F.col("c_id"))

@@ -216,7 +216,7 @@ def pagerank(
     if iterations < 1:
         raise ValueError("iterations must be >= 1")
     if not (0 < damping_pct < 100):
-        raise ValueError("damping_pct must be in (1, 99)")
+        raise ValueError("damping_pct must be in [1, 99]")
 
     from opteryx_spark.operators.dedup import _track_persist
 
@@ -333,7 +333,7 @@ def personalized_pagerank(
     if iterations < 1:
         raise ValueError("iterations must be >= 1")
     if not (0 < damping_pct < 100):
-        raise ValueError("damping_pct must be in (1, 99)")
+        raise ValueError("damping_pct must be in [1, 99]")
 
     from opteryx_spark.operators.dedup import (
         _checkpoint_tracked,

@@ -517,9 +517,11 @@ _AD_LB_DAYS = 3
       FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
     ),
     conv AS (
+      -- NULL-id conversions excluded (engine contract: the id is the
+      -- per-user conversion key; a NULL key would double-count)
       SELECT user_id AS u, event_id AS cid, us AS cus,
              coalesce(CAST(floor(CAST(value AS DOUBLE) * 1000.0) AS BIGINT), 0) AS vm
-      FROM base WHERE event_type = 'purchase'
+      FROM base WHERE event_type = 'purchase' AND event_id IS NOT NULL
     ),
     tch AS (
       SELECT user_id AS u, us AS tus, event_type AS channel

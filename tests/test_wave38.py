@@ -538,3 +538,42 @@ def test_matryoshka_short_vector_raises(spark):
     c = df.filter(F.col("vec_id") != 0)
     with pytest.raises(Exception, match="prefix_dims"):
         matryoshka_recall(q, c, k=1, prefix_dims=16).collect()
+
+
+def test_matryoshka_short_QUERY_vector_raises(spark):
+    # ADVICE r9: the dim guard must be symmetric — a query vector shorter
+    # than prefix_dims would zip_with-pad with NULLs, NULL the prefix dot
+    # for every pair, and silently degrade the prefix ranking to c_id order
+    q = spark.createDataFrame([(0, [1.0, 2.0])], ["vec_id", "embedding"])
+    c = spark.createDataFrame(
+        [(1, [2.0, 1.0, 3.0]), (2, [0.5, 0.5, 0.5])], ["vec_id", "embedding"]
+    )
+    with pytest.raises(Exception, match="prefix_dims"):
+        matryoshka_recall(q, c, k=1, prefix_dims=3).collect()
+
+
+def test_decay_attribution_null_conversion_id_excluded(spark):
+    # ADVICE r9: NULL-id conversions were double-counted (pooled into one
+    # weight window via the user join AND re-credited to 'direct' by the
+    # never-NULL-matching anti-join).  Contract: NULL-id conversions are
+    # excluded, like NULL users/timestamps.
+    import datetime as dt
+
+    from opteryx_spark.operators.events import decay_attribution
+
+    t0 = dt.datetime(2024, 1, 10, 12, 0, 0)
+    rows = [
+        ("a", 1, "click", None, t0 - dt.timedelta(hours=1)),
+        ("a", None, "purchase", 1.0, t0),          # NULL id: excluded
+        ("a", 7, "purchase", 2.0, t0),             # real conversion
+        ("b", None, "purchase", 5.0, t0),          # NULL id, no touches
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "user_id string, event_id long, event_type string, value double, ts timestamp",
+    )
+    out = {r["channel"]: (r["n_touches"], r["credited_milli"])
+           for r in decay_attribution(df).collect()}
+    # only the id=7 conversion credits its touch; total credited == 2000,
+    # no 'direct' row (NULL-id conversions vanish, not re-credited)
+    assert out == {"click": (1, 2000)}
