@@ -91,6 +91,31 @@ BENCH_QUERIES = [
     "feat_target_encode_loo",
 ]
 
+# r9 wave-35..41 surface, benched for the first time in r10 (VERDICT r9
+# #1).  Kept OUT of BENCH_QUERIES so the legacy set stays byte-identical
+# for round-over-round comparability; timed with the identical protocol
+# and totalled separately (``new_total``).  Per-query numbers live in the
+# full BENCH.json / BENCH_FULL.json record — the slim stdout line has no
+# room for 15 more names under the driver's 2 KB tail.
+NEW_BENCH_QUERIES = [
+    "graph_personalized_pagerank",
+    "graph_hits_scores",
+    "ts_holt_winters",
+    "ts_seasonal_strength",
+    "events_attribution_decay",
+    "events_attribution_removal",
+    "events_dwell_bounce",
+    "events_inter_event_time",
+    "quality_ks_drift",
+    "quality_w1_drift",
+    "sample_stratified_kfold",
+    "sample_epochs_upsample",
+    "dedup_containment_pairs",
+    "emb_matryoshka_recall",
+    "emb_triplet_mining",
+    "feat_chi2_screen",
+]
+
 
 # scale-amortization subset run once at sf1 (.data/sf1, 10x sf0.1) when
 # present: proves the fixed Spark floor amortizes (10x data, ~2x time)
@@ -142,6 +167,35 @@ SF1_QUERIES = [
     # r8 wave-30/31 operators whose cost scales with the data
     "text_lexical_diversity",
     "events_interval_coverage",
+]
+
+# full TPC-H at sf1 (VERDICT r9 #5): the cheapest broad join-plan
+# regression net — the reference's functional battery passes 7/22, this
+# engine runs all 22; keep the proof timed and fresh every round.
+# Timed once each (runs=1) inside the sf1 section, totalled separately.
+SF1_TPCH = [
+    "tpch_q1_pricing_summary",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q3_shipping_priority",
+    "tpch_q4_order_priority",
+    "tpch_q5_local_supplier_volume",
+    "tpch_q6_forecast_revenue",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q9_product_profit",
+    "tpch_q10_returned_items",
+    "tpch_q11_important_stock",
+    "tpch_q12_shipping_modes",
+    "tpch_q13_customer_distribution",
+    "tpch_q14_promo_effect",
+    "tpch_q15_top_supplier",
+    "tpch_q16_parts_supplier",
+    "tpch_q17_small_quantity_revenue",
+    "tpch_q18_large_volume_customer",
+    "tpch_q19_discounted_revenue",
+    "tpch_q20_potential_promotion",
+    "tpch_q21_suppliers_kept_waiting",
+    "tpch_q22_global_sales_opportunity",
 ]
 
 # Artifact-backed entries (VERDICT r6 #2): the suite entry rebuilds its
@@ -398,12 +452,21 @@ def main() -> None:
     for name, b in builds.items():
         timings[f"{name}_build"] = b
 
+    # r9 surface, separate subtotal (legacy total stays comparable)
+    new_t, new_sp, new_ns = _time_queries(
+        reg, spark, SF_DIR, NEW_BENCH_QUERIES, runs=3
+    )
+    spreads.update(new_sp)
+    n_samples.update(new_ns)
+
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     out = {
         "metric": "suite_total_seconds",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
+        "new_queries": new_t,
+        "new_total": round(sum(new_t.values()), 3),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "protocol": "median_of_3_escalate_15_quietwin5_thresh35_splitbuild_sf1warm",
         "spread": spreads,
@@ -433,27 +496,46 @@ def main() -> None:
         sf1_t.update(sf1_head)  # the quiet headline-first measurement
         for name, b in sf1_b.items():
             sf1_t[f"{name}_build"] = b
+        # full TPC-H sweep at sf1 (VERDICT r9 #5): one timed run each.
+        # q1/q3/q18 reuse the SF1_QUERIES measurements already taken
+        # above rather than paying a second run.
+        tpch_todo = [n for n in SF1_TPCH if n not in sf1_t]
+        sf1_tpch, _, _ = _time_queries(reg, spark, SF1_DIR, tpch_todo, runs=1)
+        sf1_tpch.update({n: sf1_t[n] for n in SF1_TPCH if n in sf1_t})
         out["sf1"] = {
             "total": round(sum(sf1_t.values()), 3),
             "queries": sf1_t,
             "headline": sf1_head_meta,
+            "tpch": sf1_tpch,
+            "tpch_total": round(sum(sf1_tpch.values()), 3),
         }
-    # Two copies: the FILE gets the full record (spread, n_samples, per-query
-    # sf1); STDOUT gets a slim line guaranteed to fit the driver's ~2 KB
-    # captured tail (VERDICT r5 'What's wrong' #3 — the full line is ~3.4 KB
-    # and truncates from the front, leaving "parsed": null two rounds running).
-    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH.json"), "w") as f:
-        f.write(json.dumps(out) + "\n")
+    # Three copies: BENCH.json (gitignored, judge-on-machine) and
+    # BENCH_FULL.json (tracked — committed per round so the full record
+    # survives the round transition) get everything; STDOUT gets a slim
+    # line guaranteed to fit the driver's ~2 KB captured tail (VERDICT r5
+    # 'What's wrong' #3 — the full line truncates from the front).  The
+    # slim per-query map carries ONLY the legacy BENCH_QUERIES set (byte-
+    # comparable round over round); the r9-surface set and the sf1 TPC-H
+    # sweep ride as subtotals, per-query in the full record.
+    repo = os.path.dirname(os.path.abspath(__file__))
+    for fname in ("BENCH.json", "BENCH_FULL.json"):
+        with open(os.path.join(repo, fname), "w") as f:
+            f.write(json.dumps(out) + "\n")
     slim = {
         "metric": out["metric"],
         "value": out["value"],
         "unit": out["unit"],
         "queries": {k: round(v, 2) for k, v in timings.items()},
+        "new_total": out["new_total"],
         "sf": out["sf"],
     }
     if "sf1" in out:
         slim["sf1_total"] = out["sf1"]["total"]
+        slim["sf1_tpch_total"] = out["sf1"]["tpch_total"]
     line = json.dumps(slim, separators=(",", ":"))
+    if len(line) > 2000:  # first fallback: 1-decimal per-query detail
+        slim["queries"] = {k: round(v, 1) for k, v in timings.items()}
+        line = json.dumps(slim, separators=(",", ":"))
     if len(line) > 2000:  # last-resort: drop per-query detail before truncating
         slim.pop("queries", None)
         line = json.dumps(slim, separators=(",", ":"))

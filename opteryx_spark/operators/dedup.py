@@ -120,6 +120,27 @@ def _track_release(obj) -> None:
     if isinstance(obj, _CheckpointHandle):
         _CHECKPOINT_HANDLES.append(obj)
         return
+    # Alias dedup (BENCH r9 anomaly): repeated calls of the same operator
+    # re-persist a semantically IDENTICAL frame, and Spark's CacheManager
+    # keeps ONE entry for all of them (persist on an already-cached plan
+    # is a no-op).  Every tracked handle of that plan therefore aliases
+    # the same entry — LRU-evicting an older alias would unpersist the
+    # entry out from under the newest call, whose multi-branch plan then
+    # recomputes the shared input once PER BRANCH (measured: the simhash
+    # self-join degrading 2.4 s -> 7.0 s from the 7th call on).  Drop
+    # aliasing handles from the list WITHOUT unpersisting; the list then
+    # holds one handle per distinct plan and eviction only ever releases
+    # caches no live handle aliases.
+    if hasattr(obj, "sameSemantics"):
+        kept = []
+        for f in _CACHED_REPS:
+            try:
+                dup = hasattr(f, "sameSemantics") and obj.sameSemantics(f)
+            except Exception:
+                dup = False
+            if not dup:
+                kept.append(f)
+        _CACHED_REPS[:] = kept
     while len(_CACHED_REPS) >= _MAX_CACHED:
         try:
             _CACHED_REPS.pop(0).unpersist()

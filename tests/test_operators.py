@@ -480,6 +480,37 @@ def test_checkpoint_handles_survive_lru_pressure(spark):
     assert not dedup._CHECKPOINT_HANDLES and not dedup._CACHED_REPS
 
 
+def test_repeated_identical_persist_does_not_evict_live_cache(spark):
+    """BENCH r9 anomaly (dedup_simhash_pairs 2.4s -> 7.0s from the 7th
+    call): repeated calls of one operator re-persist a semantically
+    identical frame; Spark's CacheManager holds ONE entry for all of
+    them, so every tracked handle is an alias — LRU-evicting an old
+    alias unpersisted the entry out from under the newest call, whose
+    multi-branch plan then recomputed the shared input per branch.
+    Aliasing handles must be deduplicated, not unpersisted."""
+    dedup.release_text_group_caches()
+    df = spark.createDataFrame([(1, "a"), (2, "b")], ["id", "t"])
+    for _ in range(dedup._MAX_CACHED + 3):
+        tracked = dedup._track_persist(df.select("id", "t"))
+        tracked.collect()
+    # one handle per distinct plan, not one per call
+    assert len(dedup._CACHED_REPS) == 1
+    # and the newest call's frame is still genuinely cached
+    assert tracked.storageLevel.useMemory
+    dedup.release_text_group_caches()
+    assert not dedup._CACHED_REPS
+
+
+def test_distinct_plans_still_lru_evict(spark):
+    """Alias dedup must not break the cap for genuinely DIFFERENT plans:
+    > _MAX_CACHED distinct frames still evict oldest-first."""
+    dedup.release_text_group_caches()
+    for i in range(dedup._MAX_CACHED + 2):
+        dedup._track_persist(spark.range(i + 1, i + 3)).collect()
+    assert len(dedup._CACHED_REPS) == dedup._MAX_CACHED
+    dedup.release_text_group_caches()
+
+
 # --- filtering: decontamination / gopher gates / quota sampling -------------
 
 
