@@ -1477,3 +1477,72 @@ def test_weighted_sample_semantics(spark):
 
     with pytest.raises(ValueError):
         filtering.weighted_sample(df, "w", 0)
+
+
+def test_simhash_pairs_value_consistency(spark, sf_dir):
+    """Value check for the rows-only ``dedup_simhash_pairs`` entry
+    (VERDICT r9 #6): the xxhash64 signature can't be replayed in DuckDB,
+    but two properties are hash-independent ground truth — (a) every
+    reported hamming equals bit_count(sig1 XOR sig2) of the actual
+    signatures and is within the threshold; (b) byte-identical texts MUST
+    appear as hamming-0 pairs (identical text => identical signature)."""
+    from pyspark.sql import functions as F
+
+    docs = t(spark, sf_dir, "documents")
+    pairs = dedup.simhash_dedup_pairs(docs, "doc_id", "text", max_hamming=8)
+    sig = dedup.simhash(docs, "doc_id", "text")
+    joined = (
+        pairs.join(sig.select(F.col("id").alias("id1"), F.col("simhash").alias("s1")), "id1")
+        .join(sig.select(F.col("id").alias("id2"), F.col("simhash").alias("s2")), "id2")
+        .select(
+            "id1", "id2", "hamming",
+            F.bit_count(F.col("s1").bitwiseXOR(F.col("s2"))).alias("true_h"),
+        )
+    )
+    bad = joined.filter(
+        (F.col("hamming") != F.col("true_h")) | (F.col("hamming") > 8)
+    ).count()
+    assert bad == 0
+    # ground truth: exact text duplicates (with tokens) are hamming-0 pairs
+    toks = docs.filter(F.size(dedup.tokens("text")) > 0)
+    dup_pairs = {
+        (r.id1, r.id2)
+        for r in toks.alias("a")
+        .join(toks.alias("b"), (F.col("a.text") == F.col("b.text")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("id1"), F.col("b.doc_id").alias("id2"))
+        .collect()
+    }
+    got0 = {(r.id1, r.id2) for r in pairs.filter(F.col("hamming") == 0).collect()}
+    assert dup_pairs <= got0, f"missing exact-dup pairs: {sorted(dup_pairs - got0)[:5]}"
+
+
+def test_minhash_lsh_candidates_superset_of_exact_dups(spark, sf_dir):
+    """Value check for the rows-only ``dedup_minhash_lsh_candidates``
+    entry (VERDICT r9 #6): banding guarantees identical signatures share
+    every band bucket, so byte-identical texts (with shingles) MUST be
+    candidates with est_jaccard 1.0 — a recall floor that is ground truth
+    independent of the xxhash64 permutations."""
+    from pyspark.sql import functions as F
+
+    docs = t(spark, sf_dir, "documents")
+    cand = dedup.minhash_lsh_pairs(docs, "doc_id", "text", k=2)
+    sh = docs.filter(F.size(dedup.shingles("text", 2)) > 0)
+    dup_pairs = {
+        (r.id1, r.id2)
+        for r in sh.alias("a")
+        .join(sh.alias("b"), (F.col("a.text") == F.col("b.text")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("id1"), F.col("b.doc_id").alias("id2"))
+        .collect()
+    }
+    got = {
+        (r.id1, r.id2): r.est_jaccard
+        for r in cand.join(
+            spark.createDataFrame(
+                [(a, b) for a, b in dup_pairs] or [(-1, -1)], ["id1", "id2"]
+            ),
+            ["id1", "id2"],
+        ).collect()
+    }
+    missing = dup_pairs - set(got)
+    assert not missing, f"exact dups missing from candidates: {sorted(missing)[:5]}"
+    assert all(v == 1.0 for v in got.values())
