@@ -51,7 +51,7 @@ from opteryx_spark.operators.text import shingles, tokens
 # (``ox.connect()``) holds at most one call's caches, never a leak per
 # call.  Unpersisting never breaks correctness (Spark recomputes), it only
 # costs a re-shuffle if a stale lazy result is re-evaluated later.
-_CACHED_REPS: list[DataFrame] = []
+_CACHED_REPS: list[tuple[DataFrame, int | None]] = []  # (frame, semanticHash)
 # localCheckpoint handles: unbounded (never cap-evicted — released frames
 # cannot be recomputed), drained only by release_text_group_caches()
 _CHECKPOINT_HANDLES: list = []
@@ -130,23 +130,33 @@ def _track_release(obj) -> None:
     # self-join degrading 2.4 s -> 7.0 s from the 7th call on).  Drop
     # aliasing handles from the list WITHOUT unpersisting; the list then
     # holds one handle per distinct plan and eviction only ever releases
-    # caches no live handle aliases.
-    if hasattr(obj, "sameSemantics"):
+    # caches no live handle aliases.  Cost discipline: canonicalize the
+    # NEW frame once (``semanticHash``) and compare cached ints; the full
+    # ``sameSemantics`` plan walk runs only on a hash match — a per-call
+    # ``sameSemantics`` scan re-canonicalized up to 6 big plans on every
+    # persist, visible on iterative operators.
+    new_hash = None
+    if hasattr(obj, "semanticHash"):
+        try:
+            new_hash = obj.semanticHash()
+        except Exception:
+            new_hash = None
+    if new_hash is not None:
         kept = []
-        for f in _CACHED_REPS:
+        for f, fh in _CACHED_REPS:
             try:
-                dup = hasattr(f, "sameSemantics") and obj.sameSemantics(f)
+                dup = fh == new_hash and obj.sameSemantics(f)
             except Exception:
                 dup = False
             if not dup:
-                kept.append(f)
+                kept.append((f, fh))
         _CACHED_REPS[:] = kept
     while len(_CACHED_REPS) >= _MAX_CACHED:
         try:
-            _CACHED_REPS.pop(0).unpersist()
+            _CACHED_REPS.pop(0)[0].unpersist()
         except Exception:
             pass
-    _CACHED_REPS.append(obj)
+    _CACHED_REPS.append((obj, new_hash))
 
 
 def _track_persist(df: DataFrame) -> DataFrame:
@@ -163,7 +173,7 @@ def release_text_group_caches() -> None:
     """
     while _CACHED_REPS:
         try:
-            _CACHED_REPS.pop().unpersist()
+            _CACHED_REPS.pop()[0].unpersist()
         except Exception:
             pass
     while _CHECKPOINT_HANDLES:
