@@ -1516,10 +1516,69 @@ def fuzzy_dedup(
     Scale shape: the only corpus-sized exchanges are the LSH bucket join
     (slim (id, band, bh, sig) rows, hot buckets capped) and the final
     id-keyed label join; component propagation runs on the PAIR graph,
-    which is orders of magnitude smaller than the corpus.  No driver
+    which is orders of magnitude smaller than the corpus.  On a
+    duplicate-heavy corpus (``unique_texts`` route) the clustering runs
+    at the EXEMPLAR (distinct-text) level and members are relabeled
+    afterwards — expanding copy groups into member-level pairs first is
+    O(copies²) per group and made the sf5 stress run super-linear
+    (PREFLIGHT_HEAVY_r10: 3.5× over the 5×-sf1 projection), while the
+    component structure only needs the group→cluster mapping.  No driver
     collect; checkpoint blocks are released via
     :func:`release_text_group_caches`.
     """
+    unique_texts = _resolve_unique_texts(df, text_col, unique_texts)
+    if unique_texts:
+        reps, members = _text_groups(df, id_col, text_col)
+        inner = minhash_lsh_pairs(
+            reps,
+            "id",
+            text_col,
+            num_hashes=num_hashes,
+            bands=bands,
+            k=k,
+            max_bucket=max_bucket,
+            unique_texts=False,
+            portable_hash=portable_hash,
+        ).filter(F.col("est_jaccard") >= F.lit(float(min_est_jaccard)))
+        glabels = connected_components(inner)  # gid -> component (a gid)
+        # multi-copy ACTIVE groups (non-empty shingle set) in no exemplar
+        # pair are near-dup clusters on their own — identical texts pair
+        # at est 1.0 in the member-level formulation (and est 1.0 passes
+        # any threshold <= 1.0, mirroring the expanded filter exactly)
+        if float(min_est_jaccard) <= 1.0:
+            active_multi = (
+                reps.filter(
+                    (F.col("n_copies") > 1) & (F.size(shingles(text_col, k)) > 0)
+                )
+                .select(F.col("gid").alias("node"), F.col("gid").alias("comp"))
+            )
+            glabels = glabels.unionByName(
+                active_multi.join(
+                    glabels.select(F.col("node").alias("_n")),
+                    F.col("node") == F.col("_n"),
+                    "left_anti",
+                )
+            )
+        # relabel: the cluster label is the min MEMBER id of the cluster
+        # (identical to CC over member-level pairs, where every node is a
+        # member id) — one groupBy over clustered members, one join back
+        m = members.join(glabels, members["gid"] == glabels["node"], "left")
+        mins = (
+            m.filter(F.col("comp").isNotNull())
+            .groupBy("comp")
+            .agg(F.min("id").alias("_min_id"))
+        )
+        # NULL member ids never join in the member-level formulation and
+        # come back (comp NULL, kept true) — replicate that exactly
+        comp_out = F.when(F.col("id").isNotNull(), F.col("_min_id"))
+        return (
+            m.join(mins, "comp", "left")
+            .select(
+                F.col("id").alias(id_col),
+                comp_out.alias("comp"),
+                (comp_out.isNull() | (comp_out == F.col("id"))).alias("kept"),
+            )
+        )
     pairs = minhash_lsh_pairs(
         df,
         id_col,
@@ -1528,7 +1587,7 @@ def fuzzy_dedup(
         bands=bands,
         k=k,
         max_bucket=max_bucket,
-        unique_texts=unique_texts,
+        unique_texts=False,
         portable_hash=portable_hash,
     ).filter(F.col("est_jaccard") >= F.lit(float(min_est_jaccard)))
     labels = connected_components(pairs)

@@ -16,11 +16,9 @@ Usage: python tools/heavy_stress.py [--out PREFLIGHT_HEAVY_r10.log]
 from __future__ import annotations
 
 import argparse
-import json
 import os
 import sys
 import time
-import urllib.request
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
@@ -40,13 +38,33 @@ HEAVY = [
 ]
 
 
-def _stages(ui: str, app: str) -> dict[int, dict]:
+def _stages(spark) -> dict[int, dict]:
+    """stageId -> metrics via the in-process AppStatusStore (the UI and
+    its REST API are disabled in this environment)."""
     try:
-        with urllib.request.urlopen(f"{ui}/api/v1/applications/{app}/stages", timeout=10) as r:
-            data = json.load(r)
+        sc = spark.sparkContext
+        jvm = sc._jvm
+        store = sc._jsc.sc().statusStore()
+        stages = store.stageList(
+            jvm.java.util.ArrayList(),      # all statuses
+            False, False,
+            sc._gateway.new_array(jvm.double, 0),
+            jvm.java.util.ArrayList(),
+        )
+        out = {}
+        it = stages.iterator()
+        while it.hasNext():
+            s = it.next()
+            out[s.stageId()] = {
+                "shuffleReadBytes": s.shuffleReadBytes(),
+                "shuffleWriteBytes": s.shuffleWriteBytes(),
+                "memoryBytesSpilled": s.memoryBytesSpilled(),
+                "diskBytesSpilled": s.diskBytesSpilled(),
+                "numCompleteTasks": s.numCompleteTasks(),
+            }
+        return out
     except Exception:
         return {}
-    return {s["stageId"]: s for s in data}
 
 
 def main() -> int:
@@ -71,24 +89,41 @@ def main() -> int:
         os.rename(tmp, SF5_DIR)
         print(f"built sf5 in {time.perf_counter() - t0:.0f}s", flush=True)
 
-    ui = spark.sparkContext.uiWebUrl
-    app = spark.sparkContext.applicationId
+    # library-default fuzzy dedup: the suite entry pins unique_texts=False
+    # + portable_hash so its DuckDB oracle can replay member-level LSH —
+    # O(copies²) per near-dup group BY CONSTRUCTION on the 50x-replicated
+    # corpus.  The path a user gets (auto routing) clusters at the
+    # exemplar level; measure it separately.
+    from opteryx_spark.operators import dedup as _D
+    from opteryx_spark.suite._util import t as _t
+
+    def _fuzzy_auto(spark, sf):
+        return _D.fuzzy_dedup(_t(spark, sf, "documents"), "doc_id", "text")
+
+    import types as _types
+
+    reg = dict(reg)
+    reg["dedup_fuzzy_keepers_auto"] = _types.SimpleNamespace(spark=_fuzzy_auto)
+    heavy = HEAVY + ["dedup_fuzzy_keepers_auto"]
 
     # sf1 reference times for the linearity check (one run each, same session)
     sf1_t: dict[str, float] = {}
     if os.path.isdir(SF1_DIR):
-        for name in HEAVY:
+        for name in heavy:
             t0 = time.perf_counter()
-            reg[name].spark(spark, SF1_DIR).collect()
+            # count(), matching the sf5 measurement below: several heavy
+            # entries return corpus-scale pair sets, and a driver collect
+            # would time row serialization, not the distributed plan
+            reg[name].spark(spark, SF1_DIR).count()
             sf1_t[name] = time.perf_counter() - t0
 
     lines = [f"# heavy-stress sf5 (replicas={args.replicas}) — {time.strftime('%Y-%m-%d %H:%M')}"]
-    for name in HEAVY:
-        before = _stages(ui, app)
+    for name in heavy:
+        before = _stages(spark)
         t0 = time.perf_counter()
         n_rows = reg[name].spark(spark, SF5_DIR).count()
         wall = time.perf_counter() - t0
-        after = _stages(ui, app)
+        after = _stages(spark)
         new = [s for sid, s in after.items() if sid not in before]
         sh_r = sum(s.get("shuffleReadBytes", 0) for s in new)
         sh_w = sum(s.get("shuffleWriteBytes", 0) for s in new)
