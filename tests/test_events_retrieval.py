@@ -546,3 +546,42 @@ def test_rolling_window_features_semantics(spark):
     assert out[3] == (2, 7.0)   # e1 aged out (exactly 1h), e2 still in
     assert out[4] == (1, 100.0)
     assert 5 not in out
+
+
+def test_fuzzy_dedup_exemplar_route_equivalence(spark):
+    """The r10 exemplar-level route (unique_texts=True — LSH + connected
+    components on distinct texts, members relabeled after) must return
+    EXACTLY the member-level formulation's output.  Covers: a multi-copy
+    group with no external near-dup (self-cluster), two near-dup groups
+    that merge, an INACTIVE multi-copy group (single token => empty
+    2-shingle set: no pairs even though copies exist), singletons, NULL
+    text, and a NULL member id."""
+    base = "alpha beta gamma delta epsilon zeta eta theta " * 4
+    near = base + "iota"
+    rows = [
+        (1, base), (2, base), (3, base),          # copy group, pairs with...
+        (4, near),                                 # ...a near-dup singleton
+        (20, "solo words nobody else shares " * 6),
+        (30, "tok"), (31, "tok"),                  # inactive multi-copy group
+        (40, None),                                # NULL text
+        (None, base),                              # NULL id rides a group
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    kw = dict(min_est_jaccard=0.5, k=2, portable_hash=True)
+    member = {
+        (r.doc_id,): (r.comp, r.kept)
+        for r in dedup.fuzzy_dedup(df, unique_texts=False, **kw).collect()
+    }
+    exemplar = {
+        (r.doc_id,): (r.comp, r.kept)
+        for r in dedup.fuzzy_dedup(df, unique_texts=True, **kw).collect()
+    }
+    assert member == exemplar
+    # and the semantics themselves: 1-4 one cluster keyed by min id 1;
+    # the inactive copy group stays unclustered (no shingles => no pairs)
+    assert exemplar[(1,)] == (1, True)
+    assert exemplar[(4,)] == (1, False)
+    assert exemplar[(30,)] == (None, True) and exemplar[(31,)] == (None, True)
+    assert exemplar[(40,)] == (None, True)
+    assert exemplar[(None,)] == (None, True)
+    dedup.release_text_group_caches()
