@@ -96,7 +96,7 @@ BENCH_QUERIES = [
 # for round-over-round comparability; timed with the identical protocol
 # and totalled separately (``new_total``).  Per-query numbers live in the
 # full BENCH.json / BENCH_FULL.json record — the slim stdout line has no
-# room for 15 more names under the driver's 2 KB tail.
+# room for 16 more names under the driver's 2 KB tail.
 NEW_BENCH_QUERIES = [
     "graph_personalized_pagerank",
     "graph_hits_scores",
