@@ -585,3 +585,39 @@ def test_fuzzy_dedup_exemplar_route_equivalence(spark):
     assert exemplar[(40,)] == (None, True)
     assert exemplar[(None,)] == (None, True)
     dedup.release_text_group_caches()
+
+
+def test_fuzzy_dedup_route_equivalence_randomized(spark):
+    """Property sweep: on randomized dup-heavy corpora (random copy
+    counts, shared shingle pools, transitive near-dup chains, empty and
+    single-token texts), the exemplar-level route must equal the
+    member-level formulation row for row."""
+    import random
+
+    vocab = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta"]
+    for trial in range(6):
+        rng = random.Random(7000 + trial)
+        rows, next_id = [], 1
+        base_texts = []
+        for g in range(rng.randint(2, 5)):
+            # build chains: each text shares most tokens with the previous
+            if base_texts and rng.random() < 0.5:
+                toks = base_texts[-1].split()
+                toks[rng.randrange(len(toks))] = rng.choice(vocab)
+                txt = " ".join(toks)
+            else:
+                txt = " ".join(rng.choice(vocab) for _ in range(12)) * 2
+            base_texts.append(txt)
+            for _ in range(rng.randint(1, 6)):  # copies
+                rows.append((next_id, txt)); next_id += 1
+        for _ in range(rng.randint(0, 3)):  # noise docs
+            rows.append((next_id, rng.choice(["tok", "", None,
+                         "completely unrelated text " * 3]))); next_id += 1
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        kw = dict(min_est_jaccard=0.5, k=2, portable_hash=True)
+        a = sorted((r.doc_id, r.comp, r.kept) for r in
+                   dedup.fuzzy_dedup(df, unique_texts=False, **kw).collect())
+        b = sorted((r.doc_id, r.comp, r.kept) for r in
+                   dedup.fuzzy_dedup(df, unique_texts=True, **kw).collect())
+        assert a == b, f"trial {trial}: member {a} != exemplar {b}"
+        dedup.release_text_group_caches()
