@@ -428,10 +428,14 @@ def mmr_rerank(
     stage 2 greedily selects ``k``.
 
     Scale shape: relevance is a map-only fold over the corpus; the
-    candidate cut is a bounded top-k sort; each greedy step evaluates
-    ≤ ``candidates`` rows against ≤ ``k`` collected picks (one bounded
-    1-row driver probe per step — the same pattern as kmeans' centroid
-    loop, justified because MMR's sequential dependency is inherent).
+    candidate cut is a bounded top-k sort (``TakeOrderedAndProject``),
+    so the ONLY driver-side materialization is that ≤ ``candidates``-row
+    frame, collected ONCE.  The greedy stage is pure integer arithmetic
+    over that bounded set — O(k·candidates·dim) on the driver, no Spark
+    jobs — because MMR's sequential pick-by-pick dependency makes k
+    round-trips through the scheduler pure overhead when the candidate
+    set already fits in one hand (BENCH r10: the per-pick ``.first()``
+    formulation cost 17 s at sf0.1; this one costs one top-k job).
 
     Returns ``rank`` (1-based pick order), ``id_col``, ``rel`` and
     ``mmr_score`` (BIGINT, in quantized-dot units).
@@ -445,29 +449,91 @@ def mmr_rerank(
         F.col(vec_col), lambda x: F.floor(x.cast("double") * F.lit(float(qscale)))
     )
 
-    def dot(vec_expr, const_ints):
-        return F.aggregate(
-            F.zip_with(
-                vec_expr,
-                F.array(*[F.lit(int(c)).cast("long") for c in const_ints]),
-                lambda a, b: a * b,
-            ),
-            F.lit(0).cast("long"),
-            lambda acc, x: acc + x,
-        )
-
     cand = (
         df.filter(F.col(vec_col).isNotNull())
         .select(F.col(id_col).alias("_id"), qv.alias("_qv"))
-        .withColumn("_rel", dot(F.col("_qv"), qq))
+        .withColumn("_rel", _const_dot(F.col("_qv"), qq))
         .orderBy(F.col("_rel").desc(), F.col("_id").asc())
         .limit(int(candidates))
     )
-    from opteryx_spark.operators.dedup import _track_persist
+    # ONE job: the candidate frame is bounded by `candidates` and already
+    # integer-quantized, so the greedy stage needs no cluster.
+    pool = [(r["_id"], int(r["_rel"]), [int(x) for x in r["_qv"]]) for r in cand.collect()]
+    picked = _mmr_greedy(pool, int(lambda_pct), int(k))
+    spark = df.sparkSession
+    rows = [
+        (rank + 1, pid, rel, score)
+        for rank, (pid, rel, score) in enumerate(picked)
+    ]
+    out = spark.createDataFrame(
+        rows, f"rank long, {id_col} long, rel long, mmr_score long"
+    )
+    return out
 
-    cand = _track_persist(cand)
 
+def _const_dot(vec_expr, const_ints):
+    """BIGINT dot product of an array column with a constant int vector."""
+    return F.aggregate(
+        F.zip_with(
+            vec_expr,
+            F.array(*[F.lit(int(c)).cast("long") for c in const_ints]),
+            lambda a, b: a * b,
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def _mmr_greedy(
+    pool: list[tuple], lambda_pct: int, k: int
+) -> list[tuple]:
+    """Exact integer MMR selection over a collected candidate pool.
+
+    ``pool``: (id, rel, quantized-vec) triples.  Pick order maximizes
+    ``lambda_pct·rel − (100−lambda_pct)·max_dot_to_selected`` with ties
+    toward the smaller id — identical, pick for pick, to the pre-r11
+    per-pick Spark-job formulation (``_mmr_select_spark_loop``; the
+    equivalence is pinned by ``tests/test_mmr_equivalence.py``).
+    Returns (id, rel, mmr_score) triples in pick order.
+    """
     lam, mu = int(lambda_pct), 100 - int(lambda_pct)
+    remaining = list(pool)
+    # max dot-to-selected so far, per remaining candidate (incrementally
+    # maintained: one new-pick pass per round, O(candidates·dim)).  No
+    # floor at 0: before anything is selected the penalty term is 0, but
+    # afterwards it is the TRUE max dot, which can be negative — matching
+    # the Spark-loop formulation's F.greatest over actual dots.
+    max_sim: dict = {pid: None for pid, _r, _v in remaining}
+    picked: list[tuple] = []
+    for _ in range(int(k)):
+        if not remaining:
+            break
+
+        def _score(c):
+            ms = max_sim[c[0]]
+            return lam * c[1] - mu * (0 if ms is None else ms)
+
+        best = min(remaining, key=lambda c: (-_score(c), c[0]))
+        pid, rel, pvec = best
+        picked.append((pid, rel, _score(best)))
+        remaining = [c for c in remaining if c[0] != pid]
+        for cid, _r, cvec in remaining:
+            d = sum(a * b for a, b in zip(cvec, pvec))
+            if max_sim[cid] is None or d > max_sim[cid]:
+                max_sim[cid] = d
+    return picked
+
+
+def _mmr_select_spark_loop(cand: "DataFrame", lambda_pct: int, k: int) -> list[tuple]:
+    """Pre-r11 greedy stage: one Spark job per pick over the candidate
+    frame.  Retained ONLY as the equivalence witness for ``_mmr_greedy``
+    (BENCH r10 flagged the k sequential ``.first()`` jobs at 17 s/sf0.1);
+    not called by ``mmr_rerank``.  Returns (id, rel, mmr_score) triples."""
+    lam, mu = int(lambda_pct), 100 - int(lambda_pct)
+
+    def dot(vec_expr, const_ints):
+        return _const_dot(vec_expr, const_ints)
+
     picked: list[tuple] = []  # (id, rel, score, qv list)
     for _ in range(int(k)):
         remaining = cand
@@ -494,15 +560,7 @@ def mmr_rerank(
         if best is None:
             break
         picked.append((best["i"], best["r"], -best["ns"], [int(x) for x in best["q"]]))
-    spark = df.sparkSession
-    rows = [
-        (rank + 1, pid, rel, score)
-        for rank, (pid, rel, score, _q) in enumerate(picked)
-    ]
-    out = spark.createDataFrame(
-        rows, f"rank long, {id_col} long, rel long, mmr_score long"
-    )
-    return out
+    return [(pid, rel, score) for pid, rel, score, _q in picked]
 
 
 def rank_metrics(

@@ -306,8 +306,9 @@ def emb_mmr_rerank(spark, sf_dir):
     top-5 of 15 dense-retrieval candidates balancing relevance against
     redundancy (lambda = 0.70), all-integer scoring over milli-quantized
     vectors so the greedy pick order is engine-identical — relevance is a
-    map-only fold, each greedy step is one bounded 1-row probe (the
-    k-means centroid pattern).  The oracle unrolls the 5 steps as CTEs."""
+    map-only fold; the bounded candidate frame is collected ONCE and the
+    greedy stage runs as exact integer arithmetic on the driver (one
+    Spark job total).  The oracle unrolls the 5 steps as CTEs."""
     emb = t(spark, sf_dir, "embeddings")
     qrow = emb.filter(F.col("vec_id") == 0).select("embedding").first()
     qvec = [float(v) for v in qrow["embedding"]]
