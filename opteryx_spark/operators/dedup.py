@@ -141,11 +141,20 @@ def _track_release(obj) -> None:
             new_hash = obj.semanticHash()
         except Exception:
             new_hash = None
-    if new_hash is not None:
+    if hasattr(obj, "sameSemantics"):
+        # When either side's semanticHash is unavailable (new_hash None,
+        # or an entry stored fh None), fall back to the sameSemantics
+        # plan walk alone — otherwise an aliasing older handle survives
+        # in the list and cap-eviction re-triggers the exact
+        # unpersist-under-alias regression this dedup exists to prevent
+        # (ADVICE r10).  The int pre-filter is only a cost optimization.
         kept = []
         for f, fh in _CACHED_REPS:
             try:
-                dup = fh == new_hash and obj.sameSemantics(f)
+                if new_hash is not None and fh is not None:
+                    dup = fh == new_hash and obj.sameSemantics(f)
+                else:
+                    dup = obj.sameSemantics(f)
             except Exception:
                 dup = False
             if not dup:
@@ -1522,7 +1531,22 @@ def fuzzy_dedup(
     afterwards — expanding copy groups into member-level pairs first is
     O(copies²) per group and made the sf5 stress run super-linear
     (PREFLIGHT_HEAVY_r10: 3.5× over the 5×-sf1 projection), while the
-    component structure only needs the group→cluster mapping.  No driver
+    component structure only needs the group→cluster mapping.
+
+    ``max_bucket`` edge (the routes intentionally diverge here, same
+    exemption as :func:`minhash_dedup_verified`'s docstring notes): a
+    byte-identical copy group larger than ``max_bucket`` floods its own
+    LSH buckets in the member-level route, so the cap drops them and the
+    copies all come back ``kept=true`` — the cap is a bucket-join skew
+    guard, and member-level pairing has no other way through it.  The
+    exemplar route never builds those pairs (one exemplar row per
+    bucket), so it clusters every active multi-copy group unconditionally
+    and such a group keeps exactly one copy — the semantically intended
+    outcome at corpus scale, where a 10⁶-copy boilerplate group is
+    precisely what dedup exists to remove.  With ``unique_texts="auto"``
+    the route (and therefore which edge semantics apply) is picked by the
+    measured duplicate ratio; pass ``unique_texts`` explicitly when
+    over-cap copy groups are possible and the distinction matters.  No driver
     collect; checkpoint blocks are released via
     :func:`release_text_group_caches`.
     """

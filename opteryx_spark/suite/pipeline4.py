@@ -167,40 +167,43 @@ def text_bm25_topk(spark, sf_dir):
 @register(
     "dedup_fuzzy_keepers",
     oracle=f"""
-    WITH RECURSIVE sh AS (
-      SELECT doc_id, unnest(list_distinct(list_transform(range(1, len({_O_TOKENS})),
+    WITH RECURSIVE grp AS (
+      SELECT MIN(doc_id) AS gid, COUNT(*) AS n_copies, text
+      FROM documents GROUP BY text
+    ), sh AS (
+      SELECT gid, unnest(list_distinct(list_transform(range(1, len({_O_TOKENS})),
         i -> concat_ws(' ', {_O_TOKENS}[i], {_O_TOKENS}[i+1])))) AS s
-      FROM documents
+      FROM grp
     ), hs AS (
-      SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT),
+      SELECT gid, list_reduce(list_prepend(CAST(0 AS BIGINT),
                list_transform(range(1, length(s)+1),
                               i -> CAST(ascii(s[i]) AS BIGINT))),
                (acc, c) -> (acc * 31 + c) % 2147483647) AS h
       FROM sh
     ), perms(idx, a, b) AS (VALUES {_PERM_VALUES}),
     mins AS (
-      SELECT doc_id, idx, MIN((a * h + b) % 2147483647) AS mh
-      FROM hs CROSS JOIN perms GROUP BY doc_id, idx
+      SELECT gid, idx, MIN((a * h + b) % 2147483647) AS mh
+      FROM hs CROSS JOIN perms GROUP BY gid, idx
     ), sigs AS (
-      SELECT doc_id, list(mh ORDER BY idx) AS sig FROM mins GROUP BY doc_id
+      SELECT gid, list(mh ORDER BY idx) AS sig FROM mins GROUP BY gid
     ), bnd AS (
-      SELECT doc_id, band,
+      SELECT gid, band,
              list_reduce(list_prepend(CAST(0 AS BIGINT), comps),
                          (acc, c) -> (acc * 1000003 + c) % 2147483647) AS bh
       FROM (
-        SELECT doc_id, idx // 4 AS band, list(mh ORDER BY idx) AS comps
-        FROM mins GROUP BY doc_id, idx // 4
+        SELECT gid, idx // 4 AS band, list(mh ORDER BY idx) AS comps
+        FROM mins GROUP BY gid, idx // 4
       )
     ), ok AS (
       SELECT band, bh FROM bnd GROUP BY band, bh HAVING COUNT(*) <= 1000
     ), pairs AS (
-      SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+      SELECT DISTINCT a.gid AS id1, b.gid AS id2
       FROM bnd a JOIN bnd b ON a.band = b.band AND a.bh = b.bh
-                           AND a.doc_id < b.doc_id
+                           AND a.gid < b.gid
       JOIN ok ON ok.band = a.band AND ok.bh = a.bh
     ), strong AS (
       SELECT id1, id2
-      FROM pairs JOIN sigs sa ON sa.doc_id = id1 JOIN sigs sb ON sb.doc_id = id2
+      FROM pairs JOIN sigs sa ON sa.gid = id1 JOIN sigs sb ON sb.gid = id2
       WHERE len(list_filter(range(1, 65), i -> sa.sig[i] = sb.sig[i])) >= 32
     ), edges AS (
       SELECT id1 AS a, id2 AS b FROM strong
@@ -211,10 +214,18 @@ def text_bm25_topk(spark, sf_dir):
       SELECT e.a, w.comp FROM edges e JOIN walk w ON w.node = e.b
     ), labels AS (
       SELECT node, MIN(comp) AS comp FROM walk GROUP BY node
+    ), glab AS (
+      SELECT node, comp FROM labels
+      UNION ALL
+      SELECT gid, gid FROM grp
+      WHERE n_copies > 1 AND gid IN (SELECT DISTINCT gid FROM sh)
+        AND gid NOT IN (SELECT node FROM labels)
     )
     SELECT d.doc_id, l.comp,
            (l.comp IS NULL OR l.comp = d.doc_id) AS kept
-    FROM documents d LEFT JOIN labels l ON l.node = d.doc_id
+    FROM documents d
+    JOIN grp g ON g.text IS NOT DISTINCT FROM d.text
+    LEFT JOIN glab l ON l.node = g.gid
     ORDER BY d.doc_id
     """,
 )
@@ -222,10 +233,19 @@ def dedup_fuzzy_keepers(spark, sf_dir):
     """Fuzzy dedup that ACTS (``operators/dedup.py::fuzzy_dedup``): the
     GPT-3/RefinedWeb recipe — portable-hash MinHash LSH pairs gated at
     est_jaccard ≥ 0.5 (≥32 of 64 matching components) → connected
-    components → one keeper per cluster (the min id = the component
-    label).  The oracle reproduces signatures, banding, bucket cap, the
-    est gate AND the component closure (recursive CTE), then re-derives
-    keeper flags for every doc."""
+    components → one keeper per cluster (the min member id = the
+    component label).  Pinned to the EXEMPLAR-LEVEL route
+    (``unique_texts=True`` — the scale-safe form; member-level pair
+    expansion is O(copies²) per copy group and was the one sf5
+    super-linear line in PREFLIGHT_HEAVY_r10): signatures, banding, the
+    bucket cap and the component closure all run over DISTINCT texts
+    (grouped by text, exemplar id = min member id), byte-identical copy
+    groups cluster unconditionally, and members relabel through their
+    group.  The oracle replays every stage at the same exemplar level —
+    recursive-CTE closure over distinct-text nodes — then joins members
+    back through their text group.  The member-level formulation remains
+    as the ``unique_texts=False`` compat path, equivalence-tested in
+    ``tests/test_events_retrieval.py``."""
     docs = t(spark, sf_dir, "documents")
     return dedup.fuzzy_dedup(
         docs,
@@ -233,7 +253,7 @@ def dedup_fuzzy_keepers(spark, sf_dir):
         "text",
         min_est_jaccard=0.5,
         k=2,
-        unique_texts=False,
+        unique_texts=True,
         portable_hash=True,
     ).orderBy("doc_id")
 

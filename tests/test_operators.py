@@ -501,6 +501,27 @@ def test_repeated_identical_persist_does_not_evict_live_cache(spark):
     assert not dedup._CACHED_REPS
 
 
+def test_alias_dedup_survives_semantic_hash_unavailable(spark):
+    """ADVICE r10: alias dedup must not silently depend on semanticHash —
+    if an entry was stored with fh=None (hash raised at persist time), a
+    later identical persist must still dedup it via the sameSemantics
+    fallback, or cap-eviction re-triggers the unpersist-under-alias bug."""
+    dedup.release_text_group_caches()
+    df = spark.createDataFrame([(1, "a"), (2, "b")], ["id", "t"])
+    first = dedup._track_persist(df.select("id", "t"))
+    first.collect()
+    # simulate a hash-unavailable entry: blank out the stored int
+    assert len(dedup._CACHED_REPS) == 1
+    dedup._CACHED_REPS[0] = (dedup._CACHED_REPS[0][0], None)
+    for _ in range(dedup._MAX_CACHED + 2):
+        tracked = dedup._track_persist(df.select("id", "t"))
+        tracked.collect()
+    assert len(dedup._CACHED_REPS) == 1  # fh=None alias was deduped, not kept
+    assert tracked.storageLevel.useMemory
+    dedup.release_text_group_caches()
+    assert not dedup._CACHED_REPS
+
+
 def test_distinct_plans_still_lru_evict(spark):
     """Alias dedup must not break the cap for genuinely DIFFERENT plans:
     > _MAX_CACHED distinct frames still evict oldest-first."""

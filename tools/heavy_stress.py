@@ -10,7 +10,7 @@ Super-linearity check: each entry's sf5 time is compared against 5x its
 sf1 time (linear expectation); anything >2x over the linear projection is
 flagged LOUDLY in the log.
 
-Usage: python tools/heavy_stress.py [--out PREFLIGHT_HEAVY_r10.log]
+Usage: python tools/heavy_stress.py [--out PREFLIGHT_HEAVY_r11.log]
 """
 
 from __future__ import annotations
@@ -69,7 +69,7 @@ def _stages(spark) -> dict[int, dict]:
 
 def main() -> int:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--out", default=os.path.join(REPO, "PREFLIGHT_HEAVY_r10.log"))
+    ap.add_argument("--out", default=os.path.join(REPO, "PREFLIGHT_HEAVY_r11.log"))
     ap.add_argument("--replicas", type=int, default=50)
     args = ap.parse_args()
 
@@ -89,22 +89,14 @@ def main() -> int:
         os.rename(tmp, SF5_DIR)
         print(f"built sf5 in {time.perf_counter() - t0:.0f}s", flush=True)
 
-    # library-default fuzzy dedup: the suite entry pins unique_texts=False
-    # + portable_hash so its DuckDB oracle can replay member-level LSH —
-    # O(copies²) per near-dup group BY CONSTRUCTION on the 50x-replicated
-    # corpus.  The path a user gets (auto routing) clusters at the
-    # exemplar level; measure it separately.
-    from opteryx_spark.operators import dedup as _D
-    from opteryx_spark.suite._util import t as _t
-
-    def _fuzzy_auto(spark, sf):
-        return _D.fuzzy_dedup(_t(spark, sf, "documents"), "doc_id", "text")
-
-    import types as _types
-
-    reg = dict(reg)
-    reg["dedup_fuzzy_keepers_auto"] = _types.SimpleNamespace(spark=_fuzzy_auto)
-    heavy = HEAVY + ["dedup_fuzzy_keepers_auto"]
+    # r11: the suite entry now pins the exemplar-level route
+    # (unique_texts=True — VERDICT r10 #4), so the pinned entry IS the
+    # scale-safe path and the separate "_auto" measurement is redundant
+    # (auto routing picks the same route on this dup-heavy corpus).  The
+    # member-level compat path (unique_texts=False) is known super-linear
+    # here by construction (r10: 258 s, ratio 2.31) and stays out of the
+    # per-round sweep; it is unit-equivalence-tested instead.
+    heavy = list(HEAVY)
 
     # sf1 reference times for the linearity check (one run each, same session)
     sf1_t: dict[str, float] = {}
@@ -117,14 +109,32 @@ def main() -> int:
             reg[name].spark(spark, SF1_DIR).count()
             sf1_t[name] = time.perf_counter() - t0
 
-    lines = [f"# heavy-stress sf5 (replicas={args.replicas}) — {time.strftime('%Y-%m-%d %H:%M')}"]
+    lines = [
+        f"# heavy-stress sf5 (replicas={args.replicas}) — {time.strftime('%Y-%m-%d %H:%M')}",
+        "# stage attribution: stageId high-water mark (ADVICE r10 — a set",
+        "# difference missed in-flight stages and mis-handled store eviction);",
+        "# stages of ONE query evicted past spark.ui.retainedStages before its",
+        "# own after-snapshot still under-count, so metrics are lower bounds.",
+    ]
+    # VERDICT r10 #7: scd2's sf5 wall sat in a 2.8-10.7 s noise band at
+    # n=1 — sample it n=5 (median recorded, all samples logged) so a real
+    # super-linearity cannot hide in the band.  Stage metrics cover all
+    # reps (attribution is per-name, so per-rep splits add nothing).
+    MULTI_SAMPLE = {"events_scd2_history": 5}
+    import statistics as _stats
+
+    watermark = max(_stages(spark), default=-1)
     for name in heavy:
-        before = _stages(spark)
-        t0 = time.perf_counter()
-        n_rows = reg[name].spark(spark, SF5_DIR).count()
-        wall = time.perf_counter() - t0
+        reps = MULTI_SAMPLE.get(name, 1)
+        samples = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            n_rows = reg[name].spark(spark, SF5_DIR).count()
+            samples.append(time.perf_counter() - t0)
+        wall = _stats.median(samples)
         after = _stages(spark)
-        new = [s for sid, s in after.items() if sid not in before]
+        new = [s for sid, s in after.items() if sid > watermark]
+        watermark = max(max(after, default=watermark), watermark)
         sh_r = sum(s.get("shuffleReadBytes", 0) for s in new)
         sh_w = sum(s.get("shuffleWriteBytes", 0) for s in new)
         spill_m = sum(s.get("memoryBytesSpilled", 0) for s in new)
@@ -135,6 +145,8 @@ def main() -> int:
             f"tasks={tasks} shuffleR={sh_r / 1e6:.1f}MB shuffleW={sh_w / 1e6:.1f}MB "
             f"spillMem={spill_m / 1e6:.1f}MB spillDisk={spill_d / 1e6:.1f}MB"
         )
+        if reps > 1:
+            line += f" n={reps} samples=[{', '.join(f'{s:.1f}' for s in samples)}]"
         if name in sf1_t:
             linear = 5.0 * sf1_t[name]
             ratio = wall / linear if linear > 0 else float("inf")
