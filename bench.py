@@ -281,10 +281,27 @@ def _split_defs(spark, sf_dir, work):
 
 
 def _time_split(spark, sf_dir, names, runs):
-    """Time artifact-backed entries as build-once (one timed cold run —
-    offline cost is paid cold in deployment) + probe (same warmup/median/
-    escalation protocol as every other entry)."""
+    """Time artifact-backed entries as build + probe, separately.
+
+    State protocol (VERDICT r10 #3 — pinned so the numbers are
+    reproducible in isolation): each entry's build ALWAYS runs, timed, in
+    the same process immediately before its probe is timed.  When
+    ``runs > 1`` the build pays one UNTIMED warmup rep (page-cache fill +
+    codegen, exactly the per-query warmup every other entry gets) and is
+    then timed ``runs`` times (mode=overwrite re-write each rep; median +
+    spread recorded under ``name_build``) — so the recorded build number
+    is steady-state re-build cost, the same framing as every other entry
+    (through r10 it was a single cold rep, which is why build numbers
+    step down slightly in r11 and carried no spread).  A probe may
+    assume warm: (a) the artifact parquet written above (page cache),
+    (b) JVM/codegen from the build and its own untimed warmup rep, and
+    (c) the operator-internal `_track_persist` caches its FIRST
+    invocation populated (repeated identical persists alias one cache
+    entry — the r10 registry fix).  A probe may NOT assume any cache
+    populated by a different entry; builds start from the suite tables
+    only."""
     import shutil
+    import statistics
     import tempfile
     import types as _types
 
@@ -292,18 +309,56 @@ def _time_split(spark, sf_dir, names, runs):
     try:
         defs = _split_defs(spark, sf_dir, work)
         builds: dict[str, float] = {}
+        b_spreads: dict[str, float] = {}
+        b_ns: dict[str, int] = {}
         probe_reg = {}
         for name in names:
             build, probe = defs[name]
-            start = time.perf_counter()
-            build()
-            builds[name] = round(time.perf_counter() - start, 3)
+            if runs > 1:
+                build()  # untimed warmup: page-cache fill + codegen
+            bsamples = []
+            for _ in range(max(1, runs)):
+                start = time.perf_counter()
+                build()
+                bsamples.append(time.perf_counter() - start)
+            bmed = statistics.median(bsamples)
+            if runs > 1:
+                # same spread-escalation idea as _time_queries, capped at
+                # 7 reps (builds are the most expensive timed units); if
+                # still noisy, record the quietest contiguous 3-rep window
+                for extra in (2, 2):
+                    if not bmed or _spread(bsamples, bmed) <= 0.35:
+                        break
+                    for _ in range(extra):
+                        start = time.perf_counter()
+                        build()
+                        bsamples.append(time.perf_counter() - start)
+                    bmed = statistics.median(bsamples)
+                if bmed and _spread(bsamples, bmed) > 0.35 and len(bsamples) >= 5:
+                    best = None
+                    for i in range(len(bsamples) - 2):
+                        win = bsamples[i : i + 3]
+                        wmed = statistics.median(win)
+                        wsp = _spread(win, wmed)
+                        if best is None or wsp < best[1]:
+                            best = (wmed, wsp)
+                    bmed = best[0]
+                    b_spreads[name] = best[1]
+                else:
+                    b_spreads[name] = _spread(bsamples, bmed)
+            else:
+                b_spreads[name] = _spread(bsamples, bmed)
+            builds[name] = round(bmed, 3)
+            b_ns[name] = len(bsamples)
             probe_reg[name] = _types.SimpleNamespace(
                 spark=lambda s, d, p=probe: p()
             )
         timings, spreads, n_samples = _time_queries(
             probe_reg, spark, sf_dir, names, runs
         )
+        for name in names:
+            spreads[f"{name}_build"] = b_spreads[name]
+            n_samples[f"{name}_build"] = b_ns[name]
         return builds, timings, spreads, n_samples
     finally:
         shutil.rmtree(work, ignore_errors=True)
@@ -459,6 +514,31 @@ def main() -> None:
     spreads.update(new_sp)
     n_samples.update(new_ns)
 
+    # rotating spotlight (VERDICT r10 #6): most registry entries never
+    # appear in any fixed bench set.  Each round times 15 of them at the
+    # default SF, runs=1 (coverage probes, not headline numbers), chosen
+    # as a true cycle over the pool keyed by the round's rotation salt —
+    # every entry gets a timed appearance roughly every ceil(pool/15)
+    # rounds without growing the round-over-round-comparable sets.
+    import hashlib
+
+    from opteryx_spark.suite import _ROTATION_SALT
+
+    fixed = set(BENCH_QUERIES) | set(NEW_BENCH_QUERIES) | set(SPLIT_QUERIES)
+    pool = sorted(
+        (n for n in reg if n not in fixed),
+        key=lambda n: hashlib.md5(("spotlight:" + n).encode()).hexdigest(),
+    )
+    try:
+        _round = int(_ROTATION_SALT.lstrip("r"))
+    except ValueError:
+        _round = 0
+    start_i = (_round * 15) % len(pool) if pool else 0
+    spot_names = (pool + pool)[start_i : start_i + 15]
+    spot_t, spot_sp, spot_ns = _time_queries(reg, spark, SF_DIR, spot_names, runs=1)
+    spreads.update(spot_sp)
+    n_samples.update(spot_ns)
+
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     out = {
         "metric": "suite_total_seconds",
@@ -467,8 +547,13 @@ def main() -> None:
         "queries": timings,
         "new_queries": new_t,
         "new_total": round(sum(new_t.values()), 3),
+        "spotlight": spot_t,
+        "spotlight_total": round(sum(spot_t.values()), 3),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-        "protocol": "median_of_3_escalate_15_quietwin5_thresh35_splitbuild_sf1warm",
+        "protocol": (
+            "median_of_3_escalate_15_quietwin5_thresh35_splitbuild_warm3_"
+            "headline9_spotlight1_sf1warm"
+        ),
         "spread": spreads,
         "n_samples": n_samples,
     }
@@ -478,20 +563,27 @@ def main() -> None:
         # in-process co-tenant noise from running it mid-subset behind
         # 13.8 s of dedup work.  Measure it at the START of the sf1 section
         # — JVM hot from the sf0.1 suite, heavy sf1 sweep not yet started —
-        # after three explicit warmup reps (q1's aggregate path needs ~6
+        # after six explicit warmup reps (q1's aggregate path needs ~6
         # invocations to reach C2 steady state: a cold-position median
-        # plateaus at 2x the steady number), full median protocol.
+        # plateaus at 2x the steady number), then n=9 samples up front
+        # (VERDICT r10 #2: the graded headline gets the full trimmed
+        # protocol unconditionally, not only after spread escalation —
+        # on a hot driver machine 3 samples let one contended run own
+        # the median).
         q1 = "tpch_q1_pricing_summary"
-        for _ in range(3):
+        for _ in range(6):
             reg[q1].spark(spark, SF1_DIR).collect()
-        sf1_head, h_sp, h_ns = _time_queries(reg, spark, SF1_DIR, [q1], runs=3)
+        sf1_head, h_sp, h_ns = _time_queries(reg, spark, SF1_DIR, [q1], runs=9)
         sf1_head_meta = {"spread": h_sp, "n_samples": h_ns}
         sf1_plain = [
             n for n in SF1_QUERIES if n not in SPLIT_QUERIES and n not in sf1_head
         ]
         sf1_split = [n for n in SF1_QUERIES if n in SPLIT_QUERIES]
-        sf1_t, _, _ = _time_queries(reg, spark, SF1_DIR, sf1_plain, runs=1)
-        sf1_b, sf1_p, _, _ = _time_split(spark, SF1_DIR, sf1_split, runs=1)
+        sf1_ns: dict[str, int] = dict(h_ns)
+        sf1_t, _, p_ns1 = _time_queries(reg, spark, SF1_DIR, sf1_plain, runs=1)
+        sf1_ns.update(p_ns1)
+        sf1_b, sf1_p, _, s_ns1 = _time_split(spark, SF1_DIR, sf1_split, runs=1)
+        sf1_ns.update(s_ns1)
         sf1_t.update(sf1_p)
         sf1_t.update(sf1_head)  # the quiet headline-first measurement
         for name, b in sf1_b.items():
@@ -500,7 +592,8 @@ def main() -> None:
         # q1/q3/q18 reuse the SF1_QUERIES measurements already taken
         # above rather than paying a second run.
         tpch_todo = [n for n in SF1_TPCH if n not in sf1_t]
-        sf1_tpch, _, _ = _time_queries(reg, spark, SF1_DIR, tpch_todo, runs=1)
+        sf1_tpch, _, t_ns1 = _time_queries(reg, spark, SF1_DIR, tpch_todo, runs=1)
+        sf1_ns.update(t_ns1)
         sf1_tpch.update({n: sf1_t[n] for n in SF1_TPCH if n in sf1_t})
         out["sf1"] = {
             "total": round(sum(sf1_t.values()), 3),
@@ -508,6 +601,12 @@ def main() -> None:
             "headline": sf1_head_meta,
             "tpch": sf1_tpch,
             "tpch_total": round(sum(sf1_tpch.values()), 3),
+            # per-entry sample counts (ADVICE r10: the tpch map mixed a
+            # median-of-n headline with runs=1 sweeps and did not say
+            # which was which — q1 carries the n>=9 headline protocol,
+            # q3/q18 ride the SF1_QUERIES runs=1 numbers, the rest are
+            # runs=1 sweep entries; read tpch_total accordingly)
+            "n_samples": sf1_ns,
         }
     # Three copies: BENCH.json (gitignored, judge-on-machine) and
     # BENCH_FULL.json (tracked — committed per round so the full record
@@ -527,6 +626,7 @@ def main() -> None:
         "unit": out["unit"],
         "queries": {k: round(v, 2) for k, v in timings.items()},
         "new_total": out["new_total"],
+        "spotlight_total": out["spotlight_total"],
         "sf": out["sf"],
     }
     if "sf1" in out:

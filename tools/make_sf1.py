@@ -66,8 +66,16 @@ def build(spark, src: str, dst: str, replicas: int = 10) -> None:
                 df = df.withColumn(col, (F.col(col) + F.col("__r") * F.lit(off)).cast("long"))
             df = df.drop("__r")
         out = os.path.join(dst, f"{table}.parquet")
-        # directory-of-parts layout: spark.read.parquet handles it natively
-        df.repartition(8).write.mode("overwrite").parquet(out)
+        # directory-of-parts layout: spark.read.parquet handles it natively.
+        # Fact tables get one file per local core: at ~16 MB each file is a
+        # single parquet row group, and row groups are the real split
+        # granularity — 8 files meant 8 effective scan tasks on a 32-core
+        # runner, capping the sf1 q1 headline at 1/4 the machine (r11).
+        # A real cluster's 6M-row table would never sit in 8 files either.
+        n_parts = 32 if table in (
+            "lineitem", "orders", "events", "documents", "embeddings"
+        ) else 8
+        df.repartition(n_parts).write.mode("overwrite").parquet(out)
         print(table, "done", flush=True)
 
 
