@@ -102,6 +102,11 @@ def main() -> int:
     sf1_t: dict[str, float] = {}
     if os.path.isdir(SF1_DIR):
         for name in heavy:
+            # one untimed warmup rep: the sf1 references run FIRST in the
+            # session, and cold codegen/JVM inflated them past the warm
+            # sf5 walls (r11 observation: sf1 16 s vs sf5 5 s for the
+            # same query) — a cold denominator flatters every ratio
+            reg[name].spark(spark, SF1_DIR).count()
             t0 = time.perf_counter()
             # count(), matching the sf5 measurement below: several heavy
             # entries return corpus-scale pair sets, and a driver collect
