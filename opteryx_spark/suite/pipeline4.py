@@ -234,17 +234,21 @@ def dedup_fuzzy_keepers(spark, sf_dir):
     GPT-3/RefinedWeb recipe — portable-hash MinHash LSH pairs gated at
     est_jaccard ≥ 0.5 (≥32 of 64 matching components) → connected
     components → one keeper per cluster (the min member id = the
-    component label).  Pinned to the EXEMPLAR-LEVEL route
-    (``unique_texts=True`` — the scale-safe form; member-level pair
-    expansion is O(copies²) per copy group and was the one sf5
-    super-linear line in PREFLIGHT_HEAVY_r10): signatures, banding, the
-    bucket cap and the component closure all run over DISTINCT texts
-    (grouped by text, exemplar id = min member id), byte-identical copy
-    groups cluster unconditionally, and members relabel through their
-    group.  The oracle replays every stage at the same exemplar level —
-    recursive-CTE closure over distinct-text nodes — then joins members
-    back through their text group.  The member-level formulation remains
-    as the ``unique_texts=False`` compat path, equivalence-tested in
+    component label).  r11 re-pin (VERDICT r10 #4): the ORACLE now
+    replays the EXEMPLAR-LEVEL semantics — grouping by text, signatures /
+    banding / bucket cap / recursive-CTE closure all over DISTINCT texts
+    (exemplar id = min member id), byte-identical copy groups clustering
+    unconditionally, members relabeled through their group — and the
+    Spark side runs the LIBRARY DEFAULT ``unique_texts="auto"`` routing:
+    member-level on mostly-unique corpora (this sf0.1 corpus is 0.16%
+    dups, where forcing the exemplar route measured 2.2× pure overhead),
+    exemplar-level on dup-heavy corpora (sf5's 98% dups, where
+    member-level pair expansion is O(copies²) and was r10's one
+    super-linear heavy line — r11 heavy log: ratio 0.18).  The two routes
+    produce identical results away from the ``max_bucket`` edge (the
+    documented divergence needs a >1000-member bucket; the compare
+    corpora top out at copy groups of 2), so the one oracle gates both —
+    and the route equivalence itself is pinned by the randomized tests in
     ``tests/test_events_retrieval.py``."""
     docs = t(spark, sf_dir, "documents")
     return dedup.fuzzy_dedup(
@@ -253,7 +257,7 @@ def dedup_fuzzy_keepers(spark, sf_dir):
         "text",
         min_est_jaccard=0.5,
         k=2,
-        unique_texts=True,
+        unique_texts="auto",
         portable_hash=True,
     ).orderBy("doc_id")
 
