@@ -1060,9 +1060,15 @@ def winnow_pairs(
     """
     from opteryx_spark.operators.text import winnow_fingerprints
 
-    fps = _spread(df).select(
-        F.col(id_col).alias("id"),
-        F.explode(winnow_fingerprints(text_col, k, window)).alias("fp"),
+    # materialize the exploded fingerprints once (r11): the df-cap
+    # aggregate and both sides of the self-join otherwise re-run the
+    # rolling-hash fingerprint pipeline (three times total — the
+    # minhash_lsh_pairs persist precedent)
+    fps = _track_persist(
+        _spread(df).select(
+            F.col(id_col).alias("id"),
+            F.explode(winnow_fingerprints(text_col, k, window)).alias("fp"),
+        )
     )
     if max_df is not None:
         hot = fps.groupBy("fp").count().filter(F.col("count") > max_df).select("fp")
@@ -1764,11 +1770,17 @@ def bloom_positions(
     (125 KB of longs per 2^20 bits) that a prefilter joins or broadcasts,
     with NO false negatives by construction.
     """
-    h0 = _portable_hash_expr(F.col(key_col))
-    pos = F.array(*_bloom_pos_exprs(h0, m_bits, k))
+    # bind the polynomial base hash to a named column first (r11): the k
+    # position expressions otherwise each inline the whole char fold, so
+    # every key paid k interpreted hash folds instead of one
     return (
         keys.filter(F.col(key_col).isNotNull())
-        .select(F.explode(pos).alias("pos"))
+        .select(_portable_hash_expr(F.col(key_col)).alias("_h0"))
+        .select(
+            F.explode(
+                F.array(*_bloom_pos_exprs(F.col("_h0"), m_bits, k))
+            ).alias("pos")
+        )
         .distinct()
     )
 
@@ -1793,10 +1805,16 @@ def bloom_prefilter(
     decides), one id-keyed count reduce.  NULL keys miss by contract.
     """
     probe = new_docs.select(F.col(key_col).alias("_key")).distinct()
-    pos = F.array(*_bloom_pos_exprs(_portable_hash_expr(F.col("_key")), m_bits, k))
     hits = (
         probe.filter(F.col("_key").isNotNull())
-        .select("_key", F.explode(pos).alias("pos"))
+        # named-column base hash: k positions share ONE char fold (r11)
+        .select("_key", _portable_hash_expr(F.col("_key")).alias("_h0"))
+        .select(
+            "_key",
+            F.explode(
+                F.array(*_bloom_pos_exprs(F.col("_h0"), m_bits, k))
+            ).alias("pos"),
+        )
         .join(positions.withColumn("_in", F.lit(True)), "pos", "left")
         .groupBy("_key")
         .agg((F.count(F.col("_in")) == F.lit(k)).alias("bloom_hit"))
@@ -1849,8 +1867,13 @@ def containment_pairs(
         raise ValueError("k must be >= 1")
     if not (0 <= min_containment_ppm <= 1_000_000):
         raise ValueError("min_containment_ppm must be in [0, 1e6]")
-    sh = _spread(df).select(
-        F.col(id_col).alias("id"), F.explode(shingles(text_col, k)).alias("sh")
+    # materialize the exploded shingles once (r11): sizes, the df-cap
+    # aggregate and both self-join sides otherwise re-run the shingle
+    # explode four times (the minhash_lsh_pairs persist precedent)
+    sh = _track_persist(
+        _spread(df).select(
+            F.col(id_col).alias("id"), F.explode(shingles(text_col, k)).alias("sh")
+        )
     )
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
     if max_df is not None:

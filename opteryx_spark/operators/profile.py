@@ -330,12 +330,15 @@ def cms_counters(df, text_col: str = "text", d: int = 4, w: int = 8192):
     from opteryx_spark.operators.dedup import _portable_hash_expr
 
     toks = df.select(F.explode(_text.tokens(text_col)).alias("_tk"))
-    base_h = _portable_hash_expr(F.col("_tk"))
-    cells = toks.select(
+    # bind the polynomial hash to a named column first (r11): inlining it
+    # into the d band structs re-folds the token's chars d times per row
+    cells = toks.select(_portable_hash_expr(F.col("_tk")).alias("_h")).select(
         F.explode(
             F.array(
                 *[
-                    F.struct(F.lit(r).alias("d"), cms_bucket(base_h, r, w).alias("b"))
+                    F.struct(
+                        F.lit(r).alias("d"), cms_bucket(F.col("_h"), r, w).alias("b")
+                    )
                     for r in range(d)
                 ]
             )
@@ -399,13 +402,16 @@ def cms_token_counts(
         .groupBy("_tk")
         .agg(F.count(F.lit(1)).alias("_n"))
     )
-    base_h = _portable_hash_expr(F.col("_tk"))
+    # bind the polynomial hash to a named column first (r11): inlining it
+    # into the d band structs re-folds the token's chars d times per row
     cells = tok_counts.select(
+        F.col("_n"), _portable_hash_expr(F.col("_tk")).alias("_h")
+    ).select(
         F.col("_n"),
         F.explode(
             F.array(
                 *[
-                    F.struct(F.lit(r).alias("d"), _bucket(base_h, r).alias("b"))
+                    F.struct(F.lit(r).alias("d"), _bucket(F.col("_h"), r).alias("b"))
                     for r in range(d)
                 ]
             )

@@ -222,12 +222,19 @@ def postings_index(
     are invisible to index-based search — the sparse-index contract.
     """
     toks = text.tokens(text_col)
+    # two-step select (r11, guide §1.2/§4): with dl and explode(toks) in
+    # ONE select, the analyzer extracts the Generate and leaves the dl
+    # token-count expression in a Project ABOVE it — re-tokenizing the
+    # document once per POSTING row instead of once per document
+    # (measured 3.0 s -> 0.3 s on the sf0.1 corpus).  Materializing the
+    # token array as a named column first keeps dl below the Generate.
     return (
         df.select(
             F.col(id_col),
             F.coalesce(text._nsize(toks), F.lit(0)).cast("long").alias("dl"),
-            F.explode(toks).alias("term"),
+            toks.alias("_toks"),
         )
+        .select(F.col(id_col), "dl", F.explode("_toks").alias("term"))
         .groupBy("term", id_col, "dl")
         .agg(F.count(F.lit(1)).alias("tf"))
         .select("term", id_col, "tf", "dl")

@@ -133,9 +133,25 @@ def lsh_cosine_pairs(
             p = F.array(*[F.lit(float(v)) for v in planes[i * planes_per_band + j]])
             sig = sig + F.when(_dot(F.col(vec_col), p) >= 0, F.lit(1 << j)).otherwise(F.lit(0))
         band_sigs.append(F.struct(F.lit(i).alias("band"), sig.alias("sig")))
+    # r11 (guide §2.4/§1.2): the bucket frame feeds BOTH sides of the
+    # candidate self-join, and the broadcast side cannot reuse the shuffle
+    # side's exchange — without a persist the whole signature subtree
+    # (bands·planes dot folds per row + the bucket-cap window) executes
+    # twice.  The per-row norm is precomputed HERE so the per-pair cosine
+    # is one dot fold + a multiply/divide instead of three folds (norms
+    # were re-folded per candidate pair — measured 4x on the sf0.1 entry:
+    # 11.4 s -> 2.8 s, bit-identical since sqrt(dot(v,v)) is the same
+    # IEEE expression either way).  Release-at-start keeps repeated
+    # invocations self-contained (the _text_groups discipline).
+    from opteryx_spark.operators.dedup import _track_persist, release_text_group_caches
+
+    release_text_group_caches()
     buckets = _spread(df).select(
-        F.col(id_col).alias("id"), F.col(vec_col).alias("v"), F.explode(F.array(*band_sigs)).alias("b")
-    ).select("id", "v", F.col("b.band").alias("band"), F.col("b.sig").alias("sig"))
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        _norm(F.col(vec_col)).alias("_n"),
+        F.explode(F.array(*band_sigs)).alias("b"),
+    ).select("id", "v", "_n", F.col("b.band").alias("band"), F.col("b.sig").alias("sig"))
     if max_bucket is not None:
         # window-count cap rides the candidate join's own (band, sig)
         # partitioning — same formulation as dedup.minhash_lsh_pairs
@@ -147,6 +163,7 @@ def lsh_cosine_pairs(
             .filter(F.col("_bc") <= max_bucket)
             .drop("_bc")
         )
+    buckets = _track_persist(buckets)
     a, b = buckets.alias("a"), buckets.alias("b")
     # cosine is computed BEFORE the pair dedup so the dedup exchange
     # carries (id1, id2, double) instead of two full embedding vectors —
@@ -162,7 +179,9 @@ def lsh_cosine_pairs(
         .select(
             F.col("a.id").alias("id1"),
             F.col("b.id").alias("id2"),
-            cosine(F.col("a.v"), F.col("b.v")).alias("cosim"),
+            (_dot(F.col("a.v"), F.col("b.v")) / (F.col("a._n") * F.col("b._n"))).alias(
+                "cosim"
+            ),
         )
         .filter(F.col("cosim") >= threshold)
         .groupBy("id1", "id2")

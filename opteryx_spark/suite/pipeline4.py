@@ -860,8 +860,16 @@ def dedup_bloom_prefilter(spark, sf_dir):
     from opteryx_spark.operators import dedup as D
     from opteryx_spark.operators import text as T
 
-    docs = t(spark, sf_dir, "documents").select(
-        "doc_id", F.md5(T.normalize_text("text")).alias("key")
+    # r11 (guide §2.4): the (doc_id, key) frame feeds FOUR plan branches
+    # (corpus keys -> positions, the exact-dup join, the new-doc side and
+    # its bloom probe) and each branch re-ran the regexp_replace+md5 scan
+    # of the full corpus.  Persist the 40-byte-per-row key frame once —
+    # the same bounded-lifetime cache every dedup operator uses.
+    D.release_text_group_caches()
+    docs = D._track_persist(
+        t(spark, sf_dir, "documents").select(
+            "doc_id", F.md5(T.normalize_text("text")).alias("key")
+        )
     )
     corpus_keys = (
         docs.filter((F.col("doc_id") < 250) & F.col("key").isNotNull())
