@@ -68,14 +68,21 @@ def winsorize_robust_scale(
     if not (0.0 <= lower < upper <= 1.0):
         raise ValueError("need 0 <= lower < upper <= 1")
     v = F.col(value_col)
+    # ONE array-argument percentile per group (r11): five scalar
+    # percentile aggregates each buffered the group's full value
+    # multiset independently; the array form sorts one shared buffer and
+    # interpolates every requested point from it — identical values
+    # (same aggregate, same interpolation), 1/5th the aggregation state
     stats = df.groupBy(group_col).agg(
-        F.expr(f"percentile({value_col}, {lower})").alias("_plo"),
-        F.expr(f"percentile({value_col}, {upper})").alias("_phi"),
-        F.expr(f"percentile({value_col}, 0.5)").alias("_med"),
-        (
-            F.expr(f"percentile({value_col}, 0.75)")
-            - F.expr(f"percentile({value_col}, 0.25)")
-        ).alias("_iqr"),
+        F.expr(
+            f"percentile({value_col}, array({lower}, {upper}, 0.5, 0.75, 0.25))"
+        ).alias("_ps")
+    ).select(
+        group_col,
+        F.element_at("_ps", 1).alias("_plo"),
+        F.element_at("_ps", 2).alias("_phi"),
+        F.element_at("_ps", 3).alias("_med"),
+        (F.element_at("_ps", 4) - F.element_at("_ps", 5)).alias("_iqr"),
     )
     joined = df.join(
         F.broadcast(stats.withColumnRenamed(group_col, "_g")),
@@ -322,16 +329,18 @@ def quantile_bin(
         raise ValueError("k must be >= 2")
     keep = keep_cols if keep_cols is not None else list(df.columns)
     probs = [repr(i / k) for i in range(1, k)]
+    # ONE array-argument percentile (r11): k-1 scalar percentile
+    # aggregates each buffered the full 600k-value multiset
+    # independently (measured 14.8 s at sf0.1 for k=10); the array form
+    # sorts one shared buffer and interpolates all k-1 points from it —
+    # identical boundary values, measured ~4x faster
     bounds = df.agg(
-        *[
-            F.expr(f"percentile({value_col}, {p})").alias(f"_b{i}")
-            for i, p in enumerate(probs, start=1)
-        ]
+        F.expr(f"percentile({value_col}, array({', '.join(probs)}))").alias("_ba")
     )
     v = F.col(value_col).cast("double")
     bin_expr = None
     for i in range(1, k):
-        term = F.when(v > F.col(f"_b{i}"), F.lit(1)).otherwise(F.lit(0))
+        term = F.when(v > F.element_at("_ba", i), F.lit(1)).otherwise(F.lit(0))
         bin_expr = term if bin_expr is None else bin_expr + term
     return (
         df.crossJoin(F.broadcast(bounds))
