@@ -1108,6 +1108,12 @@ def connected_components(
     ``release_text_group_caches()``, so a long-lived session holds at most
     one call's blocks.  Materialize the result before releasing —
     localCheckpoint frames cannot be recomputed after release.
+
+    The convergence check rides the round's own materialization: the
+    label-update join already sees both the old label and the neighbour
+    min, so a ``_chg`` flag column is computed there and the check is a
+    ``LIMIT 1`` scan of the just-checkpointed frame — no separate
+    old-vs-new shuffle join per round.
     """
     edges = pairs.select(F.col(id1).alias("a"), F.col(id2).alias("b"))
     edges, edges_h = _checkpoint_tracked(
@@ -1130,17 +1136,15 @@ def connected_components(
             .select(
                 "node",
                 F.least(F.col("comp"), F.coalesce("ncomp", F.col("comp"))).alias("comp"),
+                # new comp differs from old comp exactly when a strictly
+                # smaller neighbour label arrived (NULL ncomp -> NULL ->
+                # excluded by the filter below, same as unchanged)
+                (F.col("ncomp") < F.col("comp")).alias("_chg"),
             )
         )
-        changed = (
-            new.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.comp") != F.col("o.comp"))
-            .limit(1)
-            .count()
-        )
+        changed = new.filter(F.col("_chg")).limit(1).count()
         labels_h.unpersist()  # superseded round — keep only the latest
-        labels, labels_h = new, new_h
+        labels, labels_h = new.select("node", "comp"), new_h
         if changed == 0:
             break
     edges_h.unpersist()  # final labels are checkpointed; edges no longer needed

@@ -1639,15 +1639,21 @@ def removal_effect_attribution(
     much the chain's conversion probability FALLS when that channel is
     removed (transitions into it rerouted to DROP).
 
-    Fully relational — NO per-channel driver loop: the chain is
-    replicated over a ``removed`` tag column (one row set per channel +
-    the intact chain), removal is a relational rewrite of the shared
-    transition counts, and ALL chains power-iterate together, keyed by
-    ``(removed, state)`` — one join + one aggregate per round for every
-    scenario at once.  Exact integers throughout (truncating-ppm rows,
-    ``Σ T(s,t)·v(t) div 1e6`` rounds); ``rounds`` bounds journey length
-    (the R-step conversion probability — journeys are short; fixed R
-    keeps the oracle an unrolled CTE chain).
+    The corpus-sized work is ONE aggregation (journey pairs → transition
+    counts); everything after it is arithmetic on a matrix of
+    O(|channel vocabulary|²) rows.  That matrix is collected once and the
+    per-scenario power iteration runs exactly on the driver
+    (:func:`_removal_effect_exact` — the bounded-frame rule: ``rounds``
+    sequential cluster jobs over a few-hundred-row frame are pure
+    scheduler overhead).  Vocabularies beyond
+    ``_RE_MAX_DRIVER_TRANSITIONS`` transition rows fall back to the
+    all-scenarios-at-once distributed loop
+    (:func:`_removal_effect_spark_loop`, keyed by ``(removed, state)`` —
+    no per-channel loop there either).  Exact integers throughout
+    (truncating-ppm rows, ``Σ T(s,t)·v(t) div 1e6`` rounds) on BOTH
+    routes — equivalence pinned by ``tests/test_removal_equivalence.py``;
+    ``rounds`` bounds journey length (the R-step conversion probability —
+    journeys are short; fixed R keeps the oracle an unrolled CTE chain).
 
     Journey semantics: per user, channel touches strictly before the
     FIRST ``conv_type`` event (ts, id ordered), then CONV if the user
@@ -1712,6 +1718,110 @@ def removal_effect_attribution(
     )
     counts = pairs.groupBy("fi", "tj").agg(F.count(F.lit(1)).alias("c"))
 
+    from opteryx_spark.operators.dedup import _checkpoint_tracked, _track_release
+
+    # Everything below the counts aggregate is arithmetic on the transition
+    # matrix, whose size is O(|channel vocabulary|^2) rows no matter how big
+    # the corpus is.  Collect it ONCE and run the exact integer scenario
+    # iteration on the driver (the bounded-frame rule that fixed mmr_rerank
+    # in r11): ``rounds`` driver-sequential checkpoint jobs over a
+    # few-hundred-row frame are pure scheduler overhead.  A pathological
+    # vocabulary (beyond the cap) falls back to the all-scenarios-at-once
+    # distributed loop, which is also the equivalence witness
+    # (tests/test_removal_equivalence.py).
+    counts, c_h = _checkpoint_tracked(counts)
+    head = counts.limit(_RE_MAX_DRIVER_TRANSITIONS + 1).collect()
+    if len(head) <= _RE_MAX_DRIVER_TRANSITIONS:
+        _track_release(c_h)
+        rows = _removal_effect_exact(
+            [(r["fi"], r["tj"], int(r["c"])) for r in head], rounds, PPM
+        )
+        return events.sparkSession.createDataFrame(
+            rows,
+            "channel string, p_full_ppm long, p_removed_ppm long, "
+            "removal_effect_ppm long, share_ppm long",
+        )
+    out = _removal_effect_spark_loop(counts, rounds, PPM)
+    _track_release(c_h)
+    return out
+
+
+# Transition-matrix cap for the driver-exact route: ~40 channels' worth of
+# (fi, tj) rows.  Above it the scenario iteration stays distributed.
+_RE_MAX_DRIVER_TRANSITIONS = 2000
+
+
+def _removal_effect_exact(
+    transitions: list, rounds: int, ppm: int = 1_000_000
+) -> list:
+    """Exact integer removal-effect computation over a collected
+    ``(fi, tj, c)`` transition-count list — identical, value for value,
+    to :func:`_removal_effect_spark_loop` (pinned by
+    ``tests/test_removal_equivalence.py``): same truncating-ppm row
+    normalization, same ``sum(p·v) div ppm`` rounds, same
+    missing-START/empty-scenario semantics.  Returns
+    ``(channel, p_full_ppm, p_removed_ppm, removal_effect_ppm,
+    share_ppm)`` tuples (unordered; ``share_ppm`` None when all effects
+    are 0).  All quantities are non-negative, so Python floor division
+    matches both engines' truncating ``div``/``//``.
+    """
+    counts: dict = {}
+    for fi, tj, c in transitions:
+        counts[(fi, tj)] = counts.get((fi, tj), 0) + int(c)
+    special = {"START", "CONV", "DROP"}
+    channels = sorted({x for ft in counts for x in ft if x not in special})
+    # A real channel literally named "(none)" is harmless: the tag
+    # replication it doubles in the distributed form scales c and sum(c)
+    # together, and floor(m·c·ppm / (m·sum)) == floor(c·ppm / sum) — the
+    # scenario computes identically, and eff excludes it either way.
+    results: dict = {}
+    for removed in set(channels) | {"(none)"}:
+        scc: dict = {}
+        for (fi, tj), c in counts.items():
+            if fi == removed:
+                continue
+            key = (fi, "DROP" if tj == removed else tj)
+            scc[key] = scc.get(key, 0) + c
+        outsum: dict = {}
+        for (fi, _tj), c in scc.items():
+            outsum[fi] = outsum.get(fi, 0) + c
+        p = {ft: (c * ppm) // outsum[ft[0]] for ft, c in scc.items()}
+        states = {s for ft in p for s in ft}
+        v = {s: (ppm if s == "CONV" else 0) for s in states}
+        for _ in range(int(rounds)):
+            stepped: dict = {}
+            for (fi, tj), pp in p.items():
+                stepped[fi] = stepped.get(fi, 0) + pp * v[tj]
+            v = {
+                s: (ppm if s == "CONV" else stepped.get(s, 0) // ppm)
+                for s in states
+            }
+        if "START" in v:
+            results[removed] = v["START"]
+    if "(none)" not in results:
+        return []
+    p_full = results["(none)"]
+    eff = [
+        (ch, p_full, results[ch], max(p_full - results[ch], 0))
+        for ch in channels
+        if ch != "(none)" and ch in results
+    ]
+    tot = sum(e[3] for e in eff)
+    return [
+        (ch, pf, pr, re, (re * ppm) // tot if tot > 0 else None)
+        for ch, pf, pr, re in eff
+    ]
+
+
+def _removal_effect_spark_loop(
+    counts: DataFrame, rounds: int, PPM: int = 1_000_000
+) -> DataFrame:
+    """Pre-r11 distributed scenario iteration over the ``(fi, tj, c)``
+    transition-count frame: replicate per removal tag, power-iterate all
+    scenarios at once keyed by ``(removed, state)``.  Retained as the
+    fallback for pathological channel vocabularies (counts beyond
+    ``_RE_MAX_DRIVER_TRANSITIONS`` rows) and as the equivalence witness
+    for :func:`_removal_effect_exact`."""
     channels = counts.select(F.col("fi").alias("_ch")).unionAll(
         counts.select(F.col("tj").alias("_ch"))
     ).filter(~F.col("_ch").isin("START", "CONV", "DROP")).distinct()

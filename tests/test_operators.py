@@ -442,8 +442,33 @@ def test_connected_components_ground_truth(spark):
     pairs = spark.createDataFrame(
         [(1, 2), (2, 3), (5, 6), (8, 9), (9, 10), (3, 4)], ["id1", "id2"]
     )
-    comp = {r.node: r.comp for r in dedup.connected_components(pairs).collect()}
+    out = dedup.connected_components(pairs)
+    assert out.columns == ["node", "comp"]  # internal _chg flag must not leak
+    comp = {r.node: r.comp for r in out.collect()}
     assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 5: 5, 6: 5, 8: 8, 9: 8, 10: 8}
+
+
+def test_connected_components_inline_convergence_flag(spark):
+    """r11: the convergence check is a _chg-flag scan of the round's own
+    checkpoint, not an old-vs-new join.  Pin convergence behaviour on a
+    graph where labels keep moving for several rounds (reversed chains —
+    min label enters from the tail) plus isolated-pair noise, and on a
+    graph that converges in round one (star centred on the min id):
+    identical labels, clean (node, comp) schema."""
+    rev_chain = [(i + 1, i) for i in range(6)]  # 6 -> ... -> 0, min at far end
+    noise = [(100, 101), (102, 103)]
+    g1 = spark.createDataFrame(rev_chain + noise, "id1 long, id2 long")
+    out1 = dedup.connected_components(g1)
+    assert out1.columns == ["node", "comp"]
+    labels1 = {r.node: r.comp for r in out1.collect()}
+    assert {n: c for n, c in labels1.items() if n <= 6} == {i: 0 for i in range(7)}
+    assert labels1[100] == 100 and labels1[101] == 100
+    assert labels1[102] == 102 and labels1[103] == 102
+    # one-round convergence: star with the min id at the centre
+    star = spark.createDataFrame([(0, i) for i in range(1, 5)], "id1 long, id2 long")
+    labels2 = {r.node: r.comp for r in dedup.connected_components(star).collect()}
+    assert labels2 == {i: 0 for i in range(5)}
+    dedup.release_text_group_caches()
 
 
 def test_connected_components_checkpoints_released(spark):
