@@ -247,8 +247,10 @@ def blocked_fuzzy_join(
     trade — raise ``block_len`` overlap or add a middle block for
     stricter guarantees).  NULL strings never match.
 
-    Scale shape: two equi shuffle joins on block keys + union + distinct,
-    then a map-side ``levenshtein`` refine — no nested-loop join at any
+    Scale shape: ONE equi shuffle join on side-tagged exploded block
+    keys (each row carries its prefix key and its suffix key; the tag
+    keeps prefix matching prefix only), then a map-side threshold
+    ``levenshtein`` refine + distinct — no nested-loop join at any
     size.  Hot blocks (shared prefixes) are the skew hazard; at corpus
     scale feed a higher-entropy block key (e.g. sorted-trigram sample)
     the same way.
@@ -259,14 +261,7 @@ def blocked_fuzzy_join(
     if max_dist < 0 or block_len < 1:
         raise ValueError("max_dist >= 0 and block_len >= 1 required")
     lc, rc = F.col(left_col), F.col(right_col)
-    lpre = left.withColumn("_bk", F.substring(left_col, 1, block_len))
-    rpre = right.withColumn("_bk", F.substring(right_col, 1, block_len))
-    lsuf = left.withColumn(
-        "_bk", F.substring(lc, -block_len, block_len)
-    )
-    rsuf = right.withColumn(
-        "_bk", F.substring(rc, -block_len, block_len)
-    )
+
     # r11: refine BEFORE the pair dedup, with the threshold form of
     # levenshtein.  The old order ran a corpus-wide distinct over WIDE
     # candidate rows (hot blocks make the candidate stream quadratic in
@@ -279,10 +274,28 @@ def blocked_fuzzy_join(
     # returns the exact distance — its -1 over-threshold sentinel is
     # excluded explicitly.  Measured 10.4 s -> 4.5 s on the sf0.1
     # entity-resolution entry.
+    #
+    # r11 wave 4: ONE equi join over side-tagged exploded block keys
+    # instead of (prefix join) UNION (suffix join) — each input derives
+    # once instead of twice and the candidate stream crosses one shuffle
+    # instead of two (same bytes: 2x rows per side vs 2 joins of 1x).
+    # The "p"/"s" tag keeps prefix keys matching prefix keys only — an
+    # untagged key would add cross prefix==suffix candidates the two-join
+    # form never generated (and the oracle pins out).  Candidate multiset
+    # is identical (both-blocks-match pairs appear twice, deduped by the
+    # same distinct); a NULL string yields NULL concat keys, which the
+    # equi join drops exactly as the NULL block column did.
+    def _keys(c):
+        return F.array(
+            F.concat(F.lit("p"), F.substring(c, 1, block_len)),
+            F.concat(F.lit("s"), F.substring(c, -block_len, block_len)),
+        )
+
+    lb = left.withColumn("_bk", F.explode(_keys(lc)))
+    rb = right.withColumn("_bk", F.explode(_keys(rc)))
     refined = (
-        lpre.join(rpre, "_bk")
+        lb.join(rb, "_bk")
         .drop("_bk")
-        .unionByName(lsuf.join(rsuf, "_bk").drop("_bk"))
         .withColumn("dist", F.levenshtein(lc, rc, int(max_dist)))
         .filter((F.col("dist") >= 0) & (F.col("dist") <= max_dist))
     )

@@ -470,16 +470,30 @@ def semantic_dedup(
     The final filter is a broadcast-eligible left anti-join on the
     dropped-id set (near-dups are a small fraction of the corpus).
     """
+    # per-row norms precomputed on each side (r11): the within-cluster
+    # pair condition otherwise re-folds BOTH vector norms per pair — one
+    # dot fold per pair instead of three, bit-identical (sqrt(dot(v,v))
+    # is the same IEEE expression per row as it was per pair); the same
+    # rewrite as cosine_pairs / lsh_cosine_pairs
     a = df.select(
-        F.col(cluster_col).alias("_c"), F.col(id_col).alias("id1"), F.col(vec_col).alias("v1")
+        F.col(cluster_col).alias("_c"),
+        F.col(id_col).alias("id1"),
+        F.col(vec_col).alias("v1"),
+        _norm(F.col(vec_col)).alias("_n1"),
     )
     b = df.select(
-        F.col(cluster_col).alias("_c"), F.col(id_col).alias("id2"), F.col(vec_col).alias("v2")
+        F.col(cluster_col).alias("_c"),
+        F.col(id_col).alias("id2"),
+        F.col(vec_col).alias("v2"),
+        _norm(F.col(vec_col)).alias("_n2"),
     )
     dropped = (
         a.join(b, ["_c"])
         .filter(F.col("id1") < F.col("id2"))
-        .filter(cosine(F.col("v1"), F.col("v2")) >= threshold)
+        .filter(
+            _dot(F.col("v1"), F.col("v2")) / (F.col("_n1") * F.col("_n2"))
+            >= threshold
+        )
         .select(F.col("id2").alias(id_col))
         .distinct()
     )

@@ -284,7 +284,7 @@ def join_fuzzy_blocked(spark, sf_dir):
     dirtied copy of a synthesized entity-name column (char drop / append /
     prepend by id class) re-linked to its canonical records within 1
     Levenshtein edit.  Prefix-OR-suffix blocking generates candidates via
-    two equi joins — no cartesian at any scale (plan-asserted) — and the
+    one tagged-key equi join — no cartesian at any scale (plan-asserted) — and the
     front-edit class specifically exercises the suffix block.  500/500
     dirty rows re-link to exactly their canonical record."""
     from opteryx_spark.operators import joins
