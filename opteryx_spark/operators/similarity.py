@@ -1649,7 +1649,15 @@ def triplet_mining(
         F.lit(0).cast("long"),
         lambda acc, t: acc + t,
     )
-    pairs = (
+    from opteryx_spark.operators.dedup import _track_persist
+
+    # persisted (r11): the pair-distance frame feeds BOTH the positive
+    # and the negative keeper aggregates — without the persist each
+    # branch re-runs the corpus scan AND the 64-element quantize+fold
+    # per pair.  The cached projection is 5 slim columns bounded at
+    # |corpus| x |anchor panel| rows (the panel is small by contract),
+    # the same bounded-lifetime cache every dedup operator uses.
+    pairs = _track_persist(
         _prep(corpus, "c")
         .crossJoin(broadcast(_prep(anchors, "a")))
         .filter(F.col("c_id") != F.col("a_id"))

@@ -130,3 +130,129 @@ def test_lsh_cosine_pairs_norm_precompute_matches_bruteforce(spark):
         exp = fold_dot(a, b) / (math.sqrt(fold_dot(a, a)) * math.sqrt(fold_dot(b, b)))
         assert r["cosim"] == exp
         assert r["cosim"] >= 0.2
+
+
+def test_semantic_dedup_norm_precompute_matches_bruteforce(spark):
+    """Per-row-norm rewrite of semantic_dedup: the kept set equals a
+    Python brute-force within-cluster cosine dedup (keep-lowest-id)."""
+    from opteryx_spark.operators import similarity
+
+    rng = random.Random(11)
+    rows = [
+        (i, rng.randrange(4), [round(rng.uniform(-1, 1), 4) for _ in range(8)])
+        for i in range(80)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, label long, embedding array<float>")
+    got = sorted(
+        r["vec_id"]
+        for r in similarity.semantic_dedup(df, "label", threshold=0.3).collect()
+    )
+
+    def as_float32(v):
+        import struct as _s
+
+        return [_s.unpack("f", _s.pack("f", x))[0] for x in v]
+
+    def fold_dot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + (float(x) * float(y))
+        return acc
+
+    dropped = set()
+    for i, li, vi in rows:
+        for j, lj, vj in rows:
+            if li == lj and i < j:
+                a, b = as_float32(vi), as_float32(vj)
+                cos = fold_dot(a, b) / (
+                    math.sqrt(fold_dot(a, a)) * math.sqrt(fold_dot(b, b))
+                )
+                if cos >= 0.3:
+                    dropped.add(j)
+    exp = sorted(i for i, _, _ in rows if i not in dropped)
+    assert got == exp
+
+
+def _lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def test_blocked_fuzzy_join_tagged_keys_match_reference(spark):
+    """Tagged-explode single-join rewrite: the pair set equals the
+    Python reference (prefix-OR-suffix block agreement, then exact
+    levenshtein <= max_dist) — including short strings, identical
+    strings, and edits at both ends."""
+    from opteryx_spark.operators import joins
+
+    rng = random.Random(5)
+    alphabet = "abcde"
+    names = ["".join(rng.choice(alphabet) for _ in range(rng.randrange(2, 10))) for _ in range(70)]
+    left = [(i, nm) for i, nm in enumerate(names)]
+    right = [(1000 + i, nm) for i, nm in enumerate(names[::-1])]
+    ldf = spark.createDataFrame(left, "lid long, lname string")
+    rdf = spark.createDataFrame(right, "rid long, rname string")
+    got = sorted(
+        (r["lid"], r["rid"], r["dist"])
+        for r in joins.blocked_fuzzy_join(
+            ldf, rdf, "lname", "rname", max_dist=2, block_len=4
+        ).collect()
+    )
+    exp = set()
+    for lid, ln in left:
+        for rid, rn in right:
+            blocked = ln[:4] == rn[:4] or ln[-4:] == rn[-4:]
+            if blocked:
+                d = _lev(ln, rn)
+                if d <= 2:
+                    exp.add((lid, rid, d))
+    assert got == sorted(exp)
+
+
+def test_triplet_mining_persisted_pairs_match_reference(spark):
+    """Persisted pair-frame rewrite of triplet_mining: picks equal the
+    Python reference (nearest same-label positive, nearest semi-hard
+    negative, id tie-breaks) on a randomized panel."""
+    from opteryx_spark.operators import similarity
+    from opteryx_spark.operators.dedup import release_text_group_caches
+
+    rng = random.Random(23)
+    rows = [
+        (i, rng.randrange(3), [round(rng.uniform(-1, 1), 3) for _ in range(6)])
+        for i in range(50)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, label long, embedding array<float>")
+    anchors = df.filter(F.col("vec_id") % 10 == 0)
+    got = {
+        r["anchor_id"]: (r["pos_id"], r["pos_d2_q"], r["neg_id"], r["neg_d2_q"])
+        for r in similarity.triplet_mining(anchors, df).collect()
+    }
+    release_text_group_caches()
+
+    import struct as _s
+
+    def q(v):
+        return [math.floor(_s.unpack("f", _s.pack("f", x))[0] * 1000.0) for x in v]
+
+    vecs = {i: q(v) for i, _, v in rows}
+    labels = {i: l for i, l, _ in rows}
+    exp = {}
+    for a in [i for i, _, _ in rows if i % 10 == 0]:
+        cands = [
+            (sum((x - y) ** 2 for x, y in zip(vecs[a], vecs[c])), c)
+            for c in vecs
+            if c != a
+        ]
+        pos = sorted((d, c) for d, c in cands if labels[c] == labels[a])
+        if not pos:
+            continue
+        pd2, pid = pos[0]
+        neg = sorted((d, c) for d, c in cands if labels[c] != labels[a] and d > pd2)
+        nd2, nid = neg[0] if neg else (None, None)
+        exp[a] = (pid, pd2, nid, nd2)
+    assert got == exp
