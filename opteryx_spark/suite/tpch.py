@@ -301,12 +301,26 @@ def q18(spark, sf_dir):
     cust = t(spark, sf_dir, "customer")
     orders = t(spark, sf_dir, "orders")
     li = t(spark, sf_dir, "lineitem")
+    # r11: aggregate lineitem by orderkey BEFORE any join (map-side
+    # partial combine shrinks the only big shuffle ~4x, and the HAVING
+    # filter then drops nearly every order before the orders join).
+    # Exact-equivalent to grouping the joined rows: dsum is an exact
+    # DECIMAL sum and o_orderkey functionally determines (c_custkey,
+    # orderdate), so per-orderkey totals + attribute attach produce the
+    # identical rows (verified ordered-identical at sf1).
+    per_order = li.groupBy("l_orderkey").agg(
+        dsum(F.col("l_quantity")).alias("total_qty")
+    )
     return (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        per_order.filter(F.col("total_qty") > 150.0)
+        .join(orders, F.col("l_orderkey") == orders.o_orderkey)
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
-        .groupBy("c_custkey", "o_orderkey", F.col("o_orderdate").cast("date").alias("orderdate"))
-        .agg(dsum(F.col("l_quantity")).alias("total_qty"))
-        .filter(F.col("total_qty") > 150.0)
+        .select(
+            "c_custkey",
+            "o_orderkey",
+            F.col("o_orderdate").cast("date").alias("orderdate"),
+            "total_qty",
+        )
         .orderBy(F.desc("total_qty"), F.asc("o_orderkey"))
         .limit(100)
     )
