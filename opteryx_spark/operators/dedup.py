@@ -288,7 +288,34 @@ def _portable_hash_expr(x: Column) -> Column:
 
     Reproducible bit-for-bit in DuckDB (list_reduce over ascii codes);
     products stay < 2^36, far inside long range.
+
+    Folds over ``split(x, '')`` — the code-point sequence in order (an
+    empty regex matches only BETWEEN code points in Java, never inside a
+    surrogate pair, and combining marks stay separate code points, same
+    as ``substr``'s code-point indexing) — so the fold is linear in the
+    string length.  The per-position ``substr(i, 1)`` formulation it
+    replaces rescanned the string's UTF-8 bytes from the front at every
+    position (O(n^2) per key: ~16x the char work on a 32-char md5 key);
+    value-identical on every code point, proven by
+    ``tests/test_r11_optimizations.py`` against the retained reference
+    fold (adversarial unicode + randomized + corpus shingles).
     """
+    n = F.length(x)
+    return F.aggregate(
+        F.when(n >= 1, F.split(x, "")).otherwise(
+            F.array().cast("array<string>")
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * F.lit(31) + F.ascii(c).cast("long"))
+        % F.lit(_PORTABLE_MOD),
+    )
+
+
+def _portable_hash_expr_reference(x: Column) -> Column:
+    """The original per-position fold (substr per index): O(n^2) but
+    trivially aligned with the DuckDB twin's definition.  Kept ONLY as
+    the equivalence witness for ``_portable_hash_expr`` — not called by
+    any operator."""
     n = F.length(x)
     return F.aggregate(
         F.when(n >= 1, F.sequence(F.lit(1), n)).otherwise(
