@@ -116,9 +116,17 @@ def gopher_quality(
     oracle reproduces the values bit-for-bit.  Pure per-row expressions:
     the stage is map-only at any corpus size (the repetition metrics are
     higher-order array functions, not a shuffle).
+
+    The token array and the repetition struct are bound to named columns
+    in a lower projection first: sibling Project expressions do not share
+    subexpressions, so the old single-select form re-ran the tokenize for
+    each of the four token metrics and the whole ngram+sort+fold for each
+    of the three extracted repetition fields.  CollapseProject keeps a
+    multi-referenced non-cheap alias in its own Project, so each is now
+    evaluated exactly once per row.
     """
     th = {**GOPHER_DEFAULTS, **(thresholds or {})}
-    tks = text.tokens(text_col)
+    tks = F.col("_gq_tks")
     # text._nsize: non-ANSI size(NULL) is -1 — NULL text must yield NULL
     # counts (and a False verdict via the outer coalesce), never -1
     n_words = text._nsize(tks).cast("long")
@@ -130,17 +138,25 @@ def gopher_quality(
     stop_words = sorted({w for lang in langs for w in text.STOPWORDS[lang]})
     stops = F.array(*[F.lit(w) for w in stop_words])
     stop_hits = text._nsize(F.filter(tks, lambda x: F.array_contains(stops, x))).cast("long")
-    rep = text.repetition_metrics(text_col, k=2)
+    rep = F.col("_gq_rep")
 
-    out = df.select(
-        "*",
-        n_words.alias("n_words"),
-        mean_word_len.alias("mean_word_len"),
-        alpha_word_frac.alias("alpha_word_frac"),
-        stop_hits.alias("stop_hits"),
-        rep["dup_chars"].alias("dup_2gram_chars"),
-        rep["top_chars"].alias("top_2gram_chars"),
-        rep["total_chars"].alias("total_2gram_chars"),
+    out = (
+        df.select(
+            "*",
+            text.tokens(text_col).alias("_gq_tks"),
+            text.repetition_metrics(text_col, k=2).alias("_gq_rep"),
+        )
+        .select(
+            "*",
+            n_words.alias("n_words"),
+            mean_word_len.alias("mean_word_len"),
+            alpha_word_frac.alias("alpha_word_frac"),
+            stop_hits.alias("stop_hits"),
+            rep["dup_chars"].alias("dup_2gram_chars"),
+            rep["top_chars"].alias("top_2gram_chars"),
+            rep["total_chars"].alias("total_2gram_chars"),
+        )
+        .drop("_gq_tks", "_gq_rep")
     )
     dup_frac = F.col("dup_2gram_chars").cast("double") / F.col("total_2gram_chars").cast("double")
     top_frac = F.col("top_2gram_chars").cast("double") / F.col("total_2gram_chars").cast("double")

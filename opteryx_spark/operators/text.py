@@ -912,15 +912,17 @@ def char_entropy(
     arr = F.array(*[F.lit(v).cast("bigint") for v in lns])  # element_at(arr, x) = L[x]
 
     s = F.substring(F.col(text_col), 1, prefix_len)
+    # explode the code-point array (split on the empty regex matches only
+    # BETWEEN code points — same pieces as per-position ``substr``, proven
+    # by the _portable_hash_expr equivalence battery and pinned again in
+    # tests/test_r11_optimizations.py).  The per-position formulation it
+    # replaces (explode(sequence(1, len)) + substr(_s, _i, 1)) rescanned
+    # the prefix's UTF-8 bytes from the front at every position — O(n²)
+    # byte work per document on a 512-char prefix.
     base = (
         df.filter(F.col(text_col).isNotNull() & (F.length(s) >= 1))
-        .select(F.col(id_col), s.alias("_s"), F.length(s).alias("_len"))
-        .select(
-            id_col,
-            F.explode(F.sequence(F.lit(1), F.col("_len"))).alias("_i"),
-            F.col("_s"),
-        )
-        .select(id_col, F.expr("substr(_s, _i, 1)").alias("_c"))
+        .select(F.col(id_col), s.alias("_s"))
+        .select(id_col, F.explode(F.split(F.col("_s"), "")).alias("_c"))
     )
     counts = base.groupBy(id_col, "_c").agg(F.count(F.lit(1)).alias("_n"))
     agg = counts.groupBy(id_col).agg(
@@ -1023,10 +1025,17 @@ def lexical_diversity(
     NULL text yields NULL metrics; tokenless text yields zeros with
     NULL ratios.
 
+    The sorted array and the fold are bound to named columns in a lower
+    projection: sibling Project expressions do not share subexpressions
+    either (the ``n_types`` and ``hapax`` columns each embedded the whole
+    sort+fold — 2× the fold work per row, measured 1.9× on sf0.1), and
+    CollapseProject keeps a multi-referenced non-cheap alias in its own
+    Project, so each is evaluated exactly once per row.
+
     Appends ``n_tokens``, ``n_types``, ``hapax`` (BIGINT), ``ttr_ppm``
     (types·1e6 div tokens), ``hapax_ppm`` (hapax·1e6 div types).
     """
-    arr = F.array_sort(tokens(F.col(text_col)))
+    arr = F.col("_lex_arr")
     n = F.size(arr).cast("bigint")
     zero = F.lit(0).cast("bigint")
     init = F.struct(
@@ -1058,12 +1067,15 @@ def lexical_diversity(
             .alias("hapax"),
         )
 
-    folded = F.aggregate(arr, init, step, finish)
+    folded = F.col("_lex_fold")
     types = folded["types"]
     hapax = folded["hapax"]
     nn = F.when(F.col(text_col).isNotNull(), F.coalesce(n, F.lit(0)))
+    staged = df.select(
+        "*", F.array_sort(tokens(F.col(text_col))).alias("_lex_arr")
+    ).select("*", F.aggregate(arr, init, step, finish).alias("_lex_fold"))
     return (
-        df.withColumn("n_tokens", nn)
+        staged.withColumn("n_tokens", nn)
         .withColumn("n_types", F.when(F.col(text_col).isNotNull(), F.coalesce(types, F.lit(0))))
         .withColumn("hapax", F.when(F.col(text_col).isNotNull(), F.coalesce(hapax, F.lit(0))))
         .withColumn(
@@ -1074,6 +1086,7 @@ def lexical_diversity(
             "hapax_ppm",
             F.when(F.col("n_types") > 0, F.expr("(1000000 * hapax) div n_types")),
         )
+        .drop("_lex_arr", "_lex_fold")
     )
 
 

@@ -474,8 +474,13 @@ def holt_linear(
     first = F.element_at(F.col("_pts"), 1)
     rest = F.slice(F.col("_pts"), 2, F.greatest(F.size("_pts") - 1, F.lit(0)))
     init = F.struct(first["qy"].alias("l"), F.lit(0).cast("long").alias("b"))
-    folded = F.aggregate(rest, init, _step)
+    # bind the fold to a named column first: sibling Project expressions
+    # do not share subexpressions, so extracting l/b/l+b straight from
+    # the aggregate expression re-ran the whole per-key fold three times
+    folded = F.col("_hl_fold")
     return pts.select(
+        *key_cols, "_pts", F.aggregate(rest, init, _step).alias("_hl_fold")
+    ).select(
         *key_cols,
         F.size("_pts").cast("bigint").alias("n_points"),
         folded["l"].alias("level_q"),
@@ -561,8 +566,12 @@ def holt_winters(
     init = F.struct(
         first["qy"].alias("l"), F.lit(0).cast("long").alias("b"), zeros.alias("s")
     )
-    folded = F.aggregate(rest, init, _step)
+    # bind the fold to a named column first (the holt_linear rationale):
+    # the six field extractions below would each re-run the whole fold
+    folded = F.col("_hw_fold")
     return pts.select(
+        *key_cols, "_pts", F.aggregate(rest, init, _step).alias("_hw_fold")
+    ).select(
         *key_cols,
         F.size("_pts").cast("bigint").alias("n_points"),
         folded["l"].alias("level_q"),

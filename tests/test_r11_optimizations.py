@@ -289,3 +289,93 @@ def test_portable_hash_linear_fold_matches_reference(spark):
     assert all(r.h_new == r.h_ref for r in got)
     # NULL and '' both fold to 0 (the guarded empty-array path)
     assert got[0].h_new == 0 and got[8].h_new == 0
+
+
+def test_char_entropy_split_explode_matches_substr_reference(spark):
+    """char_entropy now explodes ``split(_s, '')`` (the code-point array)
+    instead of per-position ``substr`` — the pieces must be identical on
+    EVERY code-point sequence, including astral-plane and combining-mark
+    text the parquet fixtures never contain.  Reference: the replaced
+    per-position formulation, rebuilt inline."""
+    from opteryx_spark.operators.text import char_entropy, ln_micro_table
+
+    rng = random.Random(7)
+    pool = "ab XY 09 é 😀 𐍈 中 м \U0001D54A\U0001F3FD"
+    rows = [(0, None), (1, ""), (2, "a"), (3, "😀"), (4, "a😀b é 中文"),
+            (5, "x" * 600), (6, "😀" * 300)]
+    for i in range(7, 60):
+        n = rng.randrange(0, 80)
+        rows.append((i, "".join(rng.choice(pool) for _ in range(n))))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    got = {r.doc_id: r for r in char_entropy(df).collect()}
+
+    # reference: per-position substr explode (the pre-r11 formulation)
+    prefix_len = 512
+    lns = ln_micro_table(prefix_len)
+    arr = F.array(*[F.lit(v).cast("bigint") for v in lns])
+    s = F.substring(F.col("text"), 1, prefix_len)
+    base = (
+        df.filter(F.col("text").isNotNull() & (F.length(s) >= 1))
+        .select(F.col("doc_id"), s.alias("_s"), F.length(s).alias("_len"))
+        .select("doc_id",
+                F.explode(F.sequence(F.lit(1), F.col("_len"))).alias("_i"),
+                F.col("_s"))
+        .select("doc_id", F.expr("substr(_s, _i, 1)").alias("_c"))
+    )
+    counts = base.groupBy("doc_id", "_c").agg(F.count(F.lit(1)).alias("_n"))
+    agg = counts.groupBy("doc_id").agg(
+        F.sum("_n").alias("n_chars_used"),
+        F.count(F.lit(1)).alias("n_distinct_chars"),
+        F.sum(F.col("_n") * F.element_at(arr, F.col("_n").cast("int"))).alias("_sum_cl"),
+    )
+    ref_rows = (
+        agg.withColumn("_ln_n", F.element_at(arr, F.col("n_chars_used").cast("int")))
+        .selectExpr("doc_id", "CAST(n_chars_used AS BIGINT) n",
+                    "CAST(n_distinct_chars AS BIGINT) d",
+                    "CAST((n_chars_used * _ln_n - _sum_cl) div n_chars_used AS BIGINT) h")
+        .collect()
+    )
+    ref = {r.doc_id: r for r in ref_rows}
+    for i, txt in rows:
+        g = got[i]
+        if txt is None or txt == "":
+            assert g.n_chars_used is None and g.char_entropy_micronats is None
+        else:
+            assert (g.n_chars_used, g.n_distinct_chars, g.char_entropy_micronats) == (
+                ref[i].n, ref[i].d, ref[i].h), (i, txt)
+
+
+def test_named_column_rewrites_leak_no_temp_columns(spark):
+    """The r11 named-column stagings (gopher _gq_*, lexical_diversity
+    _lex_*, holt _hl_fold/_hw_fold) must not leak their temp columns, and
+    must keep the documented output schemas exactly."""
+    from opteryx_spark.operators import filtering, text, timeseries
+
+    docs = spark.createDataFrame(
+        [(1, "the cat sat on the mat the cat sat"), (2, None), (3, "a b a b a b")],
+        "doc_id long, text string",
+    )
+    g = filtering.gopher_quality(docs)
+    assert g.columns == [
+        "doc_id", "text", "n_words", "mean_word_len", "alpha_word_frac",
+        "stop_hits", "dup_2gram_chars", "top_2gram_chars", "total_2gram_chars",
+        "dup_2gram_frac", "top_2gram_frac", "passes_gopher",
+    ]
+    lx = text.lexical_diversity(docs)
+    assert lx.columns == [
+        "doc_id", "text", "n_tokens", "n_types", "hapax", "ttr_ppm", "hapax_ppm",
+    ]
+    ser = spark.createDataFrame(
+        [("k", i, (i * 7) % 13) for i in range(20)], "k string, t long, v long"
+    )
+    hl = timeseries.holt_linear(ser, ["k"], "t", "v")
+    assert hl.columns == ["k", "n_points", "level_q", "trend_q", "forecast_next_q"]
+    hw = timeseries.holt_winters(ser, ["k"], "t", "v", period=7)
+    assert hw.columns == [
+        "k", "n_points", "level_q", "trend_q", "season_next_q", "forecast_next_q",
+    ]
+    # spot value pin: hand-checkable 3-token doc — 'a b a b a b':
+    # 6 tokens, 2 types, 0 hapax
+    r = {x.doc_id: x for x in lx.collect()}[3]
+    assert (r.n_tokens, r.n_types, r.hapax) == (6, 2, 0)
