@@ -378,13 +378,31 @@ def boilerplate_ngram_fraction(
     hot set joined back onto the exploded grams — the hot-gram table is
     tiny by construction (only grams above ``max_df``), so the join
     broadcasts; per-doc reduce is keyed by id.  No all-pairs anywhere.
+
+    The exploded ``(_bid, _gram)`` frame is persisted (bounded-lifetime
+    cache, ``dedup._track_persist``) and feeds BOTH the hot-set
+    document-frequency aggregate and the per-doc join: the old form ran
+    the shingle derivation (tokenize + k-gram transform + distinct) over
+    the corpus twice — once here and once inside :func:`hot_ngrams`.
+    Shingles are distinct per doc by construction, so ``count(*)`` per
+    gram over this frame IS the document frequency ``hot_ngrams``
+    computes (the winnow/containment persist precedent).
     """
-    grams = df.select(
-        F.col(id_col).alias("_bid"), F.explode(text.shingles(text_col, k)).alias("_gram")
+    from opteryx_spark.operators.dedup import _track_persist
+
+    grams = _track_persist(
+        df.select(
+            F.col(id_col).alias("_bid"),
+            F.explode(text.shingles(text_col, k)).alias("_gram"),
+        )
     )
-    hot = hot_ngrams(df, text_col, k, max_df).withColumnRenamed(
-        "gram", "_gram"
-    ).withColumn("_hot", F.lit(True))
+    hot = (
+        grams.groupBy("_gram")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .filter(F.col("_df") > max_df)
+        .select("_gram")
+        .withColumn("_hot", F.lit(True))
+    )
     per_doc = (
         grams.join(F.broadcast(hot), "_gram", "left")
         .groupBy("_bid")

@@ -379,3 +379,65 @@ def test_named_column_rewrites_leak_no_temp_columns(spark):
     # 6 tokens, 2 types, 0 hapax
     r = {x.doc_id: x for x in lx.collect()}[3]
     assert (r.n_tokens, r.n_types, r.hapax) == (6, 2, 0)
+
+
+def test_boilerplate_persisted_grams_match_two_pass_reference(spark):
+    """boilerplate_ngram_fraction now derives the hot set from the SAME
+    persisted (doc, gram) frame it joins against, relying on shingles
+    being distinct per doc (count(*) per gram == document frequency).
+    Pin against the old two-pass formulation (independent hot_ngrams
+    call) on a corpus with heavy INTRA-doc gram repetition — the case
+    that would break if shingles ever stopped deduping per doc."""
+    from opteryx_spark.operators import filtering, text
+    from opteryx_spark.operators.dedup import release_text_group_caches
+
+    rng = random.Random(23)
+    vocab = ["the", "cat", "sat", "mat", "dog", "ran", "big", "red"]
+    rows = []
+    for i in range(120):
+        toks = [rng.choice(vocab) for _ in range(rng.randrange(0, 30))]
+        if i % 3 == 0:
+            toks = toks + toks  # heavy intra-doc repetition
+        rows.append((i, " ".join(toks) if toks else ("" if i % 2 else None)))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    got = filtering.boilerplate_ngram_fraction(docs, k=3, max_df=4)
+
+    # reference: the replaced two-pass form
+    grams = docs.select(
+        F.col("doc_id").alias("_bid"),
+        F.explode(text.shingles("text", 3)).alias("_gram"),
+    )
+    hot = (
+        filtering.hot_ngrams(docs, "text", 3, 4)
+        .withColumnRenamed("gram", "_gram")
+        .withColumn("_hot", F.lit(True))
+    )
+    per_doc = (
+        grams.join(F.broadcast(hot), "_gram", "left")
+        .groupBy("_bid")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.count(F.col("_hot")).alias("n_hot_grams"),
+        )
+    )
+    ref = (
+        docs.join(per_doc, docs["doc_id"] == per_doc["_bid"], "left")
+        .drop("_bid")
+        .withColumn("n_grams", F.coalesce(F.col("n_grams"), F.lit(0).cast("long")))
+        .withColumn(
+            "n_hot_grams", F.coalesce(F.col("n_hot_grams"), F.lit(0).cast("long"))
+        )
+        .withColumn(
+            "boilerplate_frac",
+            F.when(
+                F.col("n_grams") > 0,
+                F.col("n_hot_grams").cast("double") / F.col("n_grams").cast("double"),
+            ),
+        )
+    )
+    assert got.columns == ref.columns
+    assert got.exceptAll(ref).count() == 0 and ref.exceptAll(got).count() == 0
+    # at least one gram must actually be hot for the pin to mean anything
+    assert got.agg(F.sum("n_hot_grams")).first()[0] > 0
+    release_text_group_caches()
