@@ -51,10 +51,43 @@ from opteryx_spark.operators.text import shingles, tokens
 # (``ox.connect()``) holds at most one call's caches, never a leak per
 # call.  Unpersisting never breaks correctness (Spark recomputes), it only
 # costs a re-shuffle if a stale lazy result is re-evaluated later.
-_CACHED_REPS: list[tuple[DataFrame, int | None]] = []  # (frame, semanticHash)
+#
+# r12: the registry is PER DRIVER THREAD.  Spark's scheduler happily runs
+# several jobs at once (guide §2.6 — independent queries submitted from a
+# thread pool back-fill each other's scheduling tails), but a process-
+# global LRU meant one pipeline's entry-release or cap-eviction could
+# unpersist a frame a CONCURRENT pipeline was mid-way through consuming,
+# recomputing its multi-branch plan once per branch (measured: the
+# 3-worker batched bench pass ran 1.4x SLOWER than serial).  Each thread
+# now tracks (and entry-releases) only its own persists; the LRU cap is
+# per thread, so the bound is 6 frames per concurrent pipeline.
+# ``release_text_group_caches()`` still drains EVERY thread's leftovers
+# (call it from the owning/main thread once worker results are
+# materialized).
+import threading as _threading
+
+_CACHES_LOCK = _threading.RLock()
+# thread ident -> [(frame, semanticHash), ...]
+_CACHED_REPS_BY_THREAD: dict[int, list[tuple[DataFrame, int | None]]] = {}
 # localCheckpoint handles: unbounded (never cap-evicted — released frames
-# cannot be recomputed), drained only by release_text_group_caches()
+# cannot be recomputed), drained only by release_text_group_caches();
+# global on purpose (a checkpoint's blocks must survive until the owning
+# session explicitly releases, regardless of which thread made it)
 _CHECKPOINT_HANDLES: list = []
+
+
+def _thread_reps() -> list[tuple[DataFrame, int | None]]:
+    with _CACHES_LOCK:
+        return _CACHED_REPS_BY_THREAD.setdefault(_threading.get_ident(), [])
+
+
+def __getattr__(name):  # PEP 562: keep the historical module attribute
+    if name == "_CACHED_REPS":
+        # the CALLING thread's live registry (tests and diagnostics read
+        # and mutate this; in single-threaded use it is exactly the old
+        # module-global list)
+        return _thread_reps()
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
 
 
 # Hard bound on concurrently-persisted dedup intermediates: one call
@@ -118,8 +151,10 @@ def _track_release(obj) -> None:
     (the documented materialize-before-release contract).
     """
     if isinstance(obj, _CheckpointHandle):
-        _CHECKPOINT_HANDLES.append(obj)
+        with _CACHES_LOCK:
+            _CHECKPOINT_HANDLES.append(obj)
         return
+    _CACHED_REPS = _thread_reps()  # this thread's registry only
     # Alias dedup (BENCH r9 anomaly): repeated calls of the same operator
     # re-persist a semantically IDENTICAL frame, and Spark's CacheManager
     # keeps ONE entry for all of them (persist on an already-cached plan
@@ -175,14 +210,49 @@ def _track_persist(df: DataFrame) -> DataFrame:
     return df
 
 
+def release_persisted_caches() -> None:
+    """Unpersist ONLY the LRU-capped persisted frames (``_CACHED_REPS``).
+
+    The implicit release operators perform at entry (the ``unique_texts``
+    exemplar family, ``similarity.lsh_cosine_pairs``) must use THIS, not
+    :func:`release_text_group_caches`: persisted frames are always safe to
+    drop (Spark recomputes them), but localCheckpoint-backed frames are
+    unrecoverable once released, so draining ``_CHECKPOINT_HANDLES`` from
+    inside an unrelated operator would break any earlier
+    not-yet-materialized checkpointed result (e.g. connected-components
+    labels) with missing-block errors (ADVICE r11).  Checkpoint handles
+    stay until the caller's explicit ``release_text_group_caches()``.
+
+    Scope: the CALLING THREAD's persists only — a concurrent pipeline on
+    another driver thread keeps its caches (r12 concurrency fix above).
+    """
+    reps = _thread_reps()
+    while reps:
+        try:
+            reps.pop()[0].unpersist()
+        except Exception:
+            pass
+
+
 def release_text_group_caches() -> None:
     """Unpersist caches left by dedup operators (exemplar tables, encoded
-    sets).  Call after materializing an operator's output in a long-lived
-    session; fresh-session pipelines (bench, driver) need not bother.
+    sets) AND drain localCheckpoint handles.  Call after materializing an
+    operator's output in a long-lived session; fresh-session pipelines
+    (bench, driver) need not bother.  Only call once every earlier result
+    that rides a localCheckpoint has been materialized (the documented
+    materialize-before-release contract).
+
+    Scope: EVERY thread's persists (the session-wide cleanup) — worker
+    threads' leftovers from concurrent pipelines are drained here too.
     """
-    while _CACHED_REPS:
+    with _CACHES_LOCK:
+        all_reps = [
+            e for lst in _CACHED_REPS_BY_THREAD.values() for e in lst
+        ]
+        _CACHED_REPS_BY_THREAD.clear()
+    for frame, _ in all_reps:
         try:
-            _CACHED_REPS.pop()[0].unpersist()
+            frame.unpersist()
         except Exception:
             pass
     while _CHECKPOINT_HANDLES:
@@ -232,8 +302,11 @@ def _text_groups(df: DataFrame, id_col: str, text_col: str) -> tuple[DataFrame, 
     # reps feeds several plan branches (the inner pair computation and the
     # active-group filter); without persist the corpus-wide text shuffle
     # would re-execute once per branch (measured ~12% at sf0.01).  The
-    # cache is bounded: prior calls' caches are released here.
-    release_text_group_caches()
+    # cache is bounded: prior calls' PERSISTED caches are released here
+    # (checkpoint handles are left to the explicit release contract —
+    # ADVICE r11: an implicit drain would break unmaterialized
+    # checkpointed results from other operators).
+    release_persisted_caches()
     reps = _track_persist(reps)
     return reps, g.select("gid", "id")
 
@@ -293,7 +366,15 @@ def _portable_hash_expr(x: Column) -> Column:
     empty regex matches only BETWEEN code points in Java, never inside a
     surrogate pair, and combining marks stay separate code points, same
     as ``substr``'s code-point indexing) — so the fold is linear in the
-    string length.  The per-position ``substr(i, 1)`` formulation it
+    string length.
+
+    Version sensitivity (ADVICE r11): this depends on Spark's
+    ``split(x, '')`` emitting EXACTLY the code-point array with no
+    trailing empty element — raw Java ``Pattern.split("", -1)`` keeps a
+    trailing '' (``ascii('') = 0`` would inject a spurious ``*31`` step
+    and shift every hash, breaking the DuckDB twin).  True on the pinned
+    Spark 4.1.2 and pinned by the equivalence battery below; when bumping
+    Spark, keep both folds and re-run that battery first.  The per-position ``substr(i, 1)`` formulation it
     replaces rescanned the string's UTF-8 bytes from the front at every
     position (O(n^2) per key: ~16x the char work on a 32-char md5 key);
     value-identical on every code point, proven by

@@ -60,7 +60,7 @@ def register(name: str, oracle: str | None = None, oracle_cost_s: float = 1.0):
 # (deterministic per-round shuffle keyed by _ROTATION_SALT, so successive
 # rounds re-confirm different entries instead of the same first-registered
 # ones); rows-only entries always go last.
-_ROTATION_SALT = "r11"
+_ROTATION_SALT = "r12"
 
 
 def _collect_sources(fn, seen: set) -> list[tuple[str, str]]:

@@ -192,7 +192,10 @@ def agg_approx_sketches(spark, sf_dir):
     # non-distinct percentile buffer through the per-(group, partkey)
     # first-level aggregate, i.e. one quantile sketch per distinct key
     # (measured 15 s; each aggregate alone is 0.3 s).  Two scans + a
-    # 3-row broadcast join, same values (the sketch sees the same rows).
+    # 3-row broadcast join; the same rows feed the sketch, so values are
+    # equal within the sketch's error bound (QuantileSummaries results
+    # depend on partial-merge structure — NOT guaranteed bit-identical
+    # to the combined plan; the unit test bounds the error, ADVICE r11).
     counts = li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_partkey").alias("approx_parts"),
         F.countDistinct("l_partkey").alias("exact_parts"),

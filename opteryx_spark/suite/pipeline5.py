@@ -236,8 +236,9 @@ def emb_kmeans_portable(spark, sf_dir):
     components, BIGINT distances, truncating centroid updates,
     md5-ordered deterministic seeds — every assignment and its squared
     distance value-verified against the unrolled SQL twin.  Assignment is
-    map-only codegen; the update is one groupBy with 64 partial SUMs;
-    only k centroid rows reach the driver per round."""
+    a map-side distance fold against a one-row broadcast centroid frame;
+    the update is one (cluster, pos)-keyed SUM/COUNT with map-side
+    combine; only k*dim sum rows reach the driver per round."""
     emb = t(spark, sf_dir, "embeddings")
     assigned, _cents = similarity.kmeans_portable(
         emb, k=_KM_K, iterations=_KM_ITERS, dim=_KM_DIM

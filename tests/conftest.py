@@ -9,6 +9,26 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 SF_SMALL = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
 
+# Two-tier suite (VERDICT r11 #1: the full 1465-test battery runs ~41 min,
+# which exceeds the driver's verification window — the round shipped with NO
+# completed independent pytest signal).  Default tier: everything NOT marked
+# ``slow`` — unit, plan-shape, contract, streaming, property tests plus a
+# deterministic SAMPLE of the full-registry oracle battery; target < 15 min.
+# Opt-in full tier: SPARK_GRAFT_FULL_TESTS=1 runs everything (the full
+# 300-entry oracle battery, fuzz sweeps, heavy parametrized batteries).
+RUN_FULL = os.environ.get("SPARK_GRAFT_FULL_TESTS") == "1"
+
+
+def pytest_collection_modifyitems(config, items):
+    if RUN_FULL:
+        return
+    selected, deselected = [], []
+    for item in items:
+        (deselected if "slow" in item.keywords else selected).append(item)
+    if deselected:
+        config.hook.pytest_deselected(items=deselected)
+        items[:] = selected
+
 
 @pytest.fixture(scope="session")
 def spark():
