@@ -606,7 +606,8 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "protocol": (
             "median_of_3_escalate_15_quietwin5_thresh35_splitbuild_warm3_"
-            "headline9_spotlight1_sf1med3_value_batched3wall_serialsum_kept"
+            "headline9_spotlight1_sf1med3_value_batched3wall_serialsum_kept_"
+            "arrow3added"
         ),
         "spread": spreads,
         "n_samples": n_samples,
@@ -657,6 +658,30 @@ def main() -> None:
         sf1_tpch, _, t_ns1 = _time_queries(reg, spark, SF1_DIR, tpch_todo, runs=1)
         sf1_ns.update(t_ns1)
         sf1_tpch.update({n: sf1_t[n] for n in SF1_TPCH if n in sf1_t})
+        # r12 (VERDICT r11 #2, guide §4): the corpus-output sf1 entries are
+        # COLLECT-bound — the pickled-row driver boundary dominates
+        # (measured: sessionize 21.9 s collect vs 1.8 s noop vs 1.4 s
+        # `toArrow()`; rolling_window 7.1/1.9/1.2; hashed_tokens
+        # 7.7/2.0/4.9).  `DataFrame.toArrow()` moves the boundary to Arrow
+        # batches with value-identical results
+        # (tests/test_arrow_boundary.py).  The comparable entries' timed
+        # action stays `.collect()` — these ride as ADDED arrow_*
+        # measurements (new keys only, declared in the protocol string).
+        import statistics as _stats
+
+        arrow_t: dict[str, float] = {}
+        for name in (
+            "events_sessionize",
+            "feat_hashed_tokens",
+            "events_rolling_window",
+        ):
+            reg[name].spark(spark, SF1_DIR).toArrow()  # untimed warmup
+            _samples = []
+            for _ in range(3):
+                start = time.perf_counter()
+                reg[name].spark(spark, SF1_DIR).toArrow()
+                _samples.append(time.perf_counter() - start)
+            arrow_t[name] = round(_stats.median(_samples), 3)
         out["sf1"] = {
             "total": round(sum(sf1_t.values()), 3),
             "queries": sf1_t,
@@ -664,6 +689,8 @@ def main() -> None:
             "headline": sf1_head_meta,
             "tpch": sf1_tpch,
             "tpch_total": round(sum(sf1_tpch.values()), 3),
+            "arrow_queries": arrow_t,
+            "arrow_total": round(sum(arrow_t.values()), 3),
             # per-entry sample counts (ADVICE r10: the tpch map mixed a
             # median-of-n headline with runs=1 sweeps and did not say
             # which was which — q1 carries the n>=9 headline protocol,
@@ -696,6 +723,7 @@ def main() -> None:
     if "sf1" in out:
         slim["sf1_total"] = out["sf1"]["total"]
         slim["sf1_tpch_total"] = out["sf1"]["tpch_total"]
+        slim["sf1_arrow_total"] = out["sf1"]["arrow_total"]
     line = json.dumps(slim, separators=(",", ":"))
     if len(line) > 2000:  # first fallback: 1-decimal per-query detail
         slim["queries"] = {k: round(v, 1) for k, v in timings.items()}

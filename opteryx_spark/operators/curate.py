@@ -407,7 +407,13 @@ def curate_incremental(
     from opteryx_spark.operators import text as _text
 
     did = F.col(id_col)
-    slim = new_docs.select(id_col, text_col)
+    # r12 (guide §2.4): the delta feeds FOUR branches (byte-exact
+    # fingerprint, minhash signing, window rewrite, final outcome join) —
+    # without a persist the composed plan re-reads the new-crawl source
+    # once per branch (6 delta scans in the r12 plan audit).  The delta is
+    # the small side by construction, so persisting the slim (id, text)
+    # projection is bounded; LRU-tracked and recomputable.
+    slim = _dedup._track_persist(new_docs.select(id_col, text_col))
 
     # 1. byte-exact membership (token-set fingerprint, the
     # dedup_against_corpus "fingerprint" key)

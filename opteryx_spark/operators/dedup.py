@@ -1449,7 +1449,16 @@ def remove_duplicate_chunks(
         F.col("_did").alias("i"),
         F.col("chunk_idx").alias("x"),
     )
-    slim = (
+    # r12 (guide §2.4, the winnow/containment persist precedent): the slim
+    # digest frame feeds TWO consumers (keeper election + removal mark), so
+    # without a persist the chunking subtree (tokenize + window transform +
+    # explode + md5) executes for each — plus once more for the rebuild
+    # below: 3 corpus chunking passes.  Persisting ONLY the digests
+    # (_did, chunk_idx, _ck, _okey — no chunk text, so the cache stays
+    # key-slim at any corpus size) cuts that to 2 (slim fill + rebuild).
+    # Local sf0.1 wall-clock is neutral (1.43 vs 1.46 s interleaved); the
+    # win is the removed corpus pass at scale.
+    slim = _track_persist(
         ch.filter(F.col("n_chunk_tokens") >= min_chunk_tokens)
         .select("_did", "chunk_idx", F.md5("chunk_text").alias("_ck"))
         .withColumn("_okey", okey)

@@ -256,6 +256,7 @@ def test_table_plan_cache_is_lru_capped(spark, sf_dir, monkeypatch):
     catalog._TABLE_CACHE.clear()
 
 
+@pytest.mark.slow  # repeated-materialization storage probe - full tier only
 def test_long_lived_session_storage_stays_flat(spark):
     """100 sequential cursor queries must not accumulate persisted
     storage (VERDICT r3 next-round #10)."""

@@ -4,6 +4,8 @@ retrieval and acting fuzzy dedup (round-6 second wave)."""
 from __future__ import annotations
 
 import math
+
+import pytest
 from datetime import datetime
 
 from pyspark.sql import functions as F
@@ -587,6 +589,7 @@ def test_fuzzy_dedup_exemplar_route_equivalence(spark):
     dedup.release_text_group_caches()
 
 
+@pytest.mark.slow  # randomized route-equivalence sweep - full tier only
 def test_fuzzy_dedup_route_equivalence_randomized(spark):
     """Property sweep: on randomized dup-heavy corpora (random copy
     counts, shared shingle pools, transitive near-dup chains, empty and

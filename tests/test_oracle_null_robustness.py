@@ -31,6 +31,12 @@ def _documents_only(oracle: str) -> bool:
 
 DOC_ONLY = sorted(n for n, qd in REG.items() if qd.oracle and _documents_only(qd.oracle))
 
+# Default tier: rotating ~30% sample (tests/_tiers.py); full sweep with
+# SPARK_GRAFT_FULL_TESTS=1 (VERDICT r11 #1 test tiering).
+from tests._tiers import battery_params  # noqa: E402
+
+DOC_ONLY_PARAMS = battery_params(DOC_ONLY, REG)
+
 
 @pytest.fixture(scope="module")
 def null_sf_dir(tmp_path_factory):
@@ -79,7 +85,7 @@ def null_duck(null_sf_dir):
     con.close()
 
 
-@pytest.mark.parametrize("name", DOC_ONLY)
+@pytest.mark.parametrize("name", DOC_ONLY_PARAMS)
 def test_oracle_null_robust(spark, null_duck, null_sf_dir, name):
     qd = REG[name]
     df = qd.spark(spark, null_sf_dir)

@@ -7,6 +7,8 @@ These tests pin those properties so a regression shows up before bench.
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from opteryx_spark.plans import broadcast_join_count, explain_text
@@ -66,6 +68,7 @@ def test_scan_filter_pushdown_json(spark, sf_dir):
     assert "PushedFilters: [IsNotNull(o_custkey), EqualTo(o_custkey,7)]" in text
 
 
+@pytest.mark.slow  # walks all 300 entry plans (~6 min) - full tier only
 def test_no_cartesian_in_suite(spark, sf_dir):
     # every suite query except the explicit cross/non-equi joins must avoid
     # CartesianProduct (at scale a cartesian is a non-starter)

@@ -100,6 +100,7 @@ def test_bloom_named_hash_no_false_negatives_and_positions(spark):
     assert rows[None] is False  # NULL keys miss by contract
 
 
+@pytest.mark.slow  # ~3 min brute-force pair sweep - full tier only
 def test_lsh_cosine_pairs_norm_precompute_matches_bruteforce(spark):
     """Persisted-bucket + per-row-norm rewrite: every reported pair's
     cosim equals the sequential-fold cosine recomputed in Python."""

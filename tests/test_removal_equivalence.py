@@ -16,6 +16,8 @@ a channel literally named "(none)").
 
 from __future__ import annotations
 
+import pytest
+
 import random
 
 from pyspark.sql import functions as F
@@ -69,6 +71,7 @@ def test_removal_exact_matches_spark_loop_randomized(spark):
         assert fast == slow, (trial, rounds, fast, slow)
 
 
+@pytest.mark.slow  # edge battery (~1 min); the randomized twin stays in the fast tier
 def test_removal_exact_edges(spark):
     # zero-touch converters only: START->CONV, no channels at all
     t = [("START", "CONV", 7)]

@@ -7,6 +7,8 @@ and batch are two executions of one logical pipeline.
 
 from __future__ import annotations
 
+import pytest
+
 import os
 import shutil
 import tempfile
@@ -462,6 +464,7 @@ def test_sessionize_stream_matches_batch(spark, sf_dir, tmp_path_factory):
     assert len(got) >= len(want) - 200
 
 
+@pytest.mark.slow  # ~1 min heavy batch-equivalence sweep - full tier only
 def test_minhash_dedup_stream_matches_batch(spark, sf_dir, tmp_path_factory):
     """Row-local streaming fuzzy dedup against the static LSH index must
     equal the batch join-form operator row for row."""

@@ -6,13 +6,16 @@ import pytest
 
 from opteryx_spark.suite import load_all
 from tests._compare import compare
+from tests._tiers import battery_params
 
 REG = load_all()
 ORACLED = [n for n, qd in sorted(REG.items()) if qd.oracle is not None]
 ROWS_ONLY = [n for n, qd in sorted(REG.items()) if qd.oracle is None]
 
 
-@pytest.mark.parametrize("name", ORACLED)
+# Default tier: rotating ~30% sample (tests/_tiers.py); the FULL battery
+# runs with SPARK_GRAFT_FULL_TESTS=1 (VERDICT r11 #1 test tiering).
+@pytest.mark.parametrize("name", battery_params(ORACLED, REG))
 def test_oracle_match(spark, duck, sf_dir, name):
     qd = REG[name]
     df = qd.spark(spark, sf_dir)
