@@ -182,13 +182,25 @@ def benford_audit(
     )
     digit = F.when(F.length(s) > 0, F.substring(s, 1, 1).cast("int"))
     base = df.filter(F.col(value_col).isNotNull()).select(digit.alias("_d"))
-    counts = base.filter(F.col("_d").isNotNull()).groupBy("_d").agg(
-        F.count(F.lit(1)).alias("n")
+    # r12 (guide §2.4): per-digit counts and the totals were SEPARATE
+    # consumers of `base`, so the corpus scan + regexp digit extraction
+    # executed twice.  ONE aggregate keeping the null-digit group (<= 10
+    # rows at any corpus size, persisted) now feeds both: n_total is the
+    # sum over every group, _n_digits the sum over real digits — exact
+    # integer counts, identical values.
+    from opteryx_spark.operators.dedup import _track_persist
+
+    counts_all = _track_persist(
+        base.groupBy("_d").agg(F.count(F.lit(1)).alias("n"))
     )
+    counts = counts_all.filter(F.col("_d").isNotNull())
     total = F.broadcast(
-        base.agg(
-            F.count(F.lit(1)).alias("n_total"),
-            F.count("_d").alias("_n_digits"),
+        counts_all.agg(
+            F.coalesce(F.sum("n"), F.lit(0).cast("long")).alias("n_total"),
+            F.coalesce(
+                F.sum(F.when(F.col("_d").isNotNull(), F.col("n"))),
+                F.lit(0).cast("long"),
+            ).alias("_n_digits"),
         )
     )
     spark = df.sparkSession

